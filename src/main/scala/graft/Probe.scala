@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Temporary smoke probe for SparkEntry.entry (removed before round end). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    println(s"ENTRY_ROWS=${df.count()}")
+    df.show(5, false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All tables are plain parquet scans — Catalyst handles column pruning and
+  * predicate pushdown, so readers stay schema-on-read and un-opinionated.
+  * The one wrinkle is `events.ts`, written as parquet TIMESTAMP(NANOS): Spark's
+  * native timestamp is microseconds and rejects nanos, so we read it as a
+  * nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`) and keep BOTH
+  * forms: `ts_ns` (lossless long, the per-key ordering column — full nanosecond
+  * precision, matching DuckDB's ordering of the raw ns timestamps) and `ts`
+  * (truncated-to-micros TimestampType for calendar functions year/month/etc.,
+  * which are truncation-insensitive).
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** `events` with `ts` usable: ts_ns (long, total-order key) + ts (micros timestamp). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}

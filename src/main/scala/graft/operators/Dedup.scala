@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline, over `documents`.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-shuffle on the content hash.
+  * N-gram Jaccard is candidate-pair generation by shared shingle — the
+  * explode/join shape that at scale must be bounded (shingle frequency cap)
+  * to avoid a quadratic blowup on a hot shingle; `maxShingleFreq` does that.
+  * MinHash/LSH (band-bucket join) bounds candidates by construction and is
+  * the scale path; its signature computation is embarrassingly parallel.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5 of the canonicalized text, keep the smallest
+    * doc_id as the representative. Output one row per distinct content hash
+    * with its duplicate count. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(fingerprintMd5(col("text")).as("fp_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("fp_md5"))
+
+  /** N-gram (word 3-gram) Jaccard near-dup: candidate pairs are documents
+    * sharing at least one shingle hash (bounded by `maxShingleFreq` to cap
+    * hot-shingle fan-out), scored with exact Jaccard over their distinct
+    * shingle-hash sets, and kept when >= `minJaccard`.
+    *
+    * Shuffle shape: explode(shingles) → group by shingle (candidate gen) →
+    * group by pair (intersection size) → join per-doc set sizes.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+                   n: Int = 3, minJaccard: Double = 0.5,
+                   maxShingleFreq: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes(col("text"), n).as("shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .distinct()
+
+    val setSizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    val byShingle = docs.groupBy(col("sh"))
+      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("freq"))
+      .filter(col("freq") <= maxShingleFreq && col("freq") >= 2)
+
+    // all ordered pairs within a shingle bucket; intersection size = number of
+    // buckets in which the pair co-occurs (shingle hashes are distinct per doc)
+    val pairs = byShingle
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a as doc_a, b as doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+
+    val sa = setSizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
+    val sb = setSizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Fixed MinHash permutation constants (odd multipliers, distinct offsets) —
+    * embedded verbatim in the oracle SQL too. */
+  val MinHashA: Seq[Long] = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
+    100663319L, 50331653L, 25165843L, 12582917L, 6291469L, 3145739L, 1572869L, 786433L)
+  val MinHashB: Seq[Long] = Seq(12345L, 67891L, 24681L, 13579L, 98765L, 43210L,
+    11111L, 22222L, 33333L, 44444L, 55555L, 66666L)
+  val Bands = 4 // 12 hashes → 4 bands of 3 rows
+
+  /** Per-document MinHash signature (12 components) over word-3-gram shingle
+    * hashes: m_j = min over shingles of (a_j * s + b_j) % HashMod; empty
+    * shingle sets get HashMod (sentinel). */
+  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val perms = MinHashA.zip(MinHashB)
+    val sigCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      aggregate(
+        shingleHashes(col("text"), n),
+        lit(HashMod),
+        (acc, s) => least(acc, (lit(a) * s + lit(b)) % HashMod)).as(s"mh$j")
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id") +: sigCols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash/LSH near-dup: band the 12-component signature into 4 bands of 3,
+    * bucket-join on (band index, band hash), emit candidate pairs with the
+    * estimated Jaccard = fraction of equal signature components. This is the
+    * 100 TB dedup path: candidates are bounded by bucket collisions, never a
+    * full cross product. */
+  def minhashLsh(spark: SparkSession, sfDir: String,
+                 n: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(spark, sfDir, n)
+    val nSig = MinHashA.size
+    val rows = nSig / Bands
+    val bandCols = (0 until Bands).map { bIdx =>
+      val parts = (0 until rows).map(r => col(s"mh${bIdx * rows + r}"))
+      // arithmetic band combine — same fold in oracle SQL
+      parts.reduce((acc, m) => (acc * 31L + m) % HashMod).as(s"band$bIdx")
+    }
+    val banded = sigs.select((col("doc_id") +: (0 until nSig).map(j => col(s"mh$j"))) ++ bandCols: _*)
+
+    val exploded = banded.select(
+      col("doc_id"), array((0 until nSig).map(j => col(s"mh$j")): _*).as("sig"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+    val l = exploded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = exploded.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e)) / ${nSig}.0"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash (64-bit, here 32-bit to stay comfortably in int64 arithmetic):
+    * per document, for each bit j, sum +1/-1 weighted by token-hash bit j;
+    * simhash bit j = 1 iff the sum is positive. Emitted as a single long. */
+  def simhash(spark: SparkSession, sfDir: String, bits: Int = 32): DataFrame = {
+    val ths = tokenHashes(col("text"))
+    val bitCols = (0 until bits).map { j =>
+      // sum over tokens of (2*bit - 1); bit = (hash >> j) & 1
+      aggregate(ths, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
+    }
+    val sim = bitCols.zipWithIndex.map { case (s, j) =>
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sim.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Relational queries over the TPC-H-ish driver tables — the join / aggregate
+  * / top-k / pushdown surface the reference lacks entirely (SURVEY.md §2.2)
+  * but the engine needs to be a usable analytics library.
+  *
+  * Numeric policy for oracle parity: money aggregates are computed on exact
+  * DECIMAL and cast to double at the end, so the result is bit-identical
+  * between Spark and DuckDB regardless of partial-aggregation order. Plain
+  * double summation is order-dependent and would make hash-matching flaky.
+  *
+  * Scale notes: group-bys here run with map-side partial aggregation (free in
+  * Spark); the multi-way join broadcasts only genuinely small dimensions
+  * (nation/region — fixed 25/5 rows at any SF) and lets the big fact-fact
+  * joins shuffle on their keys, which is the right plan at 100 TB.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** TPC-H Q1-shaped pricing summary: full-scan groupBy-agg on lineitem with
+    * map-side combine; the canonical "does partial aggregation work" probe. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation. The nation
+    * dimension (25 rows at every SF) is broadcast; the fact joins shuffle on
+    * their join keys and AQE picks the physical strategy at runtime. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val n  = Tables.nation(spark, sfDir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-k per group via ranking window: top 3 parts by revenue within each
+    * brand. Deterministic tie-break on p_partkey so the oracle hash-matches. */
+  def topPartsByBrand(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p  = Tables.part(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+    val joined = rev.join(p, rev("l_partkey") === p("p_partkey"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey").asc)
+    joined.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("p_brand"), col("rk"), col("p_partkey"), col("revenue"))
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** TPC-H Q6-shaped filtered revenue: the predicate-pushdown probe — all
+    * three filters must reach the parquet scan (verified in the plan spec). */
+  def filteredRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Order-priority counts with a semi-join (EXISTS) against lineitem:
+    * exercises left-semi planning; count-distinct-free so it stays one pass. */
+  def orderPriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val o  = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Distinct + approx-distinct probe over lineitem; exact distinct count per
+    * returnflag (shuffle on the group key with partial distinct aggregation). */
+  def distinctCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Rollup (grouping-sets family) over year(o_orderdate) × o_orderstatus. */
+  def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      .rollup(col("o_year"), col("o_orderstatus"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Similarity search over the `embeddings` table (embedding: array<float>).
+  *
+  * Numeric policy: the embedding is cast to array<double>, the dot product is
+  * a sequential left fold (`aggregate(zip_with(...))`), and cosine =
+  * dot / (sqrt(norm_a) * sqrt(norm_b)). All three steps are bit-reproducible
+  * and match DuckDB's `list_dot_product` on DOUBLE[] exactly (verified), so
+  * the oracle hash-matches with NO rounding and ranking ties are impossible
+  * to get wrong across engines.
+  *
+  * Scale notes (100 TB): brute force is the correctness baseline — a
+  * broadcast of the query set against a full scan, O(Q×N) but perfectly
+  * parallel and shuffle-free until the final per-query top-k. The bucketed
+  * variant (`ivfTopK`) is the scale path: probe only the query's bucket
+  * (here the `label` column plays the IVF coarse quantizer), cutting the
+  * scanned fraction to 1/nlist like a real IVF index.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def queriesDf(spark: SparkSession, sfDir: String, queryMod: Int): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"),
+              col("embedding").cast("array<double>").as("q_vec"),
+              col("label").as("q_label"))
+
+  /** Brute-force cosine top-k: every (query % queryMod == 0) vector against
+    * the whole table. Broadcast the small query side; rank per query by
+    * (cosine desc, vec_id asc). */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+                     k: Int = 5, queryMod: Int = 100): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val q = queriesDf(spark, sfDir, queryMod)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    base.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** IVF-style bucketed ANN: probe only vectors sharing the query's `label`
+    * (coarse-quantizer cell). Same ranking semantics within the bucket. */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              k: Int = 5, queryMod: Int = 100): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vec"))
+    val q = queriesDf(spark, sfDir, queryMod)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    base.join(broadcast(q),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine >= threshold,
+    * restricted to same-label buckets to bound the pair count (the
+    * embedding-cosine near-dup pass of a dedup pipeline). */
+  def cosineNearDup(spark: SparkSession, sfDir: String,
+                    threshold: Double = 0.95): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vec"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("vec").as("vec_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vec_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline, over `documents`.
+  *
+  * All formulas are pure integer/rational arithmetic (see
+  * [[graft.functions.TextFunctions]]) so the DuckDB oracle hash-matches
+  * bit-for-bit. Each op is a single narrow projection over the scan —
+  * column-pruned, no shuffle, embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** Stopword lists used by quality scoring and language ID. Tiny on purpose:
+    * deterministic, embeddable in oracle SQL verbatim. */
+  val EnStops: Seq[String] = Seq("the", "a")
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  /** Per-document statistics: token count, BPE-ish token count, average token
+    * length, stopword ratio, and a rational quality score in [0,1]:
+    * min(n_tokens,100)/100 * (1 - stop_ratio). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    d.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        stopwordCount(col("text"), EnStops).as("n_stop"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens"), lit(100)).cast("double") / 100.0 * (lit(1.0) - col("stop_ratio")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID from function-word markers: per language, count
+    * marker-token occurrences; guess the language with the highest count
+    * (ties broken by the fixed language order above), or 'und' when no marker
+    * appears at all. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
+      case (df, (lang, words)) => df.withColumn(s"score_$lang", stopwordCount(col("text"), words))
+    }
+    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    val guess = LangMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, _)) =>
+        when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    scored
+      .withColumn("lang_guess", guess)
+      .select(col("doc_id") +: LangMarkers.map { case (l, _) => col(s"score_$l") } :+ col("lang_guess"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: canonical md5 + order-sensitive rolling polynomial
+    * hash over token hashes. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        fingerprintPoly(col("text")).as("fp_poly"))
+      .orderBy(col("doc_id"))
+}
