@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, KeyedOps, Relational, Sessionize, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,6 +77,19 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
+    "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
+    // ---- training-data pipeline: similarity search ----
+    "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
+    // ---- time-based operators over events ----
+    "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
+    "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
+    "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
+    "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -210,5 +223,138 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp_md5, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY fp_md5""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM d),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+         |fr AS (SELECT sh, count(*) AS freq FROM ds GROUP BY sh),
+         |pairs AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         | FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  JOIN fr ON fr.sh = a.sh
+         | WHERE fr.freq <= 100
+         | GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, jaccard FROM (
+         | SELECT doc_a, doc_b, inter,
+         |  CAST(inter AS DOUBLE)/(x.sz + y.sz - inter) AS jaccard
+         | FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b)
+         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_sigs" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents)
+         |SELECT doc_id, $minhashColsSql
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |sig AS (SELECT doc_id, $minhashColsSql FROM d),
+         |banded AS (SELECT *, $bandColsSql FROM sig),
+         |cand AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
+         | FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND
+         |  (${(0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")}))
+         |SELECT doc_a, doc_b, est_jaccard FROM (
+         | SELECT doc_a, doc_b,
+         |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
+         | FROM cand)
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents)
+         |SELECT doc_id, CAST(${(0 until 32).map(simhashBitSql).mkString(" + ")} AS BIGINT) AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "ann_brute_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (
+         | SELECT q.q_id, e.vec_id, ${cosineSql("q.q_vec", "e.embedding::DOUBLE[]")} AS cos
+         | FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (
+         | SELECT q.q_id, e.vec_id, ${cosineSql("q.q_vec", "e.embedding::DOUBLE[]")} AS cos
+         | FROM embeddings e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "cosine_near_dup" ->
+      s"""SELECT id_a, id_b, cos FROM (
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS cos
+         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q12_tumbling_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q13_sessionize" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts_us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM t)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q14_asof_prior_signup" ->
+      """SELECT event_id, user_id,
+        | max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_signup_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q15_brand_set_ops" ->
+      """(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40
+        | INTERSECT
+        | SELECT DISTINCT p_brand FROM part WHERE p_retailprice < 1200.0)
+        |UNION
+        |(SELECT DISTINCT p_brand FROM part WHERE p_retailprice >= 1800.0
+        | EXCEPT
+        | SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
+        |ORDER BY p_brand""".stripMargin,
   )
+
+  // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----
+
+  /** Per-token polynomial ASCII hashes (list<bigint>). */
+  private val tokenHashesSql: String =
+    s"""list_transform(string_split(text,' '),
+       | t -> list_reduce(list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT)),
+       |      (a,b) -> (a*31+b) % $P))""".stripMargin.replaceAll("\n", " ")
+
+  /** Word-3-gram shingle hashes derived from token hashes. */
+  private val shinglesSql: String =
+    s"""(SELECT list_transform(range(1, len(ths)-1),
+       |  i -> ((ths[i]*31 + ths[i+1]) % $P * 31 + ths[i+2]) % $P)
+       | FROM (SELECT $tokenHashesSql AS ths))""".stripMargin.replaceAll("\n", " ")
+
+  /** The 12 MinHash components (constants match Dedup.MinHashA/B). */
+  private def minhashColsSql: String =
+    graft.operators.Dedup.MinHashA.zip(graft.operators.Dedup.MinHashB).zipWithIndex.map {
+      case ((a, b), j) =>
+        s"coalesce(list_min(list_transform(shingles, s -> ($a*s + $b) % $P)), $P) AS mh$j"
+    }.mkString(", ")
+
+  /** The 4 LSH band hashes over 3-component ranges (matches Dedup.minhashLsh). */
+  private def bandColsSql: String =
+    (0 until 4).map { bIdx =>
+      val base = bIdx * 3
+      s"((mh$base*31 + mh${base + 1}) % $P * 31 + mh${base + 2}) % $P AS band$bIdx"
+    }.mkString(", ")
+
+  /** One SimHash bit term: sign of the ±1 vote sum, scaled by 2^j. */
+  private def simhashBitSql(j: Int): String =
+    s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+
+  /** Cosine with the exact same association as Similarity.cosine. */
+  private def cosineSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 }

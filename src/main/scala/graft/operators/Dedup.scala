@@ -34,7 +34,7 @@ object Dedup {
     * group by pair (intersection size) → join per-doc set sizes.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-                   n: Int = 3, minJaccard: Double = 0.5,
+                   n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleFreq: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingleHashes(col("text"), n).as("shingles"))
@@ -119,7 +119,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
       .withColumn("est_jaccard",
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e)) / ${nSig}.0"))
+        expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e)) AS DOUBLE) / $nSig"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

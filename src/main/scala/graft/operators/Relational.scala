@@ -105,6 +105,18 @@ object Relational {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Set operations (INTERSECT / EXCEPT / UNION with set semantics):
+    * (brands of large parts ∩ brands of cheap parts) ∪
+    * (brands of pricey parts \ brands of large parts). */
+  def brandSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val big    = p.filter(col("p_size") >= 40).select(col("p_brand")).distinct()
+    val cheap  = p.filter(col("p_retailprice") < 1200.0).select(col("p_brand")).distinct()
+    val pricey = p.filter(col("p_retailprice") >= 1800.0).select(col("p_brand")).distinct()
+    big.intersect(cheap).union(pricey.except(big)).distinct()
+      .orderBy(col("p_brand"))
+  }
+
   /** Rollup (grouping-sets family) over year(o_orderdate) × o_orderstatus. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Time-based operators over `events`: tumbling-window aggregation, gap
+  * sessionization, and an as-of ("most recent prior matching event") lookup.
+  * These are the batch forms of the streaming-window surface; they shuffle
+  * once on their key and window within partitions.
+  */
+object Sessionize {
+
+  /** Tumbling 1-hour window aggregate per event_type — the batch form of a
+    * Structured Streaming `groupBy(window($"ts", "1 hour"), $"event_type")`.
+    * Window start is emitted as epoch seconds (engine-neutral integer). */
+  def tumblingHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           max(col("value")).as("max_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Gap sessionization per user: a new session starts when the gap since the
+    * previous event exceeds `gapMinutes`. Emits one row per session with its
+    * bounds and size — the batch twin of a session-window streaming agg.
+    * Timestamps are epoch MICROSECONDS: DuckDB's TIMESTAMP truncates parquet
+    * nanos to micros, so µs is the finest cross-engine-stable resolution
+    * (and it fits float64 exactly, which keeps downstream hashing safe). */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 60): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts_us")).as("start_us"),
+           max(col("ts_us")).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** As-of lookup: for every event, the timestamp (epoch µs — see
+    * [[sessionize]]) of the same user's most recent `signup` event at or
+    * before it (NULL if none yet) — the window-form of an as-of join against
+    * the signup subsequence. */
+  def asofPriorSignup(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prior_signup_us",
+        max(when(col("event_type") === "signup", expr("ts_ns div 1000"))).over(w))
+      .select(col("event_id"), col("user_id"), col("prior_signup_us"))
+      .orderBy(col("event_id"))
+  }
+}
