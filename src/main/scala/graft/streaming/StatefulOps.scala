@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming (per-record incremental) forms of the reference's four keyed
+  * stateful operators, as `flatMapGroupsWithState` transforms over typed
+  * Datasets. These carry the Flink keyed-state semantics faithfully:
+  * one state object per key, per-record emission, explicit clear/reset.
+  *
+  * State-shape mapping (SURVEY.md §1.4-1.5):
+  *  - ValueState            → `GroupState[MaxSoFar]`           (runningMax)
+  *  - ValueState+ReducingState → `GroupState[BlockAcc]`        (blockAverage)
+  *  - MapState<subkey,max>  → `GroupState[Map[subkey, max]]`   (runningMaxBySubkey)
+  *  - ListState (size only) → `GroupState[GapCount]`           (thresholdGaps)
+  *
+  * Ordering: Flink guarantees per-key arrival order from a single source;
+  * Spark guarantees iterator order neither within a micro-batch group nor in
+  * batch-mode groups. Callers MUST establish order explicitly — these ops
+  * take an `ord` field and sort each group's batch slice before folding,
+  * which is exact when each key's records arrive within one micro-batch in
+  * any order, and exact across micro-batches when batches are time-ordered
+  * (the file-replay case). At 100 TB the same contract holds: state is O(1)
+  * per key (not O(rows)), so executor memory is bounded by
+  * keys-per-partition, never by data volume.
+  *
+  * All four run in BOTH batch mode (Dataset.groupByKey on a bounded input —
+  * Spark executes flatMapGroupsWithState with batch-specific semantics:
+  * each group processed once) and streaming mode (state persisted in the
+  * state store across micro-batches).
+  */
+object StatefulOps {
+
+  /** (key, ord, value) input record for the value-typed ops. */
+  case class KV(key: String, ord: Long, value: Double)
+  /** (key, subkey, ord, value) input for the MapState-shaped op. */
+  case class KSV(key: String, subkey: String, ord: Long, value: Double)
+
+  case class KeyedOut(key: String, ord: Long, out: Double)
+  case class SubkeyOut(key: String, subkey: String, ord: Long, out: Double)
+  case class GapOut(key: String, ord: Long, gap: Long)
+
+  case class MaxSoFar(max: Double)
+  case class BlockAcc(count: Int, sum: Double)
+  case class SubkeyMax(m: Map[String, Double])
+  case class GapCount(n: Long)
+
+  private implicit val kvOutEnc: Encoder[KeyedOut] = Encoders.product[KeyedOut]
+  private implicit val skOutEnc: Encoder[SubkeyOut] = Encoders.product[SubkeyOut]
+  private implicit val gapOutEnc: Encoder[GapOut] = Encoders.product[GapOut]
+  private implicit val maxEnc: Encoder[MaxSoFar] = Encoders.product[MaxSoFar]
+  private implicit val accEnc: Encoder[BlockAcc] = Encoders.product[BlockAcc]
+  private implicit val subEnc: Encoder[SubkeyMax] = Encoders.product[SubkeyMax]
+  private implicit val gapEnc: Encoder[GapCount] = Encoders.product[GapCount]
+  private implicit val strEnc: Encoder[String] = Encoders.STRING
+
+  /** Q1 analogue (MaximumClosingPrice.java:47-82, ValueState): per key, emit
+    * the running max for EVERY record. */
+  def runningMax(ds: Dataset[KV], mode: OutputMode = OutputMode.Append()): Dataset[KeyedOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[MaxSoFar, KeyedOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[MaxSoFar]) =>
+          var cur = if (state.exists) state.get.max else Double.NegativeInfinity
+          val out = rows.toSeq.sortBy(_.ord).map { r =>
+            if (r.value > cur) cur = r.value
+            KeyedOut(key, r.ord, cur)
+          }
+          state.update(MaxSoFar(cur))
+          out.iterator
+      }
+
+  /** Q2 analogue (RollingAverageHighPrice.java:56-113, ValueState +
+    * ReducingState): accumulate 50 records, the 51st triggers emission of
+    * sum/50, clears state, and is discarded. */
+  def blockAverage(ds: Dataset[KV], blockSize: Int = 51, emitCount: Int = 50,
+                   mode: OutputMode = OutputMode.Append()): Dataset[KeyedOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[BlockAcc, KeyedOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[BlockAcc]) =>
+          var acc = if (state.exists) state.get else BlockAcc(0, 0.0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOut]
+          rows.toSeq.sortBy(_.ord).foreach { r =>
+            if (acc.count < emitCount) {
+              acc = BlockAcc(acc.count + 1, acc.sum + r.value)
+            } else { // the trigger record: emit and discard it
+              out += KeyedOut(key, r.ord, acc.sum / emitCount)
+              acc = BlockAcc(0, 0.0)
+            }
+          }
+          state.update(acc)
+          out.iterator
+      }
+
+  /** Q3 analogue (MaxTradeVolumePerYearPerMonth.java:53-91, MapState): per
+    * key, a map subkey → running max; emit (key, subkey, running max) per
+    * record. The reference keys by (year,month) making its MapState
+    * single-entry (SURVEY.md §2.1 A3); here the map is real: key coarser,
+    * subkey in state. */
+  def runningMaxBySubkey(ds: Dataset[KSV],
+                         mode: OutputMode = OutputMode.Append()): Dataset[SubkeyOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SubkeyMax, SubkeyOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[SubkeyMax]) =>
+          var m = if (state.exists) state.get.m else Map.empty[String, Double]
+          val out = rows.toSeq.sortBy(_.ord).map { r =>
+            val cur = m.get(r.subkey) match {
+              case Some(prev) if prev >= r.value => prev
+              case _                             => r.value
+            }
+            m = m.updated(r.subkey, cur)
+            SubkeyOut(key, r.subkey, r.ord, cur)
+          }
+          state.update(SubkeyMax(m))
+          out.iterator
+      }
+
+  /** Q4 analogue (DaysSincePriceThreshold.java:61-102, ListState): per key,
+    * rows with value >= threshold emit the count of sub-threshold rows since
+    * the previous breach, then reset. The reference stores the full list but
+    * only uses its size (SURVEY.md §2.1 A4), so state is the counter. */
+  def thresholdGaps(ds: Dataset[KV], threshold: Double,
+                    mode: OutputMode = OutputMode.Append()): Dataset[GapOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[GapCount, GapOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[GapCount]) =>
+          var n = if (state.exists) state.get.n else 0L
+          val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+          rows.toSeq.sortBy(_.ord).foreach { r =>
+            if (r.value >= threshold) {
+              out += GapOut(key, r.ord, n)
+              n = 0L
+            } else {
+              n += 1L
+            }
+          }
+          state.update(GapCount(n))
+          out.iterator
+      }
+}

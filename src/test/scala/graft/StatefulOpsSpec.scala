@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.io.StockCsv
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps._
+
+/** The streaming keyed-state forms must equal the batch window forms on the
+  * reference dataset — per-record, not just final state (the keyed-state
+  * parity payoff, SURVEY.md §7.3 slice 3). Streaming runs replay HDFC in
+  * several time-ordered micro-batches so state genuinely crosses batches. */
+class StatefulOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** HDFC as (key=year, ord=row index in date order, value=close). */
+  private lazy val hdfcKv: Seq[KV] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("Date"))
+    StockCsv.read(spark, HdfcCsv)
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(year(col("Date")).cast("string").as("key"), col("ord"), col("Close").as("value"))
+      .as[KV].collect().toSeq
+  }
+
+  test("batch-mode runningMax equals window-form running max per record") {
+    val ds = spark.createDataset(hdfcKv)
+    val got = StatefulOps.runningMax(ds).collect().map(o => (o.key, o.ord) -> o.out).toMap
+    // window form
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = ds.toDF().withColumn("out", max(col("value")).over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.size === 5204)
+    assert(got === exp)
+  }
+
+  test("streaming runningMax across micro-batches equals batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KV]
+    val q = StatefulOps.runningMax(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("rm_out").start()
+    // 4 time-ordered chunks → state must carry across micro-batches
+    hdfcKv.sortBy(_.ord).grouped(1500).foreach { chunk =>
+      mem.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("rm_out").as[KeyedOut].collect()
+      .map(o => (o.key, o.ord) -> o.out).toMap
+    val exp = StatefulOps.runningMax(spark.createDataset(hdfcKv)).collect()
+      .map(o => (o.key, o.ord) -> o.out).toMap
+    assert(got === exp)
+  }
+
+  test("streaming blockAverage yields the 102 golden emissions in order") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("Date"))
+    val highs = StockCsv.read(spark, HdfcCsv)
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("Symbol").as("key"), col("ord"), col("High").as("value"))
+      .as[KV].collect().toSeq.sortBy(_.ord)
+    val mem = MemoryStream[KV]
+    val q = StatefulOps.blockAverage(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ba_out").start()
+    highs.grouped(999).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val avgs = spark.table("ba_out").as[KeyedOut].collect().sortBy(_.ord).map(_.out)
+    def r3(x: Double) = math.round(x * 1000) / 1000.0
+    assert(avgs.length === 102)
+    assert(avgs.take(3).map(r3).toSeq === Seq(352.888, 463.035, 519.082))
+    assert(avgs.takeRight(3).map(r3).toSeq === Seq(1760.370, 1846.819, 2022.036))
+  }
+
+  test("streaming thresholdGaps matches the golden breach outputs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("Date"))
+    val closes = StockCsv.read(spark, HdfcCsv)
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("Symbol").as("key"), col("ord"), col("Close").as("value"))
+      .as[KV].collect().toSeq.sortBy(_.ord)
+    val mem = MemoryStream[KV]
+    val q = StatefulOps.thresholdGaps(mem.toDS(), 300.0)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("tg_out").start()
+    closes.grouped(2000).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val gaps = spark.table("tg_out").as[GapOut].collect().sortBy(_.ord).map(_.gap)
+    assert(gaps.length === 5191)
+    assert(gaps.take(5).toSeq === Seq(1L, 8L, 0L, 0L, 3L))
+    assert(gaps.takeRight(2).toSeq === Seq(0L, 0L))
+  }
+
+  test("runningMaxBySubkey holds a real multi-entry map in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      KSV("k", "a", 1, 5.0), KSV("k", "b", 2, 3.0), KSV("k", "a", 3, 2.0),
+      KSV("k", "b", 4, 9.0), KSV("k", "a", 5, 7.0))
+    val mem = MemoryStream[KSV]
+    val q = StatefulOps.runningMaxBySubkey(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("sk_out").start()
+    data.grouped(2).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("sk_out").as[SubkeyOut].collect().sortBy(_.ord)
+      .map(o => (o.subkey, o.out)).toSeq
+    assert(got === Seq(("a", 5.0), ("b", 3.0), ("a", 5.0), ("b", 9.0), ("a", 7.0)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+
+class TextDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("charHash matches the cross-engine polynomial (abc -> 96354)") {
+    // ((0*31+97)*31+98)*31+99 = 96354 — same value DuckDB's list_reduce yields
+    val got = Seq("abc").toDF("s").select(charHash(col("s"))).head().getLong(0)
+    assert(got === 96354L)
+  }
+
+  test("shingleHashes: n-2 word-3-grams, empty for short docs") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(size(shingleHashes(col("text"), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0))
+  }
+
+  test("minhash signature components are bounded and deterministic") {
+    val sigs = Dedup.minhashSignatures(spark, Sf0001)
+    val row = sigs.orderBy(col("doc_id")).head()
+    (1 to 12).foreach { i =>
+      val v = row.getLong(i)
+      assert(v >= 0L && v <= HashMod)
+    }
+    val again = Dedup.minhashSignatures(spark, Sf0001).orderBy(col("doc_id")).head()
+    assert(row === again)
+  }
+
+  test("minhash LSH finds the planted near-duplicates that exact dedup misses") {
+    val exactGroups = Dedup.exact(spark, Sf0001).filter(col("n_dups") > 1).count()
+    val lshPairs = Dedup.minhashLsh(spark, Sf0001).count()
+    assert(exactGroups === 0) // corpus has no byte-identical dups
+    assert(lshPairs > 0)      // but it does have planted near-dups
+  }
+
+  test("ngram Jaccard agrees with LSH on the high-similarity pairs") {
+    val jac = Dedup.ngramJaccard(spark, Sf0001, minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, Sf0001, minEstJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.nonEmpty)
+    // est_jaccard >= 0.8 implies high true similarity on this corpus
+    assert(lsh.subsetOf(jac))
+  }
+
+  test("simhash: near-dup pairs have small hamming distance") {
+    val sims = Dedup.simhash(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, Sf0001, minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dups = pairs.map { case (a, b) => hamming(sims(a), sims(b)) }
+    val all = sims.values.toSeq
+    val randomPairs = all.take(50).zip(all.takeRight(50)).map { case (a, b) => hamming(a, b) }
+    assert(dups.sum.toDouble / dups.length < randomPairs.sum.toDouble / randomPairs.length)
+  }
+
+  test("cosine is exact on constructed vectors; top-k is complete") {
+    val df = Seq((Array(1.0, 0.0), Array(0.0, 2.0)), (Array(1.0, 1.0), Array(1.0, 1.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(cs(0) === 0.0)
+    assert(math.abs(cs(1) - 1.0) < 1e-12)
+    val topk = Similarity.bruteForceTopK(spark, Sf0001, k = 5, queryMod = 100)
+    val perQuery = topk.groupBy(col("q_id")).count().collect().map(_.getLong(1))
+    assert(perQuery.nonEmpty && perQuery.forall(_ === 5L))
+  }
+
+  test("text_stats quality score stays in [0,1]") {
+    val st = graft.operators.TextOps.textStats(spark, Sf0001)
+      .agg(min(col("quality_score")), max(col("quality_score"))).head()
+    assert(st.getDouble(0) >= 0.0 && st.getDouble(1) <= 1.0)
+  }
+}
