@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Relational, Sessionize, Similarity, TextOps}
+import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,6 +90,10 @@ object SparkEntry {
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
+    // ---- training-data pipeline: multimodal columns (stub codecs) ----
+    "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
+    "mm_video_frames"   -> ((s, dir) => Multimodal.videoFrames(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -223,6 +227,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp_md5, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY fp_md5""".stripMargin,
+  ) ++ mmOracle ++ Map(
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
          |ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM d),
@@ -321,6 +326,37 @@ object SparkEntry {
         | SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
         |ORDER BY p_brand""".stripMargin,
   )
+
+  /** Full-string polynomial hash (spaces included) — mirrors
+    * Multimodal.sliceHash over the whole ASCII payload. */
+  private def strHashSql(e: String): String =
+    s"list_reduce(list_transform(string_split($e,''), c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % $P)"
+
+  private val mmOracle: Map[String, String] = Map(
+    "mm_media_meta" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |  text, length(text) AS n FROM documents)
+         |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+         |  CAST(64 + n % 640 AS BIGINT) AS width,
+         |  CAST(64 + ${strHashSql("text")} % 480 AS BIGINT) AS height,
+         |  CAST(3 AS BIGINT) AS channels
+         |FROM m ORDER BY media_id""".stripMargin,
+    "mm_media_features" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text)//8 AS slice FROM documents)
+         |SELECT media_id, CAST(r.range AS BIGINT) AS feature_idx,
+         |  CASE WHEN slice = 0 THEN 0.0 ELSE
+         |   CAST(${strHashSql("substring(text, 1 + CAST(r.range AS INT)*slice, slice)")} % 1000 AS DOUBLE)/1000.0
+         |  END AS feature
+         |FROM m, range(8) r ORDER BY media_id, feature_idx""".stripMargin,
+    "mm_video_frames" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, text,
+         |   least(length(text)//256, 8) AS nf
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT media_id, CAST(r.range AS BIGINT) AS frame_idx,
+         |  ${strHashSql("substring(text, 1 + CAST(r.range AS INT)*256, 256)")} AS frame_hash
+         |FROM m, range(8) r WHERE r.range < nf
+         |ORDER BY media_id, frame_idx""".stripMargin)
 
   // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----
 

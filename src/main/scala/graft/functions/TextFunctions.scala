@@ -22,33 +22,23 @@ object TextFunctions {
 
   /** Deterministic 31-base polynomial hash of a string over its ASCII codes:
     * fold (acc*31 + ascii(c)) % HashMod. Bit-identical in DuckDB as
-    * list_reduce over string_split(s,''). */
+    * list_reduce over string_split(s,''). (HOF form — fine for scalar use;
+    * the hot per-document paths go through HashExpressions instead.) */
   def charHash(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c).cast("long")),
       lit(0L),
       (acc, x) => (acc * 31L + x) % HashMod)
 
-  /** Per-token polynomial hashes of a text column. */
-  def tokenHashes(text: Column): Column =
-    transform(tokens(text), t => charHash(t))
+  /** Per-token polynomial hashes of a text column (native expression — one
+    * tight loop per row; ASCII contract, bytes == ascii codes). */
+  def tokenHashes(text: Column): Column = HashExpressions.token_hashes(text)
 
   /** Hashes of word `n`-grams (shingles), derived arithmetically from the
     * token hashes — no intermediate string building. shingle_i =
     * fold over n consecutive token hashes of (acc*31 + th) % HashMod. */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val ths = tokenHashes(text)
-    val cnt = size(ths)
-    // sequence(a, b) with b < a generates a DESCENDING range in Spark, so
-    // short documents must short-circuit to an empty array explicitly
-    when(cnt >= n,
-      transform(
-        sequence(lit(1), cnt - (n - 1)),
-        i => (1 until n).foldLeft(element_at(ths, i)) { (acc, off) =>
-          (acc * 31L + element_at(ths, i + off)) % HashMod
-        }))
-      .otherwise(array().cast("array<long>"))
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    HashExpressions.shingle_hashes(tokenHashes(text), n)
 
   /** Count of tokens equal to any word in `words`. */
   def stopwordCount(text: Column, words: Seq[String]): Column =
@@ -66,5 +56,5 @@ object TextFunctions {
   /** 64-ish-bit content fingerprint as a rolling polynomial hash over token
     * hashes (order-sensitive, unlike a bag-of-words hash). */
   def fingerprintPoly(text: Column): Column =
-    aggregate(tokenHashes(text), lit(0L), (acc, x) => (acc * 31L + x) % HashMod)
+    HashExpressions.poly_fold(tokenHashes(text))
 }

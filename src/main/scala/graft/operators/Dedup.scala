@@ -37,8 +37,9 @@ object Dedup {
                    n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleFreq: Int = 100): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleHashes(col("text"), n).as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
       .distinct()
 
     val setSizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -75,17 +76,21 @@ object Dedup {
 
   /** Per-document MinHash signature (12 components) over word-3-gram shingle
     * hashes: m_j = min over shingles of (a_j * s + b_j) % HashMod; empty
-    * shingle sets get HashMod (sentinel). */
+    * shingle sets get HashMod (sentinel). All components come from ONE pass
+    * over the shingle array (HashExpressions.MinHashSig); the repartition
+    * spreads a small single-file scan across cores AND materializes the
+    * signature array so the per-component projection can't recompute it
+    * (at production scale the input arrives as many splits and the exchange
+    * can be dropped). */
   def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val perms = MinHashA.zip(MinHashB)
-    val sigCols = perms.zipWithIndex.map { case ((a, b), j) =>
-      aggregate(
-        shingleHashes(col("text"), n),
-        lit(HashMod),
-        (acc, s) => least(acc, (lit(a) * s + lit(b)) % HashMod)).as(s"mh$j")
-    }
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id") +: sigCols: _*)
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.minhash_sig(
+          shingleHashes(col("text"), n), MinHashA, MinHashB).as("sig"))
+    val sigCols = MinHashA.indices.map(j => element_at(col("sig"), j + 1).as(s"mh$j"))
+    sigs.select(col("doc_id") +: sigCols: _*)
       .orderBy(col("doc_id"))
   }
 
@@ -125,21 +130,15 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** SimHash (64-bit, here 32-bit to stay comfortably in int64 arithmetic):
-    * per document, for each bit j, sum +1/-1 weighted by token-hash bit j;
-    * simhash bit j = 1 iff the sum is positive. Emitted as a single long. */
-  def simhash(spark: SparkSession, sfDir: String, bits: Int = 32): DataFrame = {
-    val ths = tokenHashes(col("text"))
-    val bitCols = (0 until bits).map { j =>
-      // sum over tokens of (2*bit - 1); bit = (hash >> j) & 1
-      aggregate(ths, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1L) * 2L - 1L))
-    }
-    val sim = bitCols.zipWithIndex.map { case (s, j) =>
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** SimHash (64-bit family; 32 bits to stay comfortably in int64
+    * arithmetic): per document, for each bit j, sum +1/-1 weighted by
+    * token-hash bit j; simhash bit j = 1 iff the sum is positive. One pass
+    * over the token hashes (HashExpressions.SimHash). */
+  def simhash(spark: SparkSession, sfDir: String, bits: Int = 32): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), sim.as("simhash"))
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.HashExpressions.simhash_of(tokenHashes(col("text")), bits).as("simhash"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -23,12 +23,25 @@ import graft.io.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns — a native
+    * codegen'd expression (HashExpressions.DotProduct); bit-identical to the
+    * higher-order `aggregate(zip_with(...))` formulation it replaces. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.HashExpressions.dot_product(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Base vectors with the norm precomputed ONCE per row (vs once per pair —
+    * the oracle's per-pair sqrt(dot(v,v)) yields the same double, so parity
+    * holds while the engine does a third of the flops). The repartition
+    * spreads the single small parquet file across cores; at production scale
+    * the scan has many splits and it can be dropped. */
+  private def baseDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vec"))
+      .repartition(col("vec_id"))
+      .withColumn("norm_v", sqrt(dot(col("vec"), col("vec"))))
 
   private def queriesDf(spark: SparkSession, sfDir: String, queryMod: Int): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -36,53 +49,48 @@ object Similarity {
       .select(col("vec_id").as("q_id"),
               col("embedding").cast("array<double>").as("q_vec"),
               col("label").as("q_label"))
+      .withColumn("norm_q", sqrt(dot(col("q_vec"), col("q_vec"))))
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
+    pairs
+      .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("norm_q") * col("norm_v")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 
   /** Brute-force cosine top-k: every (query % queryMod == 0) vector against
     * the whole table. Broadcast the small query side; rank per query by
     * (cosine desc, vec_id asc). */
   def bruteForceTopK(spark: SparkSession, sfDir: String,
-                     k: Int = 5, queryMod: Int = 100): DataFrame = {
-    val base = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
-    val q = queriesDf(spark, sfDir, queryMod)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    base.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("vec")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id"), col("rk"))
-  }
+                     k: Int = 5, queryMod: Int = 100): DataFrame =
+    rankTopK(
+      baseDf(spark, sfDir).join(broadcast(queriesDf(spark, sfDir, queryMod)),
+        col("vec_id") =!= col("q_id")), k)
 
   /** IVF-style bucketed ANN: probe only vectors sharing the query's `label`
     * (coarse-quantizer cell). Same ranking semantics within the bucket. */
   def ivfTopK(spark: SparkSession, sfDir: String,
-              k: Int = 5, queryMod: Int = 100): DataFrame = {
-    val base = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vec"))
-    val q = queriesDf(spark, sfDir, queryMod)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id").asc)
-    base.join(broadcast(q),
-        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("vec")))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
-      .orderBy(col("q_id"), col("rk"))
-  }
+              k: Int = 5, queryMod: Int = 100): DataFrame =
+    rankTopK(
+      baseDf(spark, sfDir).join(broadcast(queriesDf(spark, sfDir, queryMod)),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id")), k)
 
   /** All-pairs near-duplicate detection by embedding cosine >= threshold,
     * restricted to same-label buckets to bound the pair count (the
     * embedding-cosine near-dup pass of a dedup pipeline). */
   def cosineNearDup(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.95): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vec"))
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("vec").as("vec_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("vec").as("vec_b"))
+    val e = baseDf(spark, sfDir)
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("vec").as("vec_a"), col("norm_v").as("norm_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"),
+      col("vec").as("vec_b"), col("norm_v").as("norm_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))

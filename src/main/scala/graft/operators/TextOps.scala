@@ -28,6 +28,8 @@ object TextOps {
     * min(n_tokens,100)/100 * (1 - stop_ratio). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
     val toks = tokens(col("text"))
     d.select(
         col("doc_id"),
@@ -49,6 +51,8 @@ object TextOps {
     * appears at all. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
     val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
       case (df, (lang, words)) => df.withColumn(s"score_$lang", stopwordCount(col("text"), words))
     }
@@ -67,6 +71,8 @@ object TextOps {
     * hash over token hashes. */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
       .select(
         col("doc_id"),
         fingerprintMd5(col("text")).as("fp_md5"),
