@@ -90,6 +90,10 @@ object SparkEntry {
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
+    "q16_anti_join"    -> ((s, dir) => Relational.neverOrderedParts(s, dir)),
+    "q17_cube"         -> ((s, dir) => Relational.lineitemCube(s, dir)),
+    "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
+    "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -227,6 +231,30 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp_md5, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY fp_md5""".stripMargin,
+    "q16_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q17_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q18_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_analytic_suite" ->
+      """SELECT event_id, user_id,
+        | CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk,
+        | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        | lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3
+        |FROM events ORDER BY event_id""".stripMargin,
   ) ++ mmOracle ++ Map(
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),

@@ -117,6 +117,53 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Anti-join: parts that never appear in lineitem (NOT EXISTS). */
+  def neverOrderedParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p  = Tables.part(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Full CUBE over (l_returnflag, l_linestatus) — all four grouping sets. */
+  def lineitemCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Semi-structured extraction: events.props is a JSON object ({"k": int});
+    * pull k out and aggregate it per event_type — the JSON-column surface. */
+  def jsonPropsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Analytic-function suite per user: rank by value, lag/lead, and a
+    * 3-row moving decimal-exact sum — the ranking/analytic window surface. */
+  def analyticSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val frame = byUser.rowsBetween(-2, 0)
+    Tables.events(spark, sfDir)
+      .withColumn("rk", rank().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .withColumn("next_value", lead(col("value"), 1).over(byUser))
+      .withColumn("mov_sum3",
+        sum(col("value").cast("decimal(18,2)")).over(frame).cast("double"))
+      .select(col("event_id"), col("user_id"), col("rk"),
+              col("prev_value"), col("next_value"), col("mov_sum3"))
+      .orderBy(col("event_id"))
+  }
+
   /** Rollup (grouping-sets family) over year(o_orderdate) × o_orderstatus. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
