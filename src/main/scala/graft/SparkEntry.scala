@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, TextOps}
+import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, StatefulQueries, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -63,6 +63,12 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("gap"))
         .orderBy(col("event_id"))
     }),
+    // ---- reference parity: the same four jobs in their STATEFUL streaming
+    //      form (flatMapGroupsWithState, batch-executed) — same oracles ----
+    "q1s_running_max_stateful"  -> ((s, dir) => StatefulQueries.runningMaxStateful(s, dir)),
+    "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
+    "q3s_running_max_month_stateful" -> ((s, dir) => StatefulQueries.runningMaxMonthStateful(s, dir)),
+    "q4s_threshold_gaps_stateful" -> ((s, dir) => StatefulQueries.thresholdGapsStateful(s, dir)),
     // ---- relational surface ----
     "q5_pricing_summary"  -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q6_revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
@@ -106,7 +112,8 @@ object SparkEntry {
   private val revenueExpr =
     s"CAST(sum($decPrice * ($one - $decDisc)) AS DOUBLE)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q1_running_max" ->
       """SELECT event_id, CAST(year(ts) AS BIGINT) AS yr,
         | max(value) OVER (PARTITION BY year(ts) ORDER BY ts, event_id
@@ -354,6 +361,12 @@ object SparkEntry {
         | SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
         |ORDER BY p_brand""".stripMargin,
   )
+    base ++ Map(
+      "q1s_running_max_stateful"       -> base("q1_running_max"),
+      "q2s_block_avg_stateful"         -> base("q2_block_avg"),
+      "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
+      "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"))
+  }
 
   /** Full-string polynomial hash (spaces included) — mirrors
     * Multimodal.sliceHash over the whole ASCII payload. */

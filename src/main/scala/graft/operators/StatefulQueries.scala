@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{KSV, KV}
+
+/** The streaming keyed-state operators run against the driver tables in
+  * BATCH mode (flatMapGroupsWithState executes on bounded Datasets too) and
+  * registered under the same oracle SQL as their window-function twins —
+  * i.e. the correctness gate itself proves stateful-form ≡ declarative-form.
+  *
+  * Ordering note: `event_id` is verified monotone in (ts, event_id) across
+  * all scale factors, so it serves as the per-key arrival order `ord`; if a
+  * dataset ever violated that, the oracle hash (ordered by ts, event_id)
+  * would catch it.
+  */
+object StatefulQueries {
+
+  private implicit val kvEnc: Encoder[KV] = Encoders.product[KV]
+  private implicit val ksvEnc: Encoder[KSV] = Encoders.product[KSV]
+
+  /** Q1 stateful form: running max value per year, per record. */
+  def runningMaxStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(year(col("ts")).cast("string").as("key"),
+              col("event_id").as("ord"), col("value"))
+      .as[KV](kvEnc)
+    StatefulOps.runningMax(kv).toDF()
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("out").as("run_max"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q2 stateful form: 51-record block average per event_type. The block
+    * index is recovered as the per-key emission rank (emissions arrive in
+    * ord order). */
+  def blockAvgStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+      .as[KV](kvEnc)
+    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
+    StatefulOps.blockAverage(kv).toDF()
+      .withColumn("block", (row_number().over(w) - 1).cast("long"))
+      .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
+      .orderBy(col("event_type"), col("block"))
+  }
+
+  /** Q3 stateful form: running max per (year, month) with the month held as
+    * a REAL MapState-shaped subkey map inside the year's state. */
+  def runningMaxMonthStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val ksv = Tables.events(spark, sfDir)
+      .select(year(col("ts")).cast("string").as("key"),
+              month(col("ts")).cast("string").as("subkey"),
+              col("event_id").as("ord"), col("value"))
+      .as[KSV](ksvEnc)
+    StatefulOps.runningMaxBySubkey(ksv).toDF()
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("subkey").cast("long").as("mon"), col("out").as("run_max"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q4 stateful form: threshold-gap counts per event_type. */
+  def thresholdGapsStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+      .as[KV](kvEnc)
+    StatefulOps.thresholdGaps(kv, 100.0).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"), col("gap"))
+      .orderBy(col("event_id"))
+  }
+}

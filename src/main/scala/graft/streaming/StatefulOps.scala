@@ -41,7 +41,11 @@ object StatefulOps {
   case class GapOut(key: String, ord: Long, gap: Long)
 
   case class MaxSoFar(max: Double)
-  case class BlockAcc(count: Int, sum: Double)
+  /** Block accumulator in integer cents: for inputs with <= 2 decimals the
+    * sum is exact, so the emitted average is bit-identical to the
+    * DECIMAL(18,2)-exact batch form (and to the DuckDB oracle) regardless of
+    * accumulation order. */
+  case class BlockAcc(count: Int, cents: Long)
   case class SubkeyMax(m: Map[String, Double])
   case class GapCount(n: Long)
 
@@ -77,14 +81,14 @@ object StatefulOps {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[BlockAcc, KeyedOut](mode, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[BlockAcc]) =>
-          var acc = if (state.exists) state.get else BlockAcc(0, 0.0)
+          var acc = if (state.exists) state.get else BlockAcc(0, 0L)
           val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOut]
           rows.toSeq.sortBy(_.ord).foreach { r =>
             if (acc.count < emitCount) {
-              acc = BlockAcc(acc.count + 1, acc.sum + r.value)
+              acc = BlockAcc(acc.count + 1, acc.cents + math.rint(r.value * 100).toLong)
             } else { // the trigger record: emit and discard it
-              out += KeyedOut(key, r.ord, acc.sum / emitCount)
-              acc = BlockAcc(0, 0.0)
+              out += KeyedOut(key, r.ord, (acc.cents.toDouble / 100.0) / emitCount)
+              acc = BlockAcc(0, 0L)
             }
           }
           state.update(acc)
