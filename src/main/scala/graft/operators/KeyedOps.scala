@@ -55,16 +55,20 @@ object KeyedOps {
                    value: Column, outName: String,
                    blockSize: Int = 51, emitCount: Int = 50): DataFrame = {
     val wOrd = Window.partitionBy(keys: _*).orderBy(order: _*)
-    val wAll = Window.partitionBy(keys: _*)
+    // One ranking window + one group-by: a cycle is complete iff all
+    // blockSize rows exist in its group (no count-over-full-partition window,
+    // which would buffer each key's entire partition a second time); the
+    // trigger record is excluded from the sum but counted for completeness.
     df.withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("block", floor((col("__rn") - 1) / blockSize))
-      // keep only accumulated rows (drop each cycle's trigger record) of
-      // complete cycles (a block is complete iff its trigger record exists)
-      .filter((col("__rn") - 1) % blockSize < emitCount &&
-              col("block") < floor(col("__n") / blockSize))
       .groupBy(keys :+ col("block"): _*)
-      .agg((sum(value.cast("decimal(18,2)")).cast("double") / emitCount).as(outName))
+      .agg(
+        sum(when((col("__rn") - 1) % blockSize < emitCount, value.cast("decimal(18,2)")))
+          .as("__sum"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") === blockSize)
+      .withColumn(outName, col("__sum").cast("double") / emitCount)
+      .drop("__sum", "__cnt")
   }
 
   /** The threshold-gap ListState job (`DaysSincePriceThreshold.java:61-102`):

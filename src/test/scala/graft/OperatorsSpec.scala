@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Relational, Sessionize}
+
+/** Unit specs for the relational / time-based / multimodal operators (their
+  * value correctness is oracle-gated; these pin structural invariants). */
+class OperatorsSpec extends SparkSpec {
+
+  test("sessionize: session bounds nest and sizes sum to the input count") {
+    val s = Sessionize.sessionize(spark, Sf0001).cache()
+    val total = s.agg(sum(col("n_events"))).head().getLong(0)
+    val events = graft.io.Tables.events(spark, Sf0001).count()
+    assert(total === events)
+    // sessions are disjoint, ordered per user, and have start <= end
+    assert(s.filter(col("start_us") > col("end_us")).count() === 0)
+    val overlaps = s.alias("a").join(s.alias("b"),
+      col("a.user_id") === col("b.user_id") &&
+      col("a.session_id") < col("b.session_id") &&
+      col("a.end_us") >= col("b.start_us")).count()
+    assert(overlaps === 0)
+  }
+
+  test("asof: prior signup is never after the event and only for signup-having users") {
+    val a = Sessionize.asofPriorSignup(spark, Sf0001)
+    val ev = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+    val joined = a.join(ev, "event_id")
+    assert(joined.filter(col("prior_signup_us") > col("ts_us")).count() === 0)
+  }
+
+  test("anti join + semi join partition orders: semi ∪ anti == all orders") {
+    val o = graft.io.Tables.orders(spark, Sf0001)
+    val li = graft.io.Tables.lineitem(spark, Sf0001).select(col("l_orderkey"))
+    val semi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi").count()
+    val anti = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+    assert(semi + anti === o.count())
+  }
+
+  test("cube has all four grouping sets; rollup three") {
+    val cube = Relational.lineitemCube(spark, Sf0001)
+    val both = cube.filter(col("l_returnflag").isNotNull && col("l_linestatus").isNotNull).count()
+    val onlyFlag = cube.filter(col("l_returnflag").isNotNull && col("l_linestatus").isNull).count()
+    val onlyStat = cube.filter(col("l_returnflag").isNull && col("l_linestatus").isNotNull).count()
+    val grand = cube.filter(col("l_returnflag").isNull && col("l_linestatus").isNull).count()
+    assert(both > 0 && onlyFlag > 0 && onlyStat > 0 && grand === 1)
+  }
+
+  test("multimodal: binary payload survives the pipeline; stages are deterministic") {
+    val media = Multimodal.mediaTable(spark, Sf0001)
+    assert(media.schema("content").dataType.typeName === "binary")
+    val meta = Multimodal.decodeMeta(spark, Sf0001).cache()
+    assert(meta.count() === 500)
+    assert(meta.filter(col("n_bytes") <= 0).count() === 0)
+    assert(meta.filter(col("width") < 64 || col("width") >= 704).count() === 0)
+    val f = Multimodal.extractFeatures(spark, Sf0001)
+    val row = f.orderBy(col("media_id")).head()
+    assert(row.features.length === 8)
+    assert(row.features.forall(v => v >= 0.0 && v < 1.0))
+    // determinism across runs
+    val again = Multimodal.extractFeatures(spark, Sf0001).orderBy(col("media_id")).head()
+    assert(row.features.toSeq === again.features.toSeq)
+  }
+
+  test("tumbling hourly buckets partition the events exactly") {
+    val t = Sessionize.tumblingHourly(spark, Sf0001)
+    assert(t.agg(sum(col("n_events"))).head().getLong(0) ===
+      graft.io.Tables.events(spark, Sf0001).count())
+  }
+}
