@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, StatefulQueries, TextOps}
+import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,7 @@ object SparkEntry {
     "q17_cube"         -> ((s, dir) => Relational.lineitemCube(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
+    "q20_salted_revenue" -> ((s, dir) => Skew.saltedRevenue(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -360,6 +361,9 @@ object SparkEntry {
         | EXCEPT
         | SELECT DISTINCT p_brand FROM part WHERE p_size >= 40)
         |ORDER BY p_brand""".stripMargin,
+    "q20_salted_revenue" ->
+      s"""SELECT l_returnflag, $revenueExpr AS revenue, count(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
     base ++ Map(
       "q1s_running_max_stateful"       -> base("q1_running_max"),

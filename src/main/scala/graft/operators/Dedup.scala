@@ -36,29 +36,36 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleFreq: Int = 100): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // Per-row array_distinct dedups (doc, shingle) pairs WITHOUT a global
+    // distinct shuffle, and the set size rides along through the explode, so
+    // the whole op is two shuffles: group-by-shingle (candidate gen) and
+    // group-by-pair (intersection count). Set sizes are carried as grouping
+    // columns (functionally dependent on the doc ids) — no size re-join.
+    val ds = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
-      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("sh"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(shingleHashes(col("text"), n)).as("dsh"))
+      .select(col("doc_id"), size(col("dsh")).cast("long").as("sz"),
+              explode(col("dsh")).as("sh"))
 
-    val setSizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-
-    val byShingle = docs.groupBy(col("sh"))
-      .agg(collect_list(col("doc_id")).as("ids"), count(lit(1)).as("freq"))
+    val byShingle = ds.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("items"),
+           count(lit(1)).as("freq"))
       .filter(col("freq") <= maxShingleFreq && col("freq") >= 2)
 
     // all ordered pairs within a shingle bucket; intersection size = number of
     // buckets in which the pair co-occurs (shingle hashes are distinct per doc)
     val pairs = byShingle
       .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a as doc_a, b as doc_b)))), p -> p.doc_a < p.doc_b)")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+        """filter(flatten(transform(items, a -> transform(items, b ->
+          |  struct(a.doc_id as doc_a, b.doc_id as doc_b, a.sz as sz_a, b.sz as sz_b)))),
+          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+              col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
 
-    val sa = setSizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
-    val sb = setSizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
-    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    pairs
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
