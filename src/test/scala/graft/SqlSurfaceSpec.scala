@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** The SQL registration surface + bucketed-join physical-plan check. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registered SQL functions match the DSL expressions") {
+    GraftFunctions.register(spark)
+    graft.io.Tables.documents(spark, Sf0001).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_poly_fold(graft_token_hashes(text)) AS fp,
+        |  graft_simhash(graft_token_hashes(text), 32) AS sh,
+        |  size(graft_shingle_hashes(graft_token_hashes(text), 3)) AS nsh
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    val viaDsl = graft.operators.TextOps.fingerprints(spark, Sf0001)
+      .join(graft.operators.Dedup.simhash(spark, Sf0001), "doc_id")
+      .orderBy(col("doc_id")).collect()
+    assert(viaSql.length === viaDsl.length)
+    viaSql.zip(viaDsl).foreach { case (s, d) =>
+      assert(s.getLong(1) === d.getAs[Long]("fp_poly"))
+      assert(s.getLong(2) === d.getAs[Long]("simhash"))
+    }
+    val dotRow = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").head()
+    assert(dotRow.getDouble(0) === 32.0)
+  }
+
+  test("bucketed co-partitioned join plans without a shuffle exchange") {
+    val li = graft.io.Tables.lineitem(spark, Sf0001)
+    val o = graft.io.Tables.orders(spark, Sf0001)
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bkt")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bkt")
+    // disable broadcast so the join strategy must co-locate via bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === li.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+}
