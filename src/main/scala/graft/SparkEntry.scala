@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps}
+import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,6 +101,7 @@ object SparkEntry {
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     "q20_salted_revenue" -> ((s, dir) => Skew.saltedRevenue(s, dir)),
+    "q21_topk_aggregator" -> ((s, dir) => TopK.topPartsByBrandAgg(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -369,7 +370,8 @@ object SparkEntry {
       "q1s_running_max_stateful"       -> base("q1_running_max"),
       "q2s_block_avg_stateful"         -> base("q2_block_avg"),
       "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
-      "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"))
+      "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),
+      "q21_topk_aggregator"            -> base("q7_top_parts"))
   }
 
   /** Full-string polynomial hash (spaces included) — mirrors

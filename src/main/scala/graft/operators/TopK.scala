@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Bounded top-k as a typed Aggregator: the scale-right alternative to
+  * `row_number().over(Window...)` <= k when groups are large — the buffer
+  * holds at most k elements per group (merged map-side), instead of sorting
+  * every group's full contents through a window operator. Deterministic
+  * order: value desc, id asc.
+  */
+object TopK {
+
+  case class TopKAgg(k: Int)
+      extends Aggregator[(Long, Double), List[(Long, Double)], List[(Long, Double)]] {
+    private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    private def insert(buf: List[(Long, Double)], x: (Long, Double)): List[(Long, Double)] = {
+      val merged = (x :: buf).sortWith(better)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(Long, Double)] = Nil
+    def reduce(b: List[(Long, Double)], a: (Long, Double)): List[(Long, Double)] = insert(b, a)
+    def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
+      b.foldLeft(a)(insert)
+    def finish(r: List[(Long, Double)]): List[(Long, Double)] = r
+    def bufferEncoder: Encoder[List[(Long, Double)]] = Encoders.kryo[List[(Long, Double)]]
+    def outputEncoder: Encoder[List[(Long, Double)]] = Encoders.kryo[List[(Long, Double)]]
+  }
+
+  /** q7's semantics (top 3 parts by revenue per brand) via the bounded
+    * aggregator instead of a ranking window — registered under q7's oracle,
+    * so the gate proves aggregator ≡ window. */
+  def topPartsByBrandAgg(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val p  = Tables.part(spark, sfDir)
+    val dec = (col("l_extendedprice").cast("decimal(18,4)")) *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum(dec).cast("double").as("revenue"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"), col("revenue"))
+      .as[(String, Long, Double)]
+    rev.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(TopKAgg(k).toColumn.name("topk"))
+      .flatMap { case (brand, top) =>
+        top.zipWithIndex.map { case ((id, v), i) => (brand, (i + 1).toLong, id, v) }
+      }
+      .toDF("p_brand", "rk", "p_partkey", "revenue")
+      .orderBy(col("p_brand"), col("rk"))
+  }
+}

@@ -118,6 +118,62 @@ object StatefulOps {
           out.iterator
       }
 
+  /** Session input: `ts` must be the WATERMARKED event-time column (the
+    * engine requires it present in the grouped Dataset for event-time
+    * timeouts); micros are derived from it. */
+  case class SessionEv(key: String, ts: java.sql.Timestamp)
+  case class SessionState(start_us: Long, end_us: Long, n: Long)
+  case class SessionOut(key: String, start_us: Long, end_us: Long, n_events: Long)
+  private implicit val sessStEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  private implicit val sessOutEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+
+  /** Streaming session windows with EVENT-TIME TIMEOUT: a session closes and
+    * emits when the watermark passes its end + gap. This is the streaming
+    * twin of [[graft.operators.Sessionize.sessionize]] and goes beyond the
+    * reference (which has no timers/event-time at all — SURVEY.md §2.2):
+    * state is one (start, end, count) triple per open session per key, so
+    * memory is O(keys), and expiry is driven by the engine's watermark, not
+    * by data arrival.
+    *
+    * The input Dataset must carry a watermarked event-time column; pass its
+    * values here as epoch micros in `ts_us`.
+    */
+  def sessionizeStream(ds: Dataset[SessionEv], gapMinutes: Int = 60): Dataset[SessionOut] = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.start_us, s.end_us, s.n))
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.map(r => micros(r.ts)).sorted.foreach { tsUs =>
+              cur match {
+                case Some(s) if tsUs - s.end_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, math.max(s.end_us, tsUs), s.n + 1))
+                case Some(s) => // gap exceeded within the batch: close + start new
+                  out += SessionOut(key, s.start_us, s.end_us, s.n)
+                  cur = Some(SessionState(tsUs, tsUs, 1))
+                case None =>
+                  cur = Some(SessionState(tsUs, tsUs, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes session end + gap
+              state.setTimeoutTimestamp(s.end_us / 1000L + gapMinutes.toLong * 60000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Q4 analogue (DaysSincePriceThreshold.java:61-102, ListState): per key,
     * rows with value >= threshold emit the count of sub-threshold rows since
     * the previous breach, then reset. The reference stores the full list but

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{SessionEv, SessionOut}
+
+/** Streaming session windows with event-time timeout: sessions must close
+  * exactly when the watermark passes end+gap, and the emitted sessions must
+  * match the batch sessionization of the same data. */
+class SessionStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  case class Raw(ts: Timestamp, key: String)
+
+  private val Base = 1699999800000L
+  private def t(minute: Int) = new Timestamp(Base + minute * 60000L)
+
+  test("event-time timeout closes sessions; results match batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Raw]
+    val evs = mem.toDF()
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("ts"))
+      .as[SessionEv]
+    val q = StatefulOps.sessionizeStream(evs, gapMinutes = 10)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    // session 1: minutes 0..5; session 2 starts at 30 (gap 25 > 10)
+    mem.addData(Raw(t(0), "u"), Raw(t(5), "u"))
+    q.processAllAvailable()
+    mem.addData(Raw(t(30), "u")) // watermark jumps to 30 > 5+10 → session 1 closes
+    q.processAllAvailable()
+    mem.addData(Raw(t(33), "u"), Raw(t(60), "u")) // 60 > 33+10 → session 2 closes in-batch? no: cross-batch timeout
+    q.processAllAvailable()
+    mem.addData(Raw(t(90), "u")) // watermark 90 → session (33..60?) wait: 60 starts new in-batch
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out").as[SessionOut].collect()
+      .sortBy(_.start_us).map(s => (((s.start_us - Base * 1000L) / 60000000L).toInt,
+                                    ((s.end_us - Base * 1000L) / 60000000L).toInt, s.n_events))
+    // sessions [0,5](2) closed by wm=30, [30,33](2) closed in-batch at t=60,
+    // [60,60](1) closed by wm=90 via event-time timeout
+    assert(got.toSeq === Seq((0, 5, 2L), (30, 33, 2L), (60, 60, 1L)))
+  }
+}
