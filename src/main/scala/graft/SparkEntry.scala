@@ -102,6 +102,8 @@ object SparkEntry {
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     "q20_salted_revenue" -> ((s, dir) => Skew.saltedRevenue(s, dir)),
     "q21_topk_aggregator" -> ((s, dir) => TopK.topPartsByBrandAgg(s, dir)),
+    "q22_above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(s, dir)),
+    "q23_interval_join"    -> ((s, dir) => Sessionize.intervalPairCounts(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -365,6 +367,20 @@ object SparkEntry {
     "q20_salted_revenue" ->
       s"""SELECT l_returnflag, $revenueExpr AS revenue, count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_above_avg_orders" ->
+      """WITH a AS (
+        | SELECT o_custkey AS ac_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_price
+        | FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+        |FROM orders JOIN a ON o_custkey = ac_custkey
+        |WHERE o_totalprice > avg_price ORDER BY o_orderkey""".stripMargin,
+    "q23_interval_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
   )
     base ++ Map(
       "q1s_running_max_stateful"       -> base("q1_running_max"),

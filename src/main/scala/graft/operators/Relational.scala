@@ -164,6 +164,19 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Decorrelated "orders above their customer's average" — the correlated
+    * scalar subquery expressed as the join Catalyst would decorrelate it to
+    * (aggregate once per customer, join back, filter). */
+  def aboveAvgOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val avg = o.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+    o.join(avg, col("o_custkey") === col("ac_custkey"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Rollup (grouping-sets family) over year(o_orderdate) × o_orderstatus. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

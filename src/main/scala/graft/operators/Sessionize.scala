@@ -46,6 +46,29 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Interval (range) self-join, bucketed for scale: count pairs of events
+    * of the same user within `gapMinutes` of each other. The naive form is
+    * O(n²) per key; this one hashes each event into a `gap`-wide time bucket
+    * and joins only (bucket, bucket+1) neighbors — the standard interval-join
+    * decomposition, linear in pairs-within-gap. `event_id` is monotone in ts
+    * (verified across SFs), so pair order is (smaller id = earlier event). */
+  def intervalPairCounts(spark: SparkSession, sfDir: String,
+                         gapMinutes: Int = 5): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("bkt", expr(s"ts_us div $gapUs"))
+    val a = e.select(col("user_id"), col("event_id").as("id_a"), col("ts_us").as("ts_a"),
+      explode(array(col("bkt"), col("bkt") + 1)).as("bkt_join"))
+    val b = e.select(col("user_id"), col("event_id").as("id_b"), col("ts_us").as("ts_b"),
+      col("bkt").as("bkt_join"))
+    a.join(b, Seq("user_id", "bkt_join"))
+      .filter(col("id_b") > col("id_a") && col("ts_b") - col("ts_a") <= gapUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** As-of lookup: for every event, the timestamp (epoch µs — see
     * [[sessionize]]) of the same user's most recent `signup` event at or
     * before it (NULL if none yet) — the window-form of an as-of join against
