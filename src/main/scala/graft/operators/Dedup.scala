@@ -19,11 +19,14 @@ object Dedup {
   /** Exact dedup: group by md5 of the canonicalized text, keep the smallest
     * doc_id as the representative. Output one row per distinct content hash
     * with its duplicate count. */
-  def exact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def exactOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(fingerprintMd5(col("text")).as("fp_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("fp_md5"))
+
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    exactOf(Tables.documents(spark, sfDir))
 
   /** N-gram (word 3-gram) Jaccard near-dup: candidate pairs are documents
     * sharing at least one shingle hash (bounded by `maxShingleFreq` to cap
@@ -35,15 +38,21 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    n: Int = 3, minJaccard: Double = 0.2,
-                   maxShingleFreq: Int = 100): DataFrame = {
+                   maxShingleFreq: Int = 100): DataFrame =
+    ngramJaccardOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")), // spread a small single-file scan; no-op at scale
+      n, minJaccard, maxShingleFreq)
+
+  def ngramJaccardOf(docs: DataFrame,
+                     n: Int = 3, minJaccard: Double = 0.2,
+                     maxShingleFreq: Int = 100): DataFrame = {
     // Per-row array_distinct dedups (doc, shingle) pairs WITHOUT a global
     // distinct shuffle, and the set size rides along through the explode, so
     // the whole op is two shuffles: group-by-shingle (candidate gen) and
     // group-by-pair (intersection count). Set sizes are carried as grouping
     // columns (functionally dependent on the doc ids) — no size re-join.
-    val ds = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
+    val ds = docs
       .select(col("doc_id"), array_distinct(shingleHashes(col("text"), n)).as("dsh"))
       .select(col("doc_id"), size(col("dsh")).cast("long").as("sz"),
               explode(col("dsh")).as("sh"))
@@ -89,10 +98,13 @@ object Dedup {
     * signature array so the per-component projection can't recompute it
     * (at production scale the input arrives as many splits and the exchange
     * can be dropped). */
-  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val sigs = Tables.documents(spark, sfDir)
+  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    minhashSignaturesOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      .repartition(col("doc_id")), n)
+
+  def minhashSignaturesOf(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"),
         graft.functions.HashExpressions.minhash_sig(
           shingleHashes(col("text"), n), MinHashA, MinHashB).as("sig"))
@@ -107,8 +119,12 @@ object Dedup {
     * 100 TB dedup path: candidates are bounded by bucket collisions, never a
     * full cross product. */
   def minhashLsh(spark: SparkSession, sfDir: String,
-                 n: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(spark, sfDir, n)
+                 n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
+    minhashLshOf(minhashSignatures(spark, sfDir, n), minEstJaccard)
+
+  /** LSH banding over an existing signature frame (doc_id, mh0..mh11). */
+  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val sigs = sigsIn
     val nSig = MinHashA.size
     val rows = nSig / Bands
     val bandCols = (0 until Bands).map { bIdx =>
@@ -142,9 +158,12 @@ object Dedup {
     * token-hash bit j; simhash bit j = 1 iff the sum is positive. One pass
     * over the token hashes (HashExpressions.SimHash). */
   def simhash(spark: SparkSession, sfDir: String, bits: Int = 32): DataFrame =
-    Tables.documents(spark, sfDir)
+    simhashOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))
+      .repartition(col("doc_id")), bits)
+
+  def simhashOf(docs: DataFrame, bits: Int = 32): DataFrame =
+    docs
       .select(col("doc_id"),
         graft.functions.HashExpressions.simhash_of(tokenHashes(col("text")), bits).as("simhash"))
       .orderBy(col("doc_id"))

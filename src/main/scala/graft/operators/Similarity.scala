@@ -32,16 +32,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Base vectors with the norm precomputed ONCE per row (vs once per pair —
-    * the oracle's per-pair sqrt(dot(v,v)) yields the same double, so parity
-    * holds while the engine does a third of the flops). The repartition
-    * spreads the single small parquet file across cores; at production scale
-    * the scan has many splits and it can be dropped. */
-  private def baseDf(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+  /** Normalize an embeddings frame (vec_id, label, embedding) into the
+    * joinable base: double vectors + the norm precomputed ONCE per row (vs
+    * once per pair — the oracle's per-pair sqrt(dot(v,v)) yields the same
+    * double, so parity holds while the engine does a third of the flops). */
+  def baseOf(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vec"))
-      .repartition(col("vec_id"))
       .withColumn("norm_v", sqrt(dot(col("vec"), col("vec"))))
+
+  private def baseDf(spark: SparkSession, sfDir: String): DataFrame =
+    baseOf(Tables.embeddings(spark, sfDir).repartition(col("vec_id")))
 
   private def queriesDf(spark: SparkSession, sfDir: String, queryMod: Int): DataFrame =
     Tables.embeddings(spark, sfDir)

@@ -26,10 +26,12 @@ object TextOps {
   /** Per-document statistics: token count, BPE-ish token count, average token
     * length, stopword ratio, and a rational quality score in [0,1]:
     * min(n_tokens,100)/100 * (1 - stop_ratio). */
-  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    textStatsOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
+      .repartition(col("doc_id"))) // spread a small single-file scan; no-op at scale
+
+  def textStatsOf(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     d.select(
         col("doc_id"),
@@ -49,10 +51,12 @@ object TextOps {
     * marker-token occurrences; guess the language with the highest count
     * (ties broken by the fixed language order above), or 'und' when no marker
     * appears at all. */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
+      .repartition(col("doc_id"))) // spread a small single-file scan; no-op at scale
+
+  def langIdOf(d: DataFrame): DataFrame = {
     val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
       case (df, (lang, words)) => df.withColumn(s"score_$lang", stopwordCount(col("text"), words))
     }
@@ -70,10 +74,12 @@ object TextOps {
   /** Document fingerprints: canonical md5 + order-sensitive rolling polynomial
     * hash over token hashes. */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    fingerprintsOf(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")) // spread a small single-file scan; no-op at scale
-      .select(
+      .repartition(col("doc_id"))) // spread a small single-file scan; no-op at scale
+
+  def fingerprintsOf(d: DataFrame): DataFrame =
+    d.select(
         col("doc_id"),
         fingerprintMd5(col("text")).as("fp_md5"),
         fingerprintPoly(col("text")).as("fp_poly"))
