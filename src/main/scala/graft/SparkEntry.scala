@@ -93,6 +93,7 @@ object SparkEntry {
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
+    "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
@@ -387,7 +388,8 @@ object SparkEntry {
       "q2s_block_avg_stateful"         -> base("q2_block_avg"),
       "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
       "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),
-      "q21_topk_aggregator"            -> base("q7_top_parts"))
+      "q21_topk_aggregator"            -> base("q7_top_parts"),
+      "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"))
   }
 
   /** Full-string polynomial hash (spaces included) — mirrors

@@ -46,6 +46,34 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The tumbling aggregate as a REAL Structured Streaming query: file
+    * source (`readStream`) over the events parquet, Trigger.AvailableNow,
+    * complete-mode memory sink, drained synchronously and returned as a
+    * DataFrame — registered under the same oracle as the batch form, so the
+    * correctness gate covers the streaming engine end-to-end. */
+  def tumblingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source needs a directory: scan sfDir with a glob pinned to
+    // the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val agg = stream
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           max(col("value")).as("max_value"))
+    val qn = s"tumbling_stream_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(qn).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn).orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Interval (range) self-join, bucketed for scale: count pairs of events
     * of the same user within `gapMinutes` of each other. The naive form is
     * O(n²) per key; this one hashes each event into a `gap`-wide time bucket
