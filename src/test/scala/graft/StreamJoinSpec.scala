@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-stream inner join with watermarks and a time-range condition —
+  * the last streaming surface the engine exposes: clicks joined to the
+  * impression that preceded them within 10 minutes. */
+class StreamJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  case class Imp(imp_id: Long, user: String, imp_ts: Timestamp)
+  case class Click(click_id: Long, cuser: String, click_ts: Timestamp)
+
+  private val Base = 1699999800000L
+  private def t(minute: Int) = new Timestamp(Base + minute * 60000L)
+
+  test("watermarked interval stream-stream join matches expected pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = imps.toDF().withWatermark("imp_ts", "20 minutes")
+      .join(
+        clicks.toDF().withWatermark("click_ts", "20 minutes"),
+        expr("""user = cuser AND
+                click_ts >= imp_ts AND
+                click_ts <= imp_ts + interval 10 minutes""".stripMargin))
+    val q = joined.select(col("imp_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_out").start()
+    imps.addData(Imp(1, "u", t(0)), Imp(2, "u", t(30)))
+    clicks.addData(Click(10, "u", t(5)),  // joins imp 1 (within 10 min)
+                   Click(11, "u", t(25)), // joins nothing (imp1 too old, imp2 later)
+                   Click(12, "u", t(35))) // joins imp 2
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 12L)))
+  }
+}
