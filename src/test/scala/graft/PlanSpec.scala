@@ -1,0 +1,38 @@
+package graft
+
+/** Physical-plan regression checks: the properties that make these queries
+  * scale are asserted, not assumed (SURVEY.md §4; SCALING.md). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, Sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q8: all three filters reach the parquet scan; schema pruned to 3 columns") {
+    val p = plan("q8_filtered_revenue")
+    // the plan string elides long filter lists, so probe for the markers
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount), IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
+  }
+
+  test("q6: the nation dimension joins via broadcast") {
+    val p = plan("q6_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1: exactly one hash exchange (the keyBy) before the global sort") {
+    val p = plan("q1_running_max")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, p)
+  }
+
+  test("text_stats: no shuffle beyond the local spread; scan reads only doc_id and text") {
+    val p = plan("text_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // one exchange total: the small-file spread repartition (+ the output sort's range exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, p)
+  }
+}
