@@ -90,6 +90,7 @@ object SparkEntry {
     // ---- training-data pipeline: similarity search ----
     "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    "ann_lsh_topk"     -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
@@ -315,6 +316,17 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
          |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH base AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS vec, (${bucketSql("embedding::DOUBLE[]")}) AS bucket
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket FROM base WHERE vec_id % 100 = 0),
+         |c AS (
+         | SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
+         | FROM base b JOIN q ON b.bucket = q.q_bucket AND b.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
          |  FROM embeddings WHERE vec_id % 100 = 0),
@@ -454,6 +466,14 @@ object SparkEntry {
   /** One SimHash bit term: sign of the ±1 vote sum, scaled by 2^j. */
   private def simhashBitSql(j: Int): String =
     s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+
+  /** Sign-LSH bucket over literal hyperplanes — constants generated by the
+    * same integer recurrence as Similarity.hyperplanes. */
+  private def bucketSql(vecExpr: String): String =
+    graft.operators.Similarity.hyperplanes(6, 64).zipWithIndex.map { case (p, j) =>
+      val lst = p.map(v => f"$v%.3f").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($vecExpr, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Cosine with the exact same association as Similarity.cosine. */
   private def cosineSql(a: String, b: String): String =

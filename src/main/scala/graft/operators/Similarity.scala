@@ -79,6 +79,41 @@ object Similarity {
       baseDf(spark, sfDir).join(broadcast(queriesDf(spark, sfDir, queryMod)),
         col("label") === col("q_label") && col("vec_id") =!= col("q_id")), k)
 
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: component (j,i) =
+    * (((j*1000003 + i) * 2654435761) mod 1000000007 mod 2001 - 1000)/1000 ∈
+    * [-1,1]. Pure integer arithmetic + a 3-decimal rational, so the EXACT
+    * same plane constants are embeddable in oracle SQL. */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Array[Double]] =
+    (0 until numPlanes).map { j =>
+      Array.tabulate(dim) { i =>
+        val h = ((j.toLong * 1000003L + i) * 2654435761L) % 1000000007L
+        ((h % 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** Sign-LSH bucket id: bit j set iff dot(vec, plane_j) > 0. */
+  def hyperplaneBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: random-hyperplane signatures partition the space into
+    * 2^numPlanes buckets; each query probes only its own bucket. The
+    * open-domain scale path when no IVF coarse quantizer exists — candidates
+    * shrink ~2^numPlanes-fold; recall is traded via numPlanes (multi-probe
+    * extends it). Ranking semantics identical to the other top-k ops. */
+  def lshTopK(spark: SparkSession, sfDir: String,
+              k: Int = 5, queryMod: Int = 100, numPlanes: Int = 6): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val base = baseDf(spark, sfDir)
+      .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    val q = queriesDf(spark, sfDir, queryMod)
+      .withColumn("q_bucket", hyperplaneBucket(col("q_vec"), planes))
+    rankTopK(
+      base.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id")), k)
+  }
+
   /** All-pairs near-duplicate detection by embedding cosine >= threshold,
     * restricted to same-label buckets to bound the pair count (the
     * embedding-cosine near-dup pass of a dedup pipeline). */
