@@ -69,6 +69,7 @@ object SparkEntry {
     "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
     "q3s_running_max_month_stateful" -> ((s, dir) => StatefulQueries.runningMaxMonthStateful(s, dir)),
     "q4s_threshold_gaps_stateful" -> ((s, dir) => StatefulQueries.thresholdGapsStateful(s, dir)),
+    "q1p_running_max_secondary_sort" -> ((s, dir) => StatefulQueries.runningMaxSecondarySort(s, dir)),
     // ---- relational surface ----
     "q5_pricing_summary"  -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q6_revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
@@ -401,7 +402,8 @@ object SparkEntry {
       "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
       "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),
       "q21_topk_aggregator"            -> base("q7_top_parts"),
-      "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"))
+      "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
+      "q1p_running_max_secondary_sort" -> base("q1_running_max"))
   }
 
   /** Full-string polynomial hash (spaces included) — mirrors

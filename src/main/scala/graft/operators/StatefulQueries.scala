@@ -34,6 +34,39 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Q1 via SECONDARY SORT — the 100 TB batch execution of per-record keyed
+    * state: hash-partition by key, sort (key, ord) WITHIN partitions (Spark's
+    * spill-safe sort, no per-group buffering), then a single `mapPartitions`
+    * pass holding O(1) state that resets at key boundaries. Unlike
+    * `flatMapGroupsWithState`'s batch mode (one in-memory group at a time),
+    * memory here is independent of both group count and group size. */
+  def runningMaxSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir)
+      .select(year(col("ts")).cast("long").as("yr"),
+              col("ts_ns"), col("event_id"), col("value"))
+      .repartition(col("yr"))
+      .sortWithinPartitions(col("yr"), col("ts_ns"), col("event_id"))
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("yr", LongType, nullable = false),
+      StructField("run_max", DoubleType, nullable = false)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    ev.mapPartitions { rows =>
+      var curKey = Long.MinValue
+      var mx = Double.NegativeInfinity
+      rows.map { r =>
+        val yr = r.getLong(0)
+        if (yr != curKey) { curKey = yr; mx = Double.NegativeInfinity }
+        val v = r.getDouble(3)
+        if (v > mx) mx = v
+        Row(r.getLong(2), yr, mx)
+      }
+    }.orderBy(col("event_id"))
+  }
+
   /** Q2 stateful form: 51-record block average per event_type. The block
     * index is recovered as the per-key emission rank (emissions arrive in
     * ord order). */

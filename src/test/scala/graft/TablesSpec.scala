@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.{Skew, TopK}
+
+class TablesSpec extends SparkSpec {
+
+  test("events reader: ts_ns is lossless, ts is its microsecond truncation") {
+    val ev = Tables.events(spark, Sf0001)
+    assert(ev.count() === 1000)
+    val bad = ev.filter(
+      unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count()
+    assert(bad === 0)
+    // raw read without the reader must fail on TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val thrown = intercept[Exception] {
+      spark.read.parquet(s"$Sf0001/events.parquet").collect()
+    }
+    assert(thrown.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+           thrown.toString.contains("Illegal Parquet type"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  test("salted aggregation equals the direct group-by exactly") {
+    val direct = graft.io.Tables.lineitem(spark, Sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,4)")) *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("double").as("revenue"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedRevenue(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("revenue")).toMap
+    assert(salted === direct) // bit-exact: decimal partials merge losslessly
+  }
+
+  test("TopKAgg equals the window-rank form row for row") {
+    val viaAgg = TopK.topPartsByBrandAgg(spark, Sf0001).collect().map(_.toSeq)
+    val viaWin = graft.operators.Relational.topPartsByBrand(spark, Sf0001).collect().map(_.toSeq)
+    assert(viaAgg.toSeq === viaWin.toSeq)
+  }
+}
