@@ -111,6 +111,7 @@ object SparkEntry {
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
     "mm_video_frames"   -> ((s, dir) => Multimodal.videoFrames(s, dir)),
+    "mm_resize"         -> ((s, dir) => Multimodal.mediaResized(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -435,7 +436,13 @@ object SparkEntry {
          |SELECT media_id, CAST(r.range AS BIGINT) AS frame_idx,
          |  ${strHashSql("substring(text, 1 + CAST(r.range AS INT)*256, 256)")} AS frame_hash
          |FROM m, range(8) r WHERE r.range < nf
-         |ORDER BY media_id, frame_idx""".stripMargin)
+         |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        | CAST(length(text) AS BIGINT) AS orig_bytes,
+        | CAST((length(text) + 2)//3 AS BIGINT) AS resized_bytes,
+        | md5(array_to_string(list_filter(string_split(text,''), (c,i) -> i%3 = 1), '')) AS resized_md5
+        |FROM documents ORDER BY media_id""".stripMargin)
 
   // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----
 

@@ -88,6 +88,24 @@ object Multimodal {
       }
     }
 
+  case class ResizedRow(media_id: Long, orig_bytes: Long, resized_bytes: Long,
+                        resized: Array[Byte])
+  private implicit val resizedEnc: Encoder[ResizedRow] = Encoders.product[ResizedRow]
+
+  /** Resize stage: deterministic `factor`-fold downsample keeping every
+    * factor-th byte starting at offset 0 (STUB for a real image resampler —
+    * the batch shape, binary-in/binary-out via `mapPartitions`, is what a
+    * JNI-backed implementation would keep). */
+  def resize(spark: SparkSession, sfDir: String, factor: Int = 3): Dataset[ResizedRow] =
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
+      rows.map { m =>
+        val out = new Array[Byte]((m.content.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = m.content(i * factor); i += 1 }
+        ResizedRow(m.media_id, m.content.length.toLong, out.length.toLong, out)
+      }
+    }
+
   /** Frame-sampling stage for video payloads: every 256-byte block is a
     * "frame" (STUB for real frame decode); sample the first `maxFrames`,
     * emit (media_id, frame_idx, frame_hash). Bounded explode per row. */
@@ -115,4 +133,10 @@ object Multimodal {
 
   def videoFrames(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(spark, sfDir).orderBy(col("media_id"), col("frame_idx"))
+
+  def mediaResized(spark: SparkSession, sfDir: String): DataFrame =
+    resize(spark, sfDir).toDF()
+      .select(col("media_id"), col("orig_bytes"), col("resized_bytes"),
+              md5(col("resized")).as("resized_md5"))
+      .orderBy(col("media_id"))
 }
