@@ -26,6 +26,9 @@ object TopK {
     def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
       b.foldLeft(a)(insert)
     def finish(r: List[(Long, Double)]): List[(Long, Double)] = r
+    // kryo buffers measured faster here than catalyst-encoded lists (the
+    // typed-agg path re-encodes the buffer per partial merge either way, and
+    // the kryo blob is cheaper for a <=k-element list)
     def bufferEncoder: Encoder[List[(Long, Double)]] = Encoders.kryo[List[(Long, Double)]]
     def outputEncoder: Encoder[List[(Long, Double)]] = Encoders.kryo[List[(Long, Double)]]
   }
