@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
+    "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
     // ---- training-data pipeline: similarity search ----
     "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -292,19 +293,19 @@ object SparkEntry {
          |SELECT doc_id, $minhashColsSql
          |FROM d ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
-         |sig AS (SELECT doc_id, $minhashColsSql FROM d),
-         |banded AS (SELECT *, $bandColsSql FROM sig),
-         |cand AS (
-         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
-         | FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND
-         |  (${(0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")}))
-         |SELECT doc_a, doc_b, est_jaccard FROM (
-         | SELECT doc_a, doc_b,
-         |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
-         | FROM cand)
-         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+      s"""$lshSqlBody
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_lsh_components" ->
+      s"""WITH RECURSIVE pairs AS ($lshSqlBody),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, lab) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT id AS doc_id, min(lab) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents)
          |SELECT doc_id, CAST(${(0 until 32).map(simhashBitSql).mkString(" + ")} AS BIGINT) AS simhash
@@ -475,6 +476,23 @@ object SparkEntry {
   /** One SimHash bit term: sign of the ±1 vote sum, scaled by 2^j. */
   private def simhashBitSql(j: Int): String =
     s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
+
+  /** The MinHash/LSH candidate-pair query WITHOUT the final ORDER BY, so it
+    * can embed both standalone and as the edge list of the component query. */
+  private def lshSqlBody: String =
+    s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+       |sig AS (SELECT doc_id, $minhashColsSql FROM d),
+       |banded AS (SELECT *, $bandColsSql FROM sig),
+       |cand AS (
+       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
+       | FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND
+       |  (${(0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")}))
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       | SELECT doc_a, doc_b,
+       |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
+       | FROM cand)
+       |WHERE est_jaccard >= 0.5""".stripMargin
 
   /** Sign-LSH bucket over literal hyperplanes — constants generated by the
     * same integer recurrence as Similarity.hyperplanes. */

@@ -153,6 +153,39 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over the near-duplicate graph (LSH candidate
+    * pairs): the clustering step that turns pairwise matches into dedup
+    * groups. Distributed iterative min-label propagation — each round, every
+    * node takes the min of its own and its neighbors' labels; at fixpoint the
+    * label is the component's minimum doc_id (unique, order-independent, so
+    * the iteration count doesn't affect the result). The driver loop runs
+    * O(graph diameter) rounds of pure DataFrame ops — the standard Pregel-
+    * style shape; near-dup components are tiny so diameter is small. */
+  def lshComponents(spark: SparkSession, sfDir: String,
+                    n: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, n, minEstJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    while (!converged) {
+      val neigh = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neigh, labels("id") === neigh("nid"), "left")
+        .select(labels("id"),
+                least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
+                col("label").as("old_label"))
+        .cache()
+      converged = updated.filter(col("new_label") < col("old_label")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label")).cache()
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash (64-bit family; 32 bits to stay comfortably in int64
     * arithmetic): per document, for each bit j, sum +1/-1 weighted by
     * token-hash bit j; simhash bit j = 1 iff the sum is positive. One pass
