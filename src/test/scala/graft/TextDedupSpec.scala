@@ -73,6 +73,18 @@ class TextDedupSpec extends SparkSpec {
     assert(perQuery.nonEmpty && perQuery.forall(_ === 5L))
   }
 
+  test("LSH components: every matched pair shares a component, labeled by its minimum") {
+    val pairs = Dedup.minhashLsh(spark, Sf0001)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Dedup.lshComponents(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(comp(a) === comp(b), s"pair ($a,$b)") }
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+
   test("text_stats quality score stays in [0,1]") {
     val st = graft.operators.TextOps.textStats(spark, Sf0001)
       .agg(min(col("quality_score")), max(col("quality_score"))).head()
