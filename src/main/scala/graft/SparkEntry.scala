@@ -482,7 +482,7 @@ object SparkEntry {
   private def lshSqlBody: String =
     s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |sig AS (SELECT doc_id, $minhashColsSql FROM d),
-       |banded AS (SELECT *, $bandColsSql FROM sig),
+       |banded AS (SELECT *, $bandColsSql FROM sig WHERE mh0 <> $P),
        |cand AS (
        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
@@ -498,7 +498,10 @@ object SparkEntry {
     * same integer recurrence as Similarity.hyperplanes. */
   private def bucketSql(vecExpr: String): String =
     graft.operators.Similarity.hyperplanes(6, 64).zipWithIndex.map { case (p, j) =>
-      val lst = p.map(v => f"$v%.3f").mkString("[", ", ", "]")
+      // Locale.ROOT: the default-locale f"" interpolator emits "0,123" under
+      // decimal-comma locales, which is invalid SQL
+      val lst = p.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
+        .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vecExpr, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 

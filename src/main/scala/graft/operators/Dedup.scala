@@ -122,11 +122,23 @@ object Dedup {
                  n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
     minhashLshOf(minhashSignatures(spark, sfDir, n), minEstJaccard)
 
-  /** LSH banding over an existing signature frame (doc_id, mh0..mh11). */
+  /** LSH banding over an existing signature frame (doc_id, mh0..mh11).
+    *
+    * Documents with an empty shingle set (fewer than n+... tokens) carry the
+    * all-sentinel signature; banding them would pair EVERY short doc with
+    * every other (est_jaccard=1.0 false positives and a quadratic candidate
+    * blowup on short-doc-heavy corpora), so they are excluded here. mh0 ==
+    * HashMod identifies them exactly: (a*s + b) % HashMod < HashMod for any
+    * real shingle. The oracle SQL applies the same predicate.
+    *
+    * The signature-component comparison stays in whole-stage codegen by
+    * carrying the 12 components as columns and summing CASE WHEN equalities —
+    * array zip_with/filter higher-order functions are CodegenFallback and
+    * allocate per row. */
   def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
-    val sigs = sigsIn
     val nSig = MinHashA.size
     val rows = nSig / Bands
+    val sigs = sigsIn.filter(col("mh0") =!= HashMod)
     val bandCols = (0 until Bands).map { bIdx =>
       val parts = (0 until rows).map(r => col(s"mh${bIdx * rows + r}"))
       // arithmetic band combine — same fold in oracle SQL
@@ -135,21 +147,23 @@ object Dedup {
     val banded = sigs.select((col("doc_id") +: (0 until nSig).map(j => col(s"mh$j"))) ++ bandCols: _*)
 
     val exploded = banded.select(
-      col("doc_id"), array((0 until nSig).map(j => col(s"mh$j")): _*).as("sig"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)))
+      (col("doc_id") +: (0 until nSig).map(j => col(s"mh$j"))) :+
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)): _*)
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
 
-    val l = exploded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = exploded.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val l = exploded.select(col("band_idx") +: col("band_hash") +:
+      col("doc_id").as("doc_a") +: (0 until nSig).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val r = exploded.select(col("band_idx") +: col("band_hash") +:
+      col("doc_id").as("doc_b") +: (0 until nSig).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nMatches = (0 until nSig)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b")).distinct()
-      .withColumn("est_jaccard",
-        expr(s"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), e -> e)) AS DOUBLE) / $nSig"))
+      .select(col("doc_a"), col("doc_b"),
+        (nMatches.cast("double") / nSig).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      // a pair colliding in k bands appears k times with the same estimate
+      .groupBy(col("doc_a"), col("doc_b")).agg(first(col("est_jaccard")).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -162,26 +176,60 @@ object Dedup {
     * O(graph diameter) rounds of pure DataFrame ops — the standard Pregel-
     * style shape; near-dup components are tiny so diameter is small. */
   def lshComponents(spark: SparkSession, sfDir: String,
-                    n: Int = 3, minEstJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir, n, minEstJaccard)
-      .select(col("doc_a"), col("doc_b"))
+                    n: Int = 3, minEstJaccard: Double = 0.5,
+                    maxIterations: Int = 64): DataFrame =
+    lshComponentsOf(
+      minhashLsh(spark, sfDir, n, minEstJaccard).select(col("doc_a"), col("doc_b")),
+      maxIterations)
+
+  /** Connected components over an undirected edge list (doc_a, doc_b).
+    *
+    * Each round combines min-label propagation from neighbors with pointer
+    * jumping (label := label of my label), so convergence is O(log diameter)
+    * rounds rather than O(diameter) — a 1000-hop chain resolves in ~10
+    * rounds. Superseded cached frames are unpersisted as soon as their
+    * successor is materialized, and `maxIterations` bounds the driver loop on
+    * pathological graphs (hitting it raises rather than returning a partial
+    * clustering). */
+  def lshComponentsOf(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+    // seed with min(id, min neighbor) — the first propagation round for free
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .cache()
+    labels.count()
     var converged = false
-    while (!converged) {
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      iter += 1
       val neigh = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(col("dst").as("nid")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neigh, labels("id") === neigh("nid"), "left")
+        .groupBy(edges("dst").as("nid")).agg(min(col("label")).as("nlabel"))
+      val hop = labels.select(col("id").as("hid"), col("label").as("hlabel"))
+      val updated = labels
+        .join(neigh, labels("id") === neigh("nid"), "left")
+        .join(hop, labels("label") === hop("hid"), "left")
         .select(labels("id"),
-                least(col("label"), coalesce(col("nlabel"), col("label"))).as("new_label"),
-                col("label").as("old_label"))
+                least(labels("label"),
+                      coalesce(col("nlabel"), labels("label")),
+                      coalesce(col("hlabel"), labels("label"))).as("new_label"),
+                labels("label").as("old_label"))
         .cache()
       converged = updated.filter(col("new_label") < col("old_label")).isEmpty
-      labels = updated.select(col("id"), col("new_label").as("label")).cache()
+      val next = updated.select(col("id"), col("new_label").as("label"))
+        // truncate the logical plan every round: the loop otherwise nests
+        // plans O(rounds) deep and analysis cost grows quadratically
+        .localCheckpoint(true)
+      updated.unpersist()
+      labels.unpersist()
+      labels = next
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"lshComponents did not converge within $maxIterations rounds")
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
   }

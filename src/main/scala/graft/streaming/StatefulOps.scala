@@ -85,7 +85,12 @@ object StatefulOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOut]
           rows.toSeq.sortBy(_.ord).foreach { r =>
             if (acc.count < emitCount) {
-              acc = BlockAcc(acc.count + 1, acc.cents + math.rint(r.value * 100).toLong)
+              // HALF_UP on the decimal string, matching the batch twin's
+              // CAST(value AS DECIMAL(18,2)) (and the DuckDB oracle) for
+              // inputs with >2 decimal places — not rint on a binary product
+              val cents = (BigDecimal(r.value)
+                .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+              acc = BlockAcc(acc.count + 1, acc.cents + cents)
             } else { // the trigger record: emit and discard it
               out += KeyedOut(key, r.ord, (acc.cents.toDouble / 100.0) / emitCount)
               acc = BlockAcc(0, 0L)
