@@ -63,15 +63,16 @@ object Dedup {
       .filter(col("freq") <= maxShingleFreq && col("freq") >= 2)
 
     // all ordered pairs within a shingle bucket; intersection size = number of
-    // buckets in which the pair co-occurs (shingle hashes are distinct per doc)
+    // buckets in which the pair co-occurs (shingle hashes are distinct per doc).
+    // Two chained generators stream the f² pairs through codegen — the nested
+    // transform/flatten/filter HOF form is CodegenFallback and materializes
+    // each bucket's full pair array before exploding it.
     val pairs = byShingle
-      .select(explode(expr(
-        """filter(flatten(transform(items, a -> transform(items, b ->
-          |  struct(a.doc_id as doc_a, b.doc_id as doc_b, a.sz as sz_a, b.sz as sz_b)))),
-          |  p -> p.doc_a < p.doc_b)""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-              col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .select(col("items"), explode(col("items")).as("a"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+               col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
 
     pairs
@@ -192,9 +193,20 @@ object Dedup {
     * pathological graphs (hitting it raises rather than returning a partial
     * clustering). */
   def lshComponentsOf(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").cache()
+    // The candidate graph is orders of magnitude smaller than the corpus, so
+    // size the loop's shuffle width to the MEASURED edge count (cached plans
+    // don't get AQE partition coalescing): ~50k edges per partition, capped
+    // at the cluster's parallelism. The conf is restored after the loop.
+    val edgeCount = edges.count()
+    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      edgeCount / 50000L + 1L)).toInt
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
     // seed with min(id, min neighbor) — the first propagation round for free
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
@@ -218,13 +230,18 @@ object Dedup {
                 labels("label").as("old_label"))
         .cache()
       converged = updated.filter(col("new_label") < col("old_label")).isEmpty
-      val next = updated.select(col("id"), col("new_label").as("label"))
-        // truncate the logical plan every round: the loop otherwise nests
-        // plans O(rounds) deep and analysis cost grows quadratically
-        .localCheckpoint(true)
-      updated.unpersist()
-      labels.unpersist()
-      labels = next
+      if (converged) {
+        // fixpoint: labels are unchanged — keep the already-cached frame
+        updated.unpersist()
+      } else {
+        val next = updated.select(col("id"), col("new_label").as("label"))
+          // truncate the logical plan every round: the loop otherwise nests
+          // plans O(rounds) deep and analysis cost grows quadratically
+          .localCheckpoint(true)
+        updated.unpersist()
+        labels.unpersist()
+        labels = next
+      }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -232,6 +249,7 @@ object Dedup {
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy(col("doc_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** SimHash (64-bit family; 32 bits to stay comfortably in int64
