@@ -13,8 +13,17 @@ object Bench {
     // warm the session (codegen, parquet footers, shuffle infra) on the
     // smallest SF so per-query timings measure the queries, not JVM startup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // optional comma-separated subset for targeted profiling
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    // optional comma-separated subset for targeted profiling; tokens are
+    // trimmed, empties dropped, and unknown names rejected loudly rather
+    // than silently benchmarking nothing
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names no registered query: ${unknown.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_QUERIES is set but selects no queries")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -188,10 +188,12 @@ object Dedup {
     * Each round combines min-label propagation from neighbors with pointer
     * jumping (label := label of my label), so convergence is O(log diameter)
     * rounds rather than O(diameter) — a 1000-hop chain resolves in ~10
-    * rounds. Superseded cached frames are unpersisted as soon as their
-    * successor is materialized, and `maxIterations` bounds the driver loop on
+    * rounds. Superseded frames are freed as soon as their successor
+    * materializes: cached frames via `unpersist`, checkpoint-backed frames by
+    * unpersisting their underlying RDD (Dataset.unpersist doesn't reach
+    * checkpoint blocks). `maxIterations` bounds the driver loop on
     * pathological graphs (hitting it raises rather than returning a partial
-    * clustering). */
+    * clustering), and all cleanup also runs on the failure paths. */
   def lshComponentsOf(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs
@@ -200,56 +202,72 @@ object Dedup {
     // The candidate graph is orders of magnitude smaller than the corpus, so
     // size the loop's shuffle width to the MEASURED edge count (cached plans
     // don't get AQE partition coalescing): ~50k edges per partition, capped
-    // at the cluster's parallelism. The conf is restored after the loop.
+    // at the cluster's parallelism. The override is session-global while the
+    // loop runs — this operator assumes no concurrent queries share the
+    // session (Verify/Bench run queries serially); the conf is restored in
+    // the finally.
     val edgeCount = edges.count()
     val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       edgeCount / 50000L + 1L)).toInt
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try {
-    // seed with min(id, min neighbor) — the first propagation round for free
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("label"))
-      .cache()
-    labels.count()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      iter += 1
-      val neigh = edges.join(labels, edges("src") === labels("id"))
-        .groupBy(edges("dst").as("nid")).agg(min(col("label")).as("nlabel"))
-      val hop = labels.select(col("id").as("hid"), col("label").as("hlabel"))
-      val updated = labels
-        .join(neigh, labels("id") === neigh("nid"), "left")
-        .join(hop, labels("label") === hop("hid"), "left")
-        .select(labels("id"),
-                least(labels("label"),
-                      coalesce(col("nlabel"), labels("label")),
-                      coalesce(col("hlabel"), labels("label"))).as("new_label"),
-                labels("label").as("old_label"))
-        .cache()
-      converged = updated.filter(col("new_label") < col("old_label")).isEmpty
-      if (converged) {
-        // fixpoint: labels are unchanged — keep the already-cached frame
-        updated.unpersist()
-      } else {
-        val next = updated.select(col("id"), col("new_label").as("label"))
-          // truncate the logical plan every round: the loop otherwise nests
-          // plans O(rounds) deep and analysis cost grows quadratically
-          .localCheckpoint(true)
-        updated.unpersist()
-        labels.unpersist()
-        labels = next
-      }
+    // free a superseded loop frame: cache blocks AND checkpoint RDD blocks
+    def release(df: DataFrame): Unit = if (df != null) {
+      df.unpersist()
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"lshComponents did not converge within $maxIterations rounds")
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("component"))
-      .orderBy(col("doc_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    var labels: DataFrame = null
+    try {
+      // seed with min(id, min neighbor) — the first propagation round for free
+      labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("label"))
+        .cache()
+      labels.count()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        iter += 1
+        val neigh = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(edges("dst").as("nid")).agg(min(col("label")).as("nlabel"))
+        val hop = labels.select(col("id").as("hid"), col("label").as("hlabel"))
+        val updated = labels
+          .join(neigh, labels("id") === neigh("nid"), "left")
+          .join(hop, labels("label") === hop("hid"), "left")
+          .select(labels("id"),
+                  least(labels("label"),
+                        coalesce(col("nlabel"), labels("label")),
+                        coalesce(col("hlabel"), labels("label"))).as("new_label"),
+                  labels("label").as("old_label"))
+          .cache()
+        converged = updated.filter(col("new_label") < col("old_label")).isEmpty
+        if (converged) {
+          // fixpoint: labels are unchanged — keep the already-cached frame
+          updated.unpersist()
+        } else {
+          val next = updated.select(col("id"), col("new_label").as("label"))
+            // truncate the logical plan every round: the loop otherwise nests
+            // plans O(rounds) deep and analysis cost grows quadratically
+            .localCheckpoint(true)
+          updated.unpersist()
+          release(labels)
+          labels = next
+        }
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"lshComponents did not converge within $maxIterations rounds")
+      labels.select(col("id").as("doc_id"), col("label").as("component"))
+        .orderBy(col("doc_id"))
+    } catch {
+      case t: Throwable =>
+        release(labels) // the result frame isn't escaping; free its blocks too
+        throw t
+    } finally {
+      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
   }
 
   /** SimHash (64-bit family; 32 bits to stay comfortably in int64

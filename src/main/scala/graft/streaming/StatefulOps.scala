@@ -87,9 +87,15 @@ object StatefulOps {
             if (acc.count < emitCount) {
               // HALF_UP on the decimal string, matching the batch twin's
               // CAST(value AS DECIMAL(18,2)) (and the DuckDB oracle) for
-              // inputs with >2 decimal places — not rint on a binary product
-              val cents = (BigDecimal(r.value)
-                .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+              // inputs with >2 decimal places — not rint on a binary product.
+              // Non-finite values: the batch CAST yields NULL (sum skips it,
+              // the row still counts toward block completeness) — mirror that
+              // with a zero contribution instead of letting BigDecimal throw.
+              val cents =
+                if (java.lang.Double.isFinite(r.value))
+                  (BigDecimal(r.value)
+                    .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+                else 0L
               acc = BlockAcc(acc.count + 1, acc.cents + cents)
             } else { // the trigger record: emit and discard it
               out += KeyedOut(key, r.ord, (acc.cents.toDouble / 100.0) / emitCount)
