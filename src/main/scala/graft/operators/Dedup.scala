@@ -104,14 +104,19 @@ object Dedup {
       .select(col("doc_id"), col("text"))
       .repartition(col("doc_id")), n)
 
-  def minhashSignaturesOf(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"),
-        graft.functions.HashExpressions.minhash_sig(
-          shingleHashes(col("text"), n), MinHashA, MinHashB).as("sig"))
-    val sigCols = MinHashA.indices.map(j => element_at(col("sig"), j + 1).as(s"mh$j"))
-    sigs.select(col("doc_id") +: sigCols: _*)
-      .orderBy(col("doc_id"))
+  def minhashSignaturesOf(docs: DataFrame, n: Int = 3): DataFrame =
+    minhashSignaturesRaw(docs, n).orderBy(col("doc_id"))
+
+  /** Signature columns without the presentation sort — the LSH input (the
+    * global orderBy is pure waste when the next step is a bucket shuffle).
+    * The per-component element_at projections share ONE minhash_sig
+    * evaluation via whole-stage codegen subexpression elimination (they live
+    * in a single collapsed Project). */
+  private def minhashSignaturesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sig = graft.functions.HashExpressions.minhash_sig(
+      shingleHashes(col("text"), n), MinHashA, MinHashB)
+    val sigCols = MinHashA.indices.map(j => element_at(sig, j + 1).as(s"mh$j"))
+    docs.select(col("doc_id") +: sigCols: _*)
   }
 
   /** MinHash/LSH near-dup: band the 12-component signature into 4 bands of 3,
@@ -121,51 +126,67 @@ object Dedup {
     * full cross product. */
   def minhashLsh(spark: SparkSession, sfDir: String,
                  n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
-    minhashLshOf(minhashSignatures(spark, sfDir, n), minEstJaccard)
+    minhashLshOf(minhashSignaturesRaw(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id")), n), minEstJaccard)
 
   /** LSH banding over an existing signature frame (doc_id, mh0..mh11).
     *
     * Documents with an empty shingle set (fewer than n+... tokens) carry the
     * all-sentinel signature; banding them would pair EVERY short doc with
     * every other (est_jaccard=1.0 false positives and a quadratic candidate
-    * blowup on short-doc-heavy corpora), so they are excluded here. mh0 ==
-    * HashMod identifies them exactly: (a*s + b) % HashMod < HashMod for any
-    * real shingle. The oracle SQL applies the same predicate.
+    * blowup on short-doc-heavy corpora), so they produce ZERO band rows (a
+    * conditional empty array inside the generator, not a separate Filter —
+    * a Filter predicate on the signature gets pushed below the signature
+    * Project by Catalyst and evaluates minhash_sig a second time per row).
+    * mh0 == HashMod identifies them exactly: (a*s + b) % HashMod < HashMod
+    * for any real shingle. The oracle SQL applies the same predicate.
     *
-    * The signature-component comparison stays in whole-stage codegen by
-    * carrying the 12 components as columns and summing CASE WHEN equalities —
-    * array zip_with/filter higher-order functions are CodegenFallback and
-    * allocate per row. */
-  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    * Shape: ONE signature evaluation per document, band rows bucketed with a
+    * single groupBy, pairs generated inside each bucket — the same bounded
+    * candidate-generation shape as [[ngramJaccardOf]]. The earlier self-join
+    * form computed the whole signature pipeline once per join side and
+    * invited a full-corpus broadcast at scale; this form shuffles band rows
+    * exactly once. The component comparison stays in whole-stage codegen by
+    * carrying the 12 components as struct fields and summing CASE WHEN
+    * equalities — array zip_with HOFs are CodegenFallback. */
+  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
+    minhashLshPairsOf(sigsIn, minEstJaccard).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashLshOf]] without the final presentation sort — the components
+    * input (a global range exchange feeding a cache/groupBy is pure waste). */
+  private def minhashLshPairsOf(sigsIn: DataFrame, minEstJaccard: Double): DataFrame = {
     val nSig = MinHashA.size
     val rows = nSig / Bands
-    val sigs = sigsIn.filter(col("mh0") =!= HashMod)
     val bandCols = (0 until Bands).map { bIdx =>
       val parts = (0 until rows).map(r => col(s"mh${bIdx * rows + r}"))
       // arithmetic band combine — same fold in oracle SQL
-      parts.reduce((acc, m) => (acc * 31L + m) % HashMod).as(s"band$bIdx")
+      parts.reduce((acc, m) => (acc * 31L + m) % HashMod)
     }
-    val banded = sigs.select((col("doc_id") +: (0 until nSig).map(j => col(s"mh$j"))) ++ bandCols: _*)
-
-    val exploded = banded.select(
-      (col("doc_id") +: (0 until nSig).map(j => col(s"mh$j"))) :+
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)): _*)
+    val bands = when(col("mh0") === HashMod, typedLit(Array.empty[Long]))
+      .otherwise(array(bandCols: _*))
+    val exploded = sigsIn
+      .select(struct(col("doc_id") +: (0 until nSig).map(j => col(s"mh$j")): _*).as("item"),
+              posexplode(bands))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
 
-    val l = exploded.select(col("band_idx") +: col("band_hash") +:
-      col("doc_id").as("doc_a") +: (0 until nSig).map(j => col(s"mh$j").as(s"a$j")): _*)
-    val r = exploded.select(col("band_idx") +: col("band_hash") +:
-      col("doc_id").as("doc_b") +: (0 until nSig).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val buckets = exploded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("item")).as("items"), count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+
+    // all ordered pairs within a bucket, streamed through two chained
+    // generators (no per-bucket pair-array materialization)
     val nMatches = (0 until nSig)
-      .map(j => when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0)).reduce(_ + _)
+    buckets
+      .select(col("items"), explode(col("items")).as("a"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (nMatches.cast("double") / nSig).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       // a pair colliding in k bands appears k times with the same estimate
       .groupBy(col("doc_a"), col("doc_b")).agg(first(col("est_jaccard")).as("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components over the near-duplicate graph (LSH candidate
@@ -180,7 +201,10 @@ object Dedup {
                     n: Int = 3, minEstJaccard: Double = 0.5,
                     maxIterations: Int = 64): DataFrame =
     lshComponentsOf(
-      minhashLsh(spark, sfDir, n, minEstJaccard).select(col("doc_a"), col("doc_b")),
+      minhashLshPairsOf(minhashSignaturesRaw(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .repartition(col("doc_id")), n), minEstJaccard)
+        .select(col("doc_a"), col("doc_b")),
       maxIterations)
 
   /** Connected components over an undirected edge list (doc_a, doc_b).
@@ -196,21 +220,33 @@ object Dedup {
     * clustering), and all cleanup also runs on the failure paths. */
   def lshComponentsOf(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").cache()
     // The candidate graph is orders of magnitude smaller than the corpus, so
-    // size the loop's shuffle width to the MEASURED edge count (cached plans
-    // don't get AQE partition coalescing): ~50k edges per partition, capped
-    // at the cluster's parallelism. The override is session-global while the
-    // loop runs — this operator assumes no concurrent queries share the
-    // session (Verify/Bench run queries serially); the conf is restored in
-    // the finally.
-    val edgeCount = edges.count()
+    // cache the pairs once (one evaluation of the expensive candidate plan)
+    // and size the loop's shuffle width to the MEASURED pair count (cached
+    // plans don't get AQE partition coalescing): ~25k pairs (50k directed
+    // edges) per partition, capped at the cluster's parallelism. The
+    // override is session-global while the loop runs — this operator assumes
+    // no concurrent queries share the session (Verify/Bench run queries
+    // serially); the conf is restored in the finally.
+    val cachedPairs = pairs.cache()
+    val pairCount = cachedPairs.count()
     val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      edgeCount / 50000L + 1L)).toInt
+      pairCount / 25000L + 1L)).toInt
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // Symmetrize via a per-row explode (NOT union(pairs, pairs.swapped),
+    // which evaluates the candidate plan once per branch) and hash-cache by
+    // src at the loop width: the seed groupBy and every round's edge-side
+    // join input are then already co-partitioned — no per-round edge shuffle
+    // and every loop task reads `parts` cache partitions, not the candidate
+    // plan's width.
+    val edges = cachedPairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .cache()
     // free a superseded loop frame: cache blocks AND checkpoint RDD blocks
     def release(df: DataFrame): Unit = if (df != null) {
       df.unpersist()
@@ -266,6 +302,7 @@ object Dedup {
         throw t
     } finally {
       edges.unpersist()
+      cachedPairs.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: time the phases of dedup_lsh_components at a given SF. */
+object ProbeCC {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    // warm: run the full query once so codegen/JIT are hot, like Bench order
+    graft.operators.Dedup.lshComponents(spark, sfDir).count()
+    // now a warm full run
+    time("warm full lshComponents") {
+      graft.operators.Dedup.lshComponents(spark, sfDir).count()
+    }
+    // warm pairs-only
+    val pairs = graft.operators.Dedup.minhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).cache()
+    time("warm pairs materialize") { pairs.count() }
+    time("loop only (pre-cached pairs)") {
+      graft.operators.Dedup.lshComponentsOf(pairs).count()
+    }
+    spark.stop()
+  }
+}
