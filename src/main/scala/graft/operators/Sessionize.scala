@@ -68,8 +68,18 @@ object Sessionize {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
            max(col("value")).as("max_value"))
     val qn = s"tumbling_stream_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(qn).trigger(Trigger.AvailableNow()).start()
+    // Size the stateful-shuffle width to the aggregate's group cardinality
+    // ((hour, type) ~ thousands), not the session default: every shuffle
+    // partition becomes a state-store instance that pays snapshot+commit I/O
+    // per micro-batch, so oversizing multiplies fixed state overhead for no
+    // parallelism gain. Streaming captures the conf at query start; restore
+    // it right after (single-query session assumption, as lshComponentsOf).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.outputMode("complete").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     spark.table(qn).orderBy(col("hour_start"), col("event_type"))
   }
