@@ -24,17 +24,28 @@ object Bench {
         s"SPARK_GRAFT_QUERIES names no registered query: ${unknown.mkString(", ")}")
       require(names.nonEmpty, "SPARK_GRAFT_QUERIES is set but selects no queries")
     }
+    // a crashing query must NEVER shrink the total the driver gates on:
+    // record a large penalty sentinel, surface the error, and list the
+    // failure explicitly in the JSON line
+    val FailSentinelSec = 600.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $t")
+          false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else math.max(sec, FailSentinelSec), ok)
     }
-    val qs = results.toMap.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

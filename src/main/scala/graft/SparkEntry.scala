@@ -69,7 +69,12 @@ object SparkEntry {
     "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
     "q3s_running_max_month_stateful" -> ((s, dir) => StatefulQueries.runningMaxMonthStateful(s, dir)),
     "q4s_threshold_gaps_stateful" -> ((s, dir) => StatefulQueries.thresholdGapsStateful(s, dir)),
+    // ---- the same jobs as spill-safe SECONDARY-SORT passes (the 100 TB
+    //      batch execution: memory independent of group size) — same oracles ----
     "q1p_running_max_secondary_sort" -> ((s, dir) => StatefulQueries.runningMaxSecondarySort(s, dir)),
+    "q2p_block_avg_secondary_sort"   -> ((s, dir) => StatefulQueries.blockAvgSecondarySort(s, dir)),
+    "q3p_running_max_month_secondary_sort" -> ((s, dir) => StatefulQueries.runningMaxMonthSecondarySort(s, dir)),
+    "q4p_threshold_gaps_secondary_sort" -> ((s, dir) => StatefulQueries.thresholdGapsSecondarySort(s, dir)),
     // ---- relational surface ----
     "q5_pricing_summary"  -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q6_revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
@@ -77,6 +82,7 @@ object SparkEntry {
     "q8_filtered_revenue" -> ((s, dir) => Relational.filteredRevenue(s, dir)),
     "q9_order_priority"   -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
     "q10_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
+    "q10a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
     "q11_orders_rollup"   -> ((s, dir) => Relational.ordersRollup(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
@@ -88,11 +94,13 @@ object SparkEntry {
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
     // ---- training-data pipeline: similarity search ----
     "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_lsh_topk"     -> ((s, dir) => Similarity.lshTopK(s, dir)),
+    "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiProbeTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
@@ -199,6 +207,11 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10a_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_orders_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
@@ -310,6 +323,24 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents)
          |SELECT doc_id, CAST(${(0 until 32).map(simhashBitSql).mkString(" + ")} AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |s AS (SELECT doc_id, CAST(${(0 until 32).map(simhashBitSql).mkString(" + ")} AS BIGINT) AS simhash FROM t),
+         |br AS (SELECT doc_id, simhash, CAST(r.range AS INT) AS band_idx,
+         |        (simhash >> CAST(8*r.range AS INT)) & 255 AS band_val
+         |       FROM s, range(4) r),
+         |bf AS (SELECT band_idx, band_val FROM br GROUP BY band_idx, band_val
+         |       HAVING count(*) >= 2 AND count(*) <= ${graft.operators.Dedup.MaxLshBucketSize}),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  a.simhash AS sa, b.simhash AS sb
+         | FROM br a
+         |  JOIN bf ON bf.band_idx = a.band_idx AND bf.band_val = a.band_val
+         |  JOIN br b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM (
+         | SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming FROM cand)
+         |WHERE hamming <= 1 ORDER BY doc_a, doc_b""".stripMargin,
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
          |  FROM embeddings WHERE vec_id % 100 = 0),
@@ -330,6 +361,19 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
          |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_lsh_multiprobe_topk" ->
+      s"""WITH base AS (
+         | SELECT vec_id, embedding::DOUBLE[] AS vec, (${bucketSql("embedding::DOUBLE[]")}) AS bucket
+         | FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, bucket AS q_bucket FROM base WHERE vec_id % 100 = 0),
+         |p AS (SELECT q_id, q_vec, CAST(xor(q_bucket, f.flip) AS BIGINT) AS probe
+         |      FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) f),
+         |c AS (
+         | SELECT p.q_id, b.vec_id, ${cosineSql("p.q_vec", "b.vec")} AS cos
+         | FROM base b JOIN p ON b.bucket = p.probe AND b.vec_id <> p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
          |  FROM embeddings WHERE vec_id % 100 = 0),
@@ -340,10 +384,17 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
          |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "cosine_near_dup" ->
-      s"""SELECT id_a, id_b, cos FROM (
-         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ${cosineSql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS cos
-         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |br AS (
+         | ${(0 until 4).map(b =>
+              s"SELECT vec_id, label, v, $b AS band_idx, (${nearDupBandSql("v", b)}) AS bkt FROM base")
+              .mkString("\n | UNION ALL ")}),
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.v", "b.v")} AS cos
+         | FROM br a JOIN br b ON a.label = b.label AND a.band_idx = b.band_idx
+         |  AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM cand
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q12_tumbling_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
@@ -405,7 +456,10 @@ object SparkEntry {
       "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),
       "q21_topk_aggregator"            -> base("q7_top_parts"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
-      "q1p_running_max_secondary_sort" -> base("q1_running_max"))
+      "q1p_running_max_secondary_sort" -> base("q1_running_max"),
+      "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),
+      "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),
+      "q4p_threshold_gaps_secondary_sort" -> base("q4_threshold_gaps"))
   }
 
   /** Full-string polynomial hash (spaces included) — mirrors
@@ -478,32 +532,54 @@ object SparkEntry {
     s"CASE WHEN list_sum(list_transform(ths, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END"
 
   /** The MinHash/LSH candidate-pair query WITHOUT the final ORDER BY, so it
-    * can embed both standalone and as the edge list of the component query. */
-  private def lshSqlBody: String =
+    * can embed both standalone and as the edge list of the component query.
+    * Band-row shape with the per-bucket membership cap, mirroring
+    * Dedup.minhashLshPairsOf exactly (Dedup.MaxLshBucketSize). */
+  private def lshSqlBody: String = {
+    val mhList = (0 until 12).map(j => s"mh$j").mkString(", ")
+    val cap = graft.operators.Dedup.MaxLshBucketSize
     s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |sig AS (SELECT doc_id, $minhashColsSql FROM d),
        |banded AS (SELECT *, $bandColsSql FROM sig WHERE mh0 <> $P),
+       |br AS (
+       | ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band_idx, band$b AS band_hash, $mhList FROM banded")
+            .mkString("\n | UNION ALL ")}),
+       |bf AS (SELECT band_idx, band_hash FROM br GROUP BY band_idx, band_hash
+       |       HAVING count(*) >= 2 AND count(*) <= $cap),
        |cand AS (
-       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
-       | FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND
-       |  (${(0 until 4).map(b => s"a.band$b = b.band$b").mkString(" OR ")}))
+       | FROM br a
+       |  JOIN bf ON bf.band_idx = a.band_idx AND bf.band_hash = a.band_hash
+       |  JOIN br b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, est_jaccard FROM (
        | SELECT doc_a, doc_b,
        |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
        | FROM cand)
        |WHERE est_jaccard >= 0.5""".stripMargin
+  }
 
   /** Sign-LSH bucket over literal hyperplanes — constants generated by the
     * same integer recurrence as Similarity.hyperplanes. */
-  private def bucketSql(vecExpr: String): String =
-    graft.operators.Similarity.hyperplanes(6, 64).zipWithIndex.map { case (p, j) =>
+  private def bucketSqlPlanes(vecExpr: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, j) =>
       // Locale.ROOT: the default-locale f"" interpolator emits "0,123" under
       // decimal-comma locales, which is invalid SQL
       val lst = p.map(v => String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)))
         .mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product($vecExpr, $lst) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  private def bucketSql(vecExpr: String): String =
+    bucketSqlPlanes(vecExpr, graft.operators.Similarity.hyperplanes(6, 64))
+
+  /** Band `b` of cosineNearDup's 4x2 sign-LSH banding: planes (2b, 2b+1) of
+    * the same 8-plane family Similarity.cosineNearDup slices. */
+  private def nearDupBandSql(vecExpr: String, b: Int): String =
+    bucketSqlPlanes(vecExpr,
+      graft.operators.Similarity.hyperplanes(8, 64).slice(2 * b, 2 * b + 2))
 
   /** Cosine with the exact same association as Similarity.cosine. */
   private def cosineSql(a: String, b: String): String =

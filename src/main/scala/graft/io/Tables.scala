@@ -30,6 +30,17 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
+  /** Spread a narrow scan across the cluster ONLY when it arrives in fewer
+    * splits than there are cores (the small-single-file test inputs): at
+    * production scale the input is already many splits and the exchange is
+    * skipped entirely, so downstream projections keep the scan's
+    * partitioning with zero shuffle. Partition-count inspection plans the
+    * RDD lineage but runs no job. */
+  def spreadIfNarrow(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(key) else df
+  }
+
   /** `events` with `ts` usable: ts_ns (long, total-order key) + ts (micros timestamp). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

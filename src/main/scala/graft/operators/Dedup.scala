@@ -16,6 +16,16 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** The (doc_id, text) projection every dedup entry point starts from —
+    * pruned to two columns and spread across cores only when the scan
+    * arrives in fewer splits than the cluster has slots (test inputs are a
+    * single small file; production inputs are many splits and keep their
+    * native partitioning with no exchange). */
+  private def documentsFor(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spreadIfNarrow(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+
   /** Exact dedup: group by md5 of the canonicalized text, keep the smallest
     * doc_id as the representative. Output one row per distinct content hash
     * with its duplicate count. */
@@ -39,10 +49,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleFreq: Int = 100): DataFrame =
-    ngramJaccardOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")), // spread a small single-file scan; no-op at scale
-      n, minJaccard, maxShingleFreq)
+    ngramJaccardOf(documentsFor(spark, sfDir), n, minJaccard, maxShingleFreq)
 
   def ngramJaccardOf(docs: DataFrame,
                      n: Int = 3, minJaccard: Double = 0.2,
@@ -57,10 +64,16 @@ object Dedup {
       .select(col("doc_id"), size(col("dsh")).cast("long").as("sz"),
               explode(col("dsh")).as("sh"))
 
-    val byShingle = ds.groupBy(col("sh"))
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("items"),
-           count(lit(1)).as("freq"))
+    // Hot-shingle cap applied BEFORE the bucket row is built (window count →
+    // filter → collect): the window buffer spills, so no degenerate shingle
+    // ever materializes an unbounded collect_list row; the window and the
+    // groupBy share one hashpartitioning(sh) exchange.
+    val shingleW = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val byShingle = ds
+      .withColumn("freq", count(lit(1)).over(shingleW))
       .filter(col("freq") <= maxShingleFreq && col("freq") >= 2)
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("items"))
 
     // all ordered pairs within a shingle bucket; intersection size = number of
     // buckets in which the pair co-occurs (shingle hashes are distinct per doc).
@@ -91,18 +104,23 @@ object Dedup {
     11111L, 22222L, 33333L, 44444L, 55555L, 66666L)
   val Bands = 4 // 12 hashes → 4 bands of 3 rows
 
+  /** Default cap on an LSH band-bucket's membership. A bucket of B docs
+    * yields B(B-1)/2 candidate pairs AND one B-wide collect_list row, so an
+    * uncapped degenerate bucket (a boilerplate cluster — the very thing dedup
+    * corpora contain) is both an executor-OOM and a straggler risk at scale.
+    * Over-full buckets are DROPPED: their members are near-identical
+    * boilerplate that exact dedup (one cheap hash shuffle, always run first
+    * in a real pipeline) already collapses, and any pair also colliding in a
+    * non-degenerate band is still found there. The oracle SQL applies the
+    * same cap. */
+  val MaxLshBucketSize = 200
+
   /** Per-document MinHash signature (12 components) over word-3-gram shingle
     * hashes: m_j = min over shingles of (a_j * s + b_j) % HashMod; empty
     * shingle sets get HashMod (sentinel). All components come from ONE pass
-    * over the shingle array (HashExpressions.MinHashSig); the repartition
-    * spreads a small single-file scan across cores AND materializes the
-    * signature array so the per-component projection can't recompute it
-    * (at production scale the input arrives as many splits and the exchange
-    * can be dropped). */
+    * over the shingle array (HashExpressions.MinHashSig). */
   def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
-    minhashSignaturesOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")), n)
+    minhashSignaturesOf(documentsFor(spark, sfDir), n)
 
   def minhashSignaturesOf(docs: DataFrame, n: Int = 3): DataFrame =
     minhashSignaturesRaw(docs, n).orderBy(col("doc_id"))
@@ -125,10 +143,10 @@ object Dedup {
     * 100 TB dedup path: candidates are bounded by bucket collisions, never a
     * full cross product. */
   def minhashLsh(spark: SparkSession, sfDir: String,
-                 n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
-    minhashLshOf(minhashSignaturesRaw(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")), n), minEstJaccard)
+                 n: Int = 3, minEstJaccard: Double = 0.5,
+                 maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    minhashLshOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
+      minEstJaccard, maxBucketSize)
 
   /** LSH banding over an existing signature frame (doc_id, mh0..mh11).
     *
@@ -149,13 +167,20 @@ object Dedup {
     * invited a full-corpus broadcast at scale; this form shuffles band rows
     * exactly once. The component comparison stays in whole-stage codegen by
     * carrying the 12 components as struct fields and summing CASE WHEN
-    * equalities — array zip_with HOFs are CodegenFallback. */
-  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5): DataFrame =
-    minhashLshPairsOf(sigsIn, minEstJaccard).orderBy(col("doc_a"), col("doc_b"))
+    * equalities — array zip_with HOFs are CodegenFallback.
+    *
+    * Bucket membership is capped at `maxBucketSize` (see
+    * [[MaxLshBucketSize]]) so no single band bucket can become an unbounded
+    * row or a quadratic pair source. */
+  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5,
+                   maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    minhashLshPairsOf(sigsIn, minEstJaccard, maxBucketSize)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** [[minhashLshOf]] without the final presentation sort — the components
     * input (a global range exchange feeding a cache/groupBy is pure waste). */
-  private def minhashLshPairsOf(sigsIn: DataFrame, minEstJaccard: Double): DataFrame = {
+  private def minhashLshPairsOf(sigsIn: DataFrame, minEstJaccard: Double,
+                                maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     val nSig = MinHashA.size
     val rows = nSig / Bands
     val bandCols = (0 until Bands).map { bIdx =>
@@ -170,9 +195,19 @@ object Dedup {
               posexplode(bands))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
 
-    val buckets = exploded.groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("item")).as("items"), count(lit(1)).as("freq"))
-      .filter(col("freq") >= 2)
+    // Cap bucket membership BEFORE building the bucket row: a per-bucket
+    // window count (spill-safe — WindowExec's group buffer spills, an
+    // aggregation buffer's single collect_list row cannot) feeds the filter,
+    // and only surviving rows reach collect_list, so no row ever exceeds
+    // maxBucketSize structs. The window and the groupBy share one
+    // hashpartitioning(band_idx, band_hash) exchange.
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash"))
+    val buckets = exploded
+      .withColumn("freq", count(lit(1)).over(bucketW))
+      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col("item")).as("items"))
 
     // all ordered pairs within a bucket, streamed through two chained
     // generators (no per-bucket pair-array materialization)
@@ -201,9 +236,8 @@ object Dedup {
                     n: Int = 3, minEstJaccard: Double = 0.5,
                     maxIterations: Int = 64): DataFrame =
     lshComponentsOf(
-      minhashLshPairsOf(minhashSignaturesRaw(Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"))
-        .repartition(col("doc_id")), n), minEstJaccard)
+      minhashLshPairsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
+        minEstJaccard)
         .select(col("doc_a"), col("doc_b")),
       maxIterations)
 
@@ -228,7 +262,10 @@ object Dedup {
     // override is session-global while the loop runs — this operator assumes
     // no concurrent queries share the session (Verify/Bench run queries
     // serially); the conf is restored in the finally.
-    val cachedPairs = pairs.cache()
+    // respect a cache the CALLER already placed on the input (Spark caching
+    // is not reference-counted — unpersisting here would silently drop it)
+    val callerCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cachedPairs = if (callerCached) pairs else pairs.cache()
     val pairCount = cachedPairs.count()
     val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       pairCount / 25000L + 1L)).toInt
@@ -302,7 +339,7 @@ object Dedup {
         throw t
     } finally {
       edges.unpersist()
-      cachedPairs.unpersist()
+      if (!callerCached) cachedPairs.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
@@ -312,13 +349,64 @@ object Dedup {
     * token-hash bit j; simhash bit j = 1 iff the sum is positive. One pass
     * over the token hashes (HashExpressions.SimHash). */
   def simhash(spark: SparkSession, sfDir: String, bits: Int = 32): DataFrame =
-    simhashOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id")), bits)
+    simhashOf(documentsFor(spark, sfDir), bits)
 
   def simhashOf(docs: DataFrame, bits: Int = 32): DataFrame =
-    docs
-      .select(col("doc_id"),
-        graft.functions.HashExpressions.simhash_of(tokenHashes(col("text")), bits).as("simhash"))
-      .orderBy(col("doc_id"))
+    simhashRawOf(docs, bits).orderBy(col("doc_id"))
+
+  /** Signature column without the presentation sort — the pair-join input. */
+  private def simhashRawOf(docs: DataFrame, bits: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashExpressions.simhash_of(tokenHashes(col("text")), bits).as("simhash"))
+
+  /** SimHash near-duplicate pairs: the hamming-distance consumer of
+    * [[simhash]]. The 32-bit signature is split into 4 bands of 8 bits;
+    * documents sharing ANY band value become candidates (bucket join — never
+    * all-pairs), then exact hamming distance (bit_count of xor) keeps pairs
+    * with <= maxHamming differing bits.
+    *
+    * Recall is EXACT for any maxHamming <= 3: by pigeonhole, <=3 flipped
+    * bits touch at most 3 of the 4 bands, so every qualifying pair collides
+    * in at least one band on both engines. Buckets are capped like the
+    * MinHash/LSH path ([[MaxLshBucketSize]]) — an over-full 8-bit band value
+    * is boilerplate territory that exact dedup collapses first. The default
+    * threshold is 1 differing bit: on short-document corpora the 32-bit
+    * signature space is tight and looser thresholds stop meaning
+    * "near-duplicate". */
+  def simhashPairs(spark: SparkSession, sfDir: String,
+                   maxHamming: Int = 1,
+                   maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    simhashPairsOf(simhashRawOf(documentsFor(spark, sfDir)), maxHamming, maxBucketSize)
+
+  def simhashPairsOf(sigs: DataFrame, maxHamming: Int = 1,
+                     maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val bands = 4
+    val bandCols = (0 until bands).map(j =>
+      shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255L)))
+    val exploded = sigs
+      .select(struct(col("doc_id"), col("simhash")).as("item"),
+              posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+
+    // same capped window-count → filter → collect shape as minhashLshOf
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_val"))
+    val buckets = exploded
+      .withColumn("freq", count(lit(1)).over(bucketW))
+      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(col("item")).as("items"))
+
+    buckets
+      .select(col("items"), explode(col("items")).as("a"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair within maxHamming collides in >= (4 - maxHamming) bands —
+      // dedup the repeats
+      .groupBy(col("doc_a"), col("doc_b")).agg(first(col("hamming")).as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -105,6 +105,25 @@ object Relational {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate distinct count (HyperLogLog++) — the scale path when exact
+    * distinct is too expensive (exact needs a per-group distinct shuffle of
+    * every key; HLL++ is one pass with a fixed-size sketch, map-side merged).
+    * An approximate answer can't hash-match a foreign engine directly, so the
+    * registered output is the EXACT count plus `approx_ok` — whether the
+    * HLL++ estimate landed within `tolerance` of it (oracled as literal
+    * TRUE): the gate fails if Spark's sketch ever drifts out of bounds,
+    * while the sketch itself stays in the measured plan. */
+  def approxDistinctCounts(spark: SparkSession, sfDir: String,
+                           rsd: Double = 0.05, tolerance: Double = 0.15): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("approx_parts") - col("n_parts")).cast("double") / col("n_parts")
+          <= lit(tolerance)).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** Set operations (INTERSECT / EXCEPT / UNION with set semantics):
     * (brands of large parts ∩ brands of cheap parts) ∪
     * (brands of pricey parts \ brands of large parts). */

@@ -42,7 +42,7 @@ object Similarity {
       .withColumn("norm_v", sqrt(dot(col("vec"), col("vec"))))
 
   private def baseDf(spark: SparkSession, sfDir: String): DataFrame =
-    baseOf(Tables.embeddings(spark, sfDir).repartition(col("vec_id")))
+    baseOf(Tables.spreadIfNarrow(Tables.embeddings(spark, sfDir), col("vec_id")))
 
   private def queriesDf(spark: SparkSession, sfDir: String, queryMod: Int): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -114,21 +114,61 @@ object Similarity {
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id")), k)
   }
 
-  /** All-pairs near-duplicate detection by embedding cosine >= threshold,
-    * restricted to same-label buckets to bound the pair count (the
-    * embedding-cosine near-dup pass of a dedup pipeline). */
+  /** Multi-probe LSH ANN: each query probes its own bucket PLUS every bucket
+    * at hamming distance 1 in plane-sign space (flip one plane bit), the
+    * standard recall-recovery move for sign-LSH — vectors near a hyperplane
+    * land on either side, and the 1-bit probes retrieve them without
+    * shrinking numPlanes. Candidates grow by ~(numPlanes+1)×bucket-size per
+    * query, still 2^numPlanes-fold below brute force. A base vector lives in
+    * exactly ONE bucket, so it matches at most one probe per query — the
+    * probe expansion cannot duplicate pairs. */
+  def lshMultiProbeTopK(spark: SparkSession, sfDir: String,
+                        k: Int = 5, queryMod: Int = 100, numPlanes: Int = 6): DataFrame = {
+    val planes = hyperplanes(numPlanes, 64)
+    val base = baseDf(spark, sfDir)
+      .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    val q = queriesDf(spark, sfDir, queryMod)
+      .withColumn("q_bucket", hyperplaneBucket(col("q_vec"), planes))
+      .withColumn("probe", explode(array(
+        col("q_bucket") +:
+          (0 until numPlanes).map(j => col("q_bucket").bitwiseXOR(lit(1L << j))): _*)))
+    rankTopK(
+      base.join(broadcast(q),
+        col("bucket") === col("probe") && col("vec_id") =!= col("q_id")), k)
+  }
+
+  /** Near-duplicate detection by embedding cosine >= threshold. Pairs are
+    * generated per (label, sign-LSH band) cell — `numBands` bands of
+    * `planesPerBand` hyperplanes each, a pair is a candidate when ANY band
+    * matches (the MinHash-LSH OR-construction applied to hyperplane signs) —
+    * so the quadratic term is bounded by cell size, not label cardinality.
+    * With 4 bands of 2 planes a cos>=0.4 pair survives with p~0.87 and the
+    * per-label cell shrinks 4x per band; planesPerBand=0 degenerates to
+    * exact per-label all-pairs (single all-zero bucket) when labels are
+    * known-small. The oracle SQL applies the identical banding. */
   def cosineNearDup(spark: SparkSession, sfDir: String,
-                    threshold: Double = 0.95): DataFrame = {
+                    threshold: Double = 0.95,
+                    numBands: Int = 4, planesPerBand: Int = 2): DataFrame = {
+    val planes = hyperplanes(numBands * planesPerBand, 64)
     val e = baseDf(spark, sfDir)
-    val a = e.select(col("vec_id").as("id_a"), col("label"),
+    val bandCols = (0 until numBands).map { b =>
+      if (planesPerBand == 0) lit(0L)
+      else hyperplaneBucket(col("vec"), planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+    }
+    val banded = e
+      .select(col("vec_id"), col("label"), col("vec"), col("norm_v"),
+        posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "bkt")
+    val a = banded.select(col("vec_id").as("id_a"), col("label"), col("band_idx"), col("bkt"),
       col("vec").as("vec_a"), col("norm_v").as("norm_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"),
+    val b = banded.select(col("vec_id").as("id_b"), col("label"), col("band_idx"), col("bkt"),
       col("vec").as("vec_b"), col("norm_v").as("norm_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "band_idx", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      // a pair matching in k bands appears k times with the same cosine
+      .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -67,6 +67,126 @@ object StatefulQueries {
     }.orderBy(col("event_id"))
   }
 
+  /** Q2 via secondary sort (see [[runningMaxSecondarySort]] for the shape):
+    * hash-partition by event_type, sort within partitions, one pass with a
+    * per-key block accumulator in integer cents (HALF_UP per record — the
+    * bit-exact mirror of the batch form's CAST(value AS DECIMAL(18,2)) sum).
+    * Memory is O(1) per key regardless of group size — the scale-safe batch
+    * execution of the reference's trigger-discard semantics. A block whose
+    * 50 summed records are all non-finite (each CAST yields NULL) emits a
+    * NULL average, exactly like the declarative twin. */
+  def blockAvgSecondarySort(spark: SparkSession, sfDir: String,
+                            blockSize: Int = 51, emitCount: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"), col("value"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("ts_ns"), col("event_id"))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType, nullable = false),
+      StructField("block", LongType, nullable = false),
+      StructField("avg_value", DoubleType, nullable = true)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    ev.mapPartitions { rows =>
+      var curKey: String = null
+      var cnt = 0; var cents = 0L; var nFinite = 0; var block = 0L
+      rows.flatMap { r =>
+        val key = r.getString(0)
+        if (key != curKey) { curKey = key; cnt = 0; cents = 0L; nFinite = 0; block = 0L }
+        val v = r.getDouble(3)
+        if (cnt < emitCount) {
+          if (java.lang.Double.isFinite(v)) {
+            cents += (BigDecimal(v)
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+            nFinite += 1
+          }
+          cnt += 1
+          Iterator.empty
+        } else { // the trigger record: emit and discard it
+          val avg: java.lang.Double =
+            if (nFinite == 0) null else Double.box((cents.toDouble / 100.0) / emitCount)
+          val out = Row(key, block, avg)
+          block += 1L; cnt = 0; cents = 0L; nFinite = 0
+          Iterator.single(out)
+        }
+      }
+    }.orderBy(col("event_type"), col("block"))
+  }
+
+  /** Q3 via secondary sort: partition by year, sort within partitions, one
+    * pass holding the per-month running max as a small in-pass map (12
+    * entries — the MapState shape) that resets at year boundaries. */
+  def runningMaxMonthSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir)
+      .select(year(col("ts")).cast("long").as("yr"),
+              month(col("ts")).cast("long").as("mon"),
+              col("ts_ns"), col("event_id"), col("value"))
+      .repartition(col("yr"))
+      .sortWithinPartitions(col("yr"), col("ts_ns"), col("event_id"))
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("yr", LongType, nullable = false),
+      StructField("mon", LongType, nullable = false),
+      StructField("run_max", DoubleType, nullable = false)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    ev.mapPartitions { rows =>
+      var curKey = Long.MinValue
+      val monMax = scala.collection.mutable.LongMap.empty[Double]
+      rows.map { r =>
+        val yr = r.getLong(0)
+        if (yr != curKey) { curKey = yr; monMax.clear() }
+        val mon = r.getLong(1)
+        val v = r.getDouble(4)
+        val mx = monMax.get(mon) match {
+          case Some(prev) if prev >= v => prev
+          case _                       => v
+        }
+        monMax.update(mon, mx)
+        Row(r.getLong(3), yr, mon, mx)
+      }
+    }.orderBy(col("event_id"))
+  }
+
+  /** Q4 via secondary sort: partition by event_type, sort within partitions,
+    * one pass with a per-key sub-threshold counter (the ListState-size
+    * semantics) that emits on breach and resets at key boundaries. */
+  def thresholdGapsSecondarySort(spark: SparkSession, sfDir: String,
+                                 threshold: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_ns"), col("event_id"), col("value"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("ts_ns"), col("event_id"))
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("gap", LongType, nullable = false)))
+    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    ev.mapPartitions { rows =>
+      var curKey: String = null
+      var n = 0L
+      rows.flatMap { r =>
+        val key = r.getString(0)
+        if (key != curKey) { curKey = key; n = 0L }
+        if (r.getDouble(3) >= threshold) {
+          val out = Row(r.getLong(2), key, n)
+          n = 0L
+          Iterator.single(out)
+        } else {
+          n += 1L
+          Iterator.empty
+        }
+      }
+    }.orderBy(col("event_id"))
+  }
+
   /** Q2 stateful form: 51-record block average per event_type. The block
     * index is recovered as the per-key emission rank (emissions arrive in
     * ord order). */

@@ -14,6 +14,13 @@ import graft.functions.TextFunctions._
   */
 object TextOps {
 
+  /** (doc_id, text) projection, spread only when the scan arrives in fewer
+    * splits than the cluster has slots (see [[Tables.spreadIfNarrow]]). */
+  private def documentsFor(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spreadIfNarrow(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+
   /** Stopword lists used by quality scoring and language ID. Tiny on purpose:
     * deterministic, embeddable in oracle SQL verbatim. */
   val EnStops: Seq[String] = Seq("the", "a")
@@ -27,9 +34,7 @@ object TextOps {
     * length, stopword ratio, and a rational quality score in [0,1]:
     * min(n_tokens,100)/100 * (1 - stop_ratio). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    textStatsOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))) // spread a small single-file scan; no-op at scale
+    textStatsOf(documentsFor(spark, sfDir))
 
   def textStatsOf(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -52,9 +57,7 @@ object TextOps {
     * (ties broken by the fixed language order above), or 'und' when no marker
     * appears at all. */
   def langId(spark: SparkSession, sfDir: String): DataFrame =
-    langIdOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))) // spread a small single-file scan; no-op at scale
+    langIdOf(documentsFor(spark, sfDir))
 
   def langIdOf(d: DataFrame): DataFrame = {
     val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
@@ -74,9 +77,7 @@ object TextOps {
   /** Document fingerprints: canonical md5 + order-sensitive rolling polynomial
     * hash over token hashes. */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    fingerprintsOf(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .repartition(col("doc_id"))) // spread a small single-file scan; no-op at scale
+    fingerprintsOf(documentsFor(spark, sfDir))
 
   def fingerprintsOf(d: DataFrame): DataFrame =
     d.select(

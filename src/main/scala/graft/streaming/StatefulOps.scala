@@ -37,6 +37,10 @@ object StatefulOps {
   case class KSV(key: String, subkey: String, ord: Long, value: Double)
 
   case class KeyedOut(key: String, ord: Long, out: Double)
+  /** [[KeyedOut]] with a nullable value — [[blockAverage]] emits None for a
+    * block whose every summed record was non-finite, mirroring the batch
+    * twin's NULL DECIMAL sum. */
+  case class KeyedOutN(key: String, ord: Long, out: Option[Double])
   case class SubkeyOut(key: String, subkey: String, ord: Long, out: Double)
   case class GapOut(key: String, ord: Long, gap: Long)
 
@@ -45,11 +49,12 @@ object StatefulOps {
     * sum is exact, so the emitted average is bit-identical to the
     * DECIMAL(18,2)-exact batch form (and to the DuckDB oracle) regardless of
     * accumulation order. */
-  case class BlockAcc(count: Int, cents: Long)
+  case class BlockAcc(count: Int, cents: Long, nFinite: Int)
   case class SubkeyMax(m: Map[String, Double])
   case class GapCount(n: Long)
 
   private implicit val kvOutEnc: Encoder[KeyedOut] = Encoders.product[KeyedOut]
+  private implicit val kvOutNEnc: Encoder[KeyedOutN] = Encoders.product[KeyedOutN]
   private implicit val skOutEnc: Encoder[SubkeyOut] = Encoders.product[SubkeyOut]
   private implicit val gapOutEnc: Encoder[GapOut] = Encoders.product[GapOut]
   private implicit val maxEnc: Encoder[MaxSoFar] = Encoders.product[MaxSoFar]
@@ -77,29 +82,32 @@ object StatefulOps {
     * ReducingState): accumulate 50 records, the 51st triggers emission of
     * sum/50, clears state, and is discarded. */
   def blockAverage(ds: Dataset[KV], blockSize: Int = 51, emitCount: Int = 50,
-                   mode: OutputMode = OutputMode.Append()): Dataset[KeyedOut] =
+                   mode: OutputMode = OutputMode.Append()): Dataset[KeyedOutN] =
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState[BlockAcc, KeyedOut](mode, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[BlockAcc, KeyedOutN](mode, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[BlockAcc]) =>
-          var acc = if (state.exists) state.get else BlockAcc(0, 0L)
-          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOut]
+          var acc = if (state.exists) state.get else BlockAcc(0, 0L, 0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOutN]
           rows.toSeq.sortBy(_.ord).foreach { r =>
             if (acc.count < emitCount) {
               // HALF_UP on the decimal string, matching the batch twin's
               // CAST(value AS DECIMAL(18,2)) (and the DuckDB oracle) for
               // inputs with >2 decimal places — not rint on a binary product.
               // Non-finite values: the batch CAST yields NULL (sum skips it,
-              // the row still counts toward block completeness) — mirror that
-              // with a zero contribution instead of letting BigDecimal throw.
-              val cents =
-                if (java.lang.Double.isFinite(r.value))
-                  (BigDecimal(r.value)
-                    .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
-                else 0L
-              acc = BlockAcc(acc.count + 1, acc.cents + cents)
+              // the row still counts toward block completeness); nFinite
+              // tracks whether ANY record contributed, so an all-non-finite
+              // block emits None exactly like the batch NULL sum.
+              if (java.lang.Double.isFinite(r.value)) {
+                val cents = (BigDecimal(r.value)
+                  .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+                acc = BlockAcc(acc.count + 1, acc.cents + cents, acc.nFinite + 1)
+              } else
+                acc = BlockAcc(acc.count + 1, acc.cents, acc.nFinite)
             } else { // the trigger record: emit and discard it
-              out += KeyedOut(key, r.ord, (acc.cents.toDouble / 100.0) / emitCount)
-              acc = BlockAcc(0, 0L)
+              val avg = if (acc.nFinite == 0) None
+                        else Some((acc.cents.toDouble / 100.0) / emitCount)
+              out += KeyedOutN(key, r.ord, avg)
+              acc = BlockAcc(0, 0L, 0)
             }
           }
           state.update(acc)

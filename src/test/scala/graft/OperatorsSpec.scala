@@ -62,6 +62,19 @@ class OperatorsSpec extends SparkSpec {
     assert(row.features.toSeq === again.features.toSeq)
   }
 
+  test("approx_count_distinct lands within the registered tolerance of exact") {
+    val r = graft.io.Tables.lineitem(spark, Sf0001)
+      .agg(countDistinct(col("l_partkey")).as("exact"),
+           approx_count_distinct(col("l_partkey"), 0.05).as("approx"))
+      .head()
+    val err = math.abs(r.getLong(1) - r.getLong(0)).toDouble / r.getLong(0)
+    assert(err <= 0.15, s"exact=${r.getLong(0)} approx=${r.getLong(1)}")
+    // and the registered derived-check query reports every group in bounds
+    val ok = Relational.approxDistinctCounts(spark, Sf0001)
+      .collect().map(_.getBoolean(2))
+    assert(ok.nonEmpty && ok.forall(identity))
+  }
+
   test("tumbling hourly buckets partition the events exactly") {
     val t = Sessionize.tumblingHourly(spark, Sf0001)
     assert(t.agg(sum(col("n_events"))).head().getLong(0) ===

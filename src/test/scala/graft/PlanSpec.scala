@@ -28,6 +28,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, p)
   }
 
+  test("spreadIfNarrow: no exchange on a pre-split input; spreads a narrow scan") {
+    import org.apache.spark.sql.functions.col
+    import graft.io.Tables
+    val wide = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("text"))
+      .repartition(2 * spark.sparkContext.defaultParallelism)
+    assert(Tables.spreadIfNarrow(wide, col("doc_id")) eq wide)
+    val narrow = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    assert(Tables.spreadIfNarrow(narrow, col("doc_id")) ne narrow)
+  }
+
   test("text_stats: no shuffle beyond the local spread; scan reads only doc_id and text") {
     val p = plan("text_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)

@@ -77,6 +77,16 @@ class StatefulOpsSpec extends SparkSpec {
     assert(avgs.takeRight(3).map(r3).toSeq === Seq(1760.370, 1846.819, 2022.036))
   }
 
+  test("blockAverage: an all-non-finite block emits NULL like the batch DECIMAL sum") {
+    // records 1..50 accumulate (all NaN -> every CAST is NULL), 51 triggers;
+    // records 52..101 accumulate finite 1.0, 102 triggers
+    val kv = (1L to 102L).map(i => KV("k", i, if (i <= 51) Double.NaN else 1.0))
+    val got = StatefulOps.blockAverage(spark.createDataset(kv)).collect().sortBy(_.ord)
+    assert(got.map(_.ord).toSeq === Seq(51L, 102L))
+    assert(got(0).out === None)
+    assert(got(1).out === Some(1.0))
+  }
+
   test("streaming thresholdGaps matches the golden breach outputs") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.expressions.Window

@@ -47,7 +47,7 @@ class StatefulPropsSpec extends SparkSpec {
         assert(got.getOrElse(k, Nil).size === sorted.size / 51, s"seed=$seed key=$k")
         val expected = sorted.grouped(51).filter(_.size == 51).map { block =>
           val cents = block.take(50).map(r => math.rint(r.value * 100).toLong).sum
-          (cents.toDouble / 100.0) / 50
+          Some((cents.toDouble / 100.0) / 50)
         }.toList
         assert(got.getOrElse(k, Nil) === expected, s"seed=$seed key=$k")
       }

@@ -85,6 +85,54 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH bucket cap drops degenerate buckets without building giant rows") {
+    // 300 near-identical docs (a boilerplate cluster: every band bucket has
+    // all 300 members) + 2 genuine near-dups that stay under any sane cap
+    val boiler = (0L until 300L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again and again"))
+    val near = Seq(
+      (1000L, "completely different text about distributed query engines running analytic workloads on very large clusters of machines"),
+      (1001L, "completely different text about distributed query engines running analytic workloads on very large clusters of nodes"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesOf(docs)
+    val pairs = Dedup.minhashLshOf(sigs, maxBucketSize = 50)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the boilerplate cluster's buckets are over the cap → all dropped;
+    // the small pair's buckets survive
+    assert(pairs.toSet === Set((1000L, 1001L)))
+    // with the cap above the cluster size, its pairs reappear: the cap is
+    // the ONLY thing that was excluding them
+    val uncapped = Dedup.minhashLshOf(sigs, maxBucketSize = 1000).count()
+    assert(uncapped === 300L * 299L / 2L + 1L)
+  }
+
+  test("simhash pairs: 4-band bucketing finds every pair within hamming <= 3 (pigeonhole)") {
+    // plant signatures directly: same text => same simhash; variants flip
+    // whole tokens which perturbs few bits on short docs. Verify against a
+    // brute-force hamming scan of the real signatures.
+    val sigs = Dedup.simhash(spark, Sf0001).collect().map(r => r.getLong(0) -> r.getLong(1))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val brute = (for {
+      (ida, sa) <- sigs; (idb, sb) <- sigs
+      if ida < idb && hamming(sa, sb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairs(spark, Sf0001, maxHamming = 3, maxBucketSize = 1000000)
+      .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("cosineNearDup banding is a subset of the exact per-label scan with high recall") {
+    val exact = Similarity.cosineNearDup(spark, Sf0001, threshold = 0.4, planesPerBand = 0)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.cosineNearDup(spark, Sf0001, threshold = 0.4)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(exact))
+    assert(exact.nonEmpty)
+    // 4 bands x 2 planes keeps ~87% of cos>=0.4 pairs in expectation
+    assert(banded.size.toDouble >= 0.5 * exact.size)
+  }
+
   test("text_stats quality score stays in [0,1]") {
     val st = graft.operators.TextOps.textStats(spark, Sf0001)
       .agg(min(col("quality_score")), max(col("quality_score"))).head()
