@@ -101,6 +101,8 @@ object SparkEntry {
     "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "ann_lsh_topk"     -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiProbeTopK(s, dir)),
+    "kmeans_assign"        -> ((s, dir) => Similarity.kmeansAssignments(s, dir)),
+    "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
@@ -374,6 +376,22 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
          |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "kmeans_assign" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
+    "ann_ivf_trained_topk" ->
+      s"""WITH $kmeansCtes,
+         |base AS (SELECT v.vec_id, v.vec, a.cluster
+         |         FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, cluster AS q_cluster
+         |      FROM base WHERE vec_id % 100 = 0),
+         |c AS (
+         | SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
+         | FROM base b JOIN q ON b.cluster = q.q_cluster AND b.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
          |  FROM embeddings WHERE vec_id % 100 = 0),
@@ -584,4 +602,51 @@ object SparkEntry {
   /** Cosine with the exact same association as Similarity.cosine. */
   private def cosineSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  // ---- k-means CTE chain mirroring Similarity.kmeansCentroids exactly ----
+
+  private val KMeansK = 8
+  private val KMeansRounds = 2
+  private val KMeansDim = 64
+
+  /** Assignment CTE: per (vector, centroid) score = cc - 2*dot (same
+    * association as Similarity.withCluster), argmin tie-broken by centroid
+    * id via row_number. */
+  private def kmeansAssignCte(cCte: String, name: String): String =
+    s"""${name}_s AS (
+       | SELECT v.vec_id, c.cid,
+       |   list_dot_product(c.cvec, c.cvec) - 2*list_dot_product(v.vec, c.cvec) AS score
+       | FROM kv v, $cCte c),
+       |$name AS (
+       | SELECT vec_id, cid AS cluster FROM (
+       |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+       |   FROM ${name}_s) WHERE rk = 1)""".stripMargin
+
+  /** Mean-recompute CTE: per (cluster, dim) the fixed-point BIGINT sum
+    * (floor(comp * 2^30)) — exact, order-independent — then
+    * (CAST(sum AS DOUBLE)/count)/2^30 in that association
+    * (Similarity.KMeansQuantum). */
+  private def kmeansRecomputeCte(aCte: String, name: String): String = {
+    val q = graft.operators.Similarity.KMeansQuantum
+    s"""$name AS (
+       | SELECT cluster AS cid, list(mean ORDER BY dim) AS cvec FROM (
+       |   SELECT cluster, CAST(r.range AS INT) AS dim,
+       |     CAST(CAST(sum(CAST(floor(vec[CAST(r.range AS INT)+1] * $q) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/$q AS mean
+       |   FROM $aCte JOIN kv USING (vec_id), range($KMeansDim) r GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+  }
+
+  /** The full Lloyd chain: init from the first k vec_ids, `KMeansRounds`
+    * assign+recompute rounds, one final assignment. */
+  private def kmeansCtes: String = {
+    val rounds = (1 to KMeansRounds).map { r =>
+      kmeansAssignCte(if (r == 1) "c0" else s"c${r - 1}", s"a$r") + ",\n" +
+        kmeansRecomputeCte(s"a$r", s"c$r")
+    }.mkString(",\n")
+    s"""kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM kv WHERE vec_id < $KMeansK),
+       |$rounds,
+       |${kmeansAssignCte(s"c$KMeansRounds", kmeansFinalAssign)}""".stripMargin
+  }
+
+  private def kmeansFinalAssign: String = s"a${KMeansRounds + 1}"
 }

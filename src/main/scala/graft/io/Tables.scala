@@ -41,6 +41,20 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(key) else df
   }
 
+  /** Persist a frame as a bucketed (and per-bucket sorted) catalog table —
+    * the co-located-join primitive: two tables bucketed the same way on
+    * their join keys sort-merge-join with ZERO exchanges, pre-paying the
+    * shuffle once at write time. At 100 TB this is how a fact table that is
+    * joined repeatedly on the same key amortizes its shuffle; bucket count
+    * should be sized so a bucket fits one task (rows/buckets × row width ≲
+    * executor memory). */
+  def saveBucketed(df: DataFrame, tableName: String,
+                   buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tableName)
+
   /** `events` with `ts` usable: ts_ns (long, total-order key) + ts (micros timestamp). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

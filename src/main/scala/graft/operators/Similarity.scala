@@ -137,6 +137,104 @@ object Similarity {
         col("bucket") === col("probe") && col("vec_id") =!= col("q_id")), k)
   }
 
+  /** Fixed-point quantum for order-independent centroid means: component
+    * sums are accumulated as `floor(v * 2^30)` BIGINTs, so the distributed
+    * sum is exact integer arithmetic — the reduction-tree shape (which on a
+    * 1000-executor cluster is nondeterministic) cannot perturb the mean, and
+    * the oracle reproduces it bit-for-bit. The 2^-30 quantization (~1e-9,
+    * far below float32 input precision) is part of the operator's contract. */
+  val KMeansQuantum = 1073741824.0 // 2^30
+
+  /** Sequential self-dot (same association as [[dot]] / DuckDB's
+    * list_dot_product) for driver-held centroid vectors. */
+  private def selfDot(c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Add the argmin-cluster column for a fixed centroid set: per centroid j,
+    * score_j = dot(c_j,c_j) - 2*dot(vec,c_j) (the rank-equivalent of squared
+    * L2 distance — dot(vec,vec) is constant per row), tie-broken by centroid
+    * id. A pure projection: the centroid set rides into every task as plan
+    * literals, so assignment costs ZERO shuffles at any scale — exactly how
+    * a trained coarse quantizer must behave on 100 TB. */
+  def withCluster(base: DataFrame,
+                  centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
+             lit(cid).as("cid"))
+    }
+    base.withColumn("cluster", array_min(array(scored: _*)).getField("cid"))
+  }
+
+  /** Lloyd k-means over (vec_id, vec): init from the first k vec_ids, then
+    * `rounds` iterations of assign + recompute. Per round: assignment is a
+    * shuffle-free projection (see [[withCluster]]); the mean recompute is ONE
+    * hash shuffle of (cluster, dim, quantized-component) partial sums; only
+    * the k×dim centroid table ever reaches the driver (control plane, like
+    * the Pregel loop in Dedup.lshComponentsOf — the corpus never does).
+    * Empty clusters drop out (both engines agree on the surviving set).
+    * Returns the trained centroids ordered by centroid id. */
+  def kmeansCentroids(base: DataFrame, k: Int = 8, rounds: Int = 2): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] = base
+      .filter(col("vec_id") < k)
+      .select(col("vec_id"), col("vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    for (_ <- 1 to rounds) {
+      val dim = cents.head._2.length
+      val stats = withCluster(base, cents)
+        .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "comp")))
+        .select(col("cluster"), col("dim"),
+                floor(col("comp") * KMeansQuantum).cast("long").as("qv"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+                (col("s").cast("double") / col("n") / KMeansQuantum).as("mean"))
+        .collect()
+      cents = stats.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val arr = new Array[Double](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        (cid, arr)
+      }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  private def trainInput(spark: SparkSession, sfDir: String): DataFrame =
+    baseDf(spark, sfDir).select(col("vec_id"), col("label"), col("vec"), col("norm_v"))
+
+  /** Final cluster assignment after [[kmeansCentroids]] training — the
+    * oracle-checked face of the trainer (integer output: float-hash-proof). */
+  def kmeansAssignments(spark: SparkSession, sfDir: String,
+                        k: Int = 8, rounds: Int = 2): DataFrame = {
+    val base = trainInput(spark, sfDir)
+    withCluster(base, kmeansCentroids(base, k, rounds))
+      .select(col("vec_id"), col("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF ANN over TRAINED cells: identical to [[ivfTopK]] but the coarse
+    * quantizer is the k-means model rather than the pre-existing `label`
+    * column — each query probes only its own trained cell (1/k of the data
+    * in expectation). The assignment being a projection means building the
+    * "index" adds no shuffle beyond training itself. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String,
+                     k: Int = 5, queryMod: Int = 100,
+                     nClusters: Int = 8, rounds: Int = 2): DataFrame = {
+    val base0 = trainInput(spark, sfDir)
+    val base = withCluster(base0, kmeansCentroids(base0, nClusters, rounds))
+    val q = base
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+              col("norm_v").as("norm_q"), col("cluster").as("q_cluster"))
+    rankTopK(
+      base.join(broadcast(q),
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+  }
+
   /** Near-duplicate detection by embedding cosine >= threshold. Pairs are
     * generated per (label, sign-LSH band) cell — `numBands` bands of
     * `planesPerBand` hyperplanes each, a pair is a candidate when ANY band

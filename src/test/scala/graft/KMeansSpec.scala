@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Structural invariants of the Lloyd k-means trainer (assignment values are
+  * oracle-gated via kmeans_assign / ann_ivf_trained_topk). */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Similarity.baseOf(graft.io.Tables.embeddings(spark, Sf0001))
+
+  test("kmeans: every vector assigned, clusters drawn from the init ids") {
+    val a = Similarity.kmeansAssignments(spark, Sf0001, k = 8, rounds = 2).cache()
+    try {
+      assert(a.count() === base.count())
+      val cids = a.select("cluster").distinct().as[Long].collect().toSet
+      assert(cids.subsetOf((0L until 8L).toSet))
+      assert(cids.size > 1) // training on real data must not collapse to one cell
+    } finally a.unpersist()
+  }
+
+  test("kmeans: training strictly reduces within-cluster SSE vs the init assignment") {
+    val b = base
+    def sse(cents: Seq[(Long, Array[Double])]): Double =
+      Similarity.withCluster(b, cents)
+        .join(cents.map { case (cid, c) => (cid, c) }.toDF("cid", "cvec"),
+              col("cluster") === col("cid"))
+        .select(
+          (Similarity.dot(col("vec"), col("vec"))
+            - lit(2.0) * Similarity.dot(col("vec"), col("cvec"))
+            + Similarity.dot(col("cvec"), col("cvec"))).as("d2"))
+        .agg(sum("d2")).head().getDouble(0)
+    val init = b.filter(col("vec_id") < 8).select(col("vec_id"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val trained = Similarity.kmeansCentroids(b, k = 8, rounds = 2)
+    assert(sse(trained) < sse(init))
+  }
+
+  test("kmeans: assignment is a pure projection — no exchange in the plan") {
+    val cents = Similarity.kmeansCentroids(base, k = 4, rounds = 1)
+    val plan = Similarity.withCluster(base, cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan should not shuffle:\n$plan")
+  }
+
+  test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
+    // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
+    // centroid id), cluster 1 empties after the first recompute, and the
+    // surviving centroid set shrinks instead of NPE-ing.
+    val pts = (0L until 6L).map(i => (i, Array(1.0, 1.0))).toDF("vec_id", "vec")
+    val cents = Similarity.kmeansCentroids(pts, k = 2, rounds = 2)
+    assert(cents.map(_._1) === Seq(0L))
+    val assigned = Similarity.withCluster(pts, cents)
+      .select("cluster").distinct().as[Long].collect()
+    assert(assigned === Array(0L))
+  }
+}

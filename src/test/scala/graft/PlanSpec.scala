@@ -39,6 +39,29 @@ class PlanSpec extends SparkSpec {
     assert(Tables.spreadIfNarrow(narrow, col("doc_id")) ne narrow)
   }
 
+  test("bucketed tables: same-bucketing join plans with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    import graft.io.Tables
+    val s = spark
+    val o = Tables.orders(s, Sf0001).select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(s, Sf0001).select("l_orderkey", "l_quantity")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge join path
+    try {
+      Tables.saveBucketed(o, "b_orders", 8, Seq("o_orderkey"))
+      Tables.saveBucketed(li, "b_lineitem", 8, Seq("l_orderkey"))
+      val j = s.table("b_orders").join(s.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(j.count() === li.count()) // co-located plan, same join result
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("text_stats: no shuffle beyond the local spread; scan reads only doc_id and text") {
     val p = plan("text_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
