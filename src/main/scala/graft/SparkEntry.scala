@@ -88,6 +88,8 @@ object SparkEntry {
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
+    "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
+    "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -96,6 +98,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
+    "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
     // ---- training-data pipeline: similarity search ----
     "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -321,6 +324,47 @@ object SparkEntry {
          | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
          |SELECT id AS doc_id, min(lab) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS score_en,
+        |  len(list_filter(string_split(text,' '), x -> x='der' OR x='die' OR x='und')) AS score_de,
+        |  len(list_filter(string_split(text,' '), x -> x='le' OR x='la' OR x='et')) AS score_fr,
+        |  len(list_filter(string_split(text,' '), x -> x='el' OR x='los' OR x='y')) AS score_es
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, n_tokens,
+        |  CAST(least(n_tokens,100) AS DOUBLE)/100.0*(1.0 - CAST(score_en AS DOUBLE)/n_tokens) AS quality_score,
+        |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+        |   WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+        |   WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+        |   WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+        |   ELSE 'es' END AS lang_guess
+        | FROM t)
+        |SELECT doc_id, n_tokens, quality_score, lang_guess FROM s
+        |WHERE lang_guess = 'en' AND quality_score >= 0.5 ORDER BY doc_id""".stripMargin,
+    "winnow_fingerprints" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(sh)-2), i -> list_min(sh[i:i+3]))) AS fps
+         | FROM t)
+         |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
+         |ORDER BY doc_id, fp""".stripMargin,
+    "dedup_decisions" ->
+      s"""WITH RECURSIVE pairs AS ($lshSqlBody),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, lab) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS keep_id,
+         | CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents)
          |SELECT doc_id, CAST(${(0 until 32).map(simhashBitSql).mkString(" + ")} AS BIGINT) AS simhash

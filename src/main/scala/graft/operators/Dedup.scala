@@ -344,6 +344,26 @@ object Dedup {
     }
   }
 
+  /** The end of the dedup pipeline: one keep/drop decision per document.
+    * Docs in a near-dup component keep only the component representative
+    * (its minimum doc_id — exactly the component label); docs outside any
+    * component are singletons and keep themselves. One broadcast-able left
+    * join of the corpus against the (tiny) component table — the shape that
+    * lets the 100 TB corpus stream past the decision table. */
+  def dedupDecisions(spark: SparkSession, sfDir: String,
+                     n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
+    dedupDecisionsOf(documentsFor(spark, sfDir).select(col("doc_id")),
+      lshComponents(spark, sfDir, n, minEstJaccard)
+        .select(col("doc_id"), col("component")))
+
+  def dedupDecisionsOf(docs: DataFrame, components: DataFrame): DataFrame =
+    docs
+      .join(org.apache.spark.sql.functions.broadcast(components), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keep_id"))
+      .withColumn("keep", (col("doc_id") === col("keep_id")).cast("long"))
+      .orderBy(col("doc_id"))
+
   /** SimHash (64-bit family; 32 bits to stay comfortably in int64
     * arithmetic): per document, for each bit j, sum +1/-1 weighted by
     * token-hash bit j; simhash bit j = 1 iff the sum is positive. One pass

@@ -85,4 +85,61 @@ object TextOps {
         fingerprintMd5(col("text")).as("fp_md5"),
         fingerprintPoly(col("text")).as("fp_poly"))
       .orderBy(col("doc_id"))
+
+  /** The composite training-data quality gate: keep documents whose guessed
+    * language matches `lang` AND whose quality score clears `minQuality`.
+    * Stats and language scores are computed in ONE narrow projection (no
+    * join between the two analysis passes), so the whole filter is a single
+    * scan — the shape a 100 TB corpus sweep needs. */
+  def qualityFilter(spark: SparkSession, sfDir: String,
+                    minQuality: Double = 0.5, lang: String = "en"): DataFrame =
+    qualityFilterOf(documentsFor(spark, sfDir), minQuality, lang)
+
+  def qualityFilterOf(d: DataFrame,
+                      minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = LangMarkers.foldLeft(
+      d.select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        stopwordCount(col("text"), EnStops).as("n_stop"))) {
+      case (df, (l, words)) => df.withColumn(s"score_$l", stopwordCount(col("text"), words))
+    }
+    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
+    val guess = LangMarkers.reverse.foldLeft(lit("und")) {
+      case (acc, (l, _)) =>
+        when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens"), lit(100)).cast("double") / 100.0 * (lit(1.0) - col("stop_ratio")))
+      .withColumn("lang_guess", guess)
+      .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprints (the MOSS local-fingerprint scheme): over the
+    * word-n-gram shingle-hash sequence, take the minimum hash of every
+    * window of `w` consecutive shingles, then the distinct set per document.
+    * Guarantees any shared run of >= w+n-1 tokens between two documents
+    * yields at least one shared fingerprint, with ~2/(w+1) of the shingles
+    * kept — the robust, position-aware alternative to whole-doc hashing.
+    * Pure projection + explode: zero shuffles before the final sort. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+                         n: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintsOf(documentsFor(spark, sfDir), n, w)
+
+  def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val sh = shingleHashes(col("text"), n)
+    // guard: sequence(0, negative) would count DOWN in Spark, so short docs
+    // (fewer than w shingles) must produce an explicit empty array
+    val wins = when(size(sh) >= w,
+        array_distinct(transform(
+          sequence(lit(0), size(sh) - w),
+          i => array_min(slice(sh, i + 1, lit(w))))))
+      .otherwise(typedLit(Array.empty[Long]))
+    d.select(col("doc_id"), explode(wins).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
 }

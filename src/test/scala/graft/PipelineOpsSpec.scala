@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, TextOps}
+
+/** Structural invariants of the composite pipeline operators (values are
+  * oracle-gated: quality_filter, winnow_fingerprints, dedup_decisions). */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality_filter agrees with text_stats and lang_id on the kept set") {
+    val kept = TextOps.qualityFilter(spark, Sf0001).cache()
+    try {
+      assert(kept.count() > 0)
+      val stats = TextOps.textStats(spark, Sf0001)
+        .select(col("doc_id"), col("quality_score").as("qs"))
+      val langs = TextOps.langId(spark, Sf0001)
+        .select(col("doc_id"), col("lang_guess").as("lg"))
+      val joined = kept.join(stats, "doc_id").join(langs, "doc_id")
+      assert(joined.filter(col("qs") =!= col("quality_score")).count() === 0)
+      assert(joined.filter(col("lg") =!= lit("en")).count() === 0)
+      assert(kept.filter(col("quality_score") < 0.5).count() === 0)
+    } finally kept.unpersist()
+  }
+
+  test("winnowing: fingerprints come from the shingle set; identical docs share all of them") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words forming an unrelated document body here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprintsOf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // identical texts -> identical fingerprint sets
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L).nonEmpty)
+    // disjoint content -> disjoint fingerprints
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // docs with < w shingles produce no fingerprints (not a crash, not junk)
+    assert(!fps.contains(4L))
+    // every fingerprint is one of the doc's shingle hashes
+    val shingles = docs.filter(col("doc_id") === 1L)
+      .select(explode(shingleHashes(col("text"), 3)).as("sh"))
+      .as[Long].collect().toSet
+    assert(fps(1L).subsetOf(shingles))
+  }
+
+  test("dedup_decisions: one keeper per component, singletons keep themselves") {
+    val d = Dedup.dedupDecisions(spark, Sf0001).cache()
+    try {
+      val nDocs = graft.io.Tables.documents(spark, Sf0001).count()
+      assert(d.count() === nDocs) // every doc gets a decision
+      // keep_id is the group representative: kept exactly once per distinct keep_id
+      val keepers = d.filter(col("keep") === 1L)
+      assert(keepers.count() === d.select("keep_id").distinct().count())
+      // representatives are group minima
+      assert(d.filter(col("keep_id") > col("doc_id")).count() === 0)
+      // dropped docs are exactly the non-representative component members
+      val comps = Dedup.lshComponents(spark, Sf0001)
+      val dropped = comps.filter(col("doc_id") =!= col("component")).count()
+      assert(d.filter(col("keep") === 0L).count() === dropped)
+    } finally d.unpersist()
+  }
+}
