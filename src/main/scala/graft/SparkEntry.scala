@@ -83,6 +83,7 @@ object SparkEntry {
     "q9_order_priority"   -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
     "q10_distinct_counts" -> ((s, dir) => Relational.distinctCounts(s, dir)),
     "q10a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
+    "q10b_approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)),
     "q11_orders_rollup"   -> ((s, dir) => Relational.ordersRollup(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
@@ -218,6 +219,17 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10b_approx_quantiles" ->
+      """WITH t AS (
+        | SELECT l_returnflag, l_extendedprice,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT l_returnflag,
+        | max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT) THEN l_extendedprice END) AS p50_disc,
+        | max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN l_extendedprice END) AS p95_disc,
+        | TRUE AS approx_ok
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_orders_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,

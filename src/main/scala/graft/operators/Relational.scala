@@ -124,6 +124,35 @@ object Relational {
           <= lit(tolerance)).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles — the quantile-sketch family member next to
+    * q10a's HLL: per returnflag, p50/p95 of l_extendedprice. The sketch
+    * (approx_percentile, a mergeable fixed-size summary — the only way to
+    * compute quantiles in one pass at 100 TB) is checked IN-PLAN against the
+    * exact DISCRETE percentile (the value at row ceil(p*n) of the sorted
+    * group — a value PICK, no interpolation, so the exact side is
+    * bit-reproducible across engines; the sketch itself is not and rides
+    * only through the boolean gate). */
+  def approxQuantiles(spark: SparkSession, sfDir: String,
+                      tolerance: Double = 0.05): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("l_extendedprice")))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(pick(0.5).as("p50_disc"), pick(0.95).as("p95_disc"),
+           expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)").as("ap"))
+      .select(col("l_returnflag"), col("p50_disc"), col("p95_disc"),
+        (abs(element_at(col("ap"), 1) - col("p50_disc")) / col("p50_disc") <= tolerance &&
+         abs(element_at(col("ap"), 2) - col("p95_disc")) / col("p95_disc") <= tolerance)
+          .as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Set operations (INTERSECT / EXCEPT / UNION with set semantics):
     * (brands of large parts ∩ brands of cheap parts) ∪
     * (brands of pricey parts \ brands of large parts). */

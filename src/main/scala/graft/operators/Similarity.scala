@@ -206,15 +206,28 @@ object Similarity {
   private def trainInput(spark: SparkSession, sfDir: String): DataFrame =
     baseDf(spark, sfDir).select(col("vec_id"), col("label"), col("vec"), col("norm_v"))
 
+  /** Run `body` with `df` cached for the duration (the training loop reads
+    * the input once per round — evaluating the scan+projection repeatedly is
+    * waste at any scale, and at 100 TB the train input would be a cached /
+    * checkpointed sample). Respects a cache the caller already placed. */
+  private def withCached[T](df: DataFrame)(body: DataFrame => T): T = {
+    val callerCached = df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) df else df.cache()
+    try body(cached)
+    finally if (!callerCached) cached.unpersist()
+  }
+
   /** Final cluster assignment after [[kmeansCentroids]] training — the
     * oracle-checked face of the trainer (integer output: float-hash-proof). */
   def kmeansAssignments(spark: SparkSession, sfDir: String,
-                        k: Int = 8, rounds: Int = 2): DataFrame = {
-    val base = trainInput(spark, sfDir)
-    withCluster(base, kmeansCentroids(base, k, rounds))
-      .select(col("vec_id"), col("cluster"))
-      .orderBy(col("vec_id"))
-  }
+                        k: Int = 8, rounds: Int = 2): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      // the returned plan holds the centroids as LITERALS — it no longer
+      // needs the cache, which only served the training rounds' actions
+      withCluster(base, kmeansCentroids(base, k, rounds))
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }
 
   /** IVF ANN over TRAINED cells: identical to [[ivfTopK]] but the coarse
     * quantizer is the k-means model rather than the pre-existing `label`
@@ -223,17 +236,17 @@ object Similarity {
     * "index" adds no shuffle beyond training itself. */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String,
                      k: Int = 5, queryMod: Int = 100,
-                     nClusters: Int = 8, rounds: Int = 2): DataFrame = {
-    val base0 = trainInput(spark, sfDir)
-    val base = withCluster(base0, kmeansCentroids(base0, nClusters, rounds))
-    val q = base
-      .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-              col("norm_v").as("norm_q"), col("cluster").as("q_cluster"))
-    rankTopK(
-      base.join(broadcast(q),
-        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
-  }
+                     nClusters: Int = 8, rounds: Int = 2): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base0 =>
+      val base = withCluster(base0, kmeansCentroids(base0, nClusters, rounds))
+      val q = base
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+                col("norm_v").as("norm_q"), col("cluster").as("q_cluster"))
+      rankTopK(
+        base.join(broadcast(q),
+          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+    }
 
   /** Near-duplicate detection by embedding cosine >= threshold. Pairs are
     * generated per (label, sign-LSH band) cell — `numBands` bands of

@@ -22,6 +22,23 @@ class TablesSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
+  test("JSON lines sink + source round-trips the orders table losslessly") {
+    // JSON is the interchange format a pipeline meets beyond parquet/CSV:
+    // write a frame as JSON lines, read it back with an explicit schema
+    // (schema-on-read — no inference pass over 100 TB), compare exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val o = Tables.orders(spark, Sf0001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderdate").cast("string").as("o_orderdate"))
+    o.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(o.schema).json(dir)
+    assert(back.count() === o.count())
+    assert(back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
+    // projection pushdown applies to the JSON scan too
+    val p = back.select("o_orderkey").queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey"), p)
+  }
+
   test("salted aggregation equals the direct group-by exactly") {
     val direct = graft.io.Tables.lineitem(spark, Sf0001)
       .groupBy(col("l_returnflag"))
