@@ -69,4 +69,15 @@ class PlanSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges === 1, p)
   }
+
+  test("quality_filter and winnow_fingerprints stay single-scan projections") {
+    for (name <- Seq("quality_filter", "winnow_fingerprints")) {
+      val p = plan(name)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$name:\n$p")
+      // the only hash exchange is the local small-file spread
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges === 1, s"$name:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Streaming sources/sinks beyond the file source: the built-in `rate`
+  * source (an unbounded generator — the no-external-service stand-in for a
+  * Kafka-shaped feed) and the `foreachBatch` sink (the production pattern
+  * for routing micro-batches into arbitrary batch writers). */
+class StreamSourcesSpec extends SparkSpec {
+
+  test("rate source feeds a streaming aggregation end to end") {
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500")
+      .load() // schema: (timestamp, value)
+    val agg = rate
+      .withColumn("bucket", pmod(col("value"), lit(4)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"), max(col("value")).as("max_v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("rate_out").start()
+    try {
+      // wait until at least one non-empty batch lands
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_out").isEmpty && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(100)
+      }
+      val rows = spark.table("rate_out").collect()
+      assert(rows.nonEmpty, "rate source produced no aggregated output in 30s")
+      assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink routes micro-batches into a batch parquet writer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // any batch-side op is legal here — aggregate then append
+        batch.groupBy(col("id")).agg(sum(col("v")).as("sum_v"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((2L, 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    // batch 0: id 1 -> 3.0, id 2 -> 5.0; batch 1: id 2 -> 7.0
+    val sums = out.groupBy(col("id")).agg(sum(col("sum_v")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sums === Map(1L -> 3.0, 2L -> 12.0))
+    assert(out.select("batch_id").distinct().count() === 2)
+  }
+}
