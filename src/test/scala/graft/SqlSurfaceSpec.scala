@@ -28,6 +28,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(dotRow.getDouble(0) === 32.0)
   }
 
+  test("spark.sql.extensions entry point injects graft functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared-session init before detaching it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // no active/default session -> the builder constructs a NEW session on
+      // the existing SparkContext and APPLIES the extensions. (The
+      // spark.sql.extensions=graft.GraftExtensions config form is the same
+      // applyExtensions path, but it is a STATIC conf read from the
+      // SparkContext at build time — unreachable on this suite's reused
+      // context, so the test drives the builder hook directly.)
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne base)
+      val row = s2.sql(
+        """SELECT graft_poly_fold(graft_token_hashes('abc')) AS fp,
+          |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
+      assert(row.getLong(0) === 96354L)
+      assert(row.getDouble(1) === 11.0)
+      // the base session is untouched: no leakage between session catalogs
+      assert(intercept[Exception](
+        base.sql("SELECT graft_never_registered(1)")).toString.nonEmpty)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("bucketed co-partitioned join plans without a shuffle exchange") {
     val li = graft.io.Tables.lineitem(spark, Sf0001)
     val o = graft.io.Tables.orders(spark, Sf0001)
