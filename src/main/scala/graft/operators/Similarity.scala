@@ -161,6 +161,10 @@ object Similarity {
     * a trained coarse quantizer must behave on 100 TB. */
   def withCluster(base: DataFrame,
                   centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    // no centroids (empty training corpus): every row is unassigned — the
+    // zero-arg array() would otherwise fail analysis inside array_min
+    if (centroids.isEmpty)
+      return base.withColumn("cluster", lit(null).cast("long"))
     val scored = centroids.map { case (cid, c) =>
       struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
              lit(cid).as("cid"))
@@ -183,7 +187,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).toSeq
-    for (_ <- 1 to rounds) {
+    for (_ <- 1 to rounds if cents.nonEmpty) {
       val dim = cents.head._2.length
       val stats = withCluster(base, cents)
         .select(col("cluster"), posexplode(col("vec")).as(Seq("dim", "comp")))
