@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.HashExpressions._
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.GraftFunctions
 
 /** Session-extensions entry point: makes every graft SQL function available
   * in ANY session without code changes, via configuration —
@@ -13,26 +13,19 @@ import graft.functions.HashExpressions._
   * }}}
   *
   * — the idiomatic Spark adoption path for a library (the same mechanism
-  * Delta/Iceberg use). Injected functions are registered in the session's
+  * table formats use). Injected functions are registered in the session's
   * catalog at build time, so `spark.sql("SELECT graft_simhash(...)")` works
-  * from pure SQL clients too. [[graft.functions.GraftFunctions.register]]
-  * remains for post-hoc registration on an existing session.
+  * from pure SQL clients too. The function list is
+  * [[graft.functions.GraftFunctions.builders]] — the same source
+  * `GraftFunctions.register` consumes, so the two adoption paths expose an
+  * identical surface by construction.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_token_hashes"), info("graft_token_hashes"),
-      (exprs: Seq[Expression]) => TokenHashes(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"), info("graft_shingle_hashes"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head, exprs(1).eval(null).asInstanceOf[Int])))
-    ext.injectFunction((FunctionIdentifier("graft_poly_fold"), info("graft_poly_fold"),
-      (exprs: Seq[Expression]) => PolyFold(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_simhash"), info("graft_simhash"),
-      (exprs: Seq[Expression]) => SimHash(exprs.head, exprs(1).eval(null).asInstanceOf[Int])))
-    ext.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

@@ -132,8 +132,19 @@ object SparkEntry {
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
   private val decDisc  = "CAST(l_discount AS DECIMAL(18,4))"
   private val one      = "CAST(1 AS DECIMAL(18,4))"
+
+  /** DECIMAL → DOUBLE through a VARCHAR round-trip. DuckDB's direct decimal
+    * cast computes int_value × 10^-scale in double arithmetic (two roundings
+    * — off by an ulp on wide sums), while its string parse is correctly
+    * rounded, exactly like Spark's Decimal.toDouble (BigDecimal.doubleValue).
+    * Every decimal-sum cast in the oracle goes through this so parity is
+    * guaranteed, not digit-count-dependent (first diverged at sf0.1 on the
+    * scale-8 revenue sums). */
+  private def dd(sumExpr: String): String =
+    s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
+
   private val revenueExpr =
-    s"CAST(sum($decPrice * ($one - $decDisc)) AS DOUBLE)"
+    dd(s"sum($decPrice * ($one - $decDisc))")
 
   def oracleSql: Map[String, String] = {
     val base = Map(
@@ -143,13 +154,13 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
         |FROM events ORDER BY event_id""".stripMargin,
     "q2_block_avg" ->
-      """WITH t AS (
+      s"""WITH t AS (
         | SELECT event_type, value,
         |   row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
         |   count(*) OVER (PARTITION BY event_type) AS n
         | FROM events)
         |SELECT event_type, CAST(floor((rn-1)/51.0) AS BIGINT) AS block,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/50 AS avg_value
+        |  ${dd("sum(CAST(value AS DECIMAL(18,2)))")}/50 AS avg_value
         |FROM t
         |WHERE (rn-1)%51 < 50 AND floor((rn-1)/51.0) < floor(n/51.0)
         |GROUP BY event_type, CAST(floor((rn-1)/51.0) AS BIGINT)
@@ -172,12 +183,12 @@ object SparkEntry {
         |FROM b ORDER BY event_id""".stripMargin,
     "q5_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         | CAST(sum($decPrice) AS DOUBLE) AS sum_base_price,
+         | ${dd("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS sum_qty,
+         | ${dd(s"sum($decPrice)")} AS sum_base_price,
          | $revenueExpr AS sum_disc_price,
-         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_qty,
-         | CAST(sum($decPrice) AS DOUBLE)/count(*) AS avg_price,
-         | CAST(sum($decDisc) AS DOUBLE)/count(*) AS avg_disc,
+         | ${dd("sum(CAST(l_quantity AS DECIMAL(18,4)))")}/count(*) AS avg_qty,
+         | ${dd(s"sum($decPrice)")}/count(*) AS avg_price,
+         | ${dd(s"sum($decDisc)")}/count(*) AS avg_disc,
          | count(*) AS count_order
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus
@@ -200,7 +211,7 @@ object SparkEntry {
          |SELECT p_brand, rk, p_partkey, revenue
          |FROM rk WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
     "q8_filtered_revenue" ->
-      s"""SELECT CAST(sum($decPrice * $decDisc) AS DOUBLE) AS revenue, count(*) AS n_rows
+      s"""SELECT ${dd(s"sum($decPrice * $decDisc)")} AS revenue, count(*) AS n_rows
          |FROM lineitem
          |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
     "q9_order_priority" ->
@@ -231,8 +242,8 @@ object SparkEntry {
         | TRUE AS approx_ok
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q11_orders_rollup" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
+        | ${dd("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total_price,
         | count(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)
@@ -282,8 +293,8 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |ORDER BY p_partkey""".stripMargin,
     "q17_cube" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      s"""SELECT l_returnflag, l_linestatus,
+        | ${dd("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -294,12 +305,11 @@ object SparkEntry {
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q19_analytic_suite" ->
-      """SELECT event_id, user_id,
+      s"""SELECT event_id, user_id,
         | CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk,
         | lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
         | lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3
+        | ${dd("sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS mov_sum3
         |FROM events ORDER BY event_id""".stripMargin,
   ) ++ mmOracle ++ Map(
     "dedup_ngram_jaccard" ->
@@ -471,9 +481,9 @@ object SparkEntry {
          |SELECT id_a, id_b, cos FROM cand
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
     "q12_tumbling_hourly" ->
-      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+      s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | ${dd("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value,
         | max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
     "q13_sessionize" ->
@@ -509,9 +519,9 @@ object SparkEntry {
       s"""SELECT l_returnflag, $revenueExpr AS revenue, count(*) AS n_rows
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q22_above_avg_orders" ->
-      """WITH a AS (
+      s"""WITH a AS (
         | SELECT o_custkey AS ac_custkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_price
+        |  ${dd("sum(CAST(o_totalprice AS DECIMAL(18,4)))")}/count(*) AS avg_price
         | FROM orders GROUP BY o_custkey)
         |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
         |FROM orders JOIN a ON o_custkey = ac_custkey

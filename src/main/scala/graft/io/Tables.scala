@@ -41,6 +41,14 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(key) else df
   }
 
+  /** The (doc_id, text) projection every text/dedup entry point starts
+    * from — pruned to two columns and spread only when the scan arrives in
+    * fewer splits than the cluster has slots (see [[spreadIfNarrow]]). */
+  def documentsNarrow(spark: SparkSession, sfDir: String): DataFrame =
+    spreadIfNarrow(
+      documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("doc_id"))
+
   /** Persist a frame as a bucketed (and per-bucket sorted) catalog table —
     * the co-located-join primitive: two tables bucketed the same way on
     * their join keys sort-merge-join with ZERO exchanges, pre-paying the

@@ -16,15 +16,8 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** The (doc_id, text) projection every dedup entry point starts from —
-    * pruned to two columns and spread across cores only when the scan
-    * arrives in fewer splits than the cluster has slots (test inputs are a
-    * single small file; production inputs are many splits and keep their
-    * native partitioning with no exchange). */
   private def documentsFor(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spreadIfNarrow(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      col("doc_id"))
+    Tables.documentsNarrow(spark, sfDir)
 
   /** Exact dedup: group by md5 of the canonicalized text, keep the smallest
     * doc_id as the representative. Output one row per distinct content hash
@@ -177,6 +170,31 @@ object Dedup {
     minhashLshPairsOf(sigsIn, minEstJaccard, maxBucketSize)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The shared capped band-bucket candidate generator (MinHash/LSH and
+    * SimHash pair paths): per bucket with 2..`maxBucketSize` members,
+    * collect the payload structs and stream all ordered pairs through two
+    * chained generators. The cap is applied BEFORE the bucket row is built
+    * (window count → filter → collect): WindowExec's group buffer spills,
+    * an aggregation buffer's single collect_list row cannot, so no
+    * degenerate bucket ever materializes an unbounded row or emits B²
+    * pairs; the window and the groupBy share one hashpartitioning exchange.
+    * `exploded` must carry an `item` struct with a `doc_id` field plus the
+    * bucket key columns; returns (a, b) struct pairs with a.doc_id <
+    * b.doc_id. */
+  private def cappedBucketPairs(exploded: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+                                maxBucketSize: Int): DataFrame = {
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    exploded
+      .withColumn("freq", count(lit(1)).over(bucketW))
+      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
+      .groupBy(keys: _*)
+      .agg(collect_list(col("item")).as("items"))
+      .select(col("items"), explode(col("items")).as("a"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a"), col("b"))
+  }
+
   /** [[minhashLshOf]] without the final presentation sort — the components
     * input (a global range exchange feeding a cache/groupBy is pure waste). */
   private def minhashLshPairsOf(sigsIn: DataFrame, minEstJaccard: Double,
@@ -195,28 +213,11 @@ object Dedup {
               posexplode(bands))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
 
-    // Cap bucket membership BEFORE building the bucket row: a per-bucket
-    // window count (spill-safe — WindowExec's group buffer spills, an
-    // aggregation buffer's single collect_list row cannot) feeds the filter,
-    // and only surviving rows reach collect_list, so no row ever exceeds
-    // maxBucketSize structs. The window and the groupBy share one
-    // hashpartitioning(band_idx, band_hash) exchange.
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_hash"))
-    val buckets = exploded
-      .withColumn("freq", count(lit(1)).over(bucketW))
-      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col("item")).as("items"))
-
-    // all ordered pairs within a bucket, streamed through two chained
-    // generators (no per-bucket pair-array materialization)
+    // signature-component match count stays in whole-stage codegen: the 12
+    // components ride as struct fields, compared via summed CASE WHENs
     val nMatches = (0 until nSig)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0)).reduce(_ + _)
-    buckets
-      .select(col("items"), explode(col("items")).as("a"))
-      .select(col("a"), explode(col("items")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    cappedBucketPairs(exploded, Seq(col("band_idx"), col("band_hash")), maxBucketSize)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (nMatches.cast("double") / nSig).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -408,19 +409,7 @@ object Dedup {
               posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
 
-    // same capped window-count → filter → collect shape as minhashLshOf
-    val bucketW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_val"))
-    val buckets = exploded
-      .withColumn("freq", count(lit(1)).over(bucketW))
-      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(collect_list(col("item")).as("items"))
-
-    buckets
-      .select(col("items"), explode(col("items")).as("a"))
-      .select(col("a"), explode(col("items")).as("b"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    cappedBucketPairs(exploded, Seq(col("band_idx"), col("band_val")), maxBucketSize)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -76,7 +76,9 @@ object StatefulQueries {
     * 50 summed records are all non-finite (each CAST yields NULL) emits a
     * NULL average, exactly like the declarative twin. */
   def blockAvgSecondarySort(spark: SparkSession, sfDir: String,
-                            blockSize: Int = 51, emitCount: Int = 50): DataFrame = {
+                            emitCount: Int = 50): DataFrame = {
+    // a block is `emitCount` summed records + 1 trigger record (the
+    // reference's 51-record trigger-discard cycle)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._

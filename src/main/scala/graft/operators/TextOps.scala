@@ -14,12 +14,8 @@ import graft.functions.TextFunctions._
   */
 object TextOps {
 
-  /** (doc_id, text) projection, spread only when the scan arrives in fewer
-    * splits than the cluster has slots (see [[Tables.spreadIfNarrow]]). */
   private def documentsFor(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.spreadIfNarrow(
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-      col("doc_id"))
+    Tables.documentsNarrow(spark, sfDir)
 
   /** Stopword lists used by quality scoring and language ID. Tiny on purpose:
     * deterministic, embeddable in oracle SQL verbatim. */
@@ -100,8 +96,7 @@ object TextOps {
     val toks = tokens(col("text"))
     val scored = LangMarkers.foldLeft(
       d.select(col("doc_id"), col("text"),
-        size(toks).cast("long").as("n_tokens"),
-        stopwordCount(col("text"), EnStops).as("n_stop"))) {
+        size(toks).cast("long").as("n_tokens"))) {
       case (df, (l, words)) => df.withColumn(s"score_$l", stopwordCount(col("text"), words))
     }
     val best = LangMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
@@ -109,8 +104,10 @@ object TextOps {
       case (acc, (l, _)) =>
         when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
     }
+    // EnStops IS the 'en' marker list, so the quality-score stopword count
+    // reuses score_en — one expression, and the two scores cannot drift
     scored
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("score_en").cast("double") / col("n_tokens"))
       .withColumn("quality_score",
         least(col("n_tokens"), lit(100)).cast("double") / 100.0 * (lit(1.0) - col("stop_ratio")))
       .withColumn("lang_guess", guess)
