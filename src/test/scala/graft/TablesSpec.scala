@@ -22,6 +22,21 @@ class TablesSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
+  test("partitionBy write lays out hive dirs; reads prune partitions at the scan") {
+    // the data-layout face of pruning: write partitioned by a filter column,
+    // read back with a predicate, and the scan must show a PartitionFilter
+    // with only the matching directory surviving
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    assert(new java.io.File(dir).listFiles().map(_.getName).count(_.startsWith("l_returnflag=")) === 3)
+    val back = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+    assert(back.count() === li.filter(col("l_returnflag") === "A").count())
+  }
+
   test("JSON lines sink + source round-trips the orders table losslessly") {
     // JSON is the interchange format a pipeline meets beyond parquet/CSV:
     // write a frame as JSON lines, read it back with an explicit schema
