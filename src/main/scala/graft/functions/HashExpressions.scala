@@ -98,6 +98,32 @@ object HashKernels {
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
     acc
   }
+
+  /** Distinct sliding-window minima (winnowing): the min of every w-wide
+    * window over the hash sequence, first-occurrence deduped. Monotonic
+    * deque — O(n) total, vs O(n·w) for the per-window array_min scan. */
+  def winnowMins(sh: ArrayData, w: Int): ArrayData = {
+    val n = sh.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val deque = new Array[Int](n)
+    var head = 0; var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](n - w + 1)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val v = sh.getLong(i)
+      while (tail > head && sh.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val win = sh.getLong(deque(head))
+        if (seen.add(win)) { out(m) = win; m += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 }
 
 /** Native Catalyst expressions over [[HashKernels]].
@@ -181,6 +207,20 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): PolyFold = copy(c)
   }
 
+  /** Distinct w-window minima over a shingle-hash array (MOSS winnowing).
+    * Same value set as array_distinct(transform(sequence(0, size-w),
+    * i -> array_min(slice(sh, i+1, w)))) but one O(n) deque pass in codegen
+    * instead of interpreted HOF lambdas doing O(n·w) work. */
+  case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.winnowMins(input.asInstanceOf[ArrayData], w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.winnowMins($c, $w)")
+    override protected def withNewChildInternal(c: Expression): WinnowMins = copy(child = c)
+  }
+
   /** Sequential-fold dot product of two array<double> columns (the ANN hot
     * path). Bit-identical to the higher-order-function formulation and
     * DuckDB's list_dot_product on DOUBLE[]. */
@@ -208,4 +248,6 @@ object HashExpressions {
     ColumnBridge.column(PolyFold(ColumnBridge.expression(ths)))
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def winnow_mins(shingles: Column, w: Int): Column =
+    ColumnBridge.column(WinnowMins(ColumnBridge.expression(shingles), w))
 }

@@ -128,14 +128,12 @@ object TextOps {
     winnowFingerprintsOf(documentsFor(spark, sfDir), n, w)
 
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val sh = shingleHashes(col("text"), n)
-    // guard: sequence(0, negative) would count DOWN in Spark, so short docs
-    // (fewer than w shingles) must produce an explicit empty array
-    val wins = when(size(sh) >= w,
-        array_distinct(transform(
-          sequence(lit(0), size(sh) - w),
-          i => array_min(slice(sh, i + 1, lit(w))))))
-      .otherwise(typedLit(Array.empty[Long]))
+    // native one-pass deque kernel (codegen'd) — the HOF formulation
+    // (array_distinct over per-window array_min slices) is interpreted and
+    // O(n·w); short docs (< w shingles) yield an empty array, which explode
+    // drops, matching the oracle's empty range()
+    val wins = graft.functions.HashExpressions.winnow_mins(
+      shingleHashes(col("text"), n), w)
     d.select(col("doc_id"), explode(wins).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }

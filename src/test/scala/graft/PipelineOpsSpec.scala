@@ -47,6 +47,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(fps(1L).subsetOf(shingles))
   }
 
+  test("winnow kernel equals the HOF formulation on the real corpus") {
+    val docs = graft.io.Tables.documentsNarrow(spark, Sf0001)
+    val sh = shingleHashes(col("text"), 3)
+    val viaHof = docs.select(col("doc_id"),
+        explode(when(size(sh) >= 4,
+          array_distinct(transform(sequence(lit(0), size(sh) - 4),
+            i => array_min(slice(sh, i + 1, lit(4))))))
+          .otherwise(typedLit(Array.empty[Long]))).as("fp"))
+      .orderBy(col("doc_id"), col("fp")).collect().map(_.toSeq)
+    val viaKernel = TextOps.winnowFingerprintsOf(docs).collect().map(_.toSeq)
+    assert(viaKernel.toSeq === viaHof.toSeq)
+  }
+
   test("dedup_decisions: one keeper per component, singletons keep themselves") {
     val d = Dedup.dedupDecisions(spark, Sf0001).cache()
     try {
