@@ -107,6 +107,7 @@ object SparkEntry {
     "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiProbeTopK(s, dir)),
     "kmeans_assign"        -> ((s, dir) => Similarity.kmeansAssignments(s, dir)),
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    "ann_ivf_trained_probe2" -> ((s, dir) => Similarity.ivfTrainedMultiProbeTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
@@ -452,6 +453,21 @@ object SparkEntry {
          |         FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)),
          |q AS (SELECT vec_id AS q_id, vec AS q_vec, cluster AS q_cluster
          |      FROM base WHERE vec_id % 100 = 0),
+         |c AS (
+         | SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
+         | FROM base b JOIN q ON b.cluster = q.q_cluster AND b.vec_id <> q.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivf_trained_probe2" ->
+      s"""WITH $kmeansCtes,
+         |base AS (SELECT v.vec_id, v.vec, a.cluster
+         |         FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)),
+         |qs AS (SELECT s.vec_id AS q_id, s.cid AS q_cluster,
+         |        row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score, s.cid) AS prk
+         |       FROM ${kmeansFinalAssign}_s s WHERE s.vec_id % 100 = 0),
+         |q AS (SELECT qs.q_id, v.vec AS q_vec, qs.q_cluster
+         |      FROM qs JOIN kv v ON v.vec_id = qs.q_id WHERE prk <= 2),
          |c AS (
          | SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
          | FROM base b JOIN q ON b.cluster = q.q_cluster AND b.vec_id <> q.q_id),

@@ -252,6 +252,37 @@ object Similarity {
           col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
     }
 
+  /** Trained IVF with multi-probe: each query searches its `nProbe` NEAREST
+    * trained cells instead of only the closest — the standard IVF recall
+    * knob (vectors near a cell boundary live in a neighbor cell; probing it
+    * retrieves them without retraining). Candidates grow linearly in
+    * nProbe, still ~k-fold below brute force; a base vector lives in
+    * exactly ONE cell, so probes cannot duplicate pairs. The probe list is
+    * the first nProbe entries of the per-centroid score array sorted by
+    * (score, cid) — the same ordering the single-probe argmin uses. */
+  def ivfTrainedMultiProbeTopK(spark: SparkSession, sfDir: String,
+                               k: Int = 5, queryMod: Int = 100,
+                               nClusters: Int = 8, rounds: Int = 2,
+                               nProbe: Int = 2): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base0 =>
+      val cents = kmeansCentroids(base0, nClusters, rounds)
+      val base = withCluster(base0, cents)
+      val scored = cents.map { case (cid, c) =>
+        struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
+               lit(cid).as("cid"))
+      }
+      val q = base0
+        .filter(col("vec_id") % queryMod === 0)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+                col("norm_v").as("norm_q"),
+                explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p"))
+        .select(col("q_id"), col("q_vec"), col("norm_q"),
+                col("p.cid").as("q_cluster"))
+      rankTopK(
+        base.join(broadcast(q),
+          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+    }
+
   /** Near-duplicate detection by embedding cosine >= threshold. Pairs are
     * generated per (label, sign-LSH band) cell — `numBands` bands of
     * `planesPerBand` hyperplanes each, a pair is a candidate when ANY band
