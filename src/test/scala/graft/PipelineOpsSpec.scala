@@ -60,6 +60,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaKernel.toSeq === viaHof.toSeq)
   }
 
+  test("property: winnowMins kernel equals the naive sliding-min-distinct on random arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val n = rnd.nextInt(30)
+      val w = 1 + rnd.nextInt(8)
+      // small value range to exercise duplicate minima and tie handling
+      val arr = Array.fill(n)(rnd.nextInt(10).toLong)
+      val naive = (0 to n - w).map(i => arr.slice(i, i + w).min).distinct
+      val got = graft.functions.HashKernels
+        .winnowMins(new GenericArrayData(arr), w).toLongArray.toSeq
+      assert(got === naive, s"trial=$trial n=$n w=$w arr=${arr.mkString(",")}")
+    }
+  }
+
   test("dedup_decisions: one keeper per component, singletons keep themselves") {
     val d = Dedup.dedupDecisions(spark, Sf0001).cache()
     try {
