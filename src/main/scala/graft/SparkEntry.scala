@@ -91,6 +91,7 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
+    "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -367,6 +368,10 @@ object SparkEntry {
         | FROM t)
         |SELECT doc_id, n_tokens, quality_score, lang_guess FROM s
         |WHERE lang_guess = 'en' AND quality_score >= 0.5 ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
+         |SELECT th, count(*) AS df FROM ds GROUP BY th
+         |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |w AS (SELECT doc_id,

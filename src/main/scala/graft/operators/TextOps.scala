@@ -116,6 +116,21 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary by document frequency: the top-k token hashes by the
+    * number of distinct documents containing them — the vocabulary-build /
+    * stopword-discovery step of a corpus pipeline (the IDF denominator).
+    * Per-row array_distinct dedups (doc, token) without a global distinct
+    * shuffle; the global top-k plans as TakeOrdered (per-partition heaps +
+    * one driver merge of k rows), never a full sort. */
+  def vocabTopK(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    vocabTopKOf(documentsFor(spark, sfDir), k)
+
+  def vocabTopKOf(d: DataFrame, k: Int = 50): DataFrame =
+    d.select(explode(array_distinct(tokenHashes(col("text")))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("th").asc)
+      .limit(k)
+
   /** Winnowing fingerprints (the MOSS local-fingerprint scheme): over the
     * word-n-gram shingle-hash sequence, take the minimum hash of every
     * window of `w` consecutive shingles, then the distinct set per document.

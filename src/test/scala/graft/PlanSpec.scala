@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges === 1, p)
   }
 
+  test("vocab_topk plans the global top-k as TakeOrdered, not a full sort") {
+    val p = plan("vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"no global sort exchange:\n$p")
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)

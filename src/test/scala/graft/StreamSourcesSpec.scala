@@ -30,6 +30,27 @@ class StreamSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: content-hash dropDuplicates holds state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprintMd5(col("text")))
+      .dropDuplicates("fp") // keyed state on the content hash — incremental exact dedup
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"))
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER batch must also be dropped (state, not
+      // per-batch distinct) — and a case-variant collapses via canonicalization
+      mem.addData((4L, "ALPHA BETA"), (5L, "epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+    // doc 3 (same-batch dup) and doc 4 (cross-batch dup modulo lower/trim) dropped
+    assert(out.sameElements(Array(1L, 2L, 5L)), out.mkString(","))
+  }
+
   test("foreachBatch sink routes micro-batches into a batch parquet writer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
