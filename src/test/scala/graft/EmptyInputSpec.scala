@@ -38,6 +38,21 @@ class EmptyInputSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("doc_id", "component")).count() === 0)
   }
 
+  test("null text rows flow through text/dedup operators without crashing") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"), (2L, null), (3L, ""))
+      .toDF("doc_id", "text")
+    // projections propagate null (never throw); generators drop null arrays
+    assert(TextOps.textStatsOf(docs).count() === 3)
+    assert(TextOps.fingerprintsOf(docs).filter(col("doc_id") === 2L)
+      .head().isNullAt(1))
+    assert(TextOps.winnowFingerprintsOf(docs).select("doc_id")
+      .distinct().as[Long].collect().toSet === Set(1L))
+    // 8 tokens from doc 1 + the empty-token hash (0) from doc 3; null contributes nothing
+    assert(TextOps.vocabTopKOf(docs).count() === 9)
+    assert(Dedup.simhashOf(docs).count() === 3)
+    assert(Dedup.ngramJaccardOf(docs).count() === 0) // nothing shared; no crash
+  }
+
   test("kmeans: empty corpus trains no centroids and assigns nothing") {
     val base = Similarity.baseOf(emptyVecs)
     assert(Similarity.kmeansCentroids(base, k = 4, rounds = 2).isEmpty)
