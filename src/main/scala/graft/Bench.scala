@@ -31,8 +31,12 @@ object Bench {
     // single runs on a shared machine are ±2x noisy (GC pauses, page-cache
     // state, competing load); the min over `Runs` repetitions measures the
     // code rather than the machine, standard benchmarking practice
-    val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
-    require(Runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $Runs")
+    val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map { s =>
+      val n = s.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$s'"))
+      require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+      n
+    }.getOrElse(2)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -348,9 +348,12 @@ object Dedup {
   /** The end of the dedup pipeline: one keep/drop decision per document.
     * Docs in a near-dup component keep only the component representative
     * (its minimum doc_id — exactly the component label); docs outside any
-    * component are singletons and keep themselves. One broadcast-able left
-    * join of the corpus against the (tiny) component table — the shape that
-    * lets the 100 TB corpus stream past the decision table. */
+    * component are singletons and keep themselves. One left join of the
+    * corpus against the component table, with the join strategy left to the
+    * planner: on dup-light corpora the component table broadcasts, on
+    * dup-heavy ones (boilerplate clusters ARE a large corpus fraction) it
+    * exceeds any broadcast budget and must shuffle — forcing a broadcast
+    * hint here would be exactly the 100 TB failure mode. */
   def dedupDecisions(spark: SparkSession, sfDir: String,
                      n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
     dedupDecisionsOf(documentsFor(spark, sfDir).select(col("doc_id")),
@@ -359,7 +362,7 @@ object Dedup {
 
   def dedupDecisionsOf(docs: DataFrame, components: DataFrame): DataFrame =
     docs
-      .join(org.apache.spark.sql.functions.broadcast(components), Seq("doc_id"), "left")
+      .join(components, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("keep_id"))
       .withColumn("keep", (col("doc_id") === col("keep_id")).cast("long"))

@@ -34,35 +34,70 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
-  /** Q1 via SECONDARY SORT — the 100 TB batch execution of per-record keyed
-    * state: hash-partition by key, sort (key, ord) WITHIN partitions (Spark's
-    * spill-safe sort, no per-group buffering), then a single `mapPartitions`
-    * pass holding O(1) state that resets at key boundaries. Unlike
-    * `flatMapGroupsWithState`'s batch mode (one in-memory group at a time),
-    * memory here is independent of both group count and group size. */
-  def runningMaxSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-key pass state for [[secondarySort]]: `reset()` fires at every key
+    * boundary, `onRow` folds one (already key-ordered) record. */
+  private trait KeyedPass extends Serializable {
+    def reset(): Unit
+    def onRow(r: org.apache.spark.sql.Row): Iterator[org.apache.spark.sql.Row]
+  }
+
+  private object NoKey // sentinel that never equals data
+
+  /** The SECONDARY-SORT scaffold shared by q1p–q4p — the 100 TB batch
+    * execution of per-record keyed state: hash-partition on the key (the
+    * FIRST selected column), sort (key, ts_ns, event_id) WITHIN partitions
+    * (Spark's spill-safe sort, no per-group buffering), then one
+    * `mapPartitions` pass whose per-key state resets at key boundaries.
+    * Unlike `flatMapGroupsWithState`'s batch mode (one in-memory group at a
+    * time), memory is independent of both group count and group size.
+    *
+    * Non-finite policy (one place for the whole family): comparisons use
+    * java.lang.Double.compare / explicit NaN checks so NaN orders GREATEST,
+    * exactly like Spark SQL's comparison semantics in the declarative twins
+    * — a plain JVM `>=` is false for NaN and silently diverges. */
+  private def secondarySort(spark: SparkSession, sfDir: String,
+                            selectCols: Seq[org.apache.spark.sql.Column],
+                            keyName: String,
+                            outSchema: org.apache.spark.sql.types.StructType)
+                           (makePass: () => KeyedPass): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    import org.apache.spark.sql.types._
     val ev = Tables.events(spark, sfDir)
-      .select(year(col("ts")).cast("long").as("yr"),
-              col("ts_ns"), col("event_id"), col("value"))
-      .repartition(col("yr"))
-      .sortWithinPartitions(col("yr"), col("ts_ns"), col("event_id"))
-    val outSchema = StructType(Seq(
-      StructField("event_id", LongType, nullable = false),
-      StructField("yr", LongType, nullable = false),
-      StructField("run_max", DoubleType, nullable = false)))
+      .select(selectCols: _*)
+      .repartition(col(keyName))
+      .sortWithinPartitions(col(keyName), col("ts_ns"), col("event_id"))
     implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
     ev.mapPartitions { rows =>
-      var curKey = Long.MinValue
-      var mx = Double.NegativeInfinity
-      rows.map { r =>
-        val yr = r.getLong(0)
-        if (yr != curKey) { curKey = yr; mx = Double.NegativeInfinity }
-        val v = r.getDouble(3)
-        if (v > mx) mx = v
-        Row(r.getLong(2), yr, mx)
+      val pass = makePass()
+      var curKey: Any = NoKey
+      rows.flatMap { r =>
+        val k = r.get(0)
+        if (k != curKey) { curKey = k; pass.reset() }
+        pass.onRow(r)
+      }
+    }
+  }
+
+  /** Q1 via secondary sort: one (key, max) scalar per key. */
+  def runningMaxSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    secondarySort(spark, sfDir,
+      Seq(year(col("ts")).cast("long").as("yr"),
+          col("ts_ns"), col("event_id"), col("value")),
+      "yr",
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("yr", LongType, nullable = false),
+        StructField("run_max", DoubleType, nullable = false)))) { () =>
+      new KeyedPass {
+        private var mx = Double.NegativeInfinity
+        def reset(): Unit = mx = Double.NegativeInfinity
+        def onRow(r: Row): Iterator[Row] = {
+          val v = r.getDouble(3)
+          if (java.lang.Double.compare(v, mx) > 0) mx = v
+          Iterator.single(Row(r.getLong(2), r.getLong(0), mx))
+        }
       }
     }.orderBy(col("event_id"))
   }
@@ -80,38 +115,35 @@ object StatefulQueries {
     // a block is `emitCount` summed records + 1 trigger record (the
     // reference's 51-record trigger-discard cycle)
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("ts_ns"), col("event_id"), col("value"))
-      .repartition(col("event_type"))
-      .sortWithinPartitions(col("event_type"), col("ts_ns"), col("event_id"))
-    val outSchema = StructType(Seq(
-      StructField("event_type", StringType, nullable = false),
-      StructField("block", LongType, nullable = false),
-      StructField("avg_value", DoubleType, nullable = true)))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    ev.mapPartitions { rows =>
-      var curKey: String = null
-      var cnt = 0; var cents = 0L; var nFinite = 0; var block = 0L
-      rows.flatMap { r =>
-        val key = r.getString(0)
-        if (key != curKey) { curKey = key; cnt = 0; cents = 0L; nFinite = 0; block = 0L }
-        val v = r.getDouble(3)
-        if (cnt < emitCount) {
-          if (java.lang.Double.isFinite(v)) {
-            cents += (BigDecimal(v)
-              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
-            nFinite += 1
+    secondarySort(spark, sfDir,
+      Seq(col("event_type"), col("ts_ns"), col("event_id"), col("value")),
+      "event_type",
+      StructType(Seq(
+        StructField("event_type", StringType, nullable = false),
+        StructField("block", LongType, nullable = false),
+        StructField("avg_value", DoubleType, nullable = true)))) { () =>
+      new KeyedPass {
+        private var cnt = 0; private var cents = 0L
+        private var nFinite = 0; private var block = 0L
+        def reset(): Unit = { cnt = 0; cents = 0L; nFinite = 0; block = 0L }
+        def onRow(r: Row): Iterator[Row] = {
+          val v = r.getDouble(3)
+          if (cnt < emitCount) {
+            if (java.lang.Double.isFinite(v)) {
+              cents += (BigDecimal(v)
+                .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+              nFinite += 1
+            }
+            cnt += 1
+            Iterator.empty
+          } else { // the trigger record: emit and discard it
+            val avg: java.lang.Double =
+              if (nFinite == 0) null else Double.box((cents.toDouble / 100.0) / emitCount)
+            val out = Row(r.getString(0), block, avg)
+            block += 1L; cnt = 0; cents = 0L; nFinite = 0
+            Iterator.single(out)
           }
-          cnt += 1
-          Iterator.empty
-        } else { // the trigger record: emit and discard it
-          val avg: java.lang.Double =
-            if (nFinite == 0) null else Double.box((cents.toDouble / 100.0) / emitCount)
-          val out = Row(key, block, avg)
-          block += 1L; cnt = 0; cents = 0L; nFinite = 0
-          Iterator.single(out)
         }
       }
     }.orderBy(col("event_type"), col("block"))
@@ -122,34 +154,31 @@ object StatefulQueries {
     * entries — the MapState shape) that resets at year boundaries. */
   def runningMaxMonthSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
-    val ev = Tables.events(spark, sfDir)
-      .select(year(col("ts")).cast("long").as("yr"),
-              month(col("ts")).cast("long").as("mon"),
-              col("ts_ns"), col("event_id"), col("value"))
-      .repartition(col("yr"))
-      .sortWithinPartitions(col("yr"), col("ts_ns"), col("event_id"))
-    val outSchema = StructType(Seq(
-      StructField("event_id", LongType, nullable = false),
-      StructField("yr", LongType, nullable = false),
-      StructField("mon", LongType, nullable = false),
-      StructField("run_max", DoubleType, nullable = false)))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    ev.mapPartitions { rows =>
-      var curKey = Long.MinValue
-      val monMax = scala.collection.mutable.LongMap.empty[Double]
-      rows.map { r =>
-        val yr = r.getLong(0)
-        if (yr != curKey) { curKey = yr; monMax.clear() }
-        val mon = r.getLong(1)
-        val v = r.getDouble(4)
-        val mx = monMax.get(mon) match {
-          case Some(prev) if prev >= v => prev
-          case _                       => v
+    secondarySort(spark, sfDir,
+      Seq(year(col("ts")).cast("long").as("yr"),
+          month(col("ts")).cast("long").as("mon"),
+          col("ts_ns"), col("event_id"), col("value")),
+      "yr",
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("yr", LongType, nullable = false),
+        StructField("mon", LongType, nullable = false),
+        StructField("run_max", DoubleType, nullable = false)))) { () =>
+      new KeyedPass {
+        private val monMax = scala.collection.mutable.LongMap.empty[Double]
+        def reset(): Unit = monMax.clear()
+        def onRow(r: Row): Iterator[Row] = {
+          val mon = r.getLong(1)
+          val v = r.getDouble(4)
+          val mx = monMax.get(mon) match {
+            // Double.compare: a NaN running max stays, as in SQL max()
+            case Some(prev) if java.lang.Double.compare(prev, v) >= 0 => prev
+            case _ => v
+          }
+          monMax.update(mon, mx)
+          Iterator.single(Row(r.getLong(3), r.getLong(0), mon, mx))
         }
-        monMax.update(mon, mx)
-        Row(r.getLong(3), yr, mon, mx)
       }
     }.orderBy(col("event_id"))
   }
@@ -160,30 +189,28 @@ object StatefulQueries {
   def thresholdGapsSecondarySort(spark: SparkSession, sfDir: String,
                                  threshold: Double = 100.0): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
-    val ev = Tables.events(spark, sfDir)
-      .select(col("event_type"), col("ts_ns"), col("event_id"), col("value"))
-      .repartition(col("event_type"))
-      .sortWithinPartitions(col("event_type"), col("ts_ns"), col("event_id"))
-    val outSchema = StructType(Seq(
-      StructField("event_id", LongType, nullable = false),
-      StructField("event_type", StringType, nullable = false),
-      StructField("gap", LongType, nullable = false)))
-    implicit val enc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
-    ev.mapPartitions { rows =>
-      var curKey: String = null
-      var n = 0L
-      rows.flatMap { r =>
-        val key = r.getString(0)
-        if (key != curKey) { curKey = key; n = 0L }
-        if (r.getDouble(3) >= threshold) {
-          val out = Row(r.getLong(2), key, n)
-          n = 0L
-          Iterator.single(out)
-        } else {
-          n += 1L
-          Iterator.empty
+    secondarySort(spark, sfDir,
+      Seq(col("event_type"), col("ts_ns"), col("event_id"), col("value")),
+      "event_type",
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = false),
+        StructField("gap", LongType, nullable = false)))) { () =>
+      new KeyedPass {
+        private var n = 0L
+        def reset(): Unit = n = 0L
+        def onRow(r: Row): Iterator[Row] = {
+          val v = r.getDouble(3)
+          // SQL semantics: NaN >= threshold is TRUE (NaN orders greatest)
+          if (v >= threshold || java.lang.Double.isNaN(v)) {
+            val out = Row(r.getLong(2), r.getString(0), n)
+            n = 0L
+            Iterator.single(out)
+          } else {
+            n += 1L
+            Iterator.empty
+          }
         }
       }
     }.orderBy(col("event_id"))
