@@ -55,14 +55,14 @@ object StatefulQueries {
     * java.lang.Double.compare / explicit NaN checks so NaN orders GREATEST,
     * exactly like Spark SQL's comparison semantics in the declarative twins
     * — a plain JVM `>=` is false for NaN and silently diverges. */
-  private def secondarySort(spark: SparkSession, sfDir: String,
+  private def secondarySort(ev0: DataFrame,
                             selectCols: Seq[org.apache.spark.sql.Column],
                             keyName: String,
                             outSchema: org.apache.spark.sql.types.StructType)
                            (makePass: () => KeyedPass): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    val ev = Tables.events(spark, sfDir)
+    val ev = ev0
       .select(selectCols: _*)
       .repartition(col(keyName))
       .sortWithinPartitions(col(keyName), col("ts_ns"), col("event_id"))
@@ -79,10 +79,13 @@ object StatefulQueries {
   }
 
   /** Q1 via secondary sort: one (key, max) scalar per key. */
-  def runningMaxSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
+  def runningMaxSecondarySort(spark: SparkSession, sfDir: String): DataFrame =
+    runningMaxSecondarySortOf(Tables.events(spark, sfDir))
+
+  def runningMaxSecondarySortOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    secondarySort(spark, sfDir,
+    secondarySort(events,
       Seq(year(col("ts")).cast("long").as("yr"),
           col("ts_ns"), col("event_id"), col("value")),
       "yr",
@@ -111,12 +114,15 @@ object StatefulQueries {
     * 50 summed records are all non-finite (each CAST yields NULL) emits a
     * NULL average, exactly like the declarative twin. */
   def blockAvgSecondarySort(spark: SparkSession, sfDir: String,
-                            emitCount: Int = 50): DataFrame = {
+                            emitCount: Int = 50): DataFrame =
+    blockAvgSecondarySortOf(Tables.events(spark, sfDir), emitCount)
+
+  def blockAvgSecondarySortOf(events: DataFrame, emitCount: Int = 50): DataFrame = {
     // a block is `emitCount` summed records + 1 trigger record (the
     // reference's 51-record trigger-discard cycle)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    secondarySort(spark, sfDir,
+    secondarySort(events,
       Seq(col("event_type"), col("ts_ns"), col("event_id"), col("value")),
       "event_type",
       StructType(Seq(
@@ -152,10 +158,13 @@ object StatefulQueries {
   /** Q3 via secondary sort: partition by year, sort within partitions, one
     * pass holding the per-month running max as a small in-pass map (12
     * entries — the MapState shape) that resets at year boundaries. */
-  def runningMaxMonthSecondarySort(spark: SparkSession, sfDir: String): DataFrame = {
+  def runningMaxMonthSecondarySort(spark: SparkSession, sfDir: String): DataFrame =
+    runningMaxMonthSecondarySortOf(Tables.events(spark, sfDir))
+
+  def runningMaxMonthSecondarySortOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    secondarySort(spark, sfDir,
+    secondarySort(events,
       Seq(year(col("ts")).cast("long").as("yr"),
           month(col("ts")).cast("long").as("mon"),
           col("ts_ns"), col("event_id"), col("value")),
@@ -187,10 +196,14 @@ object StatefulQueries {
     * one pass with a per-key sub-threshold counter (the ListState-size
     * semantics) that emits on breach and resets at key boundaries. */
   def thresholdGapsSecondarySort(spark: SparkSession, sfDir: String,
-                                 threshold: Double = 100.0): DataFrame = {
+                                 threshold: Double = 100.0): DataFrame =
+    thresholdGapsSecondarySortOf(Tables.events(spark, sfDir), threshold)
+
+  def thresholdGapsSecondarySortOf(events: DataFrame,
+                                   threshold: Double = 100.0): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    secondarySort(spark, sfDir,
+    secondarySort(events,
       Seq(col("event_type"), col("ts_ns"), col("event_id"), col("value")),
       "event_type",
       StructType(Seq(
