@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.StockCsv
+import graft.operators.KeyedOps
+
+/** Drop-in entry points for the reference's four jobs: a user of
+  * kundan59/Stock-Price-Analysis-... points these at the same CSV and gets
+  * the same per-record emission stream as the reference's `print()` sink,
+  * as a DataFrame. Each is the corresponding KeyedOps transform (oracle- and
+  * golden-tested) wired to the stock schema ([[graft.io.StockCsv]]); the
+  * incremental forms live in [[graft.streaming.StatefulOps]].
+  */
+object StockJobs {
+
+  /** Running max closing price per year — the reference's
+    * MaximumClosingPrice.java:47-82 (ValueState). Emits one
+    * (year, running max) record per input row, in date order per year. */
+  def maxClosePricePerYear(spark: SparkSession, csvPath: String): DataFrame =
+    KeyedOps.runningMax(
+        StockCsv.read(spark, csvPath).withColumn("yr", year(col("Date"))),
+        Seq(col("yr")), Seq(col("Date")), col("Close"), "max_close")
+      .select(col("yr").as("year"), col("max_close"))
+
+  /** 51-record rolling average of the high price per symbol — the
+    * reference's RollingAverageHighPrice.java:56-113 (ValueState +
+    * ReducingState): sums 50 records, the 51st triggers the emission and is
+    * discarded. One row per completed block. */
+  def rollingAvgHighPrice(spark: SparkSession, csvPath: String): DataFrame =
+    KeyedOps.blockAverage(
+        StockCsv.read(spark, csvPath),
+        Seq(col("Symbol")), Seq(col("Date")), col("High"), "avg_high")
+      .select(col("Symbol").as("symbol"), col("block"), col("avg_high"))
+
+  /** Running max trade volume per (year, month) — the reference's
+    * MaxTradeVolumePerYearPerMonth.java:53-91 (MapState keyed by month
+    * within the year's state). */
+  def maxVolumePerYearMonth(spark: SparkSession, csvPath: String): DataFrame =
+    KeyedOps.runningMax(
+        StockCsv.read(spark, csvPath)
+          .withColumn("yr", year(col("Date"))).withColumn("mon", month(col("Date"))),
+        Seq(col("yr"), col("mon")), Seq(col("Date")), col("Volume"), "max_volume")
+      .select(col("yr").as("year"), col("mon").as("month"), col("max_volume"))
+
+  /** Trading days elapsed between close-price threshold breaches — the
+    * reference's DaysSincePriceThreshold.java:61-102 (ListState consumed
+    * only via its size, i.e. a per-key counter). One row per breach with the
+    * sub-threshold run length before it. */
+  def daysSinceCloseThreshold(spark: SparkSession, csvPath: String,
+                              threshold: Double = 300.0): DataFrame =
+    KeyedOps.thresholdGaps(
+        StockCsv.read(spark, csvPath),
+        Seq(col("Symbol")), Seq(col("Date")), col("Close"), threshold, "days")
+      .select(col("Symbol").as("symbol"), col("Date").as("date"), col("days"))
+}
