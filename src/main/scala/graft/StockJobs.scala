@@ -53,4 +53,41 @@ object StockJobs {
         StockCsv.read(spark, csvPath),
         Seq(col("Symbol")), Seq(col("Date")), col("Close"), threshold, "days")
       .select(col("Symbol").as("symbol"), col("Date").as("date"), col("days"))
+
+  // ---- incremental (Structured Streaming) forms: the stock CSV directory as
+  //      a file stream feeding the flatMapGroupsWithState keyed-state ops —
+  //      the execution model the reference actually uses. Ord = epoch day of
+  //      the quote date (monotone per key like the file order the reference
+  //      relies on). Start with `.writeStream`, or execute on the bounded
+  //      batch read for testing — both run the same operator.
+
+  import graft.streaming.StatefulOps
+  import graft.streaming.StatefulOps.KV
+
+  private def kvStream(spark: SparkSession, dir: String,
+                       keyCol: String, valueCol: String) = {
+    import spark.implicits._
+    StockCsv.readStream(spark, dir)
+      .select(col(keyCol).cast("string").as("key"),
+              datediff(col("Date"), lit("1970-01-01")).cast("long").as("ord"),
+              col(valueCol).as("value"))
+      .as[KV]
+  }
+
+  /** Streaming [[maxClosePricePerYear]]: per-record running max per year over
+    * a stock-CSV file stream (MaximumClosingPrice.java's DataStream shape). */
+  def maxClosePricePerYearStream(spark: SparkSession, dir: String): DataFrame =
+    StatefulOps.runningMax(kvStream(spark, dir, "Date", "Close")
+        .map(kv => kv.copy(key = kv.key.substring(0, 4)))(
+          org.apache.spark.sql.Encoders.product[KV]))
+      .toDF()
+      .select(col("key").cast("int").as("year"), col("ord"), col("out").as("max_close"))
+
+  /** Streaming [[daysSinceCloseThreshold]]: breach gap counts per symbol over
+    * a stock-CSV file stream (DaysSincePriceThreshold.java's shape). */
+  def daysSinceCloseThresholdStream(spark: SparkSession, dir: String,
+                                    threshold: Double = 300.0): DataFrame =
+    StatefulOps.thresholdGaps(kvStream(spark, dir, "Symbol", "Close"), threshold)
+      .toDF()
+      .select(col("key").as("symbol"), col("ord"), col("gap").as("days"))
 }

@@ -24,4 +24,26 @@ class StockJobsSpec extends SparkSpec {
     assert(q4.columns.toSeq === Seq("symbol", "date", "days"))
     assert(q4.count() === 5191) // breach rows only, like the reference's emissions
   }
+
+  test("streaming forms run the real engine over the CSV file source") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-stock").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(HdfcCsv),
+      java.nio.file.Paths.get(dir, "HDFC.csv"))
+    val q1 = StockJobs.maxClosePricePerYearStream(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("sj_q1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val out = spark.table("sj_q1")
+    assert(out.count() === 5204)
+    val finals = out.groupBy(col("year")).agg(max(col("max_close")).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(finals(2000) === 561.55 && finals(2020) === 2492.30) // HDFC goldens
+
+    val q4 = StockJobs.daysSinceCloseThresholdStream(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("sj_q4")
+      .trigger(Trigger.AvailableNow()).start()
+    q4.awaitTermination()
+    assert(spark.table("sj_q4").count() === 5191)
+  }
 }
