@@ -90,4 +90,30 @@ object StockJobs {
     StatefulOps.thresholdGaps(kvStream(spark, dir, "Symbol", "Close"), threshold)
       .toDF()
       .select(col("key").as("symbol"), col("ord"), col("gap").as("days"))
+
+  /** Streaming [[rollingAvgHighPrice]]: 51-record trigger-discard block
+    * averages per symbol (RollingAverageHighPrice.java's shape); blocks that
+    * span micro-batches carry their partial sum in keyed state. */
+  def rollingAvgHighPriceStream(spark: SparkSession, dir: String): DataFrame =
+    StatefulOps.blockAverage(kvStream(spark, dir, "Symbol", "High"))
+      .toDF()
+      .select(col("key").as("symbol"), col("ord"), col("out").as("avg_high"))
+
+  /** Streaming [[maxVolumePerYearMonth]]: running max volume with the month
+    * as a true subkey map inside the year's state
+    * (MaxTradeVolumePerYearPerMonth.java's MapState shape). */
+  def maxVolumePerYearMonthStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.KSV
+    val ksv = StockCsv.readStream(spark, dir)
+      .select(year(col("Date")).cast("string").as("key"),
+              month(col("Date")).cast("string").as("subkey"),
+              datediff(col("Date"), lit("1970-01-01")).cast("long").as("ord"),
+              col("Volume").cast("double").as("value"))
+      .as[KSV]
+    StatefulOps.runningMaxBySubkey(ksv)
+      .toDF()
+      .select(col("key").cast("int").as("year"), col("subkey").cast("int").as("month"),
+              col("ord"), col("out").cast("long").as("max_volume"))
+  }
 }

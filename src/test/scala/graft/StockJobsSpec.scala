@@ -45,5 +45,20 @@ class StockJobsSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q4.awaitTermination()
     assert(spark.table("sj_q4").count() === 5191)
+
+    val q2 = StockJobs.rollingAvgHighPriceStream(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("sj_q2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("sj_q2").count() === 102)
+
+    val q3 = StockJobs.maxVolumePerYearMonthStream(spark, dir)
+      .writeStream.outputMode("append").format("memory").queryName("sj_q3")
+      .trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val t3 = spark.table("sj_q3")
+    assert(t3.count() === 5204)
+    assert(t3.filter(col("year") === 2020 && col("month") === 11)
+      .agg(max(col("max_volume"))).head().getLong(0) === 10179511L) // HDFC golden
   }
 }
