@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
+    "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
     "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
     // ---- training-data pipeline: similarity search ----
     "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -564,7 +565,9 @@ object SparkEntry {
       "q1p_running_max_secondary_sort" -> base("q1_running_max"),
       "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),
       "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),
-      "q4p_threshold_gaps_secondary_sort" -> base("q4_threshold_gaps"))
+      "q4p_threshold_gaps_secondary_sort" -> base("q4_threshold_gaps"),
+      // star contraction computes the same labeling as min-label propagation
+      "dedup_lsh_components_star"      -> base("dedup_lsh_components"))
   }
 
   /** Full-string polynomial hash (spaces included) — mirrors

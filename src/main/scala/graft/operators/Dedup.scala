@@ -345,6 +345,122 @@ object Dedup {
     }
   }
 
+  /** [[lshComponents]] computed by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) instead of min-label propagation. Same result,
+    * different scale envelope: propagation keeps a label row per node and
+    * re-joins the whole label table against the edges every round, while
+    * star contraction rewires the EDGE LIST itself — per-round work is two
+    * grouped aggregations plus joins on the current edge set, which
+    * shrinks toward one edge per non-root node. This is the variant to
+    * reach for when components are GIANT (a boilerplate cluster spanning a
+    * large corpus fraction): a high-diameter or high-fanout component
+    * costs propagation a wide label join per round, whereas contraction
+    * collapses it in O(log n) rounds with per-node work bounded by current
+    * degree. */
+  def lshComponentsStar(spark: SparkSession, sfDir: String,
+                        n: Int = 3, minEstJaccard: Double = 0.5,
+                        maxIterations: Int = 64): DataFrame =
+    lshComponentsStarOf(
+      minhashLshPairsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
+        minEstJaccard)
+        .select(col("doc_a"), col("doc_b")),
+      maxIterations)
+
+  /** Star-contraction connected components over an undirected edge list
+    * (doc_a, doc_b). Each round applies:
+    *
+    *  - **large-star**: every node connects its strictly-larger neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - **small-star**: every node connects itself and its smaller
+    *    neighbors to that minimum.
+    *
+    * Both steps preserve connectivity and only ever lower endpoints, so
+    * the edge set converges to disjoint stars rooted at each component's
+    * minimum id — the same (doc_id, component) labeling
+    * [[lshComponentsOf]] produces. Fixpoint is detected by edge-set
+    * equality between rounds (counts first, then a set difference, both on
+    * the already-materialized frames). Memory per task is bounded by the
+    * grouped-aggregation buffers — no collect_list of neighborhoods, no
+    * label table. */
+  def lshComponentsStarOf(pairs: DataFrame, maxIterations: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    val callerCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cachedPairs = if (callerCached) pairs else pairs.cache()
+    val pairCount = cachedPairs.count()
+    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      pairCount / 25000L + 1L)).toInt
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    def release(df: DataFrame): Unit = if (df != null) {
+      df.unpersist()
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(df)
+        .foreach(_.unpersist(blocking = false))
+    }
+    var edges: DataFrame = null
+    try {
+      // canonical distinct (hi > lo) edges; localCheckpoint truncates the
+      // per-round plan growth exactly as in the propagation loop
+      edges = cachedPairs
+        .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+                least(col("doc_a"), col("doc_b")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint(true)
+      var nEdges = edges.count()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIterations) {
+        iter += 1
+        // large-star: symmetrize, take each node's closed-neighborhood min m,
+        // re-point larger neighbors at m
+        val sym = edges.select(explode(array(
+            struct(col("hi").as("src"), col("lo").as("dst")),
+            struct(col("lo").as("src"), col("hi").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val mins = sym.groupBy(col("src"))
+          .agg(min(col("dst")).as("nmin"))
+          .select(col("src"), least(col("src"), col("nmin")).as("m"))
+        val large = sym.join(mins, "src")
+          .filter(col("dst") > col("src") && col("dst") =!= col("m"))
+          .select(col("dst").as("hi"), col("m").as("lo"))
+          .distinct()
+        // small-star on the canonical (hi > lo) output: per hi, re-point hi
+        // and its smaller neighbors at the neighborhood min
+        val sMins = large.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+        val small = large.join(sMins, "hi")
+          .filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .union(sMins.select(col("hi"), col("m").as("lo")))
+          .filter(col("hi") =!= col("lo"))
+          .distinct()
+          .localCheckpoint(true)
+        val nNext = small.count()
+        // set equality on two distinct, materialized frames = fixpoint of
+        // both steps (any change strictly lowers an endpoint)
+        converged = nNext == nEdges && small.except(edges).isEmpty
+        release(edges)
+        edges = small
+        nEdges = nNext
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"lshComponentsStar did not converge within $maxIterations rounds")
+      // stars: every non-root points at its component root; roots label themselves
+      edges.select(col("hi").as("doc_id"), col("lo").as("component"))
+        .union(edges.select(col("lo").as("doc_id"), col("lo").as("component")))
+        .distinct()
+        .orderBy(col("doc_id"))
+    } catch {
+      case t: Throwable =>
+        release(edges)
+        throw t
+    } finally {
+      if (!callerCached) cachedPairs.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+  }
+
   /** The end of the dedup pipeline: one keep/drop decision per document.
     * Docs in a near-dup component keep only the component representative
     * (its minimum doc_id — exactly the component label); docs outside any

@@ -85,6 +85,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("star-contraction components match min-label propagation exactly") {
+    val star = Dedup.lshComponentsStar(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prop = Dedup.lshComponents(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star.nonEmpty)
+    assert(star === prop)
+  }
+
+  test("star contraction handles chain, clique, and giant-star graphs") {
+    // a 400-node path (diameter 399), a 30-clique, and a 500-leaf star —
+    // the giant-component shapes the contraction variant exists for
+    val chain  = (0L until 399L).map(i => (i, i + 1))
+    val clique = for (a <- 1000L until 1030L; b <- (a + 1) until 1030L) yield (a, b)
+    val bigStar = (2001L to 2500L).map(i => (2000L, i))
+    val pairs = (chain ++ clique ++ bigStar).toSeq.toDF("doc_a", "doc_b")
+    val got = Dedup.lshComponentsStarOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want =
+      (0L to 399L).map(i => (i, 0L)) ++
+      (1000L until 1030L).map(i => (i, 1000L)) ++
+      (2000L to 2500L).map(i => (i, 2000L))
+    assert(got === want.toSet)
+    // and the propagation twin agrees
+    val prop = Dedup.lshComponentsOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prop === got)
+  }
+
+  test("star contraction on an empty edge list yields no components") {
+    assert(Dedup.lshComponentsStarOf(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+  }
+
   test("LSH bucket cap drops degenerate buckets without building giant rows") {
     // 300 near-identical docs (a boilerplate cluster: every band bucket has
     // all 300 members) + 2 genuine near-dups that stay under any sane cap
