@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_lsh_topk"     -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiProbeTopK(s, dir)),
     "kmeans_assign"        -> ((s, dir) => Similarity.kmeansAssignments(s, dir)),
+    "kmeans_assign_sampled" -> ((s, dir) => Similarity.kmeansAssignmentsSampled(s, dir)),
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_ivf_trained_probe2" -> ((s, dir) => Similarity.ivfTrainedMultiProbeTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
@@ -453,6 +454,10 @@ object SparkEntry {
       s"""WITH $kmeansCtes
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
          |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
+    "kmeans_assign_sampled" ->
+      s"""WITH $kmeansCtesSampled
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
     "ann_ivf_trained_topk" ->
       s"""WITH $kmeansCtes,
          |base AS (SELECT v.vec_id, v.vec, a.cluster
@@ -701,12 +706,13 @@ object SparkEntry {
 
   /** Assignment CTE: per (vector, centroid) score = cc - 2*dot (same
     * association as Similarity.withCluster), argmin tie-broken by centroid
-    * id via row_number. */
-  private def kmeansAssignCte(cCte: String, name: String): String =
+    * id via row_number. `src` is the vector view being assigned — the full
+    * table for final assignment, the train view inside sampled rounds. */
+  private def kmeansAssignCte(cCte: String, name: String, src: String = "kv"): String =
     s"""${name}_s AS (
        | SELECT v.vec_id, c.cid,
        |   list_dot_product(c.cvec, c.cvec) - 2*list_dot_product(v.vec, c.cvec) AS score
-       | FROM kv v, $cCte c),
+       | FROM $src v, $cCte c),
        |$name AS (
        | SELECT vec_id, cid AS cluster FROM (
        |   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
@@ -716,13 +722,13 @@ object SparkEntry {
     * (floor(comp * 2^30)) — exact, order-independent — then
     * (CAST(sum AS DOUBLE)/count)/2^30 in that association
     * (Similarity.KMeansQuantum). */
-  private def kmeansRecomputeCte(aCte: String, name: String): String = {
+  private def kmeansRecomputeCte(aCte: String, name: String, src: String = "kv"): String = {
     val q = graft.operators.Similarity.KMeansQuantum
     s"""$name AS (
        | SELECT cluster AS cid, list(mean ORDER BY dim) AS cvec FROM (
        |   SELECT cluster, CAST(r.range AS INT) AS dim,
        |     CAST(CAST(sum(CAST(floor(vec[CAST(r.range AS INT)+1] * $q) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/$q AS mean
-       |   FROM $aCte JOIN kv USING (vec_id), range($KMeansDim) r GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+       |   FROM $aCte JOIN $src USING (vec_id), range($KMeansDim) r GROUP BY 1, 2) GROUP BY 1)""".stripMargin
   }
 
   /** The full Lloyd chain: init from the first k vec_ids, `KMeansRounds`
@@ -739,4 +745,22 @@ object SparkEntry {
   }
 
   private def kmeansFinalAssign: String = s"a${KMeansRounds + 1}"
+
+  private val KMeansSampleMod = 4
+
+  /** The sampled Lloyd chain (Similarity.kmeansAssignmentsSampled): training
+    * rounds run over `kt` (vec_id % sampleMod = 0), seeded from the first k
+    * SAMPLED vectors; only the final assignment reads the full table. */
+  private def kmeansCtesSampled: String = {
+    val rounds = (1 to KMeansRounds).map { r =>
+      kmeansAssignCte(if (r == 1) "c0" else s"c${r - 1}", s"a$r", "kt") + ",\n" +
+        kmeansRecomputeCte(s"a$r", s"c$r", "kt")
+    }.mkString(",\n")
+    s"""kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |kt AS (SELECT vec_id, vec FROM kv WHERE vec_id % $KMeansSampleMod = 0),
+       |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM kt
+       |       WHERE vec_id < ${KMeansK * KMeansSampleMod}),
+       |$rounds,
+       |${kmeansAssignCte(s"c$KMeansRounds", kmeansFinalAssign)}""".stripMargin
+  }
 }

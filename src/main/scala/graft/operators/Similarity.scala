@@ -180,9 +180,13 @@ object Similarity {
     * the Pregel loop in Dedup.lshComponentsOf — the corpus never does).
     * Empty clusters drop out (both engines agree on the surviving set).
     * Returns the trained centroids ordered by centroid id. */
-  def kmeansCentroids(base: DataFrame, k: Int = 8, rounds: Int = 2): Seq[(Long, Array[Double])] = {
+  def kmeansCentroids(base: DataFrame, k: Int = 8, rounds: Int = 2,
+                      initBelow: Long = -1L): Seq[(Long, Array[Double])] = {
+    // default init: the first k vec_ids. A sampled train set passes a wider
+    // bound (k * sampleMod) so the seed still collects k sampled vectors.
+    val seedBound = if (initBelow >= 0L) initBelow else k.toLong
     var cents: Seq[(Long, Array[Double])] = base
-      .filter(col("vec_id") < k)
+      .filter(col("vec_id") < seedBound)
       .select(col("vec_id"), col("vec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -229,6 +233,27 @@ object Similarity {
       // the returned plan holds the centroids as LITERALS — it no longer
       // needs the cache, which only served the training rounds' actions
       withCluster(base, kmeansCentroids(base, k, rounds))
+        .select(col("vec_id"), col("cluster"))
+        .orderBy(col("vec_id"))
+    }
+
+  /** [[kmeansAssignments]] with the trainer run over a deterministic SAMPLE
+    * (`vec_id % sampleMod == 0`) while the assignment covers the full
+    * corpus — how a coarse quantizer is actually built at 100 TB: Lloyd
+    * rounds touch 1/sampleMod of the data (per-round cost shrinks
+    * sampleMod-fold), and the full corpus is only ever read by the final
+    * zero-shuffle assignment projection. The seed takes the first k
+    * sampled vectors (`vec_id < k*sampleMod`), so the init is as
+    * deterministic as the unsampled trainer's. The oracle replays the
+    * identical sampled loop. */
+  def kmeansAssignmentsSampled(spark: SparkSession, sfDir: String,
+                               k: Int = 8, rounds: Int = 2,
+                               sampleMod: Int = 4): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val train = base.filter(col("vec_id") % sampleMod === 0)
+      val cents = kmeansCentroids(train, k, rounds,
+        initBelow = k.toLong * sampleMod)
+      withCluster(base, cents)
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     }

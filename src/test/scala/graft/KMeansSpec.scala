@@ -20,6 +20,35 @@ class KMeansSpec extends SparkSpec {
     } finally a.unpersist()
   }
 
+  test("sampled kmeans: full coverage, sampled seeds, and a model that beats its init") {
+    val a = Similarity.kmeansAssignmentsSampled(spark, Sf0001, k = 8, rounds = 2, sampleMod = 4)
+      .cache()
+    try {
+      assert(a.count() === base.count())
+      val cids = a.select("cluster").distinct().as[Long].collect().toSet
+      // seeds are the first 8 SAMPLED ids: multiples of 4 below 32
+      assert(cids.subsetOf((0L until 32L by 4L).toSet))
+      assert(cids.size > 1)
+    } finally a.unpersist()
+    // training on a quarter of the corpus must still improve FULL-corpus SSE
+    // over its own untrained seed centroids
+    val b = base
+    def sse(cents: Seq[(Long, Array[Double])]): Double =
+      Similarity.withCluster(b, cents)
+        .join(cents.map { case (cid, c) => (cid, c) }.toDF("cid", "cvec"),
+              col("cluster") === col("cid"))
+        .select(
+          (Similarity.dot(col("vec"), col("vec"))
+            - lit(2.0) * Similarity.dot(col("vec"), col("cvec"))
+            + Similarity.dot(col("cvec"), col("cvec"))).as("d2"))
+        .agg(sum("d2")).head().getDouble(0)
+    val train = b.filter(col("vec_id") % 4 === 0)
+    val seed = train.filter(col("vec_id") < 32).select(col("vec_id"), col("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    val trained = Similarity.kmeansCentroids(train, k = 8, rounds = 2, initBelow = 32L)
+    assert(sse(trained) < sse(seed))
+  }
+
   test("kmeans: training strictly reduces within-cluster SSE vs the init assignment") {
     val b = base
     def sse(cents: Seq[(Long, Array[Double])]): Double =
