@@ -92,6 +92,8 @@ object SparkEntry {
     "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
+    "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
+    "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -374,6 +376,31 @@ object SparkEntry {
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
          |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
+    "split_stratified" ->
+      """WITH t AS (
+        | SELECT doc_id, lang, source,
+        |  (doc_id * 2654435761) % 1000000007 AS h
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, lang, source,
+        |  (row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) - 1) % 10 AS slot
+        | FROM t)
+        |SELECT doc_id, lang, source,
+        | CASE WHEN slot < 8 THEN 'train' WHEN slot < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokenHashesSql) AS th FROM documents),
+         |tf AS (SELECT doc_id, th, count(*) AS tf FROM tk GROUP BY doc_id, th),
+         |dfq AS (SELECT th, count(DISTINCT doc_id) AS df FROM tk GROUP BY th),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, th, tf, df,
+         |       CAST(tf * n_docs AS DOUBLE)/df AS score
+         |      FROM tf JOIN dfq USING (th), n),
+         |r AS (SELECT doc_id, th, tf, df, score,
+         |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, th ASC) AS rk
+         |      FROM s)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, th, tf, df, score
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |w AS (SELECT doc_id,

@@ -131,6 +131,76 @@ object TextOps {
       .orderBy(col("df").desc, col("th").asc)
       .limit(k)
 
+  /** Deterministic stratified train/val/test split — the dataset-assembly
+    * step of a training pipeline. Within each (lang, source) stratum,
+    * documents are ordered by an integer hash of doc_id (a Knuth
+    * multiplicative mix — NOT `rand()`: task retries and speculative
+    * execution must not move a document between splits) and dealt
+    * round-robin into 10 slots: `trainPer10` → train, `valPer10` → val,
+    * rest → test. Every stratum is split in EXACT proportion (±1 doc), which
+    * hash-bucket splits only achieve in expectation.
+    *
+    * One window shuffle on the stratum key. At 100 TB the per-stratum
+    * row_number is the cost to examine: strata here are (lang, source)
+    * cells, which spread; when exact proportions aren't required, the
+    * shuffle-free degenerate form is `(hash % 10)` as the slot — same
+    * column contract, zero exchanges. */
+  def stratifiedSplit(spark: SparkSession, sfDir: String,
+                      trainPer10: Int = 8, valPer10: Int = 1): DataFrame =
+    stratifiedSplitOf(
+      Tables.spreadIfNarrow(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id")),
+      trainPer10, valPer10)
+
+  def stratifiedSplitOf(d: DataFrame,
+                        trainPer10: Int = 8, valPer10: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("slot", (row_number().over(w) - 1) % 10)
+      .withColumn("split",
+        when(col("slot") < trainPer10, lit("train"))
+          .when(col("slot") < trainPer10 + valPer10, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document top-k terms by TF-IDF — the featurization step after
+    * [[vocabTopK]]'s vocabulary build. The IDF is the LOG-FREE rational
+    * `N / df` (score = tf * N / df): `ln` is a libm call whose last ulp
+    * differs across engines, while integer multiply + one correctly-rounded
+    * double division is bit-identical everywhere — the ranking it induces is
+    * the same as log-idf's (log is monotone).
+    *
+    * Shuffle shape: one groupBy (doc, token) for tf, one groupBy token for
+    * df (Zipfian head absorbed by partial aggregation), a join on token
+    * (vocab-sized right side — planner's choice of broadcast vs shuffle),
+    * and the per-doc top-k window. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    tfidfTopTermsOf(documentsFor(spark, sfDir), k)
+
+  def tfidfTopTermsOf(d: DataFrame, k: Int = 3): DataFrame = {
+    val docs = d.select(col("doc_id"), col("text"))
+    val tf = docs.select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("tf"))
+    val dfreq = docs.select(explode(array_distinct(tokenHashes(col("text")))).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("th").asc)
+    tf.join(dfreq, "th")
+      .crossJoin(nDocs)
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("th"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Winnowing fingerprints (the MOSS local-fingerprint scheme): over the
     * word-n-gram shingle-hash sequence, take the minimum hash of every
     * window of `w` consecutive shingles, then the distinct set per document.

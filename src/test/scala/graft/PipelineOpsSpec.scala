@@ -75,6 +75,52 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("stratified split: exact per-stratum proportions, deterministic, total coverage") {
+    val s = TextOps.stratifiedSplit(spark, Sf0001).cache()
+    try {
+      val docs = graft.io.Tables.documents(spark, Sf0001)
+      assert(s.count() === docs.count()) // every doc lands in exactly one split
+      // per-stratum proportions are exact up to the round-robin remainder:
+      // each full deal of 10 gives 8/1/1
+      val perStratum = s.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+             sum(when(col("split") === "val", 1L).otherwise(0L)).as("va"),
+             sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+        .collect()
+      perStratum.foreach { r =>
+        val (n, tr, va, te) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(tr + va + te === n)
+        assert(tr >= (n / 10) * 8 && tr <= (n / 10) * 8 + 8, s"train=$tr of n=$n")
+        assert(va <= n / 10 + 1 && te <= n / 10 + 1)
+      }
+      // rerun is byte-identical (no rand(), no partition-order dependence)
+      val again = TextOps.stratifiedSplit(spark, Sf0001)
+      assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty)
+    } finally s.unpersist()
+  }
+
+  test("tfidf top terms: k rows per doc, scores consistent with tf and df") {
+    val t = TextOps.tfidfTopTerms(spark, Sf0001, k = 3).cache()
+    try {
+      assert(t.count() > 0)
+      // rank runs 1..k per doc with strictly descending (score, th) order
+      val bad = t.withColumn("prev",
+          lag(col("score"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("rk"))))
+        .filter(col("prev").isNotNull && col("prev") < col("score"))
+      assert(bad.count() === 0)
+      // score = tf * N / df exactly
+      val n = graft.io.Tables.documents(spark, Sf0001).count().toDouble
+      val off = t.filter(
+        abs(col("score") - col("tf") * lit(n) / col("df")) > lit(1e-12)).count()
+      assert(off === 0)
+      // a token appearing in every document is never a top term of any
+      // multi-token doc unless its tf dominates: df == N gives score == tf
+      assert(t.filter(col("df") > n).count() === 0)
+    } finally t.unpersist()
+  }
+
   test("dedup_decisions: one keeper per component, singletons keep themselves") {
     val d = Dedup.dedupDecisions(spark, Sf0001).cache()
     try {
