@@ -187,8 +187,12 @@ object TextOps {
     val docs = d.select(col("doc_id"), col("text"))
     val tf = docs.select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))
       .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("tf"))
-    val dfreq = docs.select(explode(array_distinct(tokenHashes(col("text")))).as("th"))
-      .groupBy(col("th")).agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, token), so the per-token row
+    // count IS the document frequency). Catalyst inlines the tf subplan into
+    // both consumers rather than materializing it — the right trade: the
+    // duplicated work is one more column-pruned scan + explode, while
+    // caching the token-level frame at corpus scale would dwarf it.
+    val dfreq = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("th").asc)
