@@ -93,6 +93,7 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
+    "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
@@ -408,6 +409,24 @@ object SparkEntry {
          | FROM t)
          |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
          |ORDER BY doc_id, fp""".stripMargin,
+    "contamination_check" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(sh)-2), i -> list_min(sh[i:i+3]))) AS fps
+         | FROM t),
+         |f AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w),
+         |fr AS (SELECT fp, count(*) AS freq FROM f GROUP BY fp),
+         |ev AS (SELECT doc_id AS eval_id, fp FROM f WHERE doc_id % 50 = 0),
+         |evsz AS (SELECT eval_id, count(*) AS n_fp FROM ev GROUP BY eval_id),
+         |hits AS (
+         | SELECT f.doc_id AS train_id, ev.eval_id, count(*) AS n_shared
+         | FROM f JOIN fr USING (fp) JOIN ev USING (fp)
+         | WHERE fr.freq <= 100 AND f.doc_id <> ev.eval_id
+         | GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_shared,
+         | CAST(n_shared AS DOUBLE)/n_fp AS overlap
+         |FROM hits JOIN evsz USING (eval_id)
+         |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
     "dedup_decisions" ->
       s"""WITH RECURSIVE pairs AS ($lshSqlBody),
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs

@@ -216,6 +216,55 @@ object TextOps {
                          n: Int = 3, w: Int = 4): DataFrame =
     winnowFingerprintsOf(documentsFor(spark, sfDir), n, w)
 
+  /** Benchmark decontamination: training documents sharing winnowing
+    * fingerprints with an eval/benchmark set. A shared fingerprint witnesses
+    * a shared token run of >= w+n-1 tokens ([[winnowFingerprints]]'s
+    * guarantee), so `n_shared` counts independent overlapping passages and
+    * `overlap` (= n_shared / the eval doc's fingerprint count) is the
+    * contamination score an exclusion decision thresholds on.
+    *
+    * The default eval set is the deterministic `doc_id % evalMod` slice —
+    * the stand-in for an external benchmark table; [[contaminationOf]] takes
+    * any two (doc_id, text) frames. Train-side fingerprints above
+    * `maxFpFreq` are dropped before the join (the hot-shingle cap of
+    * [[Dedup.ngramJaccardOf]] applied to fingerprints): a boilerplate
+    * passage shared by half the corpus would otherwise fan the join out
+    * quadratically while witnessing nothing about specific contamination.
+    *
+    * Shuffle shape: one window+join co-partitioned on fingerprint, one
+    * group-by pair, one (small) eval-size join. */
+  def contamination(spark: SparkSession, sfDir: String,
+                    evalMod: Int = 50, n: Int = 3, w: Int = 4,
+                    minShared: Long = 2L, maxFpFreq: Int = 100): DataFrame = {
+    val d = documentsFor(spark, sfDir)
+    contaminationOf(d, d.filter(col("doc_id") % evalMod === 0),
+      n, w, minShared, maxFpFreq)
+  }
+
+  def contaminationOf(corpus: DataFrame, evalSet: DataFrame,
+                      n: Int = 3, w: Int = 4,
+                      minShared: Long = 2L, maxFpFreq: Int = 100): DataFrame = {
+    def fps(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(graft.functions.HashExpressions.winnow_mins(
+        shingleHashes(col("text"), n), w)).as("fp"))
+    val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val tr = fps(corpus, "train_id")
+      .withColumn("freq", count(lit(1)).over(fpW))
+      .filter(col("freq") <= maxFpFreq)
+      .drop("freq")
+    val ev = fps(evalSet, "eval_id")
+    val evSize = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_fp"))
+    tr.join(ev, "fp")
+      .filter(col("train_id") =!= col("eval_id"))
+      .groupBy(col("train_id"), col("eval_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(evSize, "eval_id")
+      .select(col("train_id"), col("eval_id"), col("n_shared"),
+              (col("n_shared").cast("double") / col("n_fp")).as("overlap"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     // native one-pass deque kernel (codegen'd) — the HOF formulation
     // (array_distinct over per-window array_min slices) is interpreted and

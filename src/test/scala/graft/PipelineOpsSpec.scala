@@ -121,6 +121,24 @@ class PipelineOpsSpec extends SparkSpec {
     } finally t.unpersist()
   }
 
+  test("contamination: planted passage overlap detected; self and unrelated excluded") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (1L, "prefix words come first here " + passage + " then suffix words trail"),
+      (2L, "totally unrelated content about graph algorithms and catalyst plans"),
+      (100L, passage)).toDF("doc_id", "text")
+    val ev = Seq((100L, passage)).toDF("doc_id", "text")
+    val got = TextOps.contaminationOf(corpus, ev, minShared = 1L).collect()
+    // doc 1 embeds the whole eval passage -> must share fingerprints
+    // (any shared run of >= w+n-1 tokens yields a shared fingerprint);
+    // doc 2 shares nothing; doc 100 IS the eval doc (excluded as self)
+    assert(got.map(_.getLong(0)).toSet === Set(1L))
+    val r = got.head
+    assert(r.getLong(1) === 100L)
+    assert(r.getLong(2) >= 1L)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   test("dedup_decisions: one keeper per component, singletons keep themselves") {
     val d = Dedup.dedupDecisions(spark, Sf0001).cache()
     try {
