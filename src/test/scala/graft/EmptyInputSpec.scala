@@ -20,7 +20,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.fingerprintsOf(emptyDocs).count() === 0)
     assert(TextOps.qualityFilterOf(emptyDocs).count() === 0)
     assert(TextOps.winnowFingerprintsOf(emptyDocs).count() === 0)
+    assert(TextOps.tfidfTopTermsOf(emptyDocs).count() === 0)
+    assert(TextOps.contaminationOf(emptyDocs, emptyDocs).count() === 0)
+    assert(TextOps.stratifiedSplitOf(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "source")).count() === 0)
+    // empty eval set against a real corpus: no hits, no crash
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    assert(TextOps.contaminationOf(docs, emptyDocs).count() === 0)
   }
+
 
   test("dedup operators: empty in, empty out (including the component loop)") {
     assert(Dedup.exactOf(emptyDocs).count() === 0)
