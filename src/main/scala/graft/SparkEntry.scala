@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Multimodal, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK}
+import graft.operators.{Dedup, KeyedOps, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -94,6 +94,7 @@ object SparkEntry {
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
+    "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
@@ -354,41 +355,37 @@ object SparkEntry {
          |SELECT id AS doc_id, min(lab) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "quality_filter" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |  len(string_split(text,' ')) AS n_tokens,
-        |  len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS score_en,
-        |  len(list_filter(string_split(text,' '), x -> x='der' OR x='die' OR x='und')) AS score_de,
-        |  len(list_filter(string_split(text,' '), x -> x='le' OR x='la' OR x='et')) AS score_fr,
-        |  len(list_filter(string_split(text,' '), x -> x='el' OR x='los' OR x='y')) AS score_es
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id, n_tokens,
-        |  CAST(least(n_tokens,100) AS DOUBLE)/100.0*(1.0 - CAST(score_en AS DOUBLE)/n_tokens) AS quality_score,
-        |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
-        |   WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
-        |   WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
-        |   WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
-        |   ELSE 'es' END AS lang_guess
-        | FROM t)
-        |SELECT doc_id, n_tokens, quality_score, lang_guess FROM s
-        |WHERE lang_guess = 'en' AND quality_score >= 0.5 ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityScoredCtes
+         |SELECT doc_id, n_tokens, quality_score, lang_guess FROM qs
+         |WHERE lang_guess = 'en' AND quality_score >= 0.5 ORDER BY doc_id""".stripMargin,
+    "curation_manifest" ->
+      s"""WITH RECURSIVE pairs AS ($lshSqlBody),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, lab) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |$qualityScoredCtes,
+         |$splitCtes
+         |SELECT d.doc_id,
+         | CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS keep,
+         | qs.quality_score, qs.lang_guess, sp.split,
+         | CAST(d.doc_id = coalesce(c.component, d.doc_id)
+         |      AND qs.lang_guess = 'en' AND qs.quality_score >= 0.5
+         |      AND sp.split = 'train' AS BIGINT) AS selected
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         | JOIN qs USING (doc_id) JOIN sp USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "vocab_topk" ->
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
          |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
     "split_stratified" ->
-      """WITH t AS (
-        | SELECT doc_id, lang, source,
-        |  (doc_id * 2654435761) % 1000000007 AS h
-        | FROM documents),
-        |r AS (
-        | SELECT doc_id, lang, source,
-        |  (row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) - 1) % 10 AS slot
-        | FROM t)
-        |SELECT doc_id, lang, source,
-        | CASE WHEN slot < 8 THEN 'train' WHEN slot < 9 THEN 'val' ELSE 'test' END AS split
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH $splitCtes
+         |SELECT doc_id, lang, source, split FROM sp ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokenHashesSql) AS th FROM documents),
          |tf AS (SELECT doc_id, th, count(*) AS tf FROM tk GROUP BY doc_id, th),
@@ -685,6 +682,44 @@ object SparkEntry {
       val base = bIdx * 3
       s"((mh$base*31 + mh${base + 1}) % $P * 31 + mh${base + 2}) % $P AS band$bIdx"
     }.mkString(", ")
+
+  /** Unfiltered quality-scoring CTEs (qt, qs) — mirrors
+    * TextOps.qualityScoredOf; shared by quality_filter and
+    * curation_manifest. */
+  private def qualityScoredCtes: String =
+    """qt AS (
+      | SELECT doc_id,
+      |  len(string_split(text,' ')) AS n_tokens,
+      |  len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS score_en,
+      |  len(list_filter(string_split(text,' '), x -> x='der' OR x='die' OR x='und')) AS score_de,
+      |  len(list_filter(string_split(text,' '), x -> x='le' OR x='la' OR x='et')) AS score_fr,
+      |  len(list_filter(string_split(text,' '), x -> x='el' OR x='los' OR x='y')) AS score_es
+      | FROM documents),
+      |qs AS (
+      | SELECT doc_id, n_tokens,
+      |  CAST(least(n_tokens,100) AS DOUBLE)/100.0*(1.0 - CAST(score_en AS DOUBLE)/n_tokens) AS quality_score,
+      |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+      |   WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+      |   WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+      |   WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+      |   ELSE 'es' END AS lang_guess
+      | FROM qt)""".stripMargin
+
+  /** Stratified-split CTEs (spt, spr, sp) — mirrors TextOps.splitAssignOf;
+    * shared by split_stratified and curation_manifest. */
+  private def splitCtes: String =
+    """spt AS (
+      | SELECT doc_id, lang, source,
+      |  (doc_id * 2654435761) % 1000000007 AS h
+      | FROM documents),
+      |spr AS (
+      | SELECT doc_id, lang, source,
+      |  (row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) - 1) % 10 AS slot
+      | FROM spt),
+      |sp AS (
+      | SELECT doc_id, lang, source,
+      |  CASE WHEN slot < 8 THEN 'train' WHEN slot < 9 THEN 'val' ELSE 'test' END AS split
+      | FROM spr)""".stripMargin
 
   /** One SimHash bit term: sign of the ±1 vote sum, scaled by 2^j. */
   private def simhashBitSql(j: Int): String =

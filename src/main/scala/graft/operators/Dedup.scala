@@ -236,6 +236,17 @@ object Dedup {
   def lshComponents(spark: SparkSession, sfDir: String,
                     n: Int = 3, minEstJaccard: Double = 0.5,
                     maxIterations: Int = 64): DataFrame =
+    componentsFor(spark, sfDir, n, minEstJaccard, maxIterations)
+      .orderBy(col("doc_id"))
+
+  /** The unsorted (doc_id, component) table over the corpus's LSH candidate
+    * graph — the composable form: consumers that JOIN it (dedupDecisions,
+    * Pipeline.curationManifest) must not pay a range exchange for a
+    * presentation order the join immediately destroys; the component table
+    * is corpus-fraction-sized on dup-heavy corpora. */
+  private[operators] def componentsFor(spark: SparkSession, sfDir: String,
+                                       n: Int = 3, minEstJaccard: Double = 0.5,
+                                       maxIterations: Int = 64): DataFrame =
     lshComponentsOf(
       minhashLshPairsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
         minEstJaccard)
@@ -332,8 +343,8 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"lshComponents did not converge within $maxIterations rounds")
+      // unsorted: callers that present it sort; callers that join it must not
       labels.select(col("id").as("doc_id"), col("label").as("component"))
-        .orderBy(col("doc_id"))
     } catch {
       case t: Throwable =>
         release(labels) // the result frame isn't escaping; free its blocks too
@@ -366,6 +377,7 @@ object Dedup {
         minEstJaccard)
         .select(col("doc_a"), col("doc_b")),
       maxIterations)
+      .orderBy(col("doc_id"))
 
   /** Star-contraction connected components over an undirected edge list
     * (doc_a, doc_b). Each round applies:
@@ -446,11 +458,11 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"lshComponentsStar did not converge within $maxIterations rounds")
-      // stars: every non-root points at its component root; roots label themselves
+      // stars: every non-root points at its component root; roots label
+      // themselves. Unsorted — callers that present it sort.
       edges.select(col("hi").as("doc_id"), col("lo").as("component"))
         .union(edges.select(col("lo").as("doc_id"), col("lo").as("component")))
         .distinct()
-        .orderBy(col("doc_id"))
     } catch {
       case t: Throwable =>
         release(edges)
@@ -473,8 +485,7 @@ object Dedup {
   def dedupDecisions(spark: SparkSession, sfDir: String,
                      n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
     dedupDecisionsOf(documentsFor(spark, sfDir).select(col("doc_id")),
-      lshComponents(spark, sfDir, n, minEstJaccard)
-        .select(col("doc_id"), col("component")))
+      componentsFor(spark, sfDir, n, minEstJaccard))
 
   def dedupDecisionsOf(docs: DataFrame, components: DataFrame): DataFrame =
     docs

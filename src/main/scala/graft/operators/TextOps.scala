@@ -92,7 +92,15 @@ object TextOps {
     qualityFilterOf(documentsFor(spark, sfDir), minQuality, lang)
 
   def qualityFilterOf(d: DataFrame,
-                      minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+                      minQuality: Double = 0.5, lang: String = "en"): DataFrame =
+    qualityScoredOf(d)
+      .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
+      .orderBy(col("doc_id"))
+
+  /** The unfiltered (doc_id, n_tokens, quality_score, lang_guess) scoring
+    * projection [[qualityFilterOf]] and [[curationManifest]] both gate on —
+    * still one narrow pass, no shuffle, no ORDER BY (callers decide). */
+  def qualityScoredOf(d: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val scored = LangMarkers.foldLeft(
       d.select(col("doc_id"), col("text"),
@@ -111,9 +119,7 @@ object TextOps {
       .withColumn("quality_score",
         least(col("n_tokens"), lit(100)).cast("double") / 100.0 * (lit(1.0) - col("stop_ratio")))
       .withColumn("lang_guess", guess)
-      .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("lang_guess"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus vocabulary by document frequency: the top-k token hashes by the
@@ -154,7 +160,13 @@ object TextOps {
       trainPer10, valPer10)
 
   def stratifiedSplitOf(d: DataFrame,
-                        trainPer10: Int = 8, valPer10: Int = 1): DataFrame = {
+                        trainPer10: Int = 8, valPer10: Int = 1): DataFrame =
+    splitAssignOf(d, trainPer10, valPer10).orderBy(col("doc_id"))
+
+  /** [[stratifiedSplitOf]] without the presentation sort — the composable
+    * form ([[Pipeline.curationManifest]] joins it on doc_id). */
+  private[operators] def splitAssignOf(d: DataFrame,
+                                       trainPer10: Int = 8, valPer10: Int = 1): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"), col("source"))
       .orderBy(col("h"), col("doc_id"))
@@ -166,7 +178,6 @@ object TextOps {
           .when(col("slot") < trainPer10 + valPer10, lit("val"))
           .otherwise(lit("test")))
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-document top-k terms by TF-IDF — the featurization step after

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Dedup, Pipeline, TextOps}
 
 /** Structural invariants of the composite pipeline operators (values are
   * oracle-gated: quality_filter, winnow_fingerprints, dedup_decisions). */
@@ -119,6 +119,25 @@ class PipelineOpsSpec extends SparkSpec {
       // multi-token doc unless its tf dominates: df == N gives score == tf
       assert(t.filter(col("df") > n).count() === 0)
     } finally t.unpersist()
+  }
+
+  test("curation manifest agrees with its three ingredient operators") {
+    val m = Pipeline.curationManifest(spark, Sf0001).cache()
+    try {
+      val nDocs = graft.io.Tables.documents(spark, Sf0001).count()
+      assert(m.count() === nDocs)
+      val dec = Dedup.dedupDecisions(spark, Sf0001)
+        .select(col("doc_id"), col("keep").as("k2"))
+      assert(m.join(dec, "doc_id").filter(col("keep") =!= col("k2")).count() === 0)
+      val sp = TextOps.stratifiedSplit(spark, Sf0001)
+        .select(col("doc_id"), col("split").as("s2"))
+      assert(m.join(sp, "doc_id").filter(col("split") =!= col("s2")).count() === 0)
+      assert(m.filter(col("selected") === 1L &&
+        !(col("keep") === 1L && col("lang_guess") === "en" &&
+          col("quality_score") >= 0.5 && col("split") === "train")).count() === 0)
+      val nSel = m.filter(col("selected") === 1L).count()
+      assert(nSel > 0 && nSel < nDocs) // the gates actually gate
+    } finally m.unpersist()
   }
 
   test("contamination: planted passage overlap detected; self and unrelated excluded") {
