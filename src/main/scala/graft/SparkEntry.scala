@@ -26,9 +26,12 @@ import graft.operators.{Dedup, KeyedOps, Multimodal, Pipeline, Relational, Sessi
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The curation manifest composes the engine's own dedup, quality, and
+    * split operators into one plan — one row per document, every gate's
+    * verdict, the final selection. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+    Pipeline.curationManifest(spark, "/root/testdata/sf0.001")
 
   private val P = graft.functions.TextFunctions.HashMod // 1000000007
 
