@@ -76,6 +76,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), s"no global sort exchange:\n$p")
   }
 
+  test("curation_manifest: exactly one range exchange — the final presentation sort") {
+    // the unsorted-core composition claim: no ingredient pays a sort below a
+    // join; the only rangepartitioning in the whole composed plan is the
+    // manifest's own ORDER BY doc_id
+    val p = plan("curation_manifest")
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(rangeExchanges === 1, p)
+  }
+
+  test("split_stratified: the stratum window is the only shuffle beyond the local spread") {
+    val p = plan("split_stratified")
+    // two hash exchanges: the small-file spread (vanishes on pre-split
+    // inputs) and the (lang, source) window partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 2, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)

@@ -114,6 +114,13 @@ class TextDedupSpec extends SparkSpec {
     assert(prop === got)
   }
 
+  test("star contraction raises at the iteration cap instead of returning partial labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      Dedup.lshComponentsStarOf(pairs, maxIterations = 0)
+    }
+  }
+
   test("star contraction on an empty edge list yields no components") {
     assert(Dedup.lshComponentsStarOf(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
