@@ -51,6 +51,32 @@ class StreamSourcesSpec extends SparkSpec {
     assert(out.sameElements(Array(1L, 2L, 5L)), out.mkString(","))
   }
 
+  test("quality scoring and language ID run unchanged on a stream") {
+    // the corpus gates are pure projections (no sort, no shuffle), so the
+    // SAME operator bodies lift to readStream without modification — batch
+    // and streaming verdicts must agree row for row
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.qualityScoredOf(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("qs_out").start()
+    val docs = Seq(
+      (1L, "the cat sat on a mat and the dog slept near the door"),
+      (2L, "der hund und die katze und der vogel"),
+      (3L, "short"))
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qs_out").collect().map(_.toSeq).toSet
+    val batch = graft.operators.TextOps.qualityScoredOf(docs.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3)
+  }
+
   test("foreachBatch sink routes micro-batches into a batch parquet writer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
