@@ -713,7 +713,7 @@ object SparkEntry {
   private def splitCtes: String =
     """spt AS (
       | SELECT doc_id, lang, source,
-      |  (doc_id * 2654435761) % 1000000007 AS h
+      |  ((doc_id % 1000000007) * 2654435761) % 1000000007 AS h
       | FROM documents),
       |spr AS (
       | SELECT doc_id, lang, source,

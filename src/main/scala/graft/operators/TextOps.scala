@@ -171,7 +171,12 @@ object TextOps {
       .partitionBy(col("lang"), col("source"))
       .orderBy(col("h"), col("doc_id"))
     d.select(col("doc_id"), col("lang"), col("source"))
-      .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(1000000007L))
+      // reduce doc_id mod P BEFORE the multiply: (P-1) * 2654435761 < 2^63,
+      // so the product cannot overflow for ANY doc_id — DuckDB errors on
+      // BIGINT overflow while Spark wraps, so an overflow would be a
+      // cross-engine divergence, not just a wrong shuffle
+      .withColumn("h",
+        ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L))
       .withColumn("slot", (row_number().over(w) - 1) % 10)
       .withColumn("split",
         when(col("slot") < trainPer10, lit("train"))
