@@ -88,11 +88,14 @@ object SparkEntry {
     "q10a_approx_distinct" -> ((s, dir) => Relational.approxDistinctCounts(s, dir)),
     "q10b_approx_quantiles" -> ((s, dir) => Relational.approxQuantiles(s, dir)),
     "q11_orders_rollup"   -> ((s, dir) => Relational.ordersRollup(s, dir)),
+    "q24_pivot"           -> ((s, dir) => Relational.revenuePivot(s, dir)),
+    "q25_unpivot"         -> ((s, dir) => Relational.partMetricsUnpivot(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
+    "rep_stats"        -> ((s, dir) => TextOps.repetitionStats(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
@@ -119,6 +122,7 @@ object SparkEntry {
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     "ann_ivf_trained_probe2" -> ((s, dir) => Similarity.ivfTrainedMultiProbeTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
+    "semantic_near_dup" -> ((s, dir) => Similarity.semanticNearDup(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -252,6 +256,16 @@ object SparkEntry {
         | max(CASE WHEN rn = CAST(ceil(0.95*n) AS BIGINT) THEN l_extendedprice END) AS p95_disc,
         | TRUE AS approx_ok
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_pivot" ->
+      s"""SELECT l_returnflag,
+         | ${dd(s"sum($decPrice * ($one - $decDisc)) FILTER (WHERE l_linestatus = 'F')")} AS rev_f,
+         | ${dd(s"sum($decPrice * ($one - $decDisc)) FILTER (WHERE l_linestatus = 'O')")} AS rev_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "q11_orders_rollup" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderstatus,
         | ${dd("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total_price,
@@ -382,6 +396,27 @@ object SparkEntry {
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          | JOIN qs USING (doc_id) JOIN sp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "rep_stats" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |b AS (SELECT doc_id, ths,
+         |  list_transform(range(1, len(ths)), i -> (ths[i]*31 + ths[i+1]) % $P) AS bgs FROM t),
+         |m AS (SELECT doc_id,
+         |  len(ths) AS n_tokens,
+         |  len(list_distinct(ths)) AS n_distinct,
+         |  list_max(list_transform(list_distinct(ths), u -> len(list_filter(ths, x -> x = u)))) AS top_cnt,
+         |  len(bgs) AS n_bigrams,
+         |  len(list_distinct(bgs)) AS n_distinct_bigrams
+         | FROM b),
+         |r AS (SELECT doc_id, n_tokens, n_distinct,
+         |  CAST(n_distinct AS DOUBLE)/n_tokens AS distinct_ratio,
+         |  CAST(top_cnt AS DOUBLE)/n_tokens AS top_token_frac,
+         |  CASE WHEN n_bigrams = 0 THEN 0.0
+         |   ELSE CAST(n_bigrams - n_distinct_bigrams AS DOUBLE)/n_bigrams END AS dup_bigram_frac
+         | FROM m)
+         |SELECT doc_id, n_tokens, n_distinct, distinct_ratio, top_token_frac, dup_bigram_frac,
+         | CAST(distinct_ratio >= 0.35 AND top_token_frac <= 0.15
+         |      AND dup_bigram_frac <= 0.10 AS BIGINT) AS gopher_ok
+         |FROM r ORDER BY doc_id""".stripMargin,
     "vocab_topk" ->
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
@@ -550,6 +585,21 @@ object SparkEntry {
          | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |  ${cosineSql("a.v", "b.v")} AS cos
          | FROM br a JOIN br b ON a.label = b.label AND a.band_idx = b.band_idx
+         |  AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM cand
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "semantic_near_dup" ->
+      s"""WITH $kmeansCtesSampled,
+         |nbase AS (SELECT v.vec_id, a.cluster, v.vec AS v
+         |          FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)),
+         |br AS (
+         | ${(0 until 4).map(b =>
+              s"SELECT vec_id, cluster, v, $b AS band_idx, (${nearDupBandSql("v", b)}) AS bkt FROM nbase")
+              .mkString("\n | UNION ALL ")}),
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${cosineSql("a.v", "b.v")} AS cos
+         | FROM br a JOIN br b ON a.cluster = b.cluster AND a.band_idx = b.band_idx
          |  AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM cand
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,

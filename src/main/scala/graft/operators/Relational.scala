@@ -225,6 +225,40 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Pivot: the revenue matrix l_returnflag × l_linestatus, one column per
+    * linestatus. The pivot values are EXPLICIT — `pivot(col)` without them
+    * first runs a driver-side DISTINCT collect over the pivot column, an
+    * extra full pass at 100 TB (and a nondeterministic column set); with
+    * values given, the pivot plans in two phases: an ordinary map-side-
+    * combined sum down to the ≤ |groups|×|values| cells, then a `pivotfirst`
+    * over those cells — so only the first shuffle ever carries rows
+    * proportional to the input (pinned in PlanSpec). Decimal-exact sums cast
+    * to double once, as everywhere. */
+  def revenuePivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double"))
+      .withColumnRenamed("F", "rev_f")
+      .withColumnRenamed("O", "rev_o")
+      .orderBy(col("l_returnflag"))
+
+  /** Unpivot (melt): wide part metrics to long (p_partkey, metric, value).
+    * Plans as a zero-shuffle Expand projection — each input row emits one
+    * output row per value column in place, so the operator is a pure map at
+    * any scale (the UNION-ALL formulation the oracle uses would scan the
+    * table once per metric). Value columns are cast to a common double type,
+    * which `unpivot` requires. */
+  def partMetricsUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
   /** Rollup (grouping-sets family) over year(o_orderdate) × o_orderstatus. */
   def ordersRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)

@@ -319,22 +319,30 @@ object Similarity {
     * known-small. The oracle SQL applies the identical banding. */
   def cosineNearDup(spark: SparkSession, sfDir: String,
                     threshold: Double = 0.95,
-                    numBands: Int = 4, planesPerBand: Int = 2): DataFrame = {
+                    numBands: Int = 4, planesPerBand: Int = 2): DataFrame =
+    bandedNearDupOf(baseDf(spark, sfDir), "label", threshold, numBands, planesPerBand)
+
+  /** The banded near-dup pair core shared by [[cosineNearDup]] (cell =
+    * `label`) and [[semanticNearDup]] (cell = trained cluster): explode each
+    * vector into its `numBands` (band_idx, bucket) rows, self-join on
+    * (cell, band, bucket), keep cos >= threshold, dedup multi-band hits. `e`
+    * must carry (vec_id, `cellCol`, vec, norm_v). */
+  private def bandedNearDupOf(e: DataFrame, cellCol: String, threshold: Double,
+                              numBands: Int, planesPerBand: Int): DataFrame = {
     val planes = hyperplanes(numBands * planesPerBand, 64)
-    val e = baseDf(spark, sfDir)
     val bandCols = (0 until numBands).map { b =>
       if (planesPerBand == 0) lit(0L)
       else hyperplaneBucket(col("vec"), planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
     }
     val banded = e
-      .select(col("vec_id"), col("label"), col("vec"), col("norm_v"),
+      .select(col("vec_id"), col(cellCol), col("vec"), col("norm_v"),
         posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "bkt")
-    val a = banded.select(col("vec_id").as("id_a"), col("label"), col("band_idx"), col("bkt"),
+    val a = banded.select(col("vec_id").as("id_a"), col(cellCol), col("band_idx"), col("bkt"),
       col("vec").as("vec_a"), col("norm_v").as("norm_a"))
-    val b = banded.select(col("vec_id").as("id_b"), col("label"), col("band_idx"), col("bkt"),
+    val b = banded.select(col("vec_id").as("id_b"), col(cellCol), col("band_idx"), col("bkt"),
       col("vec").as("vec_b"), col("norm_v").as("norm_b"))
-    a.join(b, Seq("label", "band_idx", "bkt"))
+    a.join(b, Seq(cellCol, "band_idx", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
@@ -342,4 +350,27 @@ object Similarity {
       .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** SEMANTIC near-duplicate detection: [[cosineNearDup]] with the coarse
+    * cell being a TRAINED k-means cluster instead of the pre-existing
+    * `label` column — the embedding-space dedup a corpus without labels
+    * needs. The quantizer is trained on the deterministic 1/sampleMod
+    * sample (the 100 TB recipe of [[kmeansAssignmentsSampled]]: Lloyd
+    * rounds never touch the full corpus), assignment is the zero-shuffle
+    * centroid-literal projection, and within each cluster the sign-LSH
+    * banding bounds the quadratic exactly as in [[cosineNearDup]] — so the
+    * pair search is quadratic only in (cluster ∩ band-bucket) cells, while
+    * near-identical vectors land in the same cluster by construction. */
+  def semanticNearDup(spark: SparkSession, sfDir: String,
+                      threshold: Double = 0.4,
+                      numBands: Int = 4, planesPerBand: Int = 2,
+                      nClusters: Int = 8, rounds: Int = 2,
+                      sampleMod: Int = 4): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base0 =>
+      val train = base0.filter(col("vec_id") % sampleMod === 0)
+      val cents = kmeansCentroids(train, nClusters, rounds,
+        initBelow = nClusters.toLong * sampleMod)
+      bandedNearDupOf(withCluster(base0, cents), "cluster",
+        threshold, numBands, planesPerBand)
+    }
 }

@@ -122,6 +122,59 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("lang_guess"))
   }
 
+  /** Repetition statistics — the Gopher-style repetition quality signals
+    * (Rae et al. 2021 §A1.1-style filters) over token hashes: the distinct-
+    * token ratio, the most-frequent-token fraction, and the duplicate-bigram
+    * fraction, plus the composite `gopher_ok` gate (1 when all three clear
+    * their thresholds). Repetitious documents (templated spam, stuck
+    * generation loops) are exactly what these catch in a pretraining corpus.
+    *
+    * Shape: ONE narrow projection over the scan — the per-row HOFs are
+    * O(tokens × distinct) worst-case, which for document-sized rows is noise
+    * next to the scan, and NOTHING shuffles: the operator is embarrassingly
+    * parallel at any corpus size (the alternative — explode + groupBy(doc,
+    * token) — costs a full token-level shuffle for the same answer).
+    * Thresholds sit inside the corpus's observed spread (distinct_ratio
+    * 0.28..1.0, top_token_frac 0.05..0.30, dup_bigram_frac 0..0.13) so the
+    * gate genuinely discriminates. */
+  def repetitionStats(spark: SparkSession, sfDir: String,
+                      minDistinctRatio: Double = 0.35,
+                      maxTopTokenFrac: Double = 0.15,
+                      maxDupBigramFrac: Double = 0.10): DataFrame =
+    repetitionStatsOf(documentsFor(spark, sfDir),
+      minDistinctRatio, maxTopTokenFrac, maxDupBigramFrac)
+
+  def repetitionStatsOf(d: DataFrame,
+                        minDistinctRatio: Double = 0.35,
+                        maxTopTokenFrac: Double = 0.15,
+                        maxDupBigramFrac: Double = 0.10): DataFrame =
+    d.select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .withColumn("bgs", graft.functions.HashExpressions.shingle_hashes(col("ths"), 2))
+      .select(
+        col("doc_id"),
+        size(col("ths")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ths"))).cast("long").as("n_distinct"),
+        // count of the modal token: for each distinct token, how often it
+        // occurs; max over those (array_distinct is never empty — split("")
+        // still yields one token — so array_max cannot see an empty array)
+        array_max(transform(array_distinct(col("ths")),
+          u => size(filter(col("ths"), x => x === u)))).cast("long").as("top_cnt"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("top_token_frac", col("top_cnt").cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")))
+      .withColumn("gopher_ok",
+        (col("distinct_ratio") >= minDistinctRatio &&
+          col("top_token_frac") <= maxTopTokenFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"),
+        col("gopher_ok"))
+      .orderBy(col("doc_id"))
+
   /** Corpus vocabulary by document frequency: the top-k token hashes by the
     * number of distinct documents containing them — the vocabulary-build /
     * stopword-discovery step of a corpus pipeline (the IDF denominator).

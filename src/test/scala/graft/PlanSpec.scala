@@ -94,6 +94,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"), p)
   }
 
+  test("rep_stats is a single-scan projection — the per-row HOFs never shuffle") {
+    val p = plan("rep_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, p) // the local small-file spread only
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q24_pivot: full-data shuffle once, then pivotfirst over cell-sized rows") {
+    val p = plan("q24_pivot")
+    // Spark's two-phase pivot: the (returnflag, linestatus) sum reduces the
+    // table to ≤6 cells before the pivot's own exchange — so only the FIRST
+    // of the two hash exchanges ever carries data proportional to the input,
+    // and no driver-side distinct-collect pass exists (values are explicit)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 2, p)
+    assert(p.contains("partial_sum"), p)      // map-side combine on the big agg
+    assert(p.contains("pivotfirst"), p)       // the cell-sized pivot phase
+  }
+
+  test("q25_unpivot plans as a zero-shuffle Expand projection") {
+    val p = plan("q25_unpivot")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"), p)
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)
