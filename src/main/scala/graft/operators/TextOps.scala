@@ -98,13 +98,29 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** The unfiltered (doc_id, n_tokens, quality_score, lang_guess) scoring
-    * projection [[qualityFilterOf]] and [[curationManifest]] both gate on —
-    * still one narrow pass, no shuffle, no ORDER BY (callers decide). */
-  def qualityScoredOf(d: DataFrame): DataFrame = {
+    * projection [[qualityFilterOf]] gates on — a pruned view of
+    * [[corpusGatesOf]] (Catalyst's column pruning drops the repetition
+    * expressions this view never references), so the two scorings cannot
+    * drift. Still one narrow pass, no shuffle, no ORDER BY. */
+  def qualityScoredOf(d: DataFrame): DataFrame =
+    corpusGatesOf(d)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("lang_guess"))
+
+  /** EVERY per-document corpus gate in one narrow projection: the
+    * language/quality scoring of [[qualityScoredOf]] plus the Gopher-style
+    * repetition signals of [[repetitionStats]] — so a pipeline that gates on
+    * all of them ([[Pipeline.curationManifest]]) pays ONE column-pruned text
+    * scan and zero joins between analysis passes. Unsorted composable core;
+    * a pure projection, so it lifts to Structured Streaming unchanged. */
+  def corpusGatesOf(d: DataFrame,
+                    minDistinctRatio: Double = 0.35,
+                    maxTopTokenFrac: Double = 0.15,
+                    maxDupBigramFrac: Double = 0.10): DataFrame = {
     val toks = tokens(col("text"))
     val scored = LangMarkers.foldLeft(
       d.select(col("doc_id"), col("text"),
-        size(toks).cast("long").as("n_tokens"))) {
+        size(toks).cast("long").as("n_tokens"),
+        tokenHashes(col("text")).as("ths"))) {
       case (df, (l, words)) => df.withColumn(s"score_$l", stopwordCount(col("text"), words))
     }
     val best = LangMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
@@ -119,7 +135,29 @@ object TextOps {
       .withColumn("quality_score",
         least(col("n_tokens"), lit(100)).cast("double") / 100.0 * (lit(1.0) - col("stop_ratio")))
       .withColumn("lang_guess", guess)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"), col("lang_guess"))
+      .withColumn("bgs", graft.functions.HashExpressions.shingle_hashes(col("ths"), 2))
+      .withColumn("n_distinct", size(array_distinct(col("ths"))).cast("long"))
+      // count of the modal token: for each distinct token, how often it
+      // occurs; max over those (array_distinct is never empty — split("")
+      // still yields one token — so array_max cannot see an empty array)
+      .withColumn("top_cnt",
+        array_max(transform(array_distinct(col("ths")),
+          u => size(filter(col("ths"), x => x === u)))).cast("long"))
+      .withColumn("n_bigrams", size(col("bgs")).cast("long"))
+      .withColumn("n_distinct_bigrams", size(array_distinct(col("bgs"))).cast("long"))
+      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("top_token_frac", col("top_cnt").cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")))
+      .withColumn("gopher_ok",
+        (col("distinct_ratio") >= minDistinctRatio &&
+          col("top_token_frac") <= maxTopTokenFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("quality_score"), col("lang_guess"),
+        col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"),
+        col("gopher_ok"))
   }
 
   /** Repetition statistics — the Gopher-style repetition quality signals
@@ -148,28 +186,7 @@ object TextOps {
                         minDistinctRatio: Double = 0.35,
                         maxTopTokenFrac: Double = 0.15,
                         maxDupBigramFrac: Double = 0.10): DataFrame =
-    d.select(col("doc_id"), tokenHashes(col("text")).as("ths"))
-      .withColumn("bgs", graft.functions.HashExpressions.shingle_hashes(col("ths"), 2))
-      .select(
-        col("doc_id"),
-        size(col("ths")).cast("long").as("n_tokens"),
-        size(array_distinct(col("ths"))).cast("long").as("n_distinct"),
-        // count of the modal token: for each distinct token, how often it
-        // occurs; max over those (array_distinct is never empty — split("")
-        // still yields one token — so array_max cannot see an empty array)
-        array_max(transform(array_distinct(col("ths")),
-          u => size(filter(col("ths"), x => x === u)))).cast("long").as("top_cnt"),
-        size(col("bgs")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bgs"))).cast("long").as("n_distinct_bigrams"))
-      .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_tokens"))
-      .withColumn("top_token_frac", col("top_cnt").cast("double") / col("n_tokens"))
-      .withColumn("dup_bigram_frac",
-        when(col("n_bigrams") === 0, lit(0.0))
-          .otherwise((col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams")))
-      .withColumn("gopher_ok",
-        (col("distinct_ratio") >= minDistinctRatio &&
-          col("top_token_frac") <= maxTopTokenFrac &&
-          col("dup_bigram_frac") <= maxDupBigramFrac).cast("long"))
+    corpusGatesOf(d, minDistinctRatio, maxTopTokenFrac, maxDupBigramFrac)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"),
         col("gopher_ok"))
