@@ -33,8 +33,12 @@ object Jdbc {
   def readPartitioned(spark: SparkSession, url: String, table: String,
                       partitionColumn: String, numPartitions: Int,
                       props: Properties = new Properties()): DataFrame = {
-    // quote via the url's dialect: Spark's JDBC writer creates quoted
-    // (case-exact) identifiers, so the probe must quote them the same way
+    // The COLUMN is quoted via the url's dialect (Spark's JDBC writer emits
+    // dialect-quoted, case-exact column identifiers). The TABLE is
+    // interpolated VERBATIM — exactly how Spark's own scan uses the dbtable
+    // string — so the probe resolves iff the subsequent read would: quoting
+    // it here would break every caller whose table name Spark's unquoted
+    // CREATE TABLE case-folded (JdbcSpec pins this with a mixed-case name).
     val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(partitionColumn)
     val bounds = spark.read
       .jdbc(url, s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) b", props)
@@ -42,10 +46,17 @@ object Jdbc {
     if (bounds.isNullAt(0)) // empty table: nothing to slice
       return read(spark, url, table, props)
     def asLong(i: Int) = bounds.get(i).asInstanceOf[Number].longValue
+    // upperBound is a stride boundary, not a filter: rows >= it land in the
+    // last (open-ended) slice. hi+1 keeps the max row out of that boundary
+    // case, but at Long.MaxValue the +1 would overflow negative and invert
+    // the bounds — saturate instead (fractional maxima truncate down, also
+    // covered by the open-ended last stride).
+    val hi = asLong(1)
+    val upper = if (hi == Long.MaxValue) Long.MaxValue else hi + 1L
     spark.read
       .option("partitionColumn", partitionColumn)
       .option("lowerBound", asLong(0))
-      .option("upperBound", asLong(1) + 1L)
+      .option("upperBound", upper)
       .option("numPartitions", numPartitions)
       .jdbc(url, table, props)
   }

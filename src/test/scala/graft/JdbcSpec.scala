@@ -34,4 +34,35 @@ class JdbcSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan"), p)
     assert(filtered.count() === orders.filter(col("o_totalprice") > cut).count())
   }
+
+  test("mixed-case table name survives the write → bounds-probe → read cycle") {
+    val home = java.nio.file.Files.createTempDirectory("graft_derby_mc").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val nations = Tables.nation(spark, Sf0001).select("n_nationkey", "n_name")
+    // the probe must reference the table the same way the read does, or a
+    // case-folding database (Derby) resolves them differently
+    Jdbc.write(nations, url, "Nations_Mixed", props)
+    val back = Jdbc.readPartitioned(spark, url, "Nations_Mixed", "n_nationkey", 3, props)
+    assert(back.count() === nations.count())
+    assert(back.exceptAll(nations).isEmpty)
+  }
+
+  test("bounds probe saturates instead of overflowing at Long.MaxValue") {
+    val home = java.nio.file.Files.createTempDirectory("graft_derby_ov").toString
+    System.setProperty("derby.system.home", home)
+    val url = s"jdbc:derby:$home/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    import spark.implicits._
+    val extremes = Seq(0L, 42L, Long.MaxValue).toDF("id")
+    Jdbc.write(extremes, url, "EXTREMES_T", props)
+    // pre-fix this threw (lowerBound > upperBound after the +1 wrapped)
+    val back = Jdbc.readPartitioned(spark, url, "EXTREMES_T", "id", 2, props)
+    assert(back.as[Long].collect().sorted === Array(0L, 42L, Long.MaxValue))
+  }
 }
