@@ -14,7 +14,9 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // overridable so plan-shape assertions can be exercised at other core
+      // counts (e.g. GRAFT_TEST_MASTER=local[2] sbt test)
+      .master(sys.env.getOrElse("GRAFT_TEST_MASTER", "local[4]"))
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir",
