@@ -385,15 +385,21 @@ object SparkEntry {
          | UNION
          | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
          |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |ex AS (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ex_keep
+         | FROM documents),
          |$qualityScoredCtes,
          |$splitCtes
          |SELECT d.doc_id,
-         | CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS keep,
+         | CAST(d.doc_id = coalesce(c.component, d.doc_id)
+         |      AND d.doc_id = ex.ex_keep AS BIGINT) AS keep,
          | qs.quality_score, qs.lang_guess, sp.split,
          | CAST(d.doc_id = coalesce(c.component, d.doc_id)
+         |      AND d.doc_id = ex.ex_keep
          |      AND qs.lang_guess = 'en' AND qs.quality_score >= 0.5
          |      AND sp.split = 'train' AS BIGINT) AS selected
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         | JOIN ex USING (doc_id)
          | JOIN qs USING (doc_id) JOIN sp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "rep_stats" ->

@@ -104,8 +104,11 @@ object Dedup {
     * Over-full buckets are DROPPED: their members are near-identical
     * boilerplate that exact dedup (one cheap hash shuffle, always run first
     * in a real pipeline) already collapses, and any pair also colliding in a
-    * non-degenerate band is still found there. The oracle SQL applies the
-    * same cap. */
+    * non-degenerate band is still found there.
+    * [[Pipeline.curationManifestOf]] encodes that contract — its keep
+    * decision composes the exact-fingerprint gate with the component table,
+    * so capped-away identical copies are still dropped. The oracle SQL
+    * applies the same cap. */
   val MaxLshBucketSize = 200
 
   /** Per-document MinHash signature (12 components) over word-3-gram shingle
@@ -239,19 +242,23 @@ object Dedup {
     componentsFor(spark, sfDir, n, minEstJaccard, maxIterations)
       .orderBy(col("doc_id"))
 
-  /** The unsorted (doc_id, component) table over the corpus's LSH candidate
-    * graph — the composable form: consumers that JOIN it (dedupDecisions,
-    * Pipeline.curationManifest) must not pay a range exchange for a
-    * presentation order the join immediately destroys; the component table
-    * is corpus-fraction-sized on dup-heavy corpora. */
+  /** The unsorted (doc_id, component) table over an arbitrary (doc_id, text)
+    * frame's LSH candidate graph — the composable form: consumers that JOIN
+    * it (dedupDecisions, Pipeline.curationManifest) must not pay a range
+    * exchange for a presentation order the join immediately destroys; the
+    * component table is corpus-fraction-sized on dup-heavy corpora. */
+  def componentsOf(docs: DataFrame,
+                   n: Int = 3, minEstJaccard: Double = 0.5,
+                   maxIterations: Int = 64): DataFrame =
+    lshComponentsOf(
+      minhashLshPairsOf(minhashSignaturesRaw(docs, n), minEstJaccard)
+        .select(col("doc_a"), col("doc_b")),
+      maxIterations)
+
   private[operators] def componentsFor(spark: SparkSession, sfDir: String,
                                        n: Int = 3, minEstJaccard: Double = 0.5,
                                        maxIterations: Int = 64): DataFrame =
-    lshComponentsOf(
-      minhashLshPairsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
-        minEstJaccard)
-        .select(col("doc_a"), col("doc_b")),
-      maxIterations)
+    componentsOf(documentsFor(spark, sfDir), n, minEstJaccard, maxIterations)
 
   /** Connected components over an undirected edge list (doc_a, doc_b).
     *

@@ -126,9 +126,17 @@ class PipelineOpsSpec extends SparkSpec {
     try {
       val nDocs = graft.io.Tables.documents(spark, Sf0001).count()
       assert(m.count() === nDocs)
+      // manifest keep = near-dup keeper (dedup_decisions) AND exact-dup
+      // representative (min doc_id per content fingerprint)
       val dec = Dedup.dedupDecisions(spark, Sf0001)
         .select(col("doc_id"), col("keep").as("k2"))
-      assert(m.join(dec, "doc_id").filter(col("keep") =!= col("k2")).count() === 0)
+      val fps = graft.io.Tables.documents(spark, Sf0001)
+        .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      val exRep = fps.join(fps.groupBy("fp").agg(min("doc_id").as("exk")), "fp")
+        .select(col("doc_id"), (col("doc_id") === col("exk")).as("isx"))
+      assert(m.join(dec, "doc_id").join(exRep, "doc_id")
+        .filter(col("keep") =!= (col("k2") === 1L && col("isx")).cast("long"))
+        .count() === 0)
       val sp = TextOps.stratifiedSplit(spark, Sf0001)
         .select(col("doc_id"), col("split").as("s2"))
       assert(m.join(sp, "doc_id").filter(col("split") =!= col("s2")).count() === 0)

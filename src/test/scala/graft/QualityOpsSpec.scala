@@ -90,4 +90,32 @@ class QualityOpsSpec extends SparkSpec {
     val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
     assert(ids.distinct.length === ids.length)
   }
+
+  test("curation manifest: exact-dedup gate catches LSH-invisible duplicate clusters") {
+    import graft.operators.Pipeline
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val docs = (
+      // 250 identical copies: one > MaxLshBucketSize bucket in EVERY band,
+      // so the capped LSH path generates no candidate pairs for them
+      (1 to 250).map(i => (i.toLong, boiler, "en", "web")) ++ Seq(
+        // identical but too short to shingle: never enters a band at all
+        (300L, "hi", "en", "web"),
+        (301L, "hi", "en", "web"),
+        (400L, "a genuinely distinct document about catalyst plan shapes", "en", "web"))
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = Pipeline.curationManifestOf(docs).cache()
+    try {
+      assert(m.count() === 253)
+      // of the 250-copy boilerplate cluster exactly the min doc_id survives
+      val boilerKeeps = m.filter(col("doc_id") <= 250L && col("keep") === 1L)
+        .select("doc_id").as[Long].collect()
+      assert(boilerKeeps.toSeq === Seq(1L))
+      // the short identical pair is collapsed by the exact gate too
+      val shortKeeps = m.filter(col("doc_id").isin(300L, 301L) && col("keep") === 1L)
+        .select("doc_id").as[Long].collect()
+      assert(shortKeeps.toSeq === Seq(300L))
+      // a unique document keeps itself
+      assert(m.filter(col("doc_id") === 400L).head().getAs[Long]("keep") === 1L)
+    } finally m.unpersist()
+  }
 }
