@@ -69,6 +69,8 @@ object SparkEntry {
     // ---- reference parity: the same four jobs in their STATEFUL streaming
     //      form (flatMapGroupsWithState, batch-executed) — same oracles ----
     "q1s_running_max_stateful"  -> ((s, dir) => StatefulQueries.runningMaxStateful(s, dir)),
+    // q1 through the REAL micro-batch engine (readStream → state store → sink)
+    "q1r_running_max_streaming" -> ((s, dir) => StatefulQueries.runningMaxStreaming(s, dir)),
     "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
     "q3s_running_max_month_stateful" -> ((s, dir) => StatefulQueries.runningMaxMonthStateful(s, dir)),
     "q4s_threshold_gaps_stateful" -> ((s, dir) => StatefulQueries.thresholdGapsStateful(s, dir)),
@@ -109,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_lsh_dropped"   -> ((s, dir) => Dedup.lshBucketStats(s, dir)),
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
     "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
     "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
@@ -360,6 +363,16 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$lshSqlBody
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_lsh_dropped" ->
+      s"""WITH $lshBandCtes,
+         |bs AS (SELECT band_idx, band_hash, count(*) AS sz FROM br
+         |       GROUP BY band_idx, band_hash HAVING count(*) >= 2)
+         |SELECT CAST(band_idx AS BIGINT) AS band_idx,
+         | count(*) AS n_buckets,
+         | CAST(sum(CASE WHEN sz > ${graft.operators.Dedup.MaxLshBucketSize} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_buckets,
+         | CAST(sum(CASE WHEN sz > ${graft.operators.Dedup.MaxLshBucketSize} THEN sz ELSE 0 END) AS BIGINT) AS n_dropped_docs,
+         | max(sz) AS max_bucket
+         |FROM bs GROUP BY band_idx ORDER BY band_idx""".stripMargin,
     "dedup_lsh_components" ->
       s"""WITH RECURSIVE pairs AS ($lshSqlBody),
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
@@ -664,6 +677,7 @@ object SparkEntry {
   )
     base ++ Map(
       "q1s_running_max_stateful"       -> base("q1_running_max"),
+      "q1r_running_max_streaming"      -> base("q1_running_max"),
       "q2s_block_avg_stateful"         -> base("q2_block_avg"),
       "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
       "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),
@@ -788,16 +802,22 @@ object SparkEntry {
     * can embed both standalone and as the edge list of the component query.
     * Band-row shape with the per-bucket membership cap, mirroring
     * Dedup.minhashLshPairsOf exactly (Dedup.MaxLshBucketSize). */
-  private def lshSqlBody: String = {
+  /** The shared band-row CTEs (d, sig, banded, br) — the input of both the
+    * candidate-pair query and the bucket-stats observability query. */
+  private def lshBandCtes: String = {
     val mhList = (0 until 12).map(j => s"mh$j").mkString(", ")
-    val cap = graft.operators.Dedup.MaxLshBucketSize
-    s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+    s"""d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |sig AS (SELECT doc_id, $minhashColsSql FROM d),
        |banded AS (SELECT *, $bandColsSql FROM sig WHERE mh0 <> $P),
        |br AS (
        | ${(0 until 4).map(b =>
             s"SELECT doc_id, $b AS band_idx, band$b AS band_hash, $mhList FROM banded")
-            .mkString("\n | UNION ALL ")}),
+            .mkString("\n | UNION ALL ")})""".stripMargin
+  }
+
+  private def lshSqlBody: String = {
+    val cap = graft.operators.Dedup.MaxLshBucketSize
+    s"""WITH $lshBandCtes,
        |bf AS (SELECT band_idx, band_hash FROM br GROUP BY band_idx, band_hash
        |       HAVING count(*) >= 2 AND count(*) <= $cap),
        |cand AS (

@@ -198,10 +198,10 @@ object Dedup {
       .select(col("a"), col("b"))
   }
 
-  /** [[minhashLshOf]] without the final presentation sort — the components
-    * input (a global range exchange feeding a cache/groupBy is pure waste). */
-  private def minhashLshPairsOf(sigsIn: DataFrame, minEstJaccard: Double,
-                                maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+  /** Band rows for an LSH signature frame: one (item, band_idx, band_hash)
+    * row per non-degenerate band per document — the shared input of the
+    * pair generator and the bucket-stats observability query. */
+  private def lshBandRowsOf(sigsIn: DataFrame): DataFrame = {
     val nSig = MinHashA.size
     val rows = nSig / Bands
     val bandCols = (0 until Bands).map { bIdx =>
@@ -211,10 +211,43 @@ object Dedup {
     }
     val bands = when(col("mh0") === HashMod, typedLit(Array.empty[Long]))
       .otherwise(array(bandCols: _*))
-    val exploded = sigsIn
+    sigsIn
       .select(struct(col("doc_id") +: (0 until nSig).map(j => col(s"mh$j")): _*).as("item"),
               posexplode(bands))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Observability for the LSH bucket cap ([[MaxLshBucketSize]]): per band,
+    * the number of candidate (2+-member) buckets, how many of them the cap
+    * DROPS, and how many member docs those dropped buckets held. At 100 TB
+    * the cap trades recall for boundedness — an operator must be able to SEE
+    * that loss (a spike in n_dropped_docs means a boilerplate flood that
+    * exact dedup had better be collapsing) instead of guessing. One narrow
+    * aggregation over the band rows: bucket sizes, then a 4-row rollup —
+    * strictly cheaper than the pair join it instruments. */
+  def lshBucketStats(spark: SparkSession, sfDir: String, n: Int = 3,
+                     maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    lshBucketStatsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n), maxBucketSize)
+
+  def lshBucketStatsOf(sigsIn: DataFrame,
+                       maxBucketSize: Int = MaxLshBucketSize): DataFrame =
+    lshBandRowsOf(sigsIn)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+           sum(when(col("sz") > maxBucketSize, 1L).otherwise(0L)).as("n_dropped_buckets"),
+           sum(when(col("sz") > maxBucketSize, col("sz")).otherwise(0L)).as("n_dropped_docs"),
+           max(col("sz")).as("max_bucket"))
+      .orderBy(col("band_idx"))
+
+  /** [[minhashLshOf]] without the final presentation sort — the components
+    * input (a global range exchange feeding a cache/groupBy is pure waste). */
+  private def minhashLshPairsOf(sigsIn: DataFrame, minEstJaccard: Double,
+                                maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val nSig = MinHashA.size
+    val exploded = lshBandRowsOf(sigsIn)
 
     // signature-component match count stays in whole-stage codegen: the 12
     // components ride as struct fields, compared via summed CASE WHENs

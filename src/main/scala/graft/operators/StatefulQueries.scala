@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.streaming.StatefulOps
@@ -29,6 +28,44 @@ object StatefulQueries {
               col("event_id").as("ord"), col("value"))
       .as[KV](kvEnc)
     StatefulOps.runningMax(kv).toDF()
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("out").as("run_max"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Q1 stateful form driven through the REAL micro-batch engine — the
+    * end-to-end proof that [[StatefulOps.runningMax]]'s
+    * flatMapGroupsWithState works against the state store, not just in
+    * batch execution: readStream file source over the events parquet →
+    * keyed stateful transform → append-mode memory sink, drained
+    * synchronously (Trigger.AvailableNow) and registered under the same
+    * oracle as q1. Mirrors [[Sessionize.tumblingHourlyStream]]'s shape,
+    * including the state-store width: every shuffle partition is a state
+    * store instance paying snapshot+commit I/O per micro-batch, so width
+    * is sized to the key cardinality (years — single digits), not the
+    * session default. */
+  def runningMaxStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val kv = stream
+      .select(year(col("ts")).cast("string").as("key"),
+              col("event_id").as("ord"), col("value"))
+      .as[KV](kvEnc)
+    val out = StatefulOps.runningMax(kv)
+    val qn = s"running_max_stream_${System.nanoTime()}"
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try out.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(qn).trigger(Trigger.AvailableNow()).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    spark.table(qn)
       .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
               col("out").as("run_max"))
       .orderBy(col("event_id"))
@@ -230,15 +267,14 @@ object StatefulQueries {
   }
 
   /** Q2 stateful form: 51-record block average per event_type. The block
-    * index is recovered as the per-key emission rank (emissions arrive in
-    * ord order). */
+    * index is part of the operator's keyed state (not recovered by ranking
+    * emissions downstream), so it stays correct when blocks span
+    * micro-batches. */
   def blockAvgStateful(spark: SparkSession, sfDir: String): DataFrame = {
     val kv = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
       .as[KV](kvEnc)
-    val w = Window.partitionBy(col("key")).orderBy(col("ord"))
     StatefulOps.blockAverage(kv).toDF()
-      .withColumn("block", (row_number().over(w) - 1).cast("long"))
       .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
       .orderBy(col("event_type"), col("block"))
   }

@@ -37,10 +37,12 @@ object StatefulOps {
   case class KSV(key: String, subkey: String, ord: Long, value: Double)
 
   case class KeyedOut(key: String, ord: Long, out: Double)
-  /** [[KeyedOut]] with a nullable value — [[blockAverage]] emits None for a
+  /** [[blockAverage]] emission: `block` is the per-key block index CARRIED
+    * IN STATE (not recovered downstream by ranking emissions, which would
+    * re-rank per micro-batch and break across batches); `out` is None for a
     * block whose every summed record was non-finite, mirroring the batch
     * twin's NULL DECIMAL sum. */
-  case class KeyedOutN(key: String, ord: Long, out: Option[Double])
+  case class KeyedOutN(key: String, ord: Long, block: Long, out: Option[Double])
   case class SubkeyOut(key: String, subkey: String, ord: Long, out: Double)
   case class GapOut(key: String, ord: Long, gap: Long)
 
@@ -49,7 +51,7 @@ object StatefulOps {
     * sum is exact, so the emitted average is bit-identical to the
     * DECIMAL(18,2)-exact batch form (and to the DuckDB oracle) regardless of
     * accumulation order. */
-  case class BlockAcc(count: Int, cents: Long, nFinite: Int)
+  case class BlockAcc(count: Int, cents: Long, nFinite: Int, block: Long)
   case class SubkeyMax(m: Map[String, Double])
   case class GapCount(n: Long)
 
@@ -86,7 +88,7 @@ object StatefulOps {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[BlockAcc, KeyedOutN](mode, GroupStateTimeout.NoTimeout) {
         (key, rows, state: GroupState[BlockAcc]) =>
-          var acc = if (state.exists) state.get else BlockAcc(0, 0L, 0)
+          var acc = if (state.exists) state.get else BlockAcc(0, 0L, 0, 0L)
           val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOutN]
           rows.toSeq.sortBy(_.ord).foreach { r =>
             if (acc.count < emitCount) {
@@ -100,14 +102,14 @@ object StatefulOps {
               if (java.lang.Double.isFinite(r.value)) {
                 val cents = (BigDecimal(r.value)
                   .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
-                acc = BlockAcc(acc.count + 1, acc.cents + cents, acc.nFinite + 1)
+                acc = BlockAcc(acc.count + 1, acc.cents + cents, acc.nFinite + 1, acc.block)
               } else
-                acc = BlockAcc(acc.count + 1, acc.cents, acc.nFinite)
+                acc = BlockAcc(acc.count + 1, acc.cents, acc.nFinite, acc.block)
             } else { // the trigger record: emit and discard it
               val avg = if (acc.nFinite == 0) None
                         else Some((acc.cents.toDouble / 100.0) / emitCount)
-              out += KeyedOutN(key, r.ord, avg)
-              acc = BlockAcc(0, 0L, 0)
+              out += KeyedOutN(key, r.ord, acc.block, avg)
+              acc = BlockAcc(0, 0L, 0, acc.block + 1L)
             }
           }
           state.update(acc)

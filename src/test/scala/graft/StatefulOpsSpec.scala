@@ -77,6 +77,21 @@ class StatefulOpsSpec extends SparkSpec {
     assert(avgs.takeRight(3).map(r3).toSeq === Seq(1760.370, 1846.819, 2022.036))
   }
 
+  test("blockAverage block indices continue across micro-batches (stateful, not re-ranked)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 153 records in 60-record chunks: every 51-record block spans a
+    // micro-batch boundary, so a per-batch re-rank would restart at 0
+    val kv = (1L to 153L).map(i => KV("k", i, i.toDouble))
+    val mem = MemoryStream[KV]
+    val q = StatefulOps.blockAverage(mem.toDS())
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("ba_blocks").start()
+    kv.grouped(60).foreach { chunk => mem.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("ba_blocks").as[KeyedOutN].collect().sortBy(_.ord)
+    assert(got.map(o => (o.ord, o.block)).toSeq === Seq((51L, 0L), (102L, 1L), (153L, 2L)))
+  }
+
   test("blockAverage: an all-non-finite block emits NULL like the batch DECIMAL sum") {
     // records 1..50 accumulate (all NaN -> every CAST is NULL), 51 triggers;
     // records 52..101 accumulate finite 1.0, 102 triggers

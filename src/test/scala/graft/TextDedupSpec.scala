@@ -179,4 +179,22 @@ class TextDedupSpec extends SparkSpec {
       .agg(min(col("quality_score")), max(col("quality_score"))).head()
     assert(st.getDouble(0) >= 0.0 && st.getDouble(1) <= 1.0)
   }
+
+  test("lsh bucket stats: an over-cap cluster is visible as dropped, per band") {
+    import graft.operators.Dedup
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val docs = ((1 to 250).map(i => (i.toLong, boiler)) :+
+      ((999L, "another unique and entirely different document body here")))
+      .toDF("doc_id", "text")
+    val stats = Dedup.lshBucketStatsOf(Dedup.minhashSignaturesOf(docs)).collect()
+    // the 250-copy cluster is one over-cap bucket in EVERY band; the unique
+    // doc collides with nothing, so it's also the only 2+-member bucket
+    assert(stats.length === 4)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") === 1L)
+      assert(r.getAs[Long]("n_dropped_buckets") === 1L)
+      assert(r.getAs[Long]("n_dropped_docs") === 250L)
+      assert(r.getAs[Long]("max_bucket") === 250L)
+    }
+  }
 }
