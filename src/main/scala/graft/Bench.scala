@@ -36,7 +36,7 @@ object Bench {
         sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$s'"))
       require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
       n
-    }.getOrElse(2)
+    }.getOrElse(3)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -52,12 +52,14 @@ object Pipeline {
   def curationManifestOf(docs: DataFrame,
                          minQuality: Double = 0.5, lang: String = "en",
                          trainPer10: Int = 8, valPer10: Int = 1): DataFrame = {
-    val narrow = Tables.spreadIfNarrow(
-      docs.select(col("doc_id"), col("text")), col("doc_id"))
+    val narrowRaw = docs.select(col("doc_id"), col("text"))
+    val narrow = Tables.spreadIfNarrow(narrowRaw, col("doc_id"))
     // exact-dup representative: min doc_id per content fingerprint, as a
     // window over the fingerprint partition — ONE hash shuffle, no join
-    // back against a grouped table
-    val exact = narrow
+    // back against a grouped table. Built on the UNSPREAD projection: the
+    // window's own fingerprint exchange is this branch's parallelism, so a
+    // spread repartition under it would be a second, wasted shuffle.
+    val exact = narrowRaw
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .withColumn("ex_keep",
         min(col("doc_id")).over(Window.partitionBy(col("fp"))))

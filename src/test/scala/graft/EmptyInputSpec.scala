@@ -44,6 +44,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.dedupDecisionsOf(
       emptyDocs.select(col("doc_id")),
       Seq.empty[(Long, Long)].toDF("doc_id", "component")).count() === 0)
+    assert(Dedup.lshBucketStatsOf(Dedup.minhashSignaturesOf(emptyDocs)).count() === 0)
+    assert(Dedup.componentsOf(emptyDocs).count() === 0)
+  }
+
+  test("curation manifest: empty corpus yields an empty manifest, not a crash") {
+    // exercises the full composed plan — exact-fp window, LSH components
+    // (empty candidate graph), quality gate, split — over zero rows
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.operators.Pipeline.curationManifestOf(empty).count() === 0)
   }
 
   test("null text rows flow through text/dedup operators without crashing") {
