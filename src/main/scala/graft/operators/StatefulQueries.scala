@@ -33,18 +33,19 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
-  /** Q1 stateful form driven through the REAL micro-batch engine — the
-    * end-to-end proof that [[StatefulOps.runningMax]]'s
-    * flatMapGroupsWithState works against the state store, not just in
-    * batch execution: readStream file source over the events parquet →
+  /** The shared scaffold for driving a keyed-state op through the REAL
+    * micro-batch engine — the end-to-end proof that the
+    * flatMapGroupsWithState family works against the state store, not just
+    * in batch execution: readStream file source over the events parquet →
     * keyed stateful transform → append-mode memory sink, drained
-    * synchronously (Trigger.AvailableNow) and registered under the same
-    * oracle as q1. Mirrors [[Sessionize.tumblingHourlyStream]]'s shape,
-    * including the state-store width: every shuffle partition is a state
-    * store instance paying snapshot+commit I/O per micro-batch, so width
-    * is sized to the key cardinality (years — single digits), not the
-    * session default. */
-  def runningMaxStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    * synchronously (Trigger.AvailableNow). Mirrors
+    * [[Sessionize.tumblingHourlyStream]]'s shape, including the state-store
+    * width: every shuffle partition is a state store instance paying
+    * snapshot+commit I/O per micro-batch, so width is sized to the key
+    * cardinality (years / event types — single digits), not the session
+    * default. */
+  private def drainStateful(spark: SparkSession, sfDir: String)
+                           (op: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -52,24 +53,42 @@ object StatefulQueries {
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    val kv = stream
-      .select(year(col("ts")).cast("string").as("key"),
-              col("event_id").as("ord"), col("value"))
-      .as[KV](kvEnc)
-    val out = StatefulOps.runningMax(kv)
-    val qn = s"running_max_stream_${System.nanoTime()}"
+    val out = op(stream)
+    val qn = s"stateful_stream_${System.nanoTime()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try out.toDF().writeStream.outputMode("append").format("memory")
+      try out.writeStream.outputMode("append").format("memory")
         .queryName(qn).trigger(Trigger.AvailableNow()).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
     spark.table(qn)
+  }
+
+  /** Q1 through the real micro-batch engine, registered under q1's oracle. */
+  def runningMaxStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    drainStateful(spark, sfDir) { stream =>
+      StatefulOps.runningMax(stream
+        .select(year(col("ts")).cast("string").as("key"),
+                col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
       .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
               col("out").as("run_max"))
       .orderBy(col("event_id"))
-  }
+
+  /** Q2 through the real micro-batch engine, registered under q2's oracle —
+    * the in-gate proof of the stateful block INDEX: it comes from the
+    * operator's keyed state ([[StatefulOps.blockAverage]]), the exact
+    * semantics that survive blocks spanning micro-batches. */
+  def blockAvgStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    drainStateful(spark, sfDir) { stream =>
+      StatefulOps.blockAverage(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
+      .orderBy(col("event_type"), col("block"))
 
   /** Per-key pass state for [[secondarySort]]: `reset()` fires at every key
     * boundary, `onRow` folds one (already key-ordered) record. */
