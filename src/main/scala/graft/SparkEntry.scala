@@ -105,6 +105,7 @@ object SparkEntry {
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
+    "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -457,6 +458,15 @@ object SparkEntry {
          |      FROM s)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, th, tf, df, score
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "pack_assign" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        | FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(pre // 2048 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |w AS (SELECT doc_id,

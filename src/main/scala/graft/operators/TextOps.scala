@@ -255,6 +255,52 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * packs. A training run concatenates documents into ~`budget`-token
+    * sequences; the assignment here is CONTIGUOUS-GREEDY in doc_id order —
+    * pack(d) = floor(tokens-before-d / budget) — which is fully
+    * deterministic (no partition-order dependence, retries/speculation
+    * cannot move a doc between packs) and a fixed point of the common
+    * "pack in corpus order" practice.
+    *
+    * The global running token sum is a TWO-LEVEL distributed prefix sum,
+    * all declarative: an in-chunk prefix window partitioned by
+    * `doc_id div chunk` (parallel, spillable), chunk totals (one tiny
+    * aggregate), and a broadcast join of the chunk-offset table. A naive
+    * `Window.orderBy(doc_id)` with no partition key would drag the whole
+    * corpus through ONE task — the 100 TB failure mode this shape exists to
+    * avoid. `chunk` trades offset-table size against in-chunk parallelism
+    * (offset rows = id-range/chunk); the result is chunk-invariant by
+    * associativity, which PipelineOpsSpec pins. */
+  def packAssign(spark: SparkSession, sfDir: String,
+                 budget: Long = 2048L, chunk: Long = 4096L): DataFrame =
+    packAssignOf(documentsFor(spark, sfDir), budget, chunk)
+
+  def packAssignOf(d: DataFrame, budget: Long = 2048L,
+                   chunk: Long = 4096L): DataFrame = {
+    require(budget > 0 && chunk > 0, s"budget/chunk must be positive")
+    val toks = d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("chk", expr(s"doc_id div $chunk"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chk")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val inChunk = toks.withColumn("pre_in",
+      coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    // offset of each chunk = total tokens of all prior chunks; the table is
+    // chunk-count-sized (tiny), so its prefix window and the join broadcast
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("chk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col("chk")).agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("chk"), col("off"))
+    inChunk.join(broadcast(offsets), "chk")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(pre_in + off) div $budget").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document top-k terms by TF-IDF — the featurization step after
     * [[vocabTopK]]'s vocabulary build. The IDF is the LOG-FREE rational
     * `N / df` (score = tf * N / df): `ln` is a libm call whose last ulp

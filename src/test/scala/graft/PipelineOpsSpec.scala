@@ -100,6 +100,38 @@ class PipelineOpsSpec extends SparkSpec {
     } finally s.unpersist()
   }
 
+  test("pack_assign: contiguous greedy packing, chunk-decomposition-invariant") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (5L, "f g h i"), (9L, "j"), (12L, "k l m n o"))
+      .toDF("doc_id", "text")
+    // prefix token sums before each doc: 0, 3, 5, 9, 10 → packs 0, 0, 1, 1, 2
+    val exp = Seq((1L, 3L, 0L), (2L, 2L, 0L), (5L, 4L, 1L), (9L, 1L, 1L), (12L, 5L, 2L))
+    val small = TextOps.packAssignOf(docs, budget = 5L, chunk = 4L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(small === exp)
+    // one chunk holding everything must give the identical assignment
+    val one = TextOps.packAssignOf(docs, budget = 5L, chunk = 1L << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one === exp)
+  }
+
+  test("pack_assign on the corpus: packs are contiguous, ordered, near-budget") {
+    val p = TextOps.packAssign(spark, Sf0001, budget = 2048L).cache()
+    try {
+      assert(p.count() === graft.io.Tables.documents(spark, Sf0001).count())
+      // pack ids are monotone in doc_id (contiguity) and start at 0
+      val rows = p.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.head._3 === 0L)
+      assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3; case _ => true })
+      // every pack except possibly the last holds < budget + max_doc_tokens
+      val maxDoc = rows.map(_._2).max
+      val perPack = rows.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+      perPack.toSeq.sortBy(_._1).dropRight(1).foreach { case (_, tot) =>
+        assert(tot < 2048L + maxDoc)
+      }
+    } finally p.unpersist()
+  }
+
   test("tfidf top terms: k rows per doc, scores consistent with tf and df") {
     val t = TextOps.tfidfTopTerms(spark, Sf0001, k = 3).cache()
     try {
