@@ -274,7 +274,13 @@ object TextOps {
     * associativity, which PipelineOpsSpec pins. */
   def packAssign(spark: SparkSession, sfDir: String,
                  budget: Long = 2048L, chunk: Long = 4096L): DataFrame =
-    packAssignOf(documentsFor(spark, sfDir), budget, chunk)
+    // UNSPREAD projection: the chunk window's own hash exchange is this
+    // operator's parallelism (cf. Pipeline's fingerprint branch) — a spread
+    // repartition beneath it would be a wasted extra shuffle in BOTH the
+    // prefix branch and the offsets branch
+    packAssignOf(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      budget, chunk)
 
   def packAssignOf(d: DataFrame, budget: Long = 2048L,
                    chunk: Long = 4096L): DataFrame = {

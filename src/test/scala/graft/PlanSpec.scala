@@ -145,6 +145,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"), p)
   }
 
+  test("pack_assign: two-level prefix sum — chunk window + tiny offset table, broadcast join") {
+    val p = plan("pack_assign")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // chunk window + chunk-totals agg; the corpus NEVER crosses a single
+    // partition — only the chunk-count-sized offset table does
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 2, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)
