@@ -106,6 +106,7 @@ object SparkEntry {
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
+    "pii_scrub"        -> ((s, dir) => TextOps.piiScrub(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -458,6 +459,13 @@ object SparkEntry {
          |      FROM s)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, th, tf, df, score
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "pii_scrub" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+         | md5(regexp_replace(regexp_replace(text, '${graft.operators.TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |                    '${graft.operators.TextOps.PhonePattern}', '<PHONE>', 'g')) AS clean_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "pack_assign" ->
       """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,

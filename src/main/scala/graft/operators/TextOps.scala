@@ -97,6 +97,33 @@ object TextOps {
       .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
       .orderBy(col("doc_id"))
 
+  /** Email pattern in the Java-regex ∩ RE2 common subset (character
+    * classes + bounded quantifiers only — no lookaround, no backrefs), so
+    * Spark's codegen'd regexp and the DuckDB oracle match the SAME spans. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NNN-NNN-NNNN / NNN.NNN.NNNN phone pattern, same dialect subset. */
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII scrub — the redaction stage of a training-data pipeline: per
+    * document, count email/phone matches and emit the md5 of the text with
+    * every match replaced by a placeholder token. A pure per-row projection
+    * (zero shuffle, streams unchanged); the md5 keeps a full redacted
+    * corpus out of the gate artifact while still pinning the REPLACEMENT
+    * byte-for-byte cross-engine, not just the counts. */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame =
+    piiScrubOf(documentsFor(spark, sfDir))
+
+  def piiScrubOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+
   /** The unfiltered (doc_id, n_tokens, quality_score, lang_guess) scoring
     * projection [[qualityFilterOf]] gates on — a pruned view of
     * [[corpusGatesOf]] (Catalyst's column pruning drops the repetition

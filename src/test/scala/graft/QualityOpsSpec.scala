@@ -91,6 +91,22 @@ class QualityOpsSpec extends SparkSpec {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("pii_scrub: planted emails and phones are counted and redacted byte-exactly") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "contact alice.smith+spam@example-mail.co or 555-123-4567 today"),
+      (2L, "no pii in this perfectly ordinary document"),
+      (3L, "two mails a@b.io c.d@e.org and a dotted phone 800.555.1212")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrubOf(docs).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 1L, 1L), (2L, 0L, 0L), (3L, 2L, 1L)))
+    // the emitted md5 pins the REPLACEMENT, not just the counts
+    val expMd5 = Seq("contact <EMAIL> or <PHONE> today").toDF("t")
+      .select(md5(col("t"))).head().getString(0)
+    assert(got(0).getString(3) === expMd5)
+  }
+
   test("curation manifest: exact-dedup gate catches LSH-invisible duplicate clusters") {
     import graft.operators.Pipeline
     val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
