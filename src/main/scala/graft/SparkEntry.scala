@@ -35,6 +35,10 @@ object SparkEntry {
 
   private val P = graft.functions.TextFunctions.HashMod // 1000000007
 
+  /** Source-priority list for dedup_decisions_pref — earlier = preferred;
+    * shared by the Spark query and the oracle CASE so they cannot drift. */
+  val DedupPrefer: Seq[String] = Seq("src7", "src3")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the four keyed-state jobs (batch window forms) ----
     "q1_running_max" -> ((s, dir) => {
@@ -98,6 +102,8 @@ object SparkEntry {
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
+    // the same gate through the real micro-batch engine (stateless streaming)
+    "quality_filter_streaming" -> ((s, dir) => TextOps.qualityFilterStream(s, dir)),
     "rep_stats"        -> ((s, dir) => TextOps.repetitionStats(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
@@ -118,6 +124,7 @@ object SparkEntry {
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
     "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
     "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
+    "dedup_decisions_pref" -> ((s, dir) => Dedup.dedupDecisionsPreferring(s, dir, DedupPrefer)),
     // ---- training-data pipeline: similarity search ----
     "ann_brute_topk"   -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "ann_ivf_topk"     -> ((s, dir) => Similarity.ivfTopK(s, dir)),
@@ -514,6 +521,30 @@ object SparkEntry {
          | CAST(d.doc_id = coalesce(c.component, d.doc_id) AS BIGINT) AS keep
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+    "dedup_decisions_pref" ->
+      s"""WITH RECURSIVE pairs AS ($lshSqlBody),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, lab) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |sel AS (SELECT d.doc_id, d.source,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  CASE d.source ${DedupPrefer.zipWithIndex
+              .map { case (s, i) => s"WHEN '$s' THEN $i" }.mkString(" ")}
+         |   ELSE ${DedupPrefer.size} END AS prio
+         | FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |k AS (SELECT component, doc_id AS keep_id,
+         |  row_number() OVER (PARTITION BY component ORDER BY prio, doc_id) AS rn
+         | FROM sel)
+         |SELECT s.doc_id, s.source, s.component, kk.keep_id,
+         | CAST(s.doc_id = kk.keep_id AS BIGINT) AS keep
+         |FROM sel s JOIN (SELECT component, keep_id FROM k WHERE rn = 1) kk
+         | USING (component)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents)
          |SELECT doc_id, CAST(${(0 until 32).map(simhashBitSql).mkString(" + ")} AS BIGINT) AS simhash
@@ -702,6 +733,7 @@ object SparkEntry {
       "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
       "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),
       "q21_topk_aggregator"            -> base("q7_top_parts"),
+      "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
       "q1p_running_max_secondary_sort" -> base("q1_running_max"),
       "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),

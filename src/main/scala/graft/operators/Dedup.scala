@@ -535,6 +535,41 @@ object Dedup {
       .withColumn("keep", (col("doc_id") === col("keep_id")).cast("long"))
       .orderBy(col("doc_id"))
 
+  /** [[dedupDecisions]] with SOURCE PRIORITY — the real-corpus policy:
+    * inside a near-dup component, keep the copy from the most-preferred
+    * source (earlier in `prefer` ranks higher; sources not listed rank
+    * last), tie-broken by doc_id. A curated source (say, an encyclopedia
+    * dump) and a crawl copy of the same page form one component — min-id
+    * keep picks whichever was ingested first, while this picks the copy a
+    * training run actually wants. Same join shape as [[dedupDecisionsOf]]
+    * plus one component-keyed window whose min is taken over a (priority,
+    * doc_id) struct — lexicographic struct ordering IS the argmin, no
+    * second join against a ranked table. */
+  def dedupDecisionsPreferring(spark: SparkSession, sfDir: String,
+                               prefer: Seq[String],
+                               n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
+    dedupDecisionsPreferringOf(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+      componentsFor(spark, sfDir, n, minEstJaccard), prefer)
+
+  def dedupDecisionsPreferringOf(docs: DataFrame, components: DataFrame,
+                                 prefer: Seq[String]): DataFrame = {
+    val prio = prefer.zipWithIndex
+      .foldRight(lit(prefer.size.toLong): org.apache.spark.sql.Column) {
+        case ((src, i), acc) => when(col("source") === src, lit(i.toLong)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    docs
+      .join(components, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("prio", prio)
+      .withColumn("keep_id",
+        min(struct(col("prio"), col("doc_id"))).over(w).getField("doc_id"))
+      .select(col("doc_id"), col("source"), col("component"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash (64-bit family; 32 bits to stay comfortably in int64
     * arithmetic): per document, for each bit j, sum +1/-1 weighted by
     * token-hash bit j; simhash bit j = 1 iff the sum is positive. One pass

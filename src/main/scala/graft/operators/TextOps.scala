@@ -124,6 +124,29 @@ object TextOps {
           PhonePattern, "<PHONE>")).as("clean_md5"))
       .orderBy(col("doc_id"))
 
+  /** [[qualityFilter]] through the REAL micro-batch engine: readStream file
+    * source over the documents parquet → the SAME [[qualityScoredOf]]
+    * projection + filter → append-mode memory sink, drained synchronously.
+    * The gate is stateless (a pure projection), so this needs no state
+    * store at all — it is the in-gate proof that the corpus-quality surface
+    * lifts to `readStream` unchanged, registered under quality_filter's
+    * oracle. */
+  def qualityFilterStream(spark: SparkSession, sfDir: String,
+                          minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(col("doc_id"), col("text"))
+    val gated = qualityScoredOf(stream)
+      .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
+    val qn = s"quality_stream_${System.nanoTime()}"
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName(qn).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn).orderBy(col("doc_id"))
+  }
+
   /** The unfiltered (doc_id, n_tokens, quality_score, lang_guess) scoring
     * projection [[qualityFilterOf]] gates on — a pruned view of
     * [[corpusGatesOf]] (Catalyst's column pruning drops the repetition

@@ -198,6 +198,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("dedup_decisions_pref: preferred source beats min doc_id inside a component") {
+    val docs = Seq(
+      (1L, "cc"), (2L, "wiki"), (3L, "cc"),   // one component {1,2,3}
+      (7L, "cc"), (8L, "cc"),                 // one component {7,8}, no preferred member
+      (9L, "wiki")                            // singleton
+    ).toDF("doc_id", "source")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "component")
+    val got = Dedup.dedupDecisionsPreferringOf(docs, comps, Seq("wiki")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    // wiki member 2 wins over min-id 1; {7,8} falls back to min doc_id;
+    // the singleton keeps itself
+    assert(got(1L) === (2L, 0L) && got(2L) === (2L, 1L) && got(3L) === (2L, 0L))
+    assert(got(7L) === (7L, 1L) && got(8L) === (7L, 0L))
+    assert(got(9L) === (9L, 1L))
+  }
+
   test("dedup_decisions: one keeper per component, singletons keep themselves") {
     val d = Dedup.dedupDecisions(spark, Sf0001).cache()
     try {
