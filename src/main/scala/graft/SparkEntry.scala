@@ -73,9 +73,12 @@ object SparkEntry {
     // ---- reference parity: the same four jobs in their STATEFUL streaming
     //      form (flatMapGroupsWithState, batch-executed) — same oracles ----
     "q1s_running_max_stateful"  -> ((s, dir) => StatefulQueries.runningMaxStateful(s, dir)),
-    // q1/q2 through the REAL micro-batch engine (readStream → state store → sink)
+    // all four jobs through the REAL micro-batch engine (readStream → state
+    // store → sink) — same oracles as the batch forms
     "q1r_running_max_streaming" -> ((s, dir) => StatefulQueries.runningMaxStreaming(s, dir)),
     "q2r_block_avg_streaming"   -> ((s, dir) => StatefulQueries.blockAvgStreaming(s, dir)),
+    "q3r_running_max_month_streaming" -> ((s, dir) => StatefulQueries.runningMaxMonthStreaming(s, dir)),
+    "q4r_threshold_gaps_streaming" -> ((s, dir) => StatefulQueries.thresholdGapsStreaming(s, dir)),
     "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
     "q3s_running_max_month_stateful" -> ((s, dir) => StatefulQueries.runningMaxMonthStateful(s, dir)),
     "q4s_threshold_gaps_stateful" -> ((s, dir) => StatefulQueries.thresholdGapsStateful(s, dir)),
@@ -729,6 +732,8 @@ object SparkEntry {
       "q1s_running_max_stateful"       -> base("q1_running_max"),
       "q1r_running_max_streaming"      -> base("q1_running_max"),
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
+      "q3r_running_max_month_streaming" -> base("q3_running_max_month"),
+      "q4r_threshold_gaps_streaming"   -> base("q4_threshold_gaps"),
       "q2s_block_avg_stateful"         -> base("q2_block_avg"),
       "q3s_running_max_month_stateful" -> base("q3_running_max_month"),
       "q4s_threshold_gaps_stateful"    -> base("q4_threshold_gaps"),

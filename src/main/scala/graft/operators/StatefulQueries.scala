@@ -90,6 +90,33 @@ object StatefulQueries {
       .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
       .orderBy(col("event_type"), col("block"))
 
+  /** Q3 through the real micro-batch engine, registered under q3's oracle —
+    * the MapState shape (month subkey map inside the year's state) against
+    * the state store. */
+  def runningMaxMonthStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    drainStateful(spark, sfDir) { stream =>
+      StatefulOps.runningMaxBySubkey(stream
+        .select(year(col("ts")).cast("string").as("key"),
+                month(col("ts")).cast("string").as("subkey"),
+                col("event_id").as("ord"), col("value"))
+        .as[KSV](ksvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("subkey").cast("long").as("mon"), col("out").as("run_max"))
+      .orderBy(col("event_id"))
+
+  /** Q4 through the real micro-batch engine, registered under q4's oracle —
+    * the ListState-size shape (sub-threshold counter) against the state
+    * store. */
+  def thresholdGapsStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    drainStateful(spark, sfDir) { stream =>
+      StatefulOps.thresholdGaps(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), 100.0).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"), col("gap"))
+      .orderBy(col("event_id"))
+
   /** Per-key pass state for [[secondarySort]]: `reset()` fires at every key
     * boundary, `onRow` folds one (already key-ordered) record. */
   private trait KeyedPass extends Serializable {
