@@ -39,6 +39,11 @@ object SparkEntry {
     * shared by the Spark query and the oracle CASE so they cannot drift. */
   val DedupPrefer: Seq[String] = Seq("src7", "src3")
 
+  /** Per-source sampling rates for mix_sample (absent sources use the
+    * default) — shared by the Spark query and the oracle CASE. */
+  val MixRates: Map[String, Double] = Map("src7" -> 1.0, "src3" -> 0.25)
+  val MixDefaultRate: Double = 0.5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the four keyed-state jobs (batch window forms) ----
     "q1_running_max" -> ((s, dir) => {
@@ -116,6 +121,8 @@ object SparkEntry {
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
     "pii_scrub"        -> ((s, dir) => TextOps.piiScrub(s, dir)),
+    "corpus_mix"       -> ((s, dir) => TextOps.corpusMix(s, dir)),
+    "mix_sample"       -> ((s, dir) => TextOps.mixSample(s, dir, MixRates, MixDefaultRate)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -469,6 +476,24 @@ object SparkEntry {
          |      FROM s)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, th, tf, df, score
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "corpus_mix" ->
+      """WITH t AS (SELECT lang, source, len(string_split(text,' ')) AS nt FROM documents),
+        |a AS (SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY lang, source)
+        |SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+        | CAST(n_tokens AS DOUBLE) /
+        |  CAST((SELECT CAST(sum(nt) AS BIGINT) FROM t) AS DOUBLE) AS token_frac
+        |FROM a ORDER BY lang, source""".stripMargin,
+    "mix_sample" ->
+      s"""SELECT doc_id, lang, source FROM (
+         | SELECT doc_id, lang, source,
+         |  ((doc_id % $P) * ${graft.operators.TextOps.MixMultiplier}) % $P AS h,
+         |  CASE source ${MixRates.toSeq.sortBy(_._1).map { case (src, r) =>
+              s"WHEN '$src' THEN ${(r * P).toLong}" }.mkString(" ")}
+         |   ELSE ${(MixDefaultRate * P).toLong} END AS thr
+         | FROM documents)
+         |WHERE h < thr ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,

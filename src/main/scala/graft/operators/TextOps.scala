@@ -305,6 +305,65 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
   }
 
+  /** Corpus composition report: per (lang, source) stratum, document count,
+    * token total, and fraction of all tokens — the table a data-mixture
+    * design starts from. One group-by shuffle; the global token total is a
+    * window over the STRATA table (strata-count-sized — the same tiny-
+    * single-partition argument as [[packAssignOf]]'s offsets), never over
+    * the corpus. */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame =
+    corpusMixOf(Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"), col("text")))
+
+  def corpusMixOf(d: DataFrame): DataFrame = {
+    val strata = d
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    strata
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll).cast("double"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Deterministic per-source downsampling — the corpus-MIXING primitive:
+    * each source is kept at its rate (absent sources at `defaultRate`) by
+    * comparing the document's multiplicative hash against rate×P, so the
+    * same document samples the same way on every run, every retry, every
+    * partitioning — `rand()` sampling violates exactly that. The hash uses
+    * a DIFFERENT odd multiplier than the stratified split's
+    * ([[splitAssignOf]]), so sampling and split assignment are
+    * decorrelated; both reduce doc_id mod P before multiplying to stay
+    * overflow-exact in int64 on both engines. Zero shuffle: a filter
+    * projection. */
+  def mixSample(spark: SparkSession, sfDir: String,
+                rates: Map[String, Double], defaultRate: Double): DataFrame =
+    mixSampleOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source")), rates, defaultRate)
+
+  def mixSampleOf(d: DataFrame, rates: Map[String, Double],
+                  defaultRate: Double): DataFrame = {
+    val P = graft.functions.TextFunctions.HashMod
+    def thr(r: Double): Long = (r * P).toLong
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldRight(lit(thr(defaultRate)): org.apache.spark.sql.Column) {
+        case ((src, r), acc) => when(col("source") === src, lit(thr(r))).otherwise(acc)
+      }
+    d.withColumn("h", ((col("doc_id") % P) * lit(MixMultiplier)) % P)
+      .filter(col("h") < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Odd multiplier for [[mixSampleOf]]'s hash — 2^32·φ rounded to odd,
+    * distinct from the split's 2654435761; (P-1)·MixMultiplier < 2^63. */
+  val MixMultiplier = 2654435769L
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. A training run concatenates documents into ~`budget`-token
     * sequences; the assignment here is CONTIGUOUS-GREEDY in doc_id order —

@@ -100,6 +100,30 @@ class PipelineOpsSpec extends SparkSpec {
     } finally s.unpersist()
   }
 
+  test("mix_sample: deterministic per-source rates; corpus_mix fractions sum to 1") {
+    val docs = (1L to 900L).map(i =>
+      (i, s"w$i", "en", Seq("a", "b", "c")((i % 3).toInt))).toDF("doc_id", "text", "lang", "source")
+    val kept = TextOps.mixSampleOf(
+      docs.select(col("doc_id"), col("lang"), col("source")),
+      Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5).cache()
+    try {
+      // rate 1.0 keeps everything, rate 0.0 keeps nothing
+      assert(kept.filter(col("source") === "a").count() === 300)
+      assert(kept.filter(col("source") === "b").count() === 0)
+      // the default rate lands near 0.5 (hash-uniform, not exact)
+      val c = kept.filter(col("source") === "c").count()
+      assert(c > 100 && c < 200, s"c=$c")
+      // rerun is byte-identical — retries cannot change the corpus
+      val again = TextOps.mixSampleOf(
+        docs.select(col("doc_id"), col("lang"), col("source")),
+        Map("a" -> 1.0, "b" -> 0.0), defaultRate = 0.5)
+      assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    } finally kept.unpersist()
+    val mix = TextOps.corpusMixOf(docs.select(col("lang"), col("source"), col("text")))
+      .agg(sum(col("token_frac"))).head().getDouble(0)
+    assert(math.abs(mix - 1.0) < 1e-9)
+  }
+
   test("pack_assign: contiguous greedy packing, chunk-decomposition-invariant") {
     val docs = Seq(
       (1L, "a b c"), (2L, "d e"), (5L, "f g h i"), (9L, "j"), (12L, "k l m n o"))
