@@ -37,19 +37,27 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
       n
     }.getOrElse(3)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sel = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val runs = (1 to Runs).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case t: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $t")
-            false
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        (if (ok) sec else math.max(sec, FailSentinelSec), ok)
+    // INTERLEAVED repetitions: each round runs every query once before any
+    // query repeats, so a transient load spike (GC, competing process)
+    // degrades one repetition of many queries instead of all repetitions of
+    // one — the per-query min stays attributable to code, not to when the
+    // query happened to run
+    val timed = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to Runs; (name, fn) <- sel) {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $t")
+          false
       }
+      val sec = (System.nanoTime() - t0) / 1e9
+      timed(name) = (if (ok) sec else math.max(sec, FailSentinelSec), ok) :: timed(name)
+    }
+    val results = sel.map { case (name, _) =>
+      val runs = timed(name)
       // a query that failed ANY run keeps the sentinel — min() must not
       // let one lucky repetition mask a flaky failure
       val allOk = runs.forall(_._2)

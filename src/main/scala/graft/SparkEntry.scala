@@ -81,6 +81,8 @@ object SparkEntry {
     // all four jobs through the REAL micro-batch engine (readStream → state
     // store → sink) — same oracles as the batch forms
     "q1r_running_max_streaming" -> ((s, dir) => StatefulQueries.runningMaxStreaming(s, dir)),
+    // q1 on the RocksDB state store — the larger-than-heap state backend
+    "q1rdb_running_max_rocksdb" -> ((s, dir) => StatefulQueries.runningMaxStreamingRocksDb(s, dir)),
     "q2r_block_avg_streaming"   -> ((s, dir) => StatefulQueries.blockAvgStreaming(s, dir)),
     "q3r_running_max_month_streaming" -> ((s, dir) => StatefulQueries.runningMaxMonthStreaming(s, dir)),
     "q4r_threshold_gaps_streaming" -> ((s, dir) => StatefulQueries.thresholdGapsStreaming(s, dir)),
@@ -117,6 +119,7 @@ object SparkEntry {
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
+    "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
@@ -125,6 +128,9 @@ object SparkEntry {
     "mix_sample"       -> ((s, dir) => TextOps.mixSample(s, dir, MixRates, MixDefaultRate)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
+    // the same decision through the real micro-batch engine (state store
+    // keyed by content hash, order-insensitive post-aggregation)
+    "dedup_exact_streaming" -> ((s, dir) => Dedup.exactStreaming(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -517,6 +523,31 @@ object SparkEntry {
          | FROM t)
          |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w
          |ORDER BY doc_id, fp""".stripMargin,
+    "contamination_external" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(sh)-2), i -> list_min(sh[i:i+3]))) AS fps
+         | FROM t),
+         |f AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w),
+         |fr AS (SELECT fp, count(*) AS freq FROM f GROUP BY fp),
+         |evd AS (SELECT doc_id + 1000000 AS doc_id,
+         |  array_to_string(string_split(text,' ')[1:30], ' ') AS text
+         | FROM documents WHERE doc_id % 37 = 0),
+         |et AS (SELECT doc_id, $shinglesSql AS sh FROM evd),
+         |ew AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(sh)-2), i -> list_min(sh[i:i+3]))) AS fps
+         | FROM et),
+         |ev AS (SELECT doc_id AS eval_id, CAST(unnest(fps) AS BIGINT) AS fp FROM ew),
+         |evsz AS (SELECT eval_id, count(*) AS n_fp FROM ev GROUP BY eval_id),
+         |hits AS (
+         | SELECT f.doc_id AS train_id, ev.eval_id, count(*) AS n_shared
+         | FROM f JOIN fr USING (fp) JOIN ev USING (fp)
+         | WHERE fr.freq <= 100 AND f.doc_id <> ev.eval_id
+         | GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_shared,
+         | CAST(n_shared AS DOUBLE)/n_fp AS overlap
+         |FROM hits JOIN evsz USING (eval_id)
+         |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
     "contamination_check" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |w AS (SELECT doc_id,
@@ -756,6 +787,8 @@ object SparkEntry {
     base ++ Map(
       "q1s_running_max_stateful"       -> base("q1_running_max"),
       "q1r_running_max_streaming"      -> base("q1_running_max"),
+      "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
+      "dedup_exact_streaming"          -> base("dedup_exact"),
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
       "q3r_running_max_month_streaming" -> base("q3_running_max_month"),
       "q4r_threshold_gaps_streaming"   -> base("q4_threshold_gaps"),

@@ -31,6 +31,31 @@ object Dedup {
   def exact(spark: SparkSession, sfDir: String): DataFrame =
     exactOf(Tables.documents(spark, sfDir))
 
+  /** Exact dedup through the REAL micro-batch engine, registered under
+    * [[exact]]'s oracle: the state store carries each fingerprint's
+    * cumulative (min doc_id, count) across micro-batches
+    * ([[graft.streaming.StatefulOps.exactDedupStream]]), and the final
+    * decision is recovered with an order-insensitive post-aggregation over
+    * the sink (min of cumulative minima, max of cumulative counts) — exact
+    * for ANY micro-batch slicing, unlike the arrival-ordered q1r–q4r
+    * family. This is the shape of streaming corpus ingestion at 100 TB:
+    * dedup state lives in the state store keyed by content hash, and late
+    * or re-ordered documents cannot change the decision. */
+  def exactStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val enc: org.apache.spark.sql.Encoder[StatefulOps.FpRec] =
+      org.apache.spark.sql.Encoders.product[StatefulOps.FpRec]
+    StatefulQueries.drainDocuments(spark, sfDir, stateWidth = Some(8)) { stream =>
+      StatefulOps.exactDedupStream(stream
+        .select(fingerprintMd5(col("text")).as("fp"), col("doc_id"))
+        .as[StatefulOps.FpRec]).toDF()
+    }
+      .groupBy(col("fp"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_dups")).as("n_dups"))
+      .select(col("fp").as("fp_md5"), col("keep_id"), col("n_dups"))
+      .orderBy(col("fp_md5"))
+  }
+
   /** N-gram (word 3-gram) Jaccard near-dup: candidate pairs are documents
     * sharing at least one shingle hash (bounded by `maxShingleFreq` to cap
     * hot-shingle fan-out), scored with exact Jaccard over their distinct

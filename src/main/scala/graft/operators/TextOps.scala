@@ -133,18 +133,10 @@ object TextOps {
     * oracle. */
   def qualityFilterStream(spark: SparkSession, sfDir: String,
                           minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-      .select(col("doc_id"), col("text"))
-    val gated = qualityScoredOf(stream)
-      .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
-    val qn = s"quality_stream_${System.nanoTime()}"
-    val q = gated.writeStream.outputMode("append").format("memory")
-      .queryName(qn).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qn).orderBy(col("doc_id"))
+    StatefulQueries.drainDocuments(spark, sfDir) { stream =>
+      qualityScoredOf(stream.select(col("doc_id"), col("text")))
+        .filter(col("lang_guess") === lang && col("quality_score") >= minQuality)
+    }.orderBy(col("doc_id"))
   }
 
   /** The unfiltered (doc_id, n_tokens, quality_score, lang_guess) scoring
@@ -305,6 +297,15 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
   }
 
+  /** NULL-safe token count for token SUMS: Spark's legacy sizeOfNull makes
+    * `size(split(NULL))` return -1 (silently corrupting totals and pack
+    * boundaries), while the oracle's `len(string_split(NULL))` is NULL
+    * (skipped by sum) — counting a null-text document as 0 tokens makes the
+    * two engines agree on every aggregate. */
+  private def tokenCount0: org.apache.spark.sql.Column =
+    when(col("text").isNull, lit(0L))
+      .otherwise(size(tokens(col("text"))).cast("long"))
+
   /** Corpus composition report: per (lang, source) stratum, document count,
     * token total, and fraction of all tokens — the table a data-mixture
     * design starts from. One group-by shuffle; the global token total is a
@@ -317,8 +318,7 @@ object TextOps {
 
   def corpusMixOf(d: DataFrame): DataFrame = {
     val strata = d
-      .select(col("lang"), col("source"),
-        size(tokens(col("text"))).cast("long").as("nt"))
+      .select(col("lang"), col("source"), tokenCount0.as("nt"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
     val wAll = org.apache.spark.sql.expressions.Window
@@ -394,8 +394,7 @@ object TextOps {
   def packAssignOf(d: DataFrame, budget: Long = 2048L,
                    chunk: Long = 4096L): DataFrame = {
     require(budget > 0 && chunk > 0, s"budget/chunk must be positive")
-    val toks = d.select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val toks = d.select(col("doc_id"), tokenCount0.as("n_tokens"))
       .withColumn("chk", expr(s"doc_id div $chunk"))
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chk")).orderBy(col("doc_id"))
@@ -486,6 +485,24 @@ object TextOps {
     val d = documentsFor(spark, sfDir)
     contaminationOf(d, d.filter(col("doc_id") % evalMod === 0),
       n, w, minShared, maxFpFreq)
+  }
+
+  /** [[contamination]] against an EXTERNAL eval frame: the eval set is a
+    * DISTINCT derived table — documents with `doc_id % evalMod == 0`, text
+    * truncated to its first `headTokens` tokens, ids offset into their own
+    * id space — so the gate exercises the genuine two-corpus join path
+    * (separate fingerprint extraction per frame, join across frames), not
+    * the self-slice shortcut. Every eval doc shares its truncated prefix
+    * with its source document, so hits are guaranteed and the overlap
+    * scores are non-trivial. */
+  def contaminationExternal(spark: SparkSession, sfDir: String,
+                            evalMod: Int = 37, headTokens: Int = 30,
+                            idOffset: Long = 1000000L): DataFrame = {
+    val d = documentsFor(spark, sfDir)
+    val ev = d.filter(col("doc_id") % evalMod === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, headTokens)).as("text"))
+    contaminationOf(d, ev)
   }
 
   def contaminationOf(corpus: DataFrame, evalSet: DataFrame,

@@ -195,6 +195,39 @@ object StatefulOps {
       }
   }
 
+  /** (fingerprint, doc_id) input for [[exactDedupStream]]. */
+  case class FpRec(fp: String, doc_id: Long)
+  /** Cumulative per-fingerprint state: smallest doc id seen, total count. */
+  case class DupAcc(min_id: Long, n: Long)
+  case class DupOut(fp: String, keep_id: Long, n_dups: Long)
+  private implicit val dupAccEnc: Encoder[DupAcc] = Encoders.product[DupAcc]
+  private implicit val dupOutEnc: Encoder[DupOut] = Encoders.product[DupOut]
+
+  /** Streaming exact dedup: per content fingerprint, the state carries the
+    * CUMULATIVE (min doc_id, count) and every micro-batch that touches the
+    * group emits the current cumulative row. Unlike the four reference ops
+    * this is ORDER-INSENSITIVE (min and count are commutative), so it is
+    * exact for any arrival order and any micro-batch slicing; the final
+    * decision is recovered downstream with
+    * `groupBy(fp).agg(min(keep_id), max(n_dups))` — min of cumulative
+    * minima is the global min, max of cumulative counts is the total — and
+    * that post-aggregation only sees sink-sized data (one row per
+    * (fingerprint, batch) the fingerprint appeared in). The state IS
+    * load-bearing: were it lost between batches, max(n_dups) would collapse
+    * to the largest batch-local count. */
+  def exactDedupStream(ds: Dataset[FpRec],
+                       mode: OutputMode = OutputMode.Append()): Dataset[DupOut] =
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[DupAcc, DupOut](mode, GroupStateTimeout.NoTimeout) {
+        (fp, rows, state: GroupState[DupAcc]) =>
+          var acc = if (state.exists) state.get else DupAcc(Long.MaxValue, 0L)
+          rows.foreach { r =>
+            acc = DupAcc(math.min(acc.min_id, r.doc_id), acc.n + 1L)
+          }
+          state.update(acc)
+          Iterator.single(DupOut(fp, acc.min_id, acc.n))
+      }
+
   /** Q4 analogue (DaysSincePriceThreshold.java:61-102, ListState): per key,
     * rows with value >= threshold emit the count of sub-threshold rows since
     * the previous breach, then reset. The reference stores the full list but

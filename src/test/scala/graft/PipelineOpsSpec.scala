@@ -139,6 +139,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one === exp)
   }
 
+  test("pack_assign and corpus_mix count NULL text as zero tokens (oracle parity)") {
+    // Spark's legacy sizeOfNull would make size(split(NULL)) = -1, silently
+    // shifting every later pack boundary and the corpus token totals; the
+    // oracle's len(string_split(NULL)) is NULL (sum skips it) — 0 is the
+    // one value both engines agree on
+    val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]), (3L, Option("d e")))
+      .toDF("doc_id", "text")
+    val p = TextOps.packAssignOf(docs, budget = 3L, chunk = 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // token counts 3, 0, 2; prefix sums 0, 3, 3 → packs 0, 1, 1
+    assert(p === Seq((1L, 3L, 0L), (2L, 0L, 1L), (3L, 2L, 1L)))
+    val mix = TextOps.corpusMixOf(
+      Seq(("en", "a", Option("x y")), ("en", "a", Option.empty[String]),
+          ("en", "b", Option("z"))).toDF("lang", "source", "text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(mix === Seq(("en", "a", 2L, 2L, 2.0 / 3.0), ("en", "b", 1L, 1L, 1.0 / 3.0)))
+  }
+
   test("pack_assign on the corpus: packs are contiguous, ordered, near-budget") {
     val p = TextOps.packAssign(spark, Sf0001, budget = 2048L).cache()
     try {

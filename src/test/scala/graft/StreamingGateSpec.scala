@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Dedup, StatefulQueries}
+
+/** The in-gate streaming drains: session hygiene (confs restored, sink views
+  * dropped), the RocksDB state-store backend, genuine multi-micro-batch
+  * replay, and the order-insensitive streaming dedup — each checked against
+  * its batch twin on real data (values are oracle-gated too; these pin the
+  * mechanism). */
+class StreamingGateSpec extends SparkSpec {
+
+  test("a drain restores session confs and drops its sink view") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val got = StatefulQueries.runningMaxStreaming(spark, Sf0001)
+    assert(got.count() > 0)
+    // the legacy-nanos flag set for the stream must not bleed into the
+    // session (it changes how ANY later int64-nanos parquet is read);
+    // getOption reports the registered default ("false") once restored
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "false")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === shuffleBefore)
+    val leftover = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("stateful_stream_") || n.startsWith("doc_stream_"))
+    assert(leftover.isEmpty, s"sink views leaked: ${leftover.mkString(", ")}")
+  }
+
+  test("q1 on the RocksDB state store equals the declarative window form") {
+    val got = StatefulQueries.runningMaxStreamingRocksDb(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q1_running_max")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+  }
+
+  test("q2 over two micro-batch files equals the batch form (blocks span the boundary)") {
+    val got = StatefulQueries.blockAvgStreaming(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q2_block_avg")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming exact dedup equals the batch groupBy decision") {
+    val got = Dedup.exactStreaming(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val exp = Dedup.exact(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(got === exp)
+  }
+}
