@@ -806,42 +806,73 @@ object SparkEntry {
       "dedup_lsh_components_star"      -> base("dedup_lsh_components"))
   }
 
-  /** Full-string polynomial hash (spaces included) — mirrors
-    * Multimodal.sliceHash over the whole ASCII payload. */
-  private def strHashSql(e: String): String =
-    s"list_reduce(list_transform(string_split($e,''), c -> CAST(ascii(c) AS BIGINT)), (a,b) -> (a*31+b) % $P)"
+  /** Synthesis-parameter CTE mirroring Multimodal's closed-form parameters
+    * (imageW/imageH, audioSamples, videoW/videoH/videoFrames) — the oracle
+    * recomputes what the REAL payload bytes were synthesized from, while
+    * the Spark side parses the actual PNG/WAV/container bytes. */
+  private val mmParamsCte: String =
+    """mp AS (SELECT doc_id,
+      |  doc_id % 3 AS kindn,
+      |  16 + doc_id % 32 AS iw, 8 + doc_id % 16 AS ih,
+      |  64 + doc_id % 512 AS asamp,
+      |  8 + doc_id % 8 AS vw, 8 + doc_id % 4 AS vh, 2 + doc_id % 7 AS nf
+      | FROM documents)""".stripMargin
+
+  /** Polynomial hash over a range of synthesized sample values — mirrors
+    * Multimodal.byteAt (value = ((id%1000003)*31 + f*97 + i) % 256) folded
+    * with Multimodal.valueHash's (a*31+b) % P. `iExpr` is the flat sample
+    * index in terms of the lambda variable `j`. */
+  private def mmHashSql(nExpr: String, fExpr: String, iExpr: String): String =
+    s"""list_reduce(list_transform(range($nExpr),
+       | j -> CAST(((doc_id % 1000003)*31 + ($fExpr)*97 + ($iExpr)) % 256 AS BIGINT)),
+       | (a,b) -> (a*31+b) % $P)""".stripMargin.replaceAll("\n", " ")
 
   private val mmOracle: Map[String, String] = Map(
     "mm_media_meta" ->
-      s"""WITH m AS (SELECT doc_id AS media_id,
-         |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-         |  text, length(text) AS n FROM documents)
-         |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
-         |  CAST(64 + n % 640 AS BIGINT) AS width,
-         |  CAST(64 + ${strHashSql("text")} % 480 AS BIGINT) AS height,
-         |  CAST(3 AS BIGINT) AS channels
-         |FROM m ORDER BY media_id""".stripMargin,
+      // n_bytes closed forms: PNG with stored-block zlib = raw + 68 where
+      // raw = h*(1+3w) (filter byte per row); WAV = 44-byte header + 2n;
+      // GRFV = 8 + per-frame (4-byte length + PNG size)
+      s"""WITH $mmParamsCte
+         |SELECT doc_id AS media_id,
+         | ['image','audio','video'][CAST(kindn AS INT) + 1] AS kind,
+         | CAST(CASE kindn WHEN 0 THEN ih*(1+3*iw) + 68
+         |                 WHEN 1 THEN 44 + 2*asamp
+         |                 ELSE 8 + nf*(4 + vh*(1+3*vw) + 68) END AS BIGINT) AS n_bytes,
+         | CAST(CASE kindn WHEN 0 THEN iw WHEN 1 THEN asamp ELSE vw END AS BIGINT) AS width,
+         | CAST(CASE kindn WHEN 0 THEN ih WHEN 1 THEN 8000 ELSE vh END AS BIGINT) AS height,
+         | CAST(CASE kindn WHEN 1 THEN 1 ELSE 3 END AS BIGINT) AS channels
+         |FROM mp ORDER BY media_id""".stripMargin,
     "mm_media_features" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text)//8 AS slice FROM documents)
-         |SELECT media_id, CAST(r.range AS BIGINT) AS feature_idx,
-         |  CASE WHEN slice = 0 THEN 0.0 ELSE
-         |   CAST(${strHashSql("substring(text, 1 + CAST(r.range AS INT)*slice, slice)")} % 1000 AS DOUBLE)/1000.0
-         |  END AS feature
-         |FROM m, range(8) r ORDER BY media_id, feature_idx""".stripMargin,
+      s"""WITH $mmParamsCte,
+         |pl AS (SELECT doc_id,
+         |  CAST(CASE kindn WHEN 0 THEN iw*ih*3 WHEN 1 THEN asamp
+         |       ELSE vw*vh*3 END AS BIGINT) AS plen FROM mp)
+         |SELECT doc_id AS media_id, CAST(r.range AS BIGINT) AS feature_idx,
+         | CASE WHEN plen // 8 = 0 THEN 0.0
+         |  ELSE CAST(${mmHashSql("plen // 8", "0", "r.range*(plen // 8) + j")} % 1000 AS DOUBLE)/1000.0
+         | END AS feature
+         |FROM pl, range(8) r ORDER BY media_id, feature_idx""".stripMargin,
     "mm_video_frames" ->
-      s"""WITH m AS (SELECT doc_id AS media_id, text,
-         |   least(length(text)//256, 8) AS nf
-         |  FROM documents WHERE doc_id % 3 = 2)
-         |SELECT media_id, CAST(r.range AS BIGINT) AS frame_idx,
-         |  ${strHashSql("substring(text, 1 + CAST(r.range AS INT)*256, 256)")} AS frame_hash
-         |FROM m, range(8) r WHERE r.range < nf
+      s"""WITH $mmParamsCte
+         |SELECT doc_id AS media_id, CAST(r.range AS BIGINT) AS frame_idx,
+         | ${mmHashSql("vw*vh*3", "r.range", "j")} AS frame_hash
+         |FROM mp, range(8) r
+         |WHERE kindn = 2 AND r.range < least(nf, 8)
          |ORDER BY media_id, frame_idx""".stripMargin,
     "mm_resize" ->
-      """SELECT doc_id AS media_id,
-        | CAST(length(text) AS BIGINT) AS orig_bytes,
-        | CAST((length(text) + 2)//3 AS BIGINT) AS resized_bytes,
-        | md5(array_to_string(list_filter(string_split(text,''), (c,i) -> i%3 = 1), '')) AS resized_md5
-        |FROM documents ORDER BY media_id""".stripMargin)
+      // 2x decimation on the decoded sample grid: audio keeps every 2nd
+      // sample (index 2j); image/video keep every 2nd RGB pixel, so output
+      // byte j maps to input index (j div 3)*6 + j mod 3
+      s"""WITH $mmParamsCte,
+         |pl AS (SELECT doc_id, kindn,
+         |  CAST(CASE kindn WHEN 0 THEN iw*ih*3 WHEN 1 THEN asamp
+         |       ELSE vw*vh*3 END AS BIGINT) AS n_in,
+         |  CAST(CASE kindn WHEN 0 THEN ((iw*ih+1)//2)*3 WHEN 1 THEN (asamp+1)//2
+         |       ELSE ((vw*vh+1)//2)*3 END AS BIGINT) AS n_out
+         | FROM mp)
+         |SELECT doc_id AS media_id, n_in, n_out,
+         | ${mmHashSql("n_out", "0", "CASE WHEN kindn = 1 THEN 2*j ELSE (j//3)*6 + j%3 END")} AS out_hash
+         |FROM pl ORDER BY media_id""".stripMargin)
 
   // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----
 

@@ -2,30 +2,37 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.io.Tables
+import graft.io.{MediaCodecs, Tables}
+import graft.io.MediaCodecs.{PngCodec, VideoContainer, WavCodec}
 import graft.functions.TextFunctions
 
-/** Multimodal-column plumbing for the training-data pipeline: media payloads
-  * as opaque `binary` columns with typed metadata, decode / feature-extract /
-  * frame-sample stages.
+/** Multimodal-column pipeline for training data: media payloads as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * resize / frame-sample stages over them.
   *
-  * The image/audio codecs are NOT available in this environment, so the
-  * decode kernels are STUBS — deterministic functions of the payload bytes,
-  * clearly marked below. Everything around them is real Spark plumbing and is
-  * what matters at 100 TB: binary columns ride through parquet scans
-  * untouched, the decode stage is a typed `mapPartitions` (one JVM-side batch
-  * iterator per partition — swap the stub for JNI/FFmpeg/ImageIO without
-  * changing the plan shape), features are fixed-width arrays, and frame
-  * sampling explodes bounded per-row sequences. No shuffle anywhere until a
+  * The payloads are REAL media files and the decode stages parse the ACTUAL
+  * bytes: images are valid PNGs (decoded by chunk walk + CRC check + inflate
+  * + defilter — [[graft.io.MediaCodecs.PngCodec]], which also parses
+  * foreign-encoded PNGs such as javax.imageio's), audio is RIFF/WAVE 16-bit
+  * PCM, video is a container of independently decodable PNG frames. The
+  * driver testdata has no native binary table, so payloads are SYNTHESIZED
+  * deterministically: every dimension/sample-count/pixel value is a known
+  * closed-form function of doc_id, which is what keeps the DuckDB oracle
+  * closed-form while the Spark side round-trips genuine files.
+  *
+  * What matters at 100 TB is unchanged: binary columns ride through parquet
+  * scans untouched, every decode stage is a typed `mapPartitions` (one
+  * JVM-side iterator per partition — swap the JVM codec for JNI/FFmpeg
+  * without changing the plan shape), features are fixed-width arrays, frame
+  * sampling explodes bounded per-row sequences, and nothing shuffles until a
   * consumer aggregates.
-  *
-  * The media table is derived deterministically from `documents` (payload =
-  * UTF-8 bytes of the text; kind cycles image/audio/video by doc_id) because
-  * the driver testdata has no native binary table.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
+  /** width/height are the two primary axes of each modality: image/video →
+    * pixel dimensions (parsed from the PNG IHDR), audio → (sample count,
+    * sample rate) (parsed from the RIFF data/fmt chunks). */
   case class MetaRow(media_id: Long, kind: String, n_bytes: Long,
                      width: Long, height: Long, channels: Long)
   case class FeatureRow(media_id: Long, features: Array[Double])
@@ -35,92 +42,152 @@ object Multimodal {
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
   private implicit val metaEnc: Encoder[MetaRow] = Encoders.product[MetaRow]
   private implicit val featEnc: Encoder[FeatureRow] = Encoders.product[FeatureRow]
+  private implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
   val Kinds = Seq("image", "audio", "video")
+  def kindOf(id: Long): String = Kinds((id % 3).toInt)
 
-  /** documents → media table: (media_id, kind, content binary). */
+  // ---- synthesis parameters: closed-form in doc_id, mirrored verbatim in
+  // ---- the oracle SQL (SparkEntry.mmOracle) ----
+  private val ByteMod = 1000003L
+  val AudioRate = 8000
+  /** Content byte `i` of frame `f` (f=0 for image/audio). */
+  def byteAt(id: Long, f: Int, i: Int): Int =
+    (((id % ByteMod) * 31 + f.toLong * 97 + i) % 256).toInt
+  def imageW(id: Long): Int = 16 + (id % 32).toInt
+  def imageH(id: Long): Int = 8 + (id % 16).toInt
+  def audioSamples(id: Long): Int = 64 + (id % 512).toInt
+  def videoW(id: Long): Int = 8 + (id % 8).toInt
+  def videoH(id: Long): Int = 8 + (id % 4).toInt
+  def videoFrames(id: Long): Int = 2 + (id % 7).toInt
+
+  private def framePixels(id: Long, f: Int, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => byteAt(id, f, i).toByte)
+
+  /** The real encoded payload for one document id. */
+  def payload(id: Long): Array[Byte] = kindOf(id) match {
+    case "image" =>
+      PngCodec.encode(imageW(id), imageH(id),
+        framePixels(id, 0, imageW(id) * imageH(id) * 3))
+    case "audio" =>
+      WavCodec.encode(AudioRate,
+        Array.tabulate(audioSamples(id))(t => byteAt(id, 0, t).toShort))
+    case _ =>
+      VideoContainer.encode((0 until videoFrames(id)).map(f =>
+        PngCodec.encode(videoW(id), videoH(id),
+          framePixels(id, f, videoW(id) * videoH(id) * 3))))
+  }
+
+  /** documents → media table: (media_id, kind, content binary), the content
+    * a genuine PNG / WAV / PNG-frame container per id. */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
-      col("doc_id").as("media_id"),
-      element_at(lit(Kinds.toArray), (col("doc_id") % Kinds.size).cast("int") + 1).as("kind"),
-      encode(col("text"), "UTF-8").as("content"))
+    Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => MediaRow(id, kindOf(id), payload(id))))
+      .toDF()
 
-  /** Polynomial hash of a byte slice — the deterministic stand-in for a real
-    * decoded-pixel digest. Mirrors TextFunctions.charHash exactly so the
-    * DuckDB oracle can replay it. */
-  private def sliceHash(bytes: Array[Byte], from: Int, len: Int): Long = {
+  /** Polynomial hash over decoded sample values — mirrors
+    * TextFunctions-style hashing so the oracle replays it with
+    * list_reduce. */
+  private def valueHash(vs: Array[Int], from: Int, len: Int): Long = {
     var acc = 0L
     var i = from
-    val end = math.min(from + len, bytes.length)
-    while (i < end) { acc = (acc * 31L + (bytes(i) & 0xffL)) % TextFunctions.HashMod; i += 1 }
+    val end = math.min(from + len, vs.length)
+    while (i < end) { acc = (acc * 31L + vs(i)) % TextFunctions.HashMod; i += 1 }
     acc
   }
 
-  /** Decode stage: binary → typed metadata via `mapPartitions`.
-    *
-    * STUB CODEC: a real implementation would parse image headers / audio
-    * containers here; this one derives deterministic fake dimensions from the
-    * payload (width = 64 + len % 640, height = 64 + hash % 480, channels = 3)
-    * so the pipeline is testable end-to-end without codec libraries. */
+  /** The decoded PRIMARY sample array of a payload: image → defiltered RGB
+    * pixel bytes, audio → PCM sample values, video → frame 0's pixels.
+    * This is a REAL decode (inflate + defilter / RIFF walk), not a byte
+    * passthrough. */
+  private def primaryValues(m: MediaRow): Array[Int] = m.kind match {
+    case "image" => PngCodec.decode(m.content).pixels.map(_ & 0xff)
+    case "audio" => WavCodec.decode(m.content).samples
+    case _       => PngCodec.decode(VideoContainer.decode(m.content).head).pixels.map(_ & 0xff)
+  }
+
+  /** Decode stage: binary → typed metadata via `mapPartitions`, parsing the
+    * actual container bytes (PNG IHDR dimensions + color type; WAV fmt/data
+    * chunks; GRFV first-frame header). */
   def decodeMeta(spark: SparkSession, sfDir: String): Dataset[MetaRow] =
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
         val n = m.content.length.toLong
-        val h = sliceHash(m.content, 0, m.content.length)
-        MetaRow(m.media_id, m.kind, n, 64L + n % 640L, 64L + h % 480L, 3L)
+        m.kind match {
+          case "image" =>
+            val img = PngCodec.decode(m.content)
+            MetaRow(m.media_id, m.kind, n, img.width, img.height, img.channels)
+          case "audio" =>
+            val a = WavCodec.decode(m.content)
+            MetaRow(m.media_id, m.kind, n, a.samples.length, a.rate, a.channels)
+          case _ =>
+            val f0 = PngCodec.decode(VideoContainer.decode(m.content).head)
+            MetaRow(m.media_id, m.kind, n, f0.width, f0.height, f0.channels)
+        }
       }
     }
 
-  /** Feature-extraction stage: binary → fixed-width Array[Double] via
-    * `mapPartitions` (the embedding-model stand-in; batch shape = one
+  /** Feature-extraction stage: decoded samples → fixed-width Array[Double]
+    * via `mapPartitions` (the embedding-model stand-in; batch shape = one
     * partition iterator, exactly where a real model would run batched
-    * inference). STUB KERNEL: feature j = normalized polynomial hash of the
-    * j-th of `dim` equal byte slices. */
+    * inference). Feature j = normalized polynomial hash of the j-th of
+    * `dim` equal slices of the DECODED primary samples. */
   def extractFeatures(spark: SparkSession, sfDir: String, dim: Int = 8): Dataset[FeatureRow] =
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val slice = m.content.length / dim
+        val vs = primaryValues(m)
+        val slice = vs.length / dim
         val fs = Array.tabulate(dim) { j =>
           if (slice == 0) 0.0
-          else (sliceHash(m.content, j * slice, slice) % 1000L).toDouble / 1000.0
+          else (valueHash(vs, j * slice, slice) % 1000L).toDouble / 1000.0
         }
         FeatureRow(m.media_id, fs)
       }
     }
 
-  case class ResizedRow(media_id: Long, orig_bytes: Long, resized_bytes: Long,
-                        resized: Array[Byte])
+  case class ResizedRow(media_id: Long, n_in: Long, n_out: Long, out_hash: Long)
   private implicit val resizedEnc: Encoder[ResizedRow] = Encoders.product[ResizedRow]
 
-  /** Resize stage: deterministic `factor`-fold downsample keeping every
-    * factor-th byte starting at offset 0 (STUB for a real image resampler —
-    * the batch shape, binary-in/binary-out via `mapPartitions`, is what a
-    * JNI-backed implementation would keep). */
-  def resize(spark: SparkSession, sfDir: String, factor: Int = 3): Dataset[ResizedRow] =
+  /** Resize stage: a real 2× decimation on the DECODED sample grid — every
+    * 2nd RGB pixel (whole 3-byte pixels, not raw bytes) for image/video,
+    * every 2nd PCM sample for audio — summarized as (sizes, polynomial hash
+    * of the resized samples) so the gate artifact stays narrow. Binary-in /
+    * decode / resample via `mapPartitions` is the batch shape a JNI-backed
+    * resampler would keep. */
+  def resize(spark: SparkSession, sfDir: String): Dataset[ResizedRow] =
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions { rows =>
       rows.map { m =>
-        val out = new Array[Byte]((m.content.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = m.content(i * factor); i += 1 }
-        ResizedRow(m.media_id, m.content.length.toLong, out.length.toLong, out)
+        val vs = primaryValues(m)
+        val out: Array[Int] = m.kind match {
+          case "audio" =>
+            Array.tabulate((vs.length + 1) / 2)(j => vs(2 * j))
+          case _ =>
+            val nPix = vs.length / 3
+            val keep = (nPix + 1) / 2
+            Array.tabulate(keep * 3)(j => vs((j / 3) * 6 + j % 3))
+        }
+        ResizedRow(m.media_id, vs.length.toLong, out.length.toLong,
+          valueHash(out, 0, out.length))
       }
     }
 
-  /** Frame-sampling stage for video payloads: every 256-byte block is a
-    * "frame" (STUB for real frame decode); sample the first `maxFrames`,
-    * emit (media_id, frame_idx, frame_hash). Bounded explode per row. */
-  def sampleFrames(spark: SparkSession, sfDir: String,
-                   frameBytes: Int = 256, maxFrames: Int = 8): DataFrame = {
+  /** Frame-sampling stage for video payloads: decode up to `maxFrames` REAL
+    * PNG frames from the container, emit (media_id, frame_idx, frame_hash)
+    * with the hash over the frame's decoded pixels. Bounded explode per
+    * row. */
+  def sampleFrames(spark: SparkSession, sfDir: String, maxFrames: Int = 8): DataFrame = {
     val video = mediaTable(spark, sfDir).filter(col("kind") === "video").as[MediaRow]
     val frames = video.flatMap { m =>
-      val n = math.min(m.content.length / frameBytes, maxFrames)
-      (0 until n).map(i => (m.media_id, i.toLong, sliceHash(m.content, i * frameBytes, frameBytes)))
+      VideoContainer.decode(m.content).take(maxFrames).zipWithIndex.map {
+        case (png, f) =>
+          val px = PngCodec.decode(png).pixels.map(_ & 0xff)
+          (m.media_id, f.toLong, valueHash(px, 0, px.length))
+      }
     }
     frames.toDF("media_id", "frame_idx", "frame_hash")
   }
 
-  /** The three stages as registered queries (metadata join keeps it one
-    * narrow scan; ordering fixed for the oracle). */
+  /** The stages as registered queries (ordering fixed for the oracle). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF().orderBy(col("media_id"))
 
@@ -135,8 +202,5 @@ object Multimodal {
     sampleFrames(spark, sfDir).orderBy(col("media_id"), col("frame_idx"))
 
   def mediaResized(spark: SparkSession, sfDir: String): DataFrame =
-    resize(spark, sfDir).toDF()
-      .select(col("media_id"), col("orig_bytes"), col("resized_bytes"),
-              md5(col("resized")).as("resized_md5"))
-      .orderBy(col("media_id"))
+    resize(spark, sfDir).toDF().orderBy(col("media_id"))
 }

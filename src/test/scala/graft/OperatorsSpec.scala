@@ -52,7 +52,14 @@ class OperatorsSpec extends SparkSpec {
     val meta = Multimodal.decodeMeta(spark, Sf0001).cache()
     assert(meta.count() === 500)
     assert(meta.filter(col("n_bytes") <= 0).count() === 0)
-    assert(meta.filter(col("width") < 64 || col("width") >= 704).count() === 0)
+    // parsed-from-bytes dimensions land in the synthesis ranges per modality
+    assert(meta.filter(col("kind") === "image" &&
+      (col("width") < 16 || col("width") > 47 ||
+       col("height") < 8 || col("height") > 23)).count() === 0)
+    assert(meta.filter(col("kind") === "audio" &&
+      (col("height") =!= 8000 || col("channels") =!= 1)).count() === 0)
+    assert(meta.filter(col("kind") === "video" &&
+      (col("width") < 8 || col("width") > 15)).count() === 0)
     val f = Multimodal.extractFeatures(spark, Sf0001)
     val row = f.orderBy(col("media_id")).head()
     assert(row.features.length === 8)
