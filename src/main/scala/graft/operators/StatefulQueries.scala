@@ -183,7 +183,7 @@ object StatefulQueries {
     * boundary — the contract the reference ops require. */
   private def orderedEventsCopy(spark: SparkSession, sfDir: String): String =
     copyCache.computeIfAbsent(sfDir, { _ =>
-      import java.nio.file.{Files, Path}
+      import java.nio.file.Files
       val ev = Tables.events(spark, sfDir)
         .select(col("event_type"), col("event_id"), col("value"))
       val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
@@ -191,8 +191,11 @@ object StatefulQueries {
       def writeHalf(half: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = dir.resolve(s"stage-$name")
         half.coalesce(1).write.parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
+        val listing = Files.list(tmp)
+        val part =
+          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally listing.close()
         val dest = dir.resolve(name)
         Files.move(part, dest)
         dest.toFile.setLastModified(mtime)
