@@ -483,7 +483,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, th, tf, df, score
          |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "corpus_mix" ->
-      """WITH t AS (SELECT lang, source, len(string_split(text,' ')) AS nt FROM documents),
+      """WITH t AS (SELECT lang, source, coalesce(len(string_split(text,' ')), 0) AS nt FROM documents),
         |a AS (SELECT lang, source, count(*) AS n_docs,
         |       CAST(sum(nt) AS BIGINT) AS n_tokens
         |      FROM t GROUP BY lang, source)
@@ -508,7 +508,8 @@ object SparkEntry {
          |                    '${graft.operators.TextOps.PhonePattern}', '<PHONE>', 'g')) AS clean_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
     "pack_assign" ->
-      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n_tokens FROM documents),
+      // coalesce pins NULL text to 0 tokens, mirroring TextOps.tokenCount0
+      """WITH t AS (SELECT doc_id, coalesce(len(string_split(text,' ')), 0) AS n_tokens FROM documents),
         |c AS (SELECT doc_id, n_tokens,
         |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre

@@ -69,6 +69,10 @@ object MediaCodecs {
       var pos = 8
       while (pos + 12 <= png.length) {
         val len = be32(png, pos)
+        // corrupt/truncated input must fail cleanly (and a huge or negative
+        // length field must not walk the cursor backwards)
+        require(len >= 0 && pos + 12 + len <= png.length,
+          s"corrupt PNG: chunk length $len at offset $pos overruns ${png.length} bytes")
         val typ = new String(png, pos + 4, 4, US_ASCII)
         val crc = new CRC32()
         crc.update(png, pos + 4, 4 + len)
@@ -208,8 +212,11 @@ object MediaCodecs {
       while (pos + 8 <= bytes.length) {
         val id = tag(bytes, pos)
         val len = bb.getInt(pos + 4)
+        require(len >= 0 && pos + 8 + len <= bytes.length,
+          s"corrupt WAV: chunk '$id' length $len at offset $pos overruns ${bytes.length} bytes")
         id match {
           case "fmt " =>
+            require(len >= 16, s"corrupt WAV: fmt chunk too short ($len)")
             require(bb.getShort(pos + 8) == 1, "only PCM supported")
             channels = bb.getShort(pos + 10)
             rate = bb.getInt(pos + 12)
@@ -255,9 +262,13 @@ object MediaCodecs {
       require(bytes.length >= 8 && Magic.indices.forall(i => bytes(i) == Magic(i)),
         "not a GRFV container")
       val n = be32(bytes, 4)
+      require(n >= 0, s"corrupt container: negative frame count $n")
       var pos = 8
       (0 until n).map { _ =>
+        require(pos + 4 <= bytes.length, s"corrupt container: truncated at frame offset $pos")
         val len = be32(bytes, pos)
+        require(len >= 0 && pos + 4 + len <= bytes.length,
+          s"corrupt container: frame length $len at offset $pos overruns ${bytes.length} bytes")
         val f = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
         pos += 4 + len
         f

@@ -44,35 +44,63 @@ object StatefulQueries {
     * snapshot+commit I/O per micro-batch, so width is sized to the key
     * cardinality (years / event types — single digits), not the session
     * default. */
-  private def drainStateful(spark: SparkSession, sfDir: String)
-                           (op: DataFrame => DataFrame): DataFrame = {
+  /** The ONE memory-sink drain scaffold behind every in-gate streaming
+    * query: write `out` (a streaming DataFrame) to an append-mode memory
+    * sink under a unique name, run to completion (Trigger.AvailableNow),
+    * run `check` against the finished query (e.g. the multi-batch witness),
+    * then materialize the rows and DROP the sink view. The drop happens on
+    * EVERY path — a failure mid-drain (or a failed check) must not leave
+    * the view and its driver-held rows behind, or each bench repetition
+    * would leak a full result set. `stateWidth` narrows the shuffle (=
+    * state store instance count) for stateful ops; stateless projections
+    * leave it unset. */
+  private[operators] def drainToMemory(
+      spark: SparkSession, out: DataFrame, stateWidth: Option[Int] = None)(
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    requireSingleFile(spark, s"$sfDir/events.parquet")
-    // the legacy-nanos flag is restored after the drain like the shuffle
-    // width: streaming config must not bleed into later gate queries
-    val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    val out = op(stream)
     val qn = s"stateful_stream_${System.nanoTime()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stateWidth.foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w.toString))
     try {
       val q = out.writeStream.outputMode("append").format("memory")
         .queryName(qn).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      check(q)
+      materializeAndDrop(spark, qn)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-      }
+      if (spark.catalog.tableExists(qn)) spark.catalog.dropTempView(qn)
     }
-    materializeAndDrop(spark, qn)
+  }
+
+  private def drainStateful(spark: SparkSession, sfDir: String)
+                           (op: DataFrame => DataFrame): DataFrame = {
+    requireSingleFile(spark, s"$sfDir/events.parquet")
+    // the legacy-nanos flag is restored after the drain like the shuffle
+    // width: streaming config must not bleed into later gate queries
+    withNanosAsLong(spark) {
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      drainToMemory(spark, op(stream), stateWidth = Some(8))()
+    }
+  }
+
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong=true`, restoring
+    * the previous value on every path — the flag changes how ANY
+    * int64-nanos parquet column is read, so it must not outlive the scope
+    * that needed it. */
+  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** The memory sink's leaf-file contract: `pathGlobFilter` matches the LEAF
@@ -95,21 +123,11 @@ object StatefulQueries {
   private[operators] def drainDocuments(spark: SparkSession, sfDir: String,
                                         stateWidth: Option[Int] = None)
                                        (op: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     requireSingleFile(spark, s"$sfDir/documents.parquet")
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
-    val out = op(stream)
-    val qn = s"doc_stream_${System.nanoTime()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    stateWidth.foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w.toString))
-    try {
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(qn).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    materializeAndDrop(spark, qn)
+    drainToMemory(spark, op(stream), stateWidth)()
   }
 
   /** Materialize a memory-sink table and DROP its temp view: each drain
@@ -182,8 +200,10 @@ object StatefulQueries {
     * splitting on it preserves per-key arrival order across the batch
     * boundary — the contract the reference ops require. */
   private def orderedEventsCopy(spark: SparkSession, sfDir: String): String =
-    copyCache.computeIfAbsent(sfDir, { _ =>
+    copyCache.computeIfAbsent(sfDir, { _ => withNanosAsLong(spark) {
       import java.nio.file.Files
+      // Tables.events needs the nanos flag during the writes below;
+      // withNanosAsLong keeps it from outliving the copy creation
       val ev = Tables.events(spark, sfDir)
         .select(col("event_type"), col("event_id"), col("value"))
       val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
@@ -204,7 +224,7 @@ object StatefulQueries {
       writeHalf(ev.filter(col("event_id") <= mid), "ev0.parquet", t0)
       writeHalf(ev.filter(col("event_id") > mid), "ev1.parquet", t0 + 60000L)
       dir.toString
-    })
+    }})
 
   /** Drain a keyed-state op over a directory of time-ordered parquet files,
     * ONE FILE PER MICRO-BATCH (Trigger.AvailableNow honors the
@@ -213,24 +233,15 @@ object StatefulQueries {
     * boundary, asserted from the query's own progress records. */
   private def drainOrderedFiles(spark: SparkSession, dir: String, minBatches: Int)
                                (op: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val out = op(stream)
-    val qn = s"stateful_stream_${System.nanoTime()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(qn).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    drainToMemory(spark, op(stream), stateWidth = Some(8)) { q =>
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       require(dataBatches >= minBatches,
         s"expected >= $minBatches data micro-batches, saw $dataBatches — " +
           "the multi-file replay did not exercise cross-batch state")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    materializeAndDrop(spark, qn)
+    }
   }
 
   /** Q3 through the real micro-batch engine, registered under q3's oracle —

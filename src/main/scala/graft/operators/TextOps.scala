@@ -297,11 +297,12 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"), col("split"))
   }
 
-  /** NULL-safe token count for token SUMS: Spark's legacy sizeOfNull makes
-    * `size(split(NULL))` return -1 (silently corrupting totals and pack
-    * boundaries), while the oracle's `len(string_split(NULL))` is NULL
-    * (skipped by sum) — counting a null-text document as 0 tokens makes the
-    * two engines agree on every aggregate. */
+  /** NULL-safe token count: a NULL-text document counts as ZERO tokens,
+    * explicitly, on BOTH engines (the oracle coalesces identically). Without
+    * pinning, each engine's null propagation decides per expression — sums
+    * skip the NULL so boundaries happen to agree, but the emitted n_tokens
+    * value itself is engine-dependent; 0 is the semantics a packing/mixture
+    * consumer actually wants and the one the gate can hash. */
   private def tokenCount0: org.apache.spark.sql.Column =
     when(col("text").isNull, lit(0L))
       .otherwise(size(tokens(col("text"))).cast("long"))

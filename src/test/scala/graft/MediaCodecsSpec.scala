@@ -58,6 +58,18 @@ class MediaCodecsSpec extends AnyFunSuite {
     (0 until 3).foreach(f => assert(dec(f).toSeq === frames(f).toSeq))
   }
 
+  test("corrupt or truncated inputs fail cleanly, not with index errors or loops") {
+    val png = PngCodec.encode(10, 6, Array.tabulate(10 * 6 * 3)(i => (i % 256).toByte))
+    intercept[IllegalArgumentException](PngCodec.decode(png.take(60)))
+    val wav = WavCodec.encode(8000, Array.tabulate(100)(t => t.toShort))
+    intercept[IllegalArgumentException](WavCodec.decode(wav.take(50)))
+    val vid = VideoContainer.encode(Seq(png))
+    // corrupt the first frame's length prefix to a huge value
+    val bad = vid.clone(); bad(8) = 0x7f.toByte
+    intercept[IllegalArgumentException](VideoContainer.decode(bad))
+    intercept[IllegalArgumentException](VideoContainer.decode(vid.take(10)))
+  }
+
   test("synthesized payload sizes match the oracle's closed forms") {
     for (id <- Seq(0L, 1L, 2L, 3L, 50L, 499L, 1234L)) {
       val n = Multimodal.payload(id).length

@@ -140,10 +140,9 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("pack_assign and corpus_mix count NULL text as zero tokens (oracle parity)") {
-    // Spark's legacy sizeOfNull would make size(split(NULL)) = -1, silently
-    // shifting every later pack boundary and the corpus token totals; the
-    // oracle's len(string_split(NULL)) is NULL (sum skips it) — 0 is the
-    // one value both engines agree on
+    // a NULL text is pinned to ZERO tokens on both engines (the oracle
+    // coalesces identically) — without the pin, the emitted n_tokens value
+    // is whatever each engine's null propagation produces
     val docs = Seq((1L, Option("a b c")), (2L, Option.empty[String]), (3L, Option("d e")))
       .toDF("doc_id", "text")
     val p = TextOps.packAssignOf(docs, budget = 3L, chunk = 16L).collect()

@@ -33,8 +33,12 @@ class StreamingGateSpec extends SparkSpec {
   }
 
   test("q2 over two micro-batch files equals the batch form (blocks span the boundary)") {
+    val nanosBefore = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
     val got = StatefulQueries.blockAvgStreaming(spark, Sf0001)
       .collect().map(_.toSeq).toSeq
+    // the ordered-copy creation reads events under the nanos flag but must
+    // put the session back exactly as it found it
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === nanosBefore)
     val exp = SparkEntry.queries("q2_block_avg")(spark, Sf0001)
       .collect().map(_.toSeq).toSeq
     assert(got === exp)
