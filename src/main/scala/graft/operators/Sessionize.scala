@@ -52,36 +52,28 @@ object Sessionize {
     * DataFrame — registered under the same oracle as the batch form, so the
     * correctness gate covers the streaming engine end-to-end. */
   def tumblingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source needs a directory: scan sfDir with a glob pinned to
-    // the events file
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    val agg = stream
-      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
-               col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
-           max(col("value")).as("max_value"))
-    val qn = s"tumbling_stream_${System.nanoTime()}"
-    // Size the stateful-shuffle width to the aggregate's group cardinality
-    // ((hour, type) ~ thousands), not the session default: every shuffle
-    // partition becomes a state-store instance that pays snapshot+commit I/O
-    // per micro-batch, so oversizing multiplies fixed state overhead for no
-    // parallelism gain. Streaming captures the conf at query start; restore
-    // it right after (single-query session assumption, as lshComponentsOf).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try agg.writeStream.outputMode("complete").format("memory")
-        .queryName(qn).trigger(Trigger.AvailableNow()).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    q.awaitTermination()
-    spark.table(qn).orderBy(col("hour_start"), col("event_type"))
+    StatefulQueries.requireSingleFile(spark, s"$sfDir/events.parquet")
+    // complete-mode: the tumbling aggregate re-emits the whole result table
+    // at the final trigger, which is what the gate compares. State-store
+    // width (8) is sized to the (hour, type) group cardinality, not the
+    // session default — every shuffle partition is a state-store instance
+    // paying snapshot+commit I/O per micro-batch. Conf hygiene (nanos flag,
+    // shuffle width, sink view) is the shared scaffold's contract.
+    StatefulQueries.withNanosAsLong(spark) {
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val agg = stream
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+             max(col("value")).as("max_value"))
+      StatefulQueries.drainToMemory(spark, agg,
+        stateWidth = Some(8), outputMode = "complete")()
+    }.orderBy(col("hour_start"), col("event_type"))
   }
 
   /** Interval (range) self-join, bucketed for scale: count pairs of events

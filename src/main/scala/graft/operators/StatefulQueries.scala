@@ -55,14 +55,15 @@ object StatefulQueries {
     * state store instance count) for stateful ops; stateless projections
     * leave it unset. */
   private[operators] def drainToMemory(
-      spark: SparkSession, out: DataFrame, stateWidth: Option[Int] = None)(
+      spark: SparkSession, out: DataFrame, stateWidth: Option[Int] = None,
+      outputMode: String = "append")(
       check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val qn = s"stateful_stream_${System.nanoTime()}"
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     stateWidth.foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w.toString))
     try {
-      val q = out.writeStream.outputMode("append").format("memory")
+      val q = out.writeStream.outputMode(outputMode).format("memory")
         .queryName(qn).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       check(q)
@@ -92,7 +93,7 @@ object StatefulQueries {
     * the previous value on every path — the flag changes how ANY
     * int64-nanos parquet column is read, so it must not outlive the scope
     * that needed it. */
-  private def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
+  private[operators] def withNanosAsLong[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
