@@ -156,6 +156,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("mm_media_meta: the scan reads ONLY doc_id — synthesis+decode never drag text") {
+    val p = plan("mm_media_meta")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    // pure mapPartitions pipeline: no shuffle before the presentation sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("contamination_external: fingerprint-bucketed joins, no quadratic join shapes") {
+    val p = plan("contamination_external")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // train x eval candidates come from fingerprint collisions, never from
+    // an unconstrained pair enumeration
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)
