@@ -139,6 +139,8 @@ object SparkEntry {
     "dedup_lsh_dropped"   -> ((s, dir) => Dedup.lshBucketStats(s, dir)),
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
     "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
+    "dedup_paragraph"  -> ((s, dir) => Dedup.paragraphDedup(s, dir)),
+    "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
     "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
     "dedup_decisions_pref" -> ((s, dir) => Dedup.dedupDecisionsPreferring(s, dir, DedupPrefer)),
     // ---- training-data pipeline: similarity search ----
@@ -567,6 +569,31 @@ object SparkEntry {
          | CAST(n_shared AS DOUBLE)/n_fp AS overlap
          |FROM hits JOIN evsz USING (eval_id)
          |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
+    "dedup_paragraph" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |p AS (SELECT doc_id,
+         |  CAST(unnest(list_transform(range((len(ths)+2)//3),
+         |    p -> list_reduce(ths[p*3+1:p*3+3], (a,b) -> (a*31+b) % $P))) AS BIGINT) AS ph
+         | FROM t),
+         |f AS (SELECT ph, count(*) AS freq FROM p GROUP BY ph)
+         |SELECT doc_id, count(*) AS n_paras,
+         | CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+         | CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS dup_para_frac
+         |FROM p JOIN f USING (ph)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS ($lshSqlBody),
+         |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM edges),
+         |reach(id, lab) AS (
+         | SELECT id, id FROM nodes
+         | UNION
+         | SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+         |comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id),
+         |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters FROM cs
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "dedup_decisions" ->
       s"""WITH RECURSIVE pairs AS ($lshSqlBody),
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs

@@ -56,6 +56,55 @@ object Dedup {
       .orderBy(col("fp_md5"))
   }
 
+  /** Paragraph-level dedup statistics — the CCNet/RefinedWeb chunk-dedup
+    * shape: documents are cut into NON-OVERLAPPING `chunkTokens`-token
+    * chunks anchored at fixed offsets (the trailing partial chunk kept),
+    * each chunk hashed with the corpus polynomial hash; a chunk instance is
+    * "duplicated" when its hash occurs >= 2 times across the corpus. Emits
+    * per-document chunk totals and the duplicated fraction — the signal a
+    * paragraph-dedup pass drops or rewrites on (whole-doc dedup misses
+    * boilerplate shared at paragraph granularity entirely).
+    *
+    * Scale shape: explode(chunks) → one groupBy(chunk hash) for frequency
+    * (the Zipf head is absorbed by partial aggregation) → co-partitioned
+    * join back on the hash (Catalyst reuses the exchange) → per-doc
+    * groupBy. Corpus-linear; never all-pairs. */
+  def paragraphDedup(spark: SparkSession, sfDir: String,
+                     chunkTokens: Int = 3): DataFrame =
+    paragraphDedupOf(documentsFor(spark, sfDir), chunkTokens)
+
+  def paragraphDedupOf(docs: DataFrame, chunkTokens: Int = 3): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val n = chunkTokens
+    val P = graft.functions.TextFunctions.HashMod
+    val ths = tokenHashes(col("text"))
+    // ceil(len/n) chunks; chunk p covers token hashes [p*n, (p+1)*n)
+    val nChunks = floor((size(ths) + lit(n - 1)).cast("double") / n).cast("long")
+    val paras = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0L), nChunks - 1),
+        p => aggregate(slice(ths, (p * n + 1).cast("int"), lit(n)),
+          lit(0L), (acc, x) => (acc * 31 + x) % P))).as("ph"))
+    val freq = paras.groupBy(col("ph")).agg(count(lit(1)).as("freq"))
+    paras.join(freq, "ph")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+           sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
+      .withColumn("dup_para_frac",
+        col("n_dup_paras").cast("double") / col("n_paras"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-dup cluster-size distribution — the dedup report a corpus owner
+    * reads first: how many clusters of each size did LSH find. Both
+    * aggregations are component-table-sized (docs that matched at least one
+    * pair), and the output is at most one row per distinct size — tiny at
+    * any corpus scale. */
+  def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
+    lshComponents(spark, sfDir)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
   /** N-gram (word 3-gram) Jaccard near-dup: candidate pairs are documents
     * sharing at least one shingle hash (bounded by `maxShingleFreq` to cap
     * hot-shingle fan-out), scored with exact Jaccard over their distinct

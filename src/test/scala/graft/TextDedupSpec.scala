@@ -197,4 +197,33 @@ class TextDedupSpec extends SparkSpec {
       assert(r.getAs[Long]("max_bucket") === 250L)
     }
   }
+
+  test("paragraph dedup: shared aligned chunks counted, unique docs at zero") {
+    import graft.operators.Dedup
+    // chunk size 3: doc 1 = [abc][def], doc 2 = [abc][xyq], doc 3 unique,
+    // doc 4 = 4 tokens -> [abc][trailing single token, shared with doc 5]
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y q"),
+      (3L, "totally different words here now"),
+      (4L, "a b c t"),
+      (5L, "u v w t")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupOf(docs, chunkTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 1L, 0.5)))       // [abc] shared with docs 2 and 4
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 2L, 1.0)))       // [abc] + trailing [t] (shared with 5)
+    assert(got(5L) === ((2L, 1L, 0.5)))       // trailing [t] only
+  }
+
+  test("cluster sizes: distribution is consistent with the component table") {
+    import graft.operators.Dedup
+    val sizes = Dedup.clusterSizes(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sizes.nonEmpty)
+    assert(sizes.forall(_._1 >= 2)) // a matched component has >= 2 members
+    val docsInClusters = sizes.map { case (sz, n) => sz * n }.sum
+    assert(docsInClusters === Dedup.lshComponents(spark, Sf0001).count())
+  }
 }
