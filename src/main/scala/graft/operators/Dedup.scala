@@ -66,9 +66,13 @@ object Dedup {
     * boilerplate shared at paragraph granularity entirely).
     *
     * Scale shape: explode(chunks) → one groupBy(chunk hash) for frequency
-    * (the Zipf head is absorbed by partial aggregation) → co-partitioned
-    * join back on the hash (Catalyst reuses the exchange) → per-doc
-    * groupBy. Corpus-linear; never all-pairs. */
+    * (the Zipf head is absorbed by partial aggregation) → join back on the
+    * hash (planner's choice: broadcast while the frequency table is small,
+    * hash-co-partitioned sort-merge at corpus scale) → per-doc groupBy.
+    * Corpus-linear; never all-pairs. The chunk subplan is inlined into both
+    * join sides rather than materialized — the same trade as tfidf's tf
+    * frame: one extra column-pruned scan+explode beats caching a
+    * token-level frame at corpus scale. */
   def paragraphDedup(spark: SparkSession, sfDir: String,
                      chunkTokens: Int = 3): DataFrame =
     paragraphDedupOf(documentsFor(spark, sfDir), chunkTokens)
