@@ -44,6 +44,11 @@ object SparkEntry {
   val MixRates: Map[String, Double] = Map("src7" -> 1.0, "src3" -> 0.25)
   val MixDefaultRate: Double = 0.5
 
+  /** Per-source mixture WEIGHTS for mix_rates (absent sources use the
+    * default) — shared by the Spark query and the oracle CASE. */
+  val MixWeights: Map[String, Double] = Map("src7" -> 3.0, "src3" -> 3.0)
+  val MixDefaultWeight: Double = 1.0
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: the four keyed-state jobs (batch window forms) ----
     "q1_running_max" -> ((s, dir) => {
@@ -126,6 +131,7 @@ object SparkEntry {
     "pii_scrub"        -> ((s, dir) => TextOps.piiScrub(s, dir)),
     "corpus_mix"       -> ((s, dir) => TextOps.corpusMix(s, dir)),
     "mix_sample"       -> ((s, dir) => TextOps.mixSample(s, dir, MixRates, MixDefaultRate)),
+    "mix_rates"        -> ((s, dir) => TextOps.mixRates(s, dir, MixWeights, MixDefaultWeight)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     // the same decision through the real micro-batch engine (state store
@@ -502,6 +508,18 @@ object SparkEntry {
          |   ELSE ${(MixDefaultRate * P).toLong} END AS thr
          | FROM documents)
          |WHERE h < thr ORDER BY doc_id""".stripMargin,
+    "mix_rates" ->
+      s"""WITH t AS (SELECT source, coalesce(len(string_split(text,' ')), 0) AS nt FROM documents),
+         |a AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY source),
+         |b AS (SELECT source, n_tokens,
+         |  CASE source ${MixWeights.toSeq.sortBy(_._1).map { case (src, x) =>
+              s"WHEN '$src' THEN $x" }.mkString(" ")}
+         |   ELSE $MixDefaultWeight END AS weight
+         | FROM a)
+         |SELECT source, n_tokens, weight,
+         | (SELECT min(CAST(n_tokens AS DOUBLE)/weight) FROM b) * weight
+         |   / CAST(n_tokens AS DOUBLE) AS rate
+         |FROM b ORDER BY source""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,

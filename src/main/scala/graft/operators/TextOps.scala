@@ -365,6 +365,44 @@ object TextOps {
     * distinct from the split's 2654435761; (P-1)·MixMultiplier < 2^63. */
   val MixMultiplier = 2654435769L
 
+  /** Mixture-rate design — the step between [[corpusMix]]'s report and
+    * [[mixSample]]'s filter: given per-source WEIGHTS, compute the
+    * deterministic sampling rates that realize token proportions ∝ weights
+    * while keeping the maximum possible data: rate_s = c·w_s / tokens_s
+    * with c = min_s(tokens_s / w_s), so the binding source keeps everything
+    * (rate 1.0) and every other source downsamples just enough. Output
+    * feeds [[mixSampleOf]] directly.
+    *
+    * One groupBy shuffle; the min is a window over the SOURCE table
+    * (source-count-sized), never the corpus — the same tiny-single-
+    * partition argument as [[corpusMixOf]]'s total. All arithmetic is one
+    * double division per source and an order-free min, so the rates are
+    * bit-identical cross-engine. */
+  def mixRates(spark: SparkSession, sfDir: String,
+               weights: Map[String, Double], defaultWeight: Double): DataFrame =
+    mixRatesOf(Tables.documents(spark, sfDir).select(col("source"), col("text")),
+      weights, defaultWeight)
+
+  def mixRatesOf(d: DataFrame, weights: Map[String, Double],
+                 defaultWeight: Double): DataFrame = {
+    require(defaultWeight > 0 && weights.values.forall(_ > 0), "weights must be positive")
+    val w = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultWeight): org.apache.spark.sql.Column) {
+        case ((src, x), acc) => when(col("source") === src, lit(x)).otherwise(acc)
+      }
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    d.select(col("source"), tokenCount0.as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("weight", w)
+      .withColumn("c", min(col("n_tokens").cast("double") / col("weight")).over(wAll))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        (col("c") * col("weight") / col("n_tokens").cast("double")).as("rate"))
+      .orderBy(col("source"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. A training run concatenates documents into ~`budget`-token
     * sequences; the assignment here is CONTIGUOUS-GREEDY in doc_id order —

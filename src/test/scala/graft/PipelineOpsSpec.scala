@@ -139,6 +139,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(one === exp)
   }
 
+  test("mix_rates: binding source keeps everything; realized mixture follows the weights") {
+    val docs = Seq(
+      ("a", (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 tokens
+      ("b", (1 to 40).map(i => s"x$i").mkString(" "))   // 40 tokens
+    ).toDF("source", "text")
+    val r = TextOps.mixRatesOf(docs, Map.empty, defaultWeight = 1.0).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getDouble(3)))).toMap
+    // equal weights: c = min(10, 40) = 10 → a keeps all, b keeps a quarter
+    assert(r("a") === ((10L, 1.0)))
+    assert(r("b") === ((40L, 0.25)))
+    // weight a 3x: realized token proportions must be 3:1
+    val r2 = TextOps.mixRatesOf(docs, Map("a" -> 3.0), defaultWeight = 1.0).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r2("a") === 1.0)
+    assert(math.abs((r2("a") * 10) / (r2("b") * 40) - 3.0) < 1e-12)
+    assert(r2.values.forall(v => v > 0.0 && v <= 1.0))
+  }
+
   test("pack_assign and corpus_mix count NULL text as zero tokens (oracle parity)") {
     // a NULL text is pinned to ZERO tokens on both engines (the oracle
     // coalesces identically) — without the pin, the emitted n_tokens value
