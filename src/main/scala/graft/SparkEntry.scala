@@ -89,6 +89,8 @@ object SparkEntry {
     // q1 on the RocksDB state store — the larger-than-heap state backend
     "q1rdb_running_max_rocksdb" -> ((s, dir) => StatefulQueries.runningMaxStreamingRocksDb(s, dir)),
     "q2r_block_avg_streaming"   -> ((s, dir) => StatefulQueries.blockAvgStreaming(s, dir)),
+    // q2 across TWO streaming runs sharing a checkpoint (state recovery)
+    "q2c_block_avg_checkpoint"  -> ((s, dir) => StatefulQueries.blockAvgCheckpointed(s, dir)),
     "q3r_running_max_month_streaming" -> ((s, dir) => StatefulQueries.runningMaxMonthStreaming(s, dir)),
     "q4r_threshold_gaps_streaming" -> ((s, dir) => StatefulQueries.thresholdGapsStreaming(s, dir)),
     "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
@@ -836,6 +838,7 @@ object SparkEntry {
       "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
       "dedup_exact_streaming"          -> base("dedup_exact"),
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
+      "q2c_block_avg_checkpoint"       -> base("q2_block_avg"),
       "q3r_running_max_month_streaming" -> base("q3_running_max_month"),
       "q4r_threshold_gaps_streaming"   -> base("q4_threshold_gaps"),
       "q2s_block_avg_stateful"         -> base("q2_block_avg"),

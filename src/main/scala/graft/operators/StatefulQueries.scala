@@ -188,6 +188,50 @@ object StatefulQueries {
       .orderBy(col("event_type"), col("block"))
   }
 
+  /** Q2 through TWO SEPARATE streaming query RUNS sharing one checkpoint —
+    * the in-gate proof of CHECKPOINT RECOVERY, the streaming claim
+    * otherwise covered only by unit tests: run 1 drains the first half of
+    * events to a parquet file sink and stops; run 2 starts from the same
+    * checkpoint, recovers the state store (each key's open block
+    * accumulator AND its block index) plus the source offsets, and
+    * processes only the second half. The combined sink output answers q2's
+    * oracle, so wrong recovery — state reset, input re-read, block indices
+    * restarting at 0 — fails the hash. This is the 100 TB operational
+    * story: a streaming curation job must survive restarts mid-corpus
+    * without recomputing or corrupting keyed state. */
+  def blockAvgCheckpointed(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    val work = Files.createTempDirectory("graft-q2c-")
+    val srcDir = Files.createDirectory(work.resolve("src"))
+    val ckpt = work.resolve("ckpt").toString
+    val outDir = work.resolve("out").toString
+    val schema = spark.read.parquet(copyDir).schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val out = StatefulOps.blockAverage(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = out.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    Files.copy(Paths.get(copyDir, "ev0.parquet"), srcDir.resolve("ev0.parquet"))
+    runOnce()
+    Files.copy(Paths.get(copyDir, "ev1.parquet"), srcDir.resolve("ev1.parquet"))
+    runOnce()
+    spark.read.parquet(outDir)
+      .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
+      .orderBy(col("event_type"), col("block"))
+  }
+
   /** Per-JVM cache of two-file ordered copies of `events`, keyed by sfDir —
     * bench repetitions must not rewrite the copy every run. */
   private val copyCache =

@@ -45,6 +45,17 @@ class StreamingGateSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q2 across two checkpointed runs equals the batch form (state recovered on restart)") {
+    val got = StatefulQueries.blockAvgCheckpointed(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q2_block_avg")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    // a state reset between runs would restart block indices and re-open
+    // accumulators mid-block — both diverge from the batch form
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
   test("streaming exact dedup equals the batch groupBy decision") {
     val got = Dedup.exactStreaming(spark, Sf0001).collect().map(_.toSeq).toSeq
     val exp = Dedup.exact(spark, Sf0001).collect().map(_.toSeq).toSeq
