@@ -148,6 +148,7 @@ object SparkEntry {
     "dedup_lsh_components" -> ((s, dir) => Dedup.lshComponents(s, dir)),
     "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
     "dedup_paragraph"  -> ((s, dir) => Dedup.paragraphDedup(s, dir)),
+    "dedup_containment" -> ((s, dir) => Dedup.containment(s, dir)),
     "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
     "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
     "dedup_decisions_pref" -> ((s, dir) => Dedup.dedupDecisionsPreferring(s, dir, DedupPrefer)),
@@ -599,6 +600,19 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_paras,
          | CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
          | CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS dup_para_frac
+         |FROM p JOIN f USING (ph)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |p AS (SELECT doc_id,
+         |  CAST(unnest(list_transform(range((len(ths)+2)//3),
+         |    p -> list_reduce(ths[p*3+1:p*3+3], (a,b) -> (a*31+b) % $P))) AS BIGINT) AS ph
+         | FROM t),
+         |f AS (SELECT ph, min(doc_id) AS first_doc FROM p GROUP BY ph)
+         |SELECT doc_id, count(*) AS n_paras,
+         | CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
+         | CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS contained_frac,
+         | CAST(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)/count(*) < 0.5 AS BIGINT) AS keep
          |FROM p JOIN f USING (ph)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_cluster_sizes" ->

@@ -78,16 +78,7 @@ object Dedup {
     paragraphDedupOf(documentsFor(spark, sfDir), chunkTokens)
 
   def paragraphDedupOf(docs: DataFrame, chunkTokens: Int = 3): DataFrame = {
-    require(chunkTokens > 0, "chunkTokens must be positive")
-    val n = chunkTokens
-    val P = graft.functions.TextFunctions.HashMod
-    val ths = tokenHashes(col("text"))
-    // ceil(len/n) chunks; chunk p covers token hashes [p*n, (p+1)*n)
-    val nChunks = floor((size(ths) + lit(n - 1)).cast("double") / n).cast("long")
-    val paras = docs.select(col("doc_id"),
-      explode(transform(sequence(lit(0L), nChunks - 1),
-        p => aggregate(slice(ths, (p * n + 1).cast("int"), lit(n)),
-          lit(0L), (acc, x) => (acc * 31 + x) % P))).as("ph"))
+    val paras = paraHashesOf(docs, chunkTokens)
     val freq = paras.groupBy(col("ph")).agg(count(lit(1)).as("freq"))
     paras.join(freq, "ph")
       .groupBy(col("doc_id"))
@@ -95,6 +86,50 @@ object Dedup {
            sum(when(col("freq") > 1, 1L).otherwise(0L)).as("n_dup_paras"))
       .withColumn("dup_para_frac",
         col("n_dup_paras").cast("double") / col("n_paras"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One row per (doc, chunk instance): the exploded chunk-hash frame
+    * shared by [[paragraphDedupOf]] and [[containmentOf]]. */
+  private def paraHashesOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val n = chunkTokens
+    val P = graft.functions.TextFunctions.HashMod
+    val ths = tokenHashes(col("text"))
+    // ceil(len/n) chunks; chunk p covers token hashes [p*n, (p+1)*n)
+    val nChunks = floor((size(ths) + lit(n - 1)).cast("double") / n).cast("long")
+    docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0L), nChunks - 1),
+        p => aggregate(slice(ths, (p * n + 1).cast("int"), lit(n)),
+          lit(0L), (acc, x) => (acc * 31 + x) % P))).as("ph"))
+  }
+
+  /** Approximate CONTAINMENT dedup decision — the chunk-level analogue of
+    * suffix-array substring dedup: a document is dropped when at least
+    * `maxContained` of its chunks already appear in an EARLIER document
+    * (smaller doc_id = the deterministic "first occurrence" owner). This
+    * catches quote-heavy and mostly-boilerplate documents that whole-doc
+    * and pairwise near-dup both miss: a doc stitched from pieces of many
+    * earlier docs pairs highly with none of them.
+    *
+    * Scale shape: the chunk frame + one groupBy(hash) for first owners +
+    * co-keyed join + per-doc groupBy — identical cost profile to
+    * [[paragraphDedupOf]]. */
+  def containment(spark: SparkSession, sfDir: String,
+                  chunkTokens: Int = 3, maxContained: Double = 0.5): DataFrame =
+    containmentOf(documentsFor(spark, sfDir), chunkTokens, maxContained)
+
+  def containmentOf(docs: DataFrame, chunkTokens: Int = 3,
+                    maxContained: Double = 0.5): DataFrame = {
+    val paras = paraHashesOf(docs, chunkTokens)
+    val first = paras.groupBy(col("ph")).agg(min(col("doc_id")).as("first_doc"))
+    paras.join(first, "ph")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_contained"))
+      .withColumn("contained_frac",
+        col("n_contained").cast("double") / col("n_paras"))
+      .withColumn("keep", (col("contained_frac") < maxContained).cast("long"))
       .orderBy(col("doc_id"))
   }
 

@@ -217,6 +217,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) === ((2L, 1L, 0.5)))       // trailing [t] only
   }
 
+  test("containment: a doc stitched from earlier docs is dropped; originals kept") {
+    import graft.operators.Dedup
+    // doc 10 is assembled from doc 1's and doc 2's chunks (chunk size 3);
+    // docs 1 and 2 are the first owners, so they keep
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "p q r s t u"),
+      (3L, "fully original content lives in here"),
+      (10L, "a b c p q r d e f")).toDF("doc_id", "text")
+    val got = Dedup.containmentOf(docs, chunkTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got(1L) === ((2L, 0L, 1L)))
+    assert(got(2L) === ((2L, 0L, 1L)))
+    assert(got(3L) === ((2L, 0L, 1L)))
+    assert(got(10L) === ((3L, 3L, 0L))) // all 3 chunks first-owned earlier -> dropped
+  }
+
   test("cluster sizes: distribution is consistent with the component table") {
     import graft.operators.Dedup
     val sizes = Dedup.clusterSizes(spark, Sf0001).collect()
