@@ -49,6 +49,26 @@ object HashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Non-overlapping chunk hashes: the polynomial fold of every n-wide chunk
+    * of the hash sequence anchored at offsets 0, n, 2n, … (trailing partial
+    * chunk kept) — ceil(len/n) outputs. Fold starts at 0, so a chunk's hash
+    * equals DuckDB's seedless list_reduce over the same slice. */
+  def chunkHashes(ths: ArrayData, n: Int): ArrayData = {
+    val cnt = ths.numElements()
+    val m = (cnt + n - 1) / n
+    val out = new Array[Long](m)
+    var c = 0
+    var i = 0
+    while (c < m) {
+      var acc = 0L
+      val end = math.min(i + n, cnt)
+      while (i < end) { acc = (acc * 31L + ths.getLong(i)) % P; i += 1 }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashSig(sh: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val k = as.length
     val mins = Array.fill(k)(P)
@@ -167,6 +187,20 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
   }
 
+  /** Non-overlapping n-token chunk hashes (the paragraph-dedup frame):
+    * array<long> of length ceil(numTokens / n). One tight loop under
+    * whole-stage codegen vs the interpreted transform/aggregate/slice
+    * HOF stack doing per-chunk allocations. */
+  case class ChunkHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      HashKernels.chunkHashes(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.chunkHashes($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ChunkHashes = copy(child = c)
+  }
+
   /** All MinHash components in ONE pass over the shingle array:
     * out[j] = min over shingles of (a(j)*s + b(j)) % P, or P if empty. */
   case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
@@ -240,6 +274,8 @@ object HashExpressions {
     ColumnBridge.column(TokenHashes(ColumnBridge.expression(text)))
   def shingle_hashes(ths: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(ths), n))
+  def chunk_hashes(ths: Column, n: Int): Column =
+    ColumnBridge.column(ChunkHashes(ColumnBridge.expression(ths), n))
   def minhash_sig(shingles: Column, as: Seq[Long], bs: Seq[Long]): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), as, bs))
   def simhash_of(ths: Column, bits: Int): Column =

@@ -93,15 +93,11 @@ object Dedup {
     * shared by [[paragraphDedupOf]] and [[containmentOf]]. */
   private def paraHashesOf(docs: DataFrame, chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
-    val n = chunkTokens
-    val P = graft.functions.TextFunctions.HashMod
-    val ths = tokenHashes(col("text"))
-    // ceil(len/n) chunks; chunk p covers token hashes [p*n, (p+1)*n)
-    val nChunks = floor((size(ths) + lit(n - 1)).cast("double") / n).cast("long")
+    // native codegen'd kernel — the transform/aggregate/slice HOF stack
+    // computes the same hashes interpreted with per-chunk allocations
     docs.select(col("doc_id"),
-      explode(transform(sequence(lit(0L), nChunks - 1),
-        p => aggregate(slice(ths, (p * n + 1).cast("int"), lit(n)),
-          lit(0L), (acc, x) => (acc * 31 + x) % P))).as("ph"))
+      explode(graft.functions.HashExpressions.chunk_hashes(
+        tokenHashes(col("text")), chunkTokens)).as("ph"))
   }
 
   /** Approximate CONTAINMENT dedup decision — the chunk-level analogue of

@@ -60,6 +60,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaKernel.toSeq === viaHof.toSeq)
   }
 
+  test("property: chunkHashes kernel equals the naive grouped fold on random arrays") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val P = graft.functions.HashKernels.P
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 200) {
+      val len = rnd.nextInt(40)
+      val n = 1 + rnd.nextInt(6)
+      val arr = Array.fill(len)(rnd.nextLong().abs % P)
+      val naive = arr.grouped(n).map(_.foldLeft(0L)((a, x) => (a * 31 + x) % P)).toSeq
+      val got = graft.functions.HashKernels
+        .chunkHashes(new GenericArrayData(arr), n).toLongArray.toSeq
+      assert(got === naive, s"trial=$trial len=$len n=$n")
+    }
+  }
+
   test("property: winnowMins kernel equals the naive sliding-min-distinct on random arrays") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val rnd = new scala.util.Random(42)
