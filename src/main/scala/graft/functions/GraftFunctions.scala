@@ -22,6 +22,8 @@ object GraftFunctions {
     "graft_token_hashes"   -> (exprs => TokenHashes(exprs.head)),
     "graft_shingle_hashes" -> (exprs =>
       ShingleHashes(exprs.head, exprs(1).eval(null).asInstanceOf[Int])),
+    "graft_chunk_hashes"   -> (exprs =>
+      ChunkHashes(exprs.head, exprs(1).eval(null).asInstanceOf[Int])),
     "graft_poly_fold"      -> (exprs => PolyFold(exprs.head)),
     "graft_simhash"        -> (exprs =>
       SimHash(exprs.head, exprs(1).eval(null).asInstanceOf[Int])),

@@ -26,6 +26,10 @@ class SqlSurfaceSpec extends SparkSpec {
     val dotRow = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d").head()
     assert(dotRow.getDouble(0) === 32.0)
+    // chunk hashes: ceil(5/2) = 3 chunks; last is the partial [5]
+    val chunkRow = spark.sql(
+      "SELECT graft_chunk_hashes(array(1L, 2L, 3L, 4L, 5L), 2) AS c").head()
+    assert(chunkRow.getSeq[Long](0) === Seq(1L * 31 + 2, 3L * 31 + 4, 5L))
   }
 
   test("spark.sql.extensions entry point injects graft functions at session build") {
