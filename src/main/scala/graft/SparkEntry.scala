@@ -520,8 +520,10 @@ object SparkEntry {
          |   ELSE $MixDefaultWeight END AS weight
          | FROM a)
          |SELECT source, n_tokens, weight,
-         | (SELECT min(CAST(n_tokens AS DOUBLE)/weight) FROM b) * weight
-         |   / CAST(n_tokens AS DOUBLE) AS rate
+         | CASE WHEN n_tokens > 0 THEN
+         |  (SELECT min(CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE)/weight END) FROM b)
+         |    * weight / CAST(n_tokens AS DOUBLE)
+         | ELSE 0.0 END AS rate
          |FROM b ORDER BY source""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
@@ -592,10 +594,7 @@ object SparkEntry {
          |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
     "dedup_paragraph" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
-         |p AS (SELECT doc_id,
-         |  CAST(unnest(list_transform(range((len(ths)+2)//3),
-         |    p -> list_reduce(ths[p*3+1:p*3+3], (a,b) -> (a*31+b) % $P))) AS BIGINT) AS ph
-         | FROM t),
+         |$chunkHashCte,
          |f AS (SELECT ph, count(*) AS freq FROM p GROUP BY ph)
          |SELECT doc_id, count(*) AS n_paras,
          | CAST(sum(CASE WHEN freq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
@@ -604,10 +603,7 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
-         |p AS (SELECT doc_id,
-         |  CAST(unnest(list_transform(range((len(ths)+2)//3),
-         |    p -> list_reduce(ths[p*3+1:p*3+3], (a,b) -> (a*31+b) % $P))) AS BIGINT) AS ph
-         | FROM t),
+         |$chunkHashCte,
          |f AS (SELECT ph, min(doc_id) AS first_doc FROM p GROUP BY ph)
          |SELECT doc_id, count(*) AS n_paras,
          | CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_contained,
@@ -944,6 +940,17 @@ object SparkEntry {
     s"""list_transform(string_split(text,' '),
        | t -> list_reduce(list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT)),
        |      (a,b) -> (a*31+b) % $P))""".stripMargin.replaceAll("\n", " ")
+
+  /** Non-overlapping chunk-hash CTE `p` over `t(doc_id, ths)` — mirrors
+    * HashKernels.chunkHashes with the SAME width constant
+    * (Dedup.DefaultChunkTokens), so the two sides cannot drift. */
+  private def chunkHashCte: String = {
+    val n = graft.operators.Dedup.DefaultChunkTokens
+    s"""p AS (SELECT doc_id,
+       |  CAST(unnest(list_transform(range((len(ths)+${n - 1})//$n),
+       |    p -> list_reduce(ths[p*$n+1:p*$n+$n], (a,b) -> (a*31+b) % $P))) AS BIGINT) AS ph
+       | FROM t)""".stripMargin
+  }
 
   /** Word-3-gram shingle hashes derived from token hashes. */
   private val shinglesSql: String =

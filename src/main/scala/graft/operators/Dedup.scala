@@ -56,6 +56,11 @@ object Dedup {
       .orderBy(col("fp_md5"))
   }
 
+  /** Default chunk width (tokens) for [[paragraphDedup]]/[[containment]] —
+    * interpolated into the oracle SQL (SparkEntry) so the two sides cannot
+    * drift. */
+  val DefaultChunkTokens = 3
+
   /** Paragraph-level dedup statistics — the CCNet/RefinedWeb chunk-dedup
     * shape: documents are cut into NON-OVERLAPPING `chunkTokens`-token
     * chunks anchored at fixed offsets (the trailing partial chunk kept),
@@ -74,10 +79,10 @@ object Dedup {
     * frame: one extra column-pruned scan+explode beats caching a
     * token-level frame at corpus scale. */
   def paragraphDedup(spark: SparkSession, sfDir: String,
-                     chunkTokens: Int = 3): DataFrame =
+                     chunkTokens: Int = DefaultChunkTokens): DataFrame =
     paragraphDedupOf(documentsFor(spark, sfDir), chunkTokens)
 
-  def paragraphDedupOf(docs: DataFrame, chunkTokens: Int = 3): DataFrame = {
+  def paragraphDedupOf(docs: DataFrame, chunkTokens: Int = DefaultChunkTokens): DataFrame = {
     val paras = paraHashesOf(docs, chunkTokens)
     val freq = paras.groupBy(col("ph")).agg(count(lit(1)).as("freq"))
     paras.join(freq, "ph")
@@ -112,10 +117,10 @@ object Dedup {
     * co-keyed join + per-doc groupBy — identical cost profile to
     * [[paragraphDedupOf]]. */
   def containment(spark: SparkSession, sfDir: String,
-                  chunkTokens: Int = 3, maxContained: Double = 0.5): DataFrame =
+                  chunkTokens: Int = DefaultChunkTokens, maxContained: Double = 0.5): DataFrame =
     containmentOf(documentsFor(spark, sfDir), chunkTokens, maxContained)
 
-  def containmentOf(docs: DataFrame, chunkTokens: Int = 3,
+  def containmentOf(docs: DataFrame, chunkTokens: Int = DefaultChunkTokens,
                     maxContained: Double = 0.5): DataFrame = {
     val paras = paraHashesOf(docs, chunkTokens)
     val first = paras.groupBy(col("ph")).agg(min(col("doc_id")).as("first_doc"))
@@ -135,7 +140,7 @@ object Dedup {
     * pair), and the output is at most one row per distinct size — tiny at
     * any corpus scale. */
   def clusterSizes(spark: SparkSession, sfDir: String): DataFrame =
-    lshComponents(spark, sfDir)
+    componentsFor(spark, sfDir) // unsorted form: aggregation destroys order
       .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))

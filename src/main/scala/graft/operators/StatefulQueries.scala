@@ -60,18 +60,29 @@ object StatefulQueries {
       check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val qn = s"stateful_stream_${System.nanoTime()}"
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    stateWidth.foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w.toString))
-    try {
-      val q = out.writeStream.outputMode(outputMode).format("memory")
-        .queryName(qn).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      check(q)
-      materializeAndDrop(spark, qn)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      if (spark.catalog.tableExists(qn)) spark.catalog.dropTempView(qn)
+    def run(): DataFrame =
+      try {
+        val q = out.writeStream.outputMode(outputMode).format("memory")
+          .queryName(qn).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        check(q)
+        materializeAndDrop(spark, qn)
+      } finally {
+        if (spark.catalog.tableExists(qn)) spark.catalog.dropTempView(qn)
+      }
+    stateWidth match {
+      case Some(w) => withShuffleWidth(spark, w)(run())
+      case None    => run()
     }
+  }
+
+  /** Run `body` with the stateful-shuffle width (= state store instance
+    * count) narrowed to `w`, restoring the session value afterwards. */
+  private[operators] def withShuffleWidth[T](spark: SparkSession, w: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", w.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private def drainStateful(spark: SparkSession, sfDir: String)
@@ -208,28 +219,38 @@ object StatefulQueries {
     val ckpt = work.resolve("ckpt").toString
     val outDir = work.resolve("out").toString
     val schema = spark.read.parquet(copyDir).schema
-    def runOnce(): Unit = {
+    def runOnce(): Unit = withShuffleWidth(spark, 8) {
       val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
       val out = StatefulOps.blockAverage(stream
         .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
         .as[KV](kvEnc)).toDF()
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = out.writeStream.outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .format("parquet").option("path", outDir)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
     }
     Files.copy(Paths.get(copyDir, "ev0.parquet"), srcDir.resolve("ev0.parquet"))
     runOnce()
     Files.copy(Paths.get(copyDir, "ev1.parquet"), srcDir.resolve("ev1.parquet"))
     runOnce()
-    spark.read.parquet(outDir)
+    // materialize, then delete the whole work dir (copies, checkpoint, sink):
+    // bench repetitions must not accumulate per-run disk
+    val result = spark.read.parquet(outDir)
       .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
       .orderBy(col("event_type"), col("block"))
+      .localCheckpoint()
+    deleteRecursively(work)
+    result
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
   }
 
   /** Per-JVM cache of two-file ordered copies of `events`, keyed by sfDir —

@@ -394,12 +394,18 @@ object TextOps {
       .partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // zero-token sources (all-NULL text) can't contribute: they take rate 0
+    // and are excluded from the binding min — otherwise c would collapse to
+    // 0 (zeroing EVERY source) and the empty source would divide 0/0
     d.select(col("source"), tokenCount0.as("nt"))
       .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
       .withColumn("weight", w)
-      .withColumn("c", min(col("n_tokens").cast("double") / col("weight")).over(wAll))
+      .withColumn("c", min(when(col("n_tokens") > 0,
+        col("n_tokens").cast("double") / col("weight"))).over(wAll))
       .select(col("source"), col("n_tokens"), col("weight"),
-        (col("c") * col("weight") / col("n_tokens").cast("double")).as("rate"))
+        when(col("n_tokens") > 0,
+          col("c") * col("weight") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("rate"))
       .orderBy(col("source"))
   }
 

@@ -170,6 +170,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2("a") === 1.0)
     assert(math.abs((r2("a") * 10) / (r2("b") * 40) - 3.0) < 1e-12)
     assert(r2.values.forall(v => v > 0.0 && v <= 1.0))
+    // a zero-token source (all-NULL text) takes rate 0 and must not zero
+    // the binding min for everyone else
+    val withEmpty = docs.union(Seq(("z", Option.empty[String])).toDF("source", "text"))
+    val r3 = TextOps.mixRatesOf(withEmpty, Map.empty, defaultWeight = 1.0).collect()
+      .map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r3("z") === 0.0)
+    assert(r3("a") === 1.0 && r3("b") === 0.25)
   }
 
   test("pack_assign and corpus_mix count NULL text as zero tokens (oracle parity)") {
