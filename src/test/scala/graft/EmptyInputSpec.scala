@@ -30,6 +30,14 @@ class EmptyInputSpec extends SparkSpec {
   }
 
 
+  test("round-7 operators: empty in, empty out") {
+    assert(Dedup.paragraphDedupOf(emptyDocs).count() === 0)
+    assert(Dedup.containmentOf(emptyDocs).count() === 0)
+    assert(TextOps.mixRatesOf(
+      Seq.empty[(String, String)].toDF("source", "text"),
+      Map("a" -> 2.0), defaultWeight = 1.0).count() === 0)
+  }
+
   test("dedup operators: empty in, empty out (including the component loop)") {
     assert(Dedup.exactOf(emptyDocs).count() === 0)
     assert(Dedup.ngramJaccardOf(emptyDocs).count() === 0)
