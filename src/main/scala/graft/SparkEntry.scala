@@ -167,6 +167,9 @@ object SparkEntry {
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
+    // session windows through the real engine: event-time timeout closes
+    // sessions when the watermark passes end+gap, flushed by a sentinel batch
+    "q13s_sessionize_streaming" -> ((s, dir) => Sessionize.sessionizeStreaming(s, dir)),
     "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
     "q16_anti_join"    -> ((s, dir) => Relational.neverOrderedParts(s, dir)),
@@ -857,6 +860,7 @@ object SparkEntry {
       "q21_topk_aggregator"            -> base("q7_top_parts"),
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
+      "q13s_sessionize_streaming"      -> base("q13_sessionize"),
       "q1p_running_max_secondary_sort" -> base("q1_running_max"),
       "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),
       "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),

@@ -253,30 +253,29 @@ object StatefulQueries {
     finally walk.close()
   }
 
-  /** Per-JVM cache of two-file ordered copies of `events`, keyed by sfDir —
+  /** Per-JVM cache of time-ordered file copies, keyed by copy kind + sfDir —
     * bench repetitions must not rewrite the copy every run. */
   private val copyCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Write `events` as TWO parquet files split at the median event_id, with
-    * modification times 60s apart, so a `maxFilesPerTrigger(1)` file stream
-    * replays them as two time-ordered micro-batches (the file source lists
-    * pending files oldest-mtime-first). Only (event_type, event_id, value)
-    * is kept: `event_id` is the verified (ts, event_id)-monotone order, so
-    * splitting on it preserves per-key arrival order across the batch
-    * boundary — the contract the reference ops require. */
-  private def orderedEventsCopy(spark: SparkSession, sfDir: String): String =
-    copyCache.computeIfAbsent(sfDir, { _ => withNanosAsLong(spark) {
+  /** Write `frames` as single parquet files named `names`, with modification
+    * times 60s apart, so a `maxFilesPerTrigger(1)` file stream replays them
+    * as time-ordered micro-batches (the file source lists pending files
+    * oldest-mtime-first). Cached per `cacheKey`; the caller is responsible
+    * for holding any session conf the frames' execution needs (e.g.
+    * [[withNanosAsLong]]) around the CALL, since the writes run inside. */
+  private[operators] def timeOrderedFilesCopy(
+      spark: SparkSession, cacheKey: String, names: Seq[String])
+      (frames: => Seq[DataFrame]): String =
+    copyCache.computeIfAbsent(cacheKey, { _ =>
       import java.nio.file.Files
-      // Tables.events needs the nanos flag during the writes below;
-      // withNanosAsLong keeps it from outliving the copy creation
-      val ev = Tables.events(spark, sfDir)
-        .select(col("event_type"), col("event_id"), col("value"))
-      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-      val dir = Files.createTempDirectory("graft-events-2file-")
-      def writeHalf(half: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = dir.resolve(s"stage-$name")
-        half.coalesce(1).write.parquet(tmp.toString)
+      val fs = frames
+      require(fs.size == names.size, s"${fs.size} frames for ${names.size} names")
+      val dir = Files.createTempDirectory("graft-ordered-copy-")
+      val t0 = System.currentTimeMillis() - 60000L * (names.size + 1)
+      fs.zip(names).zipWithIndex.foreach { case ((df, name), i) =>
+        val tmp = dir.resolve(s"stage-$i")
+        df.coalesce(1).write.parquet(tmp.toString)
         val listing = Files.list(tmp)
         val part =
           try listing.filter(_.getFileName.toString.endsWith(".parquet"))
@@ -284,13 +283,28 @@ object StatefulQueries {
           finally listing.close()
         val dest = dir.resolve(name)
         Files.move(part, dest)
-        dest.toFile.setLastModified(mtime)
+        dest.toFile.setLastModified(t0 + 60000L * i)
       }
-      val t0 = System.currentTimeMillis() - 120000L
-      writeHalf(ev.filter(col("event_id") <= mid), "ev0.parquet", t0)
-      writeHalf(ev.filter(col("event_id") > mid), "ev1.parquet", t0 + 60000L)
       dir.toString
-    }})
+    })
+
+  /** `events` as TWO parquet files split at the median event_id. `event_id`
+    * is the verified (ts, event_id)-monotone order, so splitting on it
+    * preserves per-key arrival order across the batch boundary — the
+    * contract the reference ops require. Only (event_type, event_id, value)
+    * is kept. */
+  private def orderedEventsCopy(spark: SparkSession, sfDir: String): String =
+    // Tables.events needs the nanos flag during the writes; withNanosAsLong
+    // keeps it from outliving the copy creation (cache hits pay a no-op
+    // set/restore)
+    withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"events:$sfDir", Seq("ev0.parquet", "ev1.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+        Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+      }
+    }
 
   /** Drain a keyed-state op over a directory of time-ordered parquet files,
     * ONE FILE PER MICRO-BATCH (Trigger.AvailableNow honors the

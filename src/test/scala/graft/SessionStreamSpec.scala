@@ -44,4 +44,11 @@ class SessionStreamSpec extends SparkSpec {
     // [60,60](1) closed by wm=90 via event-time timeout
     assert(got.toSeq === Seq((0, 5, 2L), (30, 33, 2L), (60, 60, 1L)))
   }
+
+  test("gate form: watermark-flushed streaming sessions ≡ batch sessionize") {
+    val got = graft.operators.Sessionize.sessionizeStreaming(spark, Sf0001).collect()
+    val want = graft.operators.Sessionize.sessionize(spark, Sf0001).collect()
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
 }
