@@ -127,6 +127,9 @@ object SparkEntry {
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
+    // the same decontamination with a bloom-filter prefilter on the train
+    // fingerprint stream — exact result, map-side pruning before the shuffle
+    "contamination_bloom" -> ((s, dir) => TextOps.contaminationBloom(s, dir)),
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
@@ -861,6 +864,9 @@ object SparkEntry {
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),
+      // the bloom prefilter is exact: no false negatives, false positives
+      // die in the exact fingerprint join, freq cap unchanged per fp value
+      "contamination_bloom"            -> base("contamination_external"),
       "q1p_running_max_secondary_sort" -> base("q1_running_max"),
       "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),
       "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),

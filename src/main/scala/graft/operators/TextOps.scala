@@ -552,17 +552,68 @@ object TextOps {
 
   def contaminationOf(corpus: DataFrame, evalSet: DataFrame,
                       n: Int = 3, w: Int = 4,
-                      minShared: Long = 2L, maxFpFreq: Int = 100): DataFrame = {
-    def fps(df: DataFrame, idAs: String) = df.select(
+                      minShared: Long = 2L, maxFpFreq: Int = 100): DataFrame =
+    contaminationJoin(winnowFps(corpus, "train_id", n, w),
+      winnowFps(evalSet, "eval_id", n, w), minShared, maxFpFreq)
+
+  /** [[contaminationExternal]] with a BLOOM-FILTER prefilter on the train
+    * side — the decontamination shape that actually fits 100 TB: the eval
+    * set is benchmark-sized, so its fingerprints fold into a constant-size
+    * bit array (built in-plan, collected once as a fixed-size sketch — the
+    * same control-plane pattern as the k-means centroids), and the
+    * corpus-side fingerprint stream drops every row the bloom rejects
+    * BEFORE the frequency window and the join shuffle. Only bloom hits
+    * (true matches + the ~(kn/m)^k false-positive sliver) ever shuffle;
+    * the full train fingerprint stream stays map-side.
+    *
+    * The result is EXACT, same oracle as `contamination_external`:
+    * - no false negatives: a bloom rejects only fingerprints that are
+    *   definitely not in the eval set, and those can't contribute a join row;
+    * - false positives are eliminated by the exact fingerprint join that
+    *   follows, which only ever produced rows for true matches;
+    * - the hot-fingerprint cap is UNCHANGED by prefiltering: the bloom
+    *   decision is a pure function of the fingerprint VALUE, so for any
+    *   value either every occurrence survives or none does — the
+    *   per-surviving-value window count equals the full-corpus count.
+    */
+  def contaminationBloom(spark: SparkSession, sfDir: String,
+                         evalMod: Int = 37, headTokens: Int = 30,
+                         idOffset: Long = 1000000L): DataFrame = {
+    val d = documentsFor(spark, sfDir)
+    val ev = d.filter(col("doc_id") % evalMod === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, headTokens)).as("text"))
+    contaminationBloomOf(d, ev)
+  }
+
+  def contaminationBloomOf(corpus: DataFrame, evalSet: DataFrame,
+                           n: Int = 3, w: Int = 4,
+                           minShared: Long = 2L, maxFpFreq: Int = 100,
+                           mBits: Int = 1 << 16, kProbes: Int = 3): DataFrame = {
+    val ev = winnowFps(evalSet, "eval_id", n, w)
+    val words = bloomWordsOf(ev.select(col("fp")), mBits, kProbes)
+    val tr = winnowFps(corpus, "train_id", n, w)
+      .filter(bloomMightContain(words, mBits, kProbes, col("fp")))
+    contaminationJoin(tr, ev, minShared, maxFpFreq)
+  }
+
+  /** (doc_id → `idAs`, exploded winnowing fingerprint) stream of a corpus. */
+  private def winnowFps(df: DataFrame, idAs: String, n: Int, w: Int): DataFrame =
+    df.select(
       col("doc_id").as(idAs),
       explode(graft.functions.HashExpressions.winnow_mins(
         shingleHashes(col("text"), n), w)).as("fp"))
+
+  /** The shared contamination tail: hot-fingerprint cap on the train stream,
+    * fingerprint-bucketed train×eval join, per-pair shared count, overlap
+    * score against the eval doc's fingerprint total. */
+  private def contaminationJoin(tr0: DataFrame, ev: DataFrame,
+                                minShared: Long, maxFpFreq: Int): DataFrame = {
     val fpW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val tr = fps(corpus, "train_id")
+    val tr = tr0
       .withColumn("freq", count(lit(1)).over(fpW))
       .filter(col("freq") <= maxFpFreq)
       .drop("freq")
-    val ev = fps(evalSet, "eval_id")
     val evSize = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_fp"))
     tr.join(ev, "fp")
       .filter(col("train_id") =!= col("eval_id"))
@@ -572,6 +623,40 @@ object TextOps {
       .select(col("train_id"), col("eval_id"), col("n_shared"),
               (col("n_shared").cast("double") / col("n_fp")).as("overlap"))
       .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** Fold a fingerprint frame into Bloom-filter words: k probe positions per
+    * fingerprint (`xxhash64(i, fp) mod m` — the probe side recomputes the
+    * identical built-in, so build/probe parity is by construction, not by
+    * replicating engine internals), OR-aggregated into 64-bit words. The
+    * result is a CONSTANT-size mergeable sketch (m/64 longs regardless of
+    * input rows) — collecting it is control plane, not data plane. */
+  private def bloomWordsOf(fps: DataFrame, mBits: Int, kProbes: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64")
+    val rows = fps.select(explode(array((0 until kProbes).map(i =>
+        pmod(xxhash64(lit(i), col("fp")), lit(mBits.toLong))): _*)).as("pos"))
+      .distinct()
+      .selectExpr("CAST(pos div 64 AS INT) AS wi",
+                  "shiftleft(1L, CAST(pmod(pos, 64) AS INT)) AS bit")
+      .groupBy(col("wi")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val words = new Array[Long](mBits / 64)
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Codegen-friendly membership probe against literal bloom words: k bit
+    * tests over an array literal, ANDed — built-in expressions only, so the
+    * filter rides whole-stage codegen right behind the fingerprint kernel. */
+  private def bloomMightContain(words: Array[Long], mBits: Int, kProbes: Int,
+                                fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val wl = lit(words)
+    (0 until kProbes).map { i =>
+      val pos = pmod(xxhash64(lit(i), fp), lit(mBits.toLong))
+      val word = element_at(wl, (shiftright(pos, 6) + lit(1)).cast("int"))
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
   }
 
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {

@@ -281,6 +281,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("contamination_bloom ≡ contamination_external (no false negatives, FPs die in the join)") {
+    val want = TextOps.contaminationExternal(spark, Sf0001).collect()
+    val got = TextOps.contaminationBloom(spark, Sf0001).collect()
+    assert(want.nonEmpty) // the head-truncated eval docs guarantee hits
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("contamination_bloom: the prefilter actually prunes the train stream") {
+    // a tiny bloom (256 bits) over ONE eval doc must reject most of a
+    // 3-doc corpus's fingerprints yet still find the planted passage
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = Seq(
+      (1L, "prefix words come first here " + passage + " then suffix words trail"),
+      (2L, "totally unrelated content about graph algorithms and catalyst plans"),
+      (3L, "more filler text with nothing shared across any of the documents")
+    ).toDF("doc_id", "text")
+    val ev = Seq((100L, passage)).toDF("doc_id", "text")
+    val got = TextOps.contaminationBloomOf(corpus, ev, minShared = 1L, mBits = 256)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet === Set(1L))
+    val want = TextOps.contaminationOf(corpus, ev, minShared = 1L).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("dedup_decisions_pref: preferred source beats min doc_id inside a component") {
     val docs = Seq(
       (1L, "cc"), (2L, "wiki"), (3L, "cc"),   // one component {1,2,3}

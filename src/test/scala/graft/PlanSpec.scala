@@ -173,6 +173,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("contamination_bloom: the bit-test filter runs on the map side, below every shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = plan("contamination_bloom")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the membership probe (xxhash64 bit tests) must sit BELOW every
+    // exchange — the whole point of the prefilter is that rejected
+    // fingerprints never shuffle; a post-shuffle bloom filter saves nothing
+    val exec0 = SparkEntry.queries("contamination_bloom")(spark, Sf0001)
+      .queryExecution.executedPlan
+    // AdaptiveSparkPlanExec is a leaf to collect(); descend into its plan
+    val exec = exec0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val bloomFilters = exec.collect {
+      case f: FilterExec if f.condition.toString.contains("xxhash64") => f
+    }
+    assert(bloomFilters.nonEmpty, s"no xxhash64 membership filter in plan:\n$p")
+    bloomFilters.foreach { f =>
+      // the only shuffle allowed underneath is the local small-file spread
+      // (which self-elides at scale — see spreadCount); the fingerprint
+      // window/join exchanges must all be ABOVE the probe
+      val below = f.collect { case s: ShuffleExchangeExec => s }.size
+      assert(below <= docSpread,
+        s"bloom filter has $below shuffles BELOW it (probe is post-shuffle):\n$p")
+    }
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)
