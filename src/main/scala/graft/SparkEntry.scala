@@ -166,6 +166,10 @@ object SparkEntry {
     "ann_ivf_trained_probe2" -> ((s, dir) => Similarity.ivfTrainedMultiProbeTopK(s, dir)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     "semantic_near_dup" -> ((s, dir) => Similarity.semanticNearDup(s, dir)),
+    // product quantization: M sub-quantizer codebooks; vectors compress to
+    // M codeword ids (the IVF-PQ index memory layout), searched via ADC
+    "pq_codes"         -> ((s, dir) => Similarity.pqCodes(s, dir)),
+    "ann_pq_adc_topk"  -> ((s, dir) => Similarity.pqAdcTopK(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -795,6 +799,32 @@ object SparkEntry {
          |  AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cos FROM cand
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "pq_codes" ->
+      s"""WITH $pqCtes,
+         |${pqCodesCte}
+         |SELECT vec_id, ${(0 until PqM).map(j => s"code$j").mkString(", ")} FROM codes
+         |ORDER BY vec_id""".stripMargin,
+    "ann_pq_adc_topk" -> {
+      // per-pair ADC score: the M per-subspace terms added LEFT-TO-RIGHT,
+      // mirroring Similarity.pqAdcTopK's reduce — float addition isn't
+      // associative, so the association is part of the contract
+      val score = (0 until PqM).map { j =>
+        s"(list_dot_product(cw$j.cvec, cw$j.cvec) - " +
+          s"2*list_dot_product(q.q_vec[${j * PqSub + 1}:${(j + 1) * PqSub}], cw$j.cvec))"
+      }.mkString(" + ")
+      val cwTables = (0 until PqM)
+        .map(j => s"c${graft.operators.Similarity.PqRounds}_p$j cw$j").mkString(", ")
+      val cwMatch = (0 until PqM).map(j => s"cw$j.cid = b.code$j").mkString(" AND ")
+      s"""WITH $pqCtes,
+         |${pqCodesCte},
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM kv WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, b.vec_id, $score AS score
+         | FROM codes b, q, $cwTables
+         | WHERE b.vec_id <> q.q_id AND $cwMatch),
+         |r AS (SELECT q_id, vec_id, score,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
+         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    },
     "q12_tumbling_hourly" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         | count(*) AS n_events,
@@ -1108,13 +1138,14 @@ object SparkEntry {
     * (floor(comp * 2^30)) — exact, order-independent — then
     * (CAST(sum AS DOUBLE)/count)/2^30 in that association
     * (Similarity.KMeansQuantum). */
-  private def kmeansRecomputeCte(aCte: String, name: String, src: String = "kv"): String = {
+  private def kmeansRecomputeCte(aCte: String, name: String, src: String = "kv",
+                                 dim: Int = KMeansDim): String = {
     val q = graft.operators.Similarity.KMeansQuantum
     s"""$name AS (
        | SELECT cluster AS cid, list(mean ORDER BY dim) AS cvec FROM (
        |   SELECT cluster, CAST(r.range AS INT) AS dim,
        |     CAST(CAST(sum(CAST(floor(vec[CAST(r.range AS INT)+1] * $q) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/$q AS mean
-       |   FROM $aCte JOIN $src USING (vec_id), range($KMeansDim) r GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+       |   FROM $aCte JOIN $src USING (vec_id), range($dim) r GROUP BY 1, 2) GROUP BY 1)""".stripMargin
   }
 
   /** The full Lloyd chain: init from the first k vec_ids, `KMeansRounds`
@@ -1131,6 +1162,41 @@ object SparkEntry {
   }
 
   private def kmeansFinalAssign: String = s"a${KMeansRounds + 1}"
+
+  // ---- PQ CTE chains mirroring Similarity.pqCodebooks/pqCodesOf exactly ----
+
+  private def PqM = graft.operators.Similarity.PqM
+  private def PqSub = KMeansDim / PqM
+
+  /** One Lloyd chain per subspace j over the sliced view `kv_pj`
+    * (vec[j·sub+1 : (j+1)·sub]), seeded from the first k vec_ids' SUBvectors
+    * and recomputed at the subspace dimensionality; `af_pj` is subspace j's
+    * final codeword assignment. */
+  private def pqCtes: String = {
+    val k = graft.operators.Similarity.PqK
+    val nRounds = graft.operators.Similarity.PqRounds
+    val chains = (0 until PqM).map { j =>
+      val rounds = (1 to nRounds).map { r =>
+        kmeansAssignCte(if (r == 1) s"c0_p$j" else s"c${r - 1}_p$j", s"a${r}_p$j",
+          s"kv_p$j") + ",\n" +
+          kmeansRecomputeCte(s"a${r}_p$j", s"c${r}_p$j", s"kv_p$j", PqSub)
+      }.mkString(",\n")
+      s"""kv_p$j AS (SELECT vec_id, vec[${j * PqSub + 1}:${(j + 1) * PqSub}] AS vec FROM kv),
+         |c0_p$j AS (SELECT vec_id AS cid, vec AS cvec FROM kv_p$j WHERE vec_id < $k),
+         |$rounds,
+         |${kmeansAssignCte(s"c${nRounds}_p$j", s"af_p$j", s"kv_p$j")}""".stripMargin
+    }.mkString(",\n")
+    s"""kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |$chains""".stripMargin
+  }
+
+  /** The per-vector code row (vec_id, code0..code{M-1}) joined from the M
+    * final assignments. */
+  private def pqCodesCte: String = {
+    val cols = (0 until PqM).map(j => s"CAST(a$j.cluster AS BIGINT) AS code$j").mkString(", ")
+    val joins = (1 until PqM).map(j => s"JOIN af_p$j a$j USING (vec_id)").mkString(" ")
+    s"codes AS (SELECT a0.vec_id, $cols FROM af_p0 a0 $joins)"
+  }
 
   private val KMeansSampleMod = 4
 

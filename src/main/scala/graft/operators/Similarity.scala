@@ -373,4 +373,119 @@ object Similarity {
       bandedNearDupOf(withCluster(base0, cents), "cluster",
         threshold, numBands, planesPerBand)
     }
+
+  // ---- Product quantization (the IVF-PQ memory layout at 100 TB) ----
+
+  /** Embedding dimensionality of the driver tables (also pinned by the
+    * oracle's KMeansDim); PQ slices it into [[PqM]] subspaces. */
+  val EmbeddingDim = 64
+  /** PQ geometry: M subspaces × K codewords, trained [[PqRounds]] Lloyd
+    * rounds each — 64 dims → 4 × 16-dim sub-quantizers of 8 codewords. */
+  val PqM = 4
+  val PqK = 8
+  val PqRounds = 2
+
+  /** Per-subspace PQ codebooks: subspace j is `vec[j·sub+1 .. (j+1)·sub]`
+    * and trains its own k-means ([[kmeansCentroids]] — quantized sums,
+    * driver holds only k×sub doubles per book). Codebook ids are the
+    * surviving seed vec_ids, exactly like the coarse quantizer's. */
+  def pqCodebooks(base: DataFrame, m: Int = PqM, k: Int = PqK,
+                  rounds: Int = PqRounds,
+                  dim: Int = EmbeddingDim): Seq[Seq[(Long, Array[Double])]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCentroids(
+        base.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
+        k, rounds)
+    }
+  }
+
+  /** The argmin codeword for one subspace — same shape as [[withCluster]]:
+    * per codeword, score = dot(c,c) - 2·dot(sub, c) (rank-equivalent of
+    * squared L2), tie-broken by codeword id; a pure projection over plan
+    * literals. */
+  private def pqCodeCol(book: Seq[(Long, Array[Double])], sub: Column): Column =
+    // empty codebook (empty training corpus): unassigned, like withCluster
+    if (book.isEmpty) lit(null).cast("long")
+    else array_min(array(book.map { case (cid, c) =>
+      struct((lit(selfDot(c)) - lit(2.0) * dot(sub, typedLit(c))).as("score"),
+             lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** PQ ENCODING: each vector compresses to M codeword ids — the memory
+    * layout a 100 TB vector index actually stores (M small ints per vector
+    * instead of `dim` floats; here 4 ids for 64 floats). Training is M
+    * independent sub-quantizer Lloyd runs (each the [[kmeansCentroids]]
+    * control-plane loop); encoding is ONE zero-shuffle projection with all
+    * M codebooks riding as plan literals. */
+  def pqCodes(spark: SparkSession, sfDir: String,
+              m: Int = PqM, k: Int = PqK, rounds: Int = PqRounds): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val books = pqCodebooks(base, m, k, rounds)
+      pqCodesOf(base, books, m)
+        .orderBy(col("vec_id"))
+    }
+
+  def pqCodesOf(base: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+                m: Int = PqM, dim: Int = EmbeddingDim): DataFrame = {
+    val sub = dim / m
+    base.select(col("vec_id") +: (0 until m).map { j =>
+      pqCodeCol(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+    }: _*)
+  }
+
+  /** ANN top-k by ASYMMETRIC DISTANCE (ADC) over PQ codes — how a PQ index
+    * is actually searched: per QUERY, a distance table of M×K sub-dot
+    * products is computed ONCE (columns `ip0..ip{M-1}`, one array per
+    * subspace, riding the broadcast query row); per (query, vector) pair the
+    * score is M table LOOKUPS and adds — no per-pair dot products at all,
+    * which is the entire point (brute force pays `dim` multiplies per pair;
+    * ADC pays M lookups). Score = Σ_j (dot(c,c) - 2·dot(q_sub_j, c)) for
+    * the pair's codewords — the PQ approximation of squared L2 (minus the
+    * per-query constant |q|²), ascending; ties by vec_id.
+    *
+    * The sum is associated LEFT-TO-RIGHT over subspaces and the oracle adds
+    * the same four terms in the same order — float addition isn't
+    * associative, so the association is part of the operator contract, like
+    * the sequential-fold dot. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String,
+                k: Int = 5, queryMod: Int = 100,
+                m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val dim = EmbeddingDim
+      val sub = dim / m
+      val books = pqCodebooks(base, m, ksub, rounds)
+      // an empty training corpus trains no codebooks — nothing to search
+      // (and the zero-arg array()/coalesce() below would fail analysis)
+      if (books.exists(_.isEmpty)) emptyAdcFrame(base)
+      else pqAdcTopKWith(base, books, k, queryMod, m, sub)
+    }
+
+  private def emptyAdcFrame(base: DataFrame): DataFrame =
+    base.sparkSession.range(0)
+      .select(col("id").as("q_id"), col("id").as("rk"),
+              col("id").as("vec_id"), col("id").cast("double").as("score"))
+
+  private def pqAdcTopKWith(base: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+                            k: Int, queryMod: Int, m: Int, sub: Int): DataFrame = {
+    val codes = pqCodesOf(base, books, m)
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(Seq(col("vec_id").as("q_id")) ++ (0 until m).map { j =>
+        val qSub = slice(col("vec"), j * sub + 1, sub)
+        array(books(j).map { case (_, c) => dot(qSub, typedLit(c)) }: _*).as(s"ip$j")
+      }: _*)
+    val scoreJ = (j: Int) => coalesce(books(j).zipWithIndex.map { case ((cid, c), idx) =>
+      when(col(s"code$j") === cid,
+        lit(selfDot(c)) - lit(2.0) * element_at(col(s"ip$j"), idx + 1))
+    }: _*)
+    val score = (0 until m).map(scoreJ).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").asc, col("vec_id").asc)
+    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 }

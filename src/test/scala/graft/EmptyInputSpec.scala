@@ -36,6 +36,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(TextOps.mixRatesOf(
       Seq.empty[(String, String)].toDF("source", "text"),
       Map("a" -> 2.0), defaultWeight = 1.0).count() === 0)
+    // bloom decontamination: an empty EVAL set folds to an all-zero bloom
+    // that rejects every train fingerprint — no hits, no crash
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    assert(TextOps.contaminationBloomOf(docs, emptyDocs).count() === 0)
+    assert(TextOps.contaminationBloomOf(emptyDocs, emptyDocs).count() === 0)
+    // PQ on an empty corpus: empty codebooks, null-code projection, no search
+    val base = Similarity.baseOf(emptyVecs)
+    val books = Similarity.pqCodebooks(base)
+    assert(books.forall(_.isEmpty))
+    assert(Similarity.pqCodesOf(base, books).count() === 0)
   }
 
   test("dedup operators: empty in, empty out (including the component loop)") {

@@ -73,6 +73,55 @@ class KMeansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment plan should not shuffle:\n$plan")
   }
 
+  test("pq: codes come from each subspace's codebook and match the driver-side argmin") {
+    val books = Similarity.pqCodebooks(base)
+    val sub = Similarity.EmbeddingDim / Similarity.PqM
+    val codes = Similarity.pqCodes(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (1 until 1 + Similarity.PqM).map(r.getLong)).toMap
+    val vecs = base.select(col("vec_id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(codes.keySet === vecs.keySet)
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    vecs.foreach { case (id, v) =>
+      (0 until Similarity.PqM).foreach { j =>
+        val s = v.slice(j * sub, (j + 1) * sub)
+        val want = books(j).map { case (cid, c) =>
+          (dotSeq(c, c) - 2.0 * dotSeq(s, c), cid)
+        }.min._2
+        assert(codes(id)(j) === want, s"vec $id subspace $j")
+      }
+    }
+  }
+
+  test("pq ADC: scores equal the codeword-table recomputation; pairs exclude self") {
+    val books = Similarity.pqCodebooks(base)
+    val sub = Similarity.EmbeddingDim / Similarity.PqM
+    val vecs = base.select(col("vec_id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val codes = Similarity.pqCodes(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (1 until 1 + Similarity.PqM).map(r.getLong)).toMap
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val got = Similarity.pqAdcTopK(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qId, vecId, score) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(vecId !== qId)
+      val q = vecs(qId)
+      val want = (0 until Similarity.PqM).map { j =>
+        val cid = codes(vecId)(j)
+        val c = books(j).find(_._1 == cid).get._2
+        dotSeq(c, c) - 2.0 * dotSeq(q.slice(j * sub, (j + 1) * sub), c)
+      }.reduce(_ + _)
+      assert(score === want, s"q $qId vec $vecId")
+    }
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
