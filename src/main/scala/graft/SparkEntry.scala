@@ -170,6 +170,8 @@ object SparkEntry {
     // M codeword ids (the IVF-PQ index memory layout), searched via ADC
     "pq_codes"         -> ((s, dir) => Similarity.pqCodes(s, dir)),
     "ann_pq_adc_topk"  -> ((s, dir) => Similarity.pqAdcTopK(s, dir)),
+    // the composed index: coarse cell prunes candidates, ADC scores codes
+    "ann_ivfpq_topk"   -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -804,27 +806,30 @@ object SparkEntry {
          |${pqCodesCte}
          |SELECT vec_id, ${(0 until PqM).map(j => s"code$j").mkString(", ")} FROM codes
          |ORDER BY vec_id""".stripMargin,
-    "ann_pq_adc_topk" -> {
-      // per-pair ADC score: the M per-subspace terms added LEFT-TO-RIGHT,
-      // mirroring Similarity.pqAdcTopK's reduce — float addition isn't
-      // associative, so the association is part of the contract
-      val score = (0 until PqM).map { j =>
-        s"(list_dot_product(cw$j.cvec, cw$j.cvec) - " +
-          s"2*list_dot_product(q.q_vec[${j * PqSub + 1}:${(j + 1) * PqSub}], cw$j.cvec))"
-      }.mkString(" + ")
-      val cwTables = (0 until PqM)
-        .map(j => s"c${graft.operators.Similarity.PqRounds}_p$j cw$j").mkString(", ")
-      val cwMatch = (0 until PqM).map(j => s"cw$j.cid = b.code$j").mkString(" AND ")
+    "ann_pq_adc_topk" ->
       s"""WITH $pqCtes,
          |${pqCodesCte},
          |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM kv WHERE vec_id % 100 = 0),
-         |s AS (SELECT q.q_id, b.vec_id, $score AS score
-         | FROM codes b, q, $cwTables
-         | WHERE b.vec_id <> q.q_id AND $cwMatch),
+         |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
+         | FROM codes b, q, $adcCwTables
+         | WHERE b.vec_id <> q.q_id AND $adcCwMatch),
          |r AS (SELECT q_id, vec_id, score,
          |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
-         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
-    },
+         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivfpq_topk" ->
+      s"""WITH $kvCte,
+         |$kmeansChain,
+         |$pqChains,
+         |${pqCodesCte},
+         |q AS (SELECT v.vec_id AS q_id, v.vec AS q_vec, a.cluster AS q_cluster
+         |      FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)
+         |      WHERE v.vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
+         | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
+         | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
+         |r AS (SELECT q_id, vec_id, score,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
+         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "q12_tumbling_hourly" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         | count(*) AS n_events,
@@ -1148,18 +1153,23 @@ object SparkEntry {
        |   FROM $aCte JOIN $src USING (vec_id), range($dim) r GROUP BY 1, 2) GROUP BY 1)""".stripMargin
   }
 
-  /** The full Lloyd chain: init from the first k vec_ids, `KMeansRounds`
-    * assign+recompute rounds, one final assignment. */
-  private def kmeansCtes: String = {
+  private val kvCte = "kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"
+
+  /** The Lloyd chain body (everything after `kv`): init from the first k
+    * vec_ids, `KMeansRounds` assign+recompute rounds, one final assignment.
+    * Split from [[kvCte]] so it composes with the PQ chains in one WITH. */
+  private def kmeansChain: String = {
     val rounds = (1 to KMeansRounds).map { r =>
       kmeansAssignCte(if (r == 1) "c0" else s"c${r - 1}", s"a$r") + ",\n" +
         kmeansRecomputeCte(s"a$r", s"c$r")
     }.mkString(",\n")
-    s"""kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, vec AS cvec FROM kv WHERE vec_id < $KMeansK),
+    s"""c0 AS (SELECT vec_id AS cid, vec AS cvec FROM kv WHERE vec_id < $KMeansK),
        |$rounds,
        |${kmeansAssignCte(s"c$KMeansRounds", kmeansFinalAssign)}""".stripMargin
   }
+
+  /** The full Lloyd chain including the `kv` base view. */
+  private def kmeansCtes: String = s"$kvCte,\n$kmeansChain"
 
   private def kmeansFinalAssign: String = s"a${KMeansRounds + 1}"
 
@@ -1172,10 +1182,10 @@ object SparkEntry {
     * (vec[j·sub+1 : (j+1)·sub]), seeded from the first k vec_ids' SUBvectors
     * and recomputed at the subspace dimensionality; `af_pj` is subspace j's
     * final codeword assignment. */
-  private def pqCtes: String = {
+  private def pqChains: String = {
     val k = graft.operators.Similarity.PqK
     val nRounds = graft.operators.Similarity.PqRounds
-    val chains = (0 until PqM).map { j =>
+    (0 until PqM).map { j =>
       val rounds = (1 to nRounds).map { r =>
         kmeansAssignCte(if (r == 1) s"c0_p$j" else s"c${r - 1}_p$j", s"a${r}_p$j",
           s"kv_p$j") + ",\n" +
@@ -1186,9 +1196,25 @@ object SparkEntry {
          |$rounds,
          |${kmeansAssignCte(s"c${nRounds}_p$j", s"af_p$j", s"kv_p$j")}""".stripMargin
     }.mkString(",\n")
-    s"""kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-       |$chains""".stripMargin
   }
+
+  private def pqCtes: String = s"$kvCte,\n$pqChains"
+
+  /** Per-pair ADC score: the M per-subspace terms added LEFT-TO-RIGHT,
+    * mirroring Similarity.adcRankTopK's reduce — float addition isn't
+    * associative, so the association is part of the contract. Expects the
+    * codeword tables aliased `cw0..` ([[adcCwTables]]) matched to the pair's
+    * codes ([[adcCwMatch]]), query vector as `q.q_vec`, codes row as `b`. */
+  private def adcScoreSql: String = (0 until PqM).map { j =>
+    s"(list_dot_product(cw$j.cvec, cw$j.cvec) - " +
+      s"2*list_dot_product(q.q_vec[${j * PqSub + 1}:${(j + 1) * PqSub}], cw$j.cvec))"
+  }.mkString(" + ")
+
+  private def adcCwTables: String = (0 until PqM)
+    .map(j => s"c${graft.operators.Similarity.PqRounds}_p$j cw$j").mkString(", ")
+
+  private def adcCwMatch: String =
+    (0 until PqM).map(j => s"cw$j.cid = b.code$j").mkString(" AND ")
 
   /** The per-vector code row (vec_id, code0..code{M-1}) joined from the M
     * final assignments. */

@@ -471,21 +471,71 @@ object Similarity {
                             k: Int, queryMod: Int, m: Int, sub: Int): DataFrame = {
     val codes = pqCodesOf(base, books, m)
     val q = base.filter(col("vec_id") % queryMod === 0)
-      .select(Seq(col("vec_id").as("q_id")) ++ (0 until m).map { j =>
-        val qSub = slice(col("vec"), j * sub + 1, sub)
-        array(books(j).map { case (_, c) => dot(qSub, typedLit(c)) }: _*).as(s"ip$j")
-      }: _*)
+      .select(col("vec_id").as("q_id") +: adcLookupTables(books, m, sub): _*)
+    adcRankTopK(codes.join(broadcast(q), col("vec_id") =!= col("q_id")), books, m, k)
+  }
+
+  /** The per-QUERY distance tables: one `ip_j` array per subspace holding
+    * dot(q_sub_j, codeword) for every codeword — computed once per query
+    * row, riding the broadcast. */
+  private def adcLookupTables(books: Seq[Seq[(Long, Array[Double])]],
+                              m: Int, sub: Int): Seq[Column] =
+    (0 until m).map { j =>
+      val qSub = slice(col("vec"), j * sub + 1, sub)
+      array(books(j).map { case (_, c) => dot(qSub, typedLit(c)) }: _*).as(s"ip$j")
+    }
+
+  /** ADC scoring + per-query top-k over a (codes × query) pair frame that
+    * carries `code0..` and `ip0..`: per pair, M table lookups added
+    * LEFT-TO-RIGHT (the association is the contract), ranked ascending. */
+  private def adcRankTopK(pairs: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+                          m: Int, k: Int): DataFrame = {
     val scoreJ = (j: Int) => coalesce(books(j).zipWithIndex.map { case ((cid, c), idx) =>
       when(col(s"code$j") === cid,
         lit(selfDot(c)) - lit(2.0) * element_at(col(s"ip$j"), idx + 1))
     }: _*)
     val score = (0 until m).map(scoreJ).reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").asc, col("vec_id").asc)
-    codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    pairs
       .withColumn("score", score)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("score"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** IVF-PQ: the COMPOSED index shape a 100 TB vector store actually runs —
+    * the trained coarse quantizer prunes each query's candidates to its own
+    * cell (1/nlist of the corpus, [[ivfTrainedTopK]]'s pruning), and the
+    * survivors are scored by ADC over PQ codes ([[pqAdcTopK]]'s lookup
+    * tables) — so the scan side touches only (cell, M codeword ids) per
+    * vector: never raw vectors, never per-pair dot products. Codes here
+    * quantize the raw vectors (IVFADC without residual encoding; residual
+    * PQ would re-train books on v - centroid — a recall refinement, not a
+    * different plan shape). Both quantizers ride the plan as literals, so
+    * index build adds zero shuffles beyond their control-plane training. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String,
+                k: Int = 5, queryMod: Int = 100,
+                nClusters: Int = 8, coarseRounds: Int = 2,
+                m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val coarse = kmeansCentroids(base, nClusters, coarseRounds)
+      val books = pqCodebooks(base, m, ksub, rounds)
+      if (coarse.isEmpty || books.exists(_.isEmpty)) emptyAdcFrame(base)
+      else {
+        val sub = EmbeddingDim / m
+        val withCell = withCluster(base, coarse)
+        val codes = withCell.select(
+          Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
+            pqCodeCol(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+          }: _*)
+        val q = withCell.filter(col("vec_id") % queryMod === 0)
+          .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++
+            adcLookupTables(books, m, sub): _*)
+        adcRankTopK(
+          codes.join(broadcast(q),
+            col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
+          books, m, k)
+      }
+    }
 }

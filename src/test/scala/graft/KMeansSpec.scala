@@ -122,6 +122,23 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: results stay inside the query's coarse cell with ADC scores") {
+    val coarse = Similarity.kmeansCentroids(base, k = 8, rounds = 2)
+    val cells = Similarity.withCluster(base, coarse)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adcByPair = Similarity.pqAdcTopK(spark, Sf0001, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val got = Similarity.ivfPqTopK(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qId, vecId, score) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(cells(vecId) === cells(qId), s"pair ($qId,$vecId) crossed cells")
+      // same codebooks, same pair → the exact same ADC double
+      assert(score === adcByPair((qId, vecId)), s"pair ($qId,$vecId)")
+    }
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
