@@ -386,19 +386,62 @@ object Similarity {
   val PqRounds = 2
 
   /** Per-subspace PQ codebooks: subspace j is `vec[j·sub+1 .. (j+1)·sub]`
-    * and trains its own k-means ([[kmeansCentroids]] — quantized sums,
-    * driver holds only k×sub doubles per book). Codebook ids are the
-    * surviving seed vec_ids, exactly like the coarse quantizer's. */
+    * and trains its own k-means (quantized sums, driver holds only k×sub
+    * doubles per book). Codebook ids are the surviving seed vec_ids,
+    * exactly like the coarse quantizer's.
+    *
+    * All M books train JOINTLY: per Lloyd round, ONE projection computes
+    * every book's assignment (M argmins over plan literals) and ONE
+    * posexplode + groupBy (subspace, cluster, component) shuffle carries
+    * every book's quantized sums — M independent trainers would pay M
+    * scans and M shuffles per round for the identical result (each
+    * component contributes to exactly one book, so the joint grouping
+    * computes the same per-book sums; the oracle replays the books as
+    * independent chains, which pins joint ≡ independent). */
   def pqCodebooks(base: DataFrame, m: Int = PqM, k: Int = PqK,
                   rounds: Int = PqRounds,
                   dim: Int = EmbeddingDim): Seq[Seq[(Long, Array[Double])]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
-    (0 until m).map { j =>
-      kmeansCentroids(
-        base.select(col("vec_id"), slice(col("vec"), j * sub + 1, sub).as("vec")),
-        k, rounds)
+    // seeds: the first k vec_ids' subvectors, one collect for all books
+    var books: Seq[Seq[(Long, Array[Double])]] = {
+      val seeds = base.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+      (0 until m).map(j => seeds.map { case (id, v) =>
+        (id, v.slice(j * sub, (j + 1) * sub))
+      })
     }
+    for (_ <- 1 to rounds if books.forall(_.nonEmpty)) {
+      val codeCols = (0 until m).map { j =>
+        pqCodeCol(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+      }
+      // a component at flat index `dim` belongs to book dim/sub — route it
+      // to that book's cluster for this row
+      val subspace = expr(s"dim div $sub")
+      val cluster = coalesce((0 until m).map(j =>
+        when(subspace === j, col(s"code$j"))): _*)
+      val stats = base
+        .select(col("vec_id") +: codeCols :+
+          posexplode(col("vec")).as(Seq("dim", "comp")): _*)
+        .select(subspace.as("subspace"), cluster.as("cluster"),
+                pmod(col("dim"), lit(sub)).as("subdim"),
+                floor(col("comp") * KMeansQuantum).cast("long").as("qv"))
+        .groupBy(col("subspace"), col("cluster"), col("subdim"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+        .select(col("subspace"), col("cluster"), col("subdim"),
+                (col("s").cast("double") / col("n") / KMeansQuantum).as("mean"))
+        .collect() // m×k×sub rows — the control plane, never the corpus
+      books = (0 until m).map { j =>
+        stats.filter(_.getLong(0) == j).groupBy(_.getLong(1)).map { case (cid, rows) =>
+          val arr = new Array[Double](sub)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3))
+          (cid, arr)
+        }.toSeq.sortBy(_._1)
+      }
+    }
+    books
   }
 
   /** The argmin codeword for one subspace — same shape as [[withCluster]]:

@@ -204,6 +204,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  private lazy val vecSpread: Int = {
+    import org.apache.spark.sql.functions.col
+    spreadCount(graft.io.Tables.embeddings(spark, Sf0001), col("vec_id"))
+  }
+
+  test("pq_codes: encoding is a pure projection — codebooks ride as literals") {
+    val p = plan("pq_codes")
+    // training already happened on the driver (control plane); the RETURNED
+    // plan is scan → M argmin projections → presentation sort. The only
+    // hash exchange allowed is the local small-file spread.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === vecSpread, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)
