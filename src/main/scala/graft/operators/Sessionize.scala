@@ -103,6 +103,10 @@ object Sessionize {
     import graft.streaming.StatefulOps.SessionEv
     implicit val sessEvEnc: org.apache.spark.sql.Encoder[SessionEv] =
       org.apache.spark.sql.Encoders.product[SessionEv]
+    // the sentinel key is NON-NUMERIC on purpose: real keys are stringified
+    // int64 user_ids, so no legitimate user (including user_id = -1) can
+    // collide with it
+    val SentinelKey = "sentinel"
     val dir = StatefulQueries.withNanosAsLong(spark) {
       StatefulQueries.timeOrderedFilesCopy(spark, s"sessions:$sfDir",
           Seq("s0.parquet", "s1.parquet", "s2.parquet")) {
@@ -110,21 +114,32 @@ object Sessionize {
           .select(col("user_id").cast("string").as("key"),
                   timestamp_micros(expr("ts_ns div 1000")).as("ts"),
                   col("event_id"))
-        // split at the µs value of the median event, putting ALL ties on the
-        // early side: with a 0-second watermark delay, an exact-tie row in
-        // the later file would sit on the late-data boundary
-        val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-        val bounds = ev.agg(
-          max(when(col("event_id") <= maxId / 2, unix_micros(col("ts")))),
-          max(unix_micros(col("ts")))).head()
-        val (midUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
-        val sentinel = spark.range(1).select(
-          lit("-1").as("key"),
-          timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000L)).as("ts"))
-        Seq(ev.filter(unix_micros(col("ts")) <= midUs).select(col("key"), col("ts")),
-            ev.filter(unix_micros(col("ts")) > midUs).select(col("key"), col("ts")),
-            sentinel)
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(SentinelKey).as("key"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"))
+        val maxIdRow = ev.agg(max(col("event_id"))).head()
+        if (maxIdRow.isNullAt(0)) Seq(sentinel(0L)) // empty events: flush-only
+        else {
+          // split at the µs value of the median event, putting ALL ties on
+          // the early side: with a 0-second watermark delay, an exact-tie
+          // row in the later file would sit on the late-data boundary. A
+          // degenerate corpus whose upper half is entirely ties produces an
+          // empty second file — drop it (the batch witness below counts the
+          // files actually written)
+          val bounds = ev.agg(
+            max(when(col("event_id") <= maxIdRow.getLong(0) / 2, unix_micros(col("ts")))),
+            max(unix_micros(col("ts")))).head()
+          val (midUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+          val lower = ev.filter(unix_micros(col("ts")) <= midUs).select(col("key"), col("ts"))
+          val upper = ev.filter(unix_micros(col("ts")) > midUs).select(col("key"), col("ts"))
+          if (maxUs > midUs) Seq(lower, upper, sentinel(maxUs))
+          else Seq(lower, sentinel(maxUs))
+        }
       }
+    }
+    val nFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try l.count().toInt finally l.close()
     }
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
@@ -135,12 +150,12 @@ object Sessionize {
         StatefulOps.sessionizeStream(stream, gapMinutes).toDF(),
         stateWidth = Some(8)) { q =>
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches >= 3,
-        s"expected >= 3 data micro-batches, saw $dataBatches — the split+sentinel " +
+      require(dataBatches >= nFiles,
+        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
           "replay did not exercise cross-batch sessions and watermark flush")
     }
     val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-    sess.filter(col("key") =!= "-1")
+    sess.filter(col("key") =!= SentinelKey)
       .select(col("key").cast("long").as("user_id"),
               col("n_events"), col("start_us"), col("end_us"))
       .withColumn("session_id", (row_number().over(byStart) - 1).cast("long"))

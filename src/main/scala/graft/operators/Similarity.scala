@@ -160,17 +160,21 @@ object Similarity {
     * literals, so assignment costs ZERO shuffles at any scale — exactly how
     * a trained coarse quantizer must behave on 100 TB. */
   def withCluster(base: DataFrame,
-                  centroids: Seq[(Long, Array[Double])]): DataFrame = {
-    // no centroids (empty training corpus): every row is unassigned — the
-    // zero-arg array() would otherwise fail analysis inside array_min
-    if (centroids.isEmpty)
-      return base.withColumn("cluster", lit(null).cast("long"))
-    val scored = centroids.map { case (cid, c) =>
-      struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
+                  centroids: Seq[(Long, Array[Double])]): DataFrame =
+    base.withColumn("cluster", argminCid(centroids, col("vec")))
+
+  /** The argmin-centroid column shared by the coarse quantizer
+    * ([[withCluster]]) and the PQ encoder: per candidate, score =
+    * dot(c,c) - 2·dot(vec, c) (the rank-equivalent of squared L2 —
+    * dot(vec,vec) is constant per row), tie-broken by candidate id; a pure
+    * projection over plan literals. No candidates (empty training corpus):
+    * unassigned — the zero-arg array() would otherwise fail analysis. */
+  private def argminCid(cands: Seq[(Long, Array[Double])], vec: Column): Column =
+    if (cands.isEmpty) lit(null).cast("long")
+    else array_min(array(cands.map { case (cid, c) =>
+      struct((lit(selfDot(c)) - lit(2.0) * dot(vec, typedLit(c))).as("score"),
              lit(cid).as("cid"))
-    }
-    base.withColumn("cluster", array_min(array(scored: _*)).getField("cid"))
-  }
+    }: _*)).getField("cid")
 
   /** Lloyd k-means over (vec_id, vec): init from the first k vec_ids, then
     * `rounds` iterations of assign + recompute. Per round: assignment is a
@@ -415,7 +419,7 @@ object Similarity {
     }
     for (_ <- 1 to rounds if books.forall(_.nonEmpty)) {
       val codeCols = (0 until m).map { j =>
-        pqCodeCol(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+        argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
       }
       // a component at flat index `dim` belongs to book dim/sub — route it
       // to that book's cluster for this row
@@ -444,17 +448,6 @@ object Similarity {
     books
   }
 
-  /** The argmin codeword for one subspace — same shape as [[withCluster]]:
-    * per codeword, score = dot(c,c) - 2·dot(sub, c) (rank-equivalent of
-    * squared L2), tie-broken by codeword id; a pure projection over plan
-    * literals. */
-  private def pqCodeCol(book: Seq[(Long, Array[Double])], sub: Column): Column =
-    // empty codebook (empty training corpus): unassigned, like withCluster
-    if (book.isEmpty) lit(null).cast("long")
-    else array_min(array(book.map { case (cid, c) =>
-      struct((lit(selfDot(c)) - lit(2.0) * dot(sub, typedLit(c))).as("score"),
-             lit(cid).as("cid"))
-    }: _*)).getField("cid")
 
   /** PQ ENCODING: each vector compresses to M codeword ids — the memory
     * layout a 100 TB vector index actually stores (M small ints per vector
@@ -474,7 +467,7 @@ object Similarity {
                 m: Int = PqM, dim: Int = EmbeddingDim): DataFrame = {
     val sub = dim / m
     base.select(col("vec_id") +: (0 until m).map { j =>
-      pqCodeCol(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+      argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
     }: _*)
   }
 
@@ -570,7 +563,7 @@ object Similarity {
         val withCell = withCluster(base, coarse)
         val codes = withCell.select(
           Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
-            pqCodeCol(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+            argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
           }: _*)
         val q = withCell.filter(col("vec_id") % queryMod === 0)
           .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++

@@ -270,7 +270,10 @@ object StatefulQueries {
     copyCache.computeIfAbsent(cacheKey, { _ =>
       import java.nio.file.Files
       val fs = frames
-      require(fs.size == names.size, s"${fs.size} frames for ${names.size} names")
+      // the thunk may return FEWER frames than names (it sees the data and
+      // drops empty halves — see Sessionize.sessionizeStreaming); extra
+      // names are unused
+      require(fs.size <= names.size, s"${fs.size} frames for ${names.size} names")
       val dir = Files.createTempDirectory("graft-ordered-copy-")
       val t0 = System.currentTimeMillis() - 60000L * (names.size + 1)
       fs.zip(names).zipWithIndex.foreach { case ((df, name), i) =>
@@ -283,6 +286,9 @@ object StatefulQueries {
           finally listing.close()
         val dest = dir.resolve(name)
         Files.move(part, dest)
+        // drop the write scaffolding (_SUCCESS, .crc) — the copy dir must
+        // contain EXACTLY the replay files, so consumers can count them
+        deleteRecursively(tmp)
         dest.toFile.setLastModified(t0 + 60000L * i)
       }
       dir.toString

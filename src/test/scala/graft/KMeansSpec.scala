@@ -8,6 +8,11 @@ import graft.operators.Similarity
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
 
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+
   private def base = Similarity.baseOf(graft.io.Tables.embeddings(spark, Sf0001))
 
   test("kmeans: every vector assigned, clusters drawn from the init ids") {
@@ -81,10 +86,6 @@ class KMeansSpec extends SparkSpec {
     val vecs = base.select(col("vec_id"), col("vec")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     assert(codes.keySet === vecs.keySet)
-    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
     vecs.foreach { case (id, v) =>
       (0 until Similarity.PqM).foreach { j =>
         val s = v.slice(j * sub, (j + 1) * sub)
@@ -103,10 +104,6 @@ class KMeansSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     val codes = Similarity.pqCodes(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> (1 until 1 + Similarity.PqM).map(r.getLong)).toMap
-    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
     val got = Similarity.pqAdcTopK(spark, Sf0001).collect()
     assert(got.nonEmpty)
     got.foreach { r =>

@@ -51,4 +51,29 @@ class SessionStreamSpec extends SparkSpec {
     assert(got.length === want.length)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming sessions: user_id = -1 cannot collide with the flush sentinel") {
+    // a synthetic events table whose only users are -1 and 7; the sentinel
+    // key is non-numeric, so user -1's sessions must survive intact
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sess-neg-").toString
+    val hourNs = 3600L * 1000000000L
+    // start at t = 2h, not epoch 0: a row whose event time equals the
+    // INITIAL watermark (0) is dropped as late by the engine — an artifact
+    // of synthetic epoch-0 data, impossible for real timestamps
+    val rows = (0 until 8).map { i =>
+      (i.toLong, (i.toLong + 1) * hourNs * 2, if (i % 2 == 0) -1L else 7L,
+        "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/stage")
+    val l = Files.list(java.nio.file.Paths.get(s"$dir/stage"))
+    val part = try l.filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow() finally l.close()
+    Files.move(part, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = graft.operators.Sessionize.sessionizeStreaming(spark, dir).collect()
+    val want = graft.operators.Sessionize.sessionize(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet === Set(-1L, 7L))
+    assert(got.toSeq === want.toSeq)
+  }
 }
