@@ -133,6 +133,8 @@ object SparkEntry {
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
+    // packing with document SPLITTING: per-(doc, pack) token spans
+    "pack_segments"    -> ((s, dir) => TextOps.packSegments(s, dir)),
     "pii_scrub"        -> ((s, dir) => TextOps.piiScrub(s, dir)),
     "corpus_mix"       -> ((s, dir) => TextOps.corpusMix(s, dir)),
     "mix_sample"       -> ((s, dir) => TextOps.mixSample(s, dir, MixRates, MixDefaultRate)),
@@ -554,6 +556,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         | CAST(pre // 2048 AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    "pack_segments" ->
+      // same prefix sums as pack_assign, then each doc explodes over the
+      // packs its token span [start, start+n-1] crosses; (tok_from, tok_to)
+      // is the doc-relative inclusive slice that lands in that pack
+      """WITH t AS (SELECT doc_id, coalesce(len(string_split(text,' ')), 0) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        | FROM t),
+        |s AS (SELECT doc_id, n_tokens, CAST(start AS BIGINT) AS start,
+        |       CAST(start + n_tokens - 1 AS BIGINT) AS last
+        |      FROM c WHERE n_tokens > 0),
+        |seg AS (SELECT doc_id, start, last,
+        |  unnest(range(start // 2048, last // 2048 + 1)) AS pack_id FROM s)
+        |SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+        | CAST(greatest(pack_id * 2048, start) - start AS BIGINT) AS tok_from,
+        | CAST(least((pack_id + 1) * 2048 - 1, last) - start AS BIGINT) AS tok_to
+        |FROM seg ORDER BY doc_id, pack_id""".stripMargin,
     "winnow_fingerprints" ->
       s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |w AS (SELECT doc_id,

@@ -438,7 +438,20 @@ object TextOps {
 
   def packAssignOf(d: DataFrame, budget: Long = 2048L,
                    chunk: Long = 4096L): DataFrame = {
-    require(budget > 0 && chunk > 0, s"budget/chunk must be positive")
+    require(budget > 0, s"budget must be positive")
+    packStartsOf(d, chunk)
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"start div $budget").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The two-level distributed prefix sum shared by [[packAssignOf]] and
+    * [[packSegmentsOf]]: per document, `start` = total tokens of all prior
+    * documents (doc_id order). In-chunk prefix window partitioned by
+    * `doc_id div chunk` + broadcast chunk-offset table — see
+    * [[packAssign]]'s scale note. */
+  private def packStartsOf(d: DataFrame, chunk: Long): DataFrame = {
+    require(chunk > 0, s"chunk must be positive")
     val toks = d.select(col("doc_id"), tokenCount0.as("n_tokens"))
       .withColumn("chk", expr(s"doc_id div $chunk"))
     val wIn = org.apache.spark.sql.expressions.Window
@@ -455,9 +468,41 @@ object TextOps {
       .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
       .select(col("chk"), col("off"))
     inChunk.join(broadcast(offsets), "chk")
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"(pre_in + off) div $budget").as("pack_id"))
-      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), (col("pre_in") + col("off")).as("start"))
+  }
+
+  /** Sequence packing with DOCUMENT SPLITTING — how training packs are
+    * actually materialized: the corpus token stream is cut every `budget`
+    * tokens, and a document straddling a cut contributes a SEGMENT to each
+    * pack it spans. Emits one row per (document, pack) with the
+    * doc-relative INCLUSIVE token span [tok_from, tok_to] — the segments of
+    * a pack always sum to exactly `budget` tokens (the final partial pack
+    * excepted), and each document's segments tile [0, n_tokens-1]
+    * contiguously. [[packAssignOf]] is the whole-document assignment
+    * (pack of the document's FIRST token, = the first segment's pack here).
+    *
+    * Same two-level prefix sum as [[packAssignOf]], then a per-document
+    * explode over the spanned pack range — output rows = corpus tokens /
+    * budget + documents, never quadratic. Zero-token documents occupy no
+    * span and emit nothing. */
+  def packSegments(spark: SparkSession, sfDir: String,
+                   budget: Long = 2048L, chunk: Long = 4096L): DataFrame =
+    packSegmentsOf(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      budget, chunk)
+
+  def packSegmentsOf(d: DataFrame, budget: Long = 2048L,
+                     chunk: Long = 4096L): DataFrame = {
+    require(budget > 0, s"budget must be positive")
+    packStartsOf(d, chunk)
+      .filter(col("n_tokens") > 0)
+      .withColumn("last", col("start") + col("n_tokens") - 1)
+      .withColumn("pack_id",
+        explode(sequence(expr(s"start div $budget"), expr(s"last div $budget"))))
+      .select(col("doc_id"), col("pack_id"),
+        (greatest(col("pack_id") * budget, col("start")) - col("start")).as("tok_from"),
+        (least((col("pack_id") + 1) * budget - 1, col("last")) - col("start")).as("tok_to"))
+      .orderBy(col("doc_id"), col("pack_id"))
   }
 
   /** Per-document top-k terms by TF-IDF — the featurization step after
@@ -590,7 +635,10 @@ object TextOps {
                            n: Int = 3, w: Int = 4,
                            minShared: Long = 2L, maxFpFreq: Int = 100,
                            mBits: Int = 1 << 16, kProbes: Int = 3): DataFrame = {
-    val ev = winnowFps(evalSet, "eval_id", n, w)
+    // the eval fingerprints feed BOTH the bloom build (an action, below) and
+    // the exact join; localCheckpoint materializes the eval-sized frame once
+    // so the winnow kernel doesn't run twice over the eval corpus
+    val ev = winnowFps(evalSet, "eval_id", n, w).localCheckpoint()
     val words = bloomWordsOf(ev.select(col("fp")), mBits, kProbes)
     val tr = winnowFps(corpus, "train_id", n, w)
       .filter(bloomMightContain(words, mBits, kProbes, col("fp")))

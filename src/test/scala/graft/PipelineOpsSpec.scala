@@ -281,6 +281,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
   }
 
+  test("pack_segments: segments tile every doc, packs fill to exactly the budget") {
+    val budget = 50L
+    val docs = TextOps.textStats(spark, Sf0001).select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val segs = TextOps.packSegmentsOf(
+      graft.io.Tables.documents(spark, Sf0001).select(col("doc_id"), col("text")),
+      budget = budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every non-empty doc's segments tile [0, n_tokens-1] contiguously
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._3 === 0L, s"doc $id starts at ${sorted.head._3}")
+      assert(sorted.last._4 === docs(id) - 1, s"doc $id ends early")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 === a._2 + 1 && b._3 === a._4 + 1, s"doc $id gap at pack ${b._2}")
+        case _ =>
+      }
+    }
+    assert(segs.map(_._1).toSet === docs.filter(_._2 > 0).keySet)
+    // every pack except the last holds exactly `budget` tokens
+    val perPack = segs.groupBy(_._2).view
+      .mapValues(_.map(s => s._4 - s._3 + 1).sum).toMap
+    val lastPack = perPack.keys.max
+    perPack.foreach { case (p, tot) =>
+      if (p != lastPack) assert(tot === budget, s"pack $p holds $tot")
+      else assert(tot <= budget)
+    }
+    // the first segment's pack is pack_assign's whole-doc pack
+    val assign = TextOps.packAssignOf(
+      graft.io.Tables.documents(spark, Sf0001).select(col("doc_id"), col("text")),
+      budget = budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      assert(ss.minBy(_._2)._2 === assign(id), s"doc $id first segment pack")
+    }
+  }
+
   test("contamination_bloom ≡ contamination_external (no false negatives, FPs die in the join)") {
     val want = TextOps.contaminationExternal(spark, Sf0001).collect()
     val got = TextOps.contaminationBloom(spark, Sf0001).collect()
