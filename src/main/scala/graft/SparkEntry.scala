@@ -154,6 +154,9 @@ object SparkEntry {
     "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
     "dedup_paragraph"  -> ((s, dir) => Dedup.paragraphDedup(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containment(s, dir)),
+    // the transform face of paragraph dedup: drop corpus-frequent chunks,
+    // emit the kept sequence's position-ordered fold as the rewrite identity
+    "boilerplate_strip" -> ((s, dir) => Dedup.boilerplateStrip(s, dir)),
     "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
     "dedup_decisions"  -> ((s, dir) => Dedup.dedupDecisions(s, dir)),
     "dedup_decisions_pref" -> ((s, dir) => Dedup.dedupDecisionsPreferring(s, dir, DedupPrefer)),
@@ -643,6 +646,28 @@ object SparkEntry {
          | CAST(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)/count(*) < 0.5 AS BIGINT) AS keep
          |FROM p JOIN f USING (ph)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "boilerplate_strip" -> {
+      // kept_hash: position-ordered fold (a*31 + ph) % P from 0 — the
+      // list_prepend(0) makes DuckDB's init-less list_reduce compute the
+      // exact fold Spark's aggregate(chs, 0L, ...) computes
+      val n = graft.operators.Dedup.DefaultChunkTokens
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |cl AS (SELECT doc_id, list_transform(range((len(ths)+${n - 1})//$n),
+         |  p -> list_reduce(ths[p*$n+1:p*$n+$n], (a,b) -> (a*31+b) % $P)) AS chs FROM t),
+         |e0 AS (SELECT doc_id, unnest(list_transform(range(len(chs)),
+         |        i -> {'pos': i, 'ph': chs[CAST(i AS INT)+1]})) AS u FROM cl),
+         |e AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.ph AS ph FROM e0),
+         |f AS (SELECT ph, count(*) AS freq FROM e GROUP BY ph),
+         |k AS (SELECT e.doc_id, e.pos, e.ph FROM e JOIN f USING (ph) WHERE f.freq <= 1),
+         |a AS (SELECT doc_id, count(*) AS n_kept,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT), list(ph ORDER BY pos)),
+         |                   (a,b) -> (a*31+b) % $P) AS kept_hash
+         |      FROM k GROUP BY doc_id)
+         |SELECT cl.doc_id, CAST(coalesce(len(chs), 0) AS BIGINT) AS n_chunks,
+         | coalesce(CAST(n_kept AS BIGINT), 0) AS n_kept,
+         | CAST(coalesce(kept_hash, 0) AS BIGINT) AS kept_hash
+         |FROM cl LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE pairs AS ($lshSqlBody),
          |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs

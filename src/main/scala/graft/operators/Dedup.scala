@@ -105,6 +105,53 @@ object Dedup {
         tokenHashes(col("text")), chunkTokens)).as("ph"))
   }
 
+  /** Boilerplate STRIP — the transform face of [[paragraphDedup]]: per
+    * document, chunks whose corpus-wide frequency exceeds `maxFreq` are
+    * dropped (header/footer/navigation text repeated across a crawl), and
+    * the document's KEPT chunk sequence is emitted as a deterministic
+    * polynomial fold over the kept hashes in position order — the rewrite's
+    * identity, byte-pinning the result exactly as pii_scrub's md5 pins the
+    * redaction (a production strip carries the chunk byte spans alongside;
+    * the decision and sequencing logic is what's exercised here).
+    *
+    * Scale shape: positional chunk explode → one groupBy(hash) frequency →
+    * co-keyed join back → per-doc fold. Corpus-linear, same profile as
+    * [[paragraphDedupOf]]; the per-doc sorted fold buffers one document's
+    * chunk hashes, never the corpus. */
+  def boilerplateStrip(spark: SparkSession, sfDir: String,
+                       chunkTokens: Int = DefaultChunkTokens,
+                       maxFreq: Long = 1L): DataFrame =
+    boilerplateStripOf(documentsFor(spark, sfDir), chunkTokens, maxFreq)
+
+  def boilerplateStripOf(docs: DataFrame, chunkTokens: Int = DefaultChunkTokens,
+                         maxFreq: Long = 1L): DataFrame = {
+    require(chunkTokens > 0 && maxFreq > 0, "chunkTokens/maxFreq must be positive")
+    val P = graft.functions.TextFunctions.HashMod
+    val chs = docs.select(col("doc_id"),
+      graft.functions.HashExpressions.chunk_hashes(
+        tokenHashes(col("text")), chunkTokens).as("chs"))
+    val e = chs.select(col("doc_id"), posexplode(col("chs")).as(Seq("pos", "ph")))
+    val freq = e.groupBy(col("ph")).agg(count(lit(1)).as("freq"))
+    val kept = e.join(freq, "ph")
+      .filter(col("freq") <= maxFreq)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        // position-ordered fold (a*31 + ph) % P from 0 — order restored by
+        // sorting the (pos, ph) structs; ph ∈ [0, P) keeps the arithmetic
+        // positive and overflow-free in int64
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("ph")))),
+            x => x.getField("ph")),
+          lit(0L), (a, x) => (a * 31L + x) % P).as("kept_hash"))
+    chs.select(col("doc_id"),
+        when(col("chs").isNull, 0L).otherwise(size(col("chs")).cast("long")).as("n_chunks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_hash"), lit(0L)).as("kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Approximate CONTAINMENT dedup decision — the chunk-level analogue of
     * suffix-array substring dedup: a document is dropped when at least
     * `maxContained` of its chunks already appear in an EARLIER document

@@ -234,6 +234,29 @@ class TextDedupSpec extends SparkSpec {
     assert(got(10L) === ((3L, 3L, 0L))) // all 3 chunks first-owned earlier -> dropped
   }
 
+  test("boilerplate strip: repeated chunks dropped, kept fold matches the hand fold") {
+    import graft.operators.Dedup
+    // chunk size 3: the [a b c] chunk repeats across docs 1 and 2 (freq 2 >
+    // maxFreq 1) so it is stripped from both; each doc keeps its unique tail
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y q"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateStripOf(docs, chunkTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val P = graft.functions.TextFunctions.HashMod
+    def tokHash(t: String): Long = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    def chunkHash(ts: Seq[String]): Long =
+      ts.foldLeft(0L)((a, t) => (a * 31 + tokHash(t)) % P)
+    def fold(chunks: Seq[Long]): Long = chunks.foldLeft(0L)((a, x) => (a * 31 + x) % P)
+    // docs 1/2 keep only their second chunk; doc 3 keeps both of its chunks
+    assert(got(1L) === ((2L, 1L, fold(Seq(chunkHash(Seq("d", "e", "f")))))))
+    assert(got(2L) === ((2L, 1L, fold(Seq(chunkHash(Seq("x", "y", "q")))))))
+    assert(got(3L) === ((2L, 2L, fold(Seq(
+      chunkHash(Seq("totally", "different", "words")),
+      chunkHash(Seq("here", "now")))))))
+  }
+
   test("cluster sizes: distribution is consistent with the component table") {
     import graft.operators.Dedup
     val sizes = Dedup.clusterSizes(spark, Sf0001).collect()
