@@ -46,6 +46,17 @@ class EmptyInputSpec extends SparkSpec {
     val books = Similarity.pqCodebooks(base)
     assert(books.forall(_.isEmpty))
     assert(Similarity.pqCodesOf(base, books).count() === 0)
+    // packing and stripping over zero rows
+    assert(TextOps.packAssignOf(emptyDocs).count() === 0)
+    assert(TextOps.packSegmentsOf(emptyDocs).count() === 0)
+    assert(Dedup.boilerplateStripOf(emptyDocs).count() === 0)
+    // null text: zero tokens -> no pack span; the strip keeps the doc row
+    // with zero chunks (transforms must not drop documents silently)
+    val nulls = Seq((1L, "alpha beta gamma"), (2L, null)).toDF("doc_id", "text")
+    assert(TextOps.packSegmentsOf(nulls).select("doc_id").distinct().count() === 1)
+    val strip = Dedup.boilerplateStripOf(nulls).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(strip(2L) === ((0L, 0L, 0L)))
   }
 
   test("dedup operators: empty in, empty out (including the component loop)") {
