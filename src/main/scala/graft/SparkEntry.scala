@@ -650,10 +650,8 @@ object SparkEntry {
       // kept_hash: position-ordered fold (a*31 + ph) % P from 0 — the
       // list_prepend(0) makes DuckDB's init-less list_reduce compute the
       // exact fold Spark's aggregate(chs, 0L, ...) computes
-      val n = graft.operators.Dedup.DefaultChunkTokens
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
-         |cl AS (SELECT doc_id, list_transform(range((len(ths)+${n - 1})//$n),
-         |  p -> list_reduce(ths[p*$n+1:p*$n+$n], (a,b) -> (a*31+b) % $P)) AS chs FROM t),
+         |cl AS (SELECT doc_id, $chunkListSql AS chs FROM t),
          |e0 AS (SELECT doc_id, unnest(list_transform(range(len(chs)),
          |        i -> {'pos': i, 'ph': chs[CAST(i AS INT)+1]})) AS u FROM cl),
          |e AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.ph AS ph FROM e0),
@@ -1031,16 +1029,21 @@ object SparkEntry {
        | t -> list_reduce(list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT)),
        |      (a,b) -> (a*31+b) % $P))""".stripMargin.replaceAll("\n", " ")
 
-  /** Non-overlapping chunk-hash CTE `p` over `t(doc_id, ths)` — mirrors
-    * HashKernels.chunkHashes with the SAME width constant
-    * (Dedup.DefaultChunkTokens), so the two sides cannot drift. */
-  private def chunkHashCte: String = {
+  /** The non-overlapping chunk-hash LIST over `ths` — the ONE DuckDB copy of
+    * HashKernels.chunkHashes' formula (same width constant,
+    * Dedup.DefaultChunkTokens); every chunk-consuming oracle builds on it so
+    * the sides cannot drift. */
+  private def chunkListSql: String = {
     val n = graft.operators.Dedup.DefaultChunkTokens
-    s"""p AS (SELECT doc_id,
-       |  CAST(unnest(list_transform(range((len(ths)+${n - 1})//$n),
-       |    p -> list_reduce(ths[p*$n+1:p*$n+$n], (a,b) -> (a*31+b) % $P))) AS BIGINT) AS ph
-       | FROM t)""".stripMargin
+    s"""list_transform(range((len(ths)+${n - 1})//$n),
+       | p -> list_reduce(ths[p*$n+1:p*$n+$n], (a,b) -> (a*31+b) % $P))"""
+      .stripMargin.replaceAll("\n", " ")
   }
+
+  /** Exploded chunk-hash CTE `p` over `t(doc_id, ths)`. */
+  private def chunkHashCte: String =
+    s"""p AS (SELECT doc_id, CAST(unnest($chunkListSql) AS BIGINT) AS ph
+       | FROM t)""".stripMargin
 
   /** Word-3-gram shingle hashes derived from token hashes. */
   private val shinglesSql: String =

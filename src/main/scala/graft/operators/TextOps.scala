@@ -636,9 +636,13 @@ object TextOps {
                            minShared: Long = 2L, maxFpFreq: Int = 100,
                            mBits: Int = 1 << 16, kProbes: Int = 3): DataFrame = {
     // the eval fingerprints feed BOTH the bloom build (an action, below) and
-    // the exact join; localCheckpoint materializes the eval-sized frame once
-    // so the winnow kernel doesn't run twice over the eval corpus
-    val ev = winnowFps(evalSet, "eval_id", n, w).localCheckpoint()
+    // the exact join, so the winnow kernel runs twice over the eval frame.
+    // That recompute is DELIBERATE: the eval set is benchmark-sized by this
+    // operator's contract, while pinning it (localCheckpoint loses blocks
+    // with decommissioned executors and fails the join unrecoverably;
+    // persist with no unpersist point leaks storage per call) trades a tiny
+    // recompute for a real operational hazard at scale
+    val ev = winnowFps(evalSet, "eval_id", n, w)
     val words = bloomWordsOf(ev.select(col("fp")), mBits, kProbes)
     val tr = winnowFps(corpus, "train_id", n, w)
       .filter(bloomMightContain(words, mBits, kProbes, col("fp")))

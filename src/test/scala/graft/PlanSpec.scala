@@ -145,15 +145,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int,p_retailprice:double>"), p)
   }
 
-  test("pack_assign: two-level prefix sum — chunk window + tiny offset table, broadcast join") {
-    val p = plan("pack_assign")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // chunk window + chunk-totals agg; the corpus NEVER crosses a single
-    // partition — only the chunk-count-sized offset table does
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashExchanges === 2, p)
-    assert("Exchange SinglePartition".r.findAllIn(p).length === 1, p)
-    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  test("pack_assign/pack_segments: two-level prefix sum — chunk window + tiny offset table") {
+    // pack_segments adds only a per-doc explode over the same prefix sums,
+    // so BOTH must keep the identical exchange profile
+    for (name <- Seq("pack_assign", "pack_segments")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name:\n$p")
+      // chunk window + chunk-totals agg; the corpus NEVER crosses a single
+      // partition — only the chunk-count-sized offset table does
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges === 2, s"$name:\n$p")
+      assert("Exchange SinglePartition".r.findAllIn(p).length === 1, s"$name:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$name:\n$p")
+    }
   }
 
   test("mm_media_meta: the scan reads ONLY doc_id — synthesis+decode never drag text") {
