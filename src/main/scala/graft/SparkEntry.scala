@@ -177,6 +177,8 @@ object SparkEntry {
     "ann_pq_adc_topk"  -> ((s, dir) => Similarity.pqAdcTopK(s, dir)),
     // the composed index: coarse cell prunes candidates, ADC scores codes
     "ann_ivfpq_topk"   -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
+    // the residual refinement: books quantize v - centroid (FAISS IVF-PQ)
+    "ann_ivfpq_residual_topk" -> ((s, dir) => Similarity.ivfPqResidualTopK(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -862,11 +864,27 @@ object SparkEntry {
     "ann_ivfpq_topk" ->
       s"""WITH $kvCte,
          |$kmeansChain,
-         |$pqChains,
+         |${pqChains()},
          |${pqCodesCte},
          |q AS (SELECT v.vec_id AS q_id, v.vec AS q_vec, a.cluster AS q_cluster
          |      FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)
          |      WHERE v.vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
+         | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
+         | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
+         |r AS (SELECT q_id, vec_id, score,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
+         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivfpq_residual_topk" ->
+      // identical search to ann_ivfpq_topk, but the PQ chains train over
+      // the RESIDUAL view and queries score their own residual
+      s"""WITH $kvCte,
+         |$kmeansChain,
+         |$residualCte,
+         |${pqChains("kvr")},
+         |${pqCodesCte},
+         |q AS (SELECT vec_id AS q_id, vec AS q_vec, cluster AS q_cluster
+         |      FROM kvr WHERE vec_id % 100 = 0),
          |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
          | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
          | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
@@ -1230,7 +1248,9 @@ object SparkEntry {
     * (vec[j·sub+1 : (j+1)·sub]), seeded from the first k vec_ids' SUBvectors
     * and recomputed at the subspace dimensionality; `af_pj` is subspace j's
     * final codeword assignment. */
-  private def pqChains: String = {
+  /** The M per-subspace Lloyd chains over `base` (the raw `kv` view, or a
+    * residual view for residual PQ). */
+  private def pqChains(base: String = "kv"): String = {
     val k = graft.operators.Similarity.PqK
     val nRounds = graft.operators.Similarity.PqRounds
     (0 until PqM).map { j =>
@@ -1239,14 +1259,23 @@ object SparkEntry {
           s"kv_p$j") + ",\n" +
           kmeansRecomputeCte(s"a${r}_p$j", s"c${r}_p$j", s"kv_p$j", PqSub)
       }.mkString(",\n")
-      s"""kv_p$j AS (SELECT vec_id, vec[${j * PqSub + 1}:${(j + 1) * PqSub}] AS vec FROM kv),
+      s"""kv_p$j AS (SELECT vec_id, vec[${j * PqSub + 1}:${(j + 1) * PqSub}] AS vec FROM $base),
          |c0_p$j AS (SELECT vec_id AS cid, vec AS cvec FROM kv_p$j WHERE vec_id < $k),
          |$rounds,
          |${kmeansAssignCte(s"c${nRounds}_p$j", s"af_p$j", s"kv_p$j")}""".stripMargin
     }.mkString(",\n")
   }
 
-  private def pqCtes: String = s"$kvCte,\n$pqChains"
+  private def pqCtes: String = s"$kvCte,\n${pqChains()}"
+
+  /** Residual view: vec := vec - centroid(assigned cell), components
+    * subtracted index-wise against the trained coarse centroid table. */
+  private def residualCte: String =
+    s"""kvr AS (SELECT v.vec_id, a.cluster,
+       | list_transform(range($KMeansDim),
+       |  i -> v.vec[CAST(i AS INT)+1] - c.cvec[CAST(i AS INT)+1]) AS vec
+       | FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)
+       | JOIN c$KMeansRounds c ON c.cid = a.cluster)""".stripMargin
 
   /** Per-pair ADC score: the M per-subspace terms added LEFT-TO-RIGHT,
     * mirroring Similarity.adcRankTopK's reduce — float addition isn't

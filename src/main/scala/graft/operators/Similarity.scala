@@ -546,32 +546,68 @@ object Similarity {
     * survivors are scored by ADC over PQ codes ([[pqAdcTopK]]'s lookup
     * tables) — so the scan side touches only (cell, M codeword ids) per
     * vector: never raw vectors, never per-pair dot products. Codes here
-    * quantize the raw vectors (IVFADC without residual encoding; residual
-    * PQ would re-train books on v - centroid — a recall refinement, not a
-    * different plan shape). Both quantizers ride the plan as literals, so
-    * index build adds zero shuffles beyond their control-plane training. */
+    * quantize the raw vectors (IVFADC without residual encoding;
+    * [[ivfPqResidualTopK]] is the residual refinement — same plan shape).
+    * Both quantizers ride the plan as literals, so index build adds zero
+    * shuffles beyond their control-plane training. */
   def ivfPqTopK(spark: SparkSession, sfDir: String,
                 k: Int = 5, queryMod: Int = 100,
                 nClusters: Int = 8, coarseRounds: Int = 2,
                 m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds): DataFrame =
     withCached(trainInput(spark, sfDir)) { base =>
       val coarse = kmeansCentroids(base, nClusters, coarseRounds)
-      val books = pqCodebooks(base, m, ksub, rounds)
-      if (coarse.isEmpty || books.exists(_.isEmpty)) emptyAdcFrame(base)
+      if (coarse.isEmpty) emptyAdcFrame(base)
+      else ivfPqSearch(withCluster(base, coarse), k, queryMod, m, ksub, rounds)
+    }
+
+  /** RESIDUAL IVF-PQ — the full FAISS-style index: the PQ books quantize
+    * the residual `v - centroid(cell(v))` instead of the raw vector, so
+    * codeword precision concentrates on within-cell variation (the coarse
+    * quantizer already explains the between-cell part — on clustered data
+    * residuals are smaller and the same K codewords cover them finer).
+    * Queries score their OWN residual against the candidate's codes; plan
+    * shape, shuffle profile, and per-pair cost are identical to
+    * [[ivfPqTopK]] — the residual subtraction is one more projection
+    * stage with the centroid table as plan literals. */
+  def ivfPqResidualTopK(spark: SparkSession, sfDir: String,
+                        k: Int = 5, queryMod: Int = 100,
+                        nClusters: Int = 8, coarseRounds: Int = 2,
+                        m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val coarse = kmeansCentroids(base, nClusters, coarseRounds)
+      if (coarse.isEmpty) emptyAdcFrame(base)
       else {
-        val sub = EmbeddingDim / m
-        val withCell = withCluster(base, coarse)
-        val codes = withCell.select(
-          Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
-            argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
-          }: _*)
-        val q = withCell.filter(col("vec_id") % queryMod === 0)
-          .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++
-            adcLookupTables(books, m, sub): _*)
-        adcRankTopK(
-          codes.join(broadcast(q),
-            col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
-          books, m, k)
+        // v := v - centroid(cluster): per-component subtract against the
+        // row's own cell centroid (a literal lookup — zero shuffle)
+        val cvec = coalesce(coarse.map { case (cid, c) =>
+          when(col("cluster") === cid, typedLit(c))
+        }: _*)
+        val resid = withCluster(base, coarse)
+          .withColumn("vec", zip_with(col("vec"), cvec, (a, b) => a - b))
+        ivfPqSearch(resid, k, queryMod, m, ksub, rounds)
       }
     }
+
+  /** The shared IVF-PQ search over a clustered base (vec_id, cluster, vec):
+    * train books on `vec` (raw or residual), encode, prune to the query's
+    * cell, score by ADC lookups. */
+  private def ivfPqSearch(withCell: DataFrame, k: Int, queryMod: Int,
+                          m: Int, ksub: Int, rounds: Int): DataFrame = {
+    val books = pqCodebooks(withCell, m, ksub, rounds)
+    if (books.exists(_.isEmpty)) emptyAdcFrame(withCell)
+    else {
+      val sub = EmbeddingDim / m
+      val codes = withCell.select(
+        Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
+          argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+        }: _*)
+      val q = withCell.filter(col("vec_id") % queryMod === 0)
+        .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++
+          adcLookupTables(books, m, sub): _*)
+      adcRankTopK(
+        codes.join(broadcast(q),
+          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
+        books, m, k)
+    }
+  }
 }

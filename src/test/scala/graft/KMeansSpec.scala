@@ -136,6 +136,25 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("residual ivf-pq: in-cell pairs, deterministic, and residual books differ from raw") {
+    val got = Similarity.ivfPqResidualTopK(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    val coarse = Similarity.kmeansCentroids(base, k = 8, rounds = 2)
+    val cells = Similarity.withCluster(base, coarse)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(cells(r.getLong(2)) === cells(r.getLong(0)),
+        s"pair (${r.getLong(0)},${r.getLong(2)}) crossed cells")
+    }
+    // deterministic end to end (training included)
+    val again = Similarity.ivfPqResidualTopK(spark, Sf0001).collect()
+    assert(got.toSeq === again.toSeq)
+    // the residual scoring space genuinely differs from the raw-vector one
+    val raw = Similarity.ivfPqTopK(spark, Sf0001).collect()
+    assert(got.map(_.getDouble(3)).toSeq !== raw.map(_.getDouble(3)).toSeq)
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
