@@ -114,6 +114,8 @@ object SparkEntry {
     "q11_orders_rollup"   -> ((s, dir) => Relational.ordersRollup(s, dir)),
     "q24_pivot"           -> ((s, dir) => Relational.revenuePivot(s, dir)),
     "q25_unpivot"         -> ((s, dir) => Relational.partMetricsUnpivot(s, dir)),
+    // the five-way join: nation plays two roles, supplier joins the fact
+    "q26_bi_nation_volume" -> ((s, dir) => Relational.biNationVolume(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
@@ -891,6 +893,17 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, score,
          |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
          |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q26_bi_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         | $revenueExpr AS revenue, count(*) AS n_rows
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q12_tumbling_hourly" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         | count(*) AS n_events,

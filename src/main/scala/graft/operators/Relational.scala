@@ -56,6 +56,34 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q7-shaped bi-nation volume: revenue flowing between DIFFERENT
+    * supplier and customer nations per ship year — the five-way join where
+    * the SAME dimension (nation) plays two roles and the supplier table
+    * joins the fact on a second key. Supplier and both nation roles
+    * broadcast (dimension-sized at any SF); the two fact joins shuffle on
+    * their keys with AQE picking the physical strategy. */
+  def biNationVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val s  = Tables.supplier(spark, sfDir)
+    val n  = Tables.nation(spark, sfDir)
+    val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** Top-k per group via ranking window: top 3 parts by revenue within each
     * brand. Deterministic tie-break on p_partkey so the oracle hash-matches. */
   def topPartsByBrand(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
