@@ -116,6 +116,8 @@ object SparkEntry {
     "q25_unpivot"         -> ((s, dir) => Relational.partMetricsUnpivot(s, dir)),
     // the five-way join: nation plays two roles, supplier joins the fact
     "q26_bi_nation_volume" -> ((s, dir) => Relational.biNationVolume(s, dir)),
+    // pushdown through joins + global top-k on an aggregate (TakeOrdered)
+    "q27_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
@@ -904,6 +906,15 @@ object SparkEntry {
          | JOIN nation n2 ON c_nationkey = n2.n_nationkey
          |WHERE n1.n_name <> n2.n_name
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q27_shipping_priority" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
+         | $revenueExpr AS revenue, count(*) AS n_rows
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < TIMESTAMP '1998-06-30'
+         | AND l_shipdate > TIMESTAMP '1998-06-30'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q12_tumbling_hourly" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         | count(*) AS n_events,

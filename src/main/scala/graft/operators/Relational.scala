@@ -84,6 +84,35 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: the top unshipped orders by revenue
+    * for one market segment at a pivot date. All three single-table
+    * predicates (segment equality, two timestamp bounds) push to their
+    * parquet scans BEFORE the joins, and the global top-10 on the aggregate
+    * plans as TakeOrdered (never a full sort) — both pinned in PlanSpec.
+    * Ties at the cut break on l_orderkey so the limit is deterministic
+    * cross-engine. */
+  def shippingPriority(spark: SparkSession, sfDir: String,
+                       segment: String = "BUILDING",
+                       pivotDate: String = "1998-06-30",
+                       k: Int = 10): DataFrame = {
+    // the driver writes these dates as TIMESTAMP_NTZ; the NTZ literal keeps
+    // the pushdown cast-free and the UTC-session unix_micros matches
+    // DuckDB's naive epoch_us
+    val pivot = lit(pivotDate).cast("timestamp_ntz")
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === segment)
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < pivot)
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > pivot)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"),
+               unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
   /** Top-k per group via ranking window: top 3 parts by revenue within each
     * brand. Deterministic tie-break on p_partkey so the oracle hash-matches. */
   def topPartsByBrand(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {

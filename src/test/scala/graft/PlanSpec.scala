@@ -38,6 +38,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"), p)
   }
 
+  test("q27: single-table predicates push to every scan; top-10 is TakeOrdered") {
+    val p = plan("q27_shipping_priority")
+    // segment equality and both timestamp bounds reach the parquet readers
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate,"), p)
+    assert(p.contains("GreaterThan(l_shipdate,"), p)
+    // the global top-k on the aggregate never plans a full sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q6: the nation dimension joins via broadcast") {
     val p = plan("q6_revenue_by_nation")
     assert(p.contains("BroadcastHashJoin"), p)
