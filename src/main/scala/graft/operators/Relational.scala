@@ -22,6 +22,11 @@ object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
+  /** The DECIMAL-exact discounted-revenue sum every revenue query aggregates
+    * — ONE copy, mirroring the oracle side's shared `revenueExpr`. */
+  private def discRevenueSum: org.apache.spark.sql.Column =
+    sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+
   /** TPC-H Q1-shaped pricing summary: full-scan groupBy-agg on lineitem with
     * map-side combine; the canonical "does partial aggregation work" probe. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
@@ -30,7 +35,7 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+        discRevenueSum
           .cast("double").as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
@@ -50,7 +55,7 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+      .agg(discRevenueSum
         .cast("double").as("revenue"),
         count(lit(1)).as("n_lineitems"))
       .orderBy(col("n_name"))
@@ -78,7 +83,7 @@ object Relational {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
                year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+      .agg(discRevenueSum
         .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
@@ -106,7 +111,7 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"),
                unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+      .agg(discRevenueSum
         .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -120,7 +125,7 @@ object Relational {
     val p  = Tables.part(spark, sfDir)
     import org.apache.spark.sql.expressions.Window
     val rev = li.groupBy(col("l_partkey"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+      .agg(discRevenueSum
         .cast("double").as("revenue"))
     val joined = rev.join(p, rev("l_partkey") === p("p_partkey"))
     val w = Window.partitionBy(col("p_brand"))
@@ -295,7 +300,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
+      .agg(discRevenueSum
         .cast("double"))
       .withColumnRenamed("F", "rev_f")
       .withColumnRenamed("O", "rev_o")

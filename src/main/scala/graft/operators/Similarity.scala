@@ -578,12 +578,16 @@ object Similarity {
       if (coarse.isEmpty) emptyAdcFrame(base)
       else {
         // v := v - centroid(cluster): per-component subtract against the
-        // row's own cell centroid (a literal lookup — zero shuffle)
+        // row's own cell centroid (a literal lookup — zero shuffle).
+        // norm_v is DROPPED: it was the raw vector's norm and no longer
+        // matches vec — carrying it would hand a stale invariant to any
+        // future cosine use of this frame
         val cvec = coalesce(coarse.map { case (cid, c) =>
           when(col("cluster") === cid, typedLit(c))
         }: _*)
         val resid = withCluster(base, coarse)
           .withColumn("vec", zip_with(col("vec"), cvec, (a, b) => a - b))
+          .drop("norm_v")
         ivfPqSearch(resid, k, queryMod, m, ksub, rounds)
       }
     }

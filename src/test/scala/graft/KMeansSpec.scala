@@ -119,11 +119,16 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
-  test("ivf-pq: results stay inside the query's coarse cell with ADC scores") {
-    val coarse = Similarity.kmeansCentroids(base, k = 8, rounds = 2)
-    val cells = Similarity.withCluster(base, coarse)
+  /** The coarse cell of every vector, trained exactly as the IVF-PQ
+    * operators train it (k=8, 2 rounds) — shared by both cell-pruning
+    * tests so they cannot drift from each other. */
+  private def coarseCells(): Map[Long, Long] =
+    Similarity.withCluster(base, Similarity.kmeansCentroids(base, k = 8, rounds = 2))
       .select(col("vec_id"), col("cluster")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ivf-pq: results stay inside the query's coarse cell with ADC scores") {
+    val cells = coarseCells()
     val adcByPair = Similarity.pqAdcTopK(spark, Sf0001, k = Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val got = Similarity.ivfPqTopK(spark, Sf0001).collect()
@@ -139,10 +144,7 @@ class KMeansSpec extends SparkSpec {
   test("residual ivf-pq: in-cell pairs, deterministic, and residual books differ from raw") {
     val got = Similarity.ivfPqResidualTopK(spark, Sf0001).collect()
     assert(got.nonEmpty)
-    val coarse = Similarity.kmeansCentroids(base, k = 8, rounds = 2)
-    val cells = Similarity.withCluster(base, coarse)
-      .select(col("vec_id"), col("cluster")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = coarseCells()
     got.foreach { r =>
       assert(cells(r.getLong(2)) === cells(r.getLong(0)),
         s"pair (${r.getLong(0)},${r.getLong(2)}) crossed cells")
