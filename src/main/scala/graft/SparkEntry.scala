@@ -118,6 +118,8 @@ object SparkEntry {
     "q26_bi_nation_volume" -> ((s, dir) => Relational.biNationVolume(s, dir)),
     // pushdown through joins + global top-k on an aggregate (TakeOrdered)
     "q27_shipping_priority" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    // the exact three-factor money product (price·(1−disc)·(1+tax))
+    "q28_pricing_charge" -> ((s, dir) => Relational.pricingCharge(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
@@ -906,6 +908,13 @@ object SparkEntry {
          | JOIN nation n2 ON c_nationkey = n2.n_nationkey
          |WHERE n1.n_name <> n2.n_name
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q28_pricing_charge" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${dd("sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+               "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * " +
+               "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))")} AS sum_charge,
+         | count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q27_shipping_priority" ->
       s"""SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us,
          | $revenueExpr AS revenue, count(*) AS n_rows

@@ -136,6 +136,27 @@ object Relational {
       .orderBy(col("p_brand"), col("rk"))
   }
 
+  /** The Q1 CHARGE aggregate: sum of price·(1−disc)·(1+tax) per
+    * (returnflag, linestatus) — the three-factor money product, kept EXACT
+    * by sizing the decimal operands so no intermediate precision cap ever
+    * rounds: (18,2)·(5,2)→(24,4), ·(5,2)→(30,6), all under Spark's 38-digit
+    * ceiling (and DuckDB's), so the distributed sum is exact integer
+    * arithmetic in both engines and the final double cast is the only
+    * rounding anywhere. */
+  def pricingCharge(spark: SparkSession, sfDir: String): DataFrame = {
+    def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    def s2(c: org.apache.spark.sql.Column) = c.cast("decimal(4,2)")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(d2(col("l_extendedprice")) *
+            (lit(1).cast("decimal(4,2)") - s2(col("l_discount"))) *
+            (lit(1).cast("decimal(4,2)") + s2(col("l_tax"))))
+          .cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** TPC-H Q6-shaped filtered revenue: the predicate-pushdown probe — all
     * three filters must reach the parquet scan (verified in the plan spec). */
   def filteredRevenue(spark: SparkSession, sfDir: String): DataFrame =
