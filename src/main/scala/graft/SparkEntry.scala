@@ -185,6 +185,8 @@ object SparkEntry {
     "ann_ivfpq_topk"   -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // the residual refinement: books quantize v - centroid (FAISS IVF-PQ)
     "ann_ivfpq_residual_topk" -> ((s, dir) => Similarity.ivfPqResidualTopK(s, dir)),
+    // the recall knob on the composed index: probe 2 cells, score codes
+    "ann_ivfpq_probe2" -> ((s, dir) => Similarity.ivfPqMultiProbeTopK(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -875,6 +877,24 @@ object SparkEntry {
          |q AS (SELECT v.vec_id AS q_id, v.vec AS q_vec, a.cluster AS q_cluster
          |      FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)
          |      WHERE v.vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
+         | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
+         | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
+         |r AS (SELECT q_id, vec_id, score,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
+         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivfpq_probe2" ->
+      // ann_ivfpq_topk's search with ann_ivf_trained_probe2's probe list:
+      // each query's 2 nearest coarse cells, still scored by ADC over codes
+      s"""WITH $kvCte,
+         |$kmeansChain,
+         |${pqChains()},
+         |${pqCodesCte},
+         |qs AS (SELECT s.vec_id AS q_id, s.cid AS q_cluster,
+         |        row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score, s.cid) AS prk
+         |       FROM ${kmeansFinalAssign}_s s WHERE s.vec_id % 100 = 0),
+         |q AS (SELECT qs.q_id, v.vec AS q_vec, qs.q_cluster
+         |      FROM qs JOIN kv v ON v.vec_id = qs.q_id WHERE prk <= 2),
          |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
          | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
          | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),

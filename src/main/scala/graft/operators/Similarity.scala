@@ -601,10 +601,7 @@ object Similarity {
     if (books.exists(_.isEmpty)) emptyAdcFrame(withCell)
     else {
       val sub = EmbeddingDim / m
-      val codes = withCell.select(
-        Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
-          argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
-        }: _*)
+      val codes = pqCellCodes(withCell, books, m, sub)
       val q = withCell.filter(col("vec_id") % queryMod === 0)
         .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++
           adcLookupTables(books, m, sub): _*)
@@ -614,4 +611,51 @@ object Similarity {
         books, m, k)
     }
   }
+
+  /** (vec_id, cluster, code0..code{M-1}) — the stored face of an IVF-PQ
+    * index row. */
+  private def pqCellCodes(withCell: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+                          m: Int, sub: Int): DataFrame =
+    withCell.select(
+      Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
+        argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
+      }: _*)
+
+  /** IVF-PQ with MULTI-PROBE — the recall knob on the composed index: each
+    * query searches its `nProbe` nearest coarse cells
+    * ([[ivfTrainedMultiProbeTopK]]'s probe list) but still scores the
+    * survivors by ADC lookups over PQ codes. Candidates grow linearly in
+    * nProbe and stay code-only; a base vector lives in exactly ONE cell, so
+    * probes cannot duplicate pairs. */
+  def ivfPqMultiProbeTopK(spark: SparkSession, sfDir: String,
+                          k: Int = 5, queryMod: Int = 100,
+                          nClusters: Int = 8, coarseRounds: Int = 2,
+                          m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds,
+                          nProbe: Int = 2): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val coarse = kmeansCentroids(base, nClusters, coarseRounds)
+      if (coarse.isEmpty) emptyAdcFrame(base)
+      else {
+        val withCell = withCluster(base, coarse)
+        val books = pqCodebooks(withCell, m, ksub, rounds)
+        if (books.exists(_.isEmpty)) emptyAdcFrame(base)
+        else {
+          val sub = EmbeddingDim / m
+          val codes = pqCellCodes(withCell, books, m, sub)
+          val scored = coarse.map { case (cid, c) =>
+            struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
+                   lit(cid).as("cid"))
+          }
+          val q = withCell.filter(col("vec_id") % queryMod === 0)
+            .select(Seq(col("vec_id").as("q_id"),
+              explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p")) ++
+              adcLookupTables(books, m, sub): _*)
+            .withColumn("q_cluster", col("p.cid")).drop("p")
+          adcRankTopK(
+            codes.join(broadcast(q),
+              col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
+            books, m, k)
+        }
+      }
+    }
 }

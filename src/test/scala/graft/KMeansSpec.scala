@@ -157,6 +157,17 @@ class KMeansSpec extends SparkSpec {
     assert(got.map(_.getDouble(3)).toSeq !== raw.map(_.getDouble(3)).toSeq)
   }
 
+  test("ivf-pq multi-probe: probing 2 cells never worsens the best ADC score") {
+    val one = Similarity.ivfPqTopK(spark, Sf0001).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val two = Similarity.ivfPqMultiProbeTopK(spark, Sf0001).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // probe-2 candidates are a superset of the own-cell candidates, so the
+    // best (lowest) ADC score can only improve or stay
+    assert(two.keySet === one.keySet)
+    two.foreach { case (q, s) => assert(s <= one(q), s"query $q") }
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
