@@ -187,6 +187,9 @@ object SparkEntry {
     "ann_ivfpq_residual_topk" -> ((s, dir) => Similarity.ivfPqResidualTopK(s, dir)),
     // the recall knob on the composed index: probe 2 cells, score codes
     "ann_ivfpq_probe2" -> ((s, dir) => Similarity.ivfPqMultiProbeTopK(s, dir)),
+    // recall@5 of EVERY pruned variant against ann_brute_topk — the number
+    // the whole family's recall-for-pruning trade is tuned on
+    "ann_recall"       -> ((s, dir) => Similarity.annRecall(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -1021,7 +1024,31 @@ object SparkEntry {
       "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),
       "q4p_threshold_gaps_secondary_sort" -> base("q4_threshold_gaps"),
       // star contraction computes the same labeling as min-label propagation
-      "dedup_lsh_components_star"      -> base("dedup_lsh_components"))
+      "dedup_lsh_components_star"      -> base("dedup_lsh_components"),
+      "ann_recall"                     -> annRecallOracle(base))
+  }
+
+  /** recall@k of every pruned ANN variant vs brute force: each side's FULL
+    * registered oracle statement embeds as a parenthesized subquery (its own
+    * CTE scope), so the report replays the exact per-variant chains the gate
+    * already checks — the two sides cannot drift from their sources. */
+  private def annRecallOracle(base: Map[String, String]): String = {
+    val names = graft.operators.Similarity.RecallVariants
+    val unions = names.map { n =>
+      s"SELECT '$n' AS variant, q_id, vec_id FROM (\n${base(n)})"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH brute AS (SELECT q_id, vec_id FROM (
+       |${base("ann_brute_topk")})),
+       |nrel AS (SELECT count(*) AS n_relevant FROM brute),
+       |u AS (
+       |$unions),
+       |h AS (SELECT variant, count(*) AS hits FROM u JOIN brute USING (q_id, vec_id)
+       |      GROUP BY variant),
+       |names AS (SELECT unnest(${names.map(n => s"'$n'").mkString("[", ", ", "]")}) AS variant)
+       |SELECT names.variant, coalesce(h.hits, 0) AS hits, nrel.n_relevant,
+       | CAST(coalesce(h.hits, 0) AS DOUBLE)/nrel.n_relevant AS recall
+       |FROM names LEFT JOIN h USING (variant), nrel
+       |ORDER BY variant""".stripMargin
   }
 
   /** Synthesis-parameter CTE mirroring Multimodal's closed-form parameters

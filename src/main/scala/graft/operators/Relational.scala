@@ -64,9 +64,11 @@ object Relational {
   /** TPC-H Q7-shaped bi-nation volume: revenue flowing between DIFFERENT
     * supplier and customer nations per ship year — the five-way join where
     * the SAME dimension (nation) plays two roles and the supplier table
-    * joins the fact on a second key. Supplier and both nation roles
-    * broadcast (dimension-sized at any SF); the two fact joins shuffle on
-    * their keys with AQE picking the physical strategy. */
+    * joins the fact on a second key. Both nation roles are force-broadcast
+    * (25 rows at EVERY SF); supplier scales linearly with SF (10k × SF
+    * rows), so its join is left to AQE — broadcast while it fits the
+    * threshold, shuffled hash/sort-merge beyond, exactly like the two fact
+    * joins. */
   def biNationVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o  = Tables.orders(spark, sfDir)
@@ -77,7 +79,7 @@ object Relational {
     val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
       .join(broadcast(n1), s("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))

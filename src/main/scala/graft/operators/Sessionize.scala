@@ -129,7 +129,11 @@ object Sessionize {
           val bounds = ev.agg(
             max(when(col("event_id") <= maxIdRow.getLong(0) / 2, unix_micros(col("ts")))),
             max(unix_micros(col("ts")))).head()
-          val (midUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+          // no event may satisfy event_id <= maxId/2 (an id space that does
+          // not start near 0): the conditional max is NULL — fall back to
+          // the flush-only single-file path (midUs = maxUs) instead of NPE
+          val maxUs = bounds.getLong(1)
+          val midUs = if (bounds.isNullAt(0)) maxUs else bounds.getLong(0)
           val lower = ev.filter(unix_micros(col("ts")) <= midUs).select(col("key"), col("ts"))
           val upper = ev.filter(unix_micros(col("ts")) > midUs).select(col("key"), col("ts"))
           if (maxUs > midUs) Seq(lower, upper, sentinel(maxUs))

@@ -271,15 +271,22 @@ object Similarity {
                      k: Int = 5, queryMod: Int = 100,
                      nClusters: Int = 8, rounds: Int = 2): DataFrame =
     withCached(trainInput(spark, sfDir)) { base0 =>
-      val base = withCluster(base0, kmeansCentroids(base0, nClusters, rounds))
-      val q = base
-        .filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-                col("norm_v").as("norm_q"), col("cluster").as("q_cluster"))
-      rankTopK(
-        base.join(broadcast(q),
-          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+      ivfTrainedTopKFrom(base0, kmeansCentroids(base0, nClusters, rounds), k, queryMod)
     }
+
+  /** [[ivfTrainedTopK]]'s search over an ALREADY-TRAINED coarse quantizer —
+    * shared with [[annRecall]], which trains each distinct model once. */
+  private def ivfTrainedTopKFrom(base0: DataFrame, cents: Seq[(Long, Array[Double])],
+                                 k: Int, queryMod: Int): DataFrame = {
+    val base = withCluster(base0, cents)
+    val q = base
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+              col("norm_v").as("norm_q"), col("cluster").as("q_cluster"))
+    rankTopK(
+      base.join(broadcast(q),
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+  }
 
   /** Trained IVF with multi-probe: each query searches its `nProbe` NEAREST
     * trained cells instead of only the closest — the standard IVF recall
@@ -294,23 +301,32 @@ object Similarity {
                                nClusters: Int = 8, rounds: Int = 2,
                                nProbe: Int = 2): DataFrame =
     withCached(trainInput(spark, sfDir)) { base0 =>
-      val cents = kmeansCentroids(base0, nClusters, rounds)
-      val base = withCluster(base0, cents)
-      val scored = cents.map { case (cid, c) =>
-        struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
-               lit(cid).as("cid"))
-      }
-      val q = base0
-        .filter(col("vec_id") % queryMod === 0)
-        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-                col("norm_v").as("norm_q"),
-                explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p"))
-        .select(col("q_id"), col("q_vec"), col("norm_q"),
-                col("p.cid").as("q_cluster"))
-      rankTopK(
-        base.join(broadcast(q),
-          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+      ivfTrainedMultiProbeTopKFrom(base0, kmeansCentroids(base0, nClusters, rounds),
+        k, queryMod, nProbe)
     }
+
+  /** [[ivfTrainedMultiProbeTopK]]'s search over an already-trained coarse
+    * quantizer (see [[ivfTrainedTopKFrom]]). */
+  private def ivfTrainedMultiProbeTopKFrom(base0: DataFrame,
+                                           cents: Seq[(Long, Array[Double])],
+                                           k: Int, queryMod: Int,
+                                           nProbe: Int): DataFrame = {
+    val base = withCluster(base0, cents)
+    val scored = cents.map { case (cid, c) =>
+      struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
+             lit(cid).as("cid"))
+    }
+    val q = base0
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+              col("norm_v").as("norm_q"),
+              explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p"))
+      .select(col("q_id"), col("q_vec"), col("norm_q"),
+              col("p.cid").as("q_cluster"))
+    rankTopK(
+      base.join(broadcast(q),
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+  }
 
   /** Near-duplicate detection by embedding cosine >= threshold. Pairs are
     * generated per (label, sign-LSH band) cell — `numBands` bands of
@@ -484,7 +500,14 @@ object Similarity {
     * The sum is associated LEFT-TO-RIGHT over subspaces and the oracle adds
     * the same four terms in the same order — float addition isn't
     * associative, so the association is part of the operator contract, like
-    * the sequential-fold dot. */
+    * the sequential-fold dot.
+    *
+    * Scale warning: this is a CORRECTNESS BASELINE, not a scale path — the
+    * `vec_id =!= q_id` broadcast nested-loop join scores ALL (query, code)
+    * pairs, sharing brute force's O(Q×N) candidate growth; only the
+    * per-pair cost is cheaper (M lookups vs dim multiplies). The composed
+    * [[ivfPqTopK]]/[[ivfPqMultiProbeTopK]] variants, whose ADC scoring this
+    * baseline pins, prune candidates to 1/nlist and are the 100 TB shape. */
   def pqAdcTopK(spark: SparkSession, sfDir: String,
                 k: Int = 5, queryMod: Int = 100,
                 m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds): DataFrame =
@@ -576,21 +599,23 @@ object Similarity {
     withCached(trainInput(spark, sfDir)) { base =>
       val coarse = kmeansCentroids(base, nClusters, coarseRounds)
       if (coarse.isEmpty) emptyAdcFrame(base)
-      else {
-        // v := v - centroid(cluster): per-component subtract against the
-        // row's own cell centroid (a literal lookup — zero shuffle).
-        // norm_v is DROPPED: it was the raw vector's norm and no longer
-        // matches vec — carrying it would hand a stale invariant to any
-        // future cosine use of this frame
-        val cvec = coalesce(coarse.map { case (cid, c) =>
-          when(col("cluster") === cid, typedLit(c))
-        }: _*)
-        val resid = withCluster(base, coarse)
-          .withColumn("vec", zip_with(col("vec"), cvec, (a, b) => a - b))
-          .drop("norm_v")
-        ivfPqSearch(resid, k, queryMod, m, ksub, rounds)
-      }
+      else ivfPqSearch(residualViewOf(base, coarse), k, queryMod, m, ksub, rounds)
     }
+
+  /** The residual view: v := v - centroid(cluster), per-component subtract
+    * against the row's own cell centroid (a literal lookup — zero shuffle).
+    * norm_v is DROPPED: it was the raw vector's norm and no longer matches
+    * vec — carrying it would hand a stale invariant to any future cosine
+    * use of this frame. */
+  private def residualViewOf(base: DataFrame,
+                             coarse: Seq[(Long, Array[Double])]): DataFrame = {
+    val cvec = coalesce(coarse.map { case (cid, c) =>
+      when(col("cluster") === cid, typedLit(c))
+    }: _*)
+    withCluster(base, coarse)
+      .withColumn("vec", zip_with(col("vec"), cvec, (a, b) => a - b))
+      .drop("norm_v")
+  }
 
   /** The shared IVF-PQ search over a clustered base (vec_id, cluster, vec):
     * train books on `vec` (raw or residual), encode, prune to the query's
@@ -599,17 +624,23 @@ object Similarity {
                           m: Int, ksub: Int, rounds: Int): DataFrame = {
     val books = pqCodebooks(withCell, m, ksub, rounds)
     if (books.exists(_.isEmpty)) emptyAdcFrame(withCell)
-    else {
-      val sub = EmbeddingDim / m
-      val codes = pqCellCodes(withCell, books, m, sub)
-      val q = withCell.filter(col("vec_id") % queryMod === 0)
-        .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++
-          adcLookupTables(books, m, sub): _*)
-      adcRankTopK(
-        codes.join(broadcast(q),
-          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
-        books, m, k)
-    }
+    else ivfPqSearchWithBooks(withCell, books, k, queryMod, m)
+  }
+
+  /** The code-only cell-pruned ADC search over already-trained books —
+    * shared with [[annRecall]]'s one-training-per-model composition. */
+  private def ivfPqSearchWithBooks(withCell: DataFrame,
+                                   books: Seq[Seq[(Long, Array[Double])]],
+                                   k: Int, queryMod: Int, m: Int): DataFrame = {
+    val sub = EmbeddingDim / m
+    val codes = pqCellCodes(withCell, books, m, sub)
+    val q = withCell.filter(col("vec_id") % queryMod === 0)
+      .select(Seq(col("vec_id").as("q_id"), col("cluster").as("q_cluster")) ++
+        adcLookupTables(books, m, sub): _*)
+    adcRankTopK(
+      codes.join(broadcast(q),
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
+      books, m, k)
   }
 
   /** (vec_id, cluster, code0..code{M-1}) — the stored face of an IVF-PQ
@@ -620,6 +651,88 @@ object Similarity {
       Seq(col("vec_id"), col("cluster")) ++ (0 until m).map { j =>
         argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
       }: _*)
+
+  /** The pruned-index family measured by [[annRecall]], keyed by REGISTERED
+    * query name (sorted — the report's output order). The oracle composes
+    * these same names' SQL, so the two sides enumerate one list. */
+  val RecallVariants: Seq[String] = Seq(
+    "ann_ivf_topk", "ann_ivf_trained_probe2", "ann_ivf_trained_topk",
+    "ann_ivfpq_probe2", "ann_ivfpq_residual_topk", "ann_ivfpq_topk",
+    "ann_lsh_multiprobe_topk", "ann_lsh_topk")
+
+  /** The trained variants' frames with each distinct model trained ONCE —
+    * the coarse quantizer feeds four consumers, the raw PQ books two; only
+    * the residual books are a second PQ training. Bit-identical to the
+    * variants' own independent training (the same deterministic Lloyd over
+    * the same input), which the oracle pins by replaying every variant's
+    * chain independently. */
+  private def recallTrainedFrames(spark: SparkSession, sfDir: String,
+                                  k: Int, queryMod: Int): Map[String, DataFrame] =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val coarse = kmeansCentroids(base, 8, 2)
+      val (pq1, pq2, pqr) =
+        if (coarse.isEmpty)
+          (emptyAdcFrame(base), emptyAdcFrame(base), emptyAdcFrame(base))
+        else {
+          val withCell = withCluster(base, coarse)
+          val books = pqCodebooks(withCell, PqM, PqK, PqRounds)
+          val rawEmpty = books.exists(_.isEmpty)
+          (if (rawEmpty) emptyAdcFrame(base)
+           else ivfPqSearchWithBooks(withCell, books, k, queryMod, PqM),
+           if (rawEmpty) emptyAdcFrame(base)
+           else ivfPqMultiProbeWithBooks(withCell, coarse, books, k, queryMod, PqM, 2),
+           ivfPqSearch(residualViewOf(base, coarse), k, queryMod, PqM, PqK, PqRounds))
+        }
+      Map(
+        "ann_ivf_trained_topk"    -> ivfTrainedTopKFrom(base, coarse, k, queryMod),
+        "ann_ivf_trained_probe2"  -> ivfTrainedMultiProbeTopKFrom(base, coarse, k, queryMod, 2),
+        "ann_ivfpq_topk"          -> pq1,
+        "ann_ivfpq_probe2"        -> pq2,
+        "ann_ivfpq_residual_topk" -> pqr)
+    }
+
+  /** In-gate RECALL REPORT for the whole pruned-index family: per variant,
+    * how many of [[bruteForceTopK]]'s true top-k pairs the variant's top-k
+    * recovered — hits = |variant ∩ brute| on (q_id, vec_id), n_relevant =
+    * brute's row count, recall = hits / n_relevant (recall@k averaged over
+    * queries). This is THE number an index consumer tunes nProbe / bands /
+    * M against; without it every recall-for-pruning trade in this file is a
+    * claim the gate never sees. Integer hit counts make it float-hash-proof;
+    * the one division divides the same two BIGINTs on both sides.
+    *
+    * Scale note: the report itself joins k×Q-row rank frames — trivially
+    * small at any corpus scale. The expensive parts are the variants' own
+    * searches (each already bounded by its index's pruning); production
+    * would measure recall on a SAMPLED query set, exactly what queryMod
+    * does. */
+  def annRecall(spark: SparkSession, sfDir: String,
+                k: Int = 5, queryMod: Int = 100): DataFrame = {
+    import spark.implicits._
+    val trained = recallTrainedFrames(spark, sfDir, k, queryMod)
+    def frame(name: String): DataFrame = name match {
+      case "ann_ivf_topk"            => ivfTopK(spark, sfDir, k, queryMod)
+      case "ann_lsh_topk"            => lshTopK(spark, sfDir, k, queryMod)
+      case "ann_lsh_multiprobe_topk" => lshMultiProbeTopK(spark, sfDir, k, queryMod)
+      case other                     => trained(other)
+    }
+    val brute = bruteForceTopK(spark, sfDir, k, queryMod)
+      .select(col("q_id"), col("vec_id"))
+    val unioned = RecallVariants.map { name =>
+      frame(name).select(lit(name).as("variant"), col("q_id"), col("vec_id"))
+    }.reduce(_ union _)
+    val hits = unioned.join(brute, Seq("q_id", "vec_id"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
+    // left join from the static name list: a variant with ZERO hits must
+    // still report its zero, not vanish from the gate artifact
+    RecallVariants.toDF("variant")
+      .join(hits, Seq("variant"), "left")
+      .crossJoin(brute.agg(count(lit(1)).as("n_relevant")))
+      .select(col("variant"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("n_relevant"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_relevant")).as("recall"))
+      .orderBy(col("variant"))
+  }
 
   /** IVF-PQ with MULTI-PROBE — the recall knob on the composed index: each
     * query searches its `nProbe` nearest coarse cells
@@ -639,23 +752,31 @@ object Similarity {
         val withCell = withCluster(base, coarse)
         val books = pqCodebooks(withCell, m, ksub, rounds)
         if (books.exists(_.isEmpty)) emptyAdcFrame(base)
-        else {
-          val sub = EmbeddingDim / m
-          val codes = pqCellCodes(withCell, books, m, sub)
-          val scored = coarse.map { case (cid, c) =>
-            struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
-                   lit(cid).as("cid"))
-          }
-          val q = withCell.filter(col("vec_id") % queryMod === 0)
-            .select(Seq(col("vec_id").as("q_id"),
-              explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p")) ++
-              adcLookupTables(books, m, sub): _*)
-            .withColumn("q_cluster", col("p.cid")).drop("p")
-          adcRankTopK(
-            codes.join(broadcast(q),
-              col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
-            books, m, k)
-        }
+        else ivfPqMultiProbeWithBooks(withCell, coarse, books, k, queryMod, m, nProbe)
       }
     }
+
+  /** [[ivfPqMultiProbeTopK]]'s search over already-trained quantizers
+    * (see [[ivfPqSearchWithBooks]]). */
+  private def ivfPqMultiProbeWithBooks(withCell: DataFrame,
+                                       coarse: Seq[(Long, Array[Double])],
+                                       books: Seq[Seq[(Long, Array[Double])]],
+                                       k: Int, queryMod: Int, m: Int,
+                                       nProbe: Int): DataFrame = {
+    val sub = EmbeddingDim / m
+    val codes = pqCellCodes(withCell, books, m, sub)
+    val scored = coarse.map { case (cid, c) =>
+      struct((lit(selfDot(c)) - lit(2.0) * dot(col("vec"), typedLit(c))).as("score"),
+             lit(cid).as("cid"))
+    }
+    val q = withCell.filter(col("vec_id") % queryMod === 0)
+      .select(Seq(col("vec_id").as("q_id"),
+        explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p")) ++
+        adcLookupTables(books, m, sub): _*)
+      .withColumn("q_cluster", col("p.cid")).drop("p")
+    adcRankTopK(
+      codes.join(broadcast(q),
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
+      books, m, k)
+  }
 }

@@ -168,6 +168,25 @@ class KMeansSpec extends SparkSpec {
     two.foreach { case (q, s) => assert(s <= one(q), s"query $q") }
   }
 
+  test("ann recall report: multi-probe recall dominates single-probe as a hard hit count") {
+    // the in-gate recall@5 report vs brute force — the number every
+    // recall-for-pruning trade in Similarity is tuned on. The first two
+    // dominances are guaranteed (multi-probe candidates are a superset,
+    // ranked by TRUE cosine); the ivf-pq pair ranks by approximate ADC
+    // score, where a probe-2 candidate could in principle displace a true
+    // top-5 hit — this pins that the composed index's recall knob helps
+    // (or at worst does nothing) on real data, matching its doc claim.
+    val r = Similarity.annRecall(spark, Sf0001).collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r.keySet === Similarity.RecallVariants.toSet)
+    assert(r("ann_ivf_trained_probe2") >= r("ann_ivf_trained_topk"))
+    assert(r("ann_lsh_multiprobe_topk") >= r("ann_lsh_topk"))
+    assert(r("ann_ivfpq_probe2") >= r("ann_ivfpq_topk"))
+    // the truth set is non-trivial and at least one pruned index recalls
+    // something — an all-zero report would mean a broken join, not low recall
+    assert(r.values.sum > 0)
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
