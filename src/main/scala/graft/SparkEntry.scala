@@ -150,6 +150,9 @@ object SparkEntry {
     // the same decision through the real micro-batch engine (state store
     // keyed by content hash, order-insensitive post-aggregation)
     "dedup_exact_streaming" -> ((s, dir) => Dedup.exactStreaming(s, dir)),
+    // the BOUNDED-state form: event-time TTL expires cold fingerprints
+    // (dedup-within-horizon over the events stream, state O(warm fps))
+    "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -383,6 +386,21 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp_md5, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY fp_md5""".stripMargin,
+    // dedup-within-horizon: occurrences of a fingerprint <= horizon apart
+    // form one generation (keyed by first-occurrence µs); a larger gap
+    // starts a new one — the lag-window sessionization of the TTL'd
+    // streaming dedup's data-driven break rule
+    "dedup_exact_ttl_streaming" ->
+      s"""WITH e AS (
+         | SELECT md5(event_type || '|' || props) AS fp, event_id, epoch_us(ts) AS us
+         | FROM events),
+         |l AS (SELECT *, lag(us) OVER (PARTITION BY fp ORDER BY us, event_id) AS prev FROM e),
+         |g AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > ${graft.operators.Dedup.TtlHorizonUs}
+         |                     THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT *, sum(brk) OVER (PARTITION BY fp ORDER BY us, event_id
+         |                               ROWS UNBOUNDED PRECEDING) AS gen FROM g)
+         |SELECT fp, min(us) AS start_us, min(event_id) AS keep_id, count(*) AS n_dups
+         |FROM s GROUP BY fp, gen ORDER BY fp, start_us""".stripMargin,
     "q16_anti_join" ->
       """SELECT p_partkey, p_brand FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)

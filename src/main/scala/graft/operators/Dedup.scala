@@ -56,6 +56,92 @@ object Dedup {
       .orderBy(col("fp_md5"))
   }
 
+  /** Horizon for [[exactTtlStreaming]], interpolated into the oracle SQL
+    * (SparkEntry) so the two sides cannot drift. 24h splits real fps into
+    * multiple generations at every shipped SF (verified: 934/440 at
+    * sf0.001) — the non-trivial case for both the break rule and the
+    * state-expiry proof. */
+  val TtlHorizonUs: Long = 24L * 3600L * 1000000L
+
+  /** Streaming exact dedup with BOUNDED STATE, over the `events` stream
+    * (the table with real event time): occurrences of a fingerprint
+    * (md5 of event_type + props) within [[TtlHorizonUs]] of each other
+    * deduplicate into one generation keyed by its first-occurrence time;
+    * a larger gap opens a new generation. [[exactStreaming]]'s state grows
+    * with every distinct fingerprint ever seen — correct for a bounded
+    * drain, unbounded for continuous ingest. Here
+    * [[graft.streaming.StatefulOps.ttlDedupStream]] expires a
+    * fingerprint's state via `EventTimeTimeout` once the watermark passes
+    * its last occurrence + horizon, so state is O(warm fingerprints); the
+    * drain's check asserts the expiry actually happened from the query's
+    * own state-store metrics (rows removed, ≤1 row left at end).
+    *
+    * Replay shape mirrors [[Sessionize.sessionizeStreaming]]: two
+    * time-ordered files split at a µs change point (ties on the early
+    * side — no row may sit on the late side of the 0-delay watermark)
+    * plus a far-future sentinel batch whose watermark advance lets the
+    * engine's trailing no-data batch fire every real fingerprint's
+    * timeout. The sentinel's fingerprint is non-hex ("sentinel"), so no
+    * md5 can collide with it; it is filtered after the drain. */
+  def exactTtlStreaming(spark: SparkSession, sfDir: String,
+                        horizonUs: Long = TtlHorizonUs): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val enc: org.apache.spark.sql.Encoder[StatefulOps.TtlRec] =
+      org.apache.spark.sql.Encoders.product[StatefulOps.TtlRec]
+    val SentinelFp = "sentinel"
+    val dir = StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"ttldedup:$sfDir",
+          Seq("t0.parquet", "t1.parquet", "t2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(md5(concat(col("event_type"), lit("|"), col("props"))).as("fp"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_id").as("id"))
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(SentinelFp).as("fp"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(-1L).as("id"))
+        val maxIdRow = ev.agg(max(col("id"))).head()
+        if (maxIdRow.isNullAt(0)) Seq(sentinel(0L)) // empty events: flush-only
+        else {
+          // split at the µs value of the median event, ALL ties on the
+          // early side (see sessionizeStreaming — same watermark contract)
+          val bounds = ev.agg(
+            max(when(col("id") <= maxIdRow.getLong(0) / 2, unix_micros(col("ts")))),
+            max(unix_micros(col("ts")))).head()
+          val maxUs = bounds.getLong(1)
+          val midUs = if (bounds.isNullAt(0)) maxUs else bounds.getLong(0)
+          val lower = ev.filter(unix_micros(col("ts")) <= midUs)
+          val upper = ev.filter(unix_micros(col("ts")) > midUs)
+          if (maxUs > midUs) Seq(lower, upper, sentinel(maxUs))
+          else Seq(lower, sentinel(maxUs))
+        }
+      }
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("fp"), col("ts"), col("id")).as[StatefulOps.TtlRec]
+    val raw = StatefulQueries.drainToMemory(spark,
+        StatefulOps.ttlDedupStream(stream, horizonUs).toDF(),
+        stateWidth = Some(8)) { q =>
+      // the TTL witness, from the engine's own state-store metrics: expiry
+      // removed rows, and at most the sentinel's own state survives the
+      // final (timeout-firing) batch
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      require(progs.nonEmpty, "no state-operator progress recorded")
+      val removed = progs.map(_.stateOperators(0).numRowsRemoved).sum
+      val left = progs.last.stateOperators(0).numRowsTotal
+      require(removed > 0 && left <= 1,
+        s"event-time TTL did not bound state: removed=$removed, left=$left — " +
+          "expiry must drop every fingerprint the watermark passed")
+    }
+    raw.filter(col("fp") =!= SentinelFp)
+      .groupBy(col("fp"), col("start_us"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_dups")).as("n_dups"))
+      .orderBy(col("fp"), col("start_us"))
+  }
+
   /** Default chunk width (tokens) for [[paragraphDedup]]/[[containment]] —
     * interpolated into the oracle SQL (SparkEntry) so the two sides cannot
     * drift. */

