@@ -163,6 +163,9 @@ object SparkEntry {
     "dedup_lsh_components_star" -> ((s, dir) => Dedup.lshComponentsStar(s, dir)),
     "dedup_paragraph"  -> ((s, dir) => Dedup.paragraphDedup(s, dir)),
     "dedup_containment" -> ((s, dir) => Dedup.containment(s, dir)),
+    // the shift-invariant form: winnowing fingerprints replace the
+    // fixed-offset chunk anchor (a 1-token-shifted copy still shares fps)
+    "dedup_containment_winnow" -> ((s, dir) => Dedup.containmentWinnow(s, dir)),
     // the transform face of paragraph dedup: drop corpus-frequent chunks,
     // emit the kept sequence's position-ordered fold as the rewrite identity
     "boilerplate_strip" -> ((s, dir) => Dedup.boilerplateStrip(s, dir)),
@@ -677,6 +680,28 @@ object SparkEntry {
          | CAST(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)/count(*) < 0.5 AS BIGINT) AS keep
          |FROM p JOIN f USING (ph)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the winnow-anchored containment: same first-occurrence decision over
+    // the shift-robust fingerprint set; short docs (no fingerprints) are
+    // reported with zeros and kept
+    "dedup_containment_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |w AS (SELECT doc_id,
+         |  list_distinct(list_transform(range(1, len(sh)-2), i -> list_min(sh[i:i+3]))) AS fps
+         | FROM t),
+         |f AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM w),
+         |fr AS (SELECT fp, min(doc_id) AS first_doc FROM f GROUP BY fp),
+         |a AS (SELECT f.doc_id, count(*) AS n_fps,
+         |       sum(CASE WHEN fr.first_doc < f.doc_id THEN 1 ELSE 0 END) AS n_contained
+         |      FROM f JOIN fr USING (fp) GROUP BY f.doc_id)
+         |SELECT d.doc_id,
+         | CAST(coalesce(a.n_fps, 0) AS BIGINT) AS n_fps,
+         | CAST(coalesce(a.n_contained, 0) AS BIGINT) AS n_contained,
+         | CASE WHEN a.n_fps IS NULL THEN 0.0
+         |      ELSE CAST(a.n_contained AS DOUBLE)/a.n_fps END AS contained_frac,
+         | CAST(CASE WHEN a.n_fps IS NULL THEN 1
+         |      WHEN CAST(a.n_contained AS DOUBLE)/a.n_fps < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "boilerplate_strip" -> {
       // kept_hash: position-ordered fold (a*31 + ph) % P from 0 — the
       // list_prepend(0) makes DuckDB's init-less list_reduce compute the

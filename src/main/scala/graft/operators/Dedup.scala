@@ -267,6 +267,54 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SHIFT-INVARIANT containment — [[containmentOf]] with the chunk anchor
+    * replaced by winnowing fingerprints
+    * ([[graft.functions.HashExpressions.winnow_mins]], the MOSS scheme): a
+    * copy offset by one token shares NO fixed-offset chunk hash with its
+    * source (every chunk boundary moves), but winnowing guarantees any
+    * shared token run of >= w+n-1 tokens yields a shared fingerprint
+    * regardless of where the run starts. First-occurrence ownership and
+    * the keep decision are unchanged: a document is dropped when >=
+    * `maxContained` of its fingerprints already appear in an earlier
+    * (smaller doc_id) document.
+    *
+    * Documents too short to fingerprint (< w+n-1 tokens) have nothing to
+    * witness containment with — they are reported with zero fingerprints
+    * and kept.
+    *
+    * Scale shape: identical to [[containmentOf]] — fingerprint explode +
+    * one groupBy(fp) for first owners + co-keyed join + per-doc groupBy;
+    * winnowing keeps ~2/(w+1) of the shingles, so the exploded frame is a
+    * fraction of the shingle stream. */
+  def containmentWinnow(spark: SparkSession, sfDir: String,
+                        n: Int = 3, w: Int = 4,
+                        maxContained: Double = 0.5): DataFrame =
+    containmentWinnowOf(documentsFor(spark, sfDir), n, w, maxContained)
+
+  def containmentWinnowOf(docs: DataFrame, n: Int = 3, w: Int = 4,
+                          maxContained: Double = 0.5): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.HashExpressions.winnow_mins(
+        shingleHashes(col("text"), n), w)).as("fp"))
+    val first = fps.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+    val agg = fps.join(first, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_contained"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_contained"), lit(0L)).as("n_contained"),
+        when(col("n_fps").isNull, lit(0.0))
+          .otherwise(col("n_contained").cast("double") / col("n_fps"))
+          .as("contained_frac"),
+        when(col("n_fps").isNull, 1L)
+          .otherwise((col("n_contained").cast("double") / col("n_fps") < maxContained)
+            .cast("long"))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster-size distribution — the dedup report a corpus owner
     * reads first: how many clusters of each size did LSH find. Both
     * aggregations are component-table-sized (docs that matched at least one

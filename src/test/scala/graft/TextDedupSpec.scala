@@ -234,6 +234,42 @@ class TextDedupSpec extends SparkSpec {
     assert(got(10L) === ((3L, 3L, 0L))) // all 3 chunks first-owned earlier -> dropped
   }
 
+  test("winnow containment catches a 1-token-shifted copy the chunk anchor provably misses") {
+    import graft.operators.Dedup
+    // doc 20 is doc 1 shifted by ONE prepended token: every fixed-offset
+    // chunk boundary moves, so chunk containment sees nothing shared —
+    // while the 30-token shared run (>= w+n-1 = 6) must yield shared
+    // winnowing fingerprints
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (5L, "fully original content lives in here today"),
+      (20L, "shift " + base)).toDF("doc_id", "text")
+    val chunk = Dedup.containmentOf(docs, chunkTokens = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val winnow = Dedup.containmentWinnowOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3), r.getLong(4)))).toMap
+    // the blind spot, pinned: the chunk form KEEPS the shifted copy
+    assert(chunk(20L) === 1L)
+    // the winnow form drops it — most of its fingerprints are first-owned
+    // by doc 1 — and keeps the originals
+    assert(winnow(20L)._1 > 0L && winnow(20L)._2 >= 0.5 && winnow(20L)._3 === 0L)
+    assert(winnow(1L)._3 === 1L)
+    assert(winnow(5L)._3 === 1L)
+  }
+
+  test("winnow containment reports short (unfingerprintable) docs with zeros, kept") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"tok$i").mkString(" ")),
+      (2L, "tiny doc")).toDF("doc_id", "text")
+    val got = Dedup.containmentWinnowOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got(2L) === ((0L, 0L, 0.0, 1L)))
+    assert(got.size === 2)
+  }
+
   test("boilerplate strip: repeated chunks dropped, kept fold matches the hand fold") {
     import graft.operators.Dedup
     // chunk size 3: the [a b c] chunk repeats across docs 1 and 2 (freq 2 >
