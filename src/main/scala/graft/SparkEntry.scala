@@ -137,6 +137,10 @@ object SparkEntry {
     // fingerprint stream — exact result, map-side pruning before the shuffle
     "contamination_bloom" -> ((s, dir) => TextOps.contaminationBloom(s, dir)),
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
+    // pipeline COMPOSITION through the real micro-batch engine: stateless
+    // quality projection chained into state-store exact-dedup ownership in
+    // one streaming query over a two-batch doc_id-ordered replay
+    "curation_manifest_streaming" -> ((s, dir) => Pipeline.curationManifestStream(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
     // packing with document SPLITTING: per-(doc, pack) token spans
@@ -503,6 +507,21 @@ object SparkEntry {
          | JOIN ex USING (doc_id)
          | JOIN qs USING (doc_id) JOIN sp USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the streaming manifest's scope: exact-dedup ownership (min doc_id
+    // per content fingerprint) + the quality gate — the same qs CTE as the
+    // batch manifest, so the two manifests share one quality formula
+    "curation_manifest_streaming" ->
+      s"""WITH ex AS (SELECT doc_id,
+         |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS ex_keep
+         | FROM documents),
+         |$qualityScoredCtes
+         |SELECT d.doc_id,
+         | CAST(d.doc_id = ex.ex_keep AS BIGINT) AS keep,
+         | qs.quality_score, qs.lang_guess,
+         | CAST(d.doc_id = ex.ex_keep
+         |      AND qs.lang_guess = 'en' AND qs.quality_score >= 0.5 AS BIGINT) AS selected
+         |FROM documents d JOIN ex USING (doc_id) JOIN qs USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "rep_stats" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
          |b AS (SELECT doc_id, ths,

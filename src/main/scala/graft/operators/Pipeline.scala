@@ -84,4 +84,75 @@ object Pipeline {
               col("lang_guess"), col("split"), col("selected"))
       .orderBy(col("doc_id"))
   }
+
+  /** The curation manifest through the REAL micro-batch engine — the proof
+    * that pipeline COMPOSITION lifts to `readStream`, not just single
+    * operators: one streaming query chains the stateless quality
+    * projection ([[TextOps.corpusGatesOf]], the same formula as the batch
+    * manifest, with the content fingerprint riding the same scan) into the
+    * state-store exact-dedup decision
+    * ([[graft.streaming.StatefulOps.manifestDedupStream]]: per
+    * fingerprint, the owner = smallest doc_id lives in state; each
+    * document emits exactly one manifest row in its arrival batch). The
+    * documents replay as TWO doc_id-ordered files drained one per
+    * micro-batch, so owners genuinely persist across a batch boundary —
+    * a second-batch duplicate of a first-batch document gets keep=0 only
+    * because the state store remembers the owner.
+    *
+    * Scope: the exact-dedup AND quality gates of [[curationManifestOf]].
+    * The LSH near-dup component table needs corpus-wide band grouping and
+    * the stratified split a per-stratum rank — both are batch (or
+    * periodic-recompute) artifacts by nature, not per-record streaming
+    * state; `selected` here is the exact+quality decision. */
+  def curationManifestStream(spark: SparkSession, sfDir: String,
+                             minQuality: Double = 0.5,
+                             lang: String = "en"): DataFrame =
+    curationManifestStreamOf(spark,
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      s"docs:$sfDir", minQuality, lang)
+
+  /** [[curationManifestStream]] over an arbitrary (doc_id, text) frame —
+    * the testable core: the gate corpora contain no exact duplicates at
+    * all, so the cross-batch ownership claim is pinned by a spec feeding a
+    * corpus whose duplicate pair straddles the file split. `cacheKey`
+    * names the per-JVM replay-copy cache entry. */
+  def curationManifestStreamOf(spark: SparkSession, docs: DataFrame,
+                               cacheKey: String,
+                               minQuality: Double = 0.5,
+                               lang: String = "en"): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val enc: org.apache.spark.sql.Encoder[StatefulOps.ManifestRec] =
+      org.apache.spark.sql.Encoders.product[StatefulOps.ManifestRec]
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, cacheKey,
+        Seq("d0.parquet", "d1.parquet")) {
+      val d = docs
+      val maxIdRow = d.agg(max(col("doc_id"))).head()
+      if (maxIdRow.isNullAt(0)) Seq(d)
+      else {
+        // split at half the max doc_id — the replay contract is doc_id-
+        // ordered arrival, so the boundary only needs to be a doc_id cut
+        val mid = maxIdRow.getLong(0) / 2
+        val lower = d.filter(col("doc_id") <= mid)
+        val upper = d.filter(col("doc_id") > mid)
+        if (upper.isEmpty) Seq(lower) else Seq(lower, upper)
+      }
+    }
+    val nFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try l.count().toInt finally l.close()
+    }
+    StatefulQueries.drainOrderedFiles(spark, dir, minBatches = nFiles) { stream =>
+      StatefulOps.manifestDedupStream(
+        TextOps.corpusGatesOf(stream,
+            extra = Seq(fingerprintMd5(col("text")).as("fp")))
+          .select(col("fp"), col("doc_id"), col("quality_score"), col("lang_guess"))
+          .as[StatefulOps.ManifestRec]).toDF()
+    }
+      .withColumn("selected",
+        (col("keep") === 1L && col("lang_guess") === lang &&
+         col("quality_score") >= minQuality).cast("long"))
+      .select(col("doc_id"), col("keep"), col("quality_score"),
+              col("lang_guess"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -317,8 +317,8 @@ object StatefulQueries {
     * maxFilesPerTrigger read limit), and require that the run really took
     * `minBatches` batches — the witness that state crossed a batch
     * boundary, asserted from the query's own progress records. */
-  private def drainOrderedFiles(spark: SparkSession, dir: String, minBatches: Int)
-                               (op: DataFrame => DataFrame): DataFrame = {
+  private[operators] def drainOrderedFiles(spark: SparkSession, dir: String, minBatches: Int)
+                                          (op: DataFrame => DataFrame): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)

@@ -157,7 +157,8 @@ object TextOps {
   def corpusGatesOf(d: DataFrame,
                     minDistinctRatio: Double = 0.35,
                     maxTopTokenFrac: Double = 0.15,
-                    maxDupBigramFrac: Double = 0.10): DataFrame = {
+                    maxDupBigramFrac: Double = 0.10,
+                    extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val toks = tokens(col("text"))
     val scored = LangMarkers.foldLeft(
       d.select(col("doc_id"), col("text"),
@@ -196,10 +197,13 @@ object TextOps {
         (col("distinct_ratio") >= minDistinctRatio &&
           col("top_token_frac") <= maxTopTokenFrac &&
           col("dup_bigram_frac") <= maxDupBigramFrac).cast("long"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      // `extra` rides the same projection (text is still in scope here) —
+      // e.g. the content fingerprint for the streaming manifest, so one
+      // quality formula serves every composition without a re-scan
+      .select(Seq(col("doc_id"), col("n_tokens"), col("n_distinct"),
         col("quality_score"), col("lang_guess"),
         col("distinct_ratio"), col("top_token_frac"), col("dup_bigram_frac"),
-        col("gopher_ok"))
+        col("gopher_ok")) ++ extra: _*)
   }
 
   /** Repetition statistics — the Gopher-style repetition quality signals

@@ -228,6 +228,44 @@ object StatefulOps {
           Iterator.single(DupOut(fp, acc.min_id, acc.n))
       }
 
+  /** Per-document input for [[manifestDedupStream]]: content fingerprint
+    * plus the quality verdicts computed by the upstream STATELESS
+    * projection riding alongside. */
+  case class ManifestRec(fp: String, doc_id: Long,
+                         quality_score: Double, lang_guess: String)
+  /** The fingerprint's current owner (smallest doc_id seen). */
+  case class OwnerAcc(min_id: Long)
+  case class ManifestOut(doc_id: Long, keep: Long,
+                         quality_score: Double, lang_guess: String)
+  private implicit val ownerEnc: Encoder[OwnerAcc] = Encoders.product[OwnerAcc]
+  private implicit val mOutEnc: Encoder[ManifestOut] = Encoders.product[ManifestOut]
+
+  /** Streaming curation-manifest core: PER-DOCUMENT exact-dedup decisions
+    * with the quality gate's verdicts riding through — the composition
+    * proof that the pipeline's stateless projection (quality scoring, zero
+    * state) and its state-store dedup coexist in ONE streaming query. Per
+    * content fingerprint the state carries the owner (smallest doc_id
+    * seen); each document emits exactly one row in its arrival batch:
+    * keep=1 iff it becomes the owner. For doc_id-ordered arrival (the
+    * replay contract — batches split at a doc_id boundary, each batch
+    * slice sorted here) this equals the batch manifest's min-per-
+    * fingerprint decision; the state is load-bearing across batches, since
+    * without it a later batch would re-elect an owner for every
+    * fingerprint it touches. */
+  def manifestDedupStream(ds: Dataset[ManifestRec],
+                          mode: OutputMode = OutputMode.Append()): Dataset[ManifestOut] =
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[OwnerAcc, ManifestOut](mode, GroupStateTimeout.NoTimeout) {
+        (fp, rows, state: GroupState[OwnerAcc]) =>
+          var owner = if (state.exists) state.get.min_id else Long.MaxValue
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val keep = if (r.doc_id < owner) { owner = r.doc_id; 1L } else 0L
+            ManifestOut(r.doc_id, keep, r.quality_score, r.lang_guess)
+          }
+          state.update(OwnerAcc(owner))
+          out.iterator
+      }
+
   /** (fingerprint, event-time, record id) input for [[ttlDedupStream]]; `ts`
     * must be the WATERMARKED event-time column (the engine requires it in
     * the grouped Dataset for event-time timeouts). */

@@ -62,6 +62,33 @@ class StreamingGateSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("streaming curation manifest: owner state crosses the batch boundary") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // doc 90 duplicates doc 1 EXACTLY and lands in the second replay file
+    // (split at maxId/2 = 45): its keep=0 can only come from the state
+    // store remembering doc 1's ownership across micro-batches. doc 40
+    // duplicates doc 1 within the first batch (in-batch dedup), and the
+    // 'the'-free doc 2 fails the language gate while keeping its content.
+    // ~100 mostly-distinct tokens with two 'the's: n_tokens caps the
+    // length factor at 1.0 and stop_ratio stays tiny, so quality ≈ 0.98
+    // clears the 0.5 gate; 'the' > every other language's markers → en
+    val enText = "the " + (0 until 98).map(i => s"word$i").mkString(" ") + " the"
+    val docs = Seq(
+      (1L, enText),
+      (2L, "palabras el los y muchas mas palabras distintas aqui"),
+      (40L, enText),
+      (90L, enText)).toDF("doc_id", "text")
+    val got = Pipeline.curationManifestStreamOf(spark, docs,
+        s"docs-test:${System.nanoTime()}").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3), r.getLong(4)))).toMap
+    assert(got(1L)._1 === 1L)   // owner
+    assert(got(40L)._1 === 0L)  // in-batch duplicate
+    assert(got(90L)._1 === 0L)  // CROSS-BATCH duplicate — the state claim
+    assert(got(2L) === ((1L, "es", 0L))) // kept by dedup, rejected by lang gate
+    assert(got(1L)._3 === 1L)   // the only selected row
+  }
+
   test("TTL'd streaming dedup bounds state and matches the lag-window sessionization") {
     // the drain itself REQUIRES the expiry witness (rows removed by the
     // event-time timeout, <=1 state row after the final batch) — a run in
