@@ -197,6 +197,9 @@ object SparkEntry {
     "ann_ivfpq_residual_topk" -> ((s, dir) => Similarity.ivfPqResidualTopK(s, dir)),
     // the recall knob on the composed index: probe 2 cells, score codes
     "ann_ivfpq_probe2" -> ((s, dir) => Similarity.ivfPqMultiProbeTopK(s, dir)),
+    // the refine step: ADC shortlist re-scored by TRUE cosine over raw
+    // vectors (fetched for shortlist x Q rows only)
+    "ann_ivfpq_rerank" -> ((s, dir) => Similarity.ivfPqRerankTopK(s, dir)),
     // recall@5 of EVERY pruned variant against ann_brute_topk — the number
     // the whole family's recall-for-pruning trade is tuned on
     "ann_recall"       -> ((s, dir) => Similarity.annRecall(s, dir)),
@@ -948,6 +951,27 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, score,
          |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
          |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // the refine step: the same ADC chain shortlists top-20, raw vectors
+    // re-score the shortlist by exact cosine, top-5 of the exact order
+    "ann_ivfpq_rerank" ->
+      s"""WITH $kvCte,
+         |$kmeansChain,
+         |${pqChains()},
+         |${pqCodesCte},
+         |q AS (SELECT v.vec_id AS q_id, v.vec AS q_vec, a.cluster AS q_cluster
+         |      FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)
+         |      WHERE v.vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
+         | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
+         | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
+         |r AS (SELECT q_id, vec_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s),
+         |sh AS (SELECT q_id, vec_id FROM r WHERE rk <= ${graft.operators.Similarity.RerankShortlist}),
+         |x AS (SELECT sh.q_id, sh.vec_id, ${cosineSql("qv.vec", "v.vec")} AS cos
+         |  FROM sh JOIN kv v ON v.vec_id = sh.vec_id JOIN kv qv ON qv.vec_id = sh.q_id),
+         |r2 AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM x)
+         |SELECT q_id, rk, vec_id, cos FROM r2 WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
     "ann_ivfpq_probe2" ->
       // ann_ivfpq_topk's search with ann_ivf_trained_probe2's probe list:
       // each query's 2 nearest coarse cells, still scored by ADC over codes

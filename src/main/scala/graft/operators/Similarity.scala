@@ -652,13 +652,73 @@ object Similarity {
         argminCid(books(j), slice(col("vec"), j * sub + 1, sub)).as(s"code$j")
       }: _*)
 
+  /** ADC-shortlist size of [[ivfPqRerankTopK]] — interpolated into the
+    * oracle SQL (SparkEntry) so the two sides cannot drift. */
+  val RerankShortlist = 20
+
+  /** IVF-PQ with EXACT RE-RANKING — the production refine step (FAISS's
+    * `IndexRefineFlat` shape): the composed index prunes to the query's
+    * coarse cell and ranks by ADC as in [[ivfPqTopK]], but instead of
+    * trusting approximate code distances for the final order, the top
+    * `shortlist` ADC candidates are re-scored by TRUE cosine against their
+    * raw vectors and the top-k of that exact order is returned.
+    *
+    * Why it matters at 100 TB: the scan side still touches only (cell, M
+    * codeword ids) per vector — raw vectors are fetched for just
+    * shortlist×Q rows (one co-keyed join), so the expensive exact math is
+    * bounded by the shortlist, not the corpus. Recall provably dominates
+    * [[ivfPqTopK]] under the same trained models: the ADC top-k is a
+    * subset of the shortlist, and any true top-k member in it survives
+    * exact re-scoring by definition (at most k-1 vectors can beat it) —
+    * pinned as a hard count in KMeansSpec via [[annRecall]]. */
+  def ivfPqRerankTopK(spark: SparkSession, sfDir: String,
+                      k: Int = 5, queryMod: Int = 100,
+                      nClusters: Int = 8, coarseRounds: Int = 2,
+                      m: Int = PqM, ksub: Int = PqK, rounds: Int = PqRounds,
+                      shortlist: Int = RerankShortlist): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val coarse = kmeansCentroids(base, nClusters, coarseRounds)
+      if (coarse.isEmpty) emptyCosFrame(base)
+      else {
+        val withCell = withCluster(base, coarse)
+        val books = pqCodebooks(withCell, m, ksub, rounds)
+        if (books.exists(_.isEmpty)) emptyCosFrame(base)
+        else ivfPqRerankFrom(base, withCell, books, k, queryMod, m, shortlist)
+      }
+    }
+
+  /** [[ivfPqRerankTopK]]'s search over already-trained quantizers (see
+    * [[ivfPqSearchWithBooks]]): ADC shortlist → raw-vector join → exact
+    * cosine top-k. */
+  private def ivfPqRerankFrom(base: DataFrame, withCell: DataFrame,
+                              books: Seq[Seq[(Long, Array[Double])]],
+                              k: Int, queryMod: Int, m: Int,
+                              shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfPqSearchWithBooks(withCell, books, shortlist, queryMod, m)
+      .select(col("q_id"), col("vec_id"))
+    val q = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+              col("norm_v").as("norm_q"))
+    rankTopK(
+      short.join(base.select(col("vec_id"), col("vec"), col("norm_v")), "vec_id")
+        .join(broadcast(q), "q_id"), k)
+  }
+
+  /** Empty (q_id, rk, vec_id, cos) frame — [[emptyAdcFrame]]'s twin for
+    * the exact-cosine output shape. */
+  private def emptyCosFrame(base: DataFrame): DataFrame =
+    base.sparkSession.range(0)
+      .select(col("id").as("q_id"), col("id").as("rk"),
+              col("id").as("vec_id"), col("id").cast("double").as("cos"))
+
   /** The pruned-index family measured by [[annRecall]], keyed by REGISTERED
     * query name (sorted — the report's output order). The oracle composes
     * these same names' SQL, so the two sides enumerate one list. */
   val RecallVariants: Seq[String] = Seq(
     "ann_ivf_topk", "ann_ivf_trained_probe2", "ann_ivf_trained_topk",
-    "ann_ivfpq_probe2", "ann_ivfpq_residual_topk", "ann_ivfpq_topk",
-    "ann_lsh_multiprobe_topk", "ann_lsh_topk")
+    "ann_ivfpq_probe2", "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk", "ann_lsh_multiprobe_topk", "ann_lsh_topk")
 
   /** The trained variants' frames with each distinct model trained ONCE —
     * the coarse quantizer feeds four consumers, the raw PQ books two; only
@@ -670,9 +730,10 @@ object Similarity {
                                   k: Int, queryMod: Int): Map[String, DataFrame] =
     withCached(trainInput(spark, sfDir)) { base =>
       val coarse = kmeansCentroids(base, 8, 2)
-      val (pq1, pq2, pqr) =
+      val (pq1, pq2, pqr, pqrr) =
         if (coarse.isEmpty)
-          (emptyAdcFrame(base), emptyAdcFrame(base), emptyAdcFrame(base))
+          (emptyAdcFrame(base), emptyAdcFrame(base), emptyAdcFrame(base),
+           emptyCosFrame(base))
         else {
           val withCell = withCluster(base, coarse)
           val books = pqCodebooks(withCell, PqM, PqK, PqRounds)
@@ -681,14 +742,17 @@ object Similarity {
            else ivfPqSearchWithBooks(withCell, books, k, queryMod, PqM),
            if (rawEmpty) emptyAdcFrame(base)
            else ivfPqMultiProbeWithBooks(withCell, coarse, books, k, queryMod, PqM, 2),
-           ivfPqSearch(residualViewOf(base, coarse), k, queryMod, PqM, PqK, PqRounds))
+           ivfPqSearch(residualViewOf(base, coarse), k, queryMod, PqM, PqK, PqRounds),
+           if (rawEmpty) emptyCosFrame(base)
+           else ivfPqRerankFrom(base, withCell, books, k, queryMod, PqM, RerankShortlist))
         }
       Map(
         "ann_ivf_trained_topk"    -> ivfTrainedTopKFrom(base, coarse, k, queryMod),
         "ann_ivf_trained_probe2"  -> ivfTrainedMultiProbeTopKFrom(base, coarse, k, queryMod, 2),
         "ann_ivfpq_topk"          -> pq1,
         "ann_ivfpq_probe2"        -> pq2,
-        "ann_ivfpq_residual_topk" -> pqr)
+        "ann_ivfpq_residual_topk" -> pqr,
+        "ann_ivfpq_rerank"        -> pqrr)
     }
 
   /** In-gate RECALL REPORT for the whole pruned-index family: per variant,

@@ -182,6 +182,10 @@ class KMeansSpec extends SparkSpec {
     assert(r("ann_ivf_trained_probe2") >= r("ann_ivf_trained_topk"))
     assert(r("ann_lsh_multiprobe_topk") >= r("ann_lsh_topk"))
     assert(r("ann_ivfpq_probe2") >= r("ann_ivfpq_topk"))
+    // exact re-ranking provably dominates plain IVF-PQ under the same
+    // models: the ADC top-k is a subset of the shortlist, and any true
+    // top-k member in it survives exact re-scoring by definition
+    assert(r("ann_ivfpq_rerank") >= r("ann_ivfpq_topk"))
     // the truth set is non-trivial and at least one pruned index recalls
     // something — an all-zero report would mean a broken join, not low recall
     assert(r.values.sum > 0)
