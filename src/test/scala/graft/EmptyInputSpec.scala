@@ -30,6 +30,14 @@ class EmptyInputSpec extends SparkSpec {
   }
 
 
+  test("round-8 operators: empty in, empty out") {
+    assert(Dedup.containmentWinnowOf(emptyDocs).count() === 0)
+    // a null-text doc cannot be fingerprinted: reported with zeros, kept
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    val r = Dedup.containmentWinnowOf(nulls).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(4))).toSeq === Seq((1L, 0L, 1L)))
+  }
+
   test("round-7 operators: empty in, empty out") {
     assert(Dedup.paragraphDedupOf(emptyDocs).count() === 0)
     assert(Dedup.containmentOf(emptyDocs).count() === 0)
