@@ -243,4 +243,27 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$name must not join:\n$p")
     }
   }
+
+  test("dedup_containment_winnow: every documents scan is column-pruned") {
+    val p = plan("dedup_containment_winnow")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    // the fingerprint branches read exactly (doc_id, text); the keep-all
+    // left-join branch reads doc_id ALONE — a scan dragging text (or the
+    // full row) through the report join would be corpus-width at 100 TB
+    assert(schemas.nonEmpty, p)
+    assert(schemas.forall(s =>
+      s == "ReadSchema: struct<doc_id:bigint,text:string>" ||
+      s == "ReadSchema: struct<doc_id:bigint>"), schemas.mkString("\n"))
+    assert(schemas.contains("ReadSchema: struct<doc_id:bigint>"), p)
+  }
+
+  test("ann_ivfpq_rerank: exact re-scoring is shortlist-bounded, not corpus-wide") {
+    val p = plan("ann_ivfpq_rerank")
+    // the ADC shortlist compiles to a rank-20 WindowGroupLimit (each
+    // partition keeps 20 rows per query BEFORE the raw-vector join) and
+    // the exact-cosine stage to a rank-5 one above it — the plan-level
+    // proof that raw vectors are fetched for shortlist x Q rows only
+    assert(p.contains("row_number(), 20"), p)
+    assert(p.contains("row_number(), 5"), p)
+  }
 }
