@@ -244,6 +244,9 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def memoModel[T <: AnyRef](key: String)(train: => T): T =
     modelCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+  /** Number of cached trained models — lets tests pin that repeat
+    * searches share a build instead of silently retraining. */
+  private[graft] def cachedModelCount: Int = modelCache.size
 
   /** The shared coarse-quantizer build for a corpus dir (see
     * [[modelCache]]). */

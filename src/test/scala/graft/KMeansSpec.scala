@@ -191,6 +191,21 @@ class KMeansSpec extends SparkSpec {
     assert(r.values.sum > 0)
   }
 
+  test("trained models are shared per (corpus, params): repeat searches do not retrain") {
+    // the index-build amortization the bench numbers rest on: the first
+    // call may add cache entries, the second call for the SAME
+    // (corpus, params) must add none — a silent key mismatch would
+    // retrain per query and regress the whole ANN family unnoticed
+    Similarity.ivfTrainedTopK(spark, Sf0001).count()
+    val after1 = Similarity.cachedModelCount
+    Similarity.ivfTrainedTopK(spark, Sf0001).count()
+    Similarity.kmeansAssignments(spark, Sf0001).count() // same coarse model
+    assert(Similarity.cachedModelCount === after1)
+    // different hyperparameters are a DIFFERENT model — never conflated
+    Similarity.kmeansAssignments(spark, Sf0001, k = 4).count()
+    assert(Similarity.cachedModelCount === after1 + 1)
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
