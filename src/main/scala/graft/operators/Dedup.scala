@@ -132,7 +132,11 @@ object Dedup {
       require(progs.nonEmpty, "no state-operator progress recorded")
       val removed = progs.map(_.stateOperators(0).numRowsRemoved).sum
       val left = progs.last.stateOperators(0).numRowsTotal
-      require(removed > 0 && left <= 1,
+      // an empty corpus replays only the sentinel row: one state entry,
+      // nothing for the watermark to expire — the removal witness applies
+      // once ANY real fingerprint entered the store
+      val totalRows = q.recentProgress.map(_.numInputRows).sum
+      require((removed > 0 || totalRows <= 1) && left <= 1,
         s"event-time TTL did not bound state: removed=$removed, left=$left — " +
           "expiry must drop every fingerprint the watermark passed")
     }
