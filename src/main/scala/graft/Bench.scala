@@ -62,16 +62,19 @@ object Bench {
       // let one lucky repetition mask a flaky failure
       val allOk = runs.forall(_._2)
       val sec = if (allOk) runs.map(_._1).min else runs.map(_._1).max
-      (name, sec, runs.map(_._1).max, allOk)
+      (name, sec, runs.map(_._1).min, runs.map(_._1).max, allOk)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query [min, max] over the interleaved repetitions: a regression
     // whose min sits inside last round's [min, max] band is machine noise,
-    // attributable from the artifact alone (no git archaeology needed)
-    val spread = results.map { case (k, mn, mx, _) => s"\"" + k + s"\":[$mn,$mx]" }
+    // attributable from the artifact alone (no git archaeology needed).
+    // The spread keeps the TRUE min even for failed queries (whose headline
+    // sec is the sentinel-max) — flaky queries are exactly the ones whose
+    // real floor the next reader needs
+    val spread = results.map { case (k, _, mn, mx, _) => s"\"" + k + s"\":[$mn,$mx]" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}""")

@@ -100,21 +100,9 @@ object Dedup {
           lit(SentinelFp).as("fp"),
           timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
           lit(-1L).as("id"))
-        val maxIdRow = ev.agg(max(col("id"))).head()
-        if (maxIdRow.isNullAt(0)) Seq(sentinel(0L)) // empty events: flush-only
-        else {
-          // split at the µs value of the median event, ALL ties on the
-          // early side (see sessionizeStreaming — same watermark contract)
-          val bounds = ev.agg(
-            max(when(col("id") <= maxIdRow.getLong(0) / 2, unix_micros(col("ts")))),
-            max(unix_micros(col("ts")))).head()
-          val maxUs = bounds.getLong(1)
-          val midUs = if (bounds.isNullAt(0)) maxUs else bounds.getLong(0)
-          val lower = ev.filter(unix_micros(col("ts")) <= midUs)
-          val upper = ev.filter(unix_micros(col("ts")) > midUs)
-          if (maxUs > midUs) Seq(lower, upper, sentinel(maxUs))
-          else Seq(lower, sentinel(maxUs))
-        }
+        // split/sentinel contract lives in ONE place — see
+        // StatefulQueries.medianSplitWithSentinel
+        StatefulQueries.medianSplitWithSentinel(ev, "id", "ts")(sentinel)
       }
     }
     val schema = spark.read.parquet(dir).schema

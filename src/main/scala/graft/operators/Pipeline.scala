@@ -130,11 +130,14 @@ object Pipeline {
       if (maxIdRow.isNullAt(0)) Seq(d)
       else {
         // split at half the max doc_id — the replay contract is doc_id-
-        // ordered arrival, so the boundary only needs to be a doc_id cut
+        // ordered arrival, so the boundary only needs to be a doc_id cut.
+        // EITHER half can be empty (an id space starting above maxId/2
+        // empties the lower one); an empty file would replay a zero-row
+        // batch and fail the data-batch witness, so drop it
         val mid = maxIdRow.getLong(0) / 2
-        val lower = d.filter(col("doc_id") <= mid)
-        val upper = d.filter(col("doc_id") > mid)
-        if (upper.isEmpty) Seq(lower) else Seq(lower, upper)
+        val halves = Seq(d.filter(col("doc_id") <= mid), d.filter(col("doc_id") > mid))
+          .filter(!_.isEmpty)
+        if (halves.isEmpty) Seq(d) else halves
       }
     }
     val nFiles = {

@@ -117,28 +117,10 @@ object Sessionize {
         def sentinel(afterUs: Long) = spark.range(1).select(
           lit(SentinelKey).as("key"),
           timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"))
-        val maxIdRow = ev.agg(max(col("event_id"))).head()
-        if (maxIdRow.isNullAt(0)) Seq(sentinel(0L)) // empty events: flush-only
-        else {
-          // split at the µs value of the median event, putting ALL ties on
-          // the early side: with a 0-second watermark delay, an exact-tie
-          // row in the later file would sit on the late-data boundary. A
-          // degenerate corpus whose upper half is entirely ties produces an
-          // empty second file — drop it (the batch witness below counts the
-          // files actually written)
-          val bounds = ev.agg(
-            max(when(col("event_id") <= maxIdRow.getLong(0) / 2, unix_micros(col("ts")))),
-            max(unix_micros(col("ts")))).head()
-          // no event may satisfy event_id <= maxId/2 (an id space that does
-          // not start near 0): the conditional max is NULL — fall back to
-          // the flush-only single-file path (midUs = maxUs) instead of NPE
-          val maxUs = bounds.getLong(1)
-          val midUs = if (bounds.isNullAt(0)) maxUs else bounds.getLong(0)
-          val lower = ev.filter(unix_micros(col("ts")) <= midUs).select(col("key"), col("ts"))
-          val upper = ev.filter(unix_micros(col("ts")) > midUs).select(col("key"), col("ts"))
-          if (maxUs > midUs) Seq(lower, upper, sentinel(maxUs))
-          else Seq(lower, sentinel(maxUs))
-        }
+        // split/sentinel contract lives in ONE place — see
+        // StatefulQueries.medianSplitWithSentinel
+        StatefulQueries.medianSplitWithSentinel(ev, "event_id", "ts",
+          project = _.select(col("key"), col("ts")))(sentinel)
       }
     }
     val nFiles = {

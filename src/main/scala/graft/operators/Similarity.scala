@@ -261,6 +261,27 @@ object Similarity {
                        m: Int, ksub: Int, rounds: Int): Seq[Seq[(Long, Array[Double])]] =
     memoModel(s"books|$sfDir|$m|$ksub|$rounds")(pqCodebooks(base, m, ksub, rounds))
 
+  /** The shared SAMPLED coarse-quantizer build (every consumer of one
+    * cache key constructs it through one helper — key-format drift would
+    * silently double-train). */
+  private def sampledCoarseFor(sfDir: String, base: DataFrame, k: Int,
+                               rounds: Int, sampleMod: Int): Seq[(Long, Array[Double])] =
+    memoModel(s"coarse-sampled|$sfDir|$k|$rounds|$sampleMod") {
+      kmeansCentroids(base.filter(col("vec_id") % sampleMod === 0), k, rounds,
+        initBelow = k.toLong * sampleMod)
+    }
+
+  /** The shared RESIDUAL PQ-book build: residual books depend on the
+    * coarse model too, so the key carries both hyperparameter sets.
+    * `resid` must be [[residualViewOf]] under the same (nClusters,
+    * coarseRounds). */
+  private def residBooksFor(sfDir: String, resid: DataFrame,
+                            m: Int, ksub: Int, rounds: Int,
+                            nClusters: Int, coarseRounds: Int): Seq[Seq[(Long, Array[Double])]] =
+    memoModel(s"books-resid|$sfDir|$m|$ksub|$rounds|$nClusters|$coarseRounds") {
+      pqCodebooks(resid, m, ksub, rounds)
+    }
+
   /** Final cluster assignment after [[kmeansCentroids]] training — the
     * oracle-checked face of the trainer (integer output: float-hash-proof). */
   def kmeansAssignments(spark: SparkSession, sfDir: String,
@@ -286,11 +307,7 @@ object Similarity {
                                k: Int = 8, rounds: Int = 2,
                                sampleMod: Int = 4): DataFrame =
     withCached(trainInput(spark, sfDir)) { base =>
-      val cents = memoModel(s"coarse-sampled|$sfDir|$k|$rounds|$sampleMod") {
-        kmeansCentroids(base.filter(col("vec_id") % sampleMod === 0), k, rounds,
-          initBelow = k.toLong * sampleMod)
-      }
-      withCluster(base, cents)
+      withCluster(base, sampledCoarseFor(sfDir, base, k, rounds, sampleMod))
         .select(col("vec_id"), col("cluster"))
         .orderBy(col("vec_id"))
     }
@@ -420,10 +437,7 @@ object Similarity {
                       nClusters: Int = 8, rounds: Int = 2,
                       sampleMod: Int = 4): DataFrame =
     withCached(trainInput(spark, sfDir)) { base0 =>
-      val cents = memoModel(s"coarse-sampled|$sfDir|$nClusters|$rounds|$sampleMod") {
-        kmeansCentroids(base0.filter(col("vec_id") % sampleMod === 0), nClusters, rounds,
-          initBelow = nClusters.toLong * sampleMod)
-      }
+      val cents = sampledCoarseFor(sfDir, base0, nClusters, rounds, sampleMod)
       bandedNearDupOf(withCluster(base0, cents), "cluster",
         threshold, numBands, planesPerBand)
     }
@@ -639,13 +653,8 @@ object Similarity {
       val coarse = coarseFor(sfDir, base, nClusters, coarseRounds)
       if (coarse.isEmpty) emptyAdcFrame(base)
       else {
-        // residual books depend on the coarse model too — their key
-        // carries both hyperparameter sets
         val resid = residualViewOf(base, coarse)
-        val books = memoModel(
-            s"books-resid|$sfDir|$m|$ksub|$rounds|$nClusters|$coarseRounds") {
-          pqCodebooks(resid, m, ksub, rounds)
-        }
+        val books = residBooksFor(sfDir, resid, m, ksub, rounds, nClusters, coarseRounds)
         if (books.exists(_.isEmpty)) emptyAdcFrame(base)
         else ivfPqSearchWithBooks(resid, books, k, queryMod, m)
       }
@@ -779,10 +788,7 @@ object Similarity {
           val books = booksFor(sfDir, base, PqM, PqK, PqRounds)
           val rawEmpty = books.exists(_.isEmpty)
           val resid = residualViewOf(base, coarse)
-          val rBooks = memoModel(
-              s"books-resid|$sfDir|$PqM|$PqK|$PqRounds|8|2") {
-            pqCodebooks(resid, PqM, PqK, PqRounds)
-          }
+          val rBooks = residBooksFor(sfDir, resid, PqM, PqK, PqRounds, 8, 2)
           (if (rawEmpty) emptyAdcFrame(base)
            else ivfPqSearchWithBooks(withCell, books, k, queryMod, PqM),
            if (rawEmpty) emptyAdcFrame(base)

@@ -294,6 +294,38 @@ object StatefulQueries {
       dir.toString
     })
 
+  /** Median-time split + far-future sentinel: the replay shape of every
+    * watermark-driven drain, held ONCE (session windows, TTL dedup — a fix
+    * to the split contract must not have to land twice). `ev` splits at
+    * the µs value of its median row (median by `idCol`, ties on the EARLY
+    * side — with a 0-second watermark delay an exact-tie row in the later
+    * file would sit on the late-data boundary), an upper half left empty
+    * by tie placement is dropped, and `sentinel(maxUs)` lands last so its
+    * watermark advance lets the engine's trailing no-data batch fire every
+    * real key's event-time timeout. A NULL conditional max (an id space
+    * not starting near 0, so no row satisfies id <= maxId/2) falls back to
+    * the flush-only single-file path. `project` shapes the data files'
+    * final schema (it is NOT applied to the sentinel frame — the caller's
+    * sentinel already carries that schema). */
+  private[operators] def medianSplitWithSentinel(
+      ev: DataFrame, idCol: String, tsCol: String,
+      project: DataFrame => DataFrame = identity)
+      (sentinel: Long => DataFrame): Seq[DataFrame] = {
+    val maxIdRow = ev.agg(max(col(idCol))).head()
+    if (maxIdRow.isNullAt(0)) Seq(sentinel(0L)) // empty input: flush-only
+    else {
+      val bounds = ev.agg(
+        max(when(col(idCol) <= maxIdRow.getLong(0) / 2, unix_micros(col(tsCol)))),
+        max(unix_micros(col(tsCol)))).head()
+      val maxUs = bounds.getLong(1)
+      val midUs = if (bounds.isNullAt(0)) maxUs else bounds.getLong(0)
+      val lower = project(ev.filter(unix_micros(col(tsCol)) <= midUs))
+      val upper = project(ev.filter(unix_micros(col(tsCol)) > midUs))
+      if (maxUs > midUs) Seq(lower, upper, sentinel(maxUs))
+      else Seq(lower, sentinel(maxUs))
+    }
+  }
+
   /** `events` as TWO parquet files split at the median event_id. `event_id`
     * is the verified (ts, event_id)-monotone order, so splitting on it
     * preserves per-key arrival order across the batch boundary — the

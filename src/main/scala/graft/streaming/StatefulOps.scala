@@ -337,8 +337,14 @@ object StatefulOps {
             cur.foreach { a =>
               out += TtlOut(fp, a.start_us, a.min_id, a.n)
               state.update(a)
-              // free the state once the watermark passes last-seen + horizon
-              state.setTimeoutTimestamp(a.last_us / 1000L + horizonUs / 1000L)
+              // free the state once the watermark passes last-seen + horizon.
+              // Round UP to the engine's ms granularity: flooring would let
+              // state expire up to 999 µs early, and a subsequent occurrence
+              // with gap in (horizon - 1ms, horizon] would then open a new
+              // generation where the data-driven rule (and the oracle) keeps
+              // the old one — "removal never changes an answer" requires the
+              // timeout to never undercut the µs horizon
+              state.setTimeoutTimestamp((a.last_us + horizonUs + 999L) / 1000L)
             }
             out.iterator
           }

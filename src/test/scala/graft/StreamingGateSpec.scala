@@ -89,6 +89,19 @@ class StreamingGateSpec extends SparkSpec {
     assert(got(1L)._3 === 1L)   // the only selected row
   }
 
+  test("streaming manifest survives an id space that empties the lower split half") {
+    import graft.operators.Pipeline
+    import spark.implicits._
+    // all ids above maxId/2: the lower half of the doc_id cut is EMPTY and
+    // must be dropped from the replay, not written as a zero-row batch
+    // that would fail the data-batch witness
+    val docs = Seq((100L, "alpha beta gamma"), (101L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.curationManifestStreamOf(spark, docs,
+      s"docs-test-high:${System.nanoTime()}").collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
+  }
+
   test("TTL'd streaming dedup bounds state and matches the lag-window sessionization") {
     // the drain itself REQUIRES the expiry witness (rows removed by the
     // event-time timeout, <=1 state row after the final batch) — a run in
