@@ -128,7 +128,9 @@ object Dedup {
         s"event-time TTL did not bound state: removed=$removed, left=$left — " +
           "expiry must drop every fingerprint the watermark passed")
     }
-    raw.filter(col("fp") =!= SentinelFp)
+    // null-safe: `=!=` would also drop a NULL fingerprint group (null
+    // event_type/props make the md5 NULL) that the oracle keeps
+    raw.filter(!(col("fp") <=> SentinelFp))
       .groupBy(col("fp"), col("start_us"))
       .agg(min(col("keep_id")).as("keep_id"), max(col("n_dups")).as("n_dups"))
       .orderBy(col("fp"), col("start_us"))

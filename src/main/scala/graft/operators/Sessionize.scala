@@ -141,7 +141,9 @@ object Sessionize {
           "replay did not exercise cross-batch sessions and watermark flush")
     }
     val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
-    sess.filter(col("key") =!= SentinelKey)
+    // null-safe: `=!=` would also drop a NULL-key group (a null user_id)
+    // that the oracle keeps
+    sess.filter(!(col("key") <=> SentinelKey))
       .select(col("key").cast("long").as("user_id"),
               col("n_events"), col("start_us"), col("end_us"))
       .withColumn("session_id", (row_number().over(byStart) - 1).cast("long"))

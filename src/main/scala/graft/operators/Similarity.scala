@@ -247,12 +247,28 @@ object Similarity {
   /** Number of cached trained models — lets tests pin that repeat
     * searches share a build instead of silently retraining. */
   private[graft] def cachedModelCount: Int = modelCache.size
+  /** The cache's current KEY SET — specs assert on the presence/absence of
+    * specific keys (via [[coarseModelKey]]) rather than on global counts,
+    * which would break under any concurrent training in the same JVM. */
+  private[graft] def cachedModelKeys: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    modelCache.keySet.asScala.toSet
+  }
+  /** Drop every cached model. The cache keys assume immutable corpus dirs;
+    * a long-lived driver that regenerates data under the SAME path (or a
+    * test reusing a temp path) must call this, exactly like rebuilding any
+    * external index after its source moved underneath it. */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
+  /** The coarse quantizer's cache key for (corpus, k, rounds) — exposed so
+    * specs pin the exact entry a search shares, not a count. */
+  private[graft] def coarseModelKey(sfDir: String, k: Int, rounds: Int = 2): String =
+    s"coarse|$sfDir|$k|$rounds"
 
   /** The shared coarse-quantizer build for a corpus dir (see
     * [[modelCache]]). */
   private def coarseFor(sfDir: String, base: DataFrame,
                         k: Int, rounds: Int): Seq[(Long, Array[Double])] =
-    memoModel(s"coarse|$sfDir|$k|$rounds")(kmeansCentroids(base, k, rounds))
+    memoModel(coarseModelKey(sfDir, k, rounds))(kmeansCentroids(base, k, rounds))
 
   /** The shared raw-vector PQ-book build for a corpus dir. [[pqCodebooks]]
     * reads only (vec_id, vec), so books trained on the plain corpus and on
@@ -824,18 +840,26 @@ object Similarity {
   def annRecall(spark: SparkSession, sfDir: String,
                 k: Int = 5, queryMod: Int = 100): DataFrame = {
     import spark.implicits._
-    val trained = recallTrainedFrames(spark, sfDir, k, queryMod)
-    def frame(name: String): DataFrame = name match {
-      case "ann_ivf_topk"            => ivfTopK(spark, sfDir, k, queryMod)
-      case "ann_lsh_topk"            => lshTopK(spark, sfDir, k, queryMod)
-      case "ann_lsh_multiprobe_topk" => lshMultiProbeTopK(spark, sfDir, k, queryMod)
-      case other                     => trained(other)
+    // the variant searches and the brute-force truth are EVALUATED inside
+    // the cached-train-input scope (localCheckpoint is eager): returning
+    // their lazy plans would unpersist the input before any search ran and
+    // every variant would re-scan the corpus projection. Only the
+    // checkpointed k×Q-row rank tables escape the scope.
+    val (unioned, brute) = withCached(trainInput(spark, sfDir)) { _ =>
+      val trained = recallTrainedFrames(spark, sfDir, k, queryMod)
+      def frame(name: String): DataFrame = name match {
+        case "ann_ivf_topk"            => ivfTopK(spark, sfDir, k, queryMod)
+        case "ann_lsh_topk"            => lshTopK(spark, sfDir, k, queryMod)
+        case "ann_lsh_multiprobe_topk" => lshMultiProbeTopK(spark, sfDir, k, queryMod)
+        case other                     => trained(other)
+      }
+      val b = bruteForceTopK(spark, sfDir, k, queryMod)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      val u = RecallVariants.map { name =>
+        frame(name).select(lit(name).as("variant"), col("q_id"), col("vec_id"))
+      }.reduce(_ union _).localCheckpoint()
+      (u, b)
     }
-    val brute = bruteForceTopK(spark, sfDir, k, queryMod)
-      .select(col("q_id"), col("vec_id"))
-    val unioned = RecallVariants.map { name =>
-      frame(name).select(lit(name).as("variant"), col("q_id"), col("vec_id"))
-    }.reduce(_ union _)
     val hits = unioned.join(brute, Seq("q_id", "vec_id"))
       .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
     // left join from the static name list: a variant with ZERO hits must

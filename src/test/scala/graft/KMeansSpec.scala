@@ -197,13 +197,21 @@ class KMeansSpec extends SparkSpec {
     // (corpus, params) must add none — a silent key mismatch would
     // retrain per query and regress the whole ANN family unnoticed
     Similarity.ivfTrainedTopK(spark, Sf0001).count()
-    val after1 = Similarity.cachedModelCount
+    val coarseKey = Similarity.coarseModelKey(Sf0001, k = 8)
+    assert(Similarity.cachedModelKeys.contains(coarseKey))
+    // assertions are on the SPECIFIC keys this corpus's coarse trainer
+    // owns, not on global cache size — concurrent training by another
+    // suite in the same JVM must not flip this test
+    val snap = Similarity.cachedModelKeys.filter(_.startsWith(s"coarse|$Sf0001|"))
     Similarity.ivfTrainedTopK(spark, Sf0001).count()
     Similarity.kmeansAssignments(spark, Sf0001).count() // same coarse model
-    assert(Similarity.cachedModelCount === after1)
+    assert(Similarity.cachedModelKeys
+      .filter(_.startsWith(s"coarse|$Sf0001|")) === snap)
     // different hyperparameters are a DIFFERENT model — never conflated
+    val coarseKey4 = Similarity.coarseModelKey(Sf0001, k = 4)
     Similarity.kmeansAssignments(spark, Sf0001, k = 4).count()
-    assert(Similarity.cachedModelCount === after1 + 1)
+    assert(Similarity.cachedModelKeys.contains(coarseKey4))
+    assert(coarseKey4 !== coarseKey)
   }
 
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {

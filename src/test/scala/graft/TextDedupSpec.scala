@@ -258,6 +258,37 @@ class TextDedupSpec extends SparkSpec {
     assert(winnow(5L)._3 === 1L)
   }
 
+  test("winnow containment guarantee boundary: >= w+n-1 shared tokens always detected, w+n-2 may escape") {
+    import graft.operators.Dedup
+    // The detection CONTRACT of containmentWinnowOf's defaults (n=3, w=4):
+    // a shared token run of length L yields L-n+1 identical consecutive
+    // shingles, and winnowing selects the min of every w-shingle window —
+    // so only L >= w+n-1 = 6 guarantees a window that lies FULLY inside
+    // the run in BOTH docs (same w hashes, same min, shared fingerprint).
+    // At L = 5 the run spans only 3 shared shingles — no full window — and
+    // whether any of them is selected depends on the neighboring context
+    // hashes. A tuner shortening w or n moves this bound; a 5-token shared
+    // run legitimately escaping is NOT a bug.
+    def detected(runLen: Int, seed: Int): Boolean = {
+      // the run namespace varies with the seed too: detection below the
+      // bound hinges on the run shingles' own hash values, so a fixed run
+      // would make all seeds stand or fall together
+      val run = (0 until runLen).map(i => s"run${seed}v$i").mkString(" ")
+      // disjoint context namespaces: the only shareable shingles are the
+      // run's own
+      val ctxA = (0 until 8).map(i => s"a${seed}x$i").mkString(" ")
+      val ctxB = (0 until 8).map(i => s"b${seed}x$i").mkString(" ")
+      val docs = Seq((1L, s"$ctxA $run"), (2L, s"$ctxB $run")).toDF("doc_id", "text")
+      Dedup.containmentWinnowOf(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap.apply(2L) > 0L
+    }
+    // the guarantee side: every context at the bound detects
+    (0 until 16).foreach(s => assert(detected(6, s), s"6-token run escaped at seed $s"))
+    // the non-guarantee side: some context below the bound escapes
+    assert((0 until 16).exists(s => !detected(5, s)),
+      "every 5-token run was detected — the w+n-1 bound would be slack, not a contract")
+  }
+
   test("winnow containment reports short (unfingerprintable) docs with zeros, kept") {
     import graft.operators.Dedup
     val docs = Seq(
