@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK}
+import graft.operators.{Dedup, KeyedOps, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,13 @@ object SparkEntry {
     "q2s_block_avg_stateful"    -> ((s, dir) => StatefulQueries.blockAvgStateful(s, dir)),
     "q3s_running_max_month_stateful" -> ((s, dir) => StatefulQueries.runningMaxMonthStateful(s, dir)),
     "q4s_threshold_gaps_stateful" -> ((s, dir) => StatefulQueries.thresholdGapsStateful(s, dir)),
+    // ---- the same jobs on Spark 4 transformWithState — LITERAL Flink
+    //      state shapes (ValueState / MapState / ListState handles) through
+    //      the real micro-batch engine on RocksDB, two-batch replay ----
+    "q1t_running_max_tws"       -> ((s, dir) => TwsQueries.runningMaxTws(s, dir)),
+    "q2t_block_avg_tws"         -> ((s, dir) => TwsQueries.blockAvgTws(s, dir)),
+    "q3t_running_max_month_tws" -> ((s, dir) => TwsQueries.runningMaxMonthTws(s, dir)),
+    "q4t_threshold_gaps_tws"    -> ((s, dir) => TwsQueries.thresholdGapsTws(s, dir)),
     // ---- the same jobs as spill-safe SECONDARY-SORT passes (the 100 TB
     //      batch execution: memory independent of group size) — same oracles ----
     "q1p_running_max_secondary_sort" -> ((s, dir) => StatefulQueries.runningMaxSecondarySort(s, dir)),
@@ -1109,6 +1116,10 @@ object SparkEntry {
       "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),
       "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),
       "q4p_threshold_gaps_secondary_sort" -> base("q4_threshold_gaps"),
+      "q1t_running_max_tws"            -> base("q1_running_max"),
+      "q2t_block_avg_tws"              -> base("q2_block_avg"),
+      "q3t_running_max_month_tws"      -> base("q3_running_max_month"),
+      "q4t_threshold_gaps_tws"         -> base("q4_threshold_gaps"),
       // star contraction computes the same labeling as min-label propagation
       "dedup_lsh_components_star"      -> base("dedup_lsh_components"),
       "ann_recall"                     -> annRecallOracle(base))

@@ -169,12 +169,20 @@ object StatefulQueries {
     * RocksDB spills to local SSD and ships changelogs). Same plan, same
     * oracle as q1r: only the provider swaps, which is exactly the claim —
     * the operator code is backend-agnostic. */
-  def runningMaxStreamingRocksDb(spark: SparkSession, sfDir: String): DataFrame = {
+  def runningMaxStreamingRocksDb(spark: SparkSession, sfDir: String): DataFrame =
+    withRocksDbStateStore(spark)(runningMaxStreaming(spark, sfDir))
+
+  /** Run `body` with the RocksDB state store provider, restoring the
+    * session value on every path — shared by every provider-swap form
+    * (q1rdb, the TTL-dedup RocksDB twin) and by transformWithState, which
+    * REQUIRES it (each TWS state variable is a column family; the
+    * HDFS-backed provider supports only one). */
+  private[operators] def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try runningMaxStreaming(spark, sfDir)
+    try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

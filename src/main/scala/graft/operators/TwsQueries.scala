@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.streaming.TwsOps
+import graft.streaming.StatefulOps.{KSV, KV}
+
+/** The q1t–q4t gate forms: the reference's four keyed-state jobs on
+  * `transformWithState` ([[TwsOps]] — literal ValueState / MapState /
+  * ListState handles), driven through the REAL micro-batch engine on the
+  * RocksDB state store (TWS's required provider), over a TWO-FILE
+  * time-ordered replay so every query's literal state provably crosses a
+  * micro-batch boundary (the ≥2-data-batch witness is asserted from the
+  * query's own progress). Registered under the same q1–q4 oracles as every
+  * other form — the correctness gate itself proves TWS-form ≡
+  * declarative-form ≡ flatMapGroupsWithState-form.
+  *
+  * All four ops read ONE shared wide replay copy (event_type, event_id,
+  * value, yr, mon — split at the median event_id, the verified
+  * (ts, event_id)-monotone order), so the per-round copy cost is paid
+  * once, like [[StatefulQueries.orderedEventsCopy]].
+  */
+object TwsQueries {
+
+  private implicit val kvEnc: Encoder[KV] = Encoders.product[KV]
+  private implicit val ksvEnc: Encoder[KSV] = Encoders.product[KSV]
+
+  /** `events` as TWO time-ordered parquet files carrying every column the
+    * four TWS forms key on. */
+  private def orderedEventsWideCopy(spark: SparkSession, sfDir: String): String =
+    StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"events-wide:$sfDir",
+          Seq("ev0.parquet", "ev1.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"), col("value"),
+                  year(col("ts")).cast("string").as("yr"),
+                  month(col("ts")).cast("string").as("mon"))
+        val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+        Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+      }
+    }
+
+  /** The shared drain: RocksDB provider + one-file-per-micro-batch replay
+    * + the cross-batch witness. */
+  private def drainTws(spark: SparkSession, sfDir: String)
+                      (op: DataFrame => DataFrame): DataFrame =
+    StatefulQueries.withRocksDbStateStore(spark) {
+      val dir = orderedEventsWideCopy(spark, sfDir)
+      StatefulQueries.drainOrderedFiles(spark, dir, minBatches = 2)(op)
+    }
+
+  /** Q1 on transformWithState (ValueState), registered under q1's oracle. */
+  def runningMaxTws(spark: SparkSession, sfDir: String): DataFrame =
+    drainTws(spark, sfDir) { stream =>
+      TwsOps.runningMaxTws(stream
+        .select(col("yr").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("out").as("run_max"))
+      .orderBy(col("event_id"))
+
+  /** Q2 on transformWithState (ValueState counter + ValueState-reduction
+    * sum), registered under q2's oracle — blocks genuinely span the batch
+    * boundary (10k events / 51 per block across the median split). */
+  def blockAvgTws(spark: SparkSession, sfDir: String): DataFrame =
+    drainTws(spark, sfDir) { stream =>
+      TwsOps.blockAverageTws(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
+      .orderBy(col("event_type"), col("block"))
+
+  /** Q3 on transformWithState (literal MapState), registered under q3's
+    * oracle. */
+  def runningMaxMonthTws(spark: SparkSession, sfDir: String): DataFrame =
+    drainTws(spark, sfDir) { stream =>
+      TwsOps.runningMaxBySubkeyTws(stream
+        .select(col("yr").as("key"), col("mon").as("subkey"),
+                col("event_id").as("ord"), col("value"))
+        .as[KSV](ksvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("subkey").cast("long").as("mon"), col("out").as("run_max"))
+      .orderBy(col("event_id"))
+
+  /** Q4 on transformWithState (literal ListState), registered under q4's
+    * oracle. */
+  def thresholdGapsTws(spark: SparkSession, sfDir: String): DataFrame =
+    drainTws(spark, sfDir) { stream =>
+      TwsOps.thresholdGapsTws(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), 100.0).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"), col("gap"))
+      .orderBy(col("event_id"))
+}

@@ -1,0 +1,209 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** The reference's four keyed-state jobs on Spark 4's `transformWithState` —
+  * the first Spark API whose state handles are LITERALLY the Flink keyed
+  * state shapes the reference demonstrates, not a case-class emulation:
+  *
+  *  - Q1 (MaximumClosingPrice.java:51, `ValueState<Tuple2>`):
+  *    [[RunningMaxProcessor]] holds the running max in a
+  *    `ValueState[Double]` handle.
+  *  - Q2 (RollingAverageHighPrice.java:60-62, `ValueState` counter +
+  *    `ReducingState` sum): [[BlockAvgProcessor]] holds the counter in one
+  *    `ValueState[Int]` and the block sum in a `ValueState[Long]` updated
+  *    add-per-record — TWS ships no ReducingState, so the reduction is the
+  *    update rule itself; two more ValueStates carry the block index and
+  *    finite-count our oracle needs (the reference prints, we hash).
+  *  - Q3 (MaxTradeVolumePerYearPerMonth.java:56, `MapState<month, max>`):
+  *    [[MaxBySubkeyProcessor]] holds a real `MapState[String, Double]`
+  *    handle — per-subkey point lookups and updates against the state
+  *    store, not a whole map serialized per access like the
+  *    `GroupState[Map[...]]` emulation in [[StatefulOps]].
+  *  - Q4 (DaysSincePriceThreshold.java:65, `ListState<dates>`):
+  *    [[ThresholdGapProcessor]] holds a `ListState[Long]` of the
+  *    sub-threshold ords and, exactly like the reference, uses only its
+  *    SIZE on breach — append-per-record is O(1) against the store, where
+  *    the emulation rewrote a whole counter object.
+  *
+  * Engine constraints (probed, Spark 4.1.2): every state variable becomes
+  * its own column family, which the HDFS-backed provider does not support —
+  * TWS requires `RocksDBStateStoreProvider` (the callers in
+  * [[graft.operators.TwsQueries]] set it); in batch execution it
+  * additionally needs the StateStoreCoordinator a prior streaming query
+  * creates, so the registered forms run through the real micro-batch
+  * engine.
+  *
+  * Ordering contract, same as [[StatefulOps]]: per-key arrival order must
+  * be established by the caller; `handleInputRows` receives one key's
+  * slice of ONE micro-batch and sorts it by `ord` — buffering is bounded
+  * by the key's share of a micro-batch (file-sized in the replay drains),
+  * never the key's whole history, which is the structural fix for the
+  * batch-mode whole-group buffering that kept the q1s–q4s emulations on
+  * the perf-weak list. State per key is O(1) / O(subkeys) / O(open-list),
+  * exactly the Flink bound.
+  */
+object TwsOps {
+
+  import StatefulOps.{GapOut, KSV, KV, KeyedOut, KeyedOutN, SubkeyOut}
+
+  private implicit val kvOutEnc: Encoder[KeyedOut] = Encoders.product[KeyedOut]
+  private implicit val kvOutNEnc: Encoder[KeyedOutN] = Encoders.product[KeyedOutN]
+  private implicit val skOutEnc: Encoder[SubkeyOut] = Encoders.product[SubkeyOut]
+  private implicit val gapOutEnc: Encoder[GapOut] = Encoders.product[GapOut]
+  private implicit val strEnc: Encoder[String] = Encoders.STRING
+
+  /** State variable names — shared with the spec that asserts, from the
+    * checkpoint's operator metadata, that the engine registered exactly
+    * these shapes (the "literal parity" witness). */
+  val Q1StateVar = "runMax"
+  val Q2CountVar = "blockCount"
+  val Q2SumVar = "blockSumCents"
+  val Q2FiniteVar = "blockFinite"
+  val Q2BlockVar = "blockIndex"
+  val Q3StateVar = "subkeyMax"
+  val Q4StateVar = "belowOrds"
+
+  /** Q1: running max per key, one emission per record — `ValueState`. */
+  class RunningMaxProcessor extends StatefulProcessor[String, KV, KeyedOut] {
+    @transient private var runMax: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      runMax = getHandle.getValueState[Double](Q1StateVar, Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 timerValues: TimerValues): Iterator[KeyedOut] = {
+      var cur = if (runMax.exists()) runMax.get() else Double.NegativeInfinity
+      val out = rows.toSeq.sortBy(_.ord).map { r =>
+        if (r.value > cur) cur = r.value
+        KeyedOut(key, r.ord, cur)
+      }
+      runMax.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Q2: accumulate `emitCount` records, the next record triggers emission
+    * of sum/emitCount, clears the block state, and is discarded — counter
+    * `ValueState` + sum held as an add-per-record `ValueState` reduction.
+    * Cents/HALF_UP like every other Q2 form: bit-identical to the
+    * DECIMAL(18,2) batch twin regardless of accumulation order. */
+  class BlockAvgProcessor(emitCount: Int = 50)
+      extends StatefulProcessor[String, KV, KeyedOutN] {
+    @transient private var count: ValueState[Int] = _
+    @transient private var sumCents: ValueState[Long] = _
+    @transient private var nFinite: ValueState[Int] = _
+    @transient private var block: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Int](Q2CountVar, Encoders.scalaInt, TTLConfig.NONE)
+      sumCents = getHandle.getValueState[Long](Q2SumVar, Encoders.scalaLong, TTLConfig.NONE)
+      nFinite = getHandle.getValueState[Int](Q2FiniteVar, Encoders.scalaInt, TTLConfig.NONE)
+      block = getHandle.getValueState[Long](Q2BlockVar, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 timerValues: TimerValues): Iterator[KeyedOutN] = {
+      var cnt = if (count.exists()) count.get() else 0
+      var cents = if (sumCents.exists()) sumCents.get() else 0L
+      var fin = if (nFinite.exists()) nFinite.get() else 0
+      var blk = if (block.exists()) block.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[KeyedOutN]
+      rows.toSeq.sortBy(_.ord).foreach { r =>
+        if (cnt < emitCount) {
+          if (java.lang.Double.isFinite(r.value)) {
+            cents += (BigDecimal(r.value)
+              .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+            fin += 1
+          }
+          cnt += 1
+        } else { // the trigger record: emit and discard it
+          val avg = if (fin == 0) None else Some((cents.toDouble / 100.0) / emitCount)
+          out += KeyedOutN(key, r.ord, blk, avg)
+          cnt = 0; cents = 0L; fin = 0; blk += 1L
+        }
+      }
+      count.update(cnt); sumCents.update(cents); nFinite.update(fin); block.update(blk)
+      out.iterator
+    }
+  }
+
+  /** Q3: running max per (key, subkey), one emission per record — a REAL
+    * `MapState[subkey, max]`: point `getValue`/`updateValue` per record,
+    * entries live independently in the store's column family. */
+  class MaxBySubkeyProcessor extends StatefulProcessor[String, KSV, SubkeyOut] {
+    @transient private var subkeyMax: MapState[String, Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      subkeyMax = getHandle.getMapState[String, Double](
+        Q3StateVar, Encoders.STRING, Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KSV],
+                                 timerValues: TimerValues): Iterator[SubkeyOut] = {
+      // batch-slice writes folded into a local delta map so one store
+      // write per touched subkey suffices; reads still hit the store first
+      val delta = scala.collection.mutable.Map.empty[String, Double]
+      val out = rows.toSeq.sortBy(_.ord).map { r =>
+        val prev = delta.get(r.subkey).orElse(
+          if (subkeyMax.containsKey(r.subkey)) Some(subkeyMax.getValue(r.subkey)) else None)
+        val cur = prev match {
+          case Some(p) if p >= r.value => p
+          case _                       => r.value
+        }
+        delta(r.subkey) = cur
+        SubkeyOut(key, r.subkey, r.ord, cur)
+      }
+      delta.foreach { case (sk, v) => subkeyMax.updateValue(sk, v) }
+      out.iterator
+    }
+  }
+
+  /** Q4: rows with value >= threshold emit how many sub-threshold rows
+    * arrived since the previous breach, then reset — a literal
+    * `ListState[ord]`: each sub-threshold record APPENDS its ord (O(1)
+    * against the store, like Flink's `ListState.add`), a breach counts the
+    * list and clears it. The reference stores the full dates list and uses
+    * only its size (DaysSincePriceThreshold.java:65-102) — same here. */
+  class ThresholdGapProcessor(threshold: Double)
+      extends StatefulProcessor[String, KV, GapOut] {
+    @transient private var belowOrds: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      belowOrds = getHandle.getListState[Long](Q4StateVar, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 timerValues: TimerValues): Iterator[GapOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+      // appends within the batch slice buffer locally; state sees one
+      // appendList per flush boundary
+      var pending = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var cleared = false
+      def storedCount(): Long =
+        if (cleared) 0L else { var n = 0L; val it = belowOrds.get(); while (it.hasNext) { it.next(); n += 1 }; n }
+      rows.toSeq.sortBy(_.ord).foreach { r =>
+        if (r.value >= threshold || java.lang.Double.isNaN(r.value)) {
+          out += GapOut(key, r.ord, storedCount() + pending.length)
+          belowOrds.clear(); cleared = true
+          pending = scala.collection.mutable.ArrayBuffer.empty[Long]
+        } else {
+          pending += r.ord
+        }
+      }
+      if (pending.nonEmpty) belowOrds.appendList(pending.toArray)
+      out.iterator
+    }
+  }
+
+  /** Q1 over TWS (see [[RunningMaxProcessor]]). */
+  def runningMaxTws(ds: Dataset[KV]): Dataset[KeyedOut] =
+    ds.groupByKey(_.key)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(), OutputMode.Append())
+
+  /** Q2 over TWS (see [[BlockAvgProcessor]]). */
+  def blockAverageTws(ds: Dataset[KV], emitCount: Int = 50): Dataset[KeyedOutN] =
+    ds.groupByKey(_.key)
+      .transformWithState(new BlockAvgProcessor(emitCount), TimeMode.None(), OutputMode.Append())
+
+  /** Q3 over TWS (see [[MaxBySubkeyProcessor]]). */
+  def runningMaxBySubkeyTws(ds: Dataset[KSV]): Dataset[SubkeyOut] =
+    ds.groupByKey(_.key)
+      .transformWithState(new MaxBySubkeyProcessor, TimeMode.None(), OutputMode.Append())
+
+  /** Q4 over TWS (see [[ThresholdGapProcessor]]). */
+  def thresholdGapsTws(ds: Dataset[KV], threshold: Double): Dataset[GapOut] =
+    ds.groupByKey(_.key)
+      .transformWithState(new ThresholdGapProcessor(threshold), TimeMode.None(), OutputMode.Append())
+}
