@@ -191,7 +191,11 @@ object SparkEntry {
     "kmeans_assign"        -> ((s, dir) => Similarity.kmeansAssignments(s, dir)),
     "kmeans_assign_sampled" -> ((s, dir) => Similarity.kmeansAssignmentsSampled(s, dir)),
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
+    // the same trained search with the centroid assignment as a BROADCAST
+    // table (the nlist >> 64 path — plan literals stop scaling there)
+    "ann_ivf_bcast_topk"   -> ((s, dir) => Similarity.ivfBcastTopK(s, dir)),
     "ann_ivf_trained_probe2" -> ((s, dir) => Similarity.ivfTrainedMultiProbeTopK(s, dir)),
+    "ann_ivf_trained_probe4" -> ((s, dir) => Similarity.ivfTrainedMultiProbeTopK(s, dir, nProbe = 4)),
     "cosine_near_dup"  -> ((s, dir) => Similarity.cosineNearDup(s, dir, threshold = 0.4)),
     "semantic_near_dup" -> ((s, dir) => Similarity.semanticNearDup(s, dir)),
     // product quantization: M sub-quantizer codebooks; vectors compress to
@@ -204,6 +208,7 @@ object SparkEntry {
     "ann_ivfpq_residual_topk" -> ((s, dir) => Similarity.ivfPqResidualTopK(s, dir)),
     // the recall knob on the composed index: probe 2 cells, score codes
     "ann_ivfpq_probe2" -> ((s, dir) => Similarity.ivfPqMultiProbeTopK(s, dir)),
+    "ann_ivfpq_probe4" -> ((s, dir) => Similarity.ivfPqMultiProbeTopK(s, dir, nProbe = 4)),
     // the refine step: ADC shortlist re-scored by TRUE cosine over raw
     // vectors (fetched for shortlist x Q rows only)
     "ann_ivfpq_rerank" -> ((s, dir) => Similarity.ivfPqRerankTopK(s, dir)),
@@ -877,21 +882,8 @@ object SparkEntry {
          |r AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
          |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    "ann_ivf_trained_probe2" ->
-      s"""WITH $kmeansCtes,
-         |base AS (SELECT v.vec_id, v.vec, a.cluster
-         |         FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)),
-         |qs AS (SELECT s.vec_id AS q_id, s.cid AS q_cluster,
-         |        row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score, s.cid) AS prk
-         |       FROM ${kmeansFinalAssign}_s s WHERE s.vec_id % 100 = 0),
-         |q AS (SELECT qs.q_id, v.vec AS q_vec, qs.q_cluster
-         |      FROM qs JOIN kv v ON v.vec_id = qs.q_id WHERE prk <= 2),
-         |c AS (
-         | SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
-         | FROM base b JOIN q ON b.cluster = q.q_cluster AND b.vec_id <> q.q_id),
-         |r AS (SELECT q_id, vec_id, cos,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
-         |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivf_trained_probe2" -> ivfTrainedProbeOracle(2),
+    "ann_ivf_trained_probe4" -> ivfTrainedProbeOracle(4),
     "ann_ivf_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding::DOUBLE[] AS q_vec
          |  FROM embeddings WHERE vec_id % 100 = 0),
@@ -979,24 +971,8 @@ object SparkEntry {
          |r2 AS (SELECT q_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM x)
          |SELECT q_id, rk, vec_id, cos FROM r2 WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    "ann_ivfpq_probe2" ->
-      // ann_ivfpq_topk's search with ann_ivf_trained_probe2's probe list:
-      // each query's 2 nearest coarse cells, still scored by ADC over codes
-      s"""WITH $kvCte,
-         |$kmeansChain,
-         |${pqChains()},
-         |${pqCodesCte},
-         |qs AS (SELECT s.vec_id AS q_id, s.cid AS q_cluster,
-         |        row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score, s.cid) AS prk
-         |       FROM ${kmeansFinalAssign}_s s WHERE s.vec_id % 100 = 0),
-         |q AS (SELECT qs.q_id, v.vec AS q_vec, qs.q_cluster
-         |      FROM qs JOIN kv v ON v.vec_id = qs.q_id WHERE prk <= 2),
-         |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
-         | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
-         | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
-         |r AS (SELECT q_id, vec_id, score,
-         |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
-         |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "ann_ivfpq_probe2" -> ivfPqProbeOracle(2),
+    "ann_ivfpq_probe4" -> ivfPqProbeOracle(4),
     "ann_ivfpq_residual_topk" ->
       // identical search to ann_ivfpq_topk, but the PQ chains train over
       // the RESIDUAL view and queries score their own residual
@@ -1116,6 +1092,9 @@ object SparkEntry {
       "q2p_block_avg_secondary_sort"   -> base("q2_block_avg"),
       "q3p_running_max_month_secondary_sort" -> base("q3_running_max_month"),
       "q4p_threshold_gaps_secondary_sort" -> base("q4_threshold_gaps"),
+      // broadcast-table assignment ≡ literal assignment (same score, same
+      // tie-break) — one oracle serves both
+      "ann_ivf_bcast_topk"             -> base("ann_ivf_trained_topk"),
       "q1t_running_max_tws"            -> base("q1_running_max"),
       "q2t_block_avg_tws"              -> base("q2_block_avg"),
       "q3t_running_max_month_tws"      -> base("q3_running_max_month"),
@@ -1415,6 +1394,45 @@ object SparkEntry {
   private def kmeansCtes: String = s"$kvCte,\n$kmeansChain"
 
   private def kmeansFinalAssign: String = s"a${KMeansRounds + 1}"
+
+  /** Trained-IVF multi-probe oracle, parameterized by nProbe — probe2 and
+    * probe4 (the recall-vs-cost curve's points) must share one SQL body or
+    * the curve's points could silently diverge in shape. */
+  private def ivfTrainedProbeOracle(nProbe: Int): String =
+    s"""WITH $kmeansCtes,
+       |base AS (SELECT v.vec_id, v.vec, a.cluster
+       |         FROM kv v JOIN $kmeansFinalAssign a USING (vec_id)),
+       |qs AS (SELECT s.vec_id AS q_id, s.cid AS q_cluster,
+       |        row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score, s.cid) AS prk
+       |       FROM ${kmeansFinalAssign}_s s WHERE s.vec_id % 100 = 0),
+       |q AS (SELECT qs.q_id, v.vec AS q_vec, qs.q_cluster
+       |      FROM qs JOIN kv v ON v.vec_id = qs.q_id WHERE prk <= $nProbe),
+       |c AS (
+       | SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
+       | FROM base b JOIN q ON b.cluster = q.q_cluster AND b.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, cos,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM c)
+       |SELECT q_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** IVF-PQ multi-probe oracle, parameterized by nProbe:
+    * ann_ivfpq_topk's search with the trained probe list — each query's
+    * nProbe nearest coarse cells, still scored by ADC over codes. */
+  private def ivfPqProbeOracle(nProbe: Int): String =
+    s"""WITH $kvCte,
+       |$kmeansChain,
+       |${pqChains()},
+       |${pqCodesCte},
+       |qs AS (SELECT s.vec_id AS q_id, s.cid AS q_cluster,
+       |        row_number() OVER (PARTITION BY s.vec_id ORDER BY s.score, s.cid) AS prk
+       |       FROM ${kmeansFinalAssign}_s s WHERE s.vec_id % 100 = 0),
+       |q AS (SELECT qs.q_id, v.vec AS q_vec, qs.q_cluster
+       |      FROM qs JOIN kv v ON v.vec_id = qs.q_id WHERE prk <= $nProbe),
+       |s AS (SELECT q.q_id, b.vec_id, $adcScoreSql AS score
+       | FROM codes b JOIN $kmeansFinalAssign ce USING (vec_id), q, $adcCwTables
+       | WHERE b.vec_id <> q.q_id AND ce.cluster = q.q_cluster AND $adcCwMatch),
+       |r AS (SELECT q_id, vec_id, score,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id ASC) AS rk FROM s)
+       |SELECT q_id, rk, vec_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   // ---- PQ CTE chains mirroring Similarity.pqCodebooks/pqCodesOf exactly ----
 

@@ -163,12 +163,51 @@ object Similarity {
                   centroids: Seq[(Long, Array[Double])]): DataFrame =
     base.withColumn("cluster", argminCid(centroids, col("vec")))
 
+  /** [[withCluster]] for nlist BEYOND the plan-literal limit (see
+    * [[argminCid]]): the centroids become a broadcast TABLE instead of
+    * plan literals. Each vector is scored against the broadcast set — an
+    * equi-key-free join, so Spark plans the assignment as ONE
+    * BroadcastNestedLoopJoin (the broadcast is the point; a hash join
+    * needs an equi key an argmin doesn't have) — and the N×k scored rows
+    * stream straight into the map-side partial of a min-aggregation
+    * (struct(score, cid) min = argmin with the same (score, cid)
+    * tie-break as the literal form), so they never materialize or
+    * shuffle. Cost vs the literal projection: ONE hash shuffle of the
+    * corpus (the aggregation's final round) — the price of an nlist too
+    * wide to ride in the plan, paid once per index build. Output schema
+    * and values are IDENTICAL to [[withCluster]] by construction (same
+    * score, same tie-break, same dot association); the gate pins
+    * bcast-form ≡ literal-form under ann_ivf_trained_topk's oracle. */
+  def withClusterBroadcast(base: DataFrame,
+                           centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    if (centroids.isEmpty)
+      return base.withColumn("cluster", lit(null).cast("long"))
+    val carried = base.columns.toSeq
+    val cents = centroids.map { case (cid, c) => (cid, selfDot(c), c.toSeq) }
+      .toDF("cid", "cdot", "cvec")
+    base.join(broadcast(cents))
+      .withColumn("score", col("cdot") - lit(2.0) * dot(col("vec"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cid"))).getField("cid").as("cluster"),
+           carried.filter(_ != "vec_id").map(c => first(col(c)).as(c)): _*)
+      .select(carried.map(col) :+ col("cluster"): _*)
+  }
+
   /** The argmin-centroid column shared by the coarse quantizer
     * ([[withCluster]]) and the PQ encoder: per candidate, score =
     * dot(c,c) - 2·dot(vec, c) (the rank-equivalent of squared L2 —
     * dot(vec,vec) is constant per row), tie-broken by candidate id; a pure
     * projection over plan literals. No candidates (empty training corpus):
-    * unassigned — the zero-arg array() would otherwise fail analysis. */
+    * unassigned — the zero-arg array() would otherwise fail analysis.
+    *
+    * PLAN-SIZE LIMIT: the candidate set is embedded as k×dim double
+    * literals, which is the zero-shuffle ideal for the gate's nlist (8) and
+    * fine into the low hundreds, but a production IVF with nlist in the
+    * thousands would blow the generated code and plan size (a
+    * thousands-wide array-of-struct literal). Past that, assignment must
+    * become data — [[withClusterBroadcast]] is that path. */
   private def argminCid(cands: Seq[(Long, Array[Double])], vec: Column): Column =
     if (cands.isEmpty) lit(null).cast("long")
     else array_min(array(cands.map { case (cid, c) =>
@@ -353,6 +392,30 @@ object Similarity {
       base.join(broadcast(q),
         col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
   }
+
+  /** [[ivfTrainedTopK]] with the coarse assignment running through
+    * [[withClusterBroadcast]] — the nlist-in-the-thousands form of the
+    * trained IVF search, registered under the SAME oracle as
+    * ann_ivf_trained_topk: the two assignment paths must agree bit-for-bit
+    * (same score, same tie-break), so the gate hash-checks the broadcast
+    * path against the literal path's independently-replayed SQL. */
+  def ivfBcastTopK(spark: SparkSession, sfDir: String,
+                   k: Int = 5, queryMod: Int = 100,
+                   nClusters: Int = 8, rounds: Int = 2): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base0 =>
+      val cents = coarseFor(sfDir, base0, nClusters, rounds)
+      if (cents.isEmpty) emptyCosFrame(base0)
+      else {
+        val base = withClusterBroadcast(base0, cents)
+        val q = base
+          .filter(col("vec_id") % queryMod === 0)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+                  col("norm_v").as("norm_q"), col("cluster").as("q_cluster"))
+        rankTopK(
+          base.join(broadcast(q),
+            col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")), k)
+      }
+    }
 
   /** Trained IVF with multi-probe: each query searches its `nProbe` NEAREST
     * trained cells instead of only the closest — the standard IVF recall
@@ -780,8 +843,9 @@ object Similarity {
     * query name (sorted — the report's output order). The oracle composes
     * these same names' SQL, so the two sides enumerate one list. */
   val RecallVariants: Seq[String] = Seq(
-    "ann_ivf_topk", "ann_ivf_trained_probe2", "ann_ivf_trained_topk",
-    "ann_ivfpq_probe2", "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
+    "ann_ivf_topk", "ann_ivf_trained_probe2", "ann_ivf_trained_probe4",
+    "ann_ivf_trained_topk", "ann_ivfpq_probe2", "ann_ivfpq_probe4",
+    "ann_ivfpq_rerank", "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk", "ann_lsh_multiprobe_topk", "ann_lsh_topk")
 
   /** The trained variants' frames — every model comes from the shared
@@ -795,10 +859,10 @@ object Similarity {
                                   k: Int, queryMod: Int): Map[String, DataFrame] =
     withCached(trainInput(spark, sfDir)) { base =>
       val coarse = coarseFor(sfDir, base, 8, 2)
-      val (pq1, pq2, pqr, pqrr) =
+      val (pq1, pq2, pq4, pqr, pqrr) =
         if (coarse.isEmpty)
           (emptyAdcFrame(base), emptyAdcFrame(base), emptyAdcFrame(base),
-           emptyCosFrame(base))
+           emptyAdcFrame(base), emptyCosFrame(base))
         else {
           val withCell = withCluster(base, coarse)
           val books = booksFor(sfDir, base, PqM, PqK, PqRounds)
@@ -809,6 +873,8 @@ object Similarity {
            else ivfPqSearchWithBooks(withCell, books, k, queryMod, PqM),
            if (rawEmpty) emptyAdcFrame(base)
            else ivfPqMultiProbeWithBooks(withCell, coarse, books, k, queryMod, PqM, 2),
+           if (rawEmpty) emptyAdcFrame(base)
+           else ivfPqMultiProbeWithBooks(withCell, coarse, books, k, queryMod, PqM, 4),
            if (rBooks.exists(_.isEmpty)) emptyAdcFrame(base)
            else ivfPqSearchWithBooks(resid, rBooks, k, queryMod, PqM),
            if (rawEmpty) emptyCosFrame(base)
@@ -817,8 +883,10 @@ object Similarity {
       Map(
         "ann_ivf_trained_topk"    -> ivfTrainedTopKFrom(base, coarse, k, queryMod),
         "ann_ivf_trained_probe2"  -> ivfTrainedMultiProbeTopKFrom(base, coarse, k, queryMod, 2),
+        "ann_ivf_trained_probe4"  -> ivfTrainedMultiProbeTopKFrom(base, coarse, k, queryMod, 4),
         "ann_ivfpq_topk"          -> pq1,
         "ann_ivfpq_probe2"        -> pq2,
+        "ann_ivfpq_probe4"        -> pq4,
         "ann_ivfpq_residual_topk" -> pqr,
         "ann_ivfpq_rerank"        -> pqrr)
     }

@@ -182,6 +182,11 @@ class KMeansSpec extends SparkSpec {
     assert(r("ann_ivf_trained_probe2") >= r("ann_ivf_trained_topk"))
     assert(r("ann_lsh_multiprobe_topk") >= r("ann_lsh_topk"))
     assert(r("ann_ivfpq_probe2") >= r("ann_ivfpq_topk"))
+    // the tuning CURVE an index consumer reads: recall stays monotone from
+    // probe2 to probe4 (guaranteed for the true-cosine IVF — candidates are
+    // a superset; data-pinned for the ADC-ranked IVF-PQ, like probe2)
+    assert(r("ann_ivf_trained_probe4") >= r("ann_ivf_trained_probe2"))
+    assert(r("ann_ivfpq_probe4") >= r("ann_ivfpq_probe2"))
     // exact re-ranking provably dominates plain IVF-PQ under the same
     // models: the ADC top-k is a subset of the shortlist, and any true
     // top-k member in it survives exact re-scoring by definition

@@ -257,6 +257,22 @@ class PlanSpec extends SparkSpec {
     assert(schemas.contains("ReadSchema: struct<doc_id:bigint>"), p)
   }
 
+  test("ann_ivf_bcast_topk: assignment is one broadcast join of a centroid TABLE, no plan literals") {
+    val p = plan("ann_ivf_bcast_topk")
+    // the centroid set is DATA riding a broadcast, not generated code: the
+    // assignment scores via a BroadcastNestedLoopJoin (an argmin has no
+    // equi key, so a hash join cannot exist — the broadcast is the claim)
+    // and the scored rows fold through a partial min-aggregate before any
+    // exchange. The search's own query-side broadcast hash join rides
+    // above it, as in ann_ivf_trained_topk.
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("partial_min".r.findAllIn(p).nonEmpty, p)
+    // no thousands-wide literal: the literal form embeds the centroid
+    // array as [[0.123,...],...] struct literals in the projection — the
+    // broadcast form's plan must carry none
+    assert(!p.contains("named_struct"), p)
+  }
+
   test("ann_ivfpq_rerank: exact re-scoring is shortlist-bounded, not corpus-wide") {
     val p = plan("ann_ivfpq_rerank")
     // the ADC shortlist compiles to a rank-20 WindowGroupLimit (each
