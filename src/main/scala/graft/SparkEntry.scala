@@ -164,6 +164,13 @@ object SparkEntry {
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
+    // the TTL form hardened for OUT-OF-ORDER arrival, replayed over a
+    // deliberately disordered split (late-but-within-watermark rows in a
+    // LATER micro-batch) — buffer-until-watermark, same data-driven oracle
+    "dedup_exact_ttl_ooo_streaming" -> ((s, dir) => Dedup.exactTtlOooStreaming(s, dir)),
+    // the same op on the RocksDB state store — the provider swap on the
+    // repo's largest state (pending buffers, not accumulators)
+    "dedup_exact_ttl_rocksdb" -> ((s, dir) => Dedup.exactTtlOooRocksDb(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -1095,6 +1102,11 @@ object SparkEntry {
       // broadcast-table assignment ≡ literal assignment (same score, same
       // tie-break) — one oracle serves both
       "ann_ivf_bcast_topk"             -> base("ann_ivf_trained_topk"),
+      // generations are a pure function of the time-sorted occurrence
+      // list — the same lag-window oracle checks ordered, disordered, and
+      // provider-swapped replays
+      "dedup_exact_ttl_ooo_streaming"  -> base("dedup_exact_ttl_streaming"),
+      "dedup_exact_ttl_rocksdb"        -> base("dedup_exact_ttl_streaming"),
       "q1t_running_max_tws"            -> base("q1_running_max"),
       "q2t_block_avg_tws"              -> base("q2_block_avg"),
       "q3t_running_max_month_tws"      -> base("q3_running_max_month"),

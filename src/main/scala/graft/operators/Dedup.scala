@@ -136,6 +136,105 @@ object Dedup {
       .orderBy(col("fp"), col("start_us"))
   }
 
+  /** Sentinel fingerprint of the TTL replays — non-hex, so no md5 can
+    * collide with it; filtered after the drain. */
+  private[graft] val TtlSentinelFp = "sentinel"
+
+  /** [[exactTtlStreaming]] hardened for OUT-OF-ORDER arrival, over a replay
+    * built to PROVOKE it: [[StatefulQueries.disorderedSplitWithSentinel]]
+    * pulls the even-id rows of a 12-hour window past the median cut into
+    * the first file, so the second micro-batch delivers their odd-id time
+    * neighbors late — behind state the first batch already built from
+    * later event times — yet inside the watermark slack. The base op's
+    * gap-vs-last-seen rule mis-generations exactly this shape
+    * (StreamingGateSpec pins a fixture where it provably does);
+    * [[graft.streaming.StatefulOps.ttlDedupOooStream]] buffers until the
+    * watermark settles the order instead, and the UNCHANGED data-driven
+    * oracle (generations are a pure function of the time-sorted occurrence
+    * list) hash-checks the result. The watermark delay covers the
+    * engineered lateness (slack + 1h margin — a dropped late row would
+    * diverge from the oracle, so the margin is load-bearing); the sentinel
+    * still flushes every real fingerprint because it rides 30 days ahead. */
+  def exactTtlOooStreaming(spark: SparkSession, sfDir: String,
+                           horizonUs: Long = TtlHorizonUs): DataFrame = {
+    import graft.streaming.StatefulOps
+    val slackUs = horizonUs / 2
+    val dir = StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"ttlooodedup:$sfDir",
+          Seq("t0.parquet", "t1.parquet", "t2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(md5(concat(col("event_type"), lit("|"), col("props"))).as("fp"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_id").as("id"))
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(TtlSentinelFp).as("fp"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(-1L).as("id"))
+        StatefulQueries.disorderedSplitWithSentinel(ev, "id", "ts", slackUs)(sentinel)
+      }
+    }
+    ttlDrainOf(spark, dir, s"${slackUs / 1000000L + 3600L} seconds", horizonUs,
+      StatefulOps.ttlDedupOooStream, requireExpiry = true)
+  }
+
+  /** [[exactTtlOooStreaming]] on the ROCKSDB state store — the provider
+    * swap where it matters most: this family's state is the largest in the
+    * repo (per-fingerprint pending BUFFERS, not one accumulator), which is
+    * precisely the state-larger-than-heap shape RocksDB exists for. Twin
+    * differs ONLY by provider (the q1r/q1rdb claim), same oracle. */
+  def exactTtlOooRocksDb(spark: SparkSession, sfDir: String): DataFrame =
+    StatefulQueries.withRocksDbStateStore(spark)(exactTtlOooStreaming(spark, sfDir))
+
+  /** The TTL-dedup drain scaffold behind the out-of-order forms and the
+    * StreamingGateSpec fixtures: replay `dir` through `op` with the given
+    * watermark delay, optionally require the state-expiry witness, strip
+    * the sentinel, recover decisions. `private[graft]` so the spec can
+    * replay hand-built disorder through BOTH ops. */
+  private[graft] def ttlDrainOf(
+      spark: SparkSession, dir: String, delay: String, horizonUs: Long,
+      op: (org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TtlRec], Long) =>
+        org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TtlOut],
+      requireExpiry: Boolean): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val enc: org.apache.spark.sql.Encoder[StatefulOps.TtlRec] =
+      org.apache.spark.sql.Encoders.product[StatefulOps.TtlRec]
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", delay)
+      .select(col("fp"), col("ts"), col("id")).as[StatefulOps.TtlRec]
+    val raw = StatefulQueries.drainToMemory(spark, op(stream, horizonUs).toDF(),
+        stateWidth = Some(8)) { q =>
+      if (requireExpiry) {
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        require(progs.nonEmpty, "no state-operator progress recorded")
+        val removed = progs.map(_.stateOperators(0).numRowsRemoved).sum
+        val left = progs.last.stateOperators(0).numRowsTotal
+        val totalRows = q.recentProgress.map(_.numInputRows).sum
+        require((removed > 0 || totalRows <= 1) && left <= 1,
+          s"TTL did not bound state: removed=$removed, left=$left — " +
+            "every finalized fingerprint must leave the store")
+      }
+    }
+    raw.filter(!(col("fp") <=> TtlSentinelFp))
+      .groupBy(col("fp"), col("start_us"))
+      .agg(min(col("keep_id")).as("keep_id"), max(col("n_dups")).as("n_dups"))
+      .orderBy(col("fp"), col("start_us"))
+  }
+
+  /** Replay hand-built frames (already batch-sliced) through a TTL dedup
+    * op — the StreamingGateSpec entry point for cross-batch disorder
+    * fixtures. `tag` must be unique per fixture (the copy is cached). */
+  private[graft] def ttlReplayOf(
+      spark: SparkSession, frames: Seq[DataFrame], tag: String,
+      horizonUs: Long, delay: String,
+      op: (org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TtlRec], Long) =>
+        org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.TtlOut]): DataFrame = {
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, tag,
+      frames.indices.map(i => s"t$i.parquet"))(frames)
+    ttlDrainOf(spark, dir, delay, horizonUs, op, requireExpiry = false)
+  }
+
   /** Default chunk width (tokens) for [[paragraphDedup]]/[[containment]] —
     * interpolated into the oracle SQL (SparkEntry) so the two sides cannot
     * drift. */

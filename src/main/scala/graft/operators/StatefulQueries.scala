@@ -334,6 +334,40 @@ object StatefulQueries {
     }
   }
 
+  /** [[medianSplitWithSentinel]] with deliberate CROSS-BATCH DISORDER: the
+    * even-id rows up to `slackUs` PAST the median cut ride in the FIRST
+    * file, while their odd-id time-neighbors stay in the second — so the
+    * second micro-batch delivers rows that sort strictly before state the
+    * first batch already built from later event times. This is the
+    * adversarial replay of a real source's watermark slack: the consumer
+    * must tolerate late-but-within-watermark arrival (its watermark delay
+    * must cover `slackUs`, or the engine drops the held-back rows and the
+    * oracle diverges). The sentinel contract is [[medianSplitWithSentinel]]'s. */
+  private[operators] def disorderedSplitWithSentinel(
+      ev: DataFrame, idCol: String, tsCol: String, slackUs: Long)
+      (sentinel: Long => DataFrame): Seq[DataFrame] = {
+    val maxIdRow = ev.agg(max(col(idCol))).head()
+    if (maxIdRow.isNullAt(0)) Seq(sentinel(0L)) // empty input: flush-only
+    else {
+      val bounds = ev.agg(
+        max(when(col(idCol) <= maxIdRow.getLong(0) / 2, unix_micros(col(tsCol)))),
+        max(unix_micros(col(tsCol)))).head()
+      val maxUs = bounds.getLong(1)
+      val midUs = if (bounds.isNullAt(0)) maxUs else bounds.getLong(0)
+      val us = unix_micros(col(tsCol))
+      // "pulled forward": even-id rows from the slack window arrive EARLY
+      // (first file); their odd-id neighbors then arrive LATE relative to
+      // the watermark those rows advanced
+      val pulled = col(idCol) % 2 === 0 && us <= midUs + slackUs
+      val first = ev.filter(us <= midUs || pulled)
+      val second = ev.filter(us > midUs && !pulled)
+      // an upper half emptied by the pull must be dropped, not written as a
+      // zero-row batch
+      if (second.isEmpty) Seq(first, sentinel(maxUs))
+      else Seq(first, second, sentinel(maxUs))
+    }
+  }
+
   /** `events` as TWO parquet files split at the median event_id. `event_id`
     * is the verified (ts, event_id)-monotone order, so splitting on it
     * preserves per-key arrival order across the batch boundary — the

@@ -350,6 +350,98 @@ object StatefulOps {
           }
       }
 
+  /** Closed-but-not-yet-emittable generation accumulator for
+    * [[ttlDedupOooStream]]: rows strictly below the watermark, compacted to
+    * the (start, last, min id, count) the output needs. */
+  case class OooGen(start_us: Long, last_us: Long, min_id: Long, n: Long)
+  /** A raw occurrence still at-or-above the watermark — a later arrival may
+    * yet sort before it, so it cannot be folded. */
+  case class OooRow(us: Long, id: Long)
+  case class OooAcc(gens: Seq[OooGen], pend: Seq[OooRow])
+  private implicit val oooAccEnc: Encoder[OooAcc] = Encoders.product[OooAcc]
+
+  /** [[ttlDedupStream]] hardened for OUT-OF-ORDER arrival: the base op's
+    * correctness rule ("gap vs the state's last-seen") is exact only for
+    * time-ordered per-key arrival — a late-but-within-watermark row landing
+    * in a LATER micro-batch arrives behind `last_us`, and its negative gap
+    * folds it into whatever generation happens to be open (even moving
+    * `last_us` backward), where the true time order may put it in an
+    * earlier generation or have it BRIDGE two. Real streams are disordered
+    * inside the watermark slack — that is what the watermark is for — so
+    * this form buffers until the watermark settles the order:
+    *
+    *  - Every occurrence first lands in `pend`, raw. Each invocation
+    *    re-sorts pend ∪ batch by (us, id) — a late arrival takes its TRUE
+    *    time position, which is the entire point.
+    *  - Rows strictly below the watermark compact into [[OooGen]]
+    *    accumulators (the gap fold of the base op). Sound because kept and
+    *    future rows all have us ≥ watermark: the engine drops later-batch
+    *    rows below it, so nothing can ever sort before a compacted row
+    *    again — rows folding onto the newest accumulator always extend it
+    *    forward. Only the NEWEST accumulator can grow; older ones are
+    *    separated from all future rows by their already-materialized
+    *    > horizon gap.
+    *  - A generation EMITS (exactly once — emission here is final, not
+    *    cumulative like the base op's) when `last_us + horizon <
+    *    watermark`: any future kept row has us ≥ watermark > last + horizon,
+    *    whose gap opens a new generation, so the emitted row can never be
+    *    invalidated. Finalizable generations are a prefix (last_us is
+    *    increasing), and the condition subsumes expiry — emitted
+    *    generations leave the state immediately, bounding state to
+    *    O(occurrences within horizon + watermark slack) per warm
+    *    fingerprint.
+    *  - `EventTimeTimeout` at the earliest unemitted generation's
+    *    `last_us + horizon` (ceil to ms) drives the flush when no further
+    *    data arrives for the key — including the trailing no-data batch a
+    *    far-future sentinel row unlocks.
+    *
+    * Output contract matches [[ttlDedupStream]] downstream (groupBy
+    * (fp, start_us) is a no-op pass-through here since each generation
+    * appears once), and the data-driven oracle is unchanged: the
+    * generations are a pure function of the (us, id)-sorted occurrence
+    * list, which this op reconstructs exactly regardless of micro-batch
+    * slicing. */
+  def ttlDedupOooStream(ds: Dataset[TtlRec], horizonUs: Long): Dataset[TtlOut] =
+    ds.groupByKey(_.fp)
+      .flatMapGroupsWithState[OooAcc, TtlOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (fp, rows, state: GroupState[OooAcc]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(OooAcc(Nil, Nil))
+          val all = (prev.pend.map(r => (r.us, r.id)) ++
+            rows.map(r => (micros(r.ts), r.id))).sorted
+          var gens = prev.gens.toVector
+          val keep = Vector.newBuilder[OooRow]
+          all.foreach { case (us, id) =>
+            if (us < wmUs) {
+              gens = gens.lastOption match {
+                // us > g.last_us always (compacted rows sit strictly below
+                // every watermark any kept/new row ever cleared), so the
+                // fold only extends forward
+                case Some(g) if us - g.last_us <= horizonUs =>
+                  gens.init :+ OooGen(g.start_us, us, math.min(g.min_id, id), g.n + 1L)
+                case _ => gens :+ OooGen(us, us, id, 1L)
+              }
+            } else keep += OooRow(us, id)
+          }
+          val (done, live) = gens.span(g => g.last_us + horizonUs < wmUs)
+          val pend = keep.result()
+          if (live.isEmpty && pend.isEmpty) {
+            if (state.exists || state.hasTimedOut) state.remove()
+          } else {
+            state.update(OooAcc(live, pend))
+            // wake when the earliest unemitted generation becomes final;
+            // ceil to ms so the wake never precedes finalizability. Always
+            // > the current watermark: live means last_us + horizon >= wmUs,
+            // and pend rows have us >= wmUs
+            val earliestUs = live.headOption.map(_.last_us).getOrElse(pend.head.us)
+            state.setTimeoutTimestamp((earliestUs + horizonUs) / 1000L + 1L)
+          }
+          done.iterator.map(g => TtlOut(fp, g.start_us, g.min_id, g.n))
+      }
+
   /** Q4 analogue (DaysSincePriceThreshold.java:61-102, ListState): per key,
     * rows with value >= threshold emit the count of sub-threshold rows since
     * the previous breach, then reset. The reference stores the full list but

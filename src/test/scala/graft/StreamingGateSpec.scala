@@ -102,6 +102,44 @@ class StreamingGateSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).sorted.toSeq === Seq(100L, 101L))
   }
 
+  test("out-of-order TTL dedup: a cross-batch late arrival lands in its true generation") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val h = 600L * 1000000L // 600s horizon
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // fp "a" in TRUE time order: 1000s, 1500s, 2000s — every gap 500s is
+    // within the horizon, so the data-driven rule says ONE generation
+    // (start 1000s, keep id 10, n=3). The 1500s row is held back to the
+    // SECOND micro-batch: it arrives behind state already built from the
+    // 2000s row, late but inside the 700s watermark slack.
+    val b0 = Seq(("a", ts(1000), 10L), ("a", ts(2000), 20L)).toDF("fp", "ts", "id")
+    val b1 = Seq(("a", ts(1500), 15L)).toDF("fp", "ts", "id")
+    val sent = Seq((Dedup.TtlSentinelFp, ts(100000000L), -1L)).toDF("fp", "ts", "id")
+    def run(op: (org.apache.spark.sql.Dataset[StatefulOps.TtlRec], Long) =>
+                org.apache.spark.sql.Dataset[StatefulOps.TtlOut], tag: String) =
+      Dedup.ttlReplayOf(spark, Seq(b0, b1, sent),
+          s"ttl-ooo-fixture-$tag:${System.nanoTime()}", h, "700 seconds", op)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected = Seq(("a", 1000L * 1000000L, 10L, 3L))
+    assert(run(StatefulOps.ttlDedupOooStream, "new") === expected)
+    // the base op's gap-vs-last-seen rule provably mis-generations this
+    // fixture (the late row's negative gap folds it into the 2000s
+    // generation instead of bridging 1000s and 2000s into one) — the
+    // disorder is real, not a vacuous replay the old op also survives
+    assert(run(StatefulOps.ttlDedupStream, "old") !== expected)
+  }
+
+  test("out-of-order TTL dedup matches the ordered form on the real disordered replay") {
+    // the gate query itself: disordered split of the events stream, same
+    // lag-window oracle as the ordered replay — equality of the two
+    // DataFrames is exactly the order-insensitivity claim
+    val ooo = Dedup.exactTtlOooStreaming(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val ord = Dedup.exactTtlStreaming(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(ooo === ord)
+    assert(ooo.nonEmpty)
+  }
+
   test("TTL'd streaming dedup bounds state and matches the lag-window sessionization") {
     // the drain itself REQUIRES the expiry witness (rows removed by the
     // event-time timeout, <=1 state row after the final batch) — a run in
