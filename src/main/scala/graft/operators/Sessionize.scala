@@ -103,10 +103,7 @@ object Sessionize {
     import graft.streaming.StatefulOps.SessionEv
     implicit val sessEvEnc: org.apache.spark.sql.Encoder[SessionEv] =
       org.apache.spark.sql.Encoders.product[SessionEv]
-    // the sentinel key is NON-NUMERIC on purpose: real keys are stringified
-    // int64 user_ids, so no legitimate user (including user_id = -1) can
-    // collide with it
-    val SentinelKey = "sentinel"
+    val SentinelKey = SessSentinelKey
     val dir = StatefulQueries.withNanosAsLong(spark) {
       StatefulQueries.timeOrderedFilesCopy(spark, s"sessions:$sfDir",
           Seq("s0.parquet", "s1.parquet", "s2.parquet")) {
@@ -150,6 +147,108 @@ object Sessionize {
       .select(col("user_id"), col("session_id"), col("n_events"),
               col("start_us"), col("end_us"))
       .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Sentinel key of the session replays — NON-NUMERIC on purpose: real
+    * keys are stringified int64 user_ids, so no legitimate user (including
+    * user_id = -1) can collide with it; filtered after the drain. */
+  private[graft] val SessSentinelKey = "sentinel"
+
+  /** [[sessionizeStreaming]] hardened for OUT-OF-ORDER arrival, over a
+    * replay built to PROVOKE it:
+    * [[StatefulQueries.disorderedSplitWithSentinel]] pulls the even-id
+    * rows of a 2-hour window past the median cut into the first file, so
+    * the second micro-batch delivers their odd-id time neighbors late —
+    * behind sessions the first batch already extended (or closed) from
+    * later event times — yet inside the watermark slack. The base op's
+    * fold-into-the-open-session rule mis-sessions exactly this shape
+    * (SessionStreamSpec pins a fixture where it provably does);
+    * [[graft.streaming.StatefulOps.sessionizeOooStream]] buffers until
+    * the watermark settles the order instead, and the UNCHANGED q13 batch
+    * oracle (sessions are a pure function of the time-sorted event list)
+    * hash-checks the result. The watermark delay covers the engineered
+    * lateness (slack + 1h margin — a dropped late row would diverge from
+    * the oracle, so the margin is load-bearing); the sentinel still
+    * flushes every real session because it rides 30 days ahead. */
+  def sessionizeOooStreaming(spark: SparkSession, sfDir: String,
+                             gapMinutes: Int = 60): DataFrame = {
+    import graft.streaming.StatefulOps
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val slackUs = 2L * gapUs
+    val dir = StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"sessionsooo:$sfDir",
+          Seq("s0.parquet", "s1.parquet", "s2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id").cast("string").as("key"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_id"))
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(SessSentinelKey).as("key"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(-1L).as("event_id"))
+        StatefulQueries.disorderedSplitWithSentinel(ev, "event_id", "ts", slackUs)(sentinel)
+      }
+    }
+    sessDrainOf(spark, dir, s"${slackUs / 1000000L + 3600L} seconds", gapMinutes,
+      StatefulOps.sessionizeOooStream, requireExpiry = true)
+  }
+
+  /** The session drain scaffold behind the out-of-order form and the
+    * SessionStreamSpec fixtures: replay `dir` through `op` with the given
+    * watermark delay, optionally require the state-expiry witness, strip
+    * the sentinel, rank per-user session ordinals. `private[graft]` so the
+    * spec can replay hand-built disorder through BOTH ops. */
+  private[graft] def sessDrainOf(
+      spark: SparkSession, dir: String, delay: String, gapMinutes: Int,
+      op: (org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionEv], Int) =>
+        org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionOut],
+      requireExpiry: Boolean): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val enc: org.apache.spark.sql.Encoder[StatefulOps.SessionEv] =
+      org.apache.spark.sql.Encoders.product[StatefulOps.SessionEv]
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", delay)
+      .select(col("key"), col("ts")).as[StatefulOps.SessionEv]
+    val sess = StatefulQueries.drainToMemory(spark, op(stream, gapMinutes).toDF(),
+        stateWidth = Some(8)) { q =>
+      if (requireExpiry) {
+        // the finalization witness, from the engine's own state-store
+        // metrics: emitted sessions left the store, and at most the
+        // sentinel's own pending row survives the final batch
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        require(progs.nonEmpty, "no state-operator progress recorded")
+        val removed = progs.map(_.stateOperators(0).numRowsRemoved).sum
+        val left = progs.last.stateOperators(0).numRowsTotal
+        val totalRows = q.recentProgress.map(_.numInputRows).sum
+        require((removed > 0 || totalRows <= 1) && left <= 1,
+          s"session finalization did not bound state: removed=$removed, left=$left — " +
+            "every emitted session must leave the store")
+      }
+    }
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    // null-safe: `=!=` would also drop a NULL-key group that the oracle keeps
+    sess.filter(!(col("key") <=> SessSentinelKey))
+      .select(col("key").cast("long").as("user_id"),
+              col("n_events"), col("start_us"), col("end_us"))
+      .withColumn("session_id", (row_number().over(byStart) - 1).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Replay hand-built frames (already batch-sliced) through a session op —
+    * the SessionStreamSpec entry point for cross-batch disorder fixtures.
+    * `tag` must be unique per fixture (the copy is cached). */
+  private[graft] def sessReplayOf(
+      spark: SparkSession, frames: Seq[DataFrame], tag: String,
+      gapMinutes: Int, delay: String,
+      op: (org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionEv], Int) =>
+        org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionOut]): DataFrame = {
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, tag,
+      frames.indices.map(i => s"s$i.parquet"))(frames)
+    sessDrainOf(spark, dir, delay, gapMinutes, op, requireExpiry = false)
   }
 
   /** Interval (range) self-join, bucketed for scale: count pairs of events

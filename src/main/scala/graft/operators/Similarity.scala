@@ -190,9 +190,21 @@ object Similarity {
     base.join(broadcast(cents))
       .withColumn("score", col("cdot") - lit(2.0) * dot(col("vec"), col("cvec")))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("score"), col("cid"))).getField("cid").as("cluster"),
-           carried.filter(_ != "vec_id").map(c => first(col(c)).as(c)): _*)
-      .select(carried.map(col) :+ col("cluster"): _*)
+      .agg(min(struct(col("score"), col("cid"))).getField("cid").as("__cluster_raw"),
+           (carried.filter(_ != "vec_id").map(c => first(col(c)).as(c)) :+
+             count(lit(1)).as("__n")): _*)
+      // the first()-recovered carried columns are only sound when base rows
+      // are UNIQUE per vec_id (every consumer's contract); a duplicate
+      // would silently merge rows with arbitrarily-mixed carried values, so
+      // it must be an ERROR. Each unique row contributes exactly
+      // |centroids| scored rows to its group — any other count is a
+      // duplicate. The check lives inside the output column so pruning
+      // can never drop it.
+      .select(carried.map(col) :+
+        when(col("__n") === lit(centroids.size.toLong), col("__cluster_raw"))
+          .otherwise(raise_error(concat(
+            lit("withClusterBroadcast: duplicate vec_id "), col("vec_id"))))
+          .as("cluster"): _*)
   }
 
   /** The argmin-centroid column shared by the coarse quantizer

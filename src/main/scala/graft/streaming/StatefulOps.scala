@@ -65,6 +65,15 @@ object StatefulOps {
   private implicit val gapEnc: Encoder[GapCount] = Encoders.product[GapCount]
   private implicit val strEnc: Encoder[String] = Encoders.STRING
 
+  /** Spark SQL / DuckDB comparison order on doubles: NaN sorts GREATEST.
+    * Every op here is registered under a SQL oracle (and has declarative /
+    * TWS twins), so a plain JVM `>`/`>=` — false for any NaN operand —
+    * would silently diverge on NaN data. Shared by the max-like folds and
+    * the breach test ([[thresholdGaps]]); NanParitySpec plants NaN to pin
+    * all twins to this rule. */
+  private[streaming] def sqlGe(a: Double, b: Double): Boolean =
+    java.lang.Double.isNaN(a) || (!java.lang.Double.isNaN(b) && a >= b)
+
   /** Q1 analogue (MaximumClosingPrice.java:47-82, ValueState): per key, emit
     * the running max for EVERY record. */
   def runningMax(ds: Dataset[KV], mode: OutputMode = OutputMode.Append()): Dataset[KeyedOut] =
@@ -73,7 +82,7 @@ object StatefulOps {
         (key, rows, state: GroupState[MaxSoFar]) =>
           var cur = if (state.exists) state.get.max else Double.NegativeInfinity
           val out = rows.toSeq.sortBy(_.ord).map { r =>
-            if (r.value > cur) cur = r.value
+            if (!sqlGe(cur, r.value)) cur = r.value
             KeyedOut(key, r.ord, cur)
           }
           state.update(MaxSoFar(cur))
@@ -129,8 +138,8 @@ object StatefulOps {
           var m = if (state.exists) state.get.m else Map.empty[String, Double]
           val out = rows.toSeq.sortBy(_.ord).map { r =>
             val cur = m.get(r.subkey) match {
-              case Some(prev) if prev >= r.value => prev
-              case _                             => r.value
+              case Some(prev) if sqlGe(prev, r.value) => prev
+              case _                                  => r.value
             }
             m = m.updated(r.subkey, cur)
             SubkeyOut(key, r.subkey, r.ord, cur)
@@ -158,6 +167,12 @@ object StatefulOps {
     *
     * The input Dataset must carry a watermarked event-time column; pass its
     * values here as epoch micros in `ts_us`.
+    *
+    * ORDERING: exact for time-ordered cross-batch arrival only (each
+    * batch's slice is sorted here, but a late-but-within-watermark row in
+    * a LATER micro-batch arrives behind an already-closed session) — the
+    * [[sessionizeOooStream]] twin buffers until the watermark settles the
+    * order and is the disorder-safe form.
     */
   def sessionizeStream(ds: Dataset[SessionEv], gapMinutes: Int = 60): Dataset[SessionOut] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
@@ -192,6 +207,91 @@ object StatefulOps {
             }
             out.iterator
           }
+      }
+  }
+
+  /** Closed-but-not-yet-emittable session accumulator for
+    * [[sessionizeOooStream]]: rows strictly below the watermark, compacted
+    * to the (start, end, count) the output needs. */
+  case class SessGen(start_us: Long, end_us: Long, n: Long)
+  case class SessOooAcc(gens: Seq[SessGen], pend: Seq[Long])
+  private implicit val sessOooAccEnc: Encoder[SessOooAcc] = Encoders.product[SessOooAcc]
+
+  /** [[sessionizeStream]] hardened for OUT-OF-ORDER arrival — the
+    * [[ttlDedupOooStream]] construction applied to gap sessions. The base
+    * op folds each batch's rows against the state's open session, which is
+    * exact only for time-ordered cross-batch arrival: a late-but-within-
+    * watermark row landing in a LATER micro-batch can belong inside — or
+    * BRIDGE — a session the op already closed and emitted within an
+    * earlier batch (its in-batch sort cannot help; the session is gone).
+    * Real streams are disordered inside the watermark slack, so this form
+    * buffers until the watermark settles the order:
+    *
+    *  - Every event first lands in `pend`, raw. Each invocation re-sorts
+    *    pend ∪ batch — a late arrival takes its TRUE time position.
+    *  - Rows strictly below the watermark compact into [[SessGen]]
+    *    accumulators via the gap fold. Sound because kept and future rows
+    *    all have us ≥ watermark: the engine drops later-batch rows below
+    *    it, so nothing can ever sort before a compacted row again — the
+    *    fold only extends the NEWEST session forward; older ones are
+    *    separated from all future rows by their already-materialized
+    *    > gap silence.
+    *  - A session EMITS (exactly once, final) when `end + gap <
+    *    watermark`: any future kept row has us ≥ watermark > end + gap,
+    *    whose gap opens a NEW session, so the emitted row can never be
+    *    invalidated — the same finalization rule the base op reaches via
+    *    `setTimeoutTimestamp`, now proof-bearing under disorder.
+    *    Finalizable sessions are a prefix (end_us is increasing), and
+    *    emitted sessions leave the state immediately — state is bounded by
+    *    O(events within gap + watermark slack) per active key.
+    *  - `EventTimeTimeout` at the earliest unemitted session's
+    *    `end + gap` (ceil to ms) drives the flush when no further data
+    *    arrives for the key — including the trailing no-data batch a
+    *    far-future sentinel row unlocks.
+    *
+    * Output contract matches [[sessionizeStream]]; registered under the
+    * same q13 batch oracle (sessions are a pure function of the
+    * time-sorted event list, which this op reconstructs exactly regardless
+    * of micro-batch slicing). */
+  def sessionizeOooStream(ds: Dataset[SessionEv], gapMinutes: Int = 60): Dataset[SessionOut] = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[SessOooAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[SessOooAcc]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(SessOooAcc(Nil, Nil))
+          val all = (prev.pend ++ rows.map(r => micros(r.ts))).sorted
+          var gens = prev.gens.toVector
+          val keep = Vector.newBuilder[Long]
+          all.foreach { us =>
+            if (us < wmUs) {
+              gens = gens.lastOption match {
+                // us > g.end_us always (compacted rows sit strictly below
+                // every watermark any kept/new row ever cleared), so the
+                // fold only extends forward
+                case Some(g) if us - g.end_us <= gapUs =>
+                  gens.init :+ SessGen(g.start_us, us, g.n + 1L)
+                case _ => gens :+ SessGen(us, us, 1L)
+              }
+            } else keep += us
+          }
+          val (done, live) = gens.span(g => g.end_us + gapUs < wmUs)
+          val pend = keep.result()
+          if (live.isEmpty && pend.isEmpty) {
+            if (state.exists || state.hasTimedOut) state.remove()
+          } else {
+            state.update(SessOooAcc(live, pend))
+            // wake when the earliest unemitted session becomes final; ceil
+            // to ms so the wake never precedes finalizability. Always > the
+            // current watermark: live means end_us + gap >= wmUs, and pend
+            // rows have us >= wmUs
+            val earliestUs = live.headOption.map(_.end_us).getOrElse(pend.head)
+            state.setTimeoutTimestamp((earliestUs + gapUs) / 1000L + 1L)
+          }
+          done.iterator.map(g => SessionOut(key, g.start_us, g.end_us, g.n))
       }
   }
 
@@ -454,7 +554,7 @@ object StatefulOps {
           var n = if (state.exists) state.get.n else 0L
           val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
           rows.toSeq.sortBy(_.ord).foreach { r =>
-            if (r.value >= threshold) {
+            if (sqlGe(r.value, threshold)) {
               out += GapOut(key, r.ord, n)
               n = 0L
             } else {

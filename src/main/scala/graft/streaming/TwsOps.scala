@@ -74,7 +74,7 @@ object TwsOps {
                                  timerValues: TimerValues): Iterator[KeyedOut] = {
       var cur = if (runMax.exists()) runMax.get() else Double.NegativeInfinity
       val out = rows.toSeq.sortBy(_.ord).map { r =>
-        if (r.value > cur) cur = r.value
+        if (!StatefulOps.sqlGe(cur, r.value)) cur = r.value
         KeyedOut(key, r.ord, cur)
       }
       runMax.update(cur)
@@ -142,8 +142,8 @@ object TwsOps {
         val prev = delta.get(r.subkey).orElse(
           if (subkeyMax.containsKey(r.subkey)) Some(subkeyMax.getValue(r.subkey)) else None)
         val cur = prev match {
-          case Some(p) if p >= r.value => p
-          case _                       => r.value
+          case Some(p) if StatefulOps.sqlGe(p, r.value) => p
+          case _                                        => r.value
         }
         delta(r.subkey) = cur
         SubkeyOut(key, r.subkey, r.ord, cur)
@@ -174,7 +174,7 @@ object TwsOps {
       def storedCount(): Long =
         if (cleared) 0L else { var n = 0L; val it = belowOrds.get(); while (it.hasNext) { it.next(); n += 1 }; n }
       rows.toSeq.sortBy(_.ord).foreach { r =>
-        if (r.value >= threshold || java.lang.Double.isNaN(r.value)) {
+        if (StatefulOps.sqlGe(r.value, threshold)) {
           out += GapOut(key, r.ord, storedCount() + pending.length)
           belowOrds.clear(); cleared = true
           pending = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -67,4 +67,45 @@ class NanParitySpec extends SparkSpec {
     // the NaN row (id 5) must itself appear as a breach
     assert(pass.exists(_.head == 5L))
   }
+
+  // the fMGWS twins (q1s/q3s/q4s — and through them q1r/q4r and the TWS
+  // forms' parity spec) fold with JVM comparisons; these pin them to the
+  // same SQL NaN-greatest rule as the declarative and secondary-sort forms
+  private def kvFixture = {
+    import graft.streaming.StatefulOps.KV
+    Seq(KV("a", 1L, 10.0), KV("a", 2L, Double.NaN), KV("a", 3L, 250.0),
+        KV("a", 4L, 7.0), KV("b", 1L, 120.0), KV("b", 2L, Double.NaN)).toDS()
+  }
+
+  test("q1s: fMGWS running max keeps a NaN maximum, like the window twin") {
+    import graft.streaming.StatefulOps
+    val got = StatefulOps.runningMax(kvFixture).collect()
+      .map(r => (r.key, r.ord) -> String.valueOf(r.out)).toMap
+    // NaN at ord 2 dominates every later record of key a
+    assert(got(("a", 1L)) == "10.0")
+    assert(got(("a", 2L)) == "NaN" && got(("a", 3L)) == "NaN" && got(("a", 4L)) == "NaN")
+    assert(got(("b", 2L)) == "NaN")
+  }
+
+  test("q3s: fMGWS subkey max keeps a NaN maximum") {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.KSV
+    val data = Seq(KSV("y", "m1", 1L, 5.0), KSV("y", "m1", 2L, Double.NaN),
+                   KSV("y", "m1", 3L, 9.0), KSV("y", "m2", 4L, 3.0)).toDS()
+    val got = StatefulOps.runningMaxBySubkey(data).collect()
+      .map(r => r.ord -> String.valueOf(r.out)).toMap
+    assert(got(2L) == "NaN" && got(3L) == "NaN")
+    assert(got(4L) == "3.0") // other subkey untouched
+  }
+
+  test("q4s: fMGWS threshold gaps treat NaN as a breach, like q4p and the TWS twin") {
+    import graft.streaming.StatefulOps
+    val got = StatefulOps.thresholdGaps(kvFixture, 100.0).collect()
+      .map(r => (r.key, r.ord, r.gap)).sortBy(r => (r._1, r._2))
+    // key a: NaN at ord 2 breaches after one sub-threshold row; 250 at
+    // ord 3 follows immediately (gap 0). key b: 120 breaches with gap 0,
+    // NaN breaches with gap 0.
+    assert(got === Seq(("a", 2L, 1L), ("a", 3L, 0L),
+                       ("b", 1L, 0L), ("b", 2L, 0L)))
+  }
 }

@@ -36,7 +36,28 @@ class TwsSpec extends SparkSpec {
         .queryName(qn).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val rows = spark.table(qn).collect().map(_.toString).sorted.toSeq
-      val metaPath = ckpt.resolve("state/0/_metadata/v2/0")
+      // resolve the operator-metadata file by GLOB, not a pinned version
+      // path: a Spark upgrade that bumps the metadata layout (v2 → v3)
+      // must fail as a parity mismatch with a useful listing, not a bare
+      // file-not-found on a hardcoded path
+      val metaRoot = ckpt.resolve("state/0/_metadata")
+      def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val s = java.nio.file.Files.list(p)
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+        finally s.close()
+      }
+      require(java.nio.file.Files.isDirectory(metaRoot),
+        s"no operator metadata dir at $metaRoot")
+      val versionDir = listDir(metaRoot).filter(java.nio.file.Files.isDirectory(_))
+        .sortBy(_.getFileName.toString).lastOption
+        .getOrElse(sys.error(s"no version dir under $metaRoot: " +
+          listDir(metaRoot).mkString(", ")))
+      val metaPath = listDir(versionDir)
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith(".")) // skip .crc shadows
+        .sortBy(_.getFileName.toString).headOption
+        .getOrElse(sys.error(s"no metadata file under $versionDir: " +
+          listDir(versionDir).mkString(", ")))
       val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
         java.nio.charset.StandardCharsets.UTF_8)
       (rows, meta)
