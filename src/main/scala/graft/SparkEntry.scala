@@ -229,6 +229,9 @@ object SparkEntry {
     // session windows through the real engine: event-time timeout closes
     // sessions when the watermark passes end+gap, flushed by a sentinel batch
     "q13s_sessionize_streaming" -> ((s, dir) => Sessionize.sessionizeStreaming(s, dir)),
+    // the disorder-safe twin: buffer-until-watermark sessionization over a
+    // deliberately disordered replay, same batch oracle
+    "q13o_sessionize_ooo_streaming" -> ((s, dir) => Sessionize.sessionizeOooStreaming(s, dir)),
     "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
     "q16_anti_join"    -> ((s, dir) => Relational.neverOrderedParts(s, dir)),
@@ -1092,6 +1095,9 @@ object SparkEntry {
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),
+      // sessions are a pure function of the time-sorted event list — the
+      // same batch oracle checks the ordered and disordered replays
+      "q13o_sessionize_ooo_streaming"  -> base("q13_sessionize"),
       // the bloom prefilter is exact: no false negatives, false positives
       // die in the exact fingerprint join, freq cap unchanged per fp value
       "contamination_bloom"            -> base("contamination_external"),

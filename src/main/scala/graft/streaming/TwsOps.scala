@@ -64,6 +64,8 @@ object TwsOps {
   val Q2BlockVar = "blockIndex"
   val Q3StateVar = "subkeyMax"
   val Q4StateVar = "belowOrds"
+  val SessGensVar = "openSessions"
+  val SessPendVar = "pendingTs"
 
   /** Q1: running max per key, one emission per record — `ValueState`. */
   class RunningMaxProcessor extends StatefulProcessor[String, KV, KeyedOut] {
@@ -185,6 +187,100 @@ object TwsOps {
       if (pending.nonEmpty) belowOrds.appendList(pending.toArray)
       out.iterator
     }
+  }
+
+  /** Gap sessionization on TWS with EVENT-TIME TIMERS — the timer half of
+    * the Flink keyed-state interface family the reference demonstrates
+    * (Flink session windows hold elements in window ListState and close on
+    * an event-time timer; `registerTimer`/`handleExpiredTimer` with
+    * `TimeMode.EventTime` is Spark 4's literal analogue of
+    * `ctx.timerService().registerEventTimeTimer` + `onTimer`). The
+    * construction is [[StatefulOps.sessionizeOooStream]]'s
+    * buffer-until-watermark fold, so it is disorder-safe for free:
+    *
+    *  - `pendingTs: ListState[Long]` — raw event times at/above the
+    *    watermark (a later arrival may still sort before them).
+    *  - `openSessions: ListState[SessGen]` — compacted (start, end, n)
+    *    sessions the watermark has settled but not yet finalized.
+    *  - A session emits exactly once when `end + gap < watermark`; the
+    *    wake-up for a key the data stops visiting is a REAL event-time
+    *    timer at the earliest unemitted session's `end + gap` (ceil to
+    *    ms) — [[SessionProcessor.handleExpiredTimer]] runs the same fold
+    *    with no input rows, which is what closes the final session on the
+    *    trailing no-data batch. Timers are single-slot per key: each
+    *    invocation deletes the listed timers and re-registers the earliest
+    *    outstanding wake (`deleteTimer`/`listTimers` — the full timer API
+    *    surface).
+    *
+    * State per key is O(events within gap + watermark slack), the Flink
+    * window-state bound. Registered under q13's batch oracle. */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[String, StatefulOps.SessionEv, StatefulOps.SessionOut] {
+    import StatefulOps.{SessGen, SessionEv, SessionOut}
+    @transient private var gens: ListState[SessGen] = _
+    @transient private var pend: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      gens = getHandle.getListState[SessGen](SessGensVar,
+        Encoders.product[SessGen], TTLConfig.NONE)
+      pend = getHandle.getListState[Long](SessPendVar, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def drain[T](it: Iterator[T]): Vector[T] = {
+      val b = Vector.newBuilder[T]; while (it.hasNext) b += it.next(); b.result()
+    }
+    /** The shared fold (see [[StatefulOps.sessionizeOooStream]] for the
+      * soundness argument): settle `newUs` ∪ pending against the
+      * watermark, emit finalized sessions, re-arm the timer. */
+    private def settle(key: String, newUs: Seq[Long],
+                       timerValues: TimerValues): Iterator[SessionOut] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val all = (drain(pend.get()) ++ newUs).sorted
+      var gs = drain(gens.get())
+      val keep = Vector.newBuilder[Long]
+      all.foreach { us =>
+        if (us < wmUs) {
+          gs = gs.lastOption match {
+            case Some(g) if us - g.end_us <= gapUs =>
+              gs.init :+ SessGen(g.start_us, us, g.n + 1L)
+            case _ => gs :+ SessGen(us, us, 1L)
+          }
+        } else keep += us
+      }
+      val (done, live) = gs.span(g => g.end_us + gapUs < wmUs)
+      val pendNow = keep.result()
+      // single-slot timer: clear whatever is armed, then arm the earliest
+      // outstanding finalization (if any state remains)
+      drain(getHandle.listTimers()).foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      if (live.isEmpty && pendNow.isEmpty) {
+        gens.clear(); pend.clear()
+      } else {
+        if (live.isEmpty) gens.clear() else gens.put(live.toArray)
+        if (pendNow.isEmpty) pend.clear() else pend.put(pendNow.toArray)
+        val earliestUs = live.headOption.map(_.end_us).getOrElse(pendNow.head)
+        getHandle.registerTimer((earliestUs + gapUs) / 1000L + 1L)
+      }
+      done.iterator.map(g => SessionOut(key, g.start_us, g.end_us, g.n))
+    }
+    override def handleInputRows(key: String, rows: Iterator[SessionEv],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+      settle(key, rows.map(r => micros(r.ts)).toSeq, timerValues)
+    }
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      settle(key, Nil, timerValues)
+  }
+
+  /** Session windows over TWS event-time timers (see [[SessionProcessor]]);
+    * signature-compatible with the fMGWS forms so the session drain
+    * scaffold serves all three. */
+  def sessionizeTws(ds: Dataset[StatefulOps.SessionEv],
+                    gapMinutes: Int = 60): Dataset[StatefulOps.SessionOut] = {
+    implicit val outEnc: Encoder[StatefulOps.SessionOut] =
+      Encoders.product[StatefulOps.SessionOut]
+    ds.groupByKey(_.key)
+      .transformWithState(new SessionProcessor(gapMinutes.toLong * 60L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Q1 over TWS (see [[RunningMaxProcessor]]). */

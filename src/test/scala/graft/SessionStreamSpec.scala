@@ -52,6 +52,42 @@ class SessionStreamSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("out-of-order sessions: a cross-batch late arrival bridges a session the base op split") {
+    import graft.operators.Sessionize
+    // key 1 in TRUE time order: minutes 0, 8, 16 — every gap 8 min is
+    // within the 10-min session gap, so batch semantics say ONE session
+    // [0, 16] of 3 events. The minute-8 row is held back to the SECOND
+    // micro-batch: it arrives behind a session the first batch already
+    // closed ([0,0], the 16-min in-batch gap split it), late but inside
+    // the 10-min watermark slack.
+    val b0 = Seq(("1", t(0)), ("1", t(16))).toDF("key", "ts")
+    val b1 = Seq(("1", t(8))).toDF("key", "ts")
+    val sent = Seq((Sessionize.SessSentinelKey,
+      new Timestamp(Base + 30L * 24 * 3600 * 1000L))).toDF("key", "ts")
+    def run(op: (org.apache.spark.sql.Dataset[SessionEv], Int) =>
+                org.apache.spark.sql.Dataset[SessionOut], tag: String) =
+      Sessionize.sessReplayOf(spark, Seq(b0, b1, sent),
+          s"sess-ooo-fixture-$tag:${System.nanoTime()}", 10, "600 seconds", op)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val us = (m: Int) => (Base + m * 60000L) * 1000L
+    val expected = Seq((1L, 0L, 3L, us(0), us(16)))
+    assert(run(StatefulOps.sessionizeOooStream, "new") === expected)
+    // the base op's fold-into-the-open-session rule provably mis-sessions
+    // this fixture (the late row lands in the [16,16] session instead of
+    // bridging [0,0] and [16,16] into one) — the disorder is real, not a
+    // vacuous replay the old op also survives
+    assert(run(StatefulOps.sessionizeStream, "old") !== expected)
+  }
+
+  test("gate form: disordered replay through the OOO op ≡ batch sessionize") {
+    val got = graft.operators.Sessionize.sessionizeOooStreaming(spark, Sf0001).collect()
+    val want = graft.operators.Sessionize.sessionize(spark, Sf0001).collect()
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming sessions: user_id = -1 cannot collide with the flush sentinel") {
     // a synthetic events table whose only users are -1 and 7; the sentinel
     // key is non-numeric, so user -1's sessions must survive intact
