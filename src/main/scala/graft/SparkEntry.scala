@@ -103,6 +103,9 @@ object SparkEntry {
     "q2t_block_avg_tws"         -> ((s, dir) => TwsQueries.blockAvgTws(s, dir)),
     "q3t_running_max_month_tws" -> ((s, dir) => TwsQueries.runningMaxMonthTws(s, dir)),
     "q4t_threshold_gaps_tws"    -> ((s, dir) => TwsQueries.thresholdGapsTws(s, dir)),
+    // session windows on TWS EVENT-TIME TIMERS (registerTimer /
+    // handleExpiredTimer), disordered replay, RocksDB
+    "q13t_sessionize_tws"       -> ((s, dir) => TwsQueries.sessionizeTws(s, dir)),
     // ---- the same jobs as spill-safe SECONDARY-SORT passes (the 100 TB
     //      batch execution: memory independent of group size) — same oracles ----
     "q1p_running_max_secondary_sort" -> ((s, dir) => StatefulQueries.runningMaxSecondarySort(s, dir)),
@@ -171,6 +174,9 @@ object SparkEntry {
     // the same op on the RocksDB state store — the provider swap on the
     // repo's largest state (pending buffers, not accumulators)
     "dedup_exact_ttl_rocksdb" -> ((s, dir) => Dedup.exactTtlOooRocksDb(s, dir)),
+    // native state TTL: the generation accumulator is a ValueState with a
+    // real TTLConfig (store-side expiry), same data-driven oracle
+    "dedup_exact_ttl_tws" -> ((s, dir) => Dedup.exactTtlTws(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
@@ -208,6 +214,8 @@ object SparkEntry {
     // product quantization: M sub-quantizer codebooks; vectors compress to
     // M codeword ids (the IVF-PQ index memory layout), searched via ADC
     "pq_codes"         -> ((s, dir) => Similarity.pqCodes(s, dir)),
+    // broadcast-table codeword assignment (production-k escape hatch)
+    "pq_codes_bcast"   -> ((s, dir) => Similarity.pqCodesBcast(s, dir)),
     "ann_pq_adc_topk"  -> ((s, dir) => Similarity.pqAdcTopK(s, dir)),
     // the composed index: coarse cell prunes candidates, ADC scores codes
     "ann_ivfpq_topk"   -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
@@ -1108,15 +1116,21 @@ object SparkEntry {
       // broadcast-table assignment ≡ literal assignment (same score, same
       // tie-break) — one oracle serves both
       "ann_ivf_bcast_topk"             -> base("ann_ivf_trained_topk"),
+      // broadcast-table codeword assignment ≡ literal encoder (same score,
+      // same tie-break, same slice geometry) — one oracle serves both
+      "pq_codes_bcast"                 -> base("pq_codes"),
       // generations are a pure function of the time-sorted occurrence
       // list — the same lag-window oracle checks ordered, disordered, and
       // provider-swapped replays
       "dedup_exact_ttl_ooo_streaming"  -> base("dedup_exact_ttl_streaming"),
       "dedup_exact_ttl_rocksdb"        -> base("dedup_exact_ttl_streaming"),
+      "dedup_exact_ttl_tws"            -> base("dedup_exact_ttl_streaming"),
       "q1t_running_max_tws"            -> base("q1_running_max"),
       "q2t_block_avg_tws"              -> base("q2_block_avg"),
       "q3t_running_max_month_tws"      -> base("q3_running_max_month"),
       "q4t_threshold_gaps_tws"         -> base("q4_threshold_gaps"),
+      // timer-driven closure ≡ batch-gap semantics — same oracle as q13
+      "q13t_sessionize_tws"            -> base("q13_sessionize"),
       // star contraction computes the same labeling as min-label propagation
       "dedup_lsh_components_star"      -> base("dedup_lsh_components"),
       "ann_recall"                     -> annRecallOracle(base))

@@ -89,22 +89,7 @@ object Dedup {
     implicit val enc: org.apache.spark.sql.Encoder[StatefulOps.TtlRec] =
       org.apache.spark.sql.Encoders.product[StatefulOps.TtlRec]
     val SentinelFp = "sentinel"
-    val dir = StatefulQueries.withNanosAsLong(spark) {
-      StatefulQueries.timeOrderedFilesCopy(spark, s"ttldedup:$sfDir",
-          Seq("t0.parquet", "t1.parquet", "t2.parquet")) {
-        val ev = Tables.events(spark, sfDir)
-          .select(md5(concat(col("event_type"), lit("|"), col("props"))).as("fp"),
-                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
-                  col("event_id").as("id"))
-        def sentinel(afterUs: Long) = spark.range(1).select(
-          lit(SentinelFp).as("fp"),
-          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
-          lit(-1L).as("id"))
-        // split/sentinel contract lives in ONE place — see
-        // StatefulQueries.medianSplitWithSentinel
-        StatefulQueries.medianSplitWithSentinel(ev, "id", "ts")(sentinel)
-      }
-    }
+    val dir = orderedTtlReplayDir(spark, sfDir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
@@ -139,6 +124,51 @@ object Dedup {
   /** Sentinel fingerprint of the TTL replays — non-hex, so no md5 can
     * collide with it; filtered after the drain. */
   private[graft] val TtlSentinelFp = "sentinel"
+
+  /** The ordered TTL replay (fingerprinted events split at the median
+    * change point, far-future sentinel last) — ONE cached copy serves the
+    * fMGWS event-time-expiry form and the TWS native-TTL form. */
+  private[graft] def orderedTtlReplayDir(spark: SparkSession, sfDir: String): String =
+    StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"ttldedup:$sfDir",
+          Seq("t0.parquet", "t1.parquet", "t2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(md5(concat(col("event_type"), lit("|"), col("props"))).as("fp"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_id").as("id"))
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(TtlSentinelFp).as("fp"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(-1L).as("id"))
+        // split/sentinel contract lives in ONE place — see
+        // StatefulQueries.medianSplitWithSentinel
+        StatefulQueries.medianSplitWithSentinel(ev, "id", "ts")(sentinel)
+      }
+    }
+
+  /** [[exactTtlStreaming]] on TWS NATIVE STATE TTL
+    * ([[graft.streaming.TwsOps.TtlDedupProcessor]] — a `ValueState` whose
+    * `TTLConfig` does the state-hygiene work the fMGWS form hand-rolls via
+    * event-time timeouts), over the SAME ordered replay (one cached copy),
+    * on RocksDB. The 1-hour TTL respects the processing-time sizing rule
+    * (see the processor doc), so expiry cannot fire mid-drain and the rows
+    * are identical to the event-time-expiry twin — hash-checked under the
+    * same data-driven oracle. `requireExpiry=false`: state hygiene here is
+    * the store's TTL, witnessed by TwsSpec (metadata `ttlEnabled` + a
+    * deliberately undersized TTL observably splitting generations), not by
+    * watermark-timeout removal metrics. */
+  def exactTtlTws(spark: SparkSession, sfDir: String,
+                  horizonUs: Long = TtlHorizonUs): DataFrame =
+    StatefulQueries.withRocksDbStateStore(spark) {
+      // no-data batches off: ProcessingTime mode reports
+      // shouldRunAnotherBatch=true unconditionally, so AvailableNow would
+      // spin empty batches forever; cumulative emission needs no flush
+      StatefulQueries.withNoDataBatchesDisabled(spark) {
+        val dir = orderedTtlReplayDir(spark, sfDir)
+        ttlDrainOf(spark, dir, "0 seconds", horizonUs,
+          graft.streaming.TwsOps.ttlDedupTws(_, _), requireExpiry = false)
+      }
+    }
 
   /** [[exactTtlStreaming]] hardened for OUT-OF-ORDER arrival, over a replay
     * built to PROVOKE it: [[StatefulQueries.disorderedSplitWithSentinel]]

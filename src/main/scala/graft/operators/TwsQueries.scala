@@ -86,6 +86,22 @@ object TwsQueries {
               col("subkey").cast("long").as("mon"), col("out").as("run_max"))
       .orderBy(col("event_id"))
 
+  /** q13 on transformWithState with EVENT-TIME TIMERS
+    * ([[TwsOps.SessionProcessor]] — `registerTimer`/`handleExpiredTimer`,
+    * the Flink `registerEventTimeTimer`/`onTimer` analogue), over the SAME
+    * disordered replay as q13o (one cached copy), on RocksDB. The final
+    * session of every key closes on the trailing no-data batch via a real
+    * timer, not a data-driven fold — registered under q13's batch oracle,
+    * so timer-driven closure ≡ batch-gap semantics is hash-checked. */
+  def sessionizeTws(spark: SparkSession, sfDir: String,
+                    gapMinutes: Int = 60): DataFrame =
+    StatefulQueries.withRocksDbStateStore(spark) {
+      val slackUs = 2L * gapMinutes.toLong * 60L * 1000000L
+      val dir = Sessionize.disorderedSessionReplayDir(spark, sfDir, slackUs)
+      Sessionize.sessDrainOf(spark, dir, s"${slackUs / 1000000L + 3600L} seconds",
+        gapMinutes, TwsOps.sessionizeTws, requireExpiry = true)
+    }
+
   /** Q4 on transformWithState (literal ListState), registered under q4's
     * oracle. */
   def thresholdGapsTws(spark: SparkSession, sfDir: String): DataFrame =

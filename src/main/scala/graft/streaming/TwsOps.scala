@@ -66,6 +66,7 @@ object TwsOps {
   val Q4StateVar = "belowOrds"
   val SessGensVar = "openSessions"
   val SessPendVar = "pendingTs"
+  val TtlAccVar = "fpGen"
 
   /** Q1: running max per key, one emission per record — `ValueState`. */
   class RunningMaxProcessor extends StatefulProcessor[String, KV, KeyedOut] {
@@ -281,6 +282,79 @@ object TwsOps {
     ds.groupByKey(_.key)
       .transformWithState(new SessionProcessor(gapMinutes.toLong * 60L * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** TTL dedup on TWS with NATIVE STATE TTL — the last first-class citizen
+    * of the Flink keyed-state interface family (`StateTtlConfig` on a state
+    * descriptor) the engine reached only by hand-rolled event-time timeouts
+    * before: the per-fingerprint generation accumulator is a
+    * `ValueState[TtlAcc]` registered with a REAL `TTLConfig`, so the STORE
+    * expires it — an expired value reads as absent, exactly Flink's
+    * `StateVisibility.NeverReturnExpired`.
+    *
+    * The engine restricts TTL to `TimeMode.ProcessingTime` (EventTime +
+    * TTLConfig throws STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_TIME_MODE),
+    * which fits this op: [[StatefulOps.ttlDedupStream]]'s emission is
+    * CUMULATIVE (every touched batch re-emits the current generation row;
+    * downstream `groupBy(fp, start_us).agg(min, max)` recovers decisions),
+    * so no end-of-stream timer flush is needed — and the event-time timeout
+    * the fMGWS form hand-rolls for state hygiene is replaced by the store's
+    * own TTL.
+    *
+    * The r9 "removal never changes an answer" argument, transplanted to
+    * processing time: expiry must never undercut the event-time horizon,
+    * i.e. the TTL duration must be ≥ the processing-time window in which an
+    * occurrence within `horizonUs` (event time) of the state's last-seen
+    * can still arrive (ingestion lag + horizon at the stream's event-rate).
+    * The registered form uses 1 hour against a drain that completes in
+    * seconds — expiry provably cannot fire before the last batch, so the
+    * TTL'd twin is row-identical to the event-time-expiry twin (TwsSpec
+    * pins both this equality and, with a deliberately undersized TTL, that
+    * the store's expiry is REAL — a misconfigured TTL observably splits
+    * generations). */
+  class TtlDedupProcessor(horizonUs: Long, ttl: TTLConfig)
+      extends StatefulProcessor[String, StatefulOps.TtlRec, StatefulOps.TtlOut] {
+    import StatefulOps.{TtlAcc, TtlOut, TtlRec}
+    @transient private var acc: ValueState[TtlAcc] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[TtlAcc](TtlAccVar, Encoders.product[TtlAcc], ttl)
+    override def handleInputRows(key: String, rows: Iterator[TtlRec],
+                                 timerValues: TimerValues): Iterator[TtlOut] = {
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+      val out = scala.collection.mutable.ArrayBuffer.empty[TtlOut]
+      // an EXPIRED value reads as absent — the store's TTL in action
+      var cur = if (acc.exists()) Some(acc.get()) else None
+      rows.toSeq.map(r => (micros(r.ts), r.id)).sorted.foreach { case (us, id) =>
+        cur match {
+          case Some(a) if us - a.last_us <= horizonUs =>
+            cur = Some(TtlAcc(a.start_us, us, math.min(a.min_id, id), a.n + 1L))
+          case Some(a) => // horizon exceeded within the batch: close + reopen
+            out += TtlOut(key, a.start_us, a.min_id, a.n)
+            cur = Some(TtlAcc(us, us, id, 1L))
+          case None =>
+            cur = Some(TtlAcc(us, us, id, 1L))
+        }
+      }
+      cur.foreach { a =>
+        out += TtlOut(key, a.start_us, a.min_id, a.n)
+        acc.update(a) // the write restarts the value's TTL clock
+      }
+      out.iterator
+    }
+  }
+
+  /** TTL dedup over native state TTL (see [[TtlDedupProcessor]]);
+    * signature-compatible with the fMGWS forms so [[graft.operators.Dedup]]'s
+    * drain scaffold serves all of them. */
+  def ttlDedupTws(ds: Dataset[StatefulOps.TtlRec], horizonUs: Long,
+                  ttl: TTLConfig = TTLConfig(java.time.Duration.ofHours(1)))
+      : Dataset[StatefulOps.TtlOut] = {
+    implicit val outEnc: Encoder[StatefulOps.TtlOut] =
+      Encoders.product[StatefulOps.TtlOut]
+    ds.groupByKey(_.fp)
+      .transformWithState(new TtlDedupProcessor(horizonUs, ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Q1 over TWS (see [[RunningMaxProcessor]]). */

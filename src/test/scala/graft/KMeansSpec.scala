@@ -97,6 +97,13 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("pq bcast: broadcast-table encoding is row-identical to the literal encoder") {
+    val literal = Similarity.pqCodes(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val bcast = Similarity.pqCodesBcast(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(bcast === literal)
+    assert(bcast.nonEmpty)
+  }
+
   test("pq ADC: scores equal the codeword-table recomputation; pairs exclude self") {
     val books = Similarity.pqCodebooks(base)
     val sub = Similarity.EmbeddingDim / Similarity.PqM

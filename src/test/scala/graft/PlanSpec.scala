@@ -233,6 +233,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("pq_codes_bcast: codewords ride a broadcast TABLE, no plan literals") {
+    val p = plan("pq_codes_bcast")
+    // the m×k codeword set is DATA in a BroadcastNestedLoopJoin (an argmin
+    // has no equi key) and the per-subspace argmins fold through a
+    // map-side partial min before the one hash exchange — the plan must
+    // carry no codeword struct literals (the literal encoder's signature)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert("partial_min".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("named_struct"), p)
+  }
+
   test("quality_filter and winnow_fingerprints stay single-scan projections") {
     for (name <- Seq("quality_filter", "winnow_fingerprints")) {
       val p = plan(name)
