@@ -88,6 +88,8 @@ object SparkEntry {
     "q1r_running_max_streaming" -> ((s, dir) => StatefulQueries.runningMaxStreaming(s, dir)),
     // q1 on the RocksDB state store — the larger-than-heap state backend
     "q1rdb_running_max_rocksdb" -> ((s, dir) => StatefulQueries.runningMaxStreamingRocksDb(s, dir)),
+    // q1 over the SOCKET source — push-based, non-replayable ingest
+    "q1k_running_max_socket"    -> ((s, dir) => StatefulQueries.runningMaxSocketStream(s, dir)),
     "q2r_block_avg_streaming"   -> ((s, dir) => StatefulQueries.blockAvgStreaming(s, dir)),
     // q2 across TWO streaming runs sharing a checkpoint (state recovery)
     "q2c_block_avg_checkpoint"  -> ((s, dir) => StatefulQueries.blockAvgCheckpointed(s, dir)),
@@ -1091,6 +1093,7 @@ object SparkEntry {
       "q1s_running_max_stateful"       -> base("q1_running_max"),
       "q1r_running_max_streaming"      -> base("q1_running_max"),
       "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
+      "q1k_running_max_socket"         -> base("q1_running_max"),
       "dedup_exact_streaming"          -> base("dedup_exact"),
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
       "q2c_block_avg_checkpoint"       -> base("q2_block_avg"),

@@ -205,6 +205,94 @@ object StatefulQueries {
     }
   }
 
+  /** Drive a streaming op over Spark's SOCKET source: serve `chunks` of
+    * text lines from an in-process loopback server ([[graft.io.SocketText]]),
+    * run `op` on the `value: String` stream, drain to a memory sink. The
+    * socket source has no replay and no end-of-stream marker, so the drain
+    * is coordinated by OBSERVATION: chunk N+1 is sent only after the sink
+    * holds `expected(N)` rows (cumulative output counts per chunk), which
+    * both detects completion and forces a micro-batch boundary between
+    * chunks — chunk 2's rows provably fold into state written by an
+    * earlier batch. The connection stays open until the query stops (the
+    * source treats EOF as failure); `check` runs against the live query
+    * after the last chunk lands (e.g. the ≥2-batch witness). */
+  private[graft] def drainSocket(
+      spark: SparkSession, chunks: Seq[Seq[String]], expected: Seq[Long])(
+      op: DataFrame => DataFrame)(
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame =
+    withShuffleWidth(spark, 8) {
+      require(chunks.length == expected.length && expected == expected.sorted,
+        "expected must give a cumulative sink row count per chunk")
+      val srv = new graft.io.SocketText()
+      try {
+        val stream = spark.readStream.format("socket")
+          .option("host", srv.host).option("port", srv.port).load()
+        val qn = s"socket_stream_${System.nanoTime()}"
+        try {
+          val q = op(stream).writeStream.outputMode("append").format("memory")
+            .queryName(qn).start()
+          try {
+            srv.accept()
+            chunks.zip(expected).foreach { case (chunk, n) =>
+              srv.send(chunk)
+              awaitSinkCount(spark, qn, n)
+            }
+            check(q)
+          } finally { q.stop(); q.awaitTermination() }
+          materializeAndDrop(spark, qn)
+        } finally {
+          if (spark.catalog.tableExists(qn)) spark.catalog.dropTempView(qn)
+        }
+      } finally srv.close()
+    }
+
+  /** Poll a memory sink until it holds `n` rows (the socket drain's only
+    * completion signal — the source cannot say "done"). Counting a memory
+    * sink is a driver-local scan, so the poll is cheap; the deadline turns
+    * a wedged stream into a diagnosis instead of a hang. */
+  private def awaitSinkCount(spark: SparkSession, qn: String, n: Long,
+                             timeoutMs: Long = 120000): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var cur = spark.table(qn).count()
+    while (cur < n) {
+      if (System.nanoTime() > deadline)
+        sys.error(s"socket drain stalled: sink $qn holds $cur of $n expected rows")
+      Thread.sleep(25)
+      cur = spark.table(qn).count()
+    }
+  }
+
+  /** Q1 over the SOCKET source, registered under q1's oracle — the
+    * push-based, non-replayable ingest shape (Flink's `socketTextStream`
+    * family). The events rows travel as a "key,ord,value" text protocol in
+    * two observation-separated chunks, so the running max provably crosses
+    * a micro-batch boundary through keyed state; `Double.toString` →
+    * string-cast round-trips every double bit-exactly, so the oracle hash
+    * is unchanged. Producer-side collect is inherent to the source (Spark's
+    * socket ingest is driver-side by design — see [[graft.io.SocketText]]);
+    * the distributed-ingest twins are q1r (file replay) and the JDBC scan. */
+  def runningMaxSocketStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = Tables.events(spark, sfDir)
+      .select(year(col("ts")).cast("string").as("key"),
+              col("event_id").as("ord"), col("value"))
+      .orderBy(col("ord"))
+      .collect()
+      .map(r => s"${r.getString(0)},${r.getLong(1)},${java.lang.Double.toString(r.getDouble(2))}")
+    val (a, b) = lines.splitAt(lines.length / 2)
+    drainSocket(spark, Seq(a.toSeq, b.toSeq), Seq(a.length.toLong, lines.length.toLong)) {
+      stream =>
+        StatefulOps.runningMax(stream
+          .select(split(col("value"), ",").as("f"))
+          .select(col("f").getItem(0).as("key"),
+                  col("f").getItem(1).cast("long").as("ord"),
+                  col("f").getItem(2).cast("double").as("value"))
+          .as[KV](kvEnc)).toDF()
+    }()
+      .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
+              col("out").as("run_max"))
+      .orderBy(col("event_id"))
+  }
+
   /** Q2 through the real micro-batch engine in ≥2 MICRO-BATCHES, registered
     * under q2's oracle — the in-gate proof of the stateful block INDEX: it
     * comes from the operator's keyed state ([[StatefulOps.blockAverage]]),

@@ -30,6 +30,42 @@ class StreamSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("socket source: q1k matches the stateful batch twin bit for bit") {
+    // the push-based, non-replayable ingest path produces the exact rows of
+    // the batch form — the Double.toString → cast text round-trip loses no
+    // bits, and per-key ord order survives TCP + chunking
+    val sock = graft.operators.StatefulQueries.runningMaxSocketStream(spark, Sf0001)
+    val batch = graft.operators.StatefulQueries.runningMaxStateful(spark, Sf0001)
+    assert(sock.count() === batch.count())
+    assert(sock.exceptAll(batch).isEmpty && batch.exceptAll(sock).isEmpty)
+  }
+
+  test("socket drain: chunks land in distinct micro-batches and fold through keyed state") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    var dataBatches = 0
+    var srcDesc = ""
+    // chunk 2's (a,2,3.0) must see chunk 1's max 5.0 from the STATE STORE —
+    // the observation barrier guarantees chunk 1's batch committed first
+    val out = graft.operators.StatefulQueries.drainSocket(spark,
+        Seq(Seq("a,1,5.0", "b,1,9.0"), Seq("a,2,3.0")), Seq(2L, 3L)) { stream =>
+      StatefulOps.runningMax(stream.select(split(col("value"), ",").as("f"))
+        .select(col("f").getItem(0).as("key"),
+                col("f").getItem(1).cast("long").as("ord"),
+                col("f").getItem(2).cast("double").as("value"))
+        .as[StatefulOps.KV]).toDF()
+    } { q =>
+      q.processAllAvailable()
+      dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      srcDesc = q.lastProgress.sources.head.description
+    }
+    assert(dataBatches >= 2, s"expected >=2 data micro-batches, saw $dataBatches")
+    assert(srcDesc.toLowerCase.contains("socket"), srcDesc)
+    val byKey = out.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(byKey(("a", 1L)) === 5.0 && byKey(("b", 1L)) === 9.0)
+    assert(byKey(("a", 2L)) === 5.0) // cross-batch state, not per-batch max
+  }
+
   test("streaming dedup: content-hash dropDuplicates holds state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
