@@ -252,6 +252,8 @@ object SparkEntry {
     "q21_topk_aggregator" -> ((s, dir) => TopK.topPartsByBrandAgg(s, dir)),
     "q22_above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(s, dir)),
     "q23_interval_join"    -> ((s, dir) => Sessionize.intervalPairCounts(s, dir)),
+    // q23 as a watermarked STREAM-STREAM join through the micro-batch engine
+    "q23ss_interval_join_streaming" -> ((s, dir) => StatefulQueries.intervalJoinStreaming(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -1094,6 +1096,7 @@ object SparkEntry {
       "q1r_running_max_streaming"      -> base("q1_running_max"),
       "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
       "q1k_running_max_socket"         -> base("q1_running_max"),
+      "q23ss_interval_join_streaming"  -> base("q23_interval_join"),
       "dedup_exact_streaming"          -> base("dedup_exact"),
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
       "q2c_block_avg_checkpoint"       -> base("q2_block_avg"),

@@ -770,4 +770,85 @@ object StatefulQueries {
       .select(col("ord").as("event_id"), col("key").as("event_type"), col("gap"))
       .orderBy(col("event_id"))
   }
+
+  /** `events` as TWO time-ordered parquet files carrying (user_id,
+    * event_id, ts) — the replay shape for the stream-stream join. Split at
+    * the median event_id (the verified ts-monotone order), so each side's
+    * second micro-batch holds rows strictly later than its first. */
+  private def userEventsCopy(spark: SparkSession, sfDir: String): String =
+    withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"events-uid:$sfDir", Seq("ev0.parquet", "ev1.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+        Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+      }
+    }
+
+  /** Q23 as a STREAM-STREAM interval join through the real micro-batch
+    * engine, registered under q23's oracle — the symmetric-hash join with
+    * watermark-bounded state that batch execution never exercises. Both
+    * sides are independent watermarked file streams over the same
+    * two-file, time-ordered replay ([[userEventsCopy]]), so pairs whose
+    * `a` row arrived in micro-batch 1 and `b` row in micro-batch 2 can
+    * only be produced from the join's a-side STATE — the cross-batch
+    * witness `check` requires, along with watermark-driven state removal
+    * (the events span ~30 days vs the 5-minute join window, so most
+    * a-side rows are provably unmatchable and must be evicted).
+    *
+    * Condition parity with the oracle (`epoch_us(b.ts) - epoch_us(a.ts)
+    * <= 300000000 AND b.event_id > a.event_id`): the streaming form adds
+    * the lower bound `ts_b >= ts_a`, which the oracle's predicate implies
+    * on this data because `event_id` is verified monotone in ts at every
+    * SF (an inversion would make the oracle hash diverge and surface the
+    * violation). The lower bound is what lets the engine derive a state
+    * eviction watermark for BOTH sides instead of holding the b-side
+    * forever — the unbounded-state hazard a naive one-sided interval
+    * condition creates. Timestamps are µs on both sides, and `INTERVAL 5
+    * MINUTES` is exactly 300000000 µs, so the window edge is bit-exact.
+    *
+    * At scale the plan is the one you want: one shuffle of each stream on
+    * user_id into co-partitioned symmetric-hash state, per-row state
+    * bounded by the 5-minute window + watermark slack, no whole-stream
+    * buffering anywhere. The final per-user count runs as a BATCH
+    * aggregate over the drained (tiny: pairs ≪ events) sink. */
+  def intervalJoinStreaming(spark: SparkSession, sfDir: String,
+                            gapMinutes: Int = 5): DataFrame = {
+    val dir = userEventsCopy(spark, sfDir)
+    val schema = spark.read.parquet(dir).schema
+    def side(tag: String): DataFrame =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .select(col("user_id").as(s"user_$tag"), col("event_id").as(s"id_$tag"),
+                col("ts").as(s"ts_$tag"))
+        // 1s delay (not 0): the file split is on event_id, so a ts TIE can
+        // straddle the file boundary — an exact-tie row in file 2 would
+        // sit on the late-data boundary under a 0s watermark
+        .withWatermark(s"ts_$tag", "1 second")
+    // StreamingJoinHelper probes EVERY inequality conjunct as a candidate
+    // time constraint and logs a caught internal error on the non-time
+    // `id_b > id_a` (it cannot be hoisted out: PushPredicateThroughJoin
+    // folds a post-join filter right back into the condition). The WARN is
+    // benign — the two ts conjuncts still yield both sides' state-eviction
+    // watermarks, which the removal witness below proves per run.
+    val pairs = side("a").join(side("b"),
+        expr(s"""user_a = user_b AND id_b > id_a AND
+                 ts_b >= ts_a AND ts_b <= ts_a + INTERVAL $gapMinutes MINUTES"""))
+      .select(col("user_a").as("user_id"))
+    drainToMemory(spark, pairs, stateWidth = Some(8)) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val totalRows = q.recentProgress.map(_.numInputRows).sum
+      require(totalRows == 0 || dataBatches >= 2,
+        s"expected >= 2 data micro-batches, saw $dataBatches — " +
+          "the stream-stream join did not exercise cross-batch state")
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      require(totalRows == 0 || removed > 0,
+        "watermark never evicted join state — the interval condition " +
+          "failed to bound state lifetime")
+    }
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -39,4 +39,16 @@ class StreamJoinSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L), (2L, 12L)))
   }
+
+  test("q23ss: stream-stream interval join matches the batch twin bit for bit") {
+    // the in-gate form: two watermarked file streams, symmetric-hash join,
+    // batch per-user count over the drained pairs — vs the bucketed batch
+    // self-join registered under the same oracle
+    val ss = graft.operators.StatefulQueries.intervalJoinStreaming(spark, Sf0001)
+    val batch = graft.operators.Sessionize.intervalPairCounts(spark, Sf0001)
+    assert(ss.count() === batch.count())
+    assert(ss.exceptAll(batch).isEmpty && batch.exceptAll(ss).isEmpty)
+    // the cross-batch + state-eviction witnesses live INSIDE the drain
+    // (intervalJoinStreaming's check) — reaching here means both held
+  }
 }
