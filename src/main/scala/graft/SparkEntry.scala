@@ -117,6 +117,8 @@ object SparkEntry {
     // ---- relational surface ----
     "q5_pricing_summary"  -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q6_revenue_by_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    // q6 as a STREAM-STATIC join + COMPLETE-mode streaming aggregation
+    "q6ss_revenue_join_stream_static" -> ((s, dir) => StatefulQueries.revenueJoinStreamStatic(s, dir)),
     "q7_top_parts"        -> ((s, dir) => Relational.topPartsByBrand(s, dir)),
     "q8_filtered_revenue" -> ((s, dir) => Relational.filteredRevenue(s, dir)),
     "q9_order_priority"   -> ((s, dir) => Relational.orderPriorityCounts(s, dir)),
@@ -254,6 +256,8 @@ object SparkEntry {
     "q23_interval_join"    -> ((s, dir) => Sessionize.intervalPairCounts(s, dir)),
     // q23 as a watermarked STREAM-STREAM join through the micro-batch engine
     "q23ss_interval_join_streaming" -> ((s, dir) => StatefulQueries.intervalJoinStreaming(s, dir)),
+    // its LEFT OUTER twin: zero-pair users null-padded at state eviction
+    "q23lo_interval_join_outer"     -> ((s, dir) => StatefulQueries.intervalJoinStreamingOuter(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -1097,6 +1101,14 @@ object SparkEntry {
       "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
       "q1k_running_max_socket"         -> base("q1_running_max"),
       "q23ss_interval_join_streaming"  -> base("q23_interval_join"),
+      "q6ss_revenue_join_stream_static" -> base("q6_revenue_by_nation"),
+      // the outer form has its OWN oracle: zero-pair users appear with 0
+      "q23lo_interval_join_outer" ->
+        """SELECT a.user_id, count(b.event_id) AS n_pairs
+          |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+          | AND b.event_id > a.event_id
+          | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+          |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
       "dedup_exact_streaming"          -> base("dedup_exact"),
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
       "q2c_block_avg_checkpoint"       -> base("q2_block_avg"),

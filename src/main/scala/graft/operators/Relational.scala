@@ -20,11 +20,12 @@ import graft.io.Tables
   */
 object Relational {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private[operators] def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
   /** The DECIMAL-exact discounted-revenue sum every revenue query aggregates
-    * — ONE copy, mirroring the oracle side's shared `revenueExpr`. */
-  private def discRevenueSum: org.apache.spark.sql.Column =
+    * — ONE copy, mirroring the oracle side's shared `revenueExpr` (the
+    * streaming twin in [[StatefulQueries]] reuses it too). */
+  private[operators] def discRevenueSum: org.apache.spark.sql.Column =
     sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"))))
 
   /** TPC-H Q1-shaped pricing summary: full-scan groupBy-agg on lineitem with

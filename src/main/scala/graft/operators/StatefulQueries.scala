@@ -771,17 +771,36 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
-  /** `events` as TWO time-ordered parquet files carrying (user_id,
-    * event_id, ts) — the replay shape for the stream-stream join. Split at
-    * the median event_id (the verified ts-monotone order), so each side's
-    * second micro-batch holds rows strictly later than its first. */
+  /** `events` as time-ordered parquet files carrying (user_id, event_id,
+    * ts) — the replay shape for the stream-stream joins. Split at the
+    * median event_id (the verified ts-monotone order), so each side's
+    * second micro-batch holds rows strictly later than its first, plus a
+    * trailing FAR-FUTURE sentinel row (user_id = -1, which no real row
+    * joins: the id tie-break rules out its self-pair). The sentinel's only
+    * job is to advance the final watermark past every real row's join
+    * window, so the OUTER join's null-padded rows — emitted at state
+    * EVICTION, not at end-of-input — all flush before the drain stops; the
+    * inner join ignores it. One day past max ts dwarfs window + delay. */
   private def userEventsCopy(spark: SparkSession, sfDir: String): String =
     withNanosAsLong(spark) {
-      timeOrderedFilesCopy(spark, s"events-uid:$sfDir", Seq("ev0.parquet", "ev1.parquet")) {
+      timeOrderedFilesCopy(spark, s"events-uid:$sfDir",
+          Seq("ev0.parquet", "ev1.parquet", "ev2-sentinel.parquet")) {
         val ev = Tables.events(spark, sfDir)
           .select(col("user_id"), col("event_id"), col("ts"))
-        val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-        Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+        val bounds = ev.agg(max(col("event_id")), max(unix_micros(col("ts")))).head()
+        // empty corpus: flush-only replay — one sentinel file, off epoch 0
+        // (a row AT the initial watermark would be dropped as late)
+        val (maxId, maxUs) =
+          if (bounds.isNullAt(0)) (0L, 0L)
+          else (bounds.getLong(0), bounds.getLong(1))
+        val sentinel = ev.sparkSession.range(1).select(
+          lit(-1L).as("user_id"), lit(maxId + 1).as("event_id"),
+          timestamp_micros(lit(maxUs + 86400L * 1000000L)).as("ts"))
+        if (bounds.isNullAt(0)) Seq(sentinel)
+        else {
+          val mid = maxId / 2
+          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid), sentinel)
+        }
       }
     }
 
@@ -813,7 +832,80 @@ object StatefulQueries {
     * buffering anywhere. The final per-user count runs as a BATCH
     * aggregate over the drained (tiny: pairs ≪ events) sink. */
   def intervalJoinStreaming(spark: SparkSession, sfDir: String,
-                            gapMinutes: Int = 5): DataFrame = {
+                            gapMinutes: Int = 5): DataFrame =
+    drainPairJoin(spark, sfDir, gapMinutes, "inner")
+      .select(col("user_a").as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+
+  /** Q23's LEFT OUTER twin: per-user pair count INCLUDING the zero-pair
+    * users, via the outer stream-stream join — the engine semantics the
+    * inner form never exercises: an unmatched a-row is null-padded and
+    * emitted at state EVICTION (when the watermark proves no future b can
+    * match it), not at match time, and rows still in state when input ends
+    * would be LOST without the far-future sentinel advancing the final
+    * watermark past every real row's window ([[userEventsCopy]]). The
+    * sentinel's own a-row is the one row the watermark never passes, so it
+    * stays in state by construction and is filtered here by user_id. */
+  def intervalJoinStreamingOuter(spark: SparkSession, sfDir: String,
+                                 gapMinutes: Int = 5): DataFrame =
+    drainPairJoin(spark, sfDir, gapMinutes, "left_outer")
+      .select(col("user_a").as("user_id"), col("id_b"))
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(col("id_b")).as("n_pairs"))
+      .orderBy(col("user_id"))
+
+  /** Q6 as a STREAM-STATIC join with a COMPLETE-mode streaming aggregation,
+    * registered under q6's oracle — the two engine surfaces the other
+    * streaming queries never touch: a streaming fact joined to STATIC
+    * dimension tables (the static sides are re-planned per micro-batch;
+    * nation rides a broadcast, exactly like the batch plan), and an
+    * unwatermarked global aggregation whose state accumulates across
+    * batches and re-emits the full 25-row result each trigger (complete
+    * output mode — the only mode a non-windowed streaming agg admits).
+    * The revenue sums fold in exact DECIMAL inside the agg state, so
+    * cross-batch accumulation order cannot perturb the oracle hash; the
+    * lineitem stream replays as two time-ordered files, and the witness
+    * requires the agg really spanned >= 2 data batches. The drained sink
+    * is the aggregate itself — |nations| rows, never the fact stream. */
+  def revenueJoinStreamStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = timeOrderedFilesCopy(spark, s"lineitem-rev:$sfDir",
+        Seq("li0.parquet", "li1.parquet")) {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val mid = li.agg(max(col("l_orderkey"))).head().getLong(0) / 2
+      Seq(li.filter(col("l_orderkey") <= mid), li.filter(col("l_orderkey") > mid))
+    }
+    val schema = spark.read.parquet(dir).schema
+    val li = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+    val agg = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Relational.discRevenueSum.cast("double").as("revenue"),
+           count(lit(1)).as("n_lineitems"))
+    drainToMemory(spark, agg, stateWidth = Some(8), outputMode = "complete") { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val totalRows = q.recentProgress.map(_.numInputRows).sum
+      require(totalRows == 0 || dataBatches >= 2,
+        s"expected >= 2 data micro-batches, saw $dataBatches — " +
+          "the complete-mode aggregation did not accumulate across batches")
+    }.orderBy(col("n_name"))
+  }
+
+  /** The shared stream-stream join drain behind q23ss/q23lo: two
+    * independent watermarked file streams over [[userEventsCopy]]'s
+    * replay, symmetric-hash-joined under the key + two-sided time
+    * condition, drained with the cross-batch and state-eviction
+    * witnesses. Returns the un-aggregated joined rows. */
+  private def drainPairJoin(spark: SparkSession, sfDir: String,
+                            gapMinutes: Int, joinType: String): DataFrame = {
     val dir = userEventsCopy(spark, sfDir)
     val schema = spark.read.parquet(dir).schema
     def side(tag: String): DataFrame =
@@ -833,8 +925,8 @@ object StatefulQueries {
     // watermarks, which the removal witness below proves per run.
     val pairs = side("a").join(side("b"),
         expr(s"""user_a = user_b AND id_b > id_a AND
-                 ts_b >= ts_a AND ts_b <= ts_a + INTERVAL $gapMinutes MINUTES"""))
-      .select(col("user_a").as("user_id"))
+                 ts_b >= ts_a AND ts_b <= ts_a + INTERVAL $gapMinutes MINUTES"""),
+        joinType)
     drainToMemory(spark, pairs, stateWidth = Some(8)) { q =>
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       val totalRows = q.recentProgress.map(_.numInputRows).sum
@@ -847,8 +939,5 @@ object StatefulQueries {
         "watermark never evicted join state — the interval condition " +
           "failed to bound state lifetime")
     }
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("user_id"))
   }
 }

@@ -51,4 +51,32 @@ class StreamJoinSpec extends SparkSpec {
     // the cross-batch + state-eviction witnesses live INSIDE the drain
     // (intervalJoinStreaming's check) — reaching here means both held
   }
+
+  test("q23lo: outer stream-stream join emits every zero-pair user via state eviction") {
+    val lo = graft.operators.StatefulQueries.intervalJoinStreamingOuter(spark, Sf0001)
+    // batch left-join twin with the identical condition
+    val ev = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val a = ev.select(col("user_id").as("u_a"), col("event_id").as("i_a"), col("ts").as("t_a"))
+    val b = ev.select(col("user_id").as("u_b"), col("event_id").as("i_b"), col("ts").as("t_b"))
+    val batch = a.join(b,
+        expr("u_a = u_b AND i_b > i_a AND t_b >= t_a AND t_b <= t_a + INTERVAL 5 MINUTES"),
+        "left_outer")
+      .groupBy(col("u_a").as("user_id"))
+      .agg(count(col("i_b")).as("n_pairs"))
+    assert(lo.exceptAll(batch).isEmpty && batch.exceptAll(lo).isEmpty)
+    val rows = lo.collect()
+    // every a-side user appears, and the null-padded (eviction-emitted)
+    // path really fired: this corpus has zero-pair users
+    assert(rows.length === ev.select("user_id").distinct().count())
+    assert(rows.exists(_.getLong(1) == 0L), "expected at least one zero-pair user")
+  }
+
+  test("q6ss: stream-static join + complete-mode agg matches the batch plan bit for bit") {
+    val ss = graft.operators.StatefulQueries.revenueJoinStreamStatic(spark, Sf0001)
+    val batch = graft.operators.Relational.revenueByNation(spark, Sf0001)
+    assert(ss.exceptAll(batch).isEmpty && batch.exceptAll(ss).isEmpty)
+    // the >=2-data-batch witness (complete-mode state accumulated across
+    // micro-batches) lives inside the drain; reaching here means it held
+  }
 }
