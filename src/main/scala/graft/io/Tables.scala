@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
   *
   * All tables are plain parquet scans — Catalyst handles column pruning and
   * predicate pushdown, so readers stay schema-on-read and un-opinionated.
-  * The one wrinkle is `events.ts`, written as parquet TIMESTAMP(NANOS): Spark's
-  * native timestamp is microseconds and rejects nanos, so we read it as a
-  * nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`) and keep BOTH
-  * forms: `ts_ns` (lossless long, the per-key ordering column — full nanosecond
-  * precision, matching DuckDB's ordering of the raw ns timestamps) and `ts`
-  * (truncated-to-micros TimestampType for calendar functions year/month/etc.,
+  * The one wrinkle is `events.ts`, whose physical encoding has varied across
+  * testdata generations (parquet TIMESTAMP(NANOS), TIMESTAMP(MICROS) naive or
+  * UTC-adjusted). [[normalizeEvents]] adapts to whichever encoding the scan
+  * yields and always produces BOTH canonical forms: `ts_ns` (long, the
+  * per-key total-order column, matching DuckDB's ordering of the native ts)
+  * and `ts` (TimestampType micros for calendar functions year/month/etc.,
   * which are truncation-insensitive).
   */
 object Tables {
@@ -63,11 +63,41 @@ object Tables {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)
 
+  /** Normalize a raw `events` scan — batch OR streaming — to the canonical
+    * shape, adapting to whichever physical encoding the writer chose for
+    * `ts` instead of assuming one:
+    *
+    *  - parquet TIMESTAMP(NANOS) surfaced as a BIGINT via
+    *    `spark.sql.legacy.parquet.nanosAsLong` → rename to `ts_ns`
+    *    (lossless ns long) and derive `ts` by truncation to micros;
+    *  - parquet TIMESTAMP(MICROS), UTC-adjusted (TimestampType) or naive
+    *    (TimestampNTZType) → keep `ts` (casting NTZ to TimestampType; every
+    *    entry-point session pins `spark.sql.session.timeZone=UTC`, so the
+    *    cast is value-preserving) and derive `ts_ns = unix_micros(ts)×1000`.
+    *
+    * Ordering parity with the DuckDB oracle holds in every branch: the
+    * oracle orders by the native `ts` it reads, and ×1000 is monotone, so
+    * `ts_ns` remains the total-order key with no oracle SQL changes. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type $other — expected int64 nanos " +
+            "(nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ")
+    }
+
   /** `events` with `ts` usable: ts_ns (long, total-order key) + ts (micros timestamp). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // still required for the TIMESTAMP(NANOS) encoding; a no-op for micros
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    normalizeEvents(table(spark, sfDir, "events"))
   }
 }

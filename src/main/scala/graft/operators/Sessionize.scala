@@ -61,10 +61,9 @@ object Sessionize {
     // shuffle width, sink view) is the shared scaffold's contract.
     StatefulQueries.withNanosAsLong(spark) {
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val stream = Tables.normalizeEvents(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       val agg = stream
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
                  col("event_type"))

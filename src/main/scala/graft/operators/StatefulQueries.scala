@@ -108,10 +108,9 @@ object StatefulQueries {
     // width: streaming config must not bleed into later gate queries
     withNanosAsLong(spark) {
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val stream = Tables.normalizeEvents(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       drainToMemory(spark, op(stream), stateWidth = Some(8))()
     }
   }

@@ -16,11 +16,10 @@ object ProbeSW {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
+    val stream = graft.io.Tables.normalizeEvents(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
       .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
     // gap+1µs: session_window merges on strict <, batch merges on <=
     val agg = stream
       .groupBy(session_window(col("ts"), "3600000001 microseconds"), col("user_id"))

@@ -7,19 +7,48 @@ import graft.operators.{Skew, TopK}
 class TablesSpec extends SparkSpec {
 
   test("events reader: ts_ns is lossless, ts is its microsecond truncation") {
+    // encoding-adaptive: whatever physical type the fixture's ts carries,
+    // the canonical contract must hold — ts is TimestampType, ts_ns is the
+    // long total-order key, and they agree at microsecond precision
     val ev = Tables.events(spark, Sf0001)
     assert(ev.count() === 1000)
     val bad = ev.filter(
       unix_micros(col("ts")) =!= expr("ts_ns div 1000")).count()
     assert(bad === 0)
-    // raw read without the reader must fail on TIMESTAMP(NANOS)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val thrown = intercept[Exception] {
-      spark.read.parquet(s"$Sf0001/events.parquet").collect()
+    assert(ev.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(ev.schema("ts_ns").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("normalizeEvents adapts to all three physical ts encodings") {
+    import spark.implicits._
+    val us = 1609459200123456L // 2021-01-01 00:00:00.123456 UTC
+    // int64 nanos surfaced as a BIGINT (the nanosAsLong legacy path)
+    val fromNanos = Tables.normalizeEvents(
+      Seq((1L, us * 1000L + 789L)).toDF("event_id", "ts"))
+    // native TIMESTAMP (UTC-adjusted micros)
+    val fromTs = Tables.normalizeEvents(
+      Seq((1L, us)).toDF("event_id", "us")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts")))
+    // naive TIMESTAMP_NTZ micros (the current testdata encoding)
+    val fromNtz = Tables.normalizeEvents(
+      Seq((1L, us)).toDF("event_id", "us")
+        .select(col("event_id"),
+                timestamp_micros(col("us")).cast("timestamp_ntz").as("ts")))
+    for (df <- Seq(fromNanos, fromTs, fromNtz)) {
+      assert(df.schema("ts").dataType ===
+        org.apache.spark.sql.types.TimestampType)
+      val r = df.select(unix_micros(col("ts")), col("ts_ns")).head()
+      assert(r.getLong(0) === us)
+      // ts_ns keeps full ns precision on the nanos path, ×1000 otherwise
+      assert(r.getLong(1) === (if (df eq fromNanos) us * 1000L + 789L
+                               else us * 1000L))
     }
-    assert(thrown.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
-           thrown.toString.contains("Illegal Parquet type"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val thrown = intercept[IllegalArgumentException] {
+      Tables.normalizeEvents(Seq((1L, "x")).toDF("event_id", "ts"))
+    }
+    assert(thrown.getMessage.contains("unsupported"))
   }
 
   test("partitionBy write lays out hive dirs; reads prune partitions at the scan") {
