@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, KeyedOps, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
+import graft.operators.{Dedup, FreqSketch, KeyedOps, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -144,6 +144,11 @@ object SparkEntry {
     "rep_stats"        -> ((s, dir) => TextOps.repetitionStats(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
+    // the same top-k through a mergeable Misra-Gries heavy-hitters sketch
+    // (capacity >> test vocabulary, so the summary is exact and shares the
+    // exact oracle; at production vocabularies it stays O(capacity) state
+    // instead of a vocabulary-wide shuffle)
+    "vocab_topk_sketch" -> ((s, dir) => FreqSketch.vocabTopKSketch(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
@@ -585,6 +590,11 @@ object SparkEntry {
          |      AND dup_bigram_frac <= 0.10 AS BIGINT) AS gopher_ok
          |FROM r ORDER BY doc_id""".stripMargin,
     "vocab_topk" ->
+      s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
+         |SELECT th, count(*) AS df FROM ds GROUP BY th
+         |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
+    // sketch variant is exact at this capacity — same oracle as vocab_topk
+    "vocab_topk_sketch" ->
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
          |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,

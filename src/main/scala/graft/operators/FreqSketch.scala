@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.TextFunctions
+
+/** Frequent-items (heavy-hitters) sketch: a Misra–Gries summary as a typed
+  * `Aggregator`, the mergeable-summary counterpart to the library's other
+  * sketches (HLL distinct counts q10a, approximate quantiles q10b, bloom
+  * contamination prefilter).
+  *
+  * Why a sketch instead of `groupBy(item).count().orderBy(...).limit(k)`:
+  * the exact plan shuffles one row PER DISTINCT ITEM. At 100 TB a token /
+  * URL / entity vocabulary can be billions of keys — the shuffle is
+  * corpus-vocabulary-sized. The Misra–Gries buffer is a constant
+  * `capacity`-entry map per partition, combined map-side and merged to a
+  * single fixed-size summary: the data moved to the driver-side reducer is
+  * `O(partitions × capacity)`, independent of both corpus size and
+  * vocabulary size.
+  *
+  * Guarantees (the classic ones, preserved by the pairwise merge — see
+  * "Mergeable Summaries", Agarwal et al., PODS 2012): with `n` items
+  * observed, every estimate `est(x)` satisfies
+  * `true(x) - n/(capacity+1) <= est(x) <= true(x)`, and every item with
+  * `true(x) > n/(capacity+1)` is present in the summary. When the true
+  * distinct-item count never exceeds `capacity`, no decrement ever fires
+  * and the sketch is EXACT — which is how [[vocabTopKSketch]] registers
+  * under the same DuckDB oracle as the exact `vocab_topk`.
+  *
+  * Reference scope: the reference engine has no sketches at all (its four
+  * jobs keep exact per-key state, e.g. MaximumClosingPrice.java:47-82);
+  * this is part of the beyond-the-reference LLM-pipeline surface.
+  */
+object FreqSketch {
+
+  /** Misra–Gries over Long item ids. Buffer = item → lower-bound counter
+    * (at most `capacity` entries) plus the total items folded so far, which
+    * rides along so callers can report the `n/(capacity+1)` error bound of
+    * the exact run that produced the summary. */
+  case class MGSummary(counters: Map[Long, Long], n: Long)
+
+  case class MGAgg(capacity: Int)
+      extends Aggregator[Long, MGSummary, MGSummary] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    def zero: MGSummary = MGSummary(Map.empty, 0L)
+
+    def reduce(b: MGSummary, x: Long): MGSummary = {
+      val c = b.counters
+      if (c.contains(x))
+        MGSummary(c.updated(x, c(x) + 1L), b.n + 1L)
+      else if (c.size < capacity)
+        MGSummary(c.updated(x, 1L), b.n + 1L)
+      else {
+        // decrement-all step: subtracting 1 from every counter and dropping
+        // zeros is the textbook form; together with the unmatched new item
+        // (implicitly cancelled against them) this is what yields the
+        // n/(capacity+1) bound
+        MGSummary(c.collect { case (k, v) if v > 1L => (k, v - 1L) }, b.n + 1L)
+      }
+    }
+
+    def merge(a: MGSummary, b: MGSummary): MGSummary = {
+      val combined = b.counters.foldLeft(a.counters) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+      val trimmed =
+        if (combined.size <= capacity) combined
+        else {
+          // subtract the (capacity+1)-th largest count from everything and
+          // keep the strictly-positive survivors — the offset each error
+          // bound absorbs; ties broken by the sort being on counts only
+          val d = combined.valuesIterator.toArray.sortBy(-_).apply(capacity)
+          combined.collect { case (k, v) if v > d => (k, v - d) }
+        }
+      MGSummary(trimmed, a.n + b.n)
+    }
+
+    def finish(r: MGSummary): MGSummary = r
+    // kryo for the map-carrying buffer, same trade as TopK.TopKAgg: the
+    // typed-agg path re-encodes per partial merge and the blob is cheaper
+    // than a catalyst map for a <=capacity-entry summary
+    def bufferEncoder: Encoder[MGSummary] = Encoders.kryo[MGSummary]
+    def outputEncoder: Encoder[MGSummary] = Encoders.kryo[MGSummary]
+  }
+
+  /** Fold a column of item ids into one Misra–Gries summary: map-side
+    * partial sketches, one fixed-size merge — no vocabulary-wide shuffle
+    * anywhere in the plan. */
+  def sketch(items: Dataset[Long], capacity: Int): MGSummary =
+    items.select(MGAgg(capacity).toColumn).head()
+
+  /** `vocab_topk` semantics (top-k token hashes by document frequency)
+    * computed through the sketch instead of the exact groupBy — registered
+    * under the SAME oracle: `capacity` (default 4096) is far above the test
+    * corpus vocabulary, so no decrement ever fires and the summary's counts
+    * ARE the document frequencies. At production vocabulary sizes the same
+    * plan degrades gracefully to the n/(capacity+1)-bounded heavy-hitters
+    * answer instead of degrading to a billion-key shuffle. */
+  def vocabTopKSketch(spark: SparkSession, sfDir: String,
+                      k: Int = 50, capacity: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val th = Tables.documentsNarrow(spark, sfDir)
+      .select(explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
+      .as[Long]
+    val summary = sketch(th, capacity)
+    summary.counters.toSeq.toDF("th", "df")
+      .orderBy(col("df").desc, col("th").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FreqSketch, TextOps}
+
+class FreqSketchSpec extends SparkSpec {
+
+  test("vocab_topk_sketch equals the exact vocab_topk at non-overflow capacity") {
+    val exact = TextOps.vocabTopK(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sketched = FreqSketch.vocabTopKSketch(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sketched.toSeq === exact.toSeq)
+  }
+
+  test("Misra-Gries guarantees hold on an overflowing, skewed stream") {
+    import spark.implicits._
+    val capacity = 9
+    // 10 heavy items (ids 0-9, frequency 1000-100) + 5000 singleton ids:
+    // distinct count 5010 >> capacity, so decrements and merge-trims fire
+    val heavy = (0 until 10).flatMap(i => Seq.fill((10 - i) * 100)(i.toLong))
+    val noise = (1000L until 6000L)
+    val items = heavy ++ noise
+    val n = items.size
+    val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    // 8 partitions so the merge path (not just reduce) is exercised
+    val summary = FreqSketch.sketch(
+      spark.createDataset(scala.util.Random.shuffle(items.toVector))
+        .repartition(8).as[Long],
+      capacity)
+    assert(summary.n === n)
+    assert(summary.counters.size <= capacity)
+    val bound = n.toDouble / (capacity + 1)
+    for ((item, est) <- summary.counters) {
+      val t = truth(item)
+      assert(est <= t, s"overestimate for $item: $est > $t")
+      assert(est >= t - bound, s"estimate for $item below bound: $est < $t - $bound")
+    }
+    // completeness: every item more frequent than the bound must survive
+    for ((item, t) <- truth if t > bound)
+      assert(summary.counters.contains(item),
+        s"heavy item $item (freq $t > bound $bound) missing from summary")
+  }
+}
