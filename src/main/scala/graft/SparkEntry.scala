@@ -149,6 +149,9 @@ object SparkEntry {
     // exact oracle; at production vocabularies it stays O(capacity) state
     // instead of a vocabulary-wide shuffle)
     "vocab_topk_sketch" -> ((s, dir) => FreqSketch.vocabTopKSketch(s, dir)),
+    // the sketch as a streaming complete-mode global aggregate: total
+    // streaming state = ONE capacity-bounded summary
+    "vocab_topk_sketch_streaming" -> ((s, dir) => FreqSketch.vocabTopKSketchStreaming(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
@@ -593,8 +596,12 @@ object SparkEntry {
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
          |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
-    // sketch variant is exact at this capacity — same oracle as vocab_topk
+    // sketch variants are exact at this capacity — same oracle as vocab_topk
     "vocab_topk_sketch" ->
+      s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
+         |SELECT th, count(*) AS df FROM ds GROUP BY th
+         |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
+    "vocab_topk_sketch_streaming" ->
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
          |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,

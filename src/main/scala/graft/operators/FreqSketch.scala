@@ -106,6 +106,39 @@ object FreqSketch {
       .select(explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
       .as[Long]
     val summary = sketch(th, capacity)
+    topK(spark, summary, k)
+  }
+
+  /** The same heavy-hitters computation through the REAL micro-batch
+    * engine: a global complete-mode aggregation whose ENTIRE streaming
+    * state is one `capacity`-entry summary, updated incrementally per
+    * micro-batch — the unbounded-stream answer to "top tokens so far"
+    * where the exact streaming `groupBy(th).count()` would keep one state
+    * row per distinct item forever. Registered under the same exact
+    * oracle (capacity >> test vocabulary). */
+  def vocabTopKSketchStreaming(spark: SparkSession, sfDir: String,
+                               k: Int = 50, capacity: Int = 4096): DataFrame = {
+    import spark.implicits._
+    StatefulQueries.requireSingleFile(spark, s"$sfDir/documents.parquet")
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val th = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      .select(explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
+      .as[Long]
+    // one summary = one state row; stateWidth 1 keeps the single-group
+    // aggregate from paying 32 state-store instances per micro-batch
+    val out = StatefulQueries.drainToMemory(
+      spark, th.select(MGAgg(capacity).toColumn).toDF(),
+      stateWidth = Some(1), outputMode = "complete")()
+    val summary = out.as[MGSummary](Encoders.kryo[MGSummary]).head()
+    topK(spark, summary, k)
+  }
+
+  /** Summary → ordered (th, df) top-k frame. The summary is ≤ `capacity`
+    * entries by construction — driver-side materialization is
+    * control-plane-sized, never corpus-sized. */
+  private def topK(spark: SparkSession, summary: MGSummary, k: Int): DataFrame = {
+    import spark.implicits._
     summary.counters.toSeq.toDF("th", "df")
       .orderBy(col("df").desc, col("th").asc)
       .limit(k)

@@ -13,6 +13,14 @@ class FreqSketchSpec extends SparkSpec {
     assert(sketched.toSeq === exact.toSeq)
   }
 
+  test("streaming sketch (complete-mode global agg) equals the exact top-k") {
+    val exact = TextOps.vocabTopK(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val streamed = FreqSketch.vocabTopKSketchStreaming(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.toSeq === exact.toSeq)
+  }
+
   test("Misra-Gries guarantees hold on an overflowing, skewed stream") {
     import spark.implicits._
     val capacity = 9
