@@ -21,6 +21,22 @@ class FreqSketchSpec extends SparkSpec {
     assert(streamed.toSeq === exact.toSeq)
   }
 
+  test("sketch plan: partial summaries merge through ONE single-partition " +
+       "exchange — no vocabulary-keyed shuffle anywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val th = graft.io.Tables.documentsNarrow(spark, Sf0001)
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.tokenHashes(col("text")))).as("th"))
+      .as[Long]
+    val p = th.select(FreqSketch.MGAgg(4096).toColumn)
+      .queryExecution.executedPlan.toString
+    // partial aggregation happens map-side (below the exchange), so the only
+    // exchange in the plan carries <= capacity-entry summaries to one reducer
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("hashpartitioning(th"), p)
+  }
+
   test("Misra-Gries guarantees hold on an overflowing, skewed stream") {
     import spark.implicits._
     val capacity = 9
