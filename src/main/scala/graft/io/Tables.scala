@@ -63,6 +63,31 @@ object Tables {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)
 
+  /** Structured-streaming file source over `<sfDir>/<name>.parquet`,
+    * adapting to whichever LAYOUT the fixture generation chose (the same
+    * defensive posture [[normalizeEvents]] takes for the ts encoding):
+    *
+    *  - a single bare parquet FILE streams via a leaf-name glob over its
+    *    parent directory (`pathGlobFilter` matches leaf file names only, so
+    *    globbing the file name directly is the one layout-safe form);
+    *  - a Spark-written DIRECTORY dataset streams over the directory itself
+    *    (its `part-*` files would never match a `<name>.parquet` leaf glob —
+    *    the silent-empty-drain trap the old single-file assertion guarded).
+    *
+    * Schema is pinned from the batch scan (file-source streams require an
+    * explicit schema). */
+  def streamTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = spark.read.parquet(path).schema
+    if (fs.getFileStatus(p).isFile)
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(sfDir)
+    else
+      spark.readStream.schema(schema).parquet(path)
+  }
+
   /** Normalize a raw `events` scan — batch OR streaming — to the canonical
     * shape, adapting to whichever physical encoding the writer chose for
     * `ts` instead of assuming one:

@@ -119,10 +119,7 @@ object FreqSketch {
   def vocabTopKSketchStreaming(spark: SparkSession, sfDir: String,
                                k: Int = 50, capacity: Int = 4096): DataFrame = {
     import spark.implicits._
-    StatefulQueries.requireSingleFile(spark, s"$sfDir/documents.parquet")
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val th = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val th = Tables.streamTable(spark, sfDir, "documents")
       .select(explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
       .as[Long]
     // one summary = one state row; stateWidth 1 keeps the single-group

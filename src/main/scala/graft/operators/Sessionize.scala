@@ -52,7 +52,6 @@ object Sessionize {
     * DataFrame — registered under the same oracle as the batch form, so the
     * correctness gate covers the streaming engine end-to-end. */
   def tumblingHourlyStream(spark: SparkSession, sfDir: String): DataFrame = {
-    StatefulQueries.requireSingleFile(spark, s"$sfDir/events.parquet")
     // complete-mode: the tumbling aggregate re-emits the whole result table
     // at the final trigger, which is what the gate compares. State-store
     // width (8) is sized to the (hour, type) group cardinality, not the
@@ -60,10 +59,7 @@ object Sessionize {
     // paying snapshot+commit I/O per micro-batch. Conf hygiene (nanos flag,
     // shuffle width, sink view) is the shared scaffold's contract.
     StatefulQueries.withNanosAsLong(spark) {
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = Tables.normalizeEvents(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val stream = Tables.normalizeEvents(Tables.streamTable(spark, sfDir, "events"))
       val agg = stream
         .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
                  col("event_type"))

@@ -103,14 +103,10 @@ object StatefulQueries {
 
   private def drainStateful(spark: SparkSession, sfDir: String)
                            (op: DataFrame => DataFrame): DataFrame = {
-    requireSingleFile(spark, s"$sfDir/events.parquet")
     // the legacy-nanos flag is restored after the drain like the shuffle
     // width: streaming config must not bleed into later gate queries
     withNanosAsLong(spark) {
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val stream = Tables.normalizeEvents(
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val stream = Tables.normalizeEvents(Tables.streamTable(spark, sfDir, "events"))
       drainToMemory(spark, op(stream), stateWidth = Some(8))()
     }
   }
@@ -130,18 +126,8 @@ object StatefulQueries {
     }
   }
 
-  /** The memory sink's leaf-file contract: `pathGlobFilter` matches the LEAF
-    * file name, so a directory-style `events.parquet/part-*.parquet` dataset
-    * would list ZERO files and drain silently empty — fail fast instead. */
-  private[operators] def requireSingleFile(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.getFileStatus(p).isFile,
-      s"streaming drain requires the single-file parquet layout; $path is a directory " +
-        "(a Spark-written dataset) — its part files would not match the leaf-name glob")
-  }
-
-  /** Drain scaffold over the single-file `documents` parquet, shared by the
+  /** Drain scaffold over the `documents` parquet (layout-adaptive via
+    * [[Tables.streamTable]]), shared by the
     * streaming corpus ops ([[TextOps.qualityFilterStream]],
     * [[Dedup.exactStreaming]]): readStream file source → op → append-mode
     * memory sink, drained synchronously (Trigger.AvailableNow).
@@ -150,10 +136,7 @@ object StatefulQueries {
   private[operators] def drainDocuments(spark: SparkSession, sfDir: String,
                                         stateWidth: Option[Int] = None)
                                        (op: DataFrame => DataFrame): DataFrame = {
-    requireSingleFile(spark, s"$sfDir/documents.parquet")
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val stream = Tables.streamTable(spark, sfDir, "documents")
     drainToMemory(spark, op(stream), stateWidth)()
   }
 

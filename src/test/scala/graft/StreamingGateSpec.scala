@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, StatefulQueries}
+import graft.operators.{Dedup, Sessionize, StatefulQueries, TextOps}
 
 /** The in-gate streaming drains: session hygiene (confs restored, sink views
   * dropped), the RocksDB state-store backend, genuine multi-micro-batch
@@ -22,6 +22,30 @@ class StreamingGateSpec extends SparkSpec {
     val leftover = spark.catalog.listTables().collect().map(_.name)
       .filter(n => n.startsWith("stateful_stream_") || n.startsWith("doc_stream_"))
     assert(leftover.isEmpty, s"sink views leaked: ${leftover.mkString(", ")}")
+  }
+
+  test("streaming scaffolds adapt to directory-layout parquet fixtures") {
+    // the fixture generator has already changed events' physical encoding
+    // once; the layout (bare file vs Spark-written directory dataset) is the
+    // other axis it could move on, and a directory's part-* files never
+    // match the single-file leaf glob — so prove both layouts drain equal
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
+    spark.read.parquet(s"$Sf0001/events.parquet")
+      .write.parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$Sf0001/documents.parquet")
+      .write.parquet(s"$dir/documents.parquet")
+    val gotE = Sessionize.tumblingHourlyStream(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val expE = Sessionize.tumblingHourlyStream(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(gotE === expE)
+    assert(gotE.nonEmpty)
+    val gotD = TextOps.qualityFilterStream(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val expD = TextOps.qualityFilterStream(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(gotD === expD)
+    assert(gotD.nonEmpty)
   }
 
   test("q1 on the RocksDB state store equals the declarative window form") {
