@@ -152,6 +152,9 @@ object SparkEntry {
     // the sketch as a streaming complete-mode global aggregate: total
     // streaming state = ONE capacity-bounded summary
     "vocab_topk_sketch_streaming" -> ((s, dir) => FreqSketch.vocabTopKSketchStreaming(s, dir)),
+    // keyed heavy hitters: one bounded summary per language — the shuffle
+    // key is the group, never the vocabulary
+    "vocab_topk_by_lang_sketch" -> ((s, dir) => FreqSketch.vocabTopKByLangSketch(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
@@ -605,6 +608,12 @@ object SparkEntry {
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents)
          |SELECT th, count(*) AS df FROM ds GROUP BY th
          |ORDER BY df DESC, th ASC LIMIT 50""".stripMargin,
+    "vocab_topk_by_lang_sketch" ->
+      s"""WITH ds AS (SELECT DISTINCT lang, doc_id, unnest($tokenHashesSql) AS th FROM documents),
+         |c AS (SELECT lang, th, count(*) AS df FROM ds GROUP BY lang, th),
+         |r AS (SELECT lang, th, df,
+         |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, th ASC) AS rk FROM c)
+         |SELECT lang, rk, th, df FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
     "split_stratified" ->
       s"""WITH $splitCtes
          |SELECT doc_id, lang, source, split FROM sp ORDER BY doc_id""".stripMargin,

@@ -131,6 +131,34 @@ object FreqSketch {
     topK(spark, summary, k)
   }
 
+  /** KEYED heavy hitters: top-k token hashes by document frequency PER
+    * LANGUAGE, one Misra–Gries summary per group. The only shuffle key is
+    * the group (languages — small), never the vocabulary: partial per-group
+    * summaries combine map-side, so each reducer receives
+    * `O(partitions × capacity)` per group no matter how many distinct
+    * tokens the group's documents contain. Exact at test capacity → exact
+    * per-group top-k oracle. */
+  def vocabTopKByLangSketch(spark: SparkSession, sfDir: String,
+                            k: Int = 10, capacity: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val th = Tables.spreadIfNarrow(
+        Tables.documents(spark, sfDir).select(col("lang"), col("text")),
+        col("lang"))
+      .select(col("lang"),
+              explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
+      .as[(String, Long)]
+    val perLang = th.groupByKey(_._1).mapValues(_._2)
+      .agg(MGAgg(capacity).toColumn.name("summary"))
+    perLang.flatMap { case (lang, s) =>
+      s.counters.toSeq
+        .sortBy { case (item, df) => (-df, item) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((item, df), i) => (lang, (i + 1).toLong, item, df) }
+    }.toDF("lang", "rk", "th", "df")
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Summary → ordered (th, df) top-k frame. The summary is ≤ `capacity`
     * entries by construction — driver-side materialization is
     * control-plane-sized, never corpus-sized. */

@@ -21,6 +21,26 @@ class FreqSketchSpec extends SparkSpec {
     assert(streamed.toSeq === exact.toSeq)
   }
 
+  test("keyed sketch equals the exact per-lang ranked top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.io.Tables.documents(spark, Sf0001)
+    val exact = d.select(col("lang"), col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.tokenHashes(col("text")))).as("th"))
+      .distinct()
+      .groupBy(col("lang"), col("th")).agg(count(lit(1)).as("df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("df").desc, col("th").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk").cast("long"), col("th"), col("df"))
+      .orderBy(col("lang"), col("rk"))
+      .collect().map(_.toSeq).toSeq
+    val sketched = FreqSketch.vocabTopKByLangSketch(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(sketched === exact)
+    assert(sketched.nonEmpty)
+  }
+
   test("sketch plan: partial summaries merge through ONE single-partition " +
        "exchange — no vocabulary-keyed shuffle anywhere") {
     import spark.implicits._
