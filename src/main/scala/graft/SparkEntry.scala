@@ -155,6 +155,9 @@ object SparkEntry {
     // keyed heavy hitters: one bounded summary per language — the shuffle
     // key is the group, never the vocabulary
     "vocab_topk_by_lang_sketch" -> ((s, dir) => FreqSketch.vocabTopKByLangSketch(s, dir)),
+    // Count-Min point-frequency estimates for a known query-token set:
+    // corpus folds map-side into one constant-size counter matrix
+    "token_df_countmin" -> ((s, dir) => FreqSketch.tokenDfCountMin(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
@@ -614,6 +617,12 @@ object SparkEntry {
          |r AS (SELECT lang, th, df,
          |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, th ASC) AS rk FROM c)
          |SELECT lang, rk, th, df FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    // collision-free at the test vocabulary → exact per-token df oracle
+    "token_df_countmin" ->
+      s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents),
+         |q AS (SELECT DISTINCT unnest($tokenHashesSql) AS th FROM documents WHERE doc_id < 10),
+         |c AS (SELECT th, count(*) AS df FROM ds GROUP BY th)
+         |SELECT q.th, c.df FROM q JOIN c USING (th) ORDER BY th""".stripMargin,
     "split_stratified" ->
       s"""WITH $splitCtes
          |SELECT doc_id, lang, source, split FROM sp ORDER BY doc_id""".stripMargin,

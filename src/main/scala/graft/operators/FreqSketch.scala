@@ -159,6 +159,83 @@ object FreqSketch {
       .orderBy(col("lang"), col("rk"))
   }
 
+  // ---- Count–Min sketch: mergeable point-frequency estimates ----
+
+  /** Fixed row-hash constants (odd multipliers, same modulus as the text
+    * hash kernels' P would be overkill here — the sketch only needs pairwise
+    * independence, and FIXED constants keep estimates deterministic across
+    * runs, retries, and scale factors). */
+  private val CmA = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL,
+                          0x165667B19E3779F9L, 0x27D4EB2F165667C5L)
+
+  /** Count–Min over Long item ids: a `d × w` counter matrix, incremented at
+    * one cell per row per item, merged by ELEMENTWISE SUM — the perfectly
+    * mergeable sketch. `est(x) = min_i cells(i)(h_i(x))` never
+    * underestimates, and overestimates by at most `e·n/w` with probability
+    * `1 - e^-d`. Unlike Misra–Gries it answers point queries for ANY item
+    * (the frequency-threshold prepass shape: "keep tokens seen ≥ t times"
+    * over a billion-token vocabulary with 32 KB of state). */
+  case class CMSketch(cells: Array[Long], n: Long)
+
+  case class CMAgg(w: Int, d: Int) extends Aggregator[Long, CMSketch, CMSketch] {
+    require(d >= 1 && d <= CmA.length, s"d must be in [1, ${CmA.length}], got $d")
+    require(w >= 2, s"w must be >= 2, got $w")
+
+    @inline private def cell(row: Int, x: Long): Int = {
+      val h = (CmA(row) * x) >>> 33 // multiply-shift: high bits mix best
+      row * w + (h % w).toInt
+    }
+
+    def zero: CMSketch = CMSketch(new Array[Long](w * d), 0L)
+    def reduce(b: CMSketch, x: Long): CMSketch = {
+      var i = 0
+      while (i < d) { b.cells(cell(i, x)) += 1L; i += 1 }
+      CMSketch(b.cells, b.n + 1L)
+    }
+    def merge(a: CMSketch, b: CMSketch): CMSketch = {
+      val out = new Array[Long](w * d)
+      var i = 0
+      while (i < w * d) { out(i) = a.cells(i) + b.cells(i); i += 1 }
+      CMSketch(out, a.n + b.n)
+    }
+    def finish(r: CMSketch): CMSketch = r
+    def bufferEncoder: Encoder[CMSketch] = Encoders.kryo[CMSketch]
+    def outputEncoder: Encoder[CMSketch] = Encoders.kryo[CMSketch]
+
+    /** Point estimate for one item: min over rows. */
+    def estimate(s: CMSketch, x: Long): Long = {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < d) { val v = s.cells(cell(i, x)); if (v < best) best = v; i += 1 }
+      best
+    }
+  }
+
+  /** Document frequencies for a SMALL KNOWN query-token set (the tokens of
+    * the first ten documents), estimated from one Count–Min pass over the
+    * whole corpus's per-document-distinct token stream. The corpus side
+    * never groups by token — it folds into the constant-size matrix
+    * map-side; only the tiny query set is materialized. At the default
+    * width the estimates carry no collisions on the test vocabulary, so the
+    * query registers under the EXACT per-token df oracle. */
+  def tokenDfCountMin(spark: SparkSession, sfDir: String,
+                      w: Int = 1024, d: Int = 4): DataFrame = {
+    import spark.implicits._
+    val agg = CMAgg(w, d)
+    val th = Tables.documentsNarrow(spark, sfDir)
+      .select(explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
+      .as[Long]
+    val cm = th.select(agg.toColumn).head()
+    // query set: control-plane-sized by construction (ten documents' tokens)
+    val queryTokens = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 10)
+      .select(explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
+      .distinct().as[Long].collect().sorted
+    queryTokens.toSeq.map(t => (t, agg.estimate(cm, t)))
+      .toDF("th", "df")
+      .orderBy(col("th"))
+  }
+
   /** Summary → ordered (th, df) top-k frame. The summary is ≤ `capacity`
     * entries by construction — driver-side materialization is
     * control-plane-sized, never corpus-sized. */

@@ -57,6 +57,33 @@ class FreqSketchSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(th"), p)
   }
 
+  test("count-min estimates equal exact df on the test vocabulary") {
+    val exact = graft.io.Tables.documentsNarrow(spark, Sf0001)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokenHashes(col("text")))).as("th"))
+      .distinct()
+      .groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = FreqSketch.tokenDfCountMin(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    for ((th, df) <- got) assert(df === exact(th), s"token $th")
+  }
+
+  test("count-min never underestimates, even at colliding widths") {
+    import spark.implicits._
+    // 200 distinct items into w=16: collisions guaranteed; the min-over-rows
+    // estimate must stay >= truth for every item (the one-sided CM bound)
+    val agg = FreqSketch.CMAgg(w = 16, d = 4)
+    val items = (0L until 200L).flatMap(i => Seq.fill((i % 7 + 1).toInt)(i))
+    val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val cm = spark.createDataset(items.toVector).repartition(8).as[Long]
+      .select(agg.toColumn).head()
+    assert(cm.n === items.size)
+    for ((item, t) <- truth)
+      assert(agg.estimate(cm, item) >= t, s"underestimate for $item")
+  }
+
   test("Misra-Gries guarantees hold on an overflowing, skewed stream") {
     import spark.implicits._
     val capacity = 9
