@@ -21,13 +21,28 @@ object StatefulQueries {
   private implicit val kvEnc: Encoder[KV] = Encoders.product[KV]
   private implicit val ksvEnc: Encoder[KSV] = Encoders.product[KSV]
 
-  /** Q1 stateful form: running max value per year, per record. */
+  /** Shape a (key, ...) frame so a downstream COLUMN-form grouping
+    * (`groupBy(col("key")).as[K, T]`) satisfies the group-exec's required
+    * distribution AND ordering in the plan: hash-partition on the key, sort
+    * (key, ord) within partitions. The exec then inserts NO exchange and NO
+    * sort, and each group's iterator arrives ord-sorted — the contract the
+    * `*Ordered` one-pass folds in [[StatefulOps]] consume.
+    * OrderedStatefulSpec pins this plan shape. */
+  private def orderedByKey(df: DataFrame): org.apache.spark.sql.RelationalGroupedDataset =
+    df.repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+      .groupBy(col("key"))
+
+  /** Q1 stateful form: running max value per year, per record — a single
+    * lazy pass over plan-ordered groups (O(1) memory per key; the slice
+    * sort + buffer lives only in the streaming twins, where micro-batch
+    * slices cannot be plan-ordered). */
   def runningMaxStateful(spark: SparkSession, sfDir: String): DataFrame = {
     val kv = Tables.events(spark, sfDir)
       .select(year(col("ts")).cast("string").as("key"),
               col("event_id").as("ord"), col("value"))
-      .as[KV](kvEnc)
-    StatefulOps.runningMax(kv).toDF()
+    StatefulOps.runningMaxOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc)).toDF()
       .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
               col("out").as("run_max"))
       .orderBy(col("event_id"))
@@ -723,8 +738,8 @@ object StatefulQueries {
   def blockAvgStateful(spark: SparkSession, sfDir: String): DataFrame = {
     val kv = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
-      .as[KV](kvEnc)
-    StatefulOps.blockAverage(kv).toDF()
+    StatefulOps.blockAverageOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc)).toDF()
       .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
       .orderBy(col("event_type"), col("block"))
   }
@@ -736,8 +751,8 @@ object StatefulQueries {
       .select(year(col("ts")).cast("string").as("key"),
               month(col("ts")).cast("string").as("subkey"),
               col("event_id").as("ord"), col("value"))
-      .as[KSV](ksvEnc)
-    StatefulOps.runningMaxBySubkey(ksv).toDF()
+    StatefulOps.runningMaxBySubkeyOrdered(
+        orderedByKey(ksv).as[String, KSV](Encoders.STRING, ksvEnc)).toDF()
       .select(col("ord").as("event_id"), col("key").cast("long").as("yr"),
               col("subkey").cast("long").as("mon"), col("out").as("run_max"))
       .orderBy(col("event_id"))
@@ -747,8 +762,8 @@ object StatefulQueries {
   def thresholdGapsStateful(spark: SparkSession, sfDir: String): DataFrame = {
     val kv = Tables.events(spark, sfDir)
       .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
-      .as[KV](kvEnc)
-    StatefulOps.thresholdGaps(kv, 100.0).toDF()
+    StatefulOps.thresholdGapsOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc), 100.0).toDF()
       .select(col("ord").as("event_id"), col("key").as("event_type"), col("gap"))
       .orderBy(col("event_id"))
   }

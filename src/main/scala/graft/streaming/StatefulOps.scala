@@ -564,4 +564,99 @@ object StatefulOps {
           state.update(GapCount(n))
           out.iterator
       }
+
+  // ---- ORDER-ASSUMING batch forms: stream the group, buffer nothing ----
+  //
+  // The forms above sort each group's slice in-operator because neither
+  // batch groups nor micro-batch slices arrive ordered — at the cost of
+  // materializing the slice. In BATCH execution the caller can instead
+  // establish (key, ord) order in the PLAN — repartition(key) +
+  // sortWithinPartitions(key, ord), grouped via the COLUMN form
+  // `groupBy(col).as[K, T]` (the lambda form `groupByKey` appends a fresh
+  // grouping column, which would force a re-shuffle and destroy the sort) —
+  // and the exec's required (distribution, ordering) are both already
+  // satisfied, so NO exchange or sort is inserted and the group iterator
+  // arrives ord-sorted. The fold is then a single lazy pass: memory through
+  // the operator is O(1) per key regardless of group size, the same bound
+  // as the q1p–q4p secondary-sort forms, while still exercising the real
+  // `flatMapGroupsWithState` API (state is written at iterator exhaustion —
+  // batch state is per-group-ephemeral, but the handle discipline is kept).
+  // OrderedStatefulSpec pins the no-extra-exchange/no-extra-sort plan shape;
+  // a regression there would re-order rows and fail the value oracles too.
+
+  import org.apache.spark.sql.KeyValueGroupedDataset
+
+  /** [[runningMax]] over a pre-ordered grouping: one lazy pass, O(1) state. */
+  def runningMaxOrdered(g: KeyValueGroupedDataset[String, KV]): Dataset[KeyedOut] =
+    g.flatMapGroupsWithState[MaxSoFar, KeyedOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[MaxSoFar]) =>
+        var cur = if (state.exists) state.get.max else Double.NegativeInfinity
+        rows.map { r =>
+          if (!sqlGe(cur, r.value)) cur = r.value
+          KeyedOut(key, r.ord, cur)
+        } ++ { state.update(MaxSoFar(cur)); Iterator.empty }
+    }
+
+  /** [[blockAverage]] over a pre-ordered grouping: one lazy pass. */
+  def blockAverageOrdered(g: KeyValueGroupedDataset[String, KV],
+                          emitCount: Int = 50): Dataset[KeyedOutN] =
+    g.flatMapGroupsWithState[BlockAcc, KeyedOutN](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[BlockAcc]) =>
+        var acc = if (state.exists) state.get else BlockAcc(0, 0L, 0, 0L)
+        rows.flatMap { r =>
+          if (acc.count < emitCount) {
+            if (java.lang.Double.isFinite(r.value)) {
+              val cents = (BigDecimal(r.value)
+                .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+              acc = BlockAcc(acc.count + 1, acc.cents + cents, acc.nFinite + 1, acc.block)
+            } else
+              acc = BlockAcc(acc.count + 1, acc.cents, acc.nFinite, acc.block)
+            Iterator.empty
+          } else {
+            val avg = if (acc.nFinite == 0) None
+                      else Some((acc.cents.toDouble / 100.0) / emitCount)
+            val out = KeyedOutN(key, r.ord, acc.block, avg)
+            acc = BlockAcc(0, 0L, 0, acc.block + 1L)
+            Iterator.single(out)
+          }
+        } ++ { state.update(acc); Iterator.empty }
+    }
+
+  /** [[runningMaxBySubkey]] over a pre-ordered grouping: one lazy pass,
+    * state O(distinct subkeys per key). */
+  def runningMaxBySubkeyOrdered(g: KeyValueGroupedDataset[String, KSV]): Dataset[SubkeyOut] =
+    g.flatMapGroupsWithState[SubkeyMax, SubkeyOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[SubkeyMax]) =>
+        var m = if (state.exists) state.get.m else Map.empty[String, Double]
+        rows.map { r =>
+          val cur = m.get(r.subkey) match {
+            case Some(prev) if sqlGe(prev, r.value) => prev
+            case _                                  => r.value
+          }
+          m = m.updated(r.subkey, cur)
+          SubkeyOut(key, r.subkey, r.ord, cur)
+        } ++ { state.update(SubkeyMax(m)); Iterator.empty }
+    }
+
+  /** [[thresholdGaps]] over a pre-ordered grouping: one lazy pass. */
+  def thresholdGapsOrdered(g: KeyValueGroupedDataset[String, KV],
+                           threshold: Double): Dataset[GapOut] =
+    g.flatMapGroupsWithState[GapCount, GapOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[GapCount]) =>
+        var n = if (state.exists) state.get.n else 0L
+        rows.flatMap { r =>
+          if (sqlGe(r.value, threshold)) {
+            val out = GapOut(key, r.ord, n)
+            n = 0L
+            Iterator.single(out)
+          } else {
+            n += 1L
+            Iterator.empty
+          }
+        } ++ { state.update(GapCount(n)); Iterator.empty }
+    }
 }
