@@ -142,6 +142,9 @@ object SparkEntry {
     // the same gate through the real micro-batch engine (stateless streaming)
     "quality_filter_streaming" -> ((s, dir) => TextOps.qualityFilterStream(s, dir)),
     "rep_stats"        -> ((s, dir) => TextOps.repetitionStats(s, dir)),
+    // corpus-statistics quality scoring: vocabulary-sized counts shuffle,
+    // broadcast back, map-side per-doc rarity — integer-exact gate
+    "token_rarity"     -> ((s, dir) => TextOps.tokenRarity(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     // the same top-k through a mergeable Misra-Gries heavy-hitters sketch
@@ -577,6 +580,19 @@ object SparkEntry {
          |      AND qs.lang_guess = 'en' AND qs.quality_score >= 0.5 AS BIGINT) AS selected
          |FROM documents d JOIN ex USING (doc_id) JOIN qs USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // integer-exact until the two final divisions of exact longs — order-free
+    "token_rarity" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tk AS (SELECT doc_id, unnest(ths) AS th FROM t),
+         |c AS (SELECT th, count(*) AS cnt FROM tk GROUP BY th),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+         |j AS (SELECT tk.doc_id, c.cnt, tot.total FROM tk JOIN c USING (th) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+         | CAST(sum(CASE WHEN cnt*1000 < total THEN 1 ELSE 0 END) AS BIGINT) AS rare_n,
+         | CAST(sum(cnt) AS DOUBLE)/count(*) AS mean_cnt,
+         | CAST(sum(CASE WHEN cnt*1000 < total THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS rare_frac
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rep_stats" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
          |b AS (SELECT doc_id, ths,

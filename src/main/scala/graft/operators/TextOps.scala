@@ -715,6 +715,42 @@ object TextOps {
     }.reduce(_ && _)
   }
 
+  /** Corpus-statistics quality scoring (the CCNet-style two-pass shape, on
+    * unigram counts instead of an LM): pass 1 aggregates corpus-wide token
+    * occurrence counts — ONE token shuffle whose output is vocabulary-sized,
+    * not corpus-sized; pass 2 broadcasts the counts back onto the token
+    * stream and scores each document map-side: mean corpus frequency of its
+    * tokens and the fraction of "rare" tokens (count × 1000 < corpus total —
+    * an INTEGER comparison, so the gate is exact). High rare_frac flags
+    * gibberish/noise docs; high mean_cnt flags boilerplate.
+    *
+    * Numeric policy: everything is integer (counts, sums) until the two
+    * final divisions of exactly-represented longs — bit-deterministic under
+    * any aggregation order, so the DuckDB oracle hash-matches.
+    *
+    * 100 TB: the broadcast assumes a bounded vocabulary (true after
+    * tokenization; for open vocabularies swap the exact counts for
+    * [[FreqSketch.CMAgg]] point estimates — same plan shape with the
+    * matrix as the broadcast). */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame =
+    tokenRarityOf(documentsFor(spark, sfDir))
+
+  def tokenRarityOf(d: DataFrame): DataFrame = {
+    val tk = d.select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))
+    val counts = tk.groupBy(col("th")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    tk.join(broadcast(counts.crossJoin(broadcast(total))), "th")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+           sum(col("cnt")).cast("long").as("sum_cnt"),
+           sum(when(col("cnt") * lit(1000L) < col("total"), 1L)
+             .otherwise(0L)).cast("long").as("rare_n"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cnt"), col("rare_n"),
+              (col("sum_cnt").cast("double") / col("n_tokens")).as("mean_cnt"),
+              (col("rare_n").cast("double") / col("n_tokens")).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     // native one-pass deque kernel (codegen'd) — the HOF formulation
     // (array_distinct over per-window array_min slices) is interpreted and

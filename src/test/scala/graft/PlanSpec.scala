@@ -187,6 +187,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("token_rarity: corpus counts rejoin the token stream via broadcast") {
+    val p = plan("token_rarity")
+    // the vocabulary-sized counts ride a broadcast back onto the token
+    // stream — a sort-merge join here would shuffle the full token stream
+    // a second time on th
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("contamination_bloom: the bit-test filter runs on the map side, below every shuffle") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
