@@ -145,6 +145,9 @@ object SparkEntry {
     // corpus-statistics quality scoring: vocabulary-sized counts shuffle,
     // broadcast back, map-side per-doc rarity — integer-exact gate
     "token_rarity"     -> ((s, dir) => TextOps.tokenRarity(s, dir)),
+    // retrieval-based selection: BM25-shaped (rational, log-free) ranking
+    // against a derived seed-query term set
+    "bm25_topdocs"     -> ((s, dir) => TextOps.bm25TopDocs(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     // the same top-k through a mergeable Misra-Gries heavy-hitters sketch
@@ -580,6 +583,28 @@ object SparkEntry {
          |      AND qs.lang_guess = 'en' AND qs.quality_score >= 0.5 AS BIGINT) AS selected
          |FROM documents d JOIN ex USING (doc_id) JOIN qs USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+    // rational BM25 core (log-free, see TextOps.bm25TopDocsOf) with
+    // DECIMAL-exact per-doc summation — identical IEEE op trees both sides
+    "bm25_topdocs" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tk AS (SELECT doc_id, unnest(ths) AS th FROM t),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |dfq AS (SELECT th, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY th),
+         |q AS (SELECT DISTINCT unnest($tokenHashesSql) AS th FROM documents WHERE doc_id = 0),
+         |s AS (SELECT tf.doc_id,
+         |   (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |     / (CAST(dfq.df AS DOUBLE) + 0.5) AS idf,
+         |   (CAST(tf.tf AS DOUBLE) * 2.2)
+         |     / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl.dl AS DOUBLE)
+         |          / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS tfn
+         | FROM (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tk JOIN q USING (th) GROUP BY doc_id, th) tf
+         | JOIN dfq USING (th) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+         |SELECT doc_id, CAST(SUM(CAST(idf * tfn AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // integer-exact until the two final divisions of exact longs — order-free
     "token_rarity" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),

@@ -751,6 +751,51 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Retrieval-based data selection: rank the corpus against a seed-query
+    * term set (the distinct tokens of doc 0 — deterministic and derived,
+    * like the contamination eval set) with a BM25-shaped score. The idf is
+    * the RATIONAL core `(N - df + 0.5)/(df + 0.5)` — deliberately log-free,
+    * like [[tfidfTopTerms]]'s rational tf-idf, because `ln` is not
+    * bit-specified across engines and would break the hash gate; the
+    * ranking it induces is the same (the log is monotone). k1 = 1.2,
+    * b = 0.75 (the standard constants, as literals).
+    *
+    * Scale shape: tf is computed AFTER the broadcast query-term semi-join
+    * prunes the token stream (scores only exist for query terms); doc
+    * length and corpus stats are one vocabulary-bounded aggregate each;
+    * per-doc summation is DECIMAL-exact so the reduction-tree order never
+    * perturbs the ranking. */
+  def bm25TopDocs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
+    bm25TopDocsOf(documentsFor(spark, sfDir), k)
+
+  def bm25TopDocsOf(d: DataFrame, k: Int = 20): DataFrame = {
+    val tk = d.select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))
+    val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+                       sum(col("dl")).cast("long").as("total_tokens"))
+    val dfq = tk.select(col("doc_id"), col("th")).distinct()
+      .groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
+    val q = d.filter(col("doc_id") === 0L)
+      .select(explode(array_distinct(tokenHashes(col("text")))).as("th"))
+      .distinct()
+    val tf = tk.join(broadcast(q), "th")
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).cast("long").as("tf"))
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") /
+            (col("total_tokens").cast("double") / col("n_docs").cast("double")))))
+    tf.join(broadcast(dfq.join(broadcast(q), "th")), "th")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfn).cast("decimal(28,12)").as("w"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("wsum"))
+      .select(col("doc_id"), col("wsum").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     // native one-pass deque kernel (codegen'd) — the HOF formulation
     // (array_distinct over per-window array_min slices) is interpreted and

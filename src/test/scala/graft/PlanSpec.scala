@@ -196,6 +196,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bm25_topdocs: the query-term prune and df stats ride broadcasts; top-k is TakeOrdered") {
+    val p = plan("bm25_topdocs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("contamination_bloom: the bit-test filter runs on the map side, below every shuffle") {
     import org.apache.spark.sql.execution.FilterExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
