@@ -103,6 +103,8 @@ object SparkEntry {
     //      the real micro-batch engine on RocksDB, two-batch replay ----
     "q1t_running_max_tws"       -> ((s, dir) => TwsQueries.runningMaxTws(s, dir)),
     "q2t_block_avg_tws"         -> ((s, dir) => TwsQueries.blockAvgTws(s, dir)),
+    // the TWS literal-state form across two checkpoint-sharing runs
+    "q2ct_block_avg_tws_checkpoint" -> ((s, dir) => TwsQueries.blockAvgTwsCheckpointed(s, dir)),
     "q3t_running_max_month_tws" -> ((s, dir) => TwsQueries.runningMaxMonthTws(s, dir)),
     "q4t_threshold_gaps_tws"    -> ((s, dir) => TwsQueries.thresholdGapsTws(s, dir)),
     // session windows on TWS EVENT-TIME TIMERS (registerTimer /
@@ -1221,6 +1223,7 @@ object SparkEntry {
       "dedup_exact_ttl_tws"            -> base("dedup_exact_ttl_streaming"),
       "q1t_running_max_tws"            -> base("q1_running_max"),
       "q2t_block_avg_tws"              -> base("q2_block_avg"),
+      "q2ct_block_avg_tws_checkpoint"  -> base("q2_block_avg"),
       "q3t_running_max_month_tws"      -> base("q3_running_max_month"),
       "q4t_threshold_gaps_tws"         -> base("q4_threshold_gaps"),
       // timer-driven closure ≡ batch-gap semantics — same oracle as q13

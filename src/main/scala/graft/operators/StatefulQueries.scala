@@ -353,7 +353,7 @@ object StatefulQueries {
     result
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[operators] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     val walk = Files.walk(p)

@@ -73,6 +73,52 @@ object TwsQueries {
       .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
       .orderBy(col("event_type"), col("block"))
 
+  /** Q2 on transformWithState across TWO SEPARATE query RUNS sharing one
+    * checkpoint — checkpoint recovery for the LITERAL-state API (q2c
+    * proves it for flatMapGroupsWithState): run 1 drains the first half of
+    * events to a parquet sink and stops; run 2 starts from the same
+    * checkpoint, recovers the RocksDB store (each key's four open
+    * ValueStates, INCLUDING the block index) plus the source offsets, and
+    * processes only the second half. The combined sink output answers q2's
+    * oracle, so wrong recovery — state reset, input re-read, block indices
+    * restarting at 0 — fails the hash. */
+  def blockAvgTwsCheckpointed(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val copyDir = orderedEventsWideCopy(spark, sfDir)
+    val work = Files.createTempDirectory("graft-q2ct-")
+    val srcDir = Files.createDirectory(work.resolve("src"))
+    val ckpt = work.resolve("ckpt").toString
+    val outDir = work.resolve("out").toString
+    val schema = spark.read.parquet(copyDir).schema
+    def runOnce(): Unit =
+      StatefulQueries.withRocksDbStateStore(spark) {
+        StatefulQueries.withShuffleWidth(spark, 8) {
+          val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
+          val out = TwsOps.blockAverageTws(stream
+            .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+            .as[KV](kvEnc)).toDF()
+          val q = out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", outDir)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      }
+    Files.copy(Paths.get(copyDir, "ev0.parquet"), srcDir.resolve("ev0.parquet"))
+    runOnce()
+    Files.copy(Paths.get(copyDir, "ev1.parquet"), srcDir.resolve("ev1.parquet"))
+    runOnce()
+    // materialize, then delete the whole work dir (copies, checkpoint,
+    // sink): bench repetitions must not accumulate per-run disk
+    val result = spark.read.parquet(outDir)
+      .select(col("key").as("event_type"), col("block"), col("out").as("avg_value"))
+      .orderBy(col("event_type"), col("block"))
+      .localCheckpoint()
+    StatefulQueries.deleteRecursively(work)
+    result
+  }
+
   /** Q3 on transformWithState (literal MapState), registered under q3's
     * oracle. */
   def runningMaxMonthTws(spark: SparkSession, sfDir: String): DataFrame =

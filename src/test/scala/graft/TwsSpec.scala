@@ -173,6 +173,17 @@ class TwsSpec extends SparkSpec {
       assert(stateVar(meta, v, "ValueState"), s"$v missing in $meta")
   }
 
+  test("tws block average across two checkpoint-sharing runs equals the batch form") {
+    // state reset between the runs would restart block indices and re-open
+    // accumulators mid-block — both diverge from the batch twin
+    val got = graft.operators.TwsQueries.blockAvgTwsCheckpointed(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val exp = SparkEntry.queries("q2_block_avg")(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exp)
+    assert(got.nonEmpty)
+  }
+
   test("tws subkey max: matches the fMGWS twin and registers a literal MapState") {
     val data = Seq(
       KSV("y1", "m1", 1L, 4.0), KSV("y1", "m2", 2L, 9.0), KSV("y1", "m1", 3L, 2.0),
