@@ -259,6 +259,8 @@ object SparkEntry {
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
+    // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
+    "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     // session windows through the real engine: event-time timeout closes
     // sessions when the watermark passes end+gap, flushed by a sentinel batch
@@ -1126,6 +1128,20 @@ object SparkEntry {
         | ${dd("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value,
         | max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // spike test cross-multiplied to integers: no floats, order-free
+    "q12a_hourly_anomaly" ->
+      s"""WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         |       event_type, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+         |       CAST(sum(cnt*cnt) AS BIGINT) AS sumsq_cnt
+         |      FROM h GROUP BY 1)
+         |SELECT h.event_type, h.hour_start, h.cnt AS n_events,
+         | CAST(s.sum_cnt AS DOUBLE)/s.n_hours AS mean_cnt,
+         | CAST((h.cnt*s.n_hours - s.sum_cnt)*(h.cnt*s.n_hours - s.sum_cnt)
+         |       > 4*(s.n_hours*s.sumsq_cnt - s.sum_cnt*s.sum_cnt) AS BIGINT) AS is_spike
+         |FROM h JOIN s USING (event_type) ORDER BY event_type, hour_start""".stripMargin,
     "q13_sessionize" ->
       """WITH t AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -46,6 +46,33 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Volume-anomaly detection over the hourly windows: flag hours whose
+    * event count deviates more than 2σ from the type's mean hourly count.
+    * The spike test is ALL-INTEGER — `|cnt − μ| > 2σ` cross-multiplied to
+    * `(cnt·n − Σ)² > 4·(n·Σx² − Σ²)` — so the gate is exact with no floats,
+    * no sqrt, and no aggregation-order sensitivity; the reported mean is
+    * the only float, one division of exact longs. Per-type stats are a
+    * type-cardinality-sized aggregate broadcast back onto the hourly frame
+    * (types are bounded; at ~1e9-count hours the cross-multiplied squares
+    * need a DECIMAL(38,0) widening — the longs here are exact to 2⁶³). */
+  def hourlyVolumeAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).cast("long").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_hours"),
+           sum(col("cnt")).cast("long").as("sum_cnt"),
+           sum(col("cnt") * col("cnt")).cast("long").as("sumsq_cnt"))
+    val dev = col("cnt") * col("n_hours") - col("sum_cnt")
+    val varN2 = col("n_hours") * col("sumsq_cnt") - col("sum_cnt") * col("sum_cnt")
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_start"), col("cnt").as("n_events"),
+              (col("sum_cnt").cast("double") / col("n_hours")).as("mean_cnt"),
+              (dev * dev > lit(4L) * varN2).cast("long").as("is_spike"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
   /** The tumbling aggregate as a REAL Structured Streaming query: file
     * source (`readStream`) over the events parquet, Trigger.AvailableNow,
     * complete-mode memory sink, drained synchronously and returned as a
