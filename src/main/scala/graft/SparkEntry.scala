@@ -274,6 +274,8 @@ object SparkEntry {
     "q17_cube"         -> ((s, dir) => Relational.lineitemCube(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
+    // distribution functions + first_value + a VALUE-RANGE (5 min) frame
+    "q19b_window_suite" -> ((s, dir) => Relational.windowSuite(s, dir)),
     "q20_salted_revenue" -> ((s, dir) => Skew.saltedRevenue(s, dir)),
     "q21_topk_aggregator" -> ((s, dir) => TopK.topPartsByBrandAgg(s, dir)),
     "q22_above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(s, dir)),
@@ -496,6 +498,22 @@ object SparkEntry {
         | lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
         | ${dd("sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS mov_sum3
         |FROM events ORDER BY event_id""".stripMargin,
+    // percent_rank/cume_dist are single divisions of exact ranks — bit-safe
+    "q19b_window_suite" ->
+      s"""SELECT event_id, user_id,
+        | CAST(dense_rank() OVER wv AS BIGINT) AS drk,
+        | CAST(ntile(4) OVER wv AS BIGINT) AS quartile,
+        | percent_rank() OVER wv AS prk,
+        | cume_dist() OVER wv AS cd,
+        | first_value(value) OVER wt AS first_v,
+        | CAST(count(*) OVER wr AS BIGINT) AS n_5min
+        |FROM events
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC),
+        | wt AS (PARTITION BY user_id ORDER BY epoch_us(ts)*1000, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)*1000
+        |        RANGE BETWEEN 300000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   ) ++ mmOracle ++ Map(
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),

@@ -298,6 +298,34 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** The window surface q19 leaves out: distribution functions
+    * (dense_rank / ntile / percent_rank / cume_dist — the latter two are
+    * single divisions of exact ranks, bit-deterministic), a first_value
+    * rows-frame, and a VALUE-RANGE frame (trailing 5 minutes on the ns
+    * clock — `rangeBetween` on ts_ns, the frame kind q19's rows-frames
+    * don't exercise). One shuffle per distinct (partition, order) pair;
+    * both orderings share the user_id partitioning. */
+  def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    val wt = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      .rangeBetween(-300000000000L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("drk", dense_rank().over(wv).cast("long"))
+      .withColumn("quartile", ntile(4).over(wv).cast("long"))
+      .withColumn("prk", percent_rank().over(wv))
+      .withColumn("cd", cume_dist().over(wv))
+      .withColumn("first_v", first(col("value")).over(wt))
+      .withColumn("n_5min", count(lit(1)).over(wr).cast("long"))
+      .select(col("event_id"), col("user_id"), col("drk"), col("quartile"),
+              col("prk"), col("cd"), col("first_v"), col("n_5min"))
+      .orderBy(col("event_id"))
+  }
+
   /** Decorrelated "orders above their customer's average" — the correlated
     * scalar subquery expressed as the join Catalyst would decorrelate it to
     * (aggregate once per customer, join back, filter). */
