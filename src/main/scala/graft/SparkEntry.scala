@@ -147,6 +147,11 @@ object SparkEntry {
     // corpus-statistics quality scoring: vocabulary-sized counts shuffle,
     // broadcast back, map-side per-doc rarity — integer-exact gate
     "token_rarity"     -> ((s, dir) => TextOps.tokenRarity(s, dir)),
+    // the open-vocabulary form: Count-Min point estimates probe a frozen
+    // constant-size matrix (codegen'd expression, no join) instead of
+    // broadcasting vocabulary-sized exact counts; collision-free at test
+    // width, so it registers under the same exact oracle
+    "token_rarity_sketch" -> ((s, dir) => TextOps.tokenRaritySketch(s, dir)),
     // retrieval-based selection: BM25-shaped (rational, log-free) ranking
     // against a derived seed-query term set
     "bm25_topdocs"     -> ((s, dir) => TextOps.bm25TopDocs(s, dir)),
@@ -163,6 +168,11 @@ object SparkEntry {
     // keyed heavy hitters: one bounded summary per language — the shuffle
     // key is the group, never the vocabulary
     "vocab_topk_by_lang_sketch" -> ((s, dir) => FreqSketch.vocabTopKByLangSketch(s, dir)),
+    // the keyed sketch through the real micro-batch engine: one literal
+    // ValueState[MGSummary] per language on RocksDB (transformWithState),
+    // cumulative emission, cross-batch witness — state stays
+    // languages x capacity no matter the vocabulary
+    "vocab_topk_by_lang_sketch_streaming" -> ((s, dir) => FreqSketch.vocabTopKByLangSketchTws(s, dir)),
     // Count-Min point-frequency estimates for a known query-token set:
     // corpus folds map-side into one constant-size counter matrix
     "token_df_countmin" -> ((s, dir) => FreqSketch.tokenDfCountMin(s, dir)),
@@ -1264,6 +1274,13 @@ object SparkEntry {
       "q13t_sessionize_tws"            -> base("q13_sessionize"),
       // star contraction computes the same labeling as min-label propagation
       "dedup_lsh_components_star"      -> base("dedup_lsh_components"),
+      // Count-Min estimates are collision-free at the test vocabulary (31
+      // tokens vs width 1024), so the open-vocabulary sketch form is exact
+      // and shares token_rarity's oracle — the MG-family precedent
+      "token_rarity_sketch"            -> base("token_rarity"),
+      // per-language summaries are exact at test capacity in the streaming
+      // form too — same oracle as the batch keyed sketch
+      "vocab_topk_by_lang_sketch_streaming" -> base("vocab_topk_by_lang_sketch"),
       "ann_recall"                     -> annRecallOracle(base))
   }
 

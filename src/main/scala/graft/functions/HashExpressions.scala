@@ -119,6 +119,32 @@ object HashKernels {
     acc
   }
 
+  /** Count–Min row-hash constants — THE single definition; the sketch
+    * aggregator ([[graft.operators.FreqSketch.CMAgg]]) and the codegen'd
+    * point-estimate expression below both hash through here, so the builder
+    * and the prober can never drift. Odd multiply-shift constants: the
+    * sketch needs only pairwise independence, and FIXED constants keep
+    * estimates deterministic across runs, retries, and scale factors. */
+  val CmA: Array[Long] = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL,
+                               0x165667B19E3779F9L, 0x27D4EB2F165667C5L)
+
+  /** Flattened cell index for row `row` of a d×w Count–Min matrix. Raw JVM
+    * long arithmetic (wrapping multiply, unsigned shift) — identical under
+    * interpreted eval, codegen, and the driver-side aggregator, and immune
+    * to the SQL ANSI-overflow setting. */
+  def cmCell(row: Int, w: Int, x: Long): Int = {
+    val h = (CmA(row) * x) >>> 33 // multiply-shift: high bits mix best
+    row * w + (h % w).toInt
+  }
+
+  /** Count–Min point estimate: min over the d row cells for item `x`. */
+  def cmEstimate(cells: Array[Long], w: Int, d: Int, x: Long): Long = {
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) { val v = cells(cmCell(i, w, x)); if (v < best) best = v; i += 1 }
+    best
+  }
+
   /** Distinct sliding-window minima (winnowing): the min of every w-wide
     * window over the hash sequence, first-occurrence deduped. Monotonic
     * deque — O(n) total, vs O(n·w) for the per-window array_min scan. */
@@ -255,6 +281,27 @@ object HashExpressions {
     override protected def withNewChildInternal(c: Expression): WinnowMins = copy(child = c)
   }
 
+  /** Count–Min point estimate of one Long item against a FROZEN d×w matrix
+    * (a completed [[graft.operators.FreqSketch.CMSketch]]'s cells): the
+    * open-vocabulary replacement for a vocabulary-sized exact-counts
+    * broadcast — the matrix is constant-size (w·d longs) however many
+    * distinct items the corpus holds, rides the expression as a reference
+    * object, and the probe is d array reads under whole-stage codegen. */
+  case class CmEstimate(child: Expression, cells: Array[Long], w: Int, d: Int)
+      extends UnaryExpression {
+    require(w >= 2 && d >= 1 && d <= HashKernels.CmA.length &&
+      cells.length == w * d, s"bad CM shape: w=$w d=$d cells=${cells.length}")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        HashKernels.cmEstimate(cells, w, d, input.asInstanceOf[Long]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("cmCells", cells, "long[]")
+      defineCodeGen(ctx, ev, c => s"$K.cmEstimate($ref, $w, $d, $c)")
+    }
+    override protected def withNewChildInternal(c: Expression): CmEstimate = copy(child = c)
+  }
+
   /** Sequential-fold dot product of two array<double> columns (the ANN hot
     * path). Bit-identical to the higher-order-function formulation and
     * DuckDB's list_dot_product on DOUBLE[]. */
@@ -286,4 +333,6 @@ object HashExpressions {
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def winnow_mins(shingles: Column, w: Int): Column =
     ColumnBridge.column(WinnowMins(ColumnBridge.expression(shingles), w))
+  def cm_estimate(item: Column, cells: Array[Long], w: Int, d: Int): Column =
+    ColumnBridge.column(CmEstimate(ColumnBridge.expression(item), cells, w, d))
 }

@@ -159,14 +159,103 @@ object FreqSketch {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** The keyed sketch's STREAMING twin on `transformWithState`: ONE
+    * Misra–Gries summary per language held as a literal
+    * `ValueState[MGSummary]` — total streaming state is
+    * `languages × capacity` entries however many distinct tokens flow by,
+    * which is the whole point versus the exact streaming
+    * `groupBy(lang, th).count()` keeping one state row per (lang, token)
+    * forever. Emission is CUMULATIVE (the [[TwsOps.TtlDedupProcessor]]
+    * precedent): every batch that touches a language re-emits its current
+    * summary with a strictly larger `n`, and the batch side keeps the
+    * max-n row per language — so the drained sink holds
+    * O(languages × batches) rows, never per-token rows. */
+  val MGStateVar = "mgSummary"
+
+  class MGByKeyProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), MGEmit] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var sum: ValueState[MGSummary] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      // kryo, matching the aggregator's buffer encoding: the TWS state-row
+      // encoder rejects MapType columns, and the <=capacity-entry summary
+      // is cheaper as one blob than as exploded rows anyway
+      sum = getHandle.getValueState[MGSummary](MGStateVar,
+        Encoders.kryo[MGSummary], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[MGEmit] = {
+      val agg = MGAgg(capacity)
+      var cur = if (sum.exists()) Option(sum.get()).getOrElse(agg.zero) else agg.zero
+      rows.foreach(r => cur = agg.reduce(cur, r._2))
+      sum.update(cur)
+      val (items, counts) = cur.counters.toArray.sortBy(_._1).unzip
+      Iterator.single(MGEmit(key, cur.n, items, counts))
+    }
+  }
+
+  /** Per-batch cumulative emission row: a language's summary after folding
+    * that batch's slice (`n` strictly increases per emission, so max-n picks
+    * the final state). Parallel arrays, not a map — MapType is rejected by
+    * the streaming state/sink row encoders. */
+  case class MGEmit(lang: String, n: Long, items: Array[Long], counts: Array[Long])
+
+  /** [[vocabTopKByLangSketch]] through the REAL micro-batch engine on the
+    * RocksDB store (TWS's required provider), over a two-file doc_id-split
+    * replay so each language's summary provably crosses a micro-batch
+    * boundary (the ≥2-data-batch witness is asserted from the query's own
+    * progress). Registered under the same exact per-language oracle —
+    * capacity >> test vocabulary, the MG-family precedent. */
+  def vocabTopKByLangSketchTws(spark: SparkSession, sfDir: String,
+                               k: Int = 10, capacity: Int = 4096): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"docs-lang:$sfDir",
+        Seq("d0.parquet", "d1.parquet")) {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val maxIdRow = d.agg(max(col("doc_id"))).head()
+      if (maxIdRow.isNullAt(0)) Seq(d)
+      else {
+        // doc_id cut at half the max; drop an empty half (it would replay
+        // a zero-row batch and fail the data-batch witness)
+        val mid = maxIdRow.getLong(0) / 2
+        Seq(d.filter(col("doc_id") <= mid), d.filter(col("doc_id") > mid))
+          .filter(!_.isEmpty)
+      }
+    }
+    implicit val outEnc: Encoder[MGEmit] = Encoders.product[MGEmit]
+    val drained = StatefulQueries.withRocksDbStateStore(spark) {
+      StatefulQueries.drainOrderedFiles(spark, dir, minBatches = 2) { stream =>
+        stream.select(col("lang"),
+            explode(array_distinct(TextFunctions.tokenHashes(col("text")))).as("th"))
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new MGByKeyProcessor(capacity),
+            TimeMode.None(), OutputMode.Append())
+          .toDF()
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc)
+    drained.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("lang"), col("n"), col("items"), col("counts")).as[MGEmit]
+      .flatMap { e =>
+        e.items.zip(e.counts).toSeq
+          .sortBy { case (item, df) => (-df, item) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((item, df), i) => (e.lang, (i + 1).toLong, item, df) }
+      }.toDF("lang", "rk", "th", "df")
+      .orderBy(col("lang"), col("rk"))
+  }
+
   // ---- Count–Min sketch: mergeable point-frequency estimates ----
 
-  /** Fixed row-hash constants (odd multipliers, same modulus as the text
-    * hash kernels' P would be overkill here — the sketch only needs pairwise
-    * independence, and FIXED constants keep estimates deterministic across
-    * runs, retries, and scale factors). */
-  private val CmA = Array(0x9E3779B97F4A7C15L, 0xC2B2AE3D27D4EB4FL,
-                          0x165667B19E3779F9L, 0x27D4EB2F165667C5L)
+  /** Row-hash constants live in [[graft.functions.HashKernels.CmA]] — ONE
+    * definition shared with the codegen'd point-estimate expression
+    * ([[graft.functions.HashExpressions.CmEstimate]]), so the sketch builder
+    * and the distributed prober can never drift. */
+  private def CmA = graft.functions.HashKernels.CmA
 
   /** Count–Min over Long item ids: a `d × w` counter matrix, incremented at
     * one cell per row per item, merged by ELEMENTWISE SUM — the perfectly
@@ -181,10 +270,8 @@ object FreqSketch {
     require(d >= 1 && d <= CmA.length, s"d must be in [1, ${CmA.length}], got $d")
     require(w >= 2, s"w must be >= 2, got $w")
 
-    @inline private def cell(row: Int, x: Long): Int = {
-      val h = (CmA(row) * x) >>> 33 // multiply-shift: high bits mix best
-      row * w + (h % w).toInt
-    }
+    @inline private def cell(row: Int, x: Long): Int =
+      graft.functions.HashKernels.cmCell(row, w, x)
 
     def zero: CMSketch = CMSketch(new Array[Long](w * d), 0L)
     def reduce(b: CMSketch, x: Long): CMSketch = {

@@ -304,15 +304,24 @@ object Relational {
     * rows-frame, and a VALUE-RANGE frame (trailing 5 minutes on the ns
     * clock — `rangeBetween` on ts_ns, the frame kind q19's rows-frames
     * don't exercise). One shuffle per distinct (partition, order) pair;
-    * both orderings share the user_id partitioning. */
+    * both orderings share the user_id partitioning.
+    *
+    * Time key: `ts_ns div 1000 * 1000` — MICROSECOND-truncated, because the
+    * DuckDB oracle can only order/frame on `epoch_us(ts)*1000` (its
+    * TIMESTAMP truncates parquet nanos to µs). On micros-encoded fixtures
+    * the truncation is the identity; on a nanos-encoded fixture (an encoding
+    * normalizeEvents still supports) it keeps first_v tie-breaks and the
+    * range-frame boundary membership bit-identical to the oracle instead of
+    * diverging on sub-µs digits. */
   def windowSuite(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val tsUsNs = expr("ts_ns div 1000 * 1000")
     val wv = Window.partitionBy(col("user_id"))
       .orderBy(col("value").desc, col("event_id").asc)
     val wt = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(tsUsNs, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wr = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val wr = Window.partitionBy(col("user_id")).orderBy(tsUsNs)
       .rangeBetween(-300000000000L, 0L)
     Tables.events(spark, sfDir)
       .withColumn("drk", dense_rank().over(wv).cast("long"))

@@ -53,9 +53,13 @@ object Sessionize {
     * no sqrt, and no aggregation-order sensitivity; the reported mean is
     * the only float, one division of exact longs. Per-type stats are a
     * type-cardinality-sized aggregate broadcast back onto the hourly frame
-    * (types are bounded; at ~1e9-count hours the cross-multiplied squares
-    * need a DECIMAL(38,0) widening — the longs here are exact to 2⁶³). */
+    * (types are bounded). The cross-multiplied terms run in DECIMAL(38,0):
+    * Long would wrap SILENTLY (ANSI off) once hourly counts reach ~1e9,
+    * flipping is_spike with no error — decimal keeps the test exact through
+    * ~1e18-scale counts (dev² ≈ 8.5e37 fits 38 digits), and past that the
+    * overflow surfaces as a NULL spike flag instead of a wrong one. */
   def hourlyVolumeAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
     val hourly = Tables.events(spark, sfDir)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).cast("long").as("hour_start"),
                col("event_type"))
@@ -63,13 +67,15 @@ object Sessionize {
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_hours"),
            sum(col("cnt")).cast("long").as("sum_cnt"),
-           sum(col("cnt") * col("cnt")).cast("long").as("sumsq_cnt"))
-    val dev = col("cnt") * col("n_hours") - col("sum_cnt")
-    val varN2 = col("n_hours") * col("sumsq_cnt") - col("sum_cnt") * col("sum_cnt")
+           // sumsq folds in decimal: cnt² already wraps Long at cnt ≥ 2³²
+           sum(col("cnt").cast(d38) * col("cnt").cast(d38)).cast(d38).as("sumsq_cnt"))
+    val dev = col("cnt").cast(d38) * col("n_hours").cast(d38) - col("sum_cnt").cast(d38)
+    val varN2 = col("n_hours").cast(d38) * col("sumsq_cnt") -
+      col("sum_cnt").cast(d38) * col("sum_cnt").cast(d38)
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("hour_start"), col("cnt").as("n_events"),
               (col("sum_cnt").cast("double") / col("n_hours")).as("mean_cnt"),
-              (dev * dev > lit(4L) * varN2).cast("long").as("is_spike"))
+              (dev * dev > lit(4L).cast(d38) * varN2).cast("long").as("is_spike"))
       .orderBy(col("event_type"), col("hour_start"))
   }
 

@@ -353,7 +353,9 @@ object StatefulQueries {
     result
   }
 
-  private[operators] def deleteRecursively(p: java.nio.file.Path): Unit = {
+  // graft-wide: test suites (VerifySpec, StreamingGateSpec) clean their
+  // fixture temp dirs through this too
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     val walk = Files.walk(p)

@@ -729,9 +729,10 @@ object TextOps {
     * any aggregation order, so the DuckDB oracle hash-matches.
     *
     * 100 TB: the broadcast assumes a bounded vocabulary (true after
-    * tokenization; for open vocabularies swap the exact counts for
-    * [[FreqSketch.CMAgg]] point estimates — same plan shape with the
-    * matrix as the broadcast). */
+    * tokenization); the open-vocabulary path is [[tokenRaritySketch]] —
+    * REGISTERED as `token_rarity_sketch` — which swaps the exact counts for
+    * [[FreqSketch.CMAgg]] point estimates with a constant-size matrix in
+    * place of the broadcast. */
   def tokenRarity(spark: SparkSession, sfDir: String): DataFrame =
     tokenRarityOf(documentsFor(spark, sfDir))
 
@@ -751,6 +752,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** [[tokenRarityOf]]'s OPEN-VOCABULARY form — the fallback the exact
+    * variant's doc comment promises: corpus-wide token counts come from one
+    * Count–Min pass ([[FreqSketch.CMAgg]] — a constant d×w counter matrix,
+    * folded map-side, merged by elementwise sum) instead of an exact
+    * `groupBy(th)` whose broadcast is vocabulary-sized. Pass 2 probes the
+    * FROZEN matrix per token through the codegen'd
+    * [[graft.functions.HashExpressions.CmEstimate]] expression — d array
+    * reads per token, no join at all (the exact form's broadcast hash join
+    * disappears; the "broadcast" is now w·d longs riding the expression).
+    *
+    * At 100 TB this is the shape that survives open vocabularies (URLs,
+    * numerals): state is w·d longs regardless of distinct-token count.
+    * Estimates never UNDERcount (CM guarantee), so `rare_n` can only lose
+    * tokens whose estimate was inflated past the threshold by collisions —
+    * and at the default width the test vocabulary (31 tokens) is
+    * collision-free, making the sketch form EXACT and registrable under the
+    * same oracle as `token_rarity` (the MG-family precedent). */
+  def tokenRaritySketch(spark: SparkSession, sfDir: String): DataFrame =
+    tokenRaritySketchOf(documentsFor(spark, sfDir))
+
+  def tokenRaritySketchOf(d: DataFrame, w: Int = 1024, dRows: Int = 4): DataFrame = {
+    import d.sparkSession.implicits._
+    val agg = graft.operators.FreqSketch.CMAgg(w, dRows)
+    val tk = d.select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))
+    // pass 1: one corpus fold into the constant-size matrix (no shuffle —
+    // partials merge map-side; n rides along as the exact total)
+    val cm = tk.select(col("th")).as[Long].select(agg.toColumn).head()
+    val est = graft.functions.HashExpressions.cm_estimate(col("th"), cm.cells, w, dRows)
+    // pass 2: score map-side off the frozen matrix — same aggregate shape
+    // as the exact form, with `cnt` replaced by the point estimate and the
+    // exact total carried as a literal
+    tk.select(col("doc_id"), est.as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+           sum(col("cnt")).cast("long").as("sum_cnt"),
+           sum(when(col("cnt") * lit(1000L) < lit(cm.n), 1L)
+             .otherwise(0L)).cast("long").as("rare_n"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cnt"), col("rare_n"),
+              (col("sum_cnt").cast("double") / col("n_tokens")).as("mean_cnt"),
+              (col("rare_n").cast("double") / col("n_tokens")).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Retrieval-based data selection: rank the corpus against a seed-query
     * term set (the distinct tokens of doc 0 — deterministic and derived,
     * like the contamination eval set) with a BM25-shaped score. The idf is
@@ -760,11 +804,12 @@ object TextOps {
     * ranking it induces is the same (the log is monotone). k1 = 1.2,
     * b = 0.75 (the standard constants, as literals).
     *
-    * Scale shape: tf is computed AFTER the broadcast query-term semi-join
-    * prunes the token stream (scores only exist for query terms); doc
-    * length and corpus stats are one vocabulary-bounded aggregate each;
-    * per-doc summation is DECIMAL-exact so the reduction-tree order never
-    * perturbs the ranking. */
+    * Scale shape: tf AND df are computed AFTER the broadcast query-term
+    * semi-join prunes the token stream (scores only exist for query terms;
+    * df(th) is the group count of tf, one row per doc containing th) — no
+    * aggregate in the plan is keyed on the full vocabulary; doc length and
+    * corpus stats are one doc-bounded aggregate each; per-doc summation is
+    * DECIMAL-exact so the reduction-tree order never perturbs the ranking. */
   def bm25TopDocs(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame =
     bm25TopDocsOf(documentsFor(spark, sfDir), k)
 
@@ -773,13 +818,23 @@ object TextOps {
     val dl = tk.groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
                        sum(col("dl")).cast("long").as("total_tokens"))
-    val dfq = tk.select(col("doc_id"), col("th")).distinct()
-      .groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
     val q = d.filter(col("doc_id") === 0L)
       .select(explode(array_distinct(tokenHashes(col("text")))).as("th"))
       .distinct()
+    // Prune FIRST, aggregate second: the broadcast query-term semi-join cuts
+    // the token stream to query-term occurrences before any shuffle, and
+    // BOTH tf and df derive from that pruned stream — df(th) = number of
+    // (doc, th) groups = docs containing th, identical to the distinct-doc
+    // count over the full stream because pruning on th drops no (doc, th)
+    // pair for a query term. The earlier form aggregated df over the FULL
+    // vocabulary and filtered after: Catalyst cannot push a semi-join below
+    // a distinct+aggregate, so at 100 TB that was a corpus-sized shuffle
+    // feeding a filter that keeps a few hundred rows. The tf exchange is
+    // shared (ReusedExchange) between the probe side and the df branch, so
+    // the corpus is tokenized once for tf+df. PlanSpec pins both properties.
     val tf = tk.join(broadcast(q), "th")
       .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).cast("long").as("tf"))
+    val dfq = tf.groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
     val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))
     val tfn = (col("tf").cast("double") * lit(2.2)) /
@@ -787,7 +842,7 @@ object TextOps {
         (lit(0.25) + lit(0.75) *
           (col("dl").cast("double") /
             (col("total_tokens").cast("double") / col("n_docs").cast("double")))))
-    tf.join(broadcast(dfq.join(broadcast(q), "th")), "th")
+    tf.join(broadcast(dfq), "th")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * tfn).cast("decimal(28,12)").as("w"))

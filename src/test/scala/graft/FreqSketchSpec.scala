@@ -70,6 +70,47 @@ class FreqSketchSpec extends SparkSpec {
     for ((th, df) <- got) assert(df === exact(th), s"token $th")
   }
 
+  test("TWS keyed sketch (ValueState per language) equals the batch keyed sketch") {
+    // the streaming twin: same ranked per-language top-k as the batch form,
+    // produced through the real micro-batch engine with cross-batch state
+    // (the drain itself asserts >= 2 data batches)
+    val batch = FreqSketch.vocabTopKByLangSketch(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val streamed = FreqSketch.vocabTopKByLangSketchTws(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("token_rarity_sketch equals the exact broadcast form on the test vocabulary") {
+    // the open-vocabulary variant: CM point estimates replace the exact
+    // counts broadcast — collision-free at w=1024 on this corpus, so every
+    // per-doc stat (n_tokens, sum_cnt, rare_n, ratios) is bit-identical
+    val exact = TextOps.tokenRarity(spark, Sf0001).collect().map(_.toSeq).toSeq
+    val sketched = TextOps.tokenRaritySketch(spark, Sf0001).collect().map(_.toSeq).toSeq
+    assert(sketched === exact)
+    assert(sketched.nonEmpty)
+  }
+
+  test("cm_estimate expression agrees with the aggregator's JVM-side estimate") {
+    import spark.implicits._
+    // one shared hash definition (HashKernels.cmCell) probed two ways: the
+    // driver-side CMAgg.estimate and the codegen'd column expression must
+    // agree for every item, INCLUDING items never inserted (both sides
+    // return the same collision cell sums)
+    val agg = FreqSketch.CMAgg(w = 64, d = 4)
+    val items = (0L until 300L).flatMap(i => Seq.fill((i % 5 + 1).toInt)(i * 7919L))
+    val cm = spark.createDataset(items.toVector).repartition(4).as[Long]
+      .select(agg.toColumn).head()
+    val probes = (0L until 400L).map(_ * 7919L) // 100 of them never inserted
+    val viaExpr = spark.createDataset(probes.toVector).toDF("x")
+      .select(col("x"), graft.functions.HashExpressions.cm_estimate(
+        col("x"), cm.cells, 64, 4).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (x <- probes)
+      assert(viaExpr(x) === agg.estimate(cm, x), s"item $x")
+  }
+
   test("count-min never underestimates, even at colliding widths") {
     import spark.implicits._
     // 200 distinct items into w=16: collisions guaranteed; the min-over-rows
@@ -95,8 +136,10 @@ class FreqSketchSpec extends SparkSpec {
     val n = items.size
     val truth = items.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
     // 8 partitions so the merge path (not just reduce) is exercised
+    // seeded shuffle: a failure (e.g. a merge-logic regression that only
+    // manifests under a specific partition split) must replay from the seed
     val summary = FreqSketch.sketch(
-      spark.createDataset(scala.util.Random.shuffle(items.toVector))
+      spark.createDataset(new scala.util.Random(42).shuffle(items.toVector))
         .repartition(8).as[Long],
       capacity)
     assert(summary.n === n)

@@ -196,10 +196,69 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("token_rarity_sketch: the scoring pass is join-free — the matrix rides the expression") {
+    // the open-vocabulary form's whole point: the exact form's
+    // vocabulary-sized counts broadcast (and its hash join) is replaced by
+    // a constant-size frozen matrix probed inside the projection, so the
+    // RETURNED plan is scan → estimate projection → per-doc agg → sort,
+    // with no join of any kind (pass 1's fold already ran at build time,
+    // control-plane style, like the k-means trainer)
+    val p = plan("token_rarity_sketch")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // exactly ONE hash exchange either way: with the small-file spread the
+    // per-doc agg REUSES its doc_id partitioning (no ENSURE_REQUIREMENTS
+    // exchange at all); without it the agg inserts its own
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, p)
+  }
+
   test("bm25_topdocs: the query-term prune and df stats ride broadcasts; top-k is TakeOrdered") {
     val p = plan("bm25_topdocs")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bm25_topdocs: every th-keyed shuffle sits ABOVE the query-term broadcast prune") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // the df aggregate used to group the FULL per-doc-distinct token stream
+    // (vocabulary-keyed shuffle) and filter to query terms afterwards —
+    // Catalyst cannot push the semi-join below a distinct+aggregate, so the
+    // prune must be written below the aggregates. Pin: any exchange that
+    // hash-partitions on the token column must have the broadcast query-term
+    // join somewhere beneath it, i.e. it only ever shuffles pruned rows.
+    val exec0 = SparkEntry.queries("bm25_topdocs")(spark, Sf0001)
+      .queryExecution.executedPlan
+    val exec = exec0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val thShuffles = exec.collect {
+      case s: ShuffleExchangeExec if (s.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "th"))
+        case _ => false
+      }) => s
+    }
+    assert(thShuffles.nonEmpty, s"expected th-keyed tf/df exchanges:\n$exec")
+    // two legal shapes: (a) the corpus-side tf/df exchanges, which must have
+    // the broadcast query-term prune BELOW them; (b) the seed-query
+    // derivation (doc 0's tokens → distinct), which shuffles on th over ONE
+    // document — every scan under such a shuffle must carry the doc_id = 0
+    // pushdown. Anything else is an unpruned full-vocabulary shuffle.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (pruned, seedOnly) = thShuffles.partition(
+      _.collect { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    assert(pruned.nonEmpty, s"expected broadcast-pruned tf/df exchanges:\n$exec")
+    seedOnly.foreach { s =>
+      val scans = s.collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty && scans.forall(
+          _.dataFilters.exists(_.toString.contains(" = 0)"))),
+        s"th-keyed shuffle carries UNPRUNED tokens (no prune below):\n$s")
+    }
   }
 
   test("contamination_bloom: the bit-test filter runs on the map side, below every shuffle") {

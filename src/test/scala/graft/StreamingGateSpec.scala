@@ -30,22 +30,24 @@ class StreamingGateSpec extends SparkSpec {
     // other axis it could move on, and a directory's part-* files never
     // match the single-file leaf glob — so prove both layouts drain equal
     val dir = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
-    spark.read.parquet(s"$Sf0001/events.parquet")
-      .write.parquet(s"$dir/events.parquet")
-    spark.read.parquet(s"$Sf0001/documents.parquet")
-      .write.parquet(s"$dir/documents.parquet")
-    val gotE = Sessionize.tumblingHourlyStream(spark, dir)
-      .collect().map(_.toSeq).toSeq
-    val expE = Sessionize.tumblingHourlyStream(spark, Sf0001)
-      .collect().map(_.toSeq).toSeq
-    assert(gotE === expE)
-    assert(gotE.nonEmpty)
-    val gotD = TextOps.qualityFilterStream(spark, dir)
-      .collect().map(_.toSeq).toSeq
-    val expD = TextOps.qualityFilterStream(spark, Sf0001)
-      .collect().map(_.toSeq).toSeq
-    assert(gotD === expD)
-    assert(gotD.nonEmpty)
+    try {
+      spark.read.parquet(s"$Sf0001/events.parquet")
+        .write.parquet(s"$dir/events.parquet")
+      spark.read.parquet(s"$Sf0001/documents.parquet")
+        .write.parquet(s"$dir/documents.parquet")
+      val gotE = Sessionize.tumblingHourlyStream(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val expE = Sessionize.tumblingHourlyStream(spark, Sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(gotE === expE)
+      assert(gotE.nonEmpty)
+      val gotD = TextOps.qualityFilterStream(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      val expD = TextOps.qualityFilterStream(spark, Sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(gotD === expD)
+      assert(gotD.nonEmpty)
+    } finally StatefulQueries.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("q1 on the RocksDB state store equals the declarative window form") {
