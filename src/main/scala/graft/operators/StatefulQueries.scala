@@ -783,7 +783,7 @@ object StatefulQueries {
   private def userEventsCopy(spark: SparkSession, sfDir: String): String =
     withNanosAsLong(spark) {
       timeOrderedFilesCopy(spark, s"events-uid:$sfDir",
-          Seq("ev0.parquet", "ev1.parquet", "ev2-sentinel.parquet")) {
+          Seq("ev0.parquet", "ev1.parquet")) {
         val ev = Tables.events(spark, sfDir)
           .select(col("user_id"), col("event_id"), col("ts"))
         val bounds = ev.agg(max(col("event_id")), max(unix_micros(col("ts")))).head()
@@ -797,8 +797,16 @@ object StatefulQueries {
           timestamp_micros(lit(maxUs + 86400L * 1000000L)).as("ts"))
         if (bounds.isNullAt(0)) Seq(sentinel)
         else {
+          // TWO files, sentinel riding in the second: watermarks only
+          // advance BETWEEN batches, so the sentinel needs no batch of its
+          // own — after batch 2 the watermark jumps past every real row and
+          // the trailing no-data batch does the eviction / outer-emission
+          // flush. One fewer micro-batch per drain (each batch pays
+          // 4 state-store commits x width on BOTH join sides), with the
+          // cross-batch and eviction witnesses unchanged.
           val mid = maxId / 2
-          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid), sentinel)
+          Seq(ev.filter(col("event_id") <= mid),
+              ev.filter(col("event_id") > mid).unionAll(sentinel))
         }
       }
     }
@@ -858,12 +866,22 @@ object StatefulQueries {
 
   /** Q6 as a STREAM-STATIC join with a COMPLETE-mode streaming aggregation,
     * registered under q6's oracle — the two engine surfaces the other
-    * streaming queries never touch: a streaming fact joined to STATIC
-    * dimension tables (the static sides are re-planned per micro-batch;
-    * nation rides a broadcast, exactly like the batch plan), and an
-    * unwatermarked global aggregation whose state accumulates across
-    * batches and re-emits the full 25-row result each trigger (complete
-    * output mode — the only mode a non-windowed streaming agg admits).
+    * streaming queries never touch: a streaming fact joined to a STATIC
+    * dimension side, and an unwatermarked global aggregation whose state
+    * accumulates across batches and re-emits the full 25-row result each
+    * trigger (complete output mode — the only mode a non-windowed streaming
+    * agg admits).
+    *
+    * Dimension shape (r12): the static side is the orders⋈customer⋈nation
+    * snapshot PRE-JOINED ONCE, persisted HASH-PARTITIONED ON THE STREAM
+    * JOIN KEY (o_orderkey), and unpersisted after the drain. A stream-static
+    * join re-plans the static side EVERY micro-batch — before this, each
+    * batch re-read and re-joined all three dimension parquets; now each
+    * batch reads cached blocks whose partitioning already satisfies the
+    * join's distribution, so only the (small) per-batch fact slice
+    * shuffles. That is also the 100 TB shape: a dimension snapshot keyed
+    * and cached once, probed by every micro-batch.
+    *
     * The revenue sums fold in exact DECIMAL inside the agg state, so
     * cross-batch accumulation order cannot perturb the oracle hash; the
     * lineitem stream replays as two time-ordered files, and the witness
@@ -883,19 +901,24 @@ object StatefulQueries {
     val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
-    val agg = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
+    val dims = o.join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"))
-      .agg(Relational.discRevenueSum.cast("double").as("revenue"),
-           count(lit(1)).as("n_lineitems"))
-    drainToMemory(spark, agg, stateWidth = Some(8), outputMode = "complete") { q =>
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      val totalRows = q.recentProgress.map(_.numInputRows).sum
-      require(totalRows == 0 || dataBatches >= 2,
-        s"expected >= 2 data micro-batches, saw $dataBatches — " +
-          "the complete-mode aggregation did not accumulate across batches")
-    }.orderBy(col("n_name"))
+      .select(col("o_orderkey"), col("n_name"))
+      .persist()
+    dims.count() // materialize BEFORE the drain; batches hit cached blocks
+    try {
+      val agg = li.join(broadcast(dims), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(Relational.discRevenueSum.cast("double").as("revenue"),
+             count(lit(1)).as("n_lineitems"))
+      drainToMemory(spark, agg, stateWidth = Some(8), outputMode = "complete") { q =>
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        val totalRows = q.recentProgress.map(_.numInputRows).sum
+        require(totalRows == 0 || dataBatches >= 2,
+          s"expected >= 2 data micro-batches, saw $dataBatches — " +
+            "the complete-mode aggregation did not accumulate across batches")
+      }.orderBy(col("n_name"))
+    } finally dims.unpersist()
   }
 
   /** The shared stream-stream join drain behind q23ss/q23lo: two
@@ -926,7 +949,12 @@ object StatefulQueries {
         expr(s"""user_a = user_b AND id_b > id_a AND
                  ts_b >= ts_a AND ts_b <= ts_a + INTERVAL $gapMinutes MINUTES"""),
         joinType)
-    drainToMemory(spark, pairs, stateWidth = Some(8)) { q =>
+    // width 4, not 8: a stream-stream join keeps FOUR state stores per
+    // partition per side (keyToNumValues + keyWithIndexToValue x 2), each
+    // paying snapshot+commit I/O every micro-batch — at gate scale the
+    // commit fixed cost dominates the per-partition row volume, measured
+    // r12 (SCALING.md)
+    drainToMemory(spark, pairs, stateWidth = Some(4)) { q =>
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       val totalRows = q.recentProgress.map(_.numInputRows).sum
       require(totalRows == 0 || dataBatches >= 2,
