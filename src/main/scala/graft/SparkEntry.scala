@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, FreqSketch, KeyedOps, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
+import graft.operators.{Dedup, FreqSketch, KeyedOps, Layout, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -266,6 +266,10 @@ object SparkEntry {
     // recall@5 of EVERY pruned variant against ann_brute_topk — the number
     // the whole family's recall-for-pruning trade is tuned on
     "ann_recall"       -> ((s, dir) => Similarity.annRecall(s, dir)),
+    // embedding-quality gate: cosine to own label's centroid, low = outlier
+    "embedding_outliers" -> ((s, dir) => Similarity.embeddingOutliers(s, dir)),
+    // ---- data layout: Z-order clustering key for two-dim scan pruning ----
+    "zorder_zonemap"   -> ((s, dir) => Layout.zorderZonemap(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
@@ -1004,6 +1008,38 @@ object SparkEntry {
       s"""WITH $kmeansCtesSampled
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
          |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
+    // per-label centroid = the kmeans recompute's fixed-point mean, keyed
+    // by label; score = cosineSql's exact association
+    "embedding_outliers" ->
+      s"""WITH $kvLabelCte,
+         |cm AS (
+         | SELECT label, list(mean ORDER BY dim) AS cvec FROM (
+         |   SELECT label, CAST(r.range AS INT) AS dim,
+         |     CAST(CAST(sum(CAST(floor(vec[CAST(r.range AS INT)+1] * ${graft.operators.Similarity.KMeansQuantum}) AS BIGINT)) AS BIGINT) AS DOUBLE)/count(*)/${graft.operators.Similarity.KMeansQuantum} AS mean
+         |   FROM kvl, range($KMeansDim) r GROUP BY 1, 2) GROUP BY 1),
+         |s AS (SELECT k.vec_id, CAST(k.label AS BIGINT) AS label,
+         |   ${cosineSql("k.vec", "c.cvec")} AS cos_c
+         |  FROM kvl k JOIN cm c USING (label))
+         |SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS BIGINT) AS is_outlier
+         |FROM s ORDER BY vec_id""".stripMargin,
+    "zorder_zonemap" ->
+      s"""WITH ev AS (SELECT user_id,
+         |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr FROM events),
+         |st AS (SELECT min(user_id) AS min_u, max(user_id) AS max_u,
+         |              min(hr) AS min_h, max(hr) AS max_h FROM ev),
+         |n AS (SELECT ((user_id - min_u) * 65535) // greatest(max_u - min_u, 1) AS uq,
+         |             ((hr - min_h) * 65535) // greatest(max_h - min_h, 1) AS hq
+         |      FROM ev, st),
+         |z0 AS (SELECT uq, hq, uq & 65535 AS ux, hq & 65535 AS hx FROM n),
+         |z1 AS (SELECT uq, hq, (ux | (ux << 8)) & 16711935 AS ux, (hx | (hx << 8)) & 16711935 AS hx FROM z0),
+         |z2 AS (SELECT uq, hq, (ux | (ux << 4)) & 252645135 AS ux, (hx | (hx << 4)) & 252645135 AS hx FROM z1),
+         |z3 AS (SELECT uq, hq, (ux | (ux << 2)) & 858993459 AS ux, (hx | (hx << 2)) & 858993459 AS hx FROM z2),
+         |z4 AS (SELECT uq, hq, (ux | (ux << 1)) & 1431655765 AS ux, (hx | (hx << 1)) & 1431655765 AS hx FROM z3),
+         |z AS (SELECT uq, hq, ux | (hx << 1) AS zval FROM z4)
+         |SELECT (zval >> 24) AS bucket, count(*) AS n_rows,
+         |  min(uq) AS min_uq, max(uq) AS max_uq,
+         |  min(hq) AS min_hq, max(hq) AS max_hq
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
     "ann_ivf_trained_topk" ->
       s"""WITH $kmeansCtes,
          |base AS (SELECT v.vec_id, v.vec, a.cluster
@@ -1556,6 +1592,10 @@ object SparkEntry {
   }
 
   private val kvCte = "kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)"
+
+  /** [[kvCte]] with the label kept — the embedding_outliers base view. */
+  private val kvLabelCte =
+    "kvl AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings)"
 
   /** The Lloyd chain body (everything after `kv`): init from the first k
     * vec_ids, `KMeansRounds` assign+recompute rounds, one final assignment.

@@ -1101,4 +1101,48 @@ object Similarity {
         col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id")),
       books, m, k)
   }
+
+  /** Embedding-quality gate: cosine of every vector to its OWN label's
+    * centroid, low-cosine rows flagged as outliers — the embedding-space
+    * analogue of the text quality gate (mislabeled / off-distribution /
+    * corrupted vectors score far from their group's center; the same shape
+    * drives drift monitoring when `label` is a batch or source id).
+    *
+    * Scale shape: the centroid build is ONE (label, dim) hash shuffle of
+    * fixed-point BIGINT partial sums (map-side combined; order-independent
+    * by the same [[KMeansQuantum]] contract as the k-means trainer, so a
+    * 1000-executor reduction tree cannot perturb a mean), the assembled
+    * centroid table is labels × dim — broadcast back onto the corpus — and
+    * scoring is a map-side projection. The corpus is never collected,
+    * never self-joined, and shuffles once.
+    *
+    * Numeric policy: centroid components are exact integer sums divided
+    * once at the end; the score reuses [[cosine]]'s sequential-fold dot and
+    * association, so the DuckDB oracle hash-matches bit-for-bit, making the
+    * `is_outlier` double comparison safe cross-engine. */
+  def embeddingOutliers(spark: SparkSession, sfDir: String,
+                        threshold: Double = 0.0): DataFrame =
+    embeddingOutliersOf(baseDf(spark, sfDir), threshold)
+
+  def embeddingOutliersOf(base: DataFrame, threshold: Double): DataFrame = {
+    val cents = base
+      .select(col("label"), posexplode(col("vec")).as(Seq("dim", "comp")))
+      .select(col("label"), col("dim"),
+              floor(col("comp") * KMeansQuantum).cast("long").as("qv"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+              (col("s").cast("double") / col("n") / KMeansQuantum).as("mean"))
+      // dim-ordered reassembly: array_sort on (dim, mean) structs orders by
+      // dim first, so the transform projects components in index order
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+                     x => x.getField("mean")).as("cvec"))
+      .withColumn("norm_c", sqrt(dot(col("cvec"), col("cvec"))))
+    base.join(broadcast(cents), "label")
+      .withColumn("cos_c", dot(col("vec"), col("cvec")) / (col("norm_v") * col("norm_c")))
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("cos_c"),
+              (col("cos_c") < lit(threshold)).cast("long").as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
 }
