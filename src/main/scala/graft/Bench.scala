@@ -80,7 +80,7 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"runs":$Runs,"cpus":$cpus,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture keeps only the stdout tail, which truncates
     // the per-query numbers for large query sets — persist the full line so

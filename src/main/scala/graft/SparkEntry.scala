@@ -173,6 +173,9 @@ object SparkEntry {
     // cumulative emission, cross-batch witness — state stays
     // languages x capacity no matter the vocabulary
     "vocab_topk_by_lang_sketch_streaming" -> ((s, dir) => FreqSketch.vocabTopKByLangSketchTws(s, dir)),
+    // event-time-windowed heavy hitters: one MG summary per tumbling day,
+    // shuffle keyed on the window, never the user id
+    "topk_users_daily_sketch" -> ((s, dir) => FreqSketch.topKUsersDailySketch(s, dir)),
     // Count-Min point-frequency estimates for a known query-token set:
     // corpus folds map-side into one constant-size counter matrix
     "token_df_countmin" -> ((s, dir) => FreqSketch.tokenDfCountMin(s, dir)),
@@ -694,6 +697,15 @@ object SparkEntry {
          |r AS (SELECT lang, th, df,
          |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, th ASC) AS rk FROM c)
          |SELECT lang, rk, th, df FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    // capacity ≥ any day's distinct users → the summary is exact per window
+    "topk_users_daily_sketch" ->
+      s"""WITH h AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         |  user_id, count(*) AS n_events FROM events GROUP BY 1, 2),
+         |r AS (SELECT day_start, user_id, n_events,
+         |  row_number() OVER (PARTITION BY day_start ORDER BY n_events DESC, user_id ASC) AS rk
+         | FROM h)
+         |SELECT day_start, rk, user_id, n_events FROM r WHERE rk <= 5
+         |ORDER BY day_start, rk""".stripMargin,
     // collision-free at the test vocabulary → exact per-token df oracle
     "token_df_countmin" ->
       s"""WITH ds AS (SELECT DISTINCT doc_id, unnest($tokenHashesSql) AS th FROM documents),

@@ -159,6 +159,35 @@ object FreqSketch {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** EVENT-TIME-WINDOWED heavy hitters: top-k users by event count per
+    * tumbling 1-day window, one Misra–Gries summary per window. The shuffle
+    * key is the WINDOW (days — calendar-bounded), never the user id:
+    * partial per-window summaries combine map-side, so a reducer receives
+    * `O(partitions × capacity)` per day no matter how many distinct users
+    * the day saw — the "trending items per window" shape (top queries per
+    * hour, top URLs per day) where the exact `groupBy(window, user)` would
+    * shuffle one row per (window, user) pair. Exact at test capacity
+    * (capacity ≥ any day's distinct users) → exact per-window top-k
+    * oracle, the MG-family precedent. */
+  def topKUsersDailySketch(spark: SparkSession, sfDir: String,
+                           k: Int = 5, capacity: Int = 1024): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).cast("long").as("day_start"),
+              col("user_id"))
+      .as[(Long, Long)]
+    val perDay = ev.groupByKey(_._1).mapValues(_._2)
+      .agg(MGAgg(capacity).toColumn.name("summary"))
+    perDay.flatMap { case (day, s) =>
+      s.counters.toSeq
+        .sortBy { case (user, c) => (-c, user) }
+        .take(k)
+        .zipWithIndex
+        .map { case ((user, c), i) => (day, (i + 1).toLong, user, c) }
+    }.toDF("day_start", "rk", "user_id", "n_events")
+      .orderBy(col("day_start"), col("rk"))
+  }
+
   /** The keyed sketch's STREAMING twin on `transformWithState`: ONE
     * Misra–Gries summary per language held as a literal
     * `ValueState[MGSummary]` — total streaming state is

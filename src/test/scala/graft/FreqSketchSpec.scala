@@ -57,6 +57,30 @@ class FreqSketchSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(th"), p)
   }
 
+  test("windowed sketch: top users per day equal the exact per-window counts; " +
+       "the shuffle is keyed on the window, never the user") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val got = FreqSketch.topKUsersDailySketch(spark, Sf0001)
+    val exact = graft.io.Tables.events(spark, Sf0001)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).cast("long").as("day_start"),
+              col("user_id"))
+      .groupBy(col("day_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("day_start"))
+        .orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("day_start"), col("rk"), col("user_id"), col("n_events"))
+      .orderBy(col("day_start"), col("rk"))
+    assert(got.collect().toSeq === exact.collect().toSeq)
+    assert(got.count() > 0)
+    // the scale claim: no exchange is keyed on the item (user) column —
+    // partial per-window summaries combine map-side and only window-keyed
+    // summaries cross the wire
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(user_id"), p)
+  }
+
   test("count-min estimates equal exact df on the test vocabulary") {
     val exact = graft.io.Tables.documentsNarrow(spark, Sf0001)
       .select(col("doc_id"), explode(array_distinct(
