@@ -279,6 +279,8 @@ object SparkEntry {
     // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
     "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
+    // the engine's own session_window aggregation (gap+1us = exact parity)
+    "q13n_sessionize_native" -> ((s, dir) => Sessionize.sessionizeNative(s, dir)),
     // session windows through the real engine: event-time timeout closes
     // sessions when the watermark passes end+gap, flushed by a sentinel batch
     "q13s_sessionize_streaming" -> ((s, dir) => Sessionize.sessionizeStreaming(s, dir)),
@@ -1291,6 +1293,9 @@ object SparkEntry {
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),
+      // the native session_window form: gap+1us makes the split predicate
+      // bit-identical to the lag/running-sum construction at micros
+      "q13n_sessionize_native"         -> base("q13_sessionize"),
       // sessions are a pure function of the time-sorted event list — the
       // same batch oracle checks the ordered and disordered replays
       "q13o_sessionize_ooo_streaming"  -> base("q13_sessionize"),

@@ -46,6 +46,40 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** [[sessionize]] through Spark's NATIVE declarative session windows:
+    * `groupBy(user, session_window(ts, gap))` — the engine's own gap-merge
+    * aggregation (one shuffle on the user key, sessions merged inside the
+    * aggregate) instead of the lag/running-sum window construction. The
+    * declarative form is what a 100 TB job should write: Catalyst owns the
+    * merge, map-side partial aggregation applies, and the SAME expression
+    * lifts to Structured Streaming unchanged.
+    *
+    * Semantics parity, exactly: the native window splits at
+    * `diff >= gap` (range is [start, last+gap)), the reference form at
+    * `diff > gap` — so the native gap is `gapUs + 1` MICROsecond, which at
+    * microsecond timestamp resolution makes the two split predicates
+    * identical (diff ≤ gapUs merges, diff ≥ gapUs+1 splits), not merely
+    * indistinguishable on the current fixtures. `end` reverses the
+    * last+gap offset, and the per-user ordinal is assigned over the
+    * session table (session-count-sized, never the event stream).
+    * Registered under q13's oracle. */
+  def sessionizeNative(spark: SparkSession, sfDir: String, gapMinutes: Int = 60): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+               session_window(col("ts"), s"${gapUs + 1L} microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              expr("unix_micros(sw.start)").as("start_us"),
+              (expr("unix_micros(sw.end)") - lit(gapUs + 1L)).as("end_us"),
+              col("n_events"))
+      .withColumn("session_id", (row_number().over(w) - lit(1)).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Volume-anomaly detection over the hourly windows: flag hours whose
     * event count deviates more than 2σ from the type's mean hourly count.
     * The spike test is ALL-INTEGER — `|cnt − μ| > 2σ` cross-multiplied to
