@@ -203,6 +203,9 @@ object SparkEntry {
     // the same decision through the real micro-batch engine (state store
     // keyed by content hash, order-insensitive post-aggregation)
     "dedup_exact_streaming" -> ((s, dir) => Dedup.exactStreaming(s, dir)),
+    // the engine's own streaming dropDuplicates over a two-batch replay:
+    // deterministic fingerprint SET (survivor row stays with exactStreaming)
+    "dedup_exact_native_streaming" -> ((s, dir) => Dedup.exactNativeStreaming(s, dir)),
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
@@ -1282,6 +1285,9 @@ object SparkEntry {
           | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
           |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
       "dedup_exact_streaming"          -> base("dedup_exact"),
+      "dedup_exact_native_streaming" ->
+        """SELECT DISTINCT md5(lower(trim(text))) AS fp_md5
+          |FROM documents ORDER BY fp_md5""".stripMargin,
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
       "q2c_block_avg_checkpoint"       -> base("q2_block_avg"),
       "q3r_running_max_month_streaming" -> base("q3_running_max_month"),

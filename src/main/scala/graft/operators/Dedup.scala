@@ -56,6 +56,38 @@ object Dedup {
       .orderBy(col("fp_md5"))
   }
 
+  /** Exact streaming dedup through the ENGINE'S OWN `dropDuplicates`
+    * operator — the declarative twin of [[exactStreaming]]'s hand-rolled
+    * state, over a two-file doc_id-split replay so duplicate fingerprints
+    * provably span micro-batches (a dup seen in batch 1 must be dropped in
+    * batch 2 from state, or the oracle's row count catches the doubled
+    * emission). Emits the FINGERPRINT SET only: which physical row
+    * survives a within-batch collision is partition-order-dependent in the
+    * native operator, but the key set is deterministic — the keep-id
+    * decision lives in [[exactStreaming]] and [[exact]], whose min-id
+    * aggregation is order-insensitive by construction. State is one row
+    * per distinct fingerprint (the same bound as exactStreaming;
+    * `dropDuplicatesWithinWatermark` / the TTL family is the
+    * bounded-horizon answer for continuous ingest). */
+  def exactNativeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprintMd5
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"docs-dedup:$sfDir",
+        Seq("d0.parquet", "d1.parquet")) {
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val maxIdRow = d.agg(max(col("doc_id"))).head()
+      if (maxIdRow.isNullAt(0)) Seq(d)
+      else {
+        val mid = maxIdRow.getLong(0) / 2
+        Seq(d.filter(col("doc_id") <= mid), d.filter(col("doc_id") > mid))
+          .filter(!_.isEmpty)
+      }
+    }
+    StatefulQueries.drainOrderedFiles(spark, dir, minBatches = 2) { stream =>
+      stream.select(fingerprintMd5(col("text")).as("fp_md5"))
+        .dropDuplicates("fp_md5")
+    }.orderBy(col("fp_md5"))
+  }
+
   /** Horizon for [[exactTtlStreaming]], interpolated into the oracle SQL
     * (SparkEntry) so the two sides cannot drift. 24h splits real fps into
     * multiple generations at every shipped SF (verified: 934/440 at
