@@ -176,6 +176,9 @@ object SparkEntry {
     // event-time-windowed heavy hitters: one MG summary per tumbling day,
     // shuffle keyed on the window, never the user id
     "topk_users_daily_sketch" -> ((s, dir) => FreqSketch.topKUsersDailySketch(s, dir)),
+    // mergeable HLL rollup: per-day sketches, running union for cumulative
+    // distinct users — exact at fixture cardinality (sparse mode)
+    "hll_daily_users" -> ((s, dir) => FreqSketch.hllDailyUsers(s, dir)),
     // Count-Min point-frequency estimates for a known query-token set:
     // corpus folds map-side into one constant-size counter matrix
     "token_df_countmin" -> ((s, dir) => FreqSketch.tokenDfCountMin(s, dir)),
@@ -702,6 +705,20 @@ object SparkEntry {
          |r AS (SELECT lang, th, df,
          |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, th ASC) AS rk FROM c)
          |SELECT lang, rk, th, df FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    // exact oracle: at fixture cardinalities the HLL stays in its exact
+    // sparse modes; cumulative distinct = running sum of first-seen days
+    "hll_daily_users" ->
+      s"""WITH e AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+         |  user_id FROM events),
+         |d AS (SELECT day_start, count(DISTINCT user_id) AS daily_users FROM e GROUP BY 1),
+         |f AS (SELECT user_id, min(day_start) AS first_day FROM e GROUP BY 1),
+         |n AS (SELECT first_day AS day_start, count(*) AS new_u FROM f GROUP BY 1),
+         |c AS (SELECT d.day_start, d.daily_users,
+         |  sum(coalesce(n.new_u, 0)) OVER (ORDER BY d.day_start
+         |    ROWS UNBOUNDED PRECEDING) AS cum_users
+         | FROM d LEFT JOIN n USING (day_start))
+         |SELECT day_start, daily_users, CAST(cum_users AS BIGINT) AS cum_users
+         |FROM c ORDER BY day_start""".stripMargin,
     // capacity ≥ any day's distinct users → the summary is exact per window
     "topk_users_daily_sketch" ->
       s"""WITH h AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,

@@ -278,6 +278,37 @@ object FreqSketch {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Distinct-count ROLLUP via mergeable HLL sketches — the incremental
+    * pattern a 100 TB metrics pipeline actually runs: materialize one
+    * fixed-size sketch per partition (here: per day), then answer any
+    * range's distinct count by UNIONING sketches instead of re-scanning
+    * events. Daily sketches shuffle as constant-size blobs (one per day);
+    * the running union walks the day-count-sized sketch table, never the
+    * event stream — adding a day to a 30-day rolling distinct costs one
+    * union, not a 30-day rescan. The estimates register under an EXACT
+    * DuckDB oracle because at fixture cardinalities the DataSketches HLL
+    * stays in its exact sparse (coupon) modes — the same
+    * exact-at-test-scale argument as the MG family; at production
+    * cardinalities the estimate carries the standard ±1.6%/√2^lgK bound. */
+  def hllDailyUsers(spark: SparkSession, sfDir: String, lgK: Int = 14): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(unix_timestamp(date_trunc("day", col("ts"))).cast("long").as("day_start"),
+              col("user_id"))
+      .groupBy(col("day_start"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    // running union over the DAY table (calendar-bounded single partition —
+    // the global order costs nothing at any event scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day_start"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("cum_sk", hll_union_agg(col("sk"), lit(true)).over(w))
+      .select(col("day_start"),
+              hll_sketch_estimate(col("sk")).as("daily_users"),
+              hll_sketch_estimate(col("cum_sk")).as("cum_users"))
+      .orderBy(col("day_start"))
+  }
+
   // ---- Count–Min sketch: mergeable point-frequency estimates ----
 
   /** Row-hash constants live in [[graft.functions.HashKernels.CmA]] — ONE
