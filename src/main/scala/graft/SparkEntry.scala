@@ -287,6 +287,9 @@ object SparkEntry {
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     // the engine's own session_window aggregation (gap+1us = exact parity)
     "q13n_sessionize_native" -> ((s, dir) => Sessionize.sessionizeNative(s, dir)),
+    // the same declarative aggregation through the micro-batch engine:
+    // watermark-driven append emission over the split+sentinel replay
+    "q13ns_sessionize_native_streaming" -> ((s, dir) => Sessionize.sessionizeNativeStreaming(s, dir)),
     // session windows through the real engine: event-time timeout closes
     // sessions when the watermark passes end+gap, flushed by a sentinel batch
     "q13s_sessionize_streaming" -> ((s, dir) => Sessionize.sessionizeStreaming(s, dir)),
@@ -1319,6 +1322,7 @@ object SparkEntry {
       // the native session_window form: gap+1us makes the split predicate
       // bit-identical to the lag/running-sum construction at micros
       "q13n_sessionize_native"         -> base("q13_sessionize"),
+      "q13ns_sessionize_native_streaming" -> base("q13_sessionize"),
       // sessions are a pure function of the time-sorted event list — the
       // same batch oracle checks the ordered and disordered replays
       "q13o_sessionize_ooo_streaming"  -> base("q13_sessionize"),

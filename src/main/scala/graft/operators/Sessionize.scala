@@ -159,14 +159,12 @@ object Sessionize {
     * assigned after the drain by ranking session starts — a window over the
     * sink-sized session table, not the event stream. Registered under q13's
     * oracle, so streaming-closure ≡ batch-gap semantics is hash-checked. */
-  def sessionizeStreaming(spark: SparkSession, sfDir: String,
-                          gapMinutes: Int = 60): DataFrame = {
-    import graft.streaming.StatefulOps
-    import graft.streaming.StatefulOps.SessionEv
-    implicit val sessEvEnc: org.apache.spark.sql.Encoder[SessionEv] =
-      org.apache.spark.sql.Encoders.product[SessionEv]
-    val SentinelKey = SessSentinelKey
-    val dir = StatefulQueries.withNanosAsLong(spark) {
+  /** The split+sentinel session replay (two time-ordered event files cut
+    * at a timestamp change point + one far-future sentinel file), shared by
+    * the timeout-based and native streaming sessionizers — one copy per
+    * sfDir, cached. */
+  private def sessionReplayDir(spark: SparkSession, sfDir: String): String =
+    StatefulQueries.withNanosAsLong(spark) {
       StatefulQueries.timeOrderedFilesCopy(spark, s"sessions:$sfDir",
           Seq("s0.parquet", "s1.parquet", "s2.parquet")) {
         val ev = Tables.events(spark, sfDir)
@@ -174,7 +172,7 @@ object Sessionize {
                   timestamp_micros(expr("ts_ns div 1000")).as("ts"),
                   col("event_id"))
         def sentinel(afterUs: Long) = spark.range(1).select(
-          lit(SentinelKey).as("key"),
+          lit(SessSentinelKey).as("key"),
           timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"))
         // split/sentinel contract lives in ONE place — see
         // StatefulQueries.medianSplitWithSentinel
@@ -182,6 +180,58 @@ object Sessionize {
           project = _.select(col("key"), col("ts")))(sentinel)
       }
     }
+
+  /** [[sessionizeNative]] through the real micro-batch engine: the SAME
+    * declarative `session_window` aggregation, now over the split+sentinel
+    * replay with a 0-delay watermark — append mode emits a session only
+    * once the watermark passes its end, so the sentinel batch (and the
+    * engine's trailing no-data batch) plays the role time plays in
+    * production, exactly as in [[sessionizeStreaming]]. The gap+1µs parity
+    * trick carries over unchanged, so this registers under q13's oracle
+    * too: one aggregation expression, three engines' worth of evidence
+    * (batch window-construction, batch native, streaming native). */
+  def sessionizeNativeStreaming(spark: SparkSession, sfDir: String,
+                                gapMinutes: Int = 60): DataFrame = {
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val dir = sessionReplayDir(spark, sfDir)
+    val nFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try l.count().toInt finally l.close()
+    }
+    val schema = spark.read.parquet(dir).schema
+    val agg = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("key"),
+               session_window(col("ts"), s"${gapUs + 1L} microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), expr("unix_micros(sw.start)").as("start_us"),
+              (expr("unix_micros(sw.end)") - lit(gapUs + 1L)).as("end_us"),
+              col("n_events"))
+    val sess = StatefulQueries.drainToMemory(spark, agg, stateWidth = Some(8)) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= nFiles,
+        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
+          "replay did not exercise cross-batch session merge and watermark emission")
+    }
+    val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
+    sess.filter(!(col("key") <=> SessSentinelKey))
+      .select(col("key").cast("long").as("user_id"),
+              col("n_events"), col("start_us"), col("end_us"))
+      .withColumn("session_id", (row_number().over(byStart) - 1).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+              col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  def sessionizeStreaming(spark: SparkSession, sfDir: String,
+                          gapMinutes: Int = 60): DataFrame = {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.SessionEv
+    implicit val sessEvEnc: org.apache.spark.sql.Encoder[SessionEv] =
+      org.apache.spark.sql.Encoders.product[SessionEv]
+    val SentinelKey = SessSentinelKey
+    val dir = sessionReplayDir(spark, sfDir)
     val nFiles = {
       val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       try l.count().toInt finally l.close()
