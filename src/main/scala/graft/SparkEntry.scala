@@ -152,6 +152,9 @@ object SparkEntry {
     // broadcasting vocabulary-sized exact counts; collision-free at test
     // width, so it registers under the same exact oracle
     "token_rarity_sketch" -> ((s, dir) => TextOps.tokenRaritySketch(s, dir)),
+    // bigram LM scoring: two CM folds + join-free probe of both matrices;
+    // integer ppm conditional frequencies, exact at the test vocabulary
+    "lm_bigram_score_sketch" -> ((s, dir) => TextOps.lmBigramScoreSketch(s, dir)),
     // retrieval-based selection: BM25-shaped (rational, log-free) ranking
     // against a derived seed-query term set
     "bm25_topdocs"     -> ((s, dir) => TextOps.bm25TopDocs(s, dir)),
@@ -668,6 +671,20 @@ object SparkEntry {
          | CAST(sum(cnt) AS DOUBLE)/count(*) AS mean_cnt,
          | CAST(sum(CASE WHEN cnt*1000 < total THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS rare_frac
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact bigram/context counts; same integer ppm arithmetic as the
+    // sketch (collision-free at the test vocabulary, the MG precedent)
+    "lm_bigram_score_sketch" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tt AS (SELECT doc_id, ths FROM t WHERE len(ths) >= 2),
+         |p0 AS (SELECT doc_id, unnest(list_zip(ths[1:len(ths)-1], ths[2:len(ths)])) AS pr FROM tt),
+         |p AS (SELECT doc_id, struct_extract(pr, 1) AS t1, struct_extract(pr, 2) AS t2 FROM p0),
+         |u AS (SELECT t1, count(*) AS uc FROM p GROUP BY 1),
+         |b AS (SELECT t1, t2, count(*) AS bc FROM p GROUP BY 1, 2),
+         |s AS (SELECT p.doc_id, (b.bc * 1000000) // u.uc AS ppm
+         |      FROM p JOIN u USING (t1) JOIN b USING (t1, t2))
+         |SELECT doc_id, count(*) AS n_pairs, CAST(sum(ppm) AS BIGINT) AS ppm_sum,
+         |  CAST(sum(ppm) AS DOUBLE)/count(*) AS mean_cond_ppm
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rep_stats" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
          |b AS (SELECT doc_id, ths,

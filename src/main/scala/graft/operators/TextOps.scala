@@ -851,6 +851,58 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** Statistical language-model quality scoring (the CCNet/KenLM shape,
+    * made oracle-exact): per document, the mean CONDITIONAL frequency of
+    * its adjacent token pairs — `B(t1,t2)/C(t1)` in parts-per-million,
+    * where B is the corpus bigram count and C the bigram-left context
+    * count. Word salad scores low (common tokens in rare sequences — the
+    * signal unigram rarity can't see); boilerplate scores high. The
+    * division is INTEGER (ppm quantization), so the score is exact and
+    * aggregation-order-free, and the mean is one division of exact longs —
+    * the same numeric policy as token_rarity.
+    *
+    * Scale shape: pass 1 folds the pair stream into TWO constant-size
+    * Count–Min matrices (unigram context + bigram, the open-vocabulary
+    * answer — bigram vocabularies are quadratically worse than unigram, so
+    * the exact-counts broadcast of token_rarity is off the table from the
+    * start); pass 2 probes both frozen matrices per pair through the
+    * codegen'd [[graft.functions.HashExpressions.CmEstimate]] — NO join
+    * anywhere, one doc-keyed aggregation. The bigram key `t1·P + t2` is
+    * injective (token hashes live in [0, P), P² < 2⁶³), so at the test
+    * vocabulary the estimates are collision-free and the sketch form
+    * registers under the exact-count oracle (the MG-family precedent). */
+  def lmBigramScoreSketch(spark: SparkSession, sfDir: String): DataFrame =
+    lmBigramScoreSketchOf(documentsFor(spark, sfDir))
+
+  def lmBigramScoreSketchOf(d: DataFrame, wUni: Int = 4096, wBi: Int = 65536,
+                            dRows: Int = 4): DataFrame = {
+    import d.sparkSession.implicits._
+    val P = graft.functions.TextFunctions.HashMod
+    val pairs = d
+      .select(col("doc_id"), tokenHashes(col("text")).as("ths"))
+      .filter(size(col("ths")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ths)-2), i -> struct(ths[i] AS t1, ths[i+1] AS t2))")).as("p"))
+      .select(col("doc_id"), col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val bk = col("t1") * lit(P) + col("t2")
+    val uniAgg = graft.operators.FreqSketch.CMAgg(wUni, dRows)
+    val biAgg = graft.operators.FreqSketch.CMAgg(wBi, dRows)
+    // pass 1: two constant-size folds (control-plane results, like the
+    // k-means centroids — the corpus never reaches the driver)
+    val uni = pairs.select(col("t1")).as[Long].select(uniAgg.toColumn).head()
+    val bi = pairs.select(bk.as("bk")).as[Long].select(biAgg.toColumn).head()
+    val uEst = graft.functions.HashExpressions.cm_estimate(col("t1"), uni.cells, wUni, dRows)
+    val bEst = graft.functions.HashExpressions.cm_estimate(bk, bi.cells, wBi, dRows)
+    pairs
+      .select(col("doc_id"), (bEst * lit(1000000L)).as("num"), uEst.as("den"))
+      .select(col("doc_id"), expr("num div den").as("ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("ppm")).cast("long").as("ppm_sum"))
+      .select(col("doc_id"), col("n_pairs"), col("ppm_sum"),
+              (col("ppm_sum").cast("double") / col("n_pairs")).as("mean_cond_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     // native one-pass deque kernel (codegen'd) — the HOF formulation
     // (array_distinct over per-window array_min slices) is interpreted and

@@ -213,6 +213,19 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges === 1, p)
   }
 
+  test("lm_bigram_score_sketch: the scoring pass is join-free — both matrices ride the expression") {
+    // an exact-counts formulation would need TWO vocabulary joins (bigram
+    // + context), the bigram side quadratically worse than token_rarity's;
+    // the sketch form probes two frozen constant-size matrices inside the
+    // projection instead, so the returned plan has no join of any kind and
+    // exactly the per-doc aggregation exchange
+    val p = plan("lm_bigram_score_sketch")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, p)
+  }
+
   test("bm25_topdocs: the query-term prune and df stats ride broadcasts; top-k is TakeOrdered") {
     val p = plan("bm25_topdocs")
     assert(p.contains("BroadcastHashJoin"), p)
