@@ -280,6 +280,9 @@ object SparkEntry {
     "ann_recall"       -> ((s, dir) => Similarity.annRecall(s, dir)),
     // embedding-quality gate: cosine to own label's centroid, low = outlier
     "embedding_outliers" -> ((s, dir) => Similarity.embeddingOutliers(s, dir)),
+    // contrastive (anchor, positive, hard-negative) mining: positives from
+    // the label cell, hard negatives from LSH bucket collisions
+    "contrastive_triplets" -> ((s, dir) => Similarity.contrastiveTriplets(s, dir)),
     // ---- data layout: Z-order clustering key for two-dim scan pruning ----
     "zorder_zonemap"   -> ((s, dir) => Layout.zorderZonemap(s, dir)),
     // ---- time-based operators over events ----
@@ -1062,6 +1065,23 @@ object SparkEntry {
       s"""WITH $kmeansCtesSampled
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
          |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
+    "contrastive_triplets" ->
+      s"""WITH b AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+         |  (${bucketSql("embedding::DOUBLE[]")}) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, vec AS q_vec, bucket AS q_bucket
+         |      FROM b WHERE vec_id % 100 = 0),
+         |pc AS (SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
+         |       FROM b JOIN q ON b.label = q.q_label AND b.vec_id <> q.q_id),
+         |pr AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM pc),
+         |p AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM pr WHERE rk = 1),
+         |nc AS (SELECT q.q_id, b.vec_id, ${cosineSql("q.q_vec", "b.vec")} AS cos
+         |       FROM b JOIN q ON b.bucket = q.q_bucket AND b.label <> q.q_label),
+         |nr AS (SELECT q_id, vec_id, cos,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk FROM nc),
+         |n AS (SELECT q_id, vec_id AS neg_id, cos AS neg_cos FROM nr WHERE rk = 1)
+         |SELECT p.q_id, pos_id, pos_cos, neg_id, neg_cos
+         |FROM p JOIN n USING (q_id) ORDER BY q_id""".stripMargin,
     // per-label centroid = the kmeans recompute's fixed-point mean, keyed
     // by label; score = cosineSql's exact association
     "embedding_outliers" ->

@@ -1102,6 +1102,43 @@ object Similarity {
       books, m, k)
   }
 
+  /** Contrastive-training triplet mining: for each query vector, its
+    * nearest SAME-label neighbor (the positive) and the highest-cosine
+    * DIFFERENT-label vector among its sign-LSH bucket collisions (the HARD
+    * negative — random negatives are trivially easy; the informative ones
+    * are the near-misses, and bucket collisions are exactly the
+    * near-misses). This is the (anchor, positive, negative) generator a
+    * contrastive finetuning pipeline feeds on.
+    *
+    * Scale shape: both candidate sets are pruned BEFORE scoring — the
+    * positive side by the label cell (the IVF argument: 1/nlist of the
+    * corpus), the negative side by LSH bucket collision (candidates ∝
+    * collisions, never all-pairs) — and each side is one broadcast of the
+    * query set against a pruned scan, per-query top-1 via the k-row heap
+    * window. Queries that lack a same-label neighbor or a cross-label
+    * collision drop (inner join): a triplet miner must not invent easy
+    * negatives when no hard one exists. */
+  def contrastiveTriplets(spark: SparkSession, sfDir: String,
+                          queryMod: Int = 100, numPlanes: Int = 6): DataFrame = {
+    val planes = hyperplanes(numPlanes, EmbeddingDim)
+    val base = baseDf(spark, sfDir)
+      .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    val q = queriesDf(spark, sfDir, queryMod)
+      .withColumn("q_bucket", hyperplaneBucket(col("q_vec"), planes))
+    val pos = rankTopK(
+        base.join(broadcast(q),
+          col("label") === col("q_label") && col("vec_id") =!= col("q_id")), 1)
+      .select(col("q_id"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = rankTopK(
+        base.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("label") =!= col("q_label")), 1)
+      .select(col("q_id"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, "q_id")
+      .select(col("q_id"), col("pos_id"), col("pos_cos"),
+              col("neg_id"), col("neg_cos"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding-quality gate: cosine of every vector to its OWN label's
     * centroid, low-cosine rows flagged as outliers — the embedding-space
     * analogue of the text quality gate (mislabeled / off-distribution /
