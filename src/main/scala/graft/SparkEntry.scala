@@ -138,6 +138,14 @@ object SparkEntry {
     "q28_pricing_charge" -> ((s, dir) => Relational.pricingCharge(s, dir)),
     // ---- training-data pipeline: text analysis ----
     "text_stats"       -> ((s, dir) => TextOps.textStats(s, dir)),
+    // source-format witnesses: the SAME computation over a json/orc copy of
+    // the fixture, read with the explicit schema, under the parquet oracle —
+    // format round-trip fidelity is hash-checked, not assumed
+    "text_stats_json_source" -> ((s, dir) =>
+      TextOps.textStatsOf(Tables.formatCopy(s, dir, "documents", "json")
+        .select(col("doc_id"), col("text")))),
+    "q5_orc_source" -> ((s, dir) =>
+      Relational.pricingSummaryOf(Tables.formatCopy(s, dir, "lineitem", "orc"))),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
@@ -1360,6 +1368,9 @@ object SparkEntry {
       // bit-identical to the lag/running-sum construction at micros
       "q13n_sessionize_native"         -> base("q13_sessionize"),
       "q13ns_sessionize_native_streaming" -> base("q13_sessionize"),
+      // format round-trip: same computation, same oracle
+      "text_stats_json_source"         -> base("text_stats"),
+      "q5_orc_source"                  -> base("q5_pricing_summary"),
       // sessions are a pure function of the time-sorted event list — the
       // same batch oracle checks the ordered and disordered replays
       "q13o_sessionize_ooo_streaming"  -> base("q13_sessionize"),

@@ -49,6 +49,29 @@ object Tables {
       documents(spark, sfDir).select(col("doc_id"), col("text")),
       col("doc_id"))
 
+  private val fmtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A table re-read through a DIFFERENT file format (json/orc/csv…): the
+    * parquet fixture is converted once per (format, sf, table) into a
+    * cached temp directory, then read back with the ORIGINAL parquet
+    * schema applied explicitly — schema inference is a per-run full-pass
+    * cost (and a determinism risk) a production reader never pays. The
+    * source-format witnesses register the SAME query over the converted
+    * copy under the parquet form's oracle, so format round-trip fidelity
+    * is hash-checked, not assumed. */
+  def formatCopy(spark: SparkSession, sfDir: String, name: String,
+                 format: String): DataFrame = {
+    val dir = fmtCache.computeIfAbsent(s"$format:$sfDir:$name", { _ =>
+      val out = java.nio.file.Files.createTempDirectory(s"graft-$format-$name-")
+      out.toFile.deleteOnExit()
+      table(spark, sfDir, name).write.mode("overwrite").format(format)
+        .save(out.toString)
+      out.toString
+    })
+    spark.read.schema(table(spark, sfDir, name).schema).format(format).load(dir)
+  }
+
   /** Persist a frame as a bucketed (and per-bucket sorted) catalog table —
     * the co-located-join primitive: two tables bucketed the same way on
     * their join keys sort-merge-join with ZERO exchanges, pre-paying the

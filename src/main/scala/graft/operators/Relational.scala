@@ -31,7 +31,10 @@ object Relational {
   /** TPC-H Q1-shaped pricing summary: full-scan groupBy-agg on lineitem with
     * map-side combine; the canonical "does partial aggregation work" probe. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    pricingSummaryOf(Tables.lineitem(spark, sfDir))
+
+  def pricingSummaryOf(lineitem: DataFrame): DataFrame =
+    lineitem
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
