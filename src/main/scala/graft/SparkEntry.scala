@@ -298,6 +298,9 @@ object SparkEntry {
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
     // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
     "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
+    // funnel (view->click->purchase): 3 stacked conditional window minima,
+    // ONE user shuffle — never a triple self-join
+    "funnel_steps" -> ((s, dir) => Sessionize.funnelSteps(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     // the engine's own session_window aggregation (gap+1us = exact parity)
     "q13n_sessionize_native" -> ((s, dir) => Sessionize.sessionizeNative(s, dir)),
@@ -1288,6 +1291,25 @@ object SparkEntry {
          | CAST((h.cnt*s.n_hours - s.sum_cnt)*(h.cnt*s.n_hours - s.sum_cnt)
          |       > 4*(s.n_hours*s.sumsq_cnt - s.sum_cnt*s.sum_cnt) AS BIGINT) AS is_spike
          |FROM h JOIN s USING (event_type) ORDER BY event_type, hour_start""".stripMargin,
+    // greedy earliest chain; missing earlier step nulls every later one
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |a AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t1
+        |      FROM e GROUP BY 1),
+        |b AS (SELECT e.user_id, min(e.us) AS t2
+        |      FROM e JOIN a USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.us >= a.t1
+        |        AND e.us <= a.t1 + 3600000000 GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS t3
+        |      FROM e JOIN b USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us >= b.t2
+        |        AND e.us <= b.t2 + 86400000000 GROUP BY 1)
+        |SELECT u.user_id, a.t1 AS view_us, b.t2 AS click_us, c.t3 AS purchase_us,
+        | CASE WHEN a.t1 IS NULL THEN 0 WHEN b.t2 IS NULL THEN 1
+        |      WHEN c.t3 IS NULL THEN 2 ELSE 3 END AS steps
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN a USING (user_id) LEFT JOIN b USING (user_id)
+        |LEFT JOIN c USING (user_id) ORDER BY u.user_id""".stripMargin,
     "q13_sessionize" ->
       """WITH t AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,

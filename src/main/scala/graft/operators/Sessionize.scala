@@ -159,6 +159,40 @@ object Sessionize {
     * assigned after the drain by ranking session starts — a window over the
     * sink-sized session table, not the event stream. Registered under q13's
     * oracle, so streaming-closure ≡ batch-gap semantics is hash-checked. */
+  /** Funnel analysis (view → click → purchase): per user, the earliest
+    * greedy completion of the step chain — t1 = first view, t2 = first
+    * click within 1 h of t1, t3 = first purchase within 24 h of t2 — and
+    * the step count reached. The event-sequence analytics shape
+    * (match_recognize's common case) expressed as THREE STACKED conditional
+    * window minima over ONE user partitioning: each step's condition
+    * references the previous step's per-partition constant, so Catalyst
+    * plans a single hash exchange and three window passes — the naive
+    * triple self-join would shuffle the event stream three times and
+    * explode on hot users. All arithmetic is integer microseconds; a
+    * missing earlier step nulls every later one by construction. */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val us = expr("ts_ns div 1000")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), us.as("us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("us"))).over(wu))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("us") >= col("t1") && col("us") <= col("t1") + lit(3600000000L),
+        col("us"))).over(wu))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("us") >= col("t2") && col("us") <= col("t2") + lit(86400000000L),
+        col("us"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("view_us"), min(col("t2")).as("click_us"),
+           min(col("t3")).as("purchase_us"))
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"),
+              when(col("view_us").isNull, 0L)
+                .when(col("click_us").isNull, 1L)
+                .when(col("purchase_us").isNull, 2L)
+                .otherwise(3L).as("steps"))
+      .orderBy(col("user_id"))
+  }
+
   /** The split+sentinel session replay (two time-ordered event files cut
     * at a timestamp change point + one far-future sentinel file), shared by
     * the timeout-based and native streaming sessionizers — one copy per

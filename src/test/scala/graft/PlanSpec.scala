@@ -213,6 +213,18 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges === 1, p)
   }
 
+  test("funnel_steps: three stacked window steps and the final agg share ONE user exchange") {
+    // the sequence-analytics claim: each funnel step conditions on the
+    // previous step's per-partition constant, so all three conditional
+    // minima AND the per-user aggregate reuse a single hash partitioning —
+    // the triple-self-join formulation would shuffle the event stream
+    // three times and explode on hot users
+    val p = plan("funnel_steps")
+    assert(!p.contains("Join"), p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, p)
+  }
+
   test("lm_bigram_score_sketch: the scoring pass is join-free — both matrices ride the expression") {
     // an exact-counts formulation would need TWO vocabulary joins (bigram
     // + context), the bigram side quadratically worse than token_rarity's;
