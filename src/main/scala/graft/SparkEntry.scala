@@ -301,6 +301,8 @@ object SparkEntry {
     // funnel (view->click->purchase): 3 stacked conditional window minima,
     // ONE user shuffle — never a triple self-join
     "funnel_steps" -> ((s, dir) => Sessionize.funnelSteps(s, dir)),
+    // cohort retention matrix: first-event week x active-week offset
+    "cohort_retention" -> ((s, dir) => Sessionize.cohortRetention(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     // the engine's own session_window aggregation (gap+1us = exact parity)
     "q13n_sessionize_native" -> ((s, dir) => Sessionize.sessionizeNative(s, dir)),
@@ -1291,6 +1293,14 @@ object SparkEntry {
          | CAST((h.cnt*s.n_hours - s.sum_cnt)*(h.cnt*s.n_hours - s.sum_cnt)
          |       > 4*(s.n_hours*s.sumsq_cnt - s.sum_cnt*s.sum_cnt) AS BIGINT) AS is_spike
          |FROM h JOIN s USING (event_type) ORDER BY event_type, hour_start""".stripMargin,
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |d AS (SELECT DISTINCT f.cohort_week, e.week - f.cohort_week AS week_offset,
+        |        e.user_id
+        |      FROM e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_active_users
+        |FROM d GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     // greedy earliest chain; missing earlier step nulls every later one
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

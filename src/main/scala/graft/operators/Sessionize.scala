@@ -193,6 +193,33 @@ object Sessionize {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention: users grouped by the week of their FIRST event (the
+    * cohort), counted as active in each later week they produced any event
+    * — the (cohort_week, week_offset) → distinct-users matrix every
+    * product-analytics stack computes. Weeks are integer
+    * `floor(us / 7 days)` epochs (no calendar arithmetic to disagree on).
+    *
+    * Scale shape: the first-event table is one user-keyed aggregate; the
+    * activity join is user-keyed too, so it co-partitions with the
+    * aggregate (co-keyed join, no extra exchange on the events side
+    * beyond its own); the distinct collapses (cohort, offset, user)
+    * BEFORE the count, so the final aggregate sees at most
+    * users × active-weeks rows, and the output is cohort-weeks ×
+    * offsets — tiny at any event scale. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val WeekUs = 7L * 24L * 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"(ts_ns div 1000) div $WeekUs").as("week"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+              col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** The split+sentinel session replay (two time-ordered event files cut
     * at a timestamp change point + one far-future sentinel file), shared by
     * the timeout-based and native streaming sessionizers — one copy per
