@@ -295,6 +295,9 @@ object SparkEntry {
     "zorder_zonemap"   -> ((s, dir) => Layout.zorderZonemap(s, dir)),
     // ---- time-based operators over events ----
     "q12_tumbling_hourly"  -> ((s, dir) => Sessionize.tumblingHourly(s, dir)),
+    // incremental view maintenance: two partial aggregates merged by a
+    // full-outer join — merge ≡ recompute, bit-for-bit (decimal partials)
+    "q12i_tumbling_incremental" -> ((s, dir) => Sessionize.tumblingHourlyIncremental(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
     // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
     "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
@@ -1395,6 +1398,8 @@ object SparkEntry {
       "q21_topk_aggregator"            -> base("q7_top_parts"),
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
+      // merging delta aggregates must equal recomputing — same oracle
+      "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),
       // the native session_window form: gap+1us makes the split predicate
       // bit-identical to the lag/running-sum construction at micros

@@ -24,6 +24,49 @@ object Sessionize {
            max(col("value")).as("max_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** INCREMENTAL materialized-view maintenance of [[tumblingHourly]]: the
+    * corpus splits into two deterministic halves (yesterday's materialized
+    * aggregate + today's delta, simulated by event_id parity), each half
+    * aggregates independently with the sums kept in DECIMAL, and the two
+    * partial-aggregate TABLES merge by a full-outer join on the group key
+    * — count adds, decimal sums add exactly (cast to double ONCE after the
+    * merge, so incremental ≡ full recompute bit-for-bit), max takes the
+    * null-safe greatest. Registered under q12's full-recompute oracle:
+    * the hash gate IS the proof that maintaining the view by merging
+    * deltas never drifts from recomputation.
+    *
+    * Scale shape: this is how a 100 TB rollup actually stays fresh — the
+    * daily delta aggregate touches one day's partitions, and the merge
+    * join is aggregate-sized (hours × types) on both sides, never
+    * event-proportional. The decimal-exactness policy is what makes the
+    * equivalence exact rather than approximate: double partial sums would
+    * make merged and recomputed views differ in the last ulp. */
+  def tumblingHourlyIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    def half(parity: Int): DataFrame =
+      Tables.events(spark, sfDir)
+        .filter(pmod(col("event_id"), lit(2)) === parity)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,2)")).as("s"),
+             max(col("value")).as("m"))
+    val a = half(0)
+    val b = half(1).select(col("hour_start").as("b_hour_start"),
+                           col("event_type").as("b_event_type"),
+                           col("n").as("b_n"), col("s").as("b_s"), col("m").as("b_m"))
+    a.join(b, col("hour_start") === col("b_hour_start") &&
+              col("event_type") === col("b_event_type"), "full_outer")
+      .select(coalesce(col("hour_start"), col("b_hour_start")).as("hour_start"),
+              coalesce(col("event_type"), col("b_event_type")).as("event_type"),
+              (coalesce(col("n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n_events"),
+              // decimal + decimal with a NULL side = the other side, exact
+              (coalesce(col("s"), lit(BigDecimal(0)).cast("decimal(18,2)")) +
+               coalesce(col("b_s"), lit(BigDecimal(0)).cast("decimal(18,2)")))
+                .cast("double").as("sum_value"),
+              greatest(col("m"), col("b_m")).as("max_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Gap sessionization per user: a new session starts when the gap since the
     * previous event exceeds `gapMinutes`. Emits one row per session with its
     * bounds and size — the batch twin of a session-window streaming agg.
