@@ -329,6 +329,10 @@ object SparkEntry {
     "q20_salted_revenue" -> ((s, dir) => Skew.saltedRevenue(s, dir)),
     "q21_topk_aggregator" -> ((s, dir) => TopK.topPartsByBrandAgg(s, dir)),
     "q22_above_avg_orders" -> ((s, dir) => Relational.aboveAvgOrders(s, dir)),
+    // one-pass Deequ-shape constraint report; failures are DATA, not logs
+    "dq_report" -> ((s, dir) => Relational.dqReport(s, dir)),
+    // CDC change log -> SCD2 validity intervals (lead over user history)
+    "scd2_user_values" -> ((s, dir) => Relational.scd2UserValues(s, dir)),
     "q23_interval_join"    -> ((s, dir) => Sessionize.intervalPairCounts(s, dir)),
     // q23 as a watermarked STREAM-STREAM join through the micro-batch engine
     "q23ss_interval_join_streaming" -> ((s, dir) => StatefulQueries.intervalJoinStreaming(s, dir)),
@@ -1363,6 +1367,28 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
         |FROM orders JOIN a ON o_custkey = ac_custkey
         |WHERE o_totalprice > avg_price ORDER BY o_orderkey""".stripMargin,
+    "dq_report" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price FROM orders)
+        |SELECT * FROM (
+        | SELECT 'row_count_positive' AS "check", CAST(n_rows AS DOUBLE) AS metric,
+        |   0.0 AS threshold, CAST(n_rows > 0 AS BIGINT) AS pass FROM s
+        | UNION ALL SELECT 'key_never_null', CAST(null_keys AS DOUBLE), 0.0,
+        |   CAST(null_keys = 0 AS BIGINT) FROM s
+        | UNION ALL SELECT 'key_unique', CAST(distinct_keys AS DOUBLE), 0.0,
+        |   CAST(distinct_keys = n_rows AS BIGINT) FROM s
+        | UNION ALL SELECT 'price_non_negative', min_price, 0.0,
+        |   CAST(min_price >= 0.0 AS BIGINT) FROM s
+        | UNION ALL SELECT 'price_below_cap', max_price, 1000000.0,
+        |   CAST(max_price <= 1000000.0 AS BIGINT) FROM s
+        |) ORDER BY "check"""".stripMargin,
+    "scd2_user_values" ->
+      """SELECT user_id, event_id, value, epoch_us(ts) AS valid_from_us,
+        | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |   AS valid_to_us
+        |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q23_interval_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b ON a.user_id = b.user_id

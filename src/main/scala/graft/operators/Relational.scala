@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
@@ -336,6 +337,54 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("drk"), col("quartile"),
               col("prk"), col("cd"), col("first_v"), col("n_5min"))
       .orderBy(col("event_id"))
+  }
+
+  /** Data-quality constraint report (the Deequ shape): declared checks over
+    * the orders table evaluated in ONE aggregation pass — row count,
+    * key-null fraction, key uniqueness, value bounds — each emitted as a
+    * (check, metric, threshold, pass) row. At 100 TB this is the
+    * admission gate in front of every downstream consumer: one scan, one
+    * shuffle (the distinct), and a constant-size report; a constraint
+    * failure is DATA (a row with pass = 0), not a log line. All metrics
+    * are exact counts or exact extremes — no sampled approximations to
+    * disagree with the oracle. */
+  def dqReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val stats = o.agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).cast("long").as("null_keys"),
+      countDistinct(col("o_orderkey")).cast("long").as("distinct_keys"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"))
+    def check(name: String, metric: Column, threshold: Double,
+              pass: Column): DataFrame =
+      stats.select(lit(name).as("check"), metric.cast("double").as("metric"),
+                   lit(threshold).as("threshold"), pass.cast("long").as("pass"))
+    check("row_count_positive", col("n_rows"), 0.0, col("n_rows") > 0)
+      .unionAll(check("key_never_null", col("null_keys"), 0.0, col("null_keys") === 0))
+      .unionAll(check("key_unique", col("distinct_keys"), 0.0,
+        col("distinct_keys") === col("n_rows")))
+      .unionAll(check("price_non_negative", col("min_price"), 0.0,
+        col("min_price") >= 0.0))
+      .unionAll(check("price_below_cap", col("max_price"), 1000000.0,
+        col("max_price") <= 1000000.0))
+      .orderBy(col("check"))
+  }
+
+  /** CDC event log → SCD2 intervals: each user's value history as
+    * (valid_from, valid_to) rows, valid_to = next change's timestamp and
+    * NULL on the current row — the slowly-changing-dimension materialization
+    * every warehouse derives from a change stream. One user-keyed shuffle,
+    * one lead() pass; integer microseconds. */
+  def scd2UserValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("value"),
+              expr("ts_ns div 1000").as("us"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
   /** Decorrelated "orders above their customer's average" — the correlated
