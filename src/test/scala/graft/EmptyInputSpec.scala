@@ -108,6 +108,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.ngramJaccardOf(docs).count() === 0) // nothing shared; no crash
   }
 
+  test("round-12 operators: empty in, empty out") {
+    // the CM fold over zero pairs yields the zero sketch (one aggregate
+    // row), and the scoring pass then has nothing to score
+    assert(TextOps.lmBigramScoreSketchOf(emptyDocs).count() === 0)
+    assert(Similarity.embeddingOutliersOf(Similarity.baseOf(emptyVecs), 0.0).count() === 0)
+    // a single-token doc has no bigrams: dropped, not crashed
+    val oneTok = Seq((1L, "alpha")).toDF("doc_id", "text")
+    assert(TextOps.lmBigramScoreSketchOf(oneTok).count() === 0)
+  }
+
   test("kmeans: empty corpus trains no centroids and assigns nothing") {
     val base = Similarity.baseOf(emptyVecs)
     assert(Similarity.kmeansCentroids(base, k = 4, rounds = 2).isEmpty)
