@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q6: null join keys are filtered AT THE SCANS (the null-skew guard)") {
+    // at 100 TB, null join keys all hash to one reducer — the classic
+    // silent-skew flood. For inner equi-joins Catalyst inserts
+    // isnotnull(key) constraints and pushes them into the parquet readers,
+    // so null-key rows die at the scan instead of flooding a partition.
+    // Pin that this actually reaches the fact scans' pushed filters.
+    val p = plan("q6_revenue_by_nation")
+    assert(p.contains("IsNotNull(l_orderkey)"), p)
+    assert(p.contains("IsNotNull(o_custkey)"), p)
+  }
+
   test("q1: exactly one hash exchange (the keyBy) before the global sort") {
     val p = plan("q1_running_max")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
