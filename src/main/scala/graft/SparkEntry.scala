@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Dedup, FreqSketch, KeyedOps, Layout, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
+import graft.operators.{Analytics, Dedup, FreqSketch, KeyedOps, Layout, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -301,6 +301,17 @@ object SparkEntry {
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
     // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
     "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
+    // native sliding (hopping) windows: 1h window / 30min slide
+    "q12w_sliding_halfhour" -> ((s, dir) => Sessionize.slidingHalfHour(s, dir)),
+    "q12ws_sliding_streaming" -> ((s, dir) => Sessionize.slidingHalfHourStream(s, dir)),
+    // resample + LOCF gap-fill: dense hourly spine over the aggregate
+    "q29_gapfill_locf" -> ((s, dir) => Sessionize.gapfillLocf(s, dir)),
+    // exact-decimal-moment regression/correlation (deterministic corr)
+    "q30_regression_stats" -> ((s, dir) => Analytics.regressionStats(s, dir)),
+    // per-user event-sequence transition matrix with row-normalized p
+    "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
+    // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
+    "sample_bottomk" -> ((s, dir) => Analytics.bottomKSample(s, dir)),
     // funnel (view->click->purchase): 3 stacked conditional window minima,
     // ONE user shuffle — never a triple self-join
     "funnel_steps" -> ((s, dir) => Sessionize.funnelSteps(s, dir)),
@@ -322,6 +333,10 @@ object SparkEntry {
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
     "q16_anti_join"    -> ((s, dir) => Relational.neverOrderedParts(s, dir)),
     "q17_cube"         -> ((s, dir) => Relational.lineitemCube(s, dir)),
+    // explicit irregular grouping-set lattice + grouping_id disambiguator
+    "q17g_grouping_sets" -> ((s, dir) => Relational.explicitGroupingSets(s, dir)),
+    // fixed-bin histogram via the native width_bucket expression
+    "q32_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -539,6 +554,24 @@ object SparkEntry {
         | count(*) AS n_rows
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // gid bit order: Spark's grouping_id = (grouping(flag)<<1)|grouping(status);
+    // DuckDB's grouping(a,b) packs the same way, so the two ids agree
+    "q17g_grouping_sets" ->
+      s"""SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | l_returnflag, l_linestatus,
+        | ${dd("sum(CAST(l_quantity AS DECIMAL(18,4)))")} AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // the arithmetic definition of width_bucket(v, 0, 500, 25): values have
+    // 2 decimals and bucket bounds k*20 are exactly representable, so the
+    // floor never straddles a rounding boundary between engines
+    "q32_value_histogram" ->
+      """SELECT event_type,
+        | CAST(floor(value / 20.0) AS BIGINT) + 1 AS bucket,
+        | count(*) AS n, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "q18_json_props" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1300,6 +1333,66 @@ object SparkEntry {
          | CAST((h.cnt*s.n_hours - s.sum_cnt)*(h.cnt*s.n_hours - s.sum_cnt)
          |       > 4*(s.n_hours*s.sumsq_cnt - s.sum_cnt*s.sum_cnt) AS BIGINT) AS is_spike
          |FROM h JOIN s USING (event_type) ORDER BY event_type, hour_start""".stripMargin,
+    // each event belongs to exactly 2 hopping windows: starts at the two
+    // slide-aligned (30 min) boundaries covering it
+    "q12w_sliding_halfhour" ->
+      s"""WITH e AS (SELECT event_type, value,
+        |        (epoch_us(ts) // 1800000000) * 1800 AS w0 FROM events),
+        |x AS (SELECT event_type, value,
+        |        unnest([w0, w0 - 1800]) AS win_start FROM e)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        | ${dd("sum(CAST(value AS DECIMAL(18,2)))")} AS sum_value,
+        | max(value) AS max_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "q29_gapfill_locf" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hs,
+        |        count(*) AS n, max(value) AS mx FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hs) AS lo, max(hs) AS hi FROM h GROUP BY 1),
+        |s AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hs FROM b),
+        |j AS (SELECT s.event_type, s.hs, coalesce(h.n, 0) AS n_events, h.mx
+        |      FROM s LEFT JOIN h ON s.event_type = h.event_type AND s.hs = h.hs)
+        |SELECT event_type, hs * 3600 AS hour_start, n_events,
+        | last_value(mx IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hs
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_max
+        |FROM j ORDER BY event_type, hour_start""".stripMargin,
+    // decimal moments (exact, order-free) cast to double via the canonical
+    // string round-trip; the closed-form finishers are the same IEEE
+    // expressions Spark evaluates on bit-identical inputs
+    "q30_regression_stats" ->
+      s"""WITH m AS (SELECT event_type,
+        |   CAST(count(*) AS BIGINT) AS n_rows,
+        |   ${dd("sum(CAST(epoch_us(ts) // 3600000000 - 470000 AS DECIMAL(18,0)))")} AS st,
+        |   ${dd("sum(CAST(value AS DECIMAL(18,2)))")} AS sv,
+        |   ${dd("sum(CAST(CAST(epoch_us(ts) // 3600000000 - 470000 AS DECIMAL(18,0)) * CAST(epoch_us(ts) // 3600000000 - 470000 AS DECIMAL(18,0)) AS DECIMAL(30,0)))")} AS stt,
+        |   ${dd("sum(CAST(CAST(epoch_us(ts) // 3600000000 - 470000 AS DECIMAL(18,0)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,2)))")} AS stv,
+        |   ${dd("sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4)))")} AS svv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_rows,
+        | (n*stv - st*sv) / (n*stt - st*st) AS slope,
+        | (sv - ((n*stv - st*sv) / (n*stt - st*st)) * st) / n AS intercept,
+        | (n*stv - st*sv) / sqrt((n*stt - st*st) * (n*svv - sv*sv)) AS corr_tv,
+        | sqrt((n*svv - sv*sv) / (n * (n - 1.0))) AS stddev_v
+        |FROM (SELECT *, CAST(n_rows AS DOUBLE) AS n FROM m)
+        |ORDER BY event_type""".stripMargin,
+    "markov_transitions" ->
+      """WITH p AS (SELECT user_id, event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS to_type
+        |      FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // the ranking definition of bottom-k-by-hash; the Spark side uses the
+    // bounded O(k)-state aggregator, so the gate proves buffer ≡ full sort
+    "sample_bottomk" ->
+      """WITH h AS (SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h, event_id
+        |      FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY h, event_id)
+        |        AS rn FROM h)
+        |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, h
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),
         |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
@@ -1424,6 +1517,9 @@ object SparkEntry {
       "q21_topk_aggregator"            -> base("q7_top_parts"),
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
+      // overlapping windows stay open across micro-batches; the final
+      // complete-mode emission must equal the batch hopping aggregate
+      "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

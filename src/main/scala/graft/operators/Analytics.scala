@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Statistical / sequence analytics over `events`: exact-moment linear
+  * regression + correlation, a Markov transition matrix over per-user event
+  * sequences, and a deterministic bounded-state uniform sampler.
+  */
+object Analytics {
+
+  /** Fixed hour-index base (epoch hours) shared with the oracle SQL: the
+    * regressor is HOURS SINCE this base, not raw epoch hours, keeping every
+    * moment's magnitude far inside the range where the decimal → double
+    * finisher arithmetic below cannot lose integer precision. 470000 h ≈
+    * 2023-08; the fixtures start 2024-01. A fixture drift of ± a few years
+    * only grows t to ~1e4, still harmless. */
+  val BaseHour = 470000L
+
+  /** Per-event_type simple linear regression of value against time (hours
+    * since [[BaseHour]]) plus Pearson correlation and sample stddev —
+    * computed from EXACT DECIMAL MOMENTS, not a running float recurrence:
+    * the five sums n, Σt, Σv, Σt², Σtv, Σv² accumulate in decimal (exact,
+    * order-free, map-side combinable — each partition's partial is one row
+    * of decimals, the canonical mergeable-statistics shape for a
+    * 1000-executor aggregate), and only the closed-form finishers
+    *
+    *   slope = (nΣtv − ΣtΣv) / (nΣt² − (Σt)²)
+    *   corr  = (nΣtv − ΣtΣv) / √((nΣt² − (Σt)²)(nΣv² − (Σv)²))
+    *
+    * run in double — the same IEEE expressions the oracle evaluates on the
+    * same (bit-identical, correctly-rounded-from-decimal) inputs, so the
+    * hash gate holds without any float-sum order hazard. Spark's built-in
+    * `corr`/`regr_slope` use running double recurrences whose partial-merge
+    * order varies run to run; this form is the deterministic equivalent. */
+  def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(
+      col("event_type"),
+      (expr("ts_ns div 3600000000000") - lit(BaseHour)).cast("decimal(18,0)").as("t"),
+      col("value").cast("decimal(18,2)").as("v"))
+    val agg = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("t")).cast("double").as("st"),
+      sum(col("v")).cast("double").as("sv"),
+      sum((col("t") * col("t")).cast("decimal(30,0)")).cast("double").as("stt"),
+      sum((col("t") * col("v")).cast("decimal(30,2)")).cast("double").as("stv"),
+      sum((col("v") * col("v")).cast("decimal(30,4)")).cast("double").as("svv"))
+    val n = col("n_rows").cast("double")
+    val covN  = n * col("stv") - col("st") * col("sv")   // n² × covariance
+    val varTN = n * col("stt") - col("st") * col("st")   // n² × var(t)
+    val varVN = n * col("svv") - col("sv") * col("sv")   // n² × var(v)
+    agg.select(col("event_type"), col("n_rows"),
+        (covN / varTN).as("slope"),
+        ((col("sv") - (covN / varTN) * col("st")) / n).as("intercept"),
+        (covN / sqrt(varTN * varVN)).as("corr_tv"),
+        sqrt(varVN / (n * (n - lit(1.0d)))).as("stddev_v"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Markov transition matrix over per-user event sequences: for every
+    * consecutive (ts, event_id)-ordered pair of events by the same user,
+    * count the (from_type → to_type) transition and its row-normalized
+    * probability. One hash exchange on user_id feeds the `lead` window; the
+    * transition table is types² rows, so the normalizing window runs on an
+    * aggregate-sized input. The probability is a single double division of
+    * two exact longs — identical IEEE op on both engines. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+              col("ts_ns"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Bounded min-k buffer over (md5-hex, id) pairs, ascending — the
+    * bottom-k-by-hash half of [[TopK.TopKAgg]]'s pattern: at most k
+    * elements per group ever exist in the buffer, merged map-side. */
+  private[operators] case class BottomKAgg(k: Int)
+      extends Aggregator[(String, Long), List[(String, Long)], List[(String, Long)]] {
+    private def lt(a: (String, Long), b: (String, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def insert(buf: List[(String, Long)], x: (String, Long)): List[(String, Long)] = {
+      val merged = (x :: buf).sortWith(lt)
+      if (merged.length > k) merged.take(k) else merged
+    }
+    def zero: List[(String, Long)] = Nil
+    def reduce(b: List[(String, Long)], a: (String, Long)): List[(String, Long)] = insert(b, a)
+    def merge(a: List[(String, Long)], b: List[(String, Long)]): List[(String, Long)] =
+      b.foldLeft(a)(insert)
+    def finish(r: List[(String, Long)]): List[(String, Long)] = r
+    def bufferEncoder: Encoder[List[(String, Long)]] = Encoders.kryo[List[(String, Long)]]
+    def outputEncoder: Encoder[List[(String, Long)]] = Encoders.kryo[List[(String, Long)]]
+  }
+
+  /** Deterministic uniform k-sample per event_type: rank every event by
+    * md5(event_id) and keep the k hash-smallest — a reproducible,
+    * engine-portable "random" sample (md5 is the cross-engine-stable
+    * pseudo-randomizer the dedup/sampling family already relies on).
+    *
+    * Scale shape: bottom-k-by-hash through the bounded [[BottomKAgg]]
+    * buffer — O(k) state per group, merged map-side — NOT a
+    * `row_number().over(...)` window, which would sort every group's full
+    * contents; the same trick extends to bottom-k sketches for distinct
+    * counting. The oracle states the equivalent ranking SQL, so the gate
+    * proves bounded-buffer ≡ full-sort semantics. */
+  def bottomKSample(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), md5(col("event_id").cast("string")).as("h"),
+              col("event_id"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(BottomKAgg(k).toColumn.name("bk"))
+      .flatMap { case (et, picks) =>
+        picks.zipWithIndex.map { case ((h, id), i) => (et, (i + 1).toLong, id, h) }
+      }
+      .toDF("event_type", "rn", "event_id", "h")
+      .orderBy(col("event_type"), col("rn"))
+  }
+}

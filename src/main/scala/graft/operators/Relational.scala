@@ -442,4 +442,41 @@ object Relational {
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** EXPLICIT grouping sets — ((flag,status), (flag), (status)) — an
+    * irregular lattice neither CUBE nor ROLLUP can express: no grand-total
+    * set (rollup always ends in ()), and not the full power set (cube would
+    * add it). `Dataset.groupingSets` takes the arbitrary set list, and
+    * `grouping_id()` disambiguates a real NULL group value from a
+    * rolled-up one — the disambiguator any BI layer over nullable group
+    * keys needs. Single expand+aggregate pass, one shuffle, same plan
+    * shape as cube. */
+  def explicitGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+              col("sum_qty"), col("n_rows"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** Fixed-bin histogram of events.value per event_type via the native
+    * `width_bucket` expression (codegen'd): 25 buckets over [0, 500).
+    * A histogram is just a group-by on the bucket expression — fully
+    * map-side combinable, shuffle proportional to types × buckets. The
+    * oracle states the arithmetic definition (floor(v/width)+1), so the
+    * gate pins Spark's width_bucket semantics against it. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+               width_bucket(col("value"), lit(0.0d), lit(500.0d), lit(25L)).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("min_v"),
+           max(col("value")).as("max_v"))
+      .orderBy(col("event_type"), col("bucket"))
 }

@@ -510,4 +510,72 @@ object Sessionize {
       .select(col("event_id"), col("user_id"), col("prior_signup_us"))
       .orderBy(col("event_id"))
   }
+
+  /** SLIDING (hopping) 1-hour window, 30-minute slide, per event_type —
+    * the overlapping-window shape [[tumblingHourly]] does not cover: each
+    * event lands in exactly window_len/slide = 2 windows, via Spark's
+    * native `window(ts, len, slide)` generator (the engine replicates each
+    * row into its windows BEFORE the aggregate, so map-side partial
+    * aggregation still applies — the replicate-then-combine plan is the
+    * one a 100 TB sliding rollup wants; state/shuffle is proportional to
+    * windows × types, not raw events × 2). Window start is epoch seconds
+    * (slide-aligned, so the truncation is exact). */
+  def slidingHalfHour(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           max(col("value")).as("max_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+              col("event_type"), col("n_events"), col("sum_value"), col("max_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** [[slidingHalfHour]] through the REAL micro-batch engine — the same
+    * native sliding-window aggregate lifted to `readStream`, complete-mode
+    * drain (overlapping windows stay open across batches until the final
+    * trigger re-emits the whole table). Same oracle as the batch form, so
+    * streaming-sliding ≡ batch-sliding is hash-checked. */
+  def slidingHalfHourStream(spark: SparkSession, sfDir: String): DataFrame = {
+    StatefulQueries.withNanosAsLong(spark) {
+      val stream = Tables.normalizeEvents(Tables.streamTable(spark, sfDir, "events"))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+             max(col("value")).as("max_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+                col("event_type"), col("n_events"), col("sum_value"), col("max_value"))
+      StatefulQueries.drainToMemory(spark, agg,
+        stateWidth = Some(8), outputMode = "complete")()
+    }.orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Time-series RESAMPLE + gap-fill: per event_type, a dense hourly spine
+    * from the type's first to last active hour (missing hours appear with
+    * n_events = 0), with the running max_value carried forward across the
+    * gaps (LOCF — last observation carried forward, `last(ignoreNulls)`
+    * over an unbounded-preceding frame).
+    *
+    * Scale shape: the event stream collapses to the hourly aggregate FIRST
+    * (one shuffle, map-side combined); the spine, the left join, and the
+    * LOCF window all run on the aggregate-sized table (hours × types), so
+    * densification cost is spine-proportional, never event-proportional —
+    * `sequence(lo, hi)` per key generates the spine without a driver loop
+    * or a cross join. Hour index = floor(ts / 1h); hour_start is emitted
+    * as epoch seconds. */
+  def gapfillLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hs"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    val spine = hourly.groupBy(col("event_type"))
+      .agg(min(col("hs")).as("lo"), max(col("hs")).as("hi"))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hs"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hs"), "left")
+      .select(col("event_type"), (col("hs") * 3600).as("hour_start"),
+              coalesce(col("n"), lit(0L)).as("n_events"),
+              last(col("mx"), ignoreNulls = true).over(w).as("locf_max"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Relational, Sessionize}
+
+/** Invariant tests for the round-12 analytics family: sliding windows,
+  * gap-fill/LOCF resampling, exact-moment regression, transition matrix,
+  * bounded bottom-k sampling, grouping sets, histogram. */
+class AnalyticsSpec extends SparkSpec {
+
+  test("sliding 1h/30min windows hold each event exactly twice") {
+    val n  = graft.io.Tables.events(spark, Sf0001).count()
+    val sw = Sessionize.slidingHalfHour(spark, Sf0001)
+    assert(sw.agg(sum(col("n_events"))).head().getLong(0) == 2 * n)
+    // every window start is slide-aligned
+    assert(sw.filter(pmod(col("win_start"), lit(1800L)) =!= 0).count() == 0)
+  }
+
+  test("gapfill spine is dense per type and LOCF never yields null after the first hit") {
+    val g = Sessionize.gapfillLocf(spark, Sf0001).cache()
+    // dense: per type, row count == (max-min)/3600 + 1
+    val spans = g.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("rows"),
+           ((max(col("hour_start")) - min(col("hour_start"))) / 3600 + 1).as("expect"))
+    assert(spans.filter(col("rows") =!= col("expect")).count() == 0)
+    // zero-filled hours exist (the fixture has gaps) and carry a non-null locf
+    val zeros = g.filter(col("n_events") === 0)
+    assert(zeros.count() > 0)
+    assert(zeros.filter(col("locf_max").isNull).count() == 0)
+    // total preserved
+    assert(g.agg(sum(col("n_events"))).head().getLong(0) ==
+      graft.io.Tables.events(spark, Sf0001).count())
+    g.unpersist()
+  }
+
+  test("regression stats agree with Spark's built-in corr to float tolerance") {
+    val r = Analytics.regressionStats(spark, Sf0001).cache()
+    val builtin = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_type"),
+        (expr("ts_ns div 3600000000000") - lit(Analytics.BaseHour)).cast("double").as("t"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(corr(col("t"), col("value")).as("c"), stddev_samp(col("value")).as("sd"))
+    val j = r.join(builtin, "event_type").collect()
+    assert(j.nonEmpty)
+    j.foreach { row =>
+      assert(math.abs(row.getAs[Double]("corr_tv") - row.getAs[Double]("c")) < 1e-9)
+      assert(math.abs(row.getAs[Double]("stddev_v") - row.getAs[Double]("sd")) < 1e-9)
+    }
+    r.unpersist()
+  }
+
+  test("markov transition probabilities row-normalize to 1") {
+    val m = Analytics.markovTransitions(spark, Sf0001).cache()
+    val rows = m.groupBy(col("from_type")).agg(sum(col("p")).as("tot")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("tot") - 1.0) < 1e-12))
+    // transitions == events - users-with-events (each user loses its last event)
+    val ev = graft.io.Tables.events(spark, Sf0001)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(m.agg(sum(col("n"))).head().getLong(0) == expected)
+    m.unpersist()
+  }
+
+  test("bottom-k aggregator matches the row_number window definition") {
+    import org.apache.spark.sql.expressions.Window
+    val viaAgg = Analytics.bottomKSample(spark, Sf0001, k = 5)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"), col("event_id"))
+    val viaWin = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_type"), md5(col("event_id").cast("string")).as("h"), col("event_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("event_type"), col("rn"), col("event_id"), col("h"))
+    assert(viaAgg.exceptAll(viaWin).count() == 0 && viaWin.exceptAll(viaAgg).count() == 0)
+  }
+
+  test("grouping sets emit exactly the three requested lattices") {
+    val g = Relational.explicitGroupingSets(spark, Sf0001).cache()
+    val gids = g.select(col("gid")).distinct().collect().map(_.getLong(0)).sorted
+    assert(gids.sameElements(Array(0L, 1L, 2L)))
+    // each single-column set's counts re-sum to the full set's total
+    val total = g.filter(col("gid") === 0).agg(sum(col("n_rows"))).head().getLong(0)
+    assert(g.filter(col("gid") === 1).agg(sum(col("n_rows"))).head().getLong(0) == total)
+    assert(g.filter(col("gid") === 2).agg(sum(col("n_rows"))).head().getLong(0) == total)
+    g.unpersist()
+  }
+
+  test("histogram buckets partition the events and bounds respect bucket edges") {
+    val h = Relational.valueHistogram(spark, Sf0001).cache()
+    assert(h.agg(sum(col("n"))).head().getLong(0) ==
+      graft.io.Tables.events(spark, Sf0001).count())
+    // min/max of each bucket sit inside [20*(b-1), 20*b)
+    val bad = h.filter(col("min_v") < (col("bucket") - 1) * 20.0 ||
+                       col("max_v") >= col("bucket") * 20.0)
+    assert(bad.count() == 0)
+    h.unpersist()
+  }
+}

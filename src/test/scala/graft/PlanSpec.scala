@@ -403,4 +403,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("row_number(), 20"), p)
     assert(p.contains("row_number(), 5"), p)
   }
+
+  test("q12w: hopping windows expand-then-combine — partial agg BELOW the one hash exchange") {
+    val p = plan("q12w_sliding_halfhour")
+    // the ×2 replication happens in Expand, and the partial aggregate runs
+    // on the map side of the single hash exchange — shuffle volume is
+    // windows × types, never events × 2
+    assert(p.contains("Expand"), p)
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+    assert("hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q30: regression moments are map-side decimal partials, one hash exchange") {
+    val p = plan("q30_regression_stats")
+    // six partial decimal sums merge through ONE exchange — the mergeable-
+    // statistics shape; the double finishers run on the 5-row aggregate
+    assert("partial_sum".r.findAllIn(p).length >= 5, p)
+    assert("hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q29_gapfill: the hourly aggregate rides a BROADCAST to the spine join") {
+    val p = plan("q29_gapfill_locf")
+    // spine and LOCF window both run on aggregate-sized tables; the left
+    // join must be broadcast, never a shuffle join of the dense spine
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("markov_transitions: the pair count is map-side combined above the user window") {
+    val p = plan("markov_transitions")
+    // one events-sized exchange (the user_id window); the (from,to) count
+    // partial-aggregates before its exchange, and the normalizing window
+    // runs on the types²-sized table
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+    assert("hashpartitioning".r.findAllIn(p).length <= 3, p)
+  }
+
+  test("sample_bottomk: the bounded buffer partial-merges map-side") {
+    val p = plan("sample_bottomk")
+    // ObjectHashAggregate partial below the exchange: each map task ships
+    // at most k rows per group, never the group contents
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("partial_bottomkagg".r.findAllIn(p.toLowerCase).nonEmpty, p)
+  }
 }
