@@ -220,6 +220,9 @@ object SparkEntry {
     // the engine's own streaming dropDuplicates over a two-batch replay:
     // deterministic fingerprint SET (survivor row stays with exactStreaming)
     "dedup_exact_native_streaming" -> ((s, dir) => Dedup.exactNativeStreaming(s, dir)),
+    // the engine's native BOUNDED-state dedup API over the events replay:
+    // dropDuplicatesWithinWatermark (delay > span => exact distinct set)
+    "dedup_exact_wwm_streaming" -> ((s, dir) => Dedup.exactWwmStreaming(s, dir)),
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
@@ -312,6 +315,11 @@ object SparkEntry {
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
     "sample_bottomk" -> ((s, dir) => Analytics.bottomKSample(s, dir)),
+    // last-touch attribution: purchases -> most recent prior view <= 24h,
+    // one conditional window max, never a purchases x views self-join
+    "attribution_last_touch" -> ((s, dir) => Sessionize.attributionLastTouch(s, dir)),
+    // time-weighted average: exact decimal sum(value x holding-interval)
+    "twap_by_type" -> ((s, dir) => Sessionize.twapByType(s, dir)),
     // funnel (view->click->purchase): 3 stacked conditional window minima,
     // ONE user shuffle — never a triple self-join
     "funnel_steps" -> ((s, dir) => Sessionize.funnelSteps(s, dir)),
@@ -337,6 +345,8 @@ object SparkEntry {
     "q17g_grouping_sets" -> ((s, dir) => Relational.explicitGroupingSets(s, dir)),
     // fixed-bin histogram via the native width_bucket expression
     "q32_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
+    // schema evolution: generations unioned BY NAME, missing col null-fills
+    "union_schema_evolution" -> ((s, dir) => Relational.unionSchemaEvolution(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1393,6 +1403,35 @@ object SparkEntry {
         |        AS rn FROM h)
         |SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id, h
         |FROM r WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
+    // strictly-preceding frame (ROWS ... 1 PRECEDING): a view tied on ts
+    // but later by event_id does not attribute
+    "attribution_last_touch" ->
+      """WITH w AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |   max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+        |  FROM events)
+        |SELECT event_id, user_id, us AS purchase_us,
+        | CASE WHEN us - lv <= 86400000000 THEN lv END AS attributed_view_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // each value holds until the type's next event; the last event carries
+    // zero weight (no successor) — identical statement on both sides
+    "twap_by_type" ->
+      s"""WITH d AS (SELECT event_type, value, epoch_us(ts) AS us,
+        |   lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |     - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT event_type, CAST(sum(dt) AS BIGINT) AS total_dt_us,
+        | ${dd("sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(dt AS DECIMAL(20,0)) AS DECIMAL(38,2)))")} AS sum_vdt,
+        | ${dd("sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(dt AS DECIMAL(20,0)) AS DECIMAL(38,2)))")}
+        |   / CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) AS twap
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "union_schema_evolution" ->
+      s"""SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+        | count(*) AS n_orders,
+        | ${dd("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),
         |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
@@ -1507,6 +1546,11 @@ object SparkEntry {
       "dedup_exact_native_streaming" ->
         """SELECT DISTINCT md5(lower(trim(text))) AS fp_md5
           |FROM documents ORDER BY fp_md5""".stripMargin,
+      // within-watermark dedup with delay > fixture span: the emitted key
+      // set is exactly the distinct event-fingerprint set
+      "dedup_exact_wwm_streaming" ->
+        """SELECT DISTINCT md5(event_type || '|' || props) AS fp_md5
+          |FROM events ORDER BY fp_md5""".stripMargin,
       "q2r_block_avg_streaming"        -> base("q2_block_avg"),
       "q2c_block_avg_checkpoint"       -> base("q2_block_avg"),
       "q3r_running_max_month_streaming" -> base("q3_running_max_month"),

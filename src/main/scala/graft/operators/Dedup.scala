@@ -88,6 +88,38 @@ object Dedup {
     }.orderBy(col("fp_md5"))
   }
 
+  /** Exact streaming dedup through the engine's NATIVE BOUNDED-STATE
+    * operator — `dropDuplicatesWithinWatermark` — the declarative answer to
+    * the state-growth problem [[exactNativeStreaming]]'s doc points at:
+    * plain `dropDuplicates` keeps one state row per distinct key FOREVER,
+    * while the within-watermark form lets the store evict a key once the
+    * watermark passes its event time + delay. Replayed over the same
+    * fingerprinted, time-ordered 3-file events replay as the TTL family
+    * (one cached copy, [[orderedTtlReplayDir]]); the 90-day delay
+    * deliberately exceeds the fixture's span + the sentinel's 30-day lead,
+    * so nothing expires mid-drain and the emitted key set is exactly the
+    * distinct-fingerprint set — the oracle-checkable contract. The
+    * BOUNDED-state behavior (expiry actually evicting) is the TTL family's
+    * witnessed territory (`dedup_exact_ttl_*`); this query witnesses the
+    * native API surface and its cross-batch dedup (a dup in batch 2 must
+    * die against batch 1's state). */
+  def exactWwmStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = orderedTtlReplayDir(spark, sfDir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("fp").as("fp_md5"))
+    val raw = StatefulQueries.drainToMemory(spark, stream, stateWidth = Some(8)) { q =>
+      // cross-batch witness: the drain must have run one batch per file,
+      // so later files' duplicate fingerprints met batch-1 state
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 3, s"expected >=3 data batches, saw $batches")
+    }
+    raw.filter(!(col("fp_md5") <=> TtlSentinelFp)).orderBy(col("fp_md5"))
+  }
+
   /** Horizon for [[exactTtlStreaming]], interpolated into the oracle SQL
     * (SparkEntry) so the two sides cannot drift. 24h splits real fps into
     * multiple generations at every shipped SF (verified: 934/440 at

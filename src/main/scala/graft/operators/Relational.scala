@@ -479,4 +479,26 @@ object Relational {
            min(col("value")).as("min_v"),
            max(col("value")).as("max_v"))
       .orderBy(col("event_type"), col("bucket"))
+
+  /** SCHEMA EVOLUTION across dataset generations: an "old" slice of orders
+    * lacking `o_orderstatus` unions with a "new" slice that has it, via
+    * `unionByName(allowMissingColumns = true)` — the missing column
+    * null-fills, by NAME not position (a positional union would silently
+    * misalign). The generations are simulated by orderkey parity so the
+    * oracle can state the same split. Downstream aggregation sees one
+    * logical table with a nullable evolved column — the data-lake pattern
+    * when a 100 TB corpus's newer partitions carry columns older ones
+    * predate. Both branches prune to their own column sets at the scan. */
+  def unionSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val oldGen = o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newGen = o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    oldGen.unionByName(newGen, allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+  }
 }

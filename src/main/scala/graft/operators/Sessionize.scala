@@ -563,6 +563,56 @@ object Sessionize {
     * `sequence(lo, hi)` per key generates the spine without a driver loop
     * or a cross join. Hour index = floor(ts / 1h); hour_start is emitted
     * as epoch seconds. */
+  /** LAST-TOUCH ATTRIBUTION: for every purchase, the same user's most
+    * recent strictly-preceding `view` within a 24 h lookback (NULL when no
+    * view qualifies) — the marketing-attribution join, expressed as ONE
+    * conditional window maximum over the user partitioning instead of a
+    * self-join of purchases against views (which would shuffle the event
+    * stream twice and explode on hot users; the window form shares the
+    * single user_id exchange with everything else keyed this way). The
+    * frame ends at 1 PRECEDING, so a view at the purchase's own timestamp
+    * but a later event_id does not attribute. All arithmetic is integer
+    * microseconds. */
+  def attributionLastTouch(spark: SparkSession, sfDir: String,
+                           lookbackHours: Int = 24): DataFrame = {
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+              when(col("us") - col("lv") <= lookbackUs, col("lv"))
+                .as("attributed_view_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** TIME-WEIGHTED AVERAGE (TWAP) per event_type: each event's value holds
+    * until the type's next event; the average weights each value by its
+    * holding interval — the irregular-sampling mean a plain `avg` gets
+    * wrong. One window pass computes the interval (`lead` on the µs clock),
+    * then one aggregate folds Σ value×Δt and ΣΔt in EXACT DECIMAL
+    * (order-free, map-side combinable); the final division is a single
+    * double op on correctly-rounded inputs, so the hash gate holds. The
+    * last event of each type has no successor and carries zero weight —
+    * stated in the oracle identically. */
+  def twapByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("dt")).as("total_dt_us"),
+           sum((col("value").cast("decimal(18,2)") * col("dt").cast("decimal(20,0)"))
+             .cast("decimal(38,2)")).cast("double").as("sum_vdt"))
+      .select(col("event_type"), col("total_dt_us"), col("sum_vdt"),
+              (col("sum_vdt") / col("total_dt_us").cast("double")).as("twap"))
+      .orderBy(col("event_type"))
+  }
+
   def gapfillLocf(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hs"))

@@ -85,6 +85,42 @@ class AnalyticsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("attribution: views attribute backward-only and inside the lookback") {
+    val a = Sessionize.attributionLastTouch(spark, Sf0001).cache()
+    val ev = graft.io.Tables.events(spark, Sf0001)
+    assert(a.count() == ev.filter(col("event_type") === "purchase").count())
+    val attributed = a.filter(col("attributed_view_us").isNotNull)
+    assert(attributed.count() > 0)
+    assert(attributed.filter(col("attributed_view_us") > col("purchase_us")).count() == 0)
+    assert(attributed.filter(
+      col("purchase_us") - col("attributed_view_us") > 24L * 3600L * 1000000L).count() == 0)
+    a.unpersist()
+  }
+
+  test("twap lies within each type's value range and weights sum to the span") {
+    val t = Sessionize.twapByType(spark, Sf0001)
+    val bounds = graft.io.Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+           (max(expr("ts_ns div 1000")) - min(expr("ts_ns div 1000"))).as("span_us"))
+    val j = t.join(bounds, "event_type").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val tw = r.getAs[Double]("twap")
+      assert(tw >= r.getAs[Double]("lo") && tw <= r.getAs[Double]("hi"))
+      // intervals partition [first, last]: Σdt == span exactly
+      assert(r.getAs[Long]("total_dt_us") == r.getAs[Long]("span_us"))
+    }
+  }
+
+  test("union by name null-fills the evolved column; totals preserved") {
+    val u = Relational.unionSchemaEvolution(spark, Sf0001).cache()
+    assert(u.filter(col("o_orderstatus").isNull).count() == 1)
+    assert(u.agg(sum(col("n_orders"))).head().getLong(0) ==
+      graft.io.Tables.orders(spark, Sf0001).count())
+    u.unpersist()
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==
