@@ -347,6 +347,10 @@ object SparkEntry {
     "q32_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     // schema evolution: generations unioned BY NAME, missing col null-fills
     "union_schema_evolution" -> ((s, dir) => Relational.unionSchemaEvolution(s, dir)),
+    // exact sort-based percentiles — the exact twin of q10b's sketch
+    "q33_percentile_exact" -> ((s, dir) => Relational.percentileExact(s, dir)),
+    // edit-distance-1 similarity join via deletion-neighborhood banding
+    "fuzzy_join_editdist1" -> ((s, dir) => Analytics.fuzzyJoinEditDist1(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1432,6 +1436,22 @@ object SparkEntry {
         | count(*) AS n_orders,
         | ${dd("sum(CAST(o_totalprice AS DECIMAL(18,4)))")} AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    // both engines interpolate lo + (hi-lo)*frac at rank p*(n-1) on the
+    // same exact doubles — bit-identical (probed before registering)
+    "q33_percentile_exact" ->
+      """SELECT event_type, count(*) AS n,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the oracle states the QUADRATIC definition; the Spark side must reach
+    // the same pair set through signature-bucket candidates only
+    "fuzzy_join_editdist1" ->
+      """SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        | CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),
         |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),

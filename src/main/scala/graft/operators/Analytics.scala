@@ -81,6 +81,43 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** STRING-SIMILARITY JOIN: all supplier-name pairs within edit distance 1,
+    * via DELETION-NEIGHBORHOOD banding (the SymSpell/symmetric-delete
+    * construction): each name emits its identity plus every single-character
+    * deletion as signatures, and any two strings within edit distance 1
+    * provably share a signature — equal strings share the identity, a
+    * substitution shares the deletion at the substituted position, an
+    * insertion/deletion pair shares the shorter string itself. Candidates
+    * come ONLY from signature-bucket co-membership (an equi-join —
+    * never the quadratic cross product the oracle states), dedupe before
+    * the levenshtein verify, and the verify filters banding's false
+    * positives (distance-2 pairs sharing a signature).
+    *
+    * Scale shape: signatures per string = length+1 (bounded, short keys);
+    * bucket sizes follow near-identical-name cluster sizes, absorbed by
+    * the join's hash partitioning. The generalization to distance k emits
+    * all ≤k-deletion variants (the same pigeonhole argument); k=1 keeps
+    * the signature blowup linear. */
+  def fuzzyJoinEditDist1(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"))
+    val sigs = s.select(col("s_suppkey"), col("s_name"),
+      explode(array_union(array(col("s_name")),
+        expr("transform(sequence(0, length(s_name) - 1), " +
+             "i -> concat(substring(s_name, 1, i), substring(s_name, i + 2)))")))
+        .as("sig"))
+    val a = sigs.select(col("sig"), col("s_suppkey").as("a_key"), col("s_name").as("a_name"))
+    val b = sigs.select(col("sig"), col("s_suppkey").as("b_key"), col("s_name").as("b_name"))
+    a.join(b, Seq("sig"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_key"), col("b_key"),
+              levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
   /** Bounded min-k buffer over (md5-hex, id) pairs, ascending — the
     * bottom-k-by-hash half of [[TopK.TopKAgg]]'s pattern: at most k
     * elements per group ever exist in the buffer, merged map-side. */

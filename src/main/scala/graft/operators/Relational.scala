@@ -480,6 +480,26 @@ object Relational {
            max(col("value")).as("max_v"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** EXACT percentiles (p50/p95/p99 of events.value per type) — the exact
+    * twin of q10b's `approx_percentile`: Spark's sort-based `percentile`
+    * aggregate, whose buffer is a value→count map, i.e. bounded by the
+    * DISTINCT-value cardinality per group, not the row count — for
+    * fixed-precision data (2-decimal values here) that is a bounded state
+    * even at 100 TB row counts. For genuinely continuous domains q10b's
+    * sketch remains the scale path; registering both makes the trade
+    * explicit and lets the gate pin that the two engines' linear
+    * interpolation (`lo + (hi−lo)·frac` at rank p·(n−1)) is bit-identical. */
+  def percentileExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("ps"))
+      .select(col("event_type"), col("n"),
+              col("ps").getItem(0).as("p50"),
+              col("ps").getItem(1).as("p95"),
+              col("ps").getItem(2).as("p99"))
+      .orderBy(col("event_type"))
+
   /** SCHEMA EVOLUTION across dataset generations: an "old" slice of orders
     * lacking `o_orderstatus` unions with a "new" slice that has it, via
     * `unionByName(allowMissingColumns = true)` — the missing column

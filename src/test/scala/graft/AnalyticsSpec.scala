@@ -121,6 +121,34 @@ class AnalyticsSpec extends SparkSpec {
     u.unpersist()
   }
 
+  test("exact percentiles are monotone and bounded by the value range") {
+    val p = Relational.percentileExact(spark, Sf0001)
+    val bounds = graft.io.Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val j = p.join(bounds, "event_type").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (p50, p95, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))
+      assert(p50 <= p95 && p95 <= p99)
+      assert(p50 >= r.getAs[Double]("lo") && p99 <= r.getAs[Double]("hi"))
+    }
+  }
+
+  test("fuzzy join: deletion-neighborhood banding finds exactly the quadratic pair set") {
+    val banded = Analytics.fuzzyJoinEditDist1(spark, Sf0001)
+    val s = graft.io.Tables.supplier(spark, Sf0001).select(col("s_suppkey"), col("s_name"))
+    val a = s.select(col("s_suppkey").as("a_key"), col("s_name").as("a_name"))
+    val b = s.select(col("s_suppkey").as("b_key"), col("s_name").as("b_name"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_key") < col("b_key") &&
+              levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_key"), col("b_key"),
+              levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
+    assert(banded.count() > 0) // non-trivial on the fixture
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==
