@@ -351,6 +351,8 @@ object SparkEntry {
     "q33_percentile_exact" -> ((s, dir) => Relational.percentileExact(s, dir)),
     // edit-distance-1 similarity join via deletion-neighborhood banding
     "fuzzy_join_editdist1" -> ((s, dir) => Analytics.fuzzyJoinEditDist1(s, dir)),
+    // fixed-point (integer-ppb) PageRank over the nation trade graph
+    "pagerank_nations" -> ((s, dir) => Analytics.pagerankNations(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1444,6 +1446,35 @@ object SparkEntry {
         | quantile_cont(value, 0.95) AS p95,
         | quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // integer-ppb ranks make every iteration exact: `//` is floor division
+    // == Spark's `div` on the non-negative ranks/degrees here
+    "pagerank_nations" ->
+      """WITH e AS (SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |      FROM lineitem l
+        |      JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      JOIN customer c ON o.o_custkey = c.c_custkey
+        |      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nd AS (SELECT n_nationkey AS node FROM nation),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nd),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS inc
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT nd.node,
+        |         (150000000 // (SELECT n FROM nn)) + coalesce(i1.inc, 0) * 85 // 100 AS r
+        |       FROM nd LEFT JOIN i1 ON nd.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS inc
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT nd.node,
+        |         (150000000 // (SELECT n FROM nn)) + coalesce(i2.inc, 0) * 85 // 100 AS r
+        |       FROM nd LEFT JOIN i2 ON nd.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS inc
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT nd.node,
+        |         (150000000 // (SELECT n FROM nn)) + coalesce(i3.inc, 0) * 85 // 100 AS r
+        |       FROM nd LEFT JOIN i3 ON nd.node = i3.node)
+        |SELECT node AS nation_key, CAST(r AS BIGINT) AS rank_ppb
+        |FROM r3 ORDER BY nation_key""".stripMargin,
     // the oracle states the QUADRATIC definition; the Spark side must reach
     // the same pair set through signature-bucket candidates only
     "fuzzy_join_editdist1" ->

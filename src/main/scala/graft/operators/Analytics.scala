@@ -118,6 +118,58 @@ object Analytics {
       .orderBy(col("a_key"), col("b_key"))
   }
 
+  /** FIXED-POINT PAGERANK (3 iterations, damping 0.85) over the nation
+    * trade graph: a directed edge src→dst wherever some customer of nation
+    * src bought from a supplier of nation dst (distinct over the
+    * lineitem⋈orders⋈customer⋈supplier trade). The iterative-propagation
+    * algorithm class beyond [[Dedup]]'s connected components — WEIGHTED
+    * mass moves along edges, not just labels.
+    *
+    * Determinism: ranks live in integer PARTS-PER-BILLION (1.0 = 1e9) and
+    * every step is integer arithmetic — contribution = rank div out_degree,
+    * damping = (Σ·85) div 100 — so the result is exact and
+    * partition-order-free (a float PageRank's Σ contributions would differ
+    * in ulps run to run and could never hash-match an oracle). Dangling
+    * nodes simply leak their mass (no redistribution), identically stated
+    * on both sides.
+    *
+    * Scale shape: the heavy part is building the edge list (fact-table
+    * joins + distinct); each iteration joins the node-sized rank table to
+    * the edge list partitioned by src and re-aggregates by dst — the same
+    * per-round profile as label propagation, O(iterations) rounds, with
+    * map-side combine on the contribution sum. Spark analysis cost per
+    * unrolled iteration is constant; for many-iteration runs checkpoint
+    * truncation applies as in connected components. */
+  def pagerankNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+    val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = nodes.count() // control-plane: node count (25 nations)
+    val base = 150000000L / n // 0.15 / N in ppb, integer-exact
+    val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
+    def step(ranks: DataFrame): DataFrame = {
+      val inc = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
+      nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+                (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
+    }
+    step(step(step(init)))
+      .select(col("node").as("nation_key"), col("r").as("rank_ppb"))
+      .orderBy(col("nation_key"))
+  }
+
   /** Bounded min-k buffer over (md5-hex, id) pairs, ascending — the
     * bottom-k-by-hash half of [[TopK.TopKAgg]]'s pattern: at most k
     * elements per group ever exist in the buffer, merged map-side. */

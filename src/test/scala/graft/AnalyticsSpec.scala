@@ -149,6 +149,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
   }
 
+  test("pagerank: every nation holds at least the teleport mass; total never exceeds 1.0") {
+    val r = Analytics.pagerankNations(spark, Sf0001).cache()
+    assert(r.count() == 25)
+    // base = 0.15/25 in ppb; integer floors can only lose mass, never mint it
+    assert(r.filter(col("rank_ppb") < 150000000L / 25).count() == 0)
+    assert(r.agg(sum(col("rank_ppb"))).head().getLong(0) <= 1000000000L)
+    // determinism: a second evaluation is bit-identical
+    val again = Analytics.pagerankNations(spark, Sf0001)
+    assert(r.exceptAll(again).count() == 0 && again.exceptAll(r).count() == 0)
+    r.unpersist()
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==
