@@ -313,6 +313,11 @@ object SparkEntry {
     "q30_regression_stats" -> ((s, dir) => Analytics.regressionStats(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
+    // the same transitions through REAL keyed streaming state: one
+    // last-event ValueState per user, sequences span the batch boundary
+    "markov_transitions_streaming" -> ((s, dir) => StatefulQueries.markovTransitionsStreaming(s, dir)),
+    // in-flight scan metrics via Dataset.observe (plan accumulators)
+    "dq_observe" -> ((s, dir) => Relational.dqObserve(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
     "sample_bottomk" -> ((s, dir) => Analytics.bottomKSample(s, dir)),
     // last-touch attribution: purchases -> most recent prior view <= 24h,
@@ -1446,6 +1451,13 @@ object SparkEntry {
         | quantile_cont(value, 0.95) AS p95,
         | quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the observe accumulators must equal what a plain aggregate computes
+    "dq_observe" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        | count(user_id) AS n_user_nonnull,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events""".stripMargin,
     // integer-ppb ranks make every iteration exact: `//` is floor division
     // == Spark's `div` on the non-negative ranks/degrees here
     "pagerank_nations" ->
@@ -1615,6 +1627,8 @@ object SparkEntry {
       // overlapping windows stay open across micro-batches; the final
       // complete-mode emission must equal the batch hopping aggregate
       "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),
+      // streaming last-event ValueState ≡ batch lead() window — same oracle
+      "markov_transitions_streaming"   -> base("markov_transitions"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

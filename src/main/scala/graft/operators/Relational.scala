@@ -500,6 +500,27 @@ object Relational {
               col("ps").getItem(2).as("p99"))
       .orderBy(col("event_type"))
 
+  /** IN-FLIGHT METRICS via `Dataset.observe` — the zero-cost observability
+    * face of [[dqReport]]: the metric expressions ride the scan as plan
+    * accumulators (no second pass, no extra shuffle — at 100 TB the
+    * difference between "audit the load" and "scan the corpus twice"), and
+    * the collected metrics row is re-surfaced as a one-row frame under a
+    * plain aggregate oracle. `executeCollect` runs the OBSERVED plan's own
+    * QueryExecution, which is where the accumulators live — an action on a
+    * derived Dataset would execute a different plan and leave them empty. */
+  def dqObserve(spark: SparkSession, sfDir: String): DataFrame = {
+    val observed = Tables.events(spark, sfDir).observe("dq",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_negative"),
+      count(col("user_id")).as("n_user_nonnull"),
+      min(col("value")).as("min_value"),
+      max(col("value")).as("max_value"))
+    val qe = observed.queryExecution
+    qe.executedPlan.executeCollect()
+    val row = qe.observedMetrics("dq")
+    spark.createDataFrame(java.util.Collections.singletonList(row), row.schema)
+  }
+
   /** SCHEMA EVOLUTION across dataset generations: an "old" slice of orders
     * lacking `o_orderstatus` unions with a "new" slice that has it, via
     * `unionByName(allowMissingColumns = true)` — the missing column

@@ -471,6 +471,48 @@ object StatefulQueries {
     }
   }
 
+  /** The Markov transition matrix ([[graft.operators.Analytics
+    * .markovTransitions]]) with the per-user `lead()` replaced by REAL
+    * keyed streaming state: [[graft.streaming.StatefulOps
+    * .transitionsStream]] holds one last-event ValueState per user, the
+    * two-file median replay forces user sequences to SPAN the micro-batch
+    * boundary (every user active in both halves emits its boundary
+    * transition from state, or the count — and the oracle hash — drops),
+    * and the count/probability rollup runs as a batch aggregate over the
+    * drained transition sink (transitions ≈ events, but the rollup is
+    * types²-sized after one combine). Registered under markov_transitions'
+    * oracle: streaming-stateful ≡ batch-window, hash-checked. */
+  def markovTransitionsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val tEnc: Encoder[StatefulOps.TransEv] =
+      Encoders.product[StatefulOps.TransEv]
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"markov:$sfDir", Seq("m0.parquet", "m1.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("event_type"))
+        val maxIdRow = ev.agg(max(col("event_id"))).head()
+        if (maxIdRow.isNullAt(0)) Seq(ev)
+        else {
+          val mid = maxIdRow.getLong(0) / 2
+          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+            .filter(!_.isEmpty)
+        }
+      }
+    }
+    val trans = drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.transitionsStream(stream
+        .select(col("user_id").cast("string").as("key"),
+                col("event_id").as("ord"), col("event_type").as("typ"))
+        .as[StatefulOps.TransEv]).toDF()
+    }
+    val counts = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** `events` as TWO parquet files split at the median event_id. `event_id`
     * is the verified (ts, event_id)-monotone order, so splitting on it
     * preserves per-key arrival order across the batch boundary — the

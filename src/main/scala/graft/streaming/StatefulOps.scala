@@ -366,6 +366,41 @@ object StatefulOps {
           out.iterator
       }
 
+  /** (key, ord, typ) input for [[transitionsStream]]. */
+  case class TransEv(key: String, ord: Long, typ: String)
+  /** One emitted transition: the key's previous event type → this one's. */
+  case class TransOut(key: String, from_type: String, to_type: String)
+  /** Last event seen per key — the ValueState of the transition op. */
+  case class LastEv(ord: Long, typ: String)
+
+  private implicit val transEnc: Encoder[TransEv] = Encoders.product[TransEv]
+  private implicit val transOutEnc: Encoder[TransOut] = Encoders.product[TransOut]
+  private implicit val lastEnc: Encoder[LastEv] = Encoders.product[LastEv]
+
+  /** Streaming EVENT-SEQUENCE TRANSITIONS: per key, emit (previous type →
+    * this type) for every consecutive ord-ordered pair — the streaming form
+    * of the batch `lead()` window in the Markov transition matrix. State is
+    * ONE [[LastEv]] per key (a ValueState in Flink terms), so a sequence
+    * spanning micro-batches emits its boundary transition from state — the
+    * load-bearing cross-batch claim. Each batch's slice sorts by ord
+    * (arrival order within a batch is arbitrary); the replay contract
+    * splits batches at an ord boundary, so the global per-key order is the
+    * concatenation of sorted slices. */
+  def transitionsStream(ds: Dataset[TransEv],
+                        mode: OutputMode = OutputMode.Append()): Dataset[TransOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LastEv, TransOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[LastEv]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(_.ord).flatMap { r =>
+            val t = last.map(l => TransOut(key, l.typ, r.typ))
+            last = Some(LastEv(r.ord, r.typ))
+            t
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+
   /** (fingerprint, event-time, record id) input for [[ttlDedupStream]]; `ts`
     * must be the WATERMARKED event-time column (the engine requires it in
     * the grouped Dataset for event-time timeouts). */

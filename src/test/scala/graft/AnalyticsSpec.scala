@@ -161,6 +161,18 @@ class AnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("streaming transitions equal the batch lead() matrix; observe equals the plain agg") {
+    val batch = Analytics.markovTransitions(spark, Sf0001)
+    val stream = graft.operators.StatefulQueries.markovTransitionsStreaming(spark, Sf0001)
+    assert(batch.exceptAll(stream).count() == 0 && stream.exceptAll(batch).count() == 0)
+    val obs = Relational.dqObserve(spark, Sf0001).head()
+    val agg = graft.io.Tables.events(spark, Sf0001)
+      .agg(count(lit(1)), min(col("value")), max(col("value"))).head()
+    assert(obs.getAs[Long]("n_rows") == agg.getLong(0))
+    assert(obs.getAs[Double]("min_value") == agg.getDouble(1))
+    assert(obs.getAs[Double]("max_value") == agg.getDouble(2))
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==
