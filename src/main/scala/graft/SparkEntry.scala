@@ -585,12 +585,14 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-    // the arithmetic definition of width_bucket(v, 0, 500, 25): values have
-    // 2 decimals and bucket bounds k*20 are exactly representable, so the
-    // floor never straddles a rounding boundary between engines
+    // the arithmetic definition of width_bucket(v, 0, 500, 25) INCLUDING
+    // its boundary semantics (underflow -> 0, v >= hi -> n+1 = 26; sf0.1
+    // has values past 500); in-range bucket bounds k*20 are exactly
+    // representable, so the floor never straddles a rounding boundary
     "q32_value_histogram" ->
       """SELECT event_type,
-        | CAST(floor(value / 20.0) AS BIGINT) + 1 AS bucket,
+        | CAST(CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 26
+        |   ELSE floor(value / 20.0) + 1 END AS BIGINT) AS bucket,
         | count(*) AS n, min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "q18_json_props" ->

@@ -167,10 +167,12 @@ object FreqSketch {
     * the day saw — the "trending items per window" shape (top queries per
     * hour, top URLs per day) where the exact `groupBy(window, user)` would
     * shuffle one row per (window, user) pair. Exact at test capacity
-    * (capacity ≥ any day's distinct users) → exact per-window top-k
-    * oracle, the MG-family precedent. */
+    * (capacity ≥ any day's distinct users: 8192 clears sf0.1's peak of
+    * 1356 with headroom — an under-capacity summary undercounts and broke
+    * the sf0.1 hash at 1024) → exact per-window top-k oracle, the
+    * MG-family precedent. */
   def topKUsersDailySketch(spark: SparkSession, sfDir: String,
-                           k: Int = 5, capacity: Int = 1024): DataFrame = {
+                           k: Int = 5, capacity: Int = 8192): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
       .select(unix_timestamp(date_trunc("day", col("ts"))).cast("long").as("day_start"),
