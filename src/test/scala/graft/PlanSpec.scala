@@ -439,6 +439,17 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning".r.findAllIn(p).length <= 3, p)
   }
 
+  test("attribution/twap: one data-sized hash exchange each; twap's agg reuses the window partitioning") {
+    val pa = plan("attribution_last_touch")
+    // the conditional window max is the only keyed exchange — a purchases x
+    // views self-join would need two
+    assert("hashpartitioning".r.findAllIn(pa).length == 1, pa)
+    val pt = plan("twap_by_type")
+    // the per-type aggregate sits directly on the lead-window's event_type
+    // partitioning: no second hash exchange between window and agg
+    assert("hashpartitioning".r.findAllIn(pt).length == 1, pt)
+  }
+
   test("sample_bottomk: the bounded buffer partial-merges map-side") {
     val p = plan("sample_bottomk")
     // ObjectHashAggregate partial below the exchange: each map task ships
