@@ -316,6 +316,11 @@ object SparkEntry {
     // the same transitions through REAL keyed streaming state: one
     // last-event ValueState per user, sequences span the batch boundary
     "markov_transitions_streaming" -> ((s, dir) => StatefulQueries.markovTransitionsStreaming(s, dir)),
+    // CUSUM drift detection: non-associative reset recurrence — the
+    // stateful-or-nothing class; batch = lazy ordered fold, O(1)/key
+    "cusum_by_type" -> ((s, dir) => StatefulQueries.cusumByType(s, dir)),
+    // the statistic (and reset boundaries) carried across micro-batches
+    "cusum_by_type_streaming" -> ((s, dir) => StatefulQueries.cusumByTypeStreaming(s, dir)),
     // in-flight scan metrics via Dataset.observe (plan accumulators)
     "dq_observe" -> ((s, dir) => Relational.dqObserve(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
@@ -358,6 +363,8 @@ object SparkEntry {
     "fuzzy_join_editdist1" -> ((s, dir) => Analytics.fuzzyJoinEditDist1(s, dir)),
     // fixed-point (integer-ppb) PageRank over the nation trade graph
     "pagerank_nations" -> ((s, dir) => Analytics.pagerankNations(s, dir)),
+    // RFM quartile segmentation over the per-user aggregate
+    "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1453,6 +1460,31 @@ object SparkEntry {
         | quantile_cont(value, 0.95) AS p95,
         | quantile_cont(value, 0.99) AS p99
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the RECURSIVE CTE states the same integer-exact recurrence the
+    // ordered fold computes: s' = max(0, s + v - 50), alarm+reset past 500
+    "cusum_by_type" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, i,
+        |    CAST(CASE WHEN greatest(CAST(0 AS DECIMAL(18,2)), v - 50) > 500
+        |      THEN 0 ELSE greatest(CAST(0 AS DECIMAL(18,2)), v - 50) END
+        |      AS DECIMAL(18,2)) AS s,
+        |    CAST(CASE WHEN greatest(CAST(0 AS DECIMAL(18,2)), v - 50) > 500
+        |      THEN 1 ELSE 0 END AS BIGINT) AS alarm
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i,
+        |    CAST(CASE WHEN greatest(CAST(0 AS DECIMAL(18,2)), c.s + o.v - 50) > 500
+        |      THEN 0 ELSE greatest(CAST(0 AS DECIMAL(18,2)), c.s + o.v - 50) END
+        |      AS DECIMAL(18,2)),
+        |    CAST(CASE WHEN greatest(CAST(0 AS DECIMAL(18,2)), c.s + o.v - 50) > 500
+        |      THEN 1 ELSE 0 END AS BIGINT)
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
+        |SELECT event_id, event_type, CAST(s AS DOUBLE) AS cusum, alarm
+        |FROM c ORDER BY event_id""".stripMargin,
     // the observe accumulators must equal what a plain aggregate computes
     "dq_observe" ->
       """SELECT count(*) AS n_rows,
@@ -1460,6 +1492,19 @@ object SparkEntry {
         | count(user_id) AS n_user_nonnull,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events""".stripMargin,
+    // quartile scores tie-break on user_id so ntile is deterministic;
+    // recency ranks DESC (most recent scores 4)
+    "rfm_segments" ->
+      s"""WITH a AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f,
+        |   sum(CAST(value AS DECIMAL(18,2))) AS m FROM events GROUP BY 1),
+        |x AS (SELECT max(epoch_us(ts)) AS corpus_us FROM events),
+        |b AS (SELECT user_id, (corpus_us - last_us) // 86400000000 AS r_days, f, m
+        |      FROM a CROSS JOIN x)
+        |SELECT user_id, r_days, f, ${dd("m")} AS m,
+        | CAST(ntile(4) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS r_score,
+        | CAST(ntile(4) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
+        | CAST(ntile(4) OVER (ORDER BY m, user_id) AS BIGINT) AS m_score
+        |FROM b ORDER BY user_id""".stripMargin,
     // integer-ppb ranks make every iteration exact: `//` is floor division
     // == Spark's `div` on the non-negative ranks/degrees here
     "pagerank_nations" ->
@@ -1631,6 +1676,8 @@ object SparkEntry {
       "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),
       // streaming last-event ValueState ≡ batch lead() window — same oracle
       "markov_transitions_streaming"   -> base("markov_transitions"),
+      // the reset recurrence carried across micro-batches — same oracle
+      "cusum_by_type_streaming"        -> base("cusum_by_type"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

@@ -81,6 +81,39 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** RFM SEGMENTATION: per user, Recency (days since last event, relative
+    * to the corpus max so the result is replay-stable), Frequency (event
+    * count) and Monetary (exact decimal Σ value), each quartile-scored
+    * with `ntile(4)` (deterministic tiebreak on user_id; recency ranked
+    * DESC so the most recent users score 4).
+    *
+    * Scale shape: the event stream collapses to the per-user aggregate
+    * first (one shuffle, map-side combined); the corpus max rides a 1-row
+    * broadcast; the ntile windows then rank the USER table, which is
+    * aggregate-sized here. At billion-user scale the global ntile sort
+    * becomes the bottleneck — the scale path is approx-quantile cutpoints
+    * (q10b's sketch) broadcast back as boundaries, trading exact quartile
+    * boundaries for a constant-size exchange; registered here in the exact
+    * form the oracle can state. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+              col("value").cast("decimal(18,2)").as("v"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"), sum(col("v")).as("m"))
+    val corpusMax = ev.agg(max(col("us")).as("corpus_us"))
+    perUser.crossJoin(broadcast(corpusMax))
+      .withColumn("r_days", expr("(corpus_us - last_us) div 86400000000"))
+      .select(col("user_id"), col("r_days"), col("f"), col("m").cast("double").as("m"),
+        ntile(4).over(Window.orderBy(col("r_days").desc, col("user_id")))
+          .cast("long").as("r_score"),
+        ntile(4).over(Window.orderBy(col("f"), col("user_id")))
+          .cast("long").as("f_score"),
+        ntile(4).over(Window.orderBy(col("m"), col("user_id")))
+          .cast("long").as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
   /** STRING-SIMILARITY JOIN: all supplier-name pairs within edit distance 1,
     * via DELETION-NEIGHBORHOOD banding (the SymSpell/symmetric-delete
     * construction): each name emits its identity plus every single-character

@@ -471,6 +471,45 @@ object StatefulQueries {
     }
   }
 
+  /** CUSUM parameters shared by the Spark forms and the recursive oracle
+    * (SparkEntry) so the two sides cannot drift: target 50.00 drifts the
+    * statistic upward (70 alarms / 1801 resets at sf0.01 — both the
+    * accumulate and reset paths exercised), alarm threshold 500.00. */
+  val CusumTargetCents = 5000L
+  val CusumAlarmCents  = 50000L
+
+  /** CUSUM drift detection per event_type — the batch execution: a single
+    * lazy pass over plan-ordered groups (O(1) state), like q1s–q4s. The
+    * reset makes the recurrence non-associative, so this operator is
+    * stateful-or-nothing even in batch: no window frame can express it —
+    * the first such class beyond the reference four. The oracle is a
+    * DuckDB RECURSIVE CTE computing the same integer-exact recurrence. */
+  def cusumByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+    StatefulOps.cusumOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc),
+        CusumTargetCents, CusumAlarmCents).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("cusum"), col("alarm"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[cusumByType]] through the REAL micro-batch engine over the
+    * two-file median replay: the running statistic (and a reset boundary)
+    * crosses the micro-batch boundary in state — same oracle. */
+  def cusumByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.cusumStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), CusumTargetCents, CusumAlarmCents).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("cusum"), col("alarm"))
+      .orderBy(col("event_id"))
+  }
+
   /** The Markov transition matrix ([[graft.operators.Analytics
     * .markovTransitions]]) with the per-user `lead()` replaced by REAL
     * keyed streaming state: [[graft.streaming.StatefulOps

@@ -600,6 +600,50 @@ object StatefulOps {
           out.iterator
       }
 
+  /** CUSUM accumulator: the running positive deviation sum in integer
+    * CENTS (values have 2 decimals — cents are exact longs, so every step
+    * is integer arithmetic with no float drift; the BlockAcc precedent). */
+  case class CusumAcc(cents: Long)
+  /** One CUSUM emission per input row: post-reset statistic + alarm flag. */
+  case class CusumOut(key: String, ord: Long, cusum: Double, alarm: Long)
+
+  private implicit val cusumAccEnc: Encoder[CusumAcc] = Encoders.product[CusumAcc]
+  private implicit val cusumOutEnc: Encoder[CusumOut] = Encoders.product[CusumOut]
+
+  private def cusumFold(key: String, rows: Iterator[KV],
+                        state: GroupState[CusumAcc],
+                        targetCents: Long, alarmCents: Long): Iterator[CusumOut] = {
+    var s = if (state.exists) state.get.cents else 0L
+    rows.map { r =>
+      // non-finite values contribute nothing (fixture values are finite;
+      // the guard keeps the operator total on dirty data)
+      val vc = if (java.lang.Double.isFinite(r.value))
+        (BigDecimal(r.value)
+          .setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+      else 0L
+      val raw = math.max(0L, s + vc - targetCents)
+      val alarm = if (raw > alarmCents) 1L else 0L
+      s = if (alarm == 1L) 0L else raw
+      CusumOut(key, r.ord, s.toDouble / 100.0, alarm)
+    } ++ { state.update(CusumAcc(s)); Iterator.empty }
+  }
+
+  /** CUSUM CHANGE DETECTION per key: sₙ = max(0, sₙ₋₁ + xₙ − target),
+    * alarm and reset when sₙ exceeds the alarm threshold — the classic
+    * sequential drift detector (Page 1954). The reset makes the recurrence
+    * NON-ASSOCIATIVE: no window frame or aggregate can express it, which
+    * is exactly what the keyed sequential-state machinery is for — the
+    * first operator class here that is stateful-or-nothing even in batch.
+    * Streaming form: each batch's slice sorts by ord, state carries sₙ
+    * across micro-batches (the reset boundary can fall between batches). */
+  def cusumStream(ds: Dataset[KV], targetCents: Long, alarmCents: Long,
+                  mode: OutputMode = OutputMode.Append()): Dataset[CusumOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumAcc, CusumOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[CusumAcc]) =>
+          cusumFold(key, rows.toSeq.sortBy(_.ord).iterator, state, targetCents, alarmCents)
+      }
+
   // ---- ORDER-ASSUMING batch forms: stream the group, buffer nothing ----
   //
   // The forms above sort each group's slice in-operator because neither
@@ -674,6 +718,16 @@ object StatefulOps {
           m = m.updated(r.subkey, cur)
           SubkeyOut(key, r.subkey, r.ord, cur)
         } ++ { state.update(SubkeyMax(m)); Iterator.empty }
+    }
+
+  /** [[cusumStream]] over a pre-ordered grouping: one lazy pass, O(1)
+    * state — the batch execution of the sequential drift detector. */
+  def cusumOrdered(g: KeyValueGroupedDataset[String, KV],
+                   targetCents: Long, alarmCents: Long): Dataset[CusumOut] =
+    g.flatMapGroupsWithState[CusumAcc, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[CusumAcc]) =>
+        cusumFold(key, rows, state, targetCents, alarmCents)
     }
 
   /** [[thresholdGaps]] over a pre-ordered grouping: one lazy pass. */

@@ -173,6 +173,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(obs.getAs[Double]("max_value") == agg.getDouble(2))
   }
 
+  test("cusum: non-negative, zero exactly on alarm rows, batch equals streaming") {
+    val b = graft.operators.StatefulQueries.cusumByType(spark, Sf0001).cache()
+    assert(b.count() == graft.io.Tables.events(spark, Sf0001).count())
+    assert(b.filter(col("cusum") < 0).count() == 0)
+    assert(b.filter(col("alarm") === 1 && col("cusum") =!= 0.0).count() == 0)
+    val s = graft.operators.StatefulQueries.cusumByTypeStreaming(spark, Sf0001)
+    assert(b.exceptAll(s).count() == 0 && s.exceptAll(b).count() == 0)
+    b.unpersist()
+  }
+
+  test("rfm: every user scored once, scores in 1..4, quartiles near-balanced") {
+    val r = Analytics.rfmSegments(spark, Sf0001).cache()
+    val users = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().count()
+    assert(r.count() == users)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      assert(r.filter(col(c) < 1 || col(c) > 4).count() == 0)
+      // ntile balance: group sizes differ by at most 1
+      val sizes = r.groupBy(col(c)).count().collect().map(_.getLong(1))
+      assert(sizes.max - sizes.min <= 1)
+    }
+    r.unpersist()
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==
