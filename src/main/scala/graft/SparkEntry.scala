@@ -365,6 +365,8 @@ object SparkEntry {
     "pagerank_nations" -> ((s, dir) => Analytics.pagerankNations(s, dir)),
     // RFM quartile segmentation over the per-user aggregate
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(s, dir)),
+    // degree-ordered-orientation triangle count on the trade graph
+    "triangle_count" -> ((s, dir) => Analytics.triangleCount(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1492,6 +1494,20 @@ object SparkEntry {
         | count(user_id) AS n_user_nonnull,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events""".stripMargin,
+    // the oracle states the naive canonical-edge (u<v) 3-way join; the
+    // Spark side reaches the same count through oriented wedges
+    "triangle_count" ->
+      """WITH t AS (SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+        |    greatest(c.c_nationkey, s.s_nationkey) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey)
+        |SELECT (SELECT count(*) FROM t a
+        |        JOIN t b ON a.v = b.u
+        |        JOIN t c2 ON c2.u = a.u AND c2.v = b.v) AS n_triangles,
+        |       (SELECT count(*) FROM t) AS n_edges""".stripMargin,
     // quartile scores tie-break on user_id so ntile is deterministic;
     // recency ranks DESC (most recent scores 4)
     "rfm_segments" ->

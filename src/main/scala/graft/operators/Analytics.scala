@@ -81,6 +81,48 @@ object Analytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** TRIANGLE COUNT over the undirected nation trade graph (edge {u,v}
+    * wherever nations trade in either direction), by DEGREE-ORDERED EDGE
+    * ORIENTATION: orient every edge from the lower-(degree, id) endpoint
+    * to the higher, enumerate oriented wedges a→b, b→c, and close them
+    * against the oriented edge a→c. Each triangle is counted exactly once
+    * (its rank-ordered traversal), and orientation bounds every node's
+    * out-degree by O(√|E|) on any graph — the standard trick that keeps
+    * the wedge join from exploding on high-degree hubs (a naive
+    * neighbor-pair enumeration is quadratic in the hub degree; the judge
+    * of scale here is the WEDGE count, and orientation minimizes it).
+    * All joins are equi-joins on node keys; counts are exact integers.
+    * The oracle states the naive canonical-edge 3-way join — same count. */
+  def triangleCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+              greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient u→v iff (deg(u), u) < (deg(v), v)
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val dir = e.join(du, "u").join(dv, "v")
+      .select(when(col("du") < col("dv") ||
+                   (col("du") === col("dv") && col("u") < col("v")),
+                   struct(col("u").as("a"), col("v").as("b")))
+                .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = dir.select(col("a"), col("b").as("m"))
+      .join(dir.select(col("a").as("m"), col("b").as("c")), "m")
+    val tri = wedges.join(dir.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+  }
+
   /** RFM SEGMENTATION: per user, Recency (days since last event, relative
     * to the corpus max so the result is replay-stable), Frequency (event
     * count) and Monetary (exact decimal Σ value), each quartile-scored
@@ -131,9 +173,14 @@ object Analytics {
     * the join's hash partitioning. The generalization to distance k emits
     * all ≤k-deletion variants (the same pigeonhole argument); k=1 keeps
     * the signature blowup linear. */
-  def fuzzyJoinEditDist1(spark: SparkSession, sfDir: String): DataFrame = {
-    val s = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"), col("s_name"))
+  def fuzzyJoinEditDist1(spark: SparkSession, sfDir: String): DataFrame =
+    fuzzyJoinEditDist1Of(Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")))
+
+  /** [[fuzzyJoinEditDist1]] over any (s_suppkey, s_name) frame — the
+    * testable core (AnalyticsSpec's randomized recall property drives it
+    * with generated edit pairs). */
+  def fuzzyJoinEditDist1Of(s: DataFrame): DataFrame = {
     val sigs = s.select(col("s_suppkey"), col("s_name"),
       explode(array_union(array(col("s_name")),
         expr("transform(sequence(0, length(s_name) - 1), " +

@@ -197,6 +197,101 @@ class AnalyticsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("property: cusum stream fold equals the direct recurrence on random sequences") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(60)
+      val vals = Seq.fill(n)(math.round(rnd.nextDouble() * 60000) / 100.0)
+      val target = 5000L; val alarmAt = 50000L
+      // reference: the recurrence computed directly in integer cents
+      var s = 0L
+      val expect = vals.zipWithIndex.map { case (v, i) =>
+        val raw = math.max(0L, s + math.round(v * 100) - target)
+        val alarm = if (raw > alarmAt) 1L else 0L
+        s = if (alarm == 1L) 0L else raw
+        (i.toLong, s.toDouble / 100.0, alarm)
+      }
+      val ds = vals.zipWithIndex
+        .map { case (v, i) => StatefulOps.KV("k", i.toLong, v) }.toDS()
+      val got = StatefulOps.cusumStream(ds, target, alarmAt)
+        .collect().sortBy(_.ord).map(o => (o.ord, o.cusum, o.alarm)).toSeq
+      assert(got == expect)
+    }
+  }
+
+  test("property: deletion banding finds every random <=1-edit pair, never a 2-edit pair unverified") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit1(s: String): String = rnd.nextInt(3) match {
+      case 0 => // substitute
+        val i = rnd.nextInt(s.length)
+        s.updated(i, alpha((alpha.indexOf(s(i)) + 1) % alpha.length))
+      case 1 => // delete
+        val i = rnd.nextInt(s.length); s.take(i) + s.drop(i + 1)
+      case _ => // insert
+        val i = rnd.nextInt(s.length + 1)
+        s.take(i) + alpha(rnd.nextInt(alpha.length)) + s.drop(i)
+    }
+    val pairs = (1 to 30).map { k =>
+      val a = randStr(4 + rnd.nextInt(10)); (2L * k, a, 2L * k + 1, edit1(a))
+    }
+    val rows = pairs.flatMap { case (ka, a, kb, b) => Seq((ka, a), (kb, b)) }
+      .toDF("s_suppkey", "s_name")
+    val found = Analytics.fuzzyJoinEditDist1Of(rows)
+      .select(col("a_key"), col("b_key")).as[(Long, Long)].collect().toSet
+    pairs.foreach { case (ka, a, kb, b) =>
+      if (a != b) // (an insert then looking at ==; a==b only if edit was identity)
+        assert(found.contains((ka min kb, ka max kb)),
+          s"missed pair within distance 1: '$a' vs '$b'")
+    }
+    // soundness: every reported pair really is within distance 1
+    val byKey = rows.as[(Long, String)].collect().toMap
+    found.foreach { case (x, y) =>
+      val (sx, sy) = (byKey(x), byKey(y))
+      val d = levenshteinRef(sx, sy)
+      assert(d <= 1, s"banding reported '$sx' vs '$sy' at distance $d")
+    }
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("triangle count: oriented-wedge closure equals the naive canonical 3-way join") {
+    val t = Analytics.triangleCount(spark, Sf0001).head()
+    assert(t.getAs[Long]("n_triangles") >= 0 && t.getAs[Long]("n_edges") > 0)
+    // naive recount in Scala over the same edge set
+    val li = graft.io.Tables.lineitem(spark, Sf0001).select(col("l_orderkey"), col("l_suppkey"))
+    val o  = graft.io.Tables.orders(spark, Sf0001).select(col("o_orderkey"), col("o_custkey"))
+    val c  = graft.io.Tables.table(spark, Sf0001, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = graft.io.Tables.supplier(spark, Sf0001).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).cast("long"),
+              greatest(col("c_nationkey"), col("s_nationkey")).cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.toSeq.distinct.sorted
+    var naive = 0L
+    for {
+      (i, x) <- nodes.zipWithIndex; (j, y) <- nodes.zipWithIndex.drop(x + 1)
+      if edges.contains((i, j))
+      (k, _) <- nodes.zipWithIndex.drop(y + 1)
+      if edges.contains((j, k)) && edges.contains((i, k))
+    } naive += 1
+    assert(t.getAs[Long]("n_triangles") == naive)
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==
