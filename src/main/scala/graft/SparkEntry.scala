@@ -321,6 +321,9 @@ object SparkEntry {
     "cusum_by_type" -> ((s, dir) => StatefulQueries.cusumByType(s, dir)),
     // the statistic (and reset boundaries) carried across micro-batches
     "cusum_by_type_streaming" -> ((s, dir) => StatefulQueries.cusumByTypeStreaming(s, dir)),
+    // EWMA smoothing (binary-exact alpha=1/8): second sequential class
+    "ewma_by_type" -> ((s, dir) => StatefulQueries.ewmaByType(s, dir)),
+    "ewma_by_type_streaming" -> ((s, dir) => StatefulQueries.ewmaByTypeStreaming(s, dir)),
     // in-flight scan metrics via Dataset.observe (plan accumulators)
     "dq_observe" -> ((s, dir) => Relational.dqObserve(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
@@ -1487,6 +1490,19 @@ object SparkEntry {
         |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
         |SELECT event_id, event_type, CAST(s AS DOUBLE) AS cusum, alarm
         |FROM c ORDER BY event_id""".stripMargin,
+    // identical IEEE op sequence on both engines (alpha 1/8 binary-exact,
+    // op-by-op vectorized kernels — no FMA contraction): bit-equal hashes
+    "ewma_by_type" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, i, v AS s FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i, c.s + 0.125 * (o.v - c.s)
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
+        |SELECT event_id, event_type, s AS ewma FROM c ORDER BY event_id""".stripMargin,
     // the observe accumulators must equal what a plain aggregate computes
     "dq_observe" ->
       """SELECT count(*) AS n_rows,
@@ -1694,6 +1710,8 @@ object SparkEntry {
       "markov_transitions_streaming"   -> base("markov_transitions"),
       // the reset recurrence carried across micro-batches — same oracle
       "cusum_by_type_streaming"        -> base("cusum_by_type"),
+      // the smoothed value carried across micro-batches — same oracle
+      "ewma_by_type_streaming"         -> base("ewma_by_type"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

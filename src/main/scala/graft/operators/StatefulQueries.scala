@@ -510,6 +510,34 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** EWMA smoothing factor — binary-exact (1/8), the precondition for the
+    * bit-level cross-engine parity the oracle hash checks. */
+  val EwmaAlpha = 0.125
+
+  /** EWMA exponential smoothing per event_type — batch execution as a lazy
+    * ordered fold (the q1s/cusum plan shape, O(1) state per key). */
+  def ewmaByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+    StatefulOps.ewmaOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc), EwmaAlpha).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[ewmaByType]] through the micro-batch engine over the two-file
+    * replay — the smoothed value crosses the batch boundary in state. */
+  def ewmaByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.ewmaStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), EwmaAlpha).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"), col("ewma"))
+      .orderBy(col("event_id"))
+  }
+
   /** The Markov transition matrix ([[graft.operators.Analytics
     * .markovTransitions]]) with the per-user `lead()` replaced by REAL
     * keyed streaming state: [[graft.streaming.StatefulOps

@@ -628,6 +628,42 @@ object StatefulOps {
     } ++ { state.update(CusumAcc(s)); Iterator.empty }
   }
 
+  /** EWMA accumulator: last smoothed value (None until the first row). */
+  case class EwmaAcc(s: Double)
+  case class EwmaOut(key: String, ord: Long, ewma: Double)
+
+  private implicit val ewmaAccEnc: Encoder[EwmaAcc] = Encoders.product[EwmaAcc]
+  private implicit val ewmaOutEnc: Encoder[EwmaOut] = Encoders.product[EwmaOut]
+
+  private def ewmaFold(key: String, rows: Iterator[KV],
+                       state: GroupState[EwmaAcc], alpha: Double): Iterator[EwmaOut] = {
+    var s = if (state.exists) Some(state.get.s) else None
+    rows.map { r =>
+      val next = s match {
+        case None       => r.value
+        case Some(prev) => prev + alpha * (r.value - prev)
+      }
+      s = Some(next)
+      EwmaOut(key, r.ord, next)
+    } ++ { s.foreach(v => state.update(EwmaAcc(v))); Iterator.empty }
+  }
+
+  /** EXPONENTIAL SMOOTHING (EWMA) per key: s₁ = x₁,
+    * sₙ = sₙ₋₁ + α·(xₙ − sₙ₋₁) — like [[cusumStream]] a sequential
+    * recurrence no window frame expresses (the closed form Σ α(1−α)ⁿ⁻ⁱ xᵢ
+    * is float-order-hostile; the fold is the deterministic statement).
+    * α must be BINARY-EXACT (0.125 here): then both engines execute the
+    * identical IEEE op sequence (sub, mul, add — evaluated op-by-op in
+    * DuckDB's vectorized kernels, no FMA contraction) and the recursive-CTE
+    * oracle hash-matches bit-for-bit — probed before registering. */
+  def ewmaStream(ds: Dataset[KV], alpha: Double,
+                 mode: OutputMode = OutputMode.Append()): Dataset[EwmaOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmaAcc, EwmaOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[EwmaAcc]) =>
+          ewmaFold(key, rows.toSeq.sortBy(_.ord).iterator, state, alpha)
+      }
+
   /** CUSUM CHANGE DETECTION per key: sₙ = max(0, sₙ₋₁ + xₙ − target),
     * alarm and reset when sₙ exceeds the alarm threshold — the classic
     * sequential drift detector (Page 1954). The reset makes the recurrence
@@ -728,6 +764,13 @@ object StatefulOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
       (key, rows, state: GroupState[CusumAcc]) =>
         cusumFold(key, rows, state, targetCents, alarmCents)
+    }
+
+  /** [[ewmaStream]] over a pre-ordered grouping: one lazy pass, O(1) state. */
+  def ewmaOrdered(g: KeyValueGroupedDataset[String, KV], alpha: Double): Dataset[EwmaOut] =
+    g.flatMapGroupsWithState[EwmaAcc, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[EwmaAcc]) => ewmaFold(key, rows, state, alpha)
     }
 
   /** [[thresholdGaps]] over a pre-ordered grouping: one lazy pass. */

@@ -221,6 +221,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("property: ewma fold equals the direct recurrence and stays inside the value hull") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val rnd = new scala.util.Random(9)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(50)
+      val vals = Seq.fill(n)(rnd.nextDouble() * 500)
+      var s = Option.empty[Double]
+      val expect = vals.zipWithIndex.map { case (v, i) =>
+        val nx = s match { case None => v; case Some(p) => p + 0.125 * (v - p) }
+        s = Some(nx); (i.toLong, nx)
+      }
+      val ds = vals.zipWithIndex.map { case (v, i) => StatefulOps.KV("k", i.toLong, v) }.toDS()
+      val got = StatefulOps.ewmaStream(ds, 0.125)
+        .collect().sortBy(_.ord).map(o => (o.ord, o.ewma)).toSeq
+      assert(got == expect)
+      // convexity: every smoothed value lies inside the running value hull
+      got.map(_._2).foreach(e => assert(e >= vals.min - 1e-9 && e <= vals.max + 1e-9))
+    }
+  }
+
   test("property: deletion banding finds every random <=1-edit pair, never a 2-edit pair unverified") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
