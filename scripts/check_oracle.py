@@ -12,6 +12,9 @@ import pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
 con = duckdb.connect()
+# spill to the system temp dir, never a CWD-relative .tmp/ (a large
+# recursive oracle once filled a 12 GB .tmp inside the repo checkout)
+con.execute("SET temp_directory = '/tmp/duckdb_spill'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

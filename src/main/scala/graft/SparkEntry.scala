@@ -370,6 +370,8 @@ object SparkEntry {
     "rfm_segments" -> ((s, dir) => Analytics.rfmSegments(s, dir)),
     // degree-ordered-orientation triangle count on the trade graph
     "triangle_count" -> ((s, dir) => Analytics.triangleCount(s, dir)),
+    // BFS shortest hops from nation 0 (min-plus relaxation, 4 rounds)
+    "bfs_hops" -> ((s, dir) => Analytics.bfsHops(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1510,10 +1512,48 @@ object SparkEntry {
         | count(user_id) AS n_user_nonnull,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events""".stripMargin,
+    // the same four min-plus relaxations, unrolled; explicit null-safe min
+    // (engines differ on least() null handling)
+    "bfs_hops" ->
+      """WITH half AS MATERIALIZED (SELECT DISTINCT c.c_nationkey AS x, s.s_nationkey AS y
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |e AS MATERIALIZED (SELECT x, y FROM half UNION SELECT y, x FROM half),
+        |nd AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+        |d0 AS MATERIALIZED (SELECT node, CASE WHEN node = 0 THEN 0 END AS h FROM nd),
+        |c1 AS MATERIALIZED (SELECT e.y AS node, min(d0.h + 1) AS nh FROM e
+        |       JOIN d0 ON e.x = d0.node WHERE d0.h IS NOT NULL GROUP BY 1),
+        |d1 AS MATERIALIZED (SELECT nd.node, CASE WHEN d0.h IS NULL THEN c1.nh
+        |         WHEN c1.nh IS NULL THEN d0.h
+        |         WHEN c1.nh < d0.h THEN c1.nh ELSE d0.h END AS h
+        |       FROM nd JOIN d0 USING (node) LEFT JOIN c1 USING (node)),
+        |c2 AS MATERIALIZED (SELECT e.y AS node, min(d1.h + 1) AS nh FROM e
+        |       JOIN d1 ON e.x = d1.node WHERE d1.h IS NOT NULL GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT nd.node, CASE WHEN d1.h IS NULL THEN c2.nh
+        |         WHEN c2.nh IS NULL THEN d1.h
+        |         WHEN c2.nh < d1.h THEN c2.nh ELSE d1.h END AS h
+        |       FROM nd JOIN d1 USING (node) LEFT JOIN c2 USING (node)),
+        |c3 AS MATERIALIZED (SELECT e.y AS node, min(d2.h + 1) AS nh FROM e
+        |       JOIN d2 ON e.x = d2.node WHERE d2.h IS NOT NULL GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT nd.node, CASE WHEN d2.h IS NULL THEN c3.nh
+        |         WHEN c3.nh IS NULL THEN d2.h
+        |         WHEN c3.nh < d2.h THEN c3.nh ELSE d2.h END AS h
+        |       FROM nd JOIN d2 USING (node) LEFT JOIN c3 USING (node)),
+        |c4 AS MATERIALIZED (SELECT e.y AS node, min(d3.h + 1) AS nh FROM e
+        |       JOIN d3 ON e.x = d3.node WHERE d3.h IS NOT NULL GROUP BY 1),
+        |d4 AS MATERIALIZED (SELECT nd.node, CASE WHEN d3.h IS NULL THEN c4.nh
+        |         WHEN c4.nh IS NULL THEN d3.h
+        |         WHEN c4.nh < d3.h THEN c4.nh ELSE d3.h END AS h
+        |       FROM nd JOIN d3 USING (node) LEFT JOIN c4 USING (node))
+        |SELECT node AS nation_key, CAST(coalesce(h, -1) AS BIGINT) AS hops
+        |FROM d4 ORDER BY nation_key""".stripMargin,
     // the oracle states the naive canonical-edge (u<v) 3-way join; the
     // Spark side reaches the same count through oriented wedges
     "triangle_count" ->
-      """WITH t AS (SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
+      """WITH t AS MATERIALIZED (SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS u,
         |    greatest(c.c_nationkey, s.s_nationkey) AS v
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -123,6 +123,43 @@ object Analytics {
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
   }
 
+  /** BFS SHORTEST HOPS from nation 0 over the undirected trade graph —
+    * the fourth graph class (after CC, PageRank, triangles): min-plus
+    * relaxation, unrolled 4 rounds (the dense trade graph's diameter is
+    * ≤ 2 at every shipped SF; 4 rounds = diameter + safety, and an
+    * unreached node reports hops = -1 rather than a sentinel ∞). Each
+    * round joins the node-sized frontier to the edge list partitioned on
+    * the join key and re-aggregates by min — the label-propagation
+    * per-round profile; integer hop counts make every round exact.
+    * The oracle unrolls the same four relaxations. */
+  def bfsHops(spark: SparkSession, sfDir: String, source: Long = 0L): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val half = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+      .distinct()
+    // undirected: both directions
+    val e = half.unionAll(half.select(col("y").as("x"), col("x").as("y"))).distinct()
+    val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
+    val init = nodes.select(col("node"),
+      when(col("node") === source, lit(0L)).as("h")) // null = unreached
+    def relax(d: DataFrame): DataFrame = {
+      val cand = e.join(d.filter(col("h").isNotNull).withColumnRenamed("node", "x"), "x")
+        .select(col("y").as("node"), (col("h") + 1L).as("nh"))
+        .groupBy(col("node")).agg(min(col("nh")).as("nh"))
+      d.join(cand, Seq("node"), "left")
+        .select(col("node"), least(col("h"), col("nh")).as("h"))
+    }
+    (1 to 4).foldLeft(init)((d, _) => relax(d))
+      .select(col("node").as("nation_key"), coalesce(col("h"), lit(-1L)).as("hops"))
+      .orderBy(col("nation_key"))
+  }
+
   /** RFM SEGMENTATION: per user, Recency (days since last event, relative
     * to the corpus max so the result is replay-stable), Frequency (event
     * count) and Monetary (exact decimal Σ value), each quartile-scored

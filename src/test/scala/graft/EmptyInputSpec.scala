@@ -30,6 +30,18 @@ class EmptyInputSpec extends SparkSpec {
   }
 
 
+  test("fuzzy join: empty in, empty out; null names never crash the banding") {
+    import graft.operators.Analytics
+    val emptyNames = Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
+    assert(Analytics.fuzzyJoinEditDist1Of(emptyNames).count() === 0)
+    // a null name produces no signatures (explode of null array) and so
+    // no candidate pairs — reported absent, never a crash
+    val nulls = Seq((1L, null: String), (2L, "abc"), (3L, "abd")).toDF("s_suppkey", "s_name")
+    val pairs = Analytics.fuzzyJoinEditDist1Of(nulls)
+      .select(col("a_key"), col("b_key")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((2L, 3L)))
+  }
+
   test("round-8 operators: empty in, empty out") {
     assert(Dedup.containmentWinnowOf(emptyDocs).count() === 0)
     // a null-text doc cannot be fingerprinted: reported with zeros, kept
