@@ -98,6 +98,9 @@ object Analytics {
     val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    // the fact joins run ONCE: the canonical edge list is cached, and the
+    // oriented edge table (referenced by both wedge sides and the closure)
+    // derives from the cache
     val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
@@ -105,22 +108,28 @@ object Analytics {
       .select(least(col("c_nationkey"), col("s_nationkey")).as("u"),
               greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
       .distinct()
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient u→v iff (deg(u), u) < (deg(v), v)
-    val du = deg.select(col("n").as("u"), col("d").as("du"))
-    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
-    val dir = e.join(du, "u").join(dv, "v")
-      .select(when(col("du") < col("dv") ||
-                   (col("du") === col("dv") && col("u") < col("v")),
-                   struct(col("u").as("a"), col("v").as("b")))
-                .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-    val wedges = dir.select(col("a"), col("b").as("m"))
-      .join(dir.select(col("a").as("m"), col("b").as("c")), "m")
-    val tri = wedges.join(dir.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-    tri.agg(count(lit(1)).as("n_triangles"))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .cache()
+    try {
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // orient u→v iff (deg(u), u) < (deg(v), v)
+      val du = deg.select(col("n").as("u"), col("d").as("du"))
+      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+      val dir = e.join(du, "u").join(dv, "v")
+        .select(when(col("du") < col("dv") ||
+                     (col("du") === col("dv") && col("u") < col("v")),
+                     struct(col("u").as("a"), col("v").as("b")))
+                  .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val wedges = dir.select(col("a"), col("b").as("m"))
+        .join(dir.select(col("a").as("m"), col("b").as("c")), "m")
+      val tri = wedges.join(dir.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      val out = tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .cache()
+      out.count() // materialize the 1-row result while the cache is alive
+      out
+    } finally e.unpersist(blocking = false)
   }
 
   /** BFS SHORTEST HOPS from nation 0 over the undirected trade graph —
@@ -143,21 +152,28 @@ object Analytics {
       .filter(col("c_nationkey") =!= col("s_nationkey"))
       .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
       .distinct()
-    // undirected: both directions
+    // undirected: both directions; fact joins run ONCE (cached edge list,
+    // the CC family's materialize-the-graph-once discipline)
     val e = half.unionAll(half.select(col("y").as("x"), col("x").as("y"))).distinct()
-    val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
-    val init = nodes.select(col("node"),
-      when(col("node") === source, lit(0L)).as("h")) // null = unreached
-    def relax(d: DataFrame): DataFrame = {
-      val cand = e.join(d.filter(col("h").isNotNull).withColumnRenamed("node", "x"), "x")
-        .select(col("y").as("node"), (col("h") + 1L).as("nh"))
-        .groupBy(col("node")).agg(min(col("nh")).as("nh"))
-      d.join(cand, Seq("node"), "left")
-        .select(col("node"), least(col("h"), col("nh")).as("h"))
-    }
-    (1 to 4).foldLeft(init)((d, _) => relax(d))
-      .select(col("node").as("nation_key"), coalesce(col("h"), lit(-1L)).as("hops"))
-      .orderBy(col("nation_key"))
+      .cache()
+    try {
+      val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
+      val init = nodes.select(col("node"),
+        when(col("node") === source, lit(0L)).as("h")) // null = unreached
+      def relax(d: DataFrame): DataFrame = {
+        val cand = e.join(d.filter(col("h").isNotNull).withColumnRenamed("node", "x"), "x")
+          .select(col("y").as("node"), (col("h") + 1L).as("nh"))
+          .groupBy(col("node")).agg(min(col("nh")).as("nh"))
+        d.join(cand, Seq("node"), "left")
+          .select(col("node"), least(col("h"), col("nh")).as("h"))
+      }
+      val out = (1 to 4).foldLeft(init)((d, _) => relax(d))
+        .select(col("node").as("nation_key"), coalesce(col("h"), lit(-1L)).as("hops"))
+        .orderBy(col("nation_key"))
+        .cache()
+      out.count() // materialize the node-sized result while the cache is alive
+      out
+    } finally e.unpersist(blocking = false)
   }
 
   /** RFM SEGMENTATION: per user, Recency (days since last event, relative
@@ -262,29 +278,41 @@ object Analytics {
     val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
     val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    // the fact joins run ONCE: the node-sized edge list is cached and every
+    // unrolled iteration reads the cache, not the 4-table lineage (the CC
+    // family's materialize-the-graph-once discipline)
     val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(su, col("l_suppkey") === col("s_suppkey"))
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .distinct()
-    val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val n = nodes.count() // control-plane: node count (25 nations)
-    val base = 150000000L / n // 0.15 / N in ppb, integer-exact
-    val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
-    def step(ranks: DataFrame): DataFrame = {
-      val inc = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outDeg, "src")
-        .select(col("dst").as("node"), expr("r div deg").as("contrib"))
-        .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
-      nodes.join(inc, Seq("node"), "left")
-        .select(col("node"),
-                (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
-    }
-    step(step(step(init)))
-      .select(col("node").as("nation_key"), col("r").as("rank_ppb"))
-      .orderBy(col("nation_key"))
+      .cache()
+    try {
+      val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
+      val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val n = nodes.count() // control-plane: node count (25 nations)
+      val base = 150000000L / n // 0.15 / N in ppb, integer-exact
+      val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
+      def step(ranks: DataFrame): DataFrame = {
+        val inc = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outDeg, "src")
+          .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+          .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
+        nodes.join(inc, Seq("node"), "left")
+          .select(col("node"),
+                  (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
+      }
+      // the node-sized RESULT is cached and materialized while the edge
+      // cache is alive; later actions (Verify's write, Bench's count) read
+      // the 25-row result blocks, never the released edge lineage
+      val out = step(step(step(init)))
+        .select(col("node").as("nation_key"), col("r").as("rank_ppb"))
+        .orderBy(col("nation_key"))
+        .cache()
+      out.count()
+      out
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Bounded min-k buffer over (md5-hex, id) pairs, ascending — the
