@@ -324,6 +324,9 @@ object SparkEntry {
     // EWMA smoothing (binary-exact alpha=1/8): second sequential class
     "ewma_by_type" -> ((s, dir) => StatefulQueries.ewmaByType(s, dir)),
     "ewma_by_type_streaming" -> ((s, dir) => StatefulQueries.ewmaByTypeStreaming(s, dir)),
+    // Holt's linear trend (alpha=1/4, beta=1/8): two COUPLED recurrences
+    "holt_by_type" -> ((s, dir) => StatefulQueries.holtByType(s, dir)),
+    "holt_by_type_streaming" -> ((s, dir) => StatefulQueries.holtByTypeStreaming(s, dir)),
     // in-flight scan metrics via Dataset.observe (plan accumulators)
     "dq_observe" -> ((s, dir) => Relational.dqObserve(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
@@ -1505,6 +1508,24 @@ object SparkEntry {
         |  SELECT o.event_type, o.event_id, o.i, c.s + 0.125 * (o.v - c.s)
         |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
         |SELECT event_id, event_type, s AS ewma FROM c ORDER BY event_id""".stripMargin,
+    // the coupled (level, trend) pair rides the recursion; the new level's
+    // expression is inlined into the trend's (deterministic re-evaluation),
+    // and both smoothing factors are binary-exact — EWMA's parity argument
+    "holt_by_type" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, i, v AS l, CAST(0 AS DOUBLE) AS t
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i,
+        |    0.25 * o.v + 0.75 * (c.l + c.t),
+        |    0.125 * ((0.25 * o.v + 0.75 * (c.l + c.t)) - c.l) + 0.875 * c.t
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
+        |SELECT event_id, event_type, l AS level, t AS trend, l + t AS forecast
+        |FROM c ORDER BY event_id""".stripMargin,
     // the observe accumulators must equal what a plain aggregate computes
     "dq_observe" ->
       """SELECT count(*) AS n_rows,
@@ -1752,6 +1773,8 @@ object SparkEntry {
       "cusum_by_type_streaming"        -> base("cusum_by_type"),
       // the smoothed value carried across micro-batches — same oracle
       "ewma_by_type_streaming"         -> base("ewma_by_type"),
+      // (level, trend) carried across micro-batches together — same oracle
+      "holt_by_type_streaming"         -> base("holt_by_type"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

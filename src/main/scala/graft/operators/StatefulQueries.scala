@@ -538,6 +538,37 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Holt smoothing factors — both binary-exact, the bit-parity
+    * precondition (see EwmaAlpha). */
+  val HoltAlpha = 0.25
+  val HoltBeta  = 0.125
+
+  /** Holt's linear trend per event_type — batch ordered fold. */
+  def holtByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+    StatefulOps.holtOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc),
+        HoltAlpha, HoltBeta).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("level"), col("trend"), col("forecast"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[holtByType]] through the micro-batch engine — BOTH coupled state
+    * components (level, trend) cross the batch boundary together. */
+  def holtByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.holtStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), HoltAlpha, HoltBeta).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("level"), col("trend"), col("forecast"))
+      .orderBy(col("event_id"))
+  }
+
   /** The Markov transition matrix ([[graft.operators.Analytics
     * .markovTransitions]]) with the per-user `lead()` replaced by REAL
     * keyed streaming state: [[graft.streaming.StatefulOps

@@ -664,6 +664,44 @@ object StatefulOps {
           ewmaFold(key, rows.toSeq.sortBy(_.ord).iterator, state, alpha)
       }
 
+  /** Holt accumulator: level and trend (absent until the first row). */
+  case class HoltAcc(l: Double, t: Double)
+  case class HoltOut(key: String, ord: Long, level: Double, trend: Double,
+                     forecast: Double)
+
+  private implicit val holtAccEnc: Encoder[HoltAcc] = Encoders.product[HoltAcc]
+  private implicit val holtOutEnc: Encoder[HoltOut] = Encoders.product[HoltOut]
+
+  private def holtFold(key: String, rows: Iterator[KV], state: GroupState[HoltAcc],
+                       alpha: Double, beta: Double): Iterator[HoltOut] = {
+    var acc = if (state.exists) Some(state.get) else None
+    rows.map { r =>
+      val next = acc match {
+        case None => HoltAcc(r.value, 0.0)
+        case Some(HoltAcc(l0, t0)) =>
+          val l = alpha * r.value + (1.0 - alpha) * (l0 + t0)
+          HoltAcc(l, beta * (l - l0) + (1.0 - beta) * t0)
+      }
+      acc = Some(next)
+      HoltOut(key, r.ord, next.l, next.t, next.l + next.t)
+    } ++ { acc.foreach(state.update); Iterator.empty }
+  }
+
+  /** HOLT'S LINEAR TREND (double exponential smoothing) per key — the
+    * forecasting extension of [[ewmaStream]] with TWO coupled recurrences:
+    * Lₙ = α·xₙ + (1−α)(Lₙ₋₁ + Tₙ₋₁), Tₙ = β(Lₙ − Lₙ₋₁) + (1−β)Tₙ₋₁,
+    * one-step forecast Lₙ + Tₙ. Both smoothing factors are BINARY-EXACT
+    * (α = 1/4, β = 1/8 at the registered site), so the same bit-level
+    * cross-engine parity argument as EWMA's holds for the coupled pair —
+    * the recursive oracle carries (level, trend) through the recursion. */
+  def holtStream(ds: Dataset[KV], alpha: Double, beta: Double,
+                 mode: OutputMode = OutputMode.Append()): Dataset[HoltOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltAcc, HoltOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[HoltAcc]) =>
+          holtFold(key, rows.toSeq.sortBy(_.ord).iterator, state, alpha, beta)
+      }
+
   /** CUSUM CHANGE DETECTION per key: sₙ = max(0, sₙ₋₁ + xₙ − target),
     * alarm and reset when sₙ exceeds the alarm threshold — the classic
     * sequential drift detector (Page 1954). The reset makes the recurrence
@@ -764,6 +802,14 @@ object StatefulOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
       (key, rows, state: GroupState[CusumAcc]) =>
         cusumFold(key, rows, state, targetCents, alarmCents)
+    }
+
+  /** [[holtStream]] over a pre-ordered grouping: one lazy pass, O(1) state. */
+  def holtOrdered(g: KeyValueGroupedDataset[String, KV],
+                  alpha: Double, beta: Double): Dataset[HoltOut] =
+    g.flatMapGroupsWithState[HoltAcc, HoltOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[HoltAcc]) => holtFold(key, rows, state, alpha, beta)
     }
 
   /** [[ewmaStream]] over a pre-ordered grouping: one lazy pass, O(1) state. */

@@ -242,6 +242,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holt: constant input fixes level at the value with zero trend; forecast = level + trend") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val const = (0 until 40).map(i => StatefulOps.KV("k", i.toLong, 42.5)).toDS()
+    val h = StatefulOps.holtStream(const, 0.25, 0.125).collect().sortBy(_.ord)
+    h.foreach { o =>
+      assert(o.level == 42.5 && o.trend == 0.0 && o.forecast == 42.5)
+    }
+    // real data: the emitted forecast is exactly level + trend (the same
+    // double add the oracle performs)
+    val r = graft.operators.StatefulQueries.holtByType(spark, Sf0001)
+    assert(r.filter(col("forecast") =!= col("level") + col("trend")).count() == 0)
+  }
+
   test("property: deletion banding finds every random <=1-edit pair, never a 2-edit pair unverified") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
