@@ -5,9 +5,14 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 
-/** Statistical / sequence analytics over `events`: exact-moment linear
-  * regression + correlation, a Markov transition matrix over per-user event
-  * sequences, and a deterministic bounded-state uniform sampler.
+/** Statistical / sequence / graph analytics: exact-moment linear
+  * regression + correlation, a Markov transition matrix over per-user
+  * event sequences, a deterministic bounded-state uniform sampler, RFM
+  * quartile segmentation, an edit-distance-1 similarity join (deletion
+  * banding), and the weighted/iterative graph family over the nation trade
+  * graph — fixed-point PageRank, degree-oriented triangle counting, and
+  * BFS shortest hops. Everything is oracle-hashable: integer or exact-
+  * decimal arithmetic wherever a float recurrence would be order-hostile.
   */
 object Analytics {
 
