@@ -316,6 +316,9 @@ object SparkEntry {
     // the same transitions through REAL keyed streaming state: one
     // last-event ValueState per user, sequences span the batch boundary
     "markov_transitions_streaming" -> ((s, dir) => StatefulQueries.markovTransitionsStreaming(s, dir)),
+    // last-touch attribution with one last-view ValueState per user — the
+    // batch window's streaming twin, view→purchase chains span batches
+    "attribution_last_touch_streaming" -> ((s, dir) => StatefulQueries.attributionLastTouchStreaming(s, dir)),
     // CUSUM drift detection: non-associative reset recurrence — the
     // stateful-or-nothing class; batch = lazy ordered fold, O(1)/key
     "cusum_by_type" -> ((s, dir) => StatefulQueries.cusumByType(s, dir)),
@@ -375,6 +378,15 @@ object SparkEntry {
     "triangle_count" -> ((s, dir) => Analytics.triangleCount(s, dir)),
     // BFS shortest hops from nation 0 (min-plus relaxation, 4 rounds)
     "bfs_hops" -> ((s, dir) => Analytics.bfsHops(s, dir)),
+    // the graph family at falsifying cardinality (1.5k nodes / 110k edges
+    // at sf0.1): triangles + PageRank over the user co-occurrence graph
+    "triangle_count_users" -> ((s, dir) => Analytics.triangleCountUsers(s, dir)),
+    "pagerank_users" -> ((s, dir) => Analytics.pagerankUsers(s, dir)),
+    // the orientation bound, measured: naive vs oriented wedge counts as
+    // closed forms over the degree tables
+    "graph_wedge_stats" -> ((s, dir) => Analytics.wedgeStatsUsers(s, dir)),
+    // RFM via broadcast approx-quantile cutpoints — ntile's scale path
+    "rfm_segments_approx" -> ((s, dir) => Analytics.rfmSegmentsApprox(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
     "q19_analytic_suite" -> ((s, dir) => Relational.analyticSuite(s, dir)),
     // distribution functions + first_value + a VALUE-RANGE (5 min) frame
@@ -1585,6 +1597,73 @@ object SparkEntry {
         |        JOIN t b ON a.v = b.u
         |        JOIN t c2 ON c2.u = a.u AND c2.v = b.v) AS n_triangles,
         |       (SELECT count(*) FROM t) AS n_edges""".stripMargin,
+    // the oracle states the naive canonical 3-way join over the same
+    // minute-bucket co-occurrence edges; the Spark side reaches the count
+    // through degree-oriented wedges
+    "triangle_count_users" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |t AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid)
+        |SELECT (SELECT count(*) FROM t a
+        |        JOIN t b2 ON a.v = b2.u
+        |        JOIN t c2 ON c2.u = a.u AND c2.v = b2.v) AS n_triangles,
+        |       (SELECT count(*) FROM t) AS n_edges""".stripMargin,
+    // both wedge counts stated as closed forms over the degree tables:
+    // naive = sum d(d-1)/2 (what a neighbor-pair enumeration joins),
+    // oriented = sum indeg*outdeg over the (degree,id)-oriented edges
+    // (the exact row count of the wedge join triangle_count executes)
+    "graph_wedge_stats" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |e AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |deg AS MATERIALIZED (SELECT n, count(*) AS d FROM
+        |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) un GROUP BY 1),
+        |dir AS MATERIALIZED (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS a,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS bn
+        |  FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+        |od AS (SELECT a AS m, count(*) AS outd FROM dir GROUP BY 1),
+        |idg AS (SELECT bn AS m, count(*) AS ind FROM dir GROUP BY 1)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+        |         AS wedges_naive,
+        |       (SELECT CAST(sum(ind * outd) AS BIGINT)
+        |        FROM od JOIN idg USING (m)) AS wedges_oriented""".stripMargin,
+    // same unrolled integer-ppb iterations as pagerank_nations, over the
+    // symmetrized user co-occurrence edges
+    "pagerank_users" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM ce
+        |  UNION ALL SELECT v, u FROM ce),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nd AS (SELECT DISTINCT user_id AS node FROM events),
+        |nn AS (SELECT count(*) AS n FROM nd),
+        |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS r FROM nd),
+        |i1 AS (SELECT e.dst AS node, sum(r0.r // d.deg) AS inc
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN d ON e.src = d.src GROUP BY 1),
+        |r1 AS (SELECT nd.node,
+        |         (150000000 // (SELECT n FROM nn)) + coalesce(i1.inc, 0) * 85 // 100 AS r
+        |       FROM nd LEFT JOIN i1 ON nd.node = i1.node),
+        |i2 AS (SELECT e.dst AS node, sum(r1.r // d.deg) AS inc
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN d ON e.src = d.src GROUP BY 1),
+        |r2 AS (SELECT nd.node,
+        |         (150000000 // (SELECT n FROM nn)) + coalesce(i2.inc, 0) * 85 // 100 AS r
+        |       FROM nd LEFT JOIN i2 ON nd.node = i2.node),
+        |i3 AS (SELECT e.dst AS node, sum(r2.r // d.deg) AS inc
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN d ON e.src = d.src GROUP BY 1),
+        |r3 AS (SELECT nd.node,
+        |         (150000000 // (SELECT n FROM nn)) + coalesce(i3.inc, 0) * 85 // 100 AS r
+        |       FROM nd LEFT JOIN i3 ON nd.node = i3.node)
+        |SELECT node AS user_id, CAST(r AS BIGINT) AS rank_ppb
+        |FROM r3 ORDER BY user_id""".stripMargin,
     // quartile scores tie-break on user_id so ntile is deterministic;
     // recency ranks DESC (most recent scores 4)
     "rfm_segments" ->
@@ -1598,6 +1677,31 @@ object SparkEntry {
         | CAST(ntile(4) OVER (ORDER BY f, user_id) AS BIGINT) AS f_score,
         | CAST(ntile(4) OVER (ORDER BY m, user_id) AS BIGINT) AS m_score
         |FROM b ORDER BY user_id""".stripMargin,
+    // boundary-semantics scores from quantile_disc cutpoints: at these user
+    // counts Spark's percentile_approx GK sketch (accuracy 10000) is
+    // lossless and equals quantile_disc element-for-element; recency in
+    // hours (days collapse to 0 here) and scored DESC (most recent = 4)
+    "rfm_segments_approx" ->
+      s"""WITH a AS (SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS f,
+        |   sum(CAST(value AS DECIMAL(18,2))) AS m FROM events GROUP BY 1),
+        |x AS (SELECT max(last_us) AS corpus_us FROM a),
+        |base AS (SELECT user_id, (corpus_us - last_us) // 3600000000 AS r_hours,
+        |         f, ${dd("m")} AS m FROM a CROSS JOIN x),
+        |c AS (SELECT
+        |  quantile_disc(r_hours, 0.25) AS r1, quantile_disc(r_hours, 0.5) AS r2,
+        |  quantile_disc(r_hours, 0.75) AS r3,
+        |  quantile_disc(f, 0.25) AS f1, quantile_disc(f, 0.5) AS f2,
+        |  quantile_disc(f, 0.75) AS f3,
+        |  quantile_disc(m, 0.25) AS m1, quantile_disc(m, 0.5) AS m2,
+        |  quantile_disc(m, 0.75) AS m3 FROM base)
+        |SELECT user_id, r_hours, f, m,
+        | CAST(4 - (r_hours > r1)::INT - (r_hours > r2)::INT
+        |        - (r_hours > r3)::INT AS BIGINT) AS r_score,
+        | CAST(1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT AS BIGINT)
+        |   AS f_score,
+        | CAST(1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT AS BIGINT)
+        |   AS m_score
+        |FROM base CROSS JOIN c ORDER BY user_id""".stripMargin,
     // integer-ppb ranks make every iteration exact: `//` is floor division
     // == Spark's `div` on the non-negative ranks/degrees here
     "pagerank_nations" ->
@@ -1769,6 +1873,8 @@ object SparkEntry {
       "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),
       // streaming last-event ValueState ≡ batch lead() window — same oracle
       "markov_transitions_streaming"   -> base("markov_transitions"),
+      // last-view ValueState ≡ batch conditional window max — same oracle
+      "attribution_last_touch_streaming" -> base("attribution_last_touch"),
       // the reset recurrence carried across micro-batches — same oracle
       "cusum_by_type_streaming"        -> base("cusum_by_type"),
       // the smoothed value carried across micro-batches — same oracle

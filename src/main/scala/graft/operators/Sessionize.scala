@@ -550,19 +550,6 @@ object Sessionize {
     }.orderBy(col("win_start"), col("event_type"))
   }
 
-  /** Time-series RESAMPLE + gap-fill: per event_type, a dense hourly spine
-    * from the type's first to last active hour (missing hours appear with
-    * n_events = 0), with the running max_value carried forward across the
-    * gaps (LOCF — last observation carried forward, `last(ignoreNulls)`
-    * over an unbounded-preceding frame).
-    *
-    * Scale shape: the event stream collapses to the hourly aggregate FIRST
-    * (one shuffle, map-side combined); the spine, the left join, and the
-    * LOCF window all run on the aggregate-sized table (hours × types), so
-    * densification cost is spine-proportional, never event-proportional —
-    * `sequence(lo, hi)` per key generates the spine without a driver loop
-    * or a cross join. Hour index = floor(ts / 1h); hour_start is emitted
-    * as epoch seconds. */
   /** LAST-TOUCH ATTRIBUTION: for every purchase, the same user's most
     * recent strictly-preceding `view` within a 24 h lookback (NULL when no
     * view qualifies) — the marketing-attribution join, expressed as ONE
@@ -613,6 +600,19 @@ object Sessionize {
       .orderBy(col("event_type"))
   }
 
+  /** Time-series RESAMPLE + gap-fill: per event_type, a dense hourly spine
+    * from the type's first to last active hour (missing hours appear with
+    * n_events = 0), with the running max_value carried forward across the
+    * gaps (LOCF — last observation carried forward, `last(ignoreNulls)`
+    * over an unbounded-preceding frame).
+    *
+    * Scale shape: the event stream collapses to the hourly aggregate FIRST
+    * (one shuffle, map-side combined); the spine, the left join, and the
+    * LOCF window all run on the aggregate-sized table (hours × types), so
+    * densification cost is spine-proportional, never event-proportional —
+    * `sequence(lo, hi)` per key generates the spine without a driver loop
+    * or a cross join. Hour index = floor(ts / 1h); hour_start is emitted
+    * as epoch seconds. */
   def gapfillLocf(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hs"))

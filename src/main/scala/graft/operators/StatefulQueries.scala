@@ -611,6 +611,46 @@ object StatefulQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** LAST-TOUCH ATTRIBUTION ([[graft.operators.Sessionize
+    * .attributionLastTouch]]) with the conditional window max replaced by
+    * REAL keyed streaming state: [[graft.streaming.StatefulOps
+    * .attributionStream]] holds one last-view-µs ValueState per user — the
+    * most Flink-shaped operator in the analytics set — and the two-file
+    * median replay forces view→purchase chains to SPAN the micro-batch
+    * boundary (a purchase in the second half attributing a first-half view
+    * reads it from state, or the hash drops). The stream carries only the
+    * view/purchase rows the operator reads. Registered under
+    * attribution_last_touch's oracle: streaming-state ≡ batch-window,
+    * hash-checked. */
+  def attributionLastTouchStreaming(spark: SparkSession, sfDir: String,
+                                    lookbackHours: Int = 24): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val aEnc: Encoder[StatefulOps.AttrEv] =
+      Encoders.product[StatefulOps.AttrEv]
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"attr:$sfDir", Seq("a0.parquet", "a1.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_id"),
+                  expr("ts_ns div 1000").as("us"), col("event_type"))
+        val maxIdRow = ev.agg(max(col("event_id"))).head()
+        if (maxIdRow.isNullAt(0)) Seq(ev)
+        else {
+          val mid = maxIdRow.getLong(0) / 2
+          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+            .filter(!_.isEmpty)
+        }
+      }
+    }
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.attributionStream(stream
+        .select(col("user_id").as("key"), col("event_id").as("ord"),
+                col("us"), col("event_type").as("typ"))
+        .as[StatefulOps.AttrEv], lookbackUs).toDF()
+    }.orderBy(col("event_id"))
+  }
+
   /** `events` as TWO parquet files split at the median event_id. `event_id`
     * is the verified (ts, event_id)-monotone order, so splitting on it
     * preserves per-key arrival order across the batch boundary — the

@@ -401,6 +401,53 @@ object StatefulOps {
           out.iterator
       }
 
+  /** (key, ord, µs, type) input for [[attributionStream]]; pre-filtered to
+    * the view/purchase types the operator reads. */
+  case class AttrEv(key: Long, ord: Long, us: Long, typ: String)
+  /** One attributed purchase: the user's most recent strictly-preceding
+    * view's µs timestamp, null when none qualifies within the lookback. */
+  case class AttrOut(event_id: Long, user_id: Long, purchase_us: Long,
+                     attributed_view_us: Option[Long])
+  /** Most recent view's µs timestamp — the ValueState of the attribution
+    * op (one scalar per user, the classic Flink ValueState shape). */
+  case class LastView(us: Long)
+
+  private implicit val attrKeyEnc: Encoder[Long] = Encoders.scalaLong
+  private implicit val attrEnc: Encoder[AttrEv] = Encoders.product[AttrEv]
+  private implicit val attrOutEnc: Encoder[AttrOut] = Encoders.product[AttrOut]
+  private implicit val lastViewEnc: Encoder[LastView] = Encoders.product[LastView]
+
+  /** Streaming LAST-TOUCH ATTRIBUTION: per user, each purchase emits the
+    * most recent preceding view's timestamp when it falls inside the
+    * lookback — the streaming form of the batch conditional window max
+    * (`Sessionize.attributionLastTouch`). State is ONE [[LastView]] µs
+    * scalar per user, so a view in one micro-batch attributes a purchase
+    * arriving batches later from state — the load-bearing cross-batch
+    * claim (the two-file median replay forces it). Each batch's slice
+    * sorts by ord (arrival order within a batch is arbitrary); the replay
+    * contract splits batches at an ord boundary, so per-key order is the
+    * concatenation of sorted slices. A view at the purchase's own
+    * timestamp but a later ord does not attribute — it is processed after
+    * the purchase — matching the batch frame's 1-PRECEDING end. */
+  def attributionStream(ds: Dataset[AttrEv], lookbackUs: Long,
+                        mode: OutputMode = OutputMode.Append()): Dataset[AttrOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LastView, AttrOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[LastView]) =>
+          var lastView = state.getOption.map(_.us)
+          val out = rows.toSeq.sortBy(_.ord).flatMap { r =>
+            if (r.typ == "purchase")
+              Some(AttrOut(r.ord, key, r.us,
+                lastView.filter(v => r.us - v <= lookbackUs)))
+            else { // pre-filtered: anything else IS a view
+              lastView = Some(r.us)
+              None
+            }
+          }
+          lastView.foreach(v => state.update(LastView(v)))
+          out.iterator
+      }
+
   /** (fingerprint, event-time, record id) input for [[ttlDedupStream]]; `ts`
     * must be the WATERMARKED event-time column (the engine requires it in
     * the grouped Dataset for event-time timeouts). */

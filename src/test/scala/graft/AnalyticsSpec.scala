@@ -327,6 +327,92 @@ class AnalyticsSpec extends SparkSpec {
     assert(t.getAs[Long]("n_triangles") == naive)
   }
 
+  /** Local recount of the minute-bucket user co-occurrence edge set —
+    * independent of the operator's join-based construction. */
+  private def localUserEdges(dir: String = Sf0001): Set[(Long, Long)] = {
+    val active = graft.io.Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 60000000000").as("w"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    active.groupBy(_._2).values.flatMap { bucket =>
+      val us = bucket.map(_._1).distinct.sorted
+      for (i <- us.indices; j <- i + 1 until us.length) yield (us(i), us(j))
+    }.toSet
+  }
+
+  test("user triangle count equals a naive local recount on the co-occurrence graph") {
+    // sf0.01: the sf0.001 graph is triangle-free (15 users barely co-occur),
+    // so the closure would be vacuous there
+    val dir = "/root/testdata/sf0.01"
+    val t = Analytics.triangleCountUsers(spark, dir).head()
+    val edges = localUserEdges(dir)
+    assert(t.getAs[Long]("n_edges") == edges.size)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var naive = 0L
+    for ((u, vs) <- adj; v <- vs; w <- adj.getOrElse(v, Set.empty) if vs(w)) naive += 1
+    assert(t.getAs[Long]("n_triangles") == naive)
+    assert(naive > 0, "fixture graph must actually contain triangles")
+  }
+
+  test("wedge stats: closed forms match a local recount and orientation never loses") {
+    val s = Analytics.wedgeStatsUsers(spark, Sf0001).head()
+    val edges = localUserEdges()
+    val deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(s.getAs[Long]("n_nodes") == deg.size)
+    assert(s.getAs[Long]("n_edges") == edges.size)
+    assert(s.getAs[Long]("wedges_naive") == deg.values.map(d => d * (d - 1) / 2).sum)
+    // oriented wedge count = the row count the wedge join would produce:
+    // sum over m of indeg(m) * outdeg(m) under the (degree, id) orientation
+    val dir = edges.toSeq.map { case (u, v) =>
+      if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) (u, v) else (v, u) }
+    val outd = dir.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ind  = dir.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val oriented = ind.map { case (m, i) => i * outd.getOrElse(m, 0L) }.sum
+    assert(s.getAs[Long]("wedges_oriented") == oriented)
+    assert(oriented <= s.getAs[Long]("wedges_naive"),
+      "degree orientation must never enlarge the wedge join")
+  }
+
+  test("user pagerank equals the local integer fixed-point; mass bounded") {
+    val ranks = Analytics.pagerankUsers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = localUserEdges()
+    val sym = edges.toSeq.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val nodes = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSeq.sorted
+    assert(ranks.keySet == nodes.toSet)
+    val n = nodes.size
+    val outDeg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val inc = sym.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => r(src) / outDeg(src) }.sum).toMap
+      r = nodes.map(nd => nd -> (150000000L / n + inc.getOrElse(nd, 0L) * 85L / 100L)).toMap
+    }
+    assert(ranks == r)
+    assert(ranks.values.sum <= 1000000000L, "leaky integer PageRank never exceeds unit mass")
+  }
+
+  test("rfm approx: scores in 1..4, tie-consistent, and consistent with local quantile_disc") {
+    val rows = Analytics.rfmSegmentsApprox(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = row.getAs[Long](c); assert(s >= 1 && s <= 4, s"$c out of range") }
+    }
+    // boundary semantics: equal metric => equal score (ntile cannot promise this)
+    assert(rows.groupBy(_.getAs[Long]("f")).values
+      .forall(g => g.map(_.getAs[Long]("f_score")).distinct.size == 1))
+    // recount f_score against locally computed disc quantiles
+    val fs = rows.map(_.getAs[Long]("f")).sorted
+    def qdisc(p: Double): Long = fs((math.ceil(p * fs.length) - 1).toInt.max(0))
+    val cuts = Seq(qdisc(0.25), qdisc(0.5), qdisc(0.75))
+    rows.foreach { row =>
+      val expect = 1L + cuts.count(_ < row.getAs[Long]("f"))
+      assert(row.getAs[Long]("f_score") == expect)
+    }
+  }
+
   test("histogram buckets partition the events and bounds respect bucket edges") {
     val h = Relational.valueHistogram(spark, Sf0001).cache()
     assert(h.agg(sum(col("n"))).head().getLong(0) ==

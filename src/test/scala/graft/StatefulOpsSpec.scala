@@ -137,4 +137,34 @@ class StatefulOpsSpec extends SparkSpec {
       .map(o => (o.subkey, o.out)).toSeq
     assert(got === Seq(("a", 5.0), ("b", 3.0), ("a", 5.0), ("b", 9.0), ("a", 7.0)))
   }
+
+  test("attribution: a purchase attributes a view held in state from an earlier batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    val q = StatefulOps.attributionStream(mem.toDS(), lookbackUs = 1000L)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("attr_out").start()
+    // batch 1: views only — both land in state, nothing emits
+    mem.addData(Seq(AttrEv(1, 1, 100, "view"), AttrEv(2, 2, 0, "view")))
+    q.processAllAvailable()
+    assert(spark.table("attr_out").count() === 0)
+    // batch 2, deliberately scrambled arrival order (the op sorts by ord):
+    //  u1 ord 3 purchase@600  -> attributes the batch-1 view (state carry)
+    //  u2 ord 4 purchase@2000 -> view@0 is beyond the 1000µs lookback -> null
+    //  u3 ord 5 purchase@700  -> no view ever -> null
+    //  u1 ord 6 purchase@900  -> still the 100µs view; the SAME-us view at
+    //                            ord 7 must NOT attribute (1-PRECEDING frame)
+    mem.addData(Seq(AttrEv(1, 7, 900, "view"), AttrEv(1, 6, 900, "purchase"),
+                    AttrEv(3, 5, 700, "purchase"), AttrEv(1, 3, 600, "purchase"),
+                    AttrEv(2, 4, 2000, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out").as[AttrOut].collect()
+      .map(o => o.event_id -> ((o.user_id, o.purchase_us, o.attributed_view_us))).toMap
+    assert(got === Map(
+      3L -> ((1L, 600L, Some(100L))),
+      4L -> ((2L, 2000L, None)),
+      5L -> ((3L, 700L, None)),
+      6L -> ((1L, 900L, Some(100L)))))
+  }
 }

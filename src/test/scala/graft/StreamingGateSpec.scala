@@ -184,4 +184,13 @@ class StreamingGateSpec extends SparkSpec {
     val nEvents = graft.io.Tables.events(spark, Sf0001).count()
     assert(rows.map(_.getLong(3)).sum === nEvents)
   }
+
+  test("attribution streaming twin equals the batch conditional-window form") {
+    val got = StatefulQueries.attributionLastTouchStreaming(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val exp = Sessionize.attributionLastTouch(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty)
+    assert(got === exp)
+  }
 }
