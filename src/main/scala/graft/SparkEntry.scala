@@ -408,6 +408,11 @@ object SparkEntry {
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
     "mm_video_frames"   -> ((s, dir) => Multimodal.videoFrames(s, dir)),
     "mm_resize"         -> ((s, dir) => Multimodal.mediaResized(s, dir)),
+    // every-2nd-frame sampling at original indices; unsampled frames are
+    // never PNG-decoded
+    "mm_video_frames_strided" -> ((s, dir) => Multimodal.videoFramesStrided(s, dir)),
+    // PCM resample 8000→6000 Hz by nearest-floor rational index mapping
+    "mm_audio_resample" -> ((s, dir) => Multimodal.audioResampled(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -2021,6 +2026,24 @@ object SparkEntry {
          | FROM mp)
          |SELECT doc_id AS media_id, n_in, n_out,
          | ${mmHashSql("n_out", "0", "CASE WHEN kindn = 1 THEN 2*j ELSE (j//3)*6 + j%3 END")} AS out_hash
+         |FROM pl ORDER BY media_id""".stripMargin,
+    "mm_video_frames_strided" ->
+      // stride 2 over the original frame indices: sampled idx = 2r < nf
+      s"""WITH $mmParamsCte
+         |SELECT doc_id AS media_id, CAST(r.range * 2 AS BIGINT) AS frame_idx,
+         | ${mmHashSql("vw*vh*3", "r.range * 2", "j")} AS frame_hash
+         |FROM mp, range(8) r
+         |WHERE kindn = 2 AND r.range * 2 < nf
+         |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_audio_resample" ->
+      // nearest-floor 8000->6000 resample: n_out = 3n//4, out[j] = in[4j//3]
+      s"""WITH $mmParamsCte,
+         |pl AS (SELECT doc_id, asamp, (asamp * 3) // 4 AS nout
+         |       FROM mp WHERE kindn = 1)
+         |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS rate_in,
+         | CAST(6000 AS BIGINT) AS rate_out, CAST(asamp AS BIGINT) AS n_in,
+         | CAST(nout AS BIGINT) AS n_out,
+         | ${mmHashSql("nout", "0", "(j * 4) // 3")} AS out_hash
          |FROM pl ORDER BY media_id""".stripMargin)
 
   // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----

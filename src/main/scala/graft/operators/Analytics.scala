@@ -26,6 +26,20 @@ object Analytics {
     spark.createDataFrame(df.collect().toList.asJava, df.schema)
   }
 
+  /** Run `body` (which must MATERIALIZE its result — every graph core ends
+    * in [[localize]]'s collect) with the shuffle width narrowed to `w`,
+    * restoring the session value afterwards. The graph stages operate on
+    * edge/node-sized aggregates where 32-way task scheduling dominates the
+    * compute (r13 probe: width 32→8 halved every graph query at sf0.1); at
+    * production scale the width follows the edge volume via config — this
+    * constant is the gate-scale setting, not a claim. */
+  private def withWidth[T](spark: SparkSession, w: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, w.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Fixed hour-index base (epoch hours) shared with the oracle SQL: the
     * regressor is HOURS SINCE this base, not raw epoch hours, keeping every
     * moment's magnitude far inside the range where the decimal → double
@@ -150,31 +164,36 @@ object Analytics {
     * [[wedgeStatsUsers]] measures exactly that gap on the user graph).
     * All joins are equi-joins on node keys; counts are exact integers.
     * The oracle states the naive canonical-edge 3-way join — same count. */
-  private def triangleCountOf(spark: SparkSession, eRaw: DataFrame): DataFrame = {
+  private def triangleCountOf(spark: SparkSession, eRaw: DataFrame): DataFrame =
+      withWidth(spark, 8) {
     // the edge-building joins run ONCE: the canonical edge list is cached,
-    // and the oriented edge table (referenced by both wedge sides and the
-    // closure) derives from the cache
+    // and the ORIENTED edge table — referenced by both wedge sides and the
+    // closure — is cached too, so the degree joins run once, not thrice
     val e = eRaw.cache()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient u→v iff (deg(u), u) < (deg(v), v)
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val dir = e.join(du, "u").join(dv, "v")
+      .select(when(col("du") < col("dv") ||
+                   (col("du") === col("dv") && col("u") < col("v")),
+                   struct(col("u").as("a"), col("v").as("b")))
+                .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
     try {
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      // orient u→v iff (deg(u), u) < (deg(v), v)
-      val du = deg.select(col("n").as("u"), col("d").as("du"))
-      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
-      val dir = e.join(du, "u").join(dv, "v")
-        .select(when(col("du") < col("dv") ||
-                     (col("du") === col("dv") && col("u") < col("v")),
-                     struct(col("u").as("a"), col("v").as("b")))
-                  .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
       val wedges = dir.select(col("a"), col("b").as("m"))
         .join(dir.select(col("a").as("m"), col("b").as("c")), "m")
       val tri = wedges.join(dir.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
-      // collect the 1-row result locally so the edge cache can be released
+      // collect the 1-row result locally so both caches can be released
       // immediately (no cached blocks survive the call)
       localize(spark, tri.agg(count(lit(1)).as("n_triangles"))
         .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges")))))
-    } finally e.unpersist(blocking = false)
+    } finally {
+      dir.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 
   /** [[triangleCountOf]] over the nation trade graph (~25 nodes — the
@@ -198,21 +217,24 @@ object Analytics {
     * degree tables — node-sized aggregates, no wedge is materialized — so
     * the witness stays cheap at any scale while pinning the numbers the
     * scale argument cites. The oracle states both formulas. */
-  def wedgeStatsUsers(spark: SparkSession, sfDir: String): DataFrame = {
+  def wedgeStatsUsers(spark: SparkSession, sfDir: String): DataFrame =
+      withWidth(spark, 8) {
     val e = userCoEdges(spark, sfDir).cache()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    // dir is cached: both per-node degree rollups below read it
+    val dir = e.join(du, "u").join(dv, "v")
+      .select(when(col("du") < col("dv") ||
+                   (col("du") === col("dv") && col("u") < col("v")),
+                   struct(col("u").as("a"), col("v").as("b")))
+                .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
     try {
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val naive = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("wedges_naive"),
         count(lit(1)).as("n_nodes"))
-      val du = deg.select(col("n").as("u"), col("d").as("du"))
-      val dv = deg.select(col("n").as("v"), col("d").as("dv"))
-      val dir = e.join(du, "u").join(dv, "v")
-        .select(when(col("du") < col("dv") ||
-                     (col("du") === col("dv") && col("u") < col("v")),
-                     struct(col("u").as("a"), col("v").as("b")))
-                  .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
       val oriented = dir.select(col("a").as("m")).groupBy(col("m"))
         .agg(count(lit(1)).as("outd"))
         .join(dir.select(col("b").as("m")).groupBy(col("m"))
@@ -224,7 +246,10 @@ object Analytics {
           .crossJoin(broadcast(oriented))
           .select(col("n_nodes"), col("n_edges"),
                   col("wedges_naive"), col("wedges_oriented")))
-    } finally e.unpersist(blocking = false)
+    } finally {
+      dir.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
   }
 
   /** BFS SHORTEST HOPS from nation 0 over the undirected trade graph —
@@ -236,7 +261,8 @@ object Analytics {
     * the join key and re-aggregates by min — the label-propagation
     * per-round profile; integer hop counts make every round exact.
     * The oracle unrolls the same four relaxations. */
-  def bfsHops(spark: SparkSession, sfDir: String, source: Long = 0L): DataFrame = {
+  def bfsHops(spark: SparkSession, sfDir: String, source: Long = 0L): DataFrame =
+      withWidth(spark, 8) {
     val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
     val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
     val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
@@ -414,7 +440,8 @@ object Analytics {
     * unrolled iteration is constant; for many-iteration runs checkpoint
     * truncation applies as in connected components. */
   private def pagerankOf(spark: SparkSession, nodesRaw: DataFrame,
-                         edgesRaw: DataFrame, keyName: String): DataFrame = {
+                         edgesRaw: DataFrame, keyName: String): DataFrame =
+      withWidth(spark, 8) {
     // the edge-building joins run ONCE: the edge list is cached and every
     // unrolled iteration reads the cache, not the upstream lineage (the CC
     // family's materialize-the-graph-once discipline)

@@ -187,6 +187,55 @@ object Multimodal {
     frames.toDF("media_id", "frame_idx", "frame_hash")
   }
 
+  /** STRIDED frame sampling: every `stride`-th frame (0, stride, 2·stride,
+    * …) up to `maxFrames` — the form real pipelines use (sample at a fixed
+    * temporal rate, not "the first k"). The container decode only SPLITS
+    * frames (cheap length-prefix walk); the expensive PNG decode runs
+    * solely on the selected frames — skipping unsampled frames must skip
+    * their decode, not just drop their output, or the stage pays full
+    * decode cost for a fraction of the data. `frame_idx` is the ORIGINAL
+    * container index, so downstream timing math survives the sampling. */
+  def sampleFramesStrided(spark: SparkSession, sfDir: String, stride: Int = 2,
+                          maxFrames: Int = 8): DataFrame = {
+    val video = mediaTable(spark, sfDir).filter(col("kind") === "video").as[MediaRow]
+    video.flatMap { m =>
+      VideoContainer.decode(m.content).zipWithIndex
+        .collect { case (png, f) if f % stride == 0 => (png, f) }
+        .take(maxFrames)
+        .map { case (png, f) =>
+          val px = PngCodec.decode(png).pixels.map(_ & 0xff)
+          (m.media_id, f.toLong, valueHash(px, 0, px.length))
+        }
+    }.toDF("media_id", "frame_idx", "frame_hash")
+  }
+
+  case class ResampledRow(media_id: Long, rate_in: Long, rate_out: Long,
+                          n_in: Long, n_out: Long, out_hash: Long)
+  private implicit val resampledEnc: Encoder[ResampledRow] = Encoders.product[ResampledRow]
+
+  /** Audio RESAMPLE-TO-RATE: the decoded PCM stream re-sampled from the
+    * container's native rate (parsed from the RIFF fmt chunk, not assumed)
+    * to `targetRate` by nearest-floor index mapping — out[j] =
+    * in[(j·rateIn) div rateOut], n_out = (n·rateOut) div rateIn — the
+    * integer-exact skeleton of a rational-ratio resampler (a production
+    * polyphase filter would interpolate the same index grid; the mapping,
+    * not the filter kernel, is what the Spark plumbing has to get right).
+    * Summarized as (sizes, rates, polynomial hash of the resampled
+    * samples) so the gate artifact stays narrow. */
+  def resampleAudio(spark: SparkSession, sfDir: String,
+                    targetRate: Int = 6000): Dataset[ResampledRow] =
+    mediaTable(spark, sfDir).filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val a = WavCodec.decode(m.content)
+          val n = a.samples.length
+          val nOut = (n.toLong * targetRate / a.rate).toInt
+          val out = Array.tabulate(nOut)(j => a.samples((j.toLong * a.rate / targetRate).toInt))
+          ResampledRow(m.media_id, a.rate.toLong, targetRate.toLong,
+            n.toLong, nOut.toLong, valueHash(out, 0, out.length))
+        }
+      }
+
   /** The stages as registered queries (ordering fixed for the oracle). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF().orderBy(col("media_id"))
@@ -203,4 +252,10 @@ object Multimodal {
 
   def mediaResized(spark: SparkSession, sfDir: String): DataFrame =
     resize(spark, sfDir).toDF().orderBy(col("media_id"))
+
+  def videoFramesStrided(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFramesStrided(spark, sfDir).orderBy(col("media_id"), col("frame_idx"))
+
+  def audioResampled(spark: SparkSession, sfDir: String): DataFrame =
+    resampleAudio(spark, sfDir).toDF().orderBy(col("media_id"))
 }

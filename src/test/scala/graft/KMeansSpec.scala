@@ -203,6 +203,33 @@ class KMeansSpec extends SparkSpec {
     assert(r.values.sum > 0)
   }
 
+  test("recall floors: trained-index quality is gated, not just reported") {
+    // THE GATE the round-12 verdict asked for: annRecall emits the numbers,
+    // but the oracle replays the same (possibly broken) chain — a training
+    // regression collapsing recall to chance would keep every hash green.
+    // These floors pin absolute index quality at sf0.01 (the driver's t2
+    // scale). Chance recall for a k=5 report over the 500-vector corpus is
+    // k²/N = 0.05; measured values (r13): trained_probe4 0.72,
+    // trained_probe2 0.44, trained_topk 0.28, rerank 0.24, lsh_mp 0.28.
+    // Floors sit between chance and measured — a collapse-to-noise trips,
+    // benign retuning drift does not.
+    val dir = "/root/testdata/sf0.01"
+    val r = Similarity.annRecall(spark, dir).collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1).toDouble / row.getLong(2).toDouble)).toMap
+    val floors = Map(
+      "ann_ivf_trained_probe4"  -> 0.5,
+      "ann_ivf_trained_probe2"  -> 0.3,
+      "ann_ivf_trained_topk"    -> 0.15,
+      "ann_ivfpq_rerank"        -> 0.12,
+      "ann_lsh_multiprobe_topk" -> 0.12)
+    floors.foreach { case (v, floor) =>
+      assert(r(v) >= floor, s"$v recall ${r(v)} fell below its $floor floor")
+    }
+    // every variant, however weak, must beat an empty join
+    Similarity.RecallVariants.foreach(v => assert(r(v) > 0.0, s"$v recalled nothing"))
+  }
+
   test("trained models are shared per (corpus, params): repeat searches do not retrain") {
     // the index-build amortization the bench numbers rest on: the first
     // call may add cache entries, the second call for the SAME
