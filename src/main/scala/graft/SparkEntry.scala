@@ -385,6 +385,8 @@ object SparkEntry {
     // the orientation bound, measured: naive vs oriented wedge counts as
     // closed forms over the degree tables
     "graph_wedge_stats" -> ((s, dir) => Analytics.wedgeStatsUsers(s, dir)),
+    // BFS from the smallest user over the co-occurrence graph, 6 rounds
+    "bfs_hops_users" -> ((s, dir) => Analytics.bfsHopsUsers(s, dir)),
     // RFM via broadcast approx-quantile cutpoints — ntile's scale path
     "rfm_segments_approx" -> ((s, dir) => Analytics.rfmSegmentsApprox(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
@@ -428,6 +430,39 @@ object SparkEntry {
     * scale-8 revenue sums). */
   private def dd(sumExpr: String): String =
     s"CAST(CAST($sumExpr AS VARCHAR) AS DOUBLE)"
+
+  /** The bfs_hops_users oracle, GENERATED: the same unrolled min-plus
+    * relaxation CTE pair as the handwritten bfs_hops oracle, once per
+    * round, over the minute-bucket user co-occurrence graph from the
+    * smallest user id. Generation is what keeps a 6-round unroll honest —
+    * each round's SQL is mechanically identical, so a transcription slip
+    * cannot hide in round 5. */
+  private def bfsUsersOracle(rounds: Int): String = {
+    val head =
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |e AS MATERIALIZED (SELECT u AS x, v AS y FROM ce
+        |  UNION ALL SELECT v, u FROM ce),
+        |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+        |d0 AS MATERIALIZED (SELECT node,
+        |  CASE WHEN node = (SELECT min(node) FROM nd) THEN 0 END AS h
+        |  FROM nd)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.y AS node, min(d$p.h + 1) AS nh FROM e
+         |       JOIN d$p ON e.x = d$p.node WHERE d$p.h IS NOT NULL GROUP BY 1),
+         |d$i AS MATERIALIZED (SELECT nd.node, CASE WHEN d$p.h IS NULL THEN c$i.nh
+         |         WHEN c$i.nh IS NULL THEN d$p.h
+         |         WHEN c$i.nh < d$p.h THEN c$i.nh ELSE d$p.h END AS h
+         |       FROM nd JOIN d$p USING (node) LEFT JOIN c$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node AS user_id, CAST(coalesce(h, -1) AS BIGINT) AS hops
+       |FROM d$rounds ORDER BY user_id""".stripMargin
+  }
 
   private val revenueExpr =
     dd(s"sum($decPrice * ($one - $decDisc))")
@@ -1639,6 +1674,7 @@ object SparkEntry {
         |         AS wedges_naive,
         |       (SELECT CAST(sum(ind * outd) AS BIGINT)
         |        FROM od JOIN idg USING (m)) AS wedges_oriented""".stripMargin,
+    "bfs_hops_users" -> bfsUsersOracle(6),
     // same unrolled integer-ppb iterations as pagerank_nations, over the
     // symmetrized user co-occurrence edges
     "pagerank_users" ->

@@ -252,33 +252,24 @@ object Analytics {
     }
   }
 
-  /** BFS SHORTEST HOPS from nation 0 over the undirected trade graph —
-    * the fourth graph class (after CC, PageRank, triangles): min-plus
-    * relaxation, unrolled 4 rounds (the dense trade graph's diameter is
-    * ≤ 2 at every shipped SF; 4 rounds = diameter + safety, and an
-    * unreached node reports hops = -1 rather than a sentinel ∞). Each
-    * round joins the node-sized frontier to the edge list partitioned on
-    * the join key and re-aggregates by min — the label-propagation
-    * per-round profile; integer hop counts make every round exact.
-    * The oracle unrolls the same four relaxations. */
-  def bfsHops(spark: SparkSession, sfDir: String, source: Long = 0L): DataFrame =
+  /** BFS SHORTEST HOPS over a directed edge list (undirected callers pass
+    * both directions) — the fourth graph class (after CC, PageRank,
+    * triangles): min-plus relaxation, unrolled `rounds` times (an unreached
+    * node reports hops = -1 rather than a sentinel ∞; a node farther than
+    * `rounds` is "unreached within the horizon", and the oracle states the
+    * SAME unrolled relaxations, so the horizon is part of the registered
+    * semantics, not slack). Each round joins the node-sized frontier to
+    * the edge list partitioned on the join key and re-aggregates by min —
+    * the label-propagation per-round profile; integer hop counts make
+    * every round exact. */
+  private def bfsOf(spark: SparkSession, nodesRaw: DataFrame, eRaw: DataFrame,
+                    source: Long, rounds: Int, keyName: String): DataFrame =
       withWidth(spark, 8) {
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
-    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
-    val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
-    val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
-    val half = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(su, col("l_suppkey") === col("s_suppkey"))
-      .filter(col("c_nationkey") =!= col("s_nationkey"))
-      .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
-      .distinct()
-    // undirected: both directions; fact joins run ONCE (cached edge list,
-    // the CC family's materialize-the-graph-once discipline)
-    val e = half.unionAll(half.select(col("y").as("x"), col("x").as("y"))).distinct()
-      .cache()
+    // the edge list is cached: every round reads the cache, not the
+    // upstream lineage (the CC family's materialize-the-graph-once rule)
+    val e = eRaw.cache()
     try {
-      val nodes = Tables.table(spark, sfDir, "nation").select(col("n_nationkey").as("node"))
+      val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
       val init = nodes.select(col("node"),
         when(col("node") === source, lit(0L)).as("h")) // null = unreached
       def relax(d: DataFrame): DataFrame = {
@@ -290,10 +281,50 @@ object Analytics {
       }
       // collect the node-sized result locally so the edge cache can be
       // released immediately (no cached blocks survive the call)
-      localize(spark, (1 to 4).foldLeft(init)((d, _) => relax(d))
-        .select(col("node").as("nation_key"), coalesce(col("h"), lit(-1L)).as("hops"))
-        .orderBy(col("nation_key")))
+      localize(spark, (1 to rounds).foldLeft(init)((d, _) => relax(d))
+        .select(col("node").as(keyName), coalesce(col("h"), lit(-1L)).as("hops"))
+        .orderBy(col(keyName)))
     } finally e.unpersist(blocking = false)
+  }
+
+  /** [[bfsOf]] from nation 0 over the undirected trade graph, 4 rounds
+    * (the dense trade graph's diameter is ≤ 2 at every shipped SF;
+    * 4 = diameter + safety). The oracle unrolls the same four
+    * relaxations. */
+  def bfsHops(spark: SparkSession, sfDir: String, source: Long = 0L): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_suppkey"))
+    val o  = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.table(spark, sfDir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = Tables.supplier(spark, sfDir).select(col("s_suppkey"), col("s_nationkey"))
+    val half = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(col("c_nationkey").as("x"), col("s_nationkey").as("y"))
+      .distinct()
+    val e = half.unionAll(half.select(col("y").as("x"), col("x").as("y"))).distinct()
+    bfsOf(spark,
+      Tables.table(spark, sfDir, "nation").select(col("n_nationkey")),
+      e, source, rounds = 4, "nation_key")
+  }
+
+  /** [[bfsOf]] over the user co-occurrence graph from the SMALLEST user id
+    * (a deterministic source both engines can state), 6 rounds — the scale
+    * witness for the frontier-relaxation rounds: at sf0.1 each round joins
+    * a growing frontier against 220k directed edges, where the nation
+    * graph's 50-edge rounds could not expose a wrong join shape. Sparse
+    * SFs leave some users unreached (-1), so the null-frontier and
+    * missing-min paths are exercised, not just the dense happy path. */
+  def bfsHopsUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ce = userCoEdges(spark, sfDir)
+    val e = ce.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
+    val nodes = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+    // control-plane: the deterministic source (one scalar); an empty
+    // corpus has no source and the result is empty regardless
+    val srcRow = nodes.agg(min(col("user_id"))).head()
+    val source = if (srcRow.isNullAt(0)) -1L else srcRow.getLong(0)
+    bfsOf(spark, nodes, e, source, rounds = 6, "user_id")
   }
 
   /** RFM SEGMENTATION: per user, Recency (days since last event, relative

@@ -393,6 +393,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(ranks.values.sum <= 1000000000L, "leaky integer PageRank never exceeds unit mass")
   }
 
+  test("user BFS equals a local breadth-first search; horizon semantics hold") {
+    val got = Analytics.bfsHopsUsers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = localUserEdges()
+    val nodes = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(got.keySet == nodes)
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val source = nodes.min
+    // plain BFS, then apply the registered 6-round horizon
+    var dist = Map(source -> 0L)
+    var frontier = Set(source)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d)
+    }
+    val expect = nodes.map(n =>
+      n -> dist.get(n).filter(_ <= 6L).getOrElse(-1L)).toMap
+    assert(got == expect)
+  }
+
   test("rfm approx: scores in 1..4, tie-consistent, and consistent with local quantile_disc") {
     val rows = Analytics.rfmSegmentsApprox(spark, Sf0001).collect()
     assert(rows.nonEmpty)

@@ -457,4 +457,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p)
     assert("partial_bottomkagg".r.findAllIn(p.toLowerCase).nonEmpty, p)
   }
+
+  test("rfm_segments_approx: cutpoints ride broadcasts — no ntile window survives") {
+    // the whole point of the approx variant is retiring the global ntile
+    // sort: the plan must carry the GK sketch aggregate and broadcast its
+    // 1-row result back, with NO window operator and only the user_id
+    // presentation sort as a range exchange
+    val p = plan("rfm_segments_approx")
+    assert(!p.toLowerCase.contains("window"), p)
+    assert(p.contains("percentile_approx"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 1, p)
+  }
 }
