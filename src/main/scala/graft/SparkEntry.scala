@@ -339,6 +339,9 @@ object SparkEntry {
     "attribution_last_touch" -> ((s, dir) => Sessionize.attributionLastTouch(s, dir)),
     // time-weighted average: exact decimal sum(value x holding-interval)
     "twap_by_type" -> ((s, dir) => Sessionize.twapByType(s, dir)),
+    // TWAP's streaming twin: one (µs, value) ValueState per type closes
+    // each holding interval; intervals span the micro-batch boundary
+    "twap_by_type_streaming" -> ((s, dir) => StatefulQueries.twapByTypeStreaming(s, dir)),
     // funnel (view->click->purchase): 3 stacked conditional window minima,
     // ONE user shuffle — never a triple self-join
     "funnel_steps" -> ((s, dir) => Sessionize.funnelSteps(s, dir)),
@@ -1916,6 +1919,8 @@ object SparkEntry {
       "markov_transitions_streaming"   -> base("markov_transitions"),
       // last-view ValueState ≡ batch conditional window max — same oracle
       "attribution_last_touch_streaming" -> base("attribution_last_touch"),
+      // (µs, value) ValueState intervals ≡ batch lead() window — same oracle
+      "twap_by_type_streaming" -> base("twap_by_type"),
       // the reset recurrence carried across micro-batches — same oracle
       "cusum_by_type_streaming"        -> base("cusum_by_type"),
       // the smoothed value carried across micro-batches — same oracle

@@ -651,6 +651,48 @@ object StatefulQueries {
     }.orderBy(col("event_id"))
   }
 
+  /** TIME-WEIGHTED AVERAGE ([[graft.operators.Sessionize.twapByType]])
+    * with the `lead()` window replaced by REAL keyed streaming state:
+    * [[graft.streaming.StatefulOps.leadIntervalsStream]] holds one
+    * (µs, value) ValueState per type, each event closes its predecessor's
+    * holding interval from state (the two-file replay forces intervals to
+    * SPAN the micro-batch boundary), and the exact-decimal Σv·Δt / ΣΔt
+    * rollup runs as a batch aggregate over the drained interval sink —
+    * the identical decimal expressions as the batch form, so the shared
+    * oracle hash holds bit-for-bit. */
+  def twapByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val lEnc: Encoder[StatefulOps.LeadEv] =
+      Encoders.product[StatefulOps.LeadEv]
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"events-usv:$sfDir", Seq("t0.parquet", "t1.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type"), col("event_id"),
+                  expr("ts_ns div 1000").as("us"), col("value"))
+        val maxIdRow = ev.agg(max(col("event_id"))).head()
+        if (maxIdRow.isNullAt(0)) Seq(ev)
+        else {
+          val mid = maxIdRow.getLong(0) / 2
+          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+            .filter(!_.isEmpty)
+        }
+      }
+    }
+    val ivs = drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.leadIntervalsStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"),
+                col("us"), col("value").as("v"))
+        .as[StatefulOps.LeadEv]).toDF()
+    }
+    ivs.groupBy(col("key"))
+      .agg(sum(col("dt_us")).as("total_dt_us"),
+           sum((col("v_prev").cast("decimal(18,2)") * col("dt_us").cast("decimal(20,0)"))
+             .cast("decimal(38,2)")).cast("double").as("sum_vdt"))
+      .select(col("key").as("event_type"), col("total_dt_us"), col("sum_vdt"),
+              (col("sum_vdt") / col("total_dt_us").cast("double")).as("twap"))
+      .orderBy(col("event_type"))
+  }
+
   /** `events` as TWO parquet files split at the median event_id. `event_id`
     * is the verified (ts, event_id)-monotone order, so splitting on it
     * preserves per-key arrival order across the batch boundary — the

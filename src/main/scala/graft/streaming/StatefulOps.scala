@@ -401,6 +401,41 @@ object StatefulOps {
           out.iterator
       }
 
+  /** (key, ord, µs, value) input for [[leadIntervalsStream]]. */
+  case class LeadEv(key: String, ord: Long, us: Long, v: Double)
+  /** One holding interval: the key's PREVIOUS event held value `v_prev`
+    * for `dt_us` microseconds (until this event arrived). */
+  case class LeadOut(key: String, dt_us: Long, v_prev: Double)
+  /** The previous event per key — the ValueState of the interval op. */
+  case class LastUsV(us: Long, v: Double)
+
+  private implicit val leadEnc: Encoder[LeadEv] = Encoders.product[LeadEv]
+  private implicit val leadOutEnc: Encoder[LeadOut] = Encoders.product[LeadOut]
+  private implicit val lastUsVEnc: Encoder[LastUsV] = Encoders.product[LastUsV]
+
+  /** Streaming HOLDING INTERVALS: per key, each event closes the previous
+    * event's interval, emitting (Δt, previous value) — the streaming form
+    * of the batch `lead()` window behind time-weighted averaging (TWAP).
+    * State is ONE (µs, value) pair per key, so an interval spanning
+    * micro-batches closes from state — the cross-batch claim. The last
+    * event of each key never emits (no successor closes it), identical to
+    * the batch form's null-lead filter. Batch slices sort by ord; the
+    * replay contract splits batches at an ord boundary. */
+  def leadIntervalsStream(ds: Dataset[LeadEv],
+                          mode: OutputMode = OutputMode.Append()): Dataset[LeadOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LastUsV, LeadOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[LastUsV]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(_.ord).flatMap { r =>
+            val emit = last.map(l => LeadOut(key, r.us - l.us, l.v))
+            last = Some(LastUsV(r.us, r.v))
+            emit
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+
   /** (key, ord, µs, type) input for [[attributionStream]]; pre-filtered to
     * the view/purchase types the operator reads. */
   case class AttrEv(key: Long, ord: Long, us: Long, typ: String)

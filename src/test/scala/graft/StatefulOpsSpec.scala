@@ -167,4 +167,47 @@ class StatefulOpsSpec extends SparkSpec {
       5L -> ((3L, 700L, None)),
       6L -> ((1L, 900L, Some(100L)))))
   }
+
+  test("property: attribution streaming equals the batch window on random sequences") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    // time-ordered ids with DELIBERATE timestamp ties (several events can
+    // share a µs), random user interleaving, ~50/50 view/purchase
+    var us = 0L
+    val evs = (1 to 400).map { i =>
+      us += rnd.nextInt(3) // 0 advances → ties across consecutive ords
+      AttrEv(rnd.nextInt(8).toLong, i.toLong, us,
+             if (rnd.nextBoolean()) "view" else "purchase")
+    }
+    val lookback = 57L
+    // batch reference: the exact attributionLastTouch window form
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key")).orderBy(col("us"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exp = spark.createDataset(evs).toDF()
+      .withColumn("lv", max(when(col("typ") === "view", col("us"))).over(w))
+      .filter(col("typ") === "purchase")
+      .select(col("ord"),
+        when(col("us") - col("lv") <= lookback, col("lv")).as("attr"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val mem = MemoryStream[AttrEv]
+    val q = StatefulOps.attributionStream(mem.toDS(), lookback)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("attr_prop").start()
+    // 5 ord-ordered chunks, shuffled WITHIN each chunk (arrival order
+    // inside a batch is arbitrary; the replay contract only splits at ord
+    // boundaries)
+    evs.grouped(80).foreach { chunk =>
+      mem.addData(rnd.shuffle(chunk)); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("attr_prop").as[AttrOut].collect()
+      .map(o => o.event_id -> o.attributed_view_us).toMap
+    spark.catalog.dropTempView("attr_prop")
+    assert(got.size === exp.size)
+    assert(got === exp)
+    // non-vacuous: both attributed and unattributed purchases occur
+    assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+  }
 }
