@@ -212,6 +212,9 @@ object SparkEntry {
     "corpus_mix"       -> ((s, dir) => TextOps.corpusMix(s, dir)),
     "mix_sample"       -> ((s, dir) => TextOps.mixSample(s, dir, MixRates, MixDefaultRate)),
     "mix_rates"        -> ((s, dir) => TextOps.mixRates(s, dir, MixWeights, MixDefaultWeight)),
+    // temperature sampling at α = 1/2 (the sqrt special case — the one
+    // power IEEE correctly rounds, so the hash gate holds cross-engine)
+    "corpus_mix_temperature" -> ((s, dir) => TextOps.corpusMixTemperature(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     // the same decision through the real micro-batch engine (state store
@@ -347,6 +350,10 @@ object SparkEntry {
     "funnel_steps" -> ((s, dir) => Sessionize.funnelSteps(s, dir)),
     // cohort retention matrix: first-event week x active-week offset
     "cohort_retention" -> ((s, dir) => Sessionize.cohortRetention(s, dir)),
+    // exact rolling 7-day distinct users via forward-contribution explode
+    // (no range join — the oracle's BETWEEN formulation is the shape that
+    // does NOT scale; hll_daily_users is the sketch path alongside)
+    "dau_rolling_7d" -> ((s, dir) => Sessionize.dauRolling7d(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     // the engine's own session_window aggregation (gap+1us = exact parity)
     "q13n_sessionize_native" -> ((s, dir) => Sessionize.sessionizeNative(s, dir)),
@@ -390,6 +397,9 @@ object SparkEntry {
     "graph_wedge_stats" -> ((s, dir) => Analytics.wedgeStatsUsers(s, dir)),
     // BFS from the smallest user over the co-occurrence graph, 6 rounds
     "bfs_hops_users" -> ((s, dir) => Analytics.bfsHopsUsers(s, dir)),
+    // connected components on the same graph — the dedup CC core's second
+    // falsifiable witness; isolated users surface as singleton components
+    "cc_users" -> ((s, dir) => Analytics.ccUsers(s, dir)),
     // RFM via broadcast approx-quantile cutpoints — ntile's scale path
     "rfm_segments_approx" -> ((s, dir) => Analytics.rfmSegmentsApprox(s, dir)),
     "q18_json_props"   -> ((s, dir) => Relational.jsonPropsAgg(s, dir)),
@@ -465,6 +475,38 @@ object SparkEntry {
        |$steps
        |SELECT node AS user_id, CAST(coalesce(h, -1) AS BIGINT) AS hops
        |FROM d$rounds ORDER BY user_id""".stripMargin
+  }
+
+  /** The cc_users oracle, GENERATED like [[bfsUsersOracle]]: `rounds`
+    * mechanically-identical unrolled rounds of PLAIN min-label propagation
+    * (lab₀ = id; labᵢ(v) = min(labᵢ₋₁(v), min over neighbors u of
+    * labᵢ₋₁(u))) over the symmetrized user co-occurrence edges. Converges
+    * to the Spark side's pointer-jumping fixpoint whenever every node is
+    * within `rounds` hops of its component's minimum — 8 holds at both
+    * shipped SFs (the BFS witness reaches everything reachable in 6). */
+  private def ccUsersOracle(rounds: Int): String = {
+    val head =
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |e AS MATERIALIZED (SELECT u AS x, v AS y FROM ce
+        |  UNION ALL SELECT v, u FROM ce),
+        |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+        |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nd)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""m$i AS MATERIALIZED (SELECT e.y AS node, min(l$p.lab) AS ml FROM e
+         |       JOIN l$p ON e.x = l$p.node GROUP BY 1),
+         |l$i AS MATERIALIZED (SELECT l$p.node,
+         |         CASE WHEN m$i.ml IS NOT NULL AND m$i.ml < l$p.lab
+         |              THEN m$i.ml ELSE l$p.lab END AS lab
+         |       FROM l$p LEFT JOIN m$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node AS user_id, lab AS component
+       |FROM l$rounds ORDER BY user_id""".stripMargin
   }
 
   private val revenueExpr =
@@ -953,6 +995,26 @@ object SparkEntry {
          |    * weight / CAST(n_tokens AS DOUBLE)
          | ELSE 0.0 END AS rate
          |FROM b ORDER BY source""".stripMargin,
+    // the √-sum denominator is an ORDERED left-to-right list fold on both
+    // sides (list_reduce here, `aggregate` over the lang-sorted array on
+    // the Spark side) — float addition is non-associative, so the fold
+    // order is part of the registered semantics
+    "corpus_mix_temperature" ->
+      """WITH t AS (SELECT lang, coalesce(len(string_split(text,' ')), 0) AS nt FROM documents),
+        |s AS MATERIALIZED (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+        |tot AS (SELECT sum(n_tokens) AS n FROM s),
+        |den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+        |          (a, b) -> a + b) AS d FROM s),
+        |base AS (SELECT lang, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT d FROM den) AS temp_weight
+        |  FROM s),
+        |bb AS (SELECT lang, n_tokens, share, temp_weight,
+        |         temp_weight / share AS boost FROM base)
+        |SELECT lang, n_tokens, share, temp_weight, boost,
+        |       boost / (max(boost) OVER ()) AS rate
+        |FROM bb ORDER BY lang""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
@@ -1678,6 +1740,7 @@ object SparkEntry {
         |       (SELECT CAST(sum(ind * outd) AS BIGINT)
         |        FROM od JOIN idg USING (m)) AS wedges_oriented""".stripMargin,
     "bfs_hops_users" -> bfsUsersOracle(6),
+    "cc_users" -> ccUsersOracle(8),
     // same unrolled integer-ppb iterations as pagerank_nations, over the
     // symmetrized user co-occurrence edges
     "pagerank_users" ->
@@ -1791,6 +1854,18 @@ object SparkEntry {
         |      FROM e JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, count(*) AS n_active_users
         |FROM d GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    // the oracle states the textbook day-interval join; the Spark plan
+    // reaches the same counts by forward-contribution explode (linear)
+    "dau_rolling_7d" ->
+      """WITH p AS MATERIALIZED (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 86400000000) AS day FROM events),
+        |d AS (SELECT DISTINCT day FROM p),
+        |r1 AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
+        |r7 AS (SELECT d.day, count(DISTINCT p.user_id) AS dau_7d
+        |       FROM d JOIN p ON p.day BETWEEN d.day - 6 AND d.day
+        |       GROUP BY 1)
+        |SELECT r1.day, r1.dau, r7.dau_7d
+        |FROM r1 JOIN r7 USING (day) ORDER BY day""".stripMargin,
     // greedy earliest chain; missing earlier step nulls every later one
     "funnel_steps" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

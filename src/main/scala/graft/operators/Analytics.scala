@@ -327,6 +327,34 @@ object Analytics {
     bfsOf(spark, nodes, e, source, rounds = 6, "user_id")
   }
 
+  /** CONNECTED COMPONENTS over the user co-occurrence graph — the fourth
+    * algorithm run at the falsifying cardinality (1,500 nodes / 110k edges
+    * at sf0.1), completing the user-graph family next to triangles,
+    * PageRank, and BFS. The component core is SHARED with the dedup
+    * cluster machinery ([[Dedup.lshComponentsOf]]: min-label propagation +
+    * pointer jumping, O(log diameter) rounds, checkpoint-truncated
+    * lineage) — one implementation, two falsifiable witnesses (sparse LSH
+    * dup-graph there, dense co-occurrence graph here). Users that never
+    * co-occur with anyone are absent from the edge list and surface as
+    * SINGLETON components (label = own id) through the left join, so the
+    * output covers every user, matching the oracle's node table. The
+    * oracle unrolls PLAIN min-label propagation (no pointer jumping) for a
+    * fixed 8 rounds — the two converge to the same fixpoint whenever every
+    * node sits within 8 hops of its component's minimum (held at both
+    * shipped SFs; the Spark side runs to detected convergence, so only the
+    * ORACLE carries the horizon). */
+  def ccUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Dedup.lshComponentsOf(
+      userCoEdges(spark, sfDir).select(col("u").as("doc_a"), col("v").as("doc_b")))
+    val nodes = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+    nodes.join(
+        labels.select(col("doc_id").as("user_id"), col("component")),
+        Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("component"), col("user_id")).as("component"))
+      .orderBy(col("user_id"))
+  }
+
   /** RFM SEGMENTATION: per user, Recency (days since last event, relative
     * to the corpus max so the result is replay-stable), Frequency (event
     * count) and Monetary (exact decimal Σ value), each quartile-scored

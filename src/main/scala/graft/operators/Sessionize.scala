@@ -263,6 +263,39 @@ object Sessionize {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Rolling active users: per day, the EXACT distinct user counts for the
+    * day itself (DAU) and the trailing 7-day window (the DAU/WAU pair every
+    * engagement dashboard tracks). Days are integer `floor(us / 1 day)`
+    * epochs; only days observed in the data are emitted.
+    *
+    * Scale shape: the event stream collapses to distinct (user, day) pairs
+    * first (one shuffle, at most users × days rows); each pair then
+    * CONTRIBUTES FORWARD to the 7 window-ending days it covers via a
+    * constant-factor `sequence` explode, and a second distinct + count
+    * finishes the job — every stage is linear in the pair table with
+    * map-side combine, and the plan contains NO range join: the
+    * day-interval join the ORACLE states (pairs × days on BETWEEN) is the
+    * textbook formulation, but its range predicate is exactly what does
+    * not scale past a broadcastable day table. The sketch path at extreme
+    * user counts is hll_daily_users' per-day HLL merged over the window
+    * (approximate, registered alongside); this form is the exact one. */
+  def dauRolling7d(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day"))
+      .distinct()
+    val days = pairs.select(col("day")).distinct()
+    val dau1 = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val contrib = pairs
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+    val dau7 = contrib.join(days, "day")
+      .groupBy(col("day")).agg(count(lit(1)).as("dau_7d"))
+    dau1.join(dau7, "day")
+      .select(col("day"), col("dau"), col("dau_7d"))
+      .orderBy(col("day"))
+  }
+
   /** The split+sentinel session replay (two time-ordered event files cut
     * at a timestamp change point + one far-future sentinel file), shared by
     * the timeout-based and native streaming sessionizers — one copy per

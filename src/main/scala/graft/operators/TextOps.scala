@@ -413,6 +413,53 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** TEMPERATURE-scaled language mixing (the multilingual-LLM sampling
+    * design, e.g. mBERT/XLM-R's exponentiated-share sampling): per language,
+    * the empirical token share p_l and its temperature-flattened counterpart
+    * q_l = p_l^α / Σ p^α, at α = 1/2 — head languages are damped, tail
+    * languages boosted. Because the total-token factor cancels inside the
+    * normalized power, q_l = √n_l / Σ √n, so the only irrational step is
+    * `sqrt`, which IEEE 754 requires correctly rounded — the one power both
+    * engines compute bit-identically (a general `pow` is libm-dependent and
+    * would break the hash gate; α = 1/2 is chosen for exactly that reason).
+    * The realized sampling rate keeps the maximum possible data:
+    * rate_l = boost_l / max boost with boost = q_l / p_l, so the most
+    * boosted language keeps everything and the rest downsample toward the
+    * flattened mixture — [[mixSampleOf]] consumes these rates directly.
+    *
+    * Scale shape: one map-side-combined groupBy to LANGUAGE-sized strata;
+    * the √-sum denominator is a LEFT-TO-RIGHT fold over the lang-sorted
+    * strata array (float addition is non-associative — a plain `sum` over
+    * doubles would be partition-order-dependent and unhashable), built by
+    * `collect_list` on the strata table only (control-plane-sized, never
+    * the corpus); shares/boosts are single divisions of exact long sums. */
+  def corpusMixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    corpusMixTemperatureOf(Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")))
+
+  def corpusMixTemperatureOf(d: DataFrame): DataFrame = {
+    val strata = d
+      .select(col("lang"), tokenCount0.as("nt"))
+      .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+    val denTot = strata.agg(
+        sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("xs"),
+        sum(col("n_tokens")).as("tot"))
+      .select(col("tot"),
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), " +
+             "(acc, x) -> acc + sqrt(CAST(x.n_tokens AS DOUBLE)))").as("den"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    strata.crossJoin(broadcast(denTot))
+      .select(col("lang"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot").cast("double")).as("share"),
+        (sqrt(col("n_tokens").cast("double")) / col("den")).as("temp_weight"))
+      .withColumn("boost", col("temp_weight") / col("share"))
+      .withColumn("rate", col("boost") / max(col("boost")).over(wAll))
+      .orderBy(col("lang"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. A training run concatenates documents into ~`budget`-token
     * sequences; the assignment here is CONTIGUOUS-GREEDY in doc_id order —

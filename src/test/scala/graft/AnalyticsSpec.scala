@@ -418,6 +418,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("user connected components equal a local union-find; isolated users are singletons") {
+    val got = Analytics.ccUsers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(got.keySet == nodes)
+    // local union-find over the independently recounted edge set
+    val parent = scala.collection.mutable.Map(nodes.toSeq.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for ((u, v) <- localUserEdges()) {
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    val expect = nodes.map(n => n -> find(n)).toMap
+    assert(got == expect)
+    // the label is the component MINIMUM: no node maps to a larger id
+    assert(got.forall { case (n, c) => c <= n })
+    // singletons exist in the sparse sf0.001 graph and self-label
+    val inEdges = localUserEdges().flatMap { case (u, v) => Seq(u, v) }
+    val isolated = nodes.diff(inEdges)
+    assert(isolated.nonEmpty, "fixture must contain never-co-occurring users")
+    assert(isolated.forall(n => got(n) == n))
+  }
+
+  test("dau rolling 7d: window counts match a local recount and dominate the daily counts") {
+    val rows = Sessionize.dauRolling7d(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val days = pairs.map(_._2)
+    assert(rows.map(_._1).toSet == days)
+    for ((d, dau, dau7) <- rows) {
+      assert(dau == pairs.count(_._2 == d))
+      assert(dau7 == pairs.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).size)
+      assert(dau7 >= dau, "the 7-day window dominates its last day")
+    }
+    // the window genuinely accumulates: some day's weekly reach exceeds its daily
+    assert(rows.exists { case (_, dau, dau7) => dau7 > dau })
+  }
+
   test("rfm approx: scores in 1..4, tie-consistent, and consistent with local quantile_disc") {
     val rows = Analytics.rfmSegmentsApprox(spark, Sf0001).collect()
     assert(rows.nonEmpty)

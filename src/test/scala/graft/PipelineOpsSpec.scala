@@ -179,6 +179,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r3("a") === 1.0 && r3("b") === 0.25)
   }
 
+  test("temperature mix: α=1/2 damps the head, boosts the tail, and the most-boosted keeps all") {
+    // 16:4:1 token skew — sqrt flattens to 4:2:1
+    val docs = Seq(
+      ("en", (1 to 16).map(i => s"a$i").mkString(" ")),
+      ("de", (1 to 4).map(i => s"b$i").mkString(" ")),
+      ("fr", "c1")).toDF("lang", "text")
+    val r = TextOps.corpusMixTemperatureOf(docs).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    val den = math.sqrt(16.0) + math.sqrt(4.0) + math.sqrt(1.0) // 7
+    for ((lang, n) <- Seq("en" -> 16L, "de" -> 4L, "fr" -> 1L)) {
+      val (nt, share, tw, boost, _) = r(lang)
+      assert(nt == n)
+      assert(math.abs(share - n / 21.0) < 1e-15)
+      assert(math.abs(tw - math.sqrt(n.toDouble) / den) < 1e-15)
+      assert(math.abs(boost - tw / share) < 1e-15)
+    }
+    // flattened weights still sum to one; head damped, tail boosted
+    assert(math.abs(r.values.map(_._3).sum - 1.0) < 1e-12)
+    assert(r("en")._4 < 1.0 && r("fr")._4 > 1.0)
+    // the most-boosted language keeps everything; rates follow q/p up to
+    // that normalization, so realized token mass is proportional to q
+    assert(r("fr")._5 === 1.0)
+    val mass = r.map { case (_, (nt, _, tw, _, rate)) => (nt * rate, tw) }
+    val ratio = mass.map { case (m, tw) => m / tw }.toSeq
+    assert(ratio.forall(x => math.abs(x - ratio.head) < 1e-9),
+      "kept tokens must realize the temperature-flattened mixture")
+  }
+
   test("pack_assign and corpus_mix count NULL text as zero tokens (oracle parity)") {
     // a NULL text is pinned to ZERO tokens on both engines (the oracle
     // coalesces identically) — without the pin, the emitted n_tokens value
