@@ -312,6 +312,9 @@ object SparkEntry {
     "q12ws_sliding_streaming" -> ((s, dir) => Sessionize.slidingHalfHourStream(s, dir)),
     // resample + LOCF gap-fill: dense hourly spine over the aggregate
     "q29_gapfill_locf" -> ((s, dir) => Sessionize.gapfillLocf(s, dir)),
+    // the spine emitted incrementally from O(1) open-hour state; final
+    // hours flushed by event-time timeout (the session-expiry contract)
+    "q29s_gapfill_locf_streaming" -> ((s, dir) => Sessionize.gapfillLocfStreaming(s, dir)),
     // exact-decimal-moment regression/correlation (deterministic corr)
     "q30_regression_stats" -> ((s, dir) => Analytics.regressionStats(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
@@ -2005,6 +2008,9 @@ object SparkEntry {
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),
+      // the spine is a pure function of the per-type hourly aggregate,
+      // however incrementally the open-hour state emits it — same oracle
+      "q29s_gapfill_locf_streaming"    -> base("q29_gapfill_locf"),
       // the native session_window form: gap+1us makes the split predicate
       // bit-identical to the lag/running-sum construction at micros
       "q13n_sessionize_native"         -> base("q13_sessionize"),

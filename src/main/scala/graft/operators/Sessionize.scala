@@ -661,4 +661,62 @@ object Sessionize {
               last(col("mx"), ignoreNulls = true).over(w).as("locf_max"))
       .orderBy(col("event_type"), col("hour_start"))
   }
+
+  /** [[gapfillLocf]] through the REAL micro-batch engine: the hourly spine
+    * emitted incrementally from O(1) per-key state
+    * ([[graft.streaming.StatefulOps.gapfillLocfStream]]) over the
+    * split+sentinel replay — hours (and whole gaps) cross the micro-batch
+    * boundary in the open-hour state, and each type's FINAL hour is
+    * flushed by its event-time timeout once the sentinel advances the
+    * watermark, the same expiry contract the session forms prove. Same
+    * q29 oracle: the spine is a pure function of the per-type hourly
+    * aggregate, however incrementally it is produced. */
+  def gapfillLocfStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.LocfEv
+    implicit val locfEvEnc: org.apache.spark.sql.Encoder[LocfEv] =
+      org.apache.spark.sql.Encoders.product[LocfEv]
+    val dir = locfReplayDir(spark, sfDir)
+    val nFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try l.count().toInt finally l.close()
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("ts"), col("value")).as[LocfEv]
+    val filled = StatefulQueries.drainToMemory(spark,
+        StatefulOps.gapfillLocfStream(stream).toDF(), stateWidth = Some(8)) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= nFiles,
+        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
+          "replay did not exercise cross-batch gap-fill and timeout flush")
+    }
+    filled.filter(!(col("key") <=> SessSentinelKey))
+      .select(col("key").as("event_type"), (col("hs") * 3600).as("hour_start"),
+              col("n_events"), col("locf_max"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /** The split+sentinel gap-fill replay: event_type-keyed (ts, value) rows
+    * cut at the median event's timestamp + the far-future sentinel — the
+    * [[StatefulQueries.medianSplitWithSentinel]] contract, one cached copy
+    * per sfDir. */
+  private def locfReplayDir(spark: SparkSession, sfDir: String): String =
+    StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"locf:$sfDir",
+          Seq("l0.parquet", "l1.parquet", "l2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type").as("key"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("value"), col("event_id"))
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(SessSentinelKey).as("key"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(0.0).as("value"))
+        StatefulQueries.medianSplitWithSentinel(ev, "event_id", "ts",
+          project = _.select(col("key"), col("ts"), col("value")))(sentinel)
+      }
+    }
 }

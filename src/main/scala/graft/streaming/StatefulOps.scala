@@ -919,4 +919,77 @@ object StatefulOps {
           }
         } ++ { state.update(GapCount(n)); Iterator.empty }
     }
+
+  /** Gap-fill event: (key, event time, value). */
+  case class LocfEv(key: String, ts: java.sql.Timestamp, value: Double)
+  /** One emitted spine hour: active (n_events > 0, its own max) or a gap
+    * (n_events = 0, the last active hour's max carried forward). */
+  case class LocfOut(key: String, hs: Long, n_events: Long, locf_max: Double)
+  /** The OPEN hour: index, its event count and max so far. The open hour
+    * is by definition active, so its `mx` IS the LOCF value for any gap
+    * hours that follow it — no separate carried value is needed. */
+  case class LocfAcc(hs: Long, n: Long, mx: Double)
+
+  private implicit val locfEvEnc: Encoder[LocfEv]   = Encoders.product[LocfEv]
+  private implicit val locfOutEnc: Encoder[LocfOut] = Encoders.product[LocfOut]
+  private implicit val locfAccEnc: Encoder[LocfAcc] = Encoders.product[LocfAcc]
+
+  /** STREAMING RESAMPLE + GAP-FILL per key — the micro-batch twin of the
+    * batch hourly spine + LOCF window ([[graft.operators.Sessionize
+    * .gapfillLocf]]): each key holds exactly its OPEN hour in state; an
+    * event in a later hour closes it (emitting the finished hour and one
+    * zero-count LOCF row per skipped hour), and the FINAL open hour — which
+    * no event can ever close — is flushed by an event-time timeout at its
+    * hour end, driven across the finish line by the far-future sentinel's
+    * watermark advance, exactly like session expiry. State is O(1) per key
+    * and evicted at the timeout; the spine is emitted incrementally, so at
+    * no point does any executor hold a per-key hour range.
+    *
+    * Assumes watermark-ordered arrival per key (the ordered two-file
+    * replay; a 0s-delay watermark makes anything else late data the engine
+    * drops before this operator) — an in-slice sort by event time absorbs
+    * intra-batch scan disorder, and a row behind the open hour fails loudly
+    * rather than corrupting the spine. */
+  def gapfillLocfStream(ds: Dataset[LocfEv],
+                        mode: OutputMode = OutputMode.Append()): Dataset[LocfOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LocfAcc, LocfOut](mode,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[LocfAcc]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed the open hour's end: no event can ever
+            // land in it again — emit it and evict
+            val a = state.get
+            state.remove()
+            Iterator.single(LocfOut(key, a.hs, a.n, a.mx))
+          } else {
+            val out = Seq.newBuilder[LocfOut]
+            var acc = state.getOption
+            for (r <- rows.toSeq.sortBy(_.ts.getTime)) {
+              // hour index in ms ≡ the batch form's ts_ns div 1h (positive
+              // epoch; sub-ms precision cannot move an hour boundary)
+              val h = Math.floorDiv(r.ts.getTime, 3600000L)
+              acc match {
+                case None =>
+                  acc = Some(LocfAcc(h, 1L, r.value))
+                case Some(a) if h == a.hs =>
+                  acc = Some(LocfAcc(a.hs, a.n + 1L, math.max(a.mx, r.value)))
+                case Some(a) =>
+                  require(h > a.hs,
+                    s"key $key: hour $h arrived behind open hour ${a.hs} — " +
+                      "watermark-ordered arrival violated")
+                  out += LocfOut(key, a.hs, a.n, a.mx)
+                  var g = a.hs + 1L
+                  while (g < h) { out += LocfOut(key, g, 0L, a.mx); g += 1L }
+                  acc = Some(LocfAcc(h, 1L, r.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              // fires once the watermark proves the hour complete
+              state.setTimeoutTimestamp((a.hs + 1L) * 3600000L)
+            }
+            out.result().iterator
+          }
+      }
 }

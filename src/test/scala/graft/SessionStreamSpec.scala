@@ -45,6 +45,46 @@ class SessionStreamSpec extends SparkSpec {
     assert(got.toSeq === Seq((0, 5, 2L), (30, 33, 2L), (60, 60, 1L)))
   }
 
+  test("locf stream: gaps cross the batch boundary; the final hour flushes on timeout") {
+    import graft.streaming.StatefulOps.{LocfEv, LocfOut}
+    implicit val sqlCtx = spark.sqlContext
+    val H0 = 1699999200000L // hour-aligned epoch ms
+    def at(hour: Int, minute: Int) = new Timestamp(H0 + hour * 3600000L + minute * 60000L)
+    val h0 = H0 / 3600000L
+    val mem = MemoryStream[LocfEv]
+    val evs = mem.toDF()
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("ts"), col("value")).as[LocfEv]
+    val q = StatefulOps.gapfillLocfStream(evs)
+      .writeStream.outputMode("append").format("memory").queryName("locf_out").start()
+    // batch 1: hour 0 twice, then hour 3 — closes hour 0 and fills 1, 2
+    mem.addData(LocfEv("a", at(0, 1), 5.0), LocfEv("a", at(0, 2), 9.0),
+                LocfEv("a", at(3, 0), 4.0))
+    q.processAllAvailable()
+    // batch 2: hour 5 — hour 3 (held OPEN across the boundary in state)
+    // closes now, and the gap hour 4 carries its max
+    mem.addData(LocfEv("a", at(5, 10), 7.0))
+    q.processAllAvailable()
+    // batch 3: an unrelated key far ahead advances the watermark past
+    // hour 5's end — the timeout flushes a's final hour from state
+    mem.addData(LocfEv("z", at(9, 0), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("locf_out").as[LocfOut].collect()
+      .filter(_.key == "a").sortBy(_.hs)
+      .map(o => (o.hs - h0, o.n_events, o.locf_max))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 9.0), (1L, 0L, 9.0), (2L, 0L, 9.0),
+      (3L, 1L, 4.0), (4L, 0L, 4.0), (5L, 1L, 7.0)))
+  }
+
+  test("gate form: streaming gap-fill ≡ batch spine + LOCF window") {
+    val got = graft.operators.Sessionize.gapfillLocfStreaming(spark, Sf0001).collect()
+    val want = graft.operators.Sessionize.gapfillLocf(spark, Sf0001).collect()
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("gate form: watermark-flushed streaming sessions ≡ batch sessionize") {
     val got = graft.operators.Sessionize.sessionizeStreaming(spark, Sf0001).collect()
     val want = graft.operators.Sessionize.sessionize(spark, Sf0001).collect()
