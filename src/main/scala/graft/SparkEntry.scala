@@ -317,6 +317,12 @@ object SparkEntry {
     "q29s_gapfill_locf_streaming" -> ((s, dir) => Sessionize.gapfillLocfStreaming(s, dir)),
     // exact-decimal-moment regression/correlation (deterministic corr)
     "q30_regression_stats" -> ((s, dir) => Analytics.regressionStats(s, dir)),
+    // multivariate face of q30: pairwise Pearson over hourly-count series,
+    // exact decimal moments, closed-form IEEE finisher
+    "corr_matrix_hourly" -> ((s, dir) => Analytics.corrMatrixHourly(s, dir)),
+    // categorical hypothesis test: per-cell expected counts + the ordered-
+    // fold chi-square statistic and its degrees of freedom
+    "chi2_type_weekday" -> ((s, dir) => Analytics.chi2TypeWeekday(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // the same transitions through REAL keyed streaming state: one
@@ -1534,6 +1540,53 @@ object SparkEntry {
         | sqrt((n*svv - sv*sv) / (n * (n - 1.0))) AS stddev_v
         |FROM (SELECT *, CAST(n_rows AS DOUBLE) AS n FROM m)
         |ORDER BY event_type""".stripMargin,
+    // aligned hourly series (absent hours count 0) → exact decimal pair
+    // moments → the same Pearson finisher expression as q30's
+    "corr_matrix_hourly" ->
+      s"""WITH h AS MATERIALIZED (SELECT event_type, epoch_us(ts) // 3600000000 AS hs,
+        |        count(*) AS c FROM events GROUP BY 1, 2),
+        |sp AS (SELECT DISTINCT hs FROM h),
+        |ty AS (SELECT DISTINCT event_type FROM h),
+        |d AS MATERIALIZED (SELECT ty.event_type, sp.hs,
+        |       CAST(coalesce(h.c, 0) AS DECIMAL(18,0)) AS c
+        |     FROM sp CROSS JOIN ty
+        |     LEFT JOIN h ON h.event_type = ty.event_type AND h.hs = sp.hs),
+        |m AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_hours,
+        |        ${dd("sum(a.c)")} AS sa, ${dd("sum(b.c)")} AS sb,
+        |        ${dd("sum(CAST(a.c * b.c AS DECIMAL(30,0)))")} AS sab,
+        |        ${dd("sum(CAST(a.c * a.c AS DECIMAL(30,0)))")} AS saa,
+        |        ${dd("sum(CAST(b.c * b.c AS DECIMAL(30,0)))")} AS sbb
+        |      FROM d a JOIN d b ON a.hs = b.hs AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_hours,
+        | CASE WHEN (n*saa - sa*sa) > 0 AND (n*sbb - sb*sb) > 0
+        |      THEN (n*sab - sa*sb) / sqrt((n*saa - sa*sa) * (n*sbb - sb*sb)) END AS corr
+        |FROM (SELECT *, CAST(n_hours AS DOUBLE) AS n FROM m)
+        |ORDER BY type_a, type_b""".stripMargin,
+    // per-cell expected counts from exact marginals; the table statistic
+    // is the ordered left-to-right fold over (type, weekday)-sorted cells
+    "chi2_type_weekday" ->
+      """WITH c AS MATERIALIZED (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS wd, count(*) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(obs) AS rt FROM c GROUP BY 1),
+        |k AS (SELECT wd, sum(obs) AS ct FROM c GROUP BY 1),
+        |t AS (SELECT sum(obs) AS nt FROM c),
+        |x AS (SELECT c.event_type, c.wd, c.obs,
+        |        CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+        |          CAST((SELECT nt FROM t) AS DOUBLE) AS exp
+        |      FROM c JOIN r USING (event_type) JOIN k USING (wd)),
+        |y AS MATERIALIZED (SELECT event_type, wd, obs, exp,
+        |        (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
+        |          AS contrib FROM x),
+        |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list(contrib ORDER BY event_type, wd)), (a, b) -> a + b) AS chi2,
+        |      CAST(((SELECT count(*) FROM r) - 1) *
+        |           ((SELECT count(*) FROM k) - 1) AS BIGINT) AS dof FROM y)
+        |SELECT y.event_type, y.wd, CAST(y.obs AS BIGINT) AS obs, y.exp,
+        |       y.contrib, s.chi2, s.dof
+        |FROM y CROSS JOIN s ORDER BY event_type, wd""".stripMargin,
     "markov_transitions" ->
       """WITH p AS (SELECT user_id, event_type AS from_type,
         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

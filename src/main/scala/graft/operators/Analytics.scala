@@ -88,6 +88,96 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** CROSS-SERIES CORRELATION MATRIX: Pearson correlation between every
+    * pair of event types' hourly-count series, over the shared spine of
+    * all active hours (a type absent from an hour contributes 0 — the
+    * aligned-series convention). The multivariate face of
+    * [[regressionStats]]: same exact-moment discipline — counts are exact
+    * longs, the five pairwise moments are exact DECIMAL sums cast to
+    * double once, and the Pearson finisher is a fixed closed-form IEEE
+    * expression both engines evaluate on bit-identical inputs, so no
+    * float-sum order hazard exists anywhere. Zero-variance series yield
+    * NULL (no division by zero).
+    *
+    * Scale shape: events collapse to the (type, hour) aggregate FIRST
+    * (one map-side-combined shuffle); the dense spine, pair join, and
+    * moment aggregation all run on hours × types rows — time- and
+    * vocabulary-bounded, never event-proportional. */
+  def corrMatrixHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hs"))
+      .agg(count(lit(1)).as("c"))
+    val spine = hourly.select(col("hs")).distinct()
+    val types = hourly.select(col("event_type")).distinct()
+    val dense = spine.crossJoin(broadcast(types))
+      .join(hourly, Seq("event_type", "hs"), "left")
+      .select(col("event_type"), col("hs"),
+        coalesce(col("c"), lit(0L)).cast("decimal(18,0)").as("c"))
+    val a = dense.select(col("hs"), col("event_type").as("type_a"), col("c").as("ca"))
+    val b = dense.select(col("hs"), col("event_type").as("type_b"), col("c").as("cb"))
+    val m = a.join(b, "hs").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_hours"),
+           sum(col("ca")).cast("double").as("sa"),
+           sum(col("cb")).cast("double").as("sb"),
+           sum((col("ca") * col("cb")).cast("decimal(30,0)")).cast("double").as("sab"),
+           sum((col("ca") * col("ca")).cast("decimal(30,0)")).cast("double").as("saa"),
+           sum((col("cb") * col("cb")).cast("decimal(30,0)")).cast("double").as("sbb"))
+    val n   = col("n_hours").cast("double")
+    val cov = n * col("sab") - col("sa") * col("sb")
+    val va  = n * col("saa") - col("sa") * col("sa")
+    val vb  = n * col("sbb") - col("sb") * col("sb")
+    m.select(col("type_a"), col("type_b"), col("n_hours"),
+        when(va > 0 && vb > 0, cov / sqrt(va * vb)).as("corr"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** CHI-SQUARE INDEPENDENCE TEST between event_type and the (epoch)
+    * weekday — the categorical hypothesis-testing face of the analytics
+    * family: per contingency cell, the observed count, the
+    * independence-expected count rᵢc_j/N, and the cell's χ² contribution
+    * (obs − exp)²/exp; every row also carries the table-level statistic
+    * and its degrees of freedom (r−1)(c−1). Expected counts are single
+    * double expressions over exact long totals; the STATISTIC is a
+    * LEFT-TO-RIGHT fold over the (type, weekday)-sorted cell list — the
+    * same ordered-fold discipline as the temperature mix's denominator,
+    * because a plain double `sum` over cells would be partition-order-
+    * dependent and unhashable.
+    *
+    * Scale shape: one map-side-combined groupBy to the CELL table (types ×
+    * 7 rows); marginals are aggregates of cells, the fold's collect_list
+    * sees only cells — all control-plane-sized regardless of event
+    * volume. */
+  def chi2TypeWeekday(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("(ts_ns div 86400000000000) % 7").as("wd"))
+      .groupBy(col("event_type"), col("wd")).agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("row_tot"))
+    val colT = cells.groupBy(col("wd")).agg(sum(col("obs")).as("col_tot"))
+    val tot  = cells.agg(sum(col("obs")).as("n_tot"))
+    val withExp = cells.join(rowT, "event_type").join(colT, "wd")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("wd"), col("obs"),
+        (col("row_tot").cast("double") * col("col_tot").cast("double") /
+          col("n_tot").cast("double")).as("exp"))
+      .withColumn("contrib",
+        (col("obs").cast("double") - col("exp")) *
+          (col("obs").cast("double") - col("exp")) / col("exp"))
+    val total = withExp.agg(
+        sort_array(collect_list(struct(col("event_type"), col("wd"), col("contrib"))))
+          .as("xs"),
+        countDistinct(col("event_type")).as("r"),
+        countDistinct(col("wd")).as("c"))
+      .select(
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)")
+          .as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"))
+    withExp.crossJoin(broadcast(total))
+      .select(col("event_type"), col("wd"), col("obs"), col("exp"),
+              col("contrib"), col("chi2"), col("dof"))
+      .orderBy(col("event_type"), col("wd"))
+  }
+
   /** Markov transition matrix over per-user event sequences: for every
     * consecutive (ts, event_id)-ordered pair of events by the same user,
     * count the (from_type → to_type) transition and its row-normalized

@@ -418,6 +418,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("hourly correlation matrix equals a local exact-moment recount; corr bounded") {
+    val got = Analytics.corrMatrixHourly(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // local recount: aligned hourly counts, exact moments, same finisher
+    val hourly = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hs"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val hours = hourly.keySet.map(_._2)
+    val types = hourly.keySet.map(_._1).toSeq.sorted
+    for (i <- types.indices; j <- i + 1 until types.size) {
+      val (ta, tb) = (types(i), types(j))
+      val xs = hours.toSeq.map(h => (hourly.getOrElse((ta, h), 0L), hourly.getOrElse((tb, h), 0L)))
+      val n = xs.size.toDouble
+      val (sa, sb) = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+      val sab = xs.map(p => p._1 * p._2).sum.toDouble
+      val saa = xs.map(p => p._1 * p._1).sum.toDouble
+      val sbb = xs.map(p => p._2 * p._2).sum.toDouble
+      val (va, vb) = (n * saa - sa * sa, n * sbb - sb * sb)
+      val (gn, gc) = got((ta, tb))
+      assert(gn == hours.size)
+      if (va > 0 && vb > 0) {
+        val expect = (n * sab - sa * sb) / math.sqrt(va * vb)
+        assert(math.abs(gc - expect) < 1e-12, s"($ta,$tb): $gc vs $expect")
+        assert(gc >= -1.0 - 1e-12 && gc <= 1.0 + 1e-12)
+      } else assert(gc.isNaN, "zero-variance pair must yield NULL")
+    }
+    assert(got.size == types.size * (types.size - 1) / 2)
+  }
+
+  test("chi-square: cells partition the events, marginals reconcile, statistic is the fold") {
+    val rows = Analytics.chi2TypeWeekday(spark, Sf0001).collect()
+    val nEvents = graft.io.Tables.events(spark, Sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == nEvents, "observed cells must partition the events")
+    // expected counts reconcile to the same total (Σ exp = N exactly up to fp)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - nEvents.toDouble) < 1e-6)
+    // every contribution is (obs-exp)^2/exp and non-negative
+    for (r <- rows) {
+      val d = r.getLong(2).toDouble - r.getDouble(3)
+      assert(math.abs(r.getDouble(4) - d * d / r.getDouble(3)) < 1e-12)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // one table-level statistic and dof on every row; chi2 = Σ contrib
+    assert(rows.map(_.getDouble(5)).distinct.length == 1)
+    val chi2 = rows.head.getDouble(5)
+    assert(math.abs(chi2 - rows.map(_.getDouble(4)).sum) < 1e-9)
+    val r0 = rows.map(_.getString(0)).distinct.length - 1
+    val c0 = rows.map(_.getLong(1)).distinct.length - 1
+    assert(rows.head.getLong(6) == r0.toLong * c0)
+  }
+
   test("user connected components equal a local union-find; isolated users are singletons") {
     val got = Analytics.ccUsers(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
