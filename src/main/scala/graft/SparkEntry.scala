@@ -215,6 +215,9 @@ object SparkEntry {
     // temperature sampling at α = 1/2 (the sqrt special case — the one
     // power IEEE correctly rounds, so the hash gate holds cross-engine)
     "corpus_mix_temperature" -> ((s, dir) => TextOps.corpusMixTemperature(s, dir)),
+    // the composed pipeline: data-derived temperature rates broadcast back
+    // as deterministic hash thresholds — the actually-sampled corpus
+    "mix_sample_temperature" -> ((s, dir) => TextOps.mixSampleTemperature(s, dir)),
     // ---- training-data pipeline: dedup ----
     "dedup_exact"      -> ((s, dir) => Dedup.exact(s, dir)),
     // the same decision through the real micro-batch engine (state store
@@ -517,6 +520,25 @@ object SparkEntry {
        |SELECT node AS user_id, lab AS component
        |FROM l$rounds ORDER BY user_id""".stripMargin
   }
+
+  /** Shared CTE chain of the temperature-mix oracles (report + composed
+    * sample): per-lang token sums, the ordered √-sum fold denominator, and
+    * the boost/rate normalization — held once so the two cannot drift. */
+  private val tempMixCtes: String =
+    """t AS (SELECT lang, coalesce(len(string_split(text,' ')), 0) AS nt FROM documents),
+      |s AS MATERIALIZED (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+      |tot AS (SELECT sum(n_tokens) AS n FROM s),
+      |den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+      |          (a, b) -> a + b) AS d FROM s),
+      |base AS (SELECT lang, n_tokens,
+      |    CAST(n_tokens AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share,
+      |    sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT d FROM den) AS temp_weight
+      |  FROM s),
+      |bb AS (SELECT lang, n_tokens, share, temp_weight,
+      |         temp_weight / share AS boost FROM base),
+      |rr AS (SELECT lang, n_tokens, share, temp_weight, boost,
+      |         boost / (max(boost) OVER ()) AS rate FROM bb)""".stripMargin
 
   private val revenueExpr =
     dd(s"sum($decPrice * ($one - $decDisc))")
@@ -1009,21 +1031,18 @@ object SparkEntry {
     // the Spark side) — float addition is non-associative, so the fold
     // order is part of the registered semantics
     "corpus_mix_temperature" ->
-      """WITH t AS (SELECT lang, coalesce(len(string_split(text,' ')), 0) AS nt FROM documents),
-        |s AS MATERIALIZED (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
-        |tot AS (SELECT sum(n_tokens) AS n FROM s),
-        |den AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |          list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
-        |          (a, b) -> a + b) AS d FROM s),
-        |base AS (SELECT lang, n_tokens,
-        |    CAST(n_tokens AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share,
-        |    sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT d FROM den) AS temp_weight
-        |  FROM s),
-        |bb AS (SELECT lang, n_tokens, share, temp_weight,
-        |         temp_weight / share AS boost FROM base)
-        |SELECT lang, n_tokens, share, temp_weight, boost,
-        |       boost / (max(boost) OVER ()) AS rate
-        |FROM bb ORDER BY lang""".stripMargin,
+      s"""WITH $tempMixCtes
+         |SELECT lang, n_tokens, share, temp_weight, boost, rate
+         |FROM rr ORDER BY lang""".stripMargin,
+    // the composed pipeline: the SAME rate chain broadcast back as
+    // floor(rate·P) hash thresholds over the documents
+    "mix_sample_temperature" ->
+      s"""WITH $tempMixCtes,
+         |th AS (SELECT lang, CAST(floor(rate * $P) AS BIGINT) AS thr FROM rr)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN th USING (lang)
+         |WHERE ((d.doc_id % $P) * ${graft.operators.TextOps.MixMultiplier}) % $P < th.thr
+         |ORDER BY d.doc_id""".stripMargin,
     "pii_scrub" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${graft.operators.TextOps.EmailPattern}')) AS BIGINT) AS n_emails,

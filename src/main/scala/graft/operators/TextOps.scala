@@ -460,6 +460,31 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** The COMPOSED temperature pipeline: [[corpusMixTemperature]]'s rates —
+    * computed from the corpus itself, not a literal map — broadcast back
+    * onto the documents as deterministic hash thresholds, emitting the
+    * actually-sampled corpus. This is the end-to-end shape a multilingual
+    * training run executes: measure shares, flatten at α = 1/2, keep the
+    * most-boosted language whole, downsample the rest reproducibly
+    * ([[mixSampleOf]]'s multiplicative hash, so retries and speculation
+    * cannot change the kept set). The threshold is `floor(rate · P)` of a
+    * deterministic double rate — exact on both engines.
+    *
+    * Scale shape: the rate table is language-count-sized (broadcast); the
+    * corpus side is one narrow projection + filter, no shuffle. */
+  def mixSampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val P = graft.functions.TextFunctions.HashMod
+    val thresholds = corpusMixTemperatureOf(docs.select(col("lang"), col("text")))
+      .select(col("lang"), floor(col("rate") * lit(P.toDouble)).cast("long").as("thr"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(thresholds), "lang")
+      .withColumn("h", ((col("doc_id") % P) * lit(MixMultiplier)) % P)
+      .filter(col("h") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * packs. A training run concatenates documents into ~`budget`-token
     * sequences; the assignment here is CONTIGUOUS-GREEDY in doc_id order —

@@ -209,6 +209,29 @@ class PipelineOpsSpec extends SparkSpec {
       "kept tokens must realize the temperature-flattened mixture")
   }
 
+  test("temperature sample keeps exactly the below-threshold hashes of the derived rates") {
+    val dir = Sf0001
+    val P = graft.functions.TextFunctions.HashMod
+    val rates = TextOps.corpusMixTemperature(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val kept = TextOps.mixSampleTemperature(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val all = graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // membership is exactly the hash-threshold predicate of the DATA-derived rate
+    for ((id, lang) <- all) {
+      val h = ((id % P) * TextOps.MixMultiplier) % P
+      val thr = math.floor(rates(lang) * P).toLong
+      assert(kept.contains(id) == (h < thr), s"doc $id ($lang)")
+    }
+    // the most-boosted language is kept whole; some other language shrinks
+    val maxLang = rates.maxBy(_._2)._1
+    val byLang = all.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang(maxLang).forall(kept.contains))
+    assert(all.size > kept.size, "temperature flattening must drop something")
+  }
+
   test("pack_assign and corpus_mix count NULL text as zero tokens (oracle parity)") {
     // a NULL text is pinned to ZERO tokens on both engines (the oracle
     // coalesces identically) — without the pin, the emitted n_tokens value
