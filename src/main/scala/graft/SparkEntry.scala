@@ -440,6 +440,11 @@ object SparkEntry {
     "mm_video_frames_strided" -> ((s, dir) => Multimodal.videoFramesStrided(s, dir)),
     // PCM resample 8000→6000 Hz by nearest-floor rational index mapping
     "mm_audio_resample" -> ((s, dir) => Multimodal.audioResampled(s, dir)),
+    // windowed frame energy (Σv, Σv², peak per 32-sample frame) — the
+    // VAD/silence-trim stand-in, integer-exact so the oracle hashes it
+    "mm_audio_energy" -> ((s, dir) =>
+      Multimodal.audioEnergyWindows(s, dir).toDF()
+        .orderBy(col("media_id"), col("win_idx"))),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -2238,7 +2243,22 @@ object SparkEntry {
          | CAST(6000 AS BIGINT) AS rate_out, CAST(asamp AS BIGINT) AS n_in,
          | CAST(nout AS BIGINT) AS n_out,
          | ${mmHashSql("nout", "0", "(j * 4) // 3")} AS out_hash
-         |FROM pl ORDER BY media_id""".stripMargin)
+         |FROM pl ORDER BY media_id""".stripMargin,
+    "mm_audio_energy" ->
+      // per 32-sample frame: exact integer Σv, Σv², peak over the
+      // synthesized sample values (integer aggregates are order-free, so
+      // plain list_aggregate suffices — no fold discipline needed)
+      s"""WITH $mmParamsCte,
+         |au AS (SELECT doc_id, asamp FROM mp WHERE kindn = 1),
+         |fr AS (SELECT doc_id, CAST(w.range AS BIGINT) AS win_idx,
+         |   list_transform(range(32), j -> CAST(
+         |     ((doc_id % 1000003)*31 + (w.range*32 + j)) % 256 AS BIGINT)) AS vs
+         | FROM au, range(18) w WHERE w.range < asamp // 32)
+         |SELECT doc_id AS media_id, win_idx,
+         | CAST(list_aggregate(vs, 'sum') AS BIGINT) AS sum_v,
+         | CAST(list_aggregate(list_transform(vs, v -> v*v), 'sum') AS BIGINT) AS energy,
+         | CAST(list_aggregate(vs, 'max') AS BIGINT) AS peak
+         |FROM fr ORDER BY media_id, win_idx""".stripMargin)
 
   // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----
 

@@ -115,7 +115,10 @@ object Analytics {
         coalesce(col("c"), lit(0L)).cast("decimal(18,0)").as("c"))
     val a = dense.select(col("hs"), col("event_type").as("type_a"), col("c").as("ca"))
     val b = dense.select(col("hs"), col("event_type").as("type_b"), col("c").as("cb"))
-    val m = a.join(b, "hs").filter(col("type_a") < col("type_b"))
+    // the aligned-series table is hours × types (time- and vocabulary-
+    // bounded, never event-proportional) — broadcast it rather than let the
+    // static planner sort-merge two aggregate-sized sides
+    val m = a.join(broadcast(b), "hs").filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("n_hours"),
            sum(col("ca")).cast("double").as("sa"),

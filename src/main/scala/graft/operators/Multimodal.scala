@@ -236,6 +236,37 @@ object Multimodal {
         }
       }
 
+  case class AudioEnergyRow(media_id: Long, win_idx: Long, sum_v: Long,
+                            energy: Long, peak: Long)
+  private implicit val audioEnergyEnc: Encoder[AudioEnergyRow] =
+    Encoders.product[AudioEnergyRow]
+
+  /** Windowed AUDIO ENERGY features over the decoded PCM stream — the
+    * voice-activity-detection / silence-trim stand-in every audio curation
+    * pipeline runs before anything expensive: per fixed `win`-sample frame,
+    * the exact integer sample sum, energy (Σv²), and peak. A real VAD
+    * thresholds these; keeping the moments integer-exact (not a float RMS)
+    * is what lets the closed-form oracle hash the whole table. The partial
+    * tail frame is dropped (standard framing). Decode + frame via
+    * `mapPartitions` — the batched shape a vectorized DSP kernel keeps. */
+  def audioEnergyWindows(spark: SparkSession, sfDir: String,
+                         win: Int = 32): Dataset[AudioEnergyRow] =
+    mediaTable(spark, sfDir).filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          val vs = WavCodec.decode(m.content).samples
+          (0 until vs.length / win).iterator.map { w =>
+            var s = 0L; var e = 0L; var p = 0L
+            var j = 0
+            while (j < win) {
+              val v = vs(w * win + j).toLong
+              s += v; e += v * v; if (v > p) p = v; j += 1
+            }
+            AudioEnergyRow(m.media_id, w.toLong, s, e, p)
+          }
+        }
+      }
+
   /** The stages as registered queries (ordering fixed for the oracle). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF().orderBy(col("media_id"))

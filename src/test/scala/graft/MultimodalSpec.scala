@@ -24,6 +24,25 @@ class MultimodalSpec extends SparkSpec {
     perVid.foreach { case (id, k) => assert(k === (allPer(id) + 1) / 2) }
   }
 
+  test("audio energy frames: exact moments match the synthesis formula; tail dropped") {
+    val rows = Multimodal.audioEnergyWindows(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val perMedia = rows.groupBy(_.media_id)
+    for ((id, ws) <- perMedia) {
+      val n = Multimodal.audioSamples(id)
+      assert(ws.length === n / 32, "one frame per full 32-sample window, tail dropped")
+      assert(ws.map(_.win_idx).sorted.toSeq === (0L until n / 32).toSeq)
+      for (w <- ws) {
+        val vs = (0 until 32).map(j => Multimodal.byteAt(id, 0, w.win_idx.toInt * 32 + j).toLong)
+        assert(w.sum_v === vs.sum)
+        assert(w.energy === vs.map(v => v * v).sum)
+        assert(w.peak === vs.max)
+        // Cauchy–Schwarz sanity on the integer moments
+        assert(w.sum_v * w.sum_v <= 32L * w.energy)
+      }
+    }
+  }
+
   test("audio resample maps the rational index grid exactly") {
     val rows = Multimodal.audioResampled(spark, Sf0001).collect()
     assert(rows.nonEmpty)

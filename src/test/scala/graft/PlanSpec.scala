@@ -469,4 +469,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert("Exchange rangepartitioning".r.findAllIn(p).length === 1, p)
   }
+
+  test("dau_rolling_7d: the window is an explode, never a range join") {
+    // the whole point of the forward-contribution form is avoiding the
+    // oracle's BETWEEN join: the plan must contain the generator and no
+    // non-equi join operator anywhere
+    val p = plan("dau_rolling_7d")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the observed-days restriction and the dau1/dau7 merge are equi-joins
+    // of day-sized tables (broadcast)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("corr_matrix/chi2: the fact scan collapses before any join; data-plane joins broadcast") {
+    val pc = plan("corr_matrix_hourly")
+    // pair moments partial-aggregate; the dense spine and self-join run on
+    // aggregate-sized tables, so every join is broadcast
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("CartesianProduct"), pc)
+    val px = plan("chi2_type_weekday")
+    // marginals and the fold see only the CELL table; no events-sized join
+    assert(!px.contains("SortMergeJoin") && !px.contains("CartesianProduct"), px)
+    assert("partial_count".r.findAllIn(px).nonEmpty, px)
+  }
+
+  test("mix_sample_temperature: corpus side is scan + broadcast-joined filter, no shuffle") {
+    // the rate table is language-sized and must ride a broadcast; the
+    // documents side contributes no exchange beyond the presentation sort
+    val p = plan("mix_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).length === 1, p)
+  }
 }
