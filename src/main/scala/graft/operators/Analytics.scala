@@ -356,28 +356,53 @@ object Analytics {
     * the label-propagation per-round profile; integer hop counts make
     * every round exact. */
   private def bfsOf(spark: SparkSession, nodesRaw: DataFrame, eRaw: DataFrame,
-                    source: Long, rounds: Int, keyName: String): DataFrame =
-      withWidth(spark, 8) {
-    // the edge list is cached: every round reads the cache, not the
-    // upstream lineage (the CC family's materialize-the-graph-once rule)
-    val e = eRaw.cache()
+                    source: Long, rounds: Int, keyName: String): DataFrame = {
+    // the edge list is cached PRE-PARTITIONED ON THE JOIN KEY (8 ways —
+    // the rounds' width): keyed on x, the cached partitioning satisfies
+    // each round's join requirement, so only the node-sized frontier moves
+    // per round (the label-propagation co-partition discipline); the cache
+    // is FORCED at the session's full width so the edge BUILD (the fact
+    // joins upstream) keeps its parallelism — only the node-sized rounds
+    // run narrowed (the r13 probe: 32-way task scheduling doubles
+    // edge-sized stages, but starves the fact joins)
+    val e = eRaw.repartition(8, col("x")).cache()
+    val checkpointed = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
-      val init = nodes.select(col("node"),
-        when(col("node") === source, lit(0L)).as("h")) // null = unreached
-      def relax(d: DataFrame): DataFrame = {
-        val cand = e.join(d.filter(col("h").isNotNull).withColumnRenamed("node", "x"), "x")
-          .select(col("y").as("node"), (col("h") + 1L).as("nh"))
-          .groupBy(col("node")).agg(min(col("nh")).as("nh"))
-        d.join(cand, Seq("node"), "left")
-          .select(col("node"), least(col("h"), col("nh")).as("h"))
+      e.count() // materialize outside withWidth: the build runs wide
+      withWidth(spark, 8) {
+        val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
+        val init = nodes.select(col("node"),
+          when(col("node") === source, lit(0L)).as("h")) // null = unreached
+        def relax(d: DataFrame): DataFrame = {
+          val cand = e.join(d.filter(col("h").isNotNull).withColumnRenamed("node", "x"), "x")
+            .select(col("y").as("node"), (col("h") + 1L).as("nh"))
+            .groupBy(col("node")).agg(min(col("nh")).as("nh"))
+          d.join(cand, Seq("node"), "left")
+            .select(col("node"), least(col("h"), col("nh")).as("h"))
+        }
+        // each round MATERIALIZES (eager localCheckpoint): the distance
+        // table is node-sized, and truncating its lineage keeps every round
+        // a shallow two-input plan instead of one rounds-deep tree the
+        // adaptive planner re-optimizes stage by stage (measured 8.8→2.9 s
+        // on the sf0.1 user graph)
+        val finalD = (1 to rounds).foldLeft(init) { (d, _) =>
+          val nd = relax(d).localCheckpoint(true)
+          checkpointed += nd
+          nd
+        }
+        // collect the node-sized result locally so every cached block —
+        // edge cache AND round checkpoints — is released before returning
+        localize(spark, finalD
+          .select(col("node").as(keyName), coalesce(col("h"), lit(-1L)).as("hops"))
+          .orderBy(col(keyName)))
       }
-      // collect the node-sized result locally so the edge cache can be
-      // released immediately (no cached blocks survive the call)
-      localize(spark, (1 to rounds).foldLeft(init)((d, _) => relax(d))
-        .select(col("node").as(keyName), coalesce(col("h"), lit(-1L)).as("hops"))
-        .orderBy(col(keyName)))
-    } finally e.unpersist(blocking = false)
+    } finally {
+      e.unpersist(blocking = false)
+      // Dataset.unpersist doesn't reach checkpoint blocks — free the RDDs
+      checkpointed.foreach(d =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+          .foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** [[bfsOf]] from nation 0 over the undirected trade graph, 4 rounds
@@ -592,36 +617,56 @@ object Analytics {
     * unrolled iteration is constant; for many-iteration runs checkpoint
     * truncation applies as in connected components. */
   private def pagerankOf(spark: SparkSession, nodesRaw: DataFrame,
-                         edgesRaw: DataFrame, keyName: String): DataFrame =
-      withWidth(spark, 8) {
-    // the edge-building joins run ONCE: the edge list is cached and every
-    // unrolled iteration reads the cache, not the upstream lineage (the CC
-    // family's materialize-the-graph-once discipline)
-    val edges = edgesRaw.cache()
+                         edgesRaw: DataFrame, keyName: String): DataFrame = {
+    // the edge-building joins run ONCE, at the session's FULL width (the
+    // fact joins want the parallelism — only the node-sized iterations run
+    // narrowed), cached PRE-PARTITIONED ON THE ITERATION JOIN KEY so each
+    // step moves only the node-sized rank table, never the edges
+    val edges = edgesRaw.repartition(8, col("src")).cache()
+    val checkpointed = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
-      val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val n = nodes.count() // control-plane: node count
-      val base = 150000000L / n // 0.15 / N in ppb, integer-exact
-      val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
-      def step(ranks: DataFrame): DataFrame = {
-        val inc = edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outDeg, "src")
-          .select(col("dst").as("node"), expr("r div deg").as("contrib"))
-          .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
-        nodes.join(inc, Seq("node"), "left")
-          .select(col("node"),
-                  (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
+      edges.count() // materialize outside withWidth: the build runs wide
+      withWidth(spark, 8) {
+        val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
+        // per-step recompute from the 8-partition edge cache is CHEAPER
+        // than a materialized copy here: inlined, the planner overlaps the
+        // degree aggregate with the rank join's exchange (probed — a
+        // localCheckpoint'ed outDeg measured ~2× slower per iteration)
+        val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val n = nodes.count() // control-plane: node count
+        val base = 150000000L / n // 0.15 / N in ppb, integer-exact
+        val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
+        def step(ranks: DataFrame): DataFrame = {
+          val inc = edges
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outDeg, "src")
+            .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+            .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
+          // eager localCheckpoint per iteration: the rank table is
+          // node-sized, and truncating its lineage keeps every iteration a
+          // shallow plan instead of one deep tree (bfsOf's measured fix)
+          val nd = nodes.join(inc, Seq("node"), "left")
+            .select(col("node"),
+                    (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
+            .localCheckpoint(true)
+          checkpointed += nd
+          nd
+        }
+        // the node-sized RESULT is collected to a LocalRelation while the
+        // edge cache is alive; later actions (Verify's write, Bench's count)
+        // read local rows, never the released edge lineage — and no cached
+        // blocks accumulate across a full Verify/Bench run
+        localize(spark, step(step(step(init)))
+          .select(col("node").as(keyName), col("r").as("rank_ppb"))
+          .orderBy(col(keyName)))
       }
-      // the node-sized RESULT is collected to a LocalRelation while the
-      // edge cache is alive; later actions (Verify's write, Bench's count)
-      // read local rows, never the released edge lineage — and no cached
-      // blocks accumulate across a full Verify/Bench run
-      localize(spark, step(step(step(init)))
-        .select(col("node").as(keyName), col("r").as("rank_ppb"))
-        .orderBy(col(keyName)))
-    } finally edges.unpersist(blocking = false)
+    } finally {
+      edges.unpersist(blocking = false)
+      // Dataset.unpersist doesn't reach checkpoint blocks — free the RDDs
+      checkpointed.foreach(d =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+          .foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** [[pagerankOf]] over the directed nation trade graph (src buys from
