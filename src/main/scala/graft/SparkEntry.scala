@@ -379,6 +379,9 @@ object SparkEntry {
     // deliberately disordered replay, same batch oracle
     "q13o_sessionize_ooo_streaming" -> ((s, dir) => Sessionize.sessionizeOooStreaming(s, dir)),
     "q14_asof_prior_signup" -> ((s, dir) => Sessionize.asofPriorSignup(s, dir)),
+    // merge_asof-tolerance semantics: a prior match older than 7 days is
+    // treated as absent (feature-store max-staleness), staleness emitted
+    "q14t_asof_tolerance" -> ((s, dir) => Sessionize.asofPriorSignupTolerance(s, dir)),
     "q15_brand_set_ops"    -> ((s, dir) => Relational.brandSetOps(s, dir)),
     "q16_anti_join"    -> ((s, dir) => Relational.neverOrderedParts(s, dir)),
     "q17_cube"         -> ((s, dir) => Relational.lineitemCube(s, dir)),
@@ -1985,6 +1988,16 @@ object SparkEntry {
         |  PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_signup_us
         |FROM events ORDER BY event_id""".stripMargin,
+    "q14t_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        | max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr
+        |FROM events)
+        |SELECT event_id, user_id,
+        | CASE WHEN us - pr <= 604800000000 THEN pr END AS prior_signup_us,
+        | CASE WHEN us - pr <= 604800000000 THEN us - pr END AS staleness_us
+        |FROM p ORDER BY event_id""".stripMargin,
     "q15_brand_set_ops" ->
       """(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40
         | INTERSECT

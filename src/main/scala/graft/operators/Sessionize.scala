@@ -544,6 +544,27 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** [[asofPriorSignup]] with a TOLERANCE bound — the `merge_asof
+    * tolerance` / feature-store max-staleness contract: a prior signup
+    * older than `tolDays` is treated as absent (a stale feature must not
+    * leak into training), and the match's staleness rides along for
+    * monitoring. Same single user-keyed exchange as q14: the bound is a
+    * projection over the window result, never a second join. */
+  def asofPriorSignupTolerance(spark: SparkSession, sfDir: String,
+                               tolDays: Int = 7): DataFrame = {
+    val tolUs = tolDays.toLong * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("p",
+        max(when(col("event_type") === "signup", expr("ts_ns div 1000"))).over(w))
+      .withColumn("stale_us", expr("ts_ns div 1000") - col("p"))
+      .select(col("event_id"), col("user_id"),
+        when(col("stale_us") <= tolUs, col("p")).as("prior_signup_us"),
+        when(col("stale_us") <= tolUs, col("stale_us")).as("staleness_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** SLIDING (hopping) 1-hour window, 30-minute slide, per event_type —
     * the overlapping-window shape [[tumblingHourly]] does not cover: each
     * event lands in exactly window_len/slide = 2 windows, via Spark's

@@ -29,6 +29,32 @@ class OperatorsSpec extends SparkSpec {
     assert(joined.filter(col("prior_signup_us") > col("ts_us")).count() === 0)
   }
 
+  test("asof tolerance: matches within 7 days agree with q14; stale matches become absent") {
+    val TolUs = 7L * 86400L * 1000000L
+    val base = Sessionize.asofPriorSignup(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val ev = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_id"), expr("ts_ns div 1000").as("us")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tol = Sessionize.asofPriorSignupTolerance(spark, Sf0001).collect()
+    assert(tol.length === base.size)
+    var dropped = 0
+    for (r <- tol) {
+      val id = r.getLong(0)
+      base(id) match {
+        case Some(p) if ev(id) - p <= TolUs =>
+          assert(r.getLong(2) === p, s"event $id keeps the fresh match")
+          assert(r.getLong(3) === ev(id) - p, s"event $id staleness")
+        case Some(_) =>
+          assert(r.isNullAt(2) && r.isNullAt(3), s"event $id: stale match must be absent")
+          dropped += 1
+        case None =>
+          assert(r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+    assert(dropped > 0, "the fixture must contain matches older than the tolerance")
+  }
+
   test("anti join + semi join partition orders: semi ∪ anti == all orders") {
     val o = graft.io.Tables.orders(spark, Sf0001)
     val li = graft.io.Tables.lineitem(spark, Sf0001).select(col("l_orderkey"))
