@@ -445,9 +445,7 @@ object SparkEntry {
     "mm_audio_resample" -> ((s, dir) => Multimodal.audioResampled(s, dir)),
     // windowed frame energy (Σv, Σv², peak per 32-sample frame) — the
     // VAD/silence-trim stand-in, integer-exact so the oracle hashes it
-    "mm_audio_energy" -> ((s, dir) =>
-      Multimodal.audioEnergyWindows(s, dir).toDF()
-        .orderBy(col("media_id"), col("win_idx"))),
+    "mm_audio_energy" -> ((s, dir) => Multimodal.audioEnergy(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -541,12 +539,16 @@ object SparkEntry {
       |          (a, b) -> a + b) AS d FROM s),
       |base AS (SELECT lang, n_tokens,
       |    CAST(n_tokens AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share,
-      |    sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT d FROM den) AS temp_weight
+      |    CASE WHEN n_tokens > 0
+      |         THEN sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT d FROM den)
+      |         ELSE 0.0 END AS temp_weight
       |  FROM s),
       |bb AS (SELECT lang, n_tokens, share, temp_weight,
-      |         temp_weight / share AS boost FROM base),
+      |         CASE WHEN n_tokens > 0 THEN temp_weight / share
+      |              ELSE 0.0 END AS boost FROM base),
       |rr AS (SELECT lang, n_tokens, share, temp_weight, boost,
-      |         boost / (max(boost) OVER ()) AS rate FROM bb)""".stripMargin
+      |         CASE WHEN n_tokens > 0 THEN boost / (max(boost) OVER ())
+      |              ELSE 0.0 END AS rate FROM bb)""".stripMargin
 
   private val revenueExpr =
     dd(s"sum($decPrice * ($one - $decDisc))")

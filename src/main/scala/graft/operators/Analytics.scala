@@ -388,6 +388,11 @@ object Analytics {
         val finalD = (1 to rounds).foldLeft(init) { (d, _) =>
           val nd = relax(d).localCheckpoint(true)
           checkpointed += nd
+          // the superseded round is dead the moment its successor
+          // materializes — free it now, not at the end (round 1's input is
+          // init, never checkpointed, so this is a no-op there)
+          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+            .foreach(_.unpersist(blocking = false))
           nd
         }
         // collect the node-sized result locally so every cached block —
@@ -650,6 +655,10 @@ object Analytics {
                     (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
             .localCheckpoint(true)
           checkpointed += nd
+          // free the superseded iteration's blocks now (init is never
+          // checkpointed, so iteration 1's input is a no-op)
+          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(ranks)
+            .foreach(_.unpersist(blocking = false))
           nd
         }
         // the node-sized RESULT is collected to a LocalRelation while the

@@ -256,7 +256,9 @@ object Multimodal {
         rows.flatMap { m =>
           val vs = WavCodec.decode(m.content).samples
           (0 until vs.length / win).iterator.map { w =>
-            var s = 0L; var e = 0L; var p = 0L
+            // peak seeds at MinValue, not 0: real 16-bit PCM is signed and
+            // an all-negative frame's peak is its (negative) maximum
+            var s = 0L; var e = 0L; var p = Long.MinValue
             var j = 0
             while (j < win) {
               val v = vs(w * win + j).toLong
@@ -289,4 +291,8 @@ object Multimodal {
 
   def audioResampled(spark: SparkSession, sfDir: String): DataFrame =
     resampleAudio(spark, sfDir).toDF().orderBy(col("media_id"))
+
+  def audioEnergy(spark: SparkSession, sfDir: String): DataFrame =
+    audioEnergyWindows(spark, sfDir).toDF()
+      .orderBy(col("media_id"), col("win_idx"))
 }

@@ -331,26 +331,15 @@ object Sessionize {
                                 gapMinutes: Int = 60): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val dir = sessionReplayDir(spark, sfDir)
-    val nFiles = {
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try l.count().toInt finally l.close()
-    }
-    val schema = spark.read.parquet(dir).schema
-    val agg = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withWatermark("ts", "0 seconds")
+    val agg = replayStream(spark, dir)
       .groupBy(col("key"),
                session_window(col("ts"), s"${gapUs + 1L} microseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("key"), expr("unix_micros(sw.start)").as("start_us"),
               (expr("unix_micros(sw.end)") - lit(gapUs + 1L)).as("end_us"),
               col("n_events"))
-    val sess = StatefulQueries.drainToMemory(spark, agg, stateWidth = Some(8)) { q =>
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches >= nFiles,
-        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
-          "replay did not exercise cross-batch session merge and watermark emission")
-    }
+    val sess = drainReplay(spark, dir, agg,
+      "cross-batch session merge and watermark emission")
     val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     sess.filter(!(col("key") <=> SessSentinelKey))
       .select(col("key").cast("long").as("user_id"),
@@ -369,23 +358,11 @@ object Sessionize {
       org.apache.spark.sql.Encoders.product[SessionEv]
     val SentinelKey = SessSentinelKey
     val dir = sessionReplayDir(spark, sfDir)
-    val nFiles = {
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try l.count().toInt finally l.close()
-    }
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withWatermark("ts", "0 seconds")
+    val stream = replayStream(spark, dir)
       .select(col("key"), col("ts")).as[SessionEv]
-    val sess = StatefulQueries.drainToMemory(spark,
-        StatefulOps.sessionizeStream(stream, gapMinutes).toDF(),
-        stateWidth = Some(8)) { q =>
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches >= nFiles,
-        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
-          "replay did not exercise cross-batch sessions and watermark flush")
-    }
+    val sess = drainReplay(spark, dir,
+      StatefulOps.sessionizeStream(stream, gapMinutes).toDF(),
+      "cross-batch sessions and watermark flush")
     val byStart = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     // null-safe: `=!=` would also drop a NULL-key group (a null user_id)
     // that the oracle keeps
@@ -454,6 +431,31 @@ object Sessionize {
     * watermark delay, optionally require the state-expiry witness, strip
     * the sentinel, rank per-user session ordinals. `private[graft]` so the
     * spec can replay hand-built disorder through BOTH ops. */
+  /** 0s-watermarked one-file-per-micro-batch stream over a replay dir —
+    * the common front half of every split+sentinel drain. */
+  private def replayStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+
+  /** Drain `out` to memory requiring one data micro-batch per replay file —
+    * the shared gate that the split+sentinel replay genuinely exercised
+    * `witness` (held ONCE: a fix to the file counting or the batch
+    * accounting must not have to land at every drain site). */
+  private def drainReplay(spark: SparkSession, dir: String, out: DataFrame,
+                          witness: String): DataFrame = {
+    val nFiles = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try l.count().toInt finally l.close()
+    }
+    StatefulQueries.drainToMemory(spark, out, stateWidth = Some(8)) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= nFiles,
+        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
+          s"replay did not exercise $witness")
+    }
+  }
+
   private[graft] def sessDrainOf(
       spark: SparkSession, dir: String, delay: String, gapMinutes: Int,
       op: (org.apache.spark.sql.Dataset[graft.streaming.StatefulOps.SessionEv], Int) =>
@@ -534,15 +536,21 @@ object Sessionize {
     * [[sessionize]]) of the same user's most recent `signup` event at or
     * before it (NULL if none yet) — the window-form of an as-of join against
     * the signup subsequence. */
-  def asofPriorSignup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The as-of window itself — the single construction BOTH q14 forms
+    * project from (tie-break and signup predicate live here once, so the
+    * plain and tolerance-bounded registrations cannot drift). */
+  private def withPriorSignup(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, sfDir)
       .withColumn("prior_signup_us",
         max(when(col("event_type") === "signup", expr("ts_ns div 1000"))).over(w))
+  }
+
+  def asofPriorSignup(spark: SparkSession, sfDir: String): DataFrame =
+    withPriorSignup(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("prior_signup_us"))
       .orderBy(col("event_id"))
-  }
 
   /** [[asofPriorSignup]] with a TOLERANCE bound — the `merge_asof
     * tolerance` / feature-store max-staleness contract: a prior signup
@@ -553,14 +561,10 @@ object Sessionize {
   def asofPriorSignupTolerance(spark: SparkSession, sfDir: String,
                                tolDays: Int = 7): DataFrame = {
     val tolUs = tolDays.toLong * 86400L * 1000000L
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, sfDir)
-      .withColumn("p",
-        max(when(col("event_type") === "signup", expr("ts_ns div 1000"))).over(w))
-      .withColumn("stale_us", expr("ts_ns div 1000") - col("p"))
+    withPriorSignup(spark, sfDir)
+      .withColumn("stale_us", expr("ts_ns div 1000") - col("prior_signup_us"))
       .select(col("event_id"), col("user_id"),
-        when(col("stale_us") <= tolUs, col("p")).as("prior_signup_us"),
+        when(col("stale_us") <= tolUs, col("prior_signup_us")).as("prior_signup_us"),
         when(col("stale_us") <= tolUs, col("stale_us")).as("staleness_us"))
       .orderBy(col("event_id"))
   }
@@ -698,22 +702,11 @@ object Sessionize {
     implicit val locfEvEnc: org.apache.spark.sql.Encoder[LocfEv] =
       org.apache.spark.sql.Encoders.product[LocfEv]
     val dir = locfReplayDir(spark, sfDir)
-    val nFiles = {
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try l.count().toInt finally l.close()
-    }
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withWatermark("ts", "0 seconds")
+    val stream = replayStream(spark, dir)
       .select(col("key"), col("ts"), col("value")).as[LocfEv]
-    val filled = StatefulQueries.drainToMemory(spark,
-        StatefulOps.gapfillLocfStream(stream).toDF(), stateWidth = Some(8)) { q =>
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches >= nFiles,
-        s"expected >= $nFiles data micro-batches, saw $dataBatches — the split+sentinel " +
-          "replay did not exercise cross-batch gap-fill and timeout flush")
-    }
+    val filled = drainReplay(spark, dir,
+      StatefulOps.gapfillLocfStream(stream).toDF(),
+      "cross-batch gap-fill and timeout flush")
     filled.filter(!(col("key") <=> SessSentinelKey))
       .select(col("key").as("event_type"), (col("hs") * 3600).as("hour_start"),
               col("n_events"), col("locf_max"))

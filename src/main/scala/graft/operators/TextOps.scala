@@ -451,12 +451,22 @@ object TextOps {
       .partitionBy()
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
                    org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // a zero-token language (all-NULL text) takes weight/boost/rate 0 and
+    // must not poison anyone else: unguarded, its boost is 0.0/0.0 = NaN,
+    // and Spark's max() ranks NaN above every double, so ONE empty stratum
+    // would turn every language's rate into NaN (the same guard the
+    // sibling mixRatesOf carries for its binding min)
     strata.crossJoin(broadcast(denTot))
       .select(col("lang"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("tot").cast("double")).as("share"),
-        (sqrt(col("n_tokens").cast("double")) / col("den")).as("temp_weight"))
-      .withColumn("boost", col("temp_weight") / col("share"))
-      .withColumn("rate", col("boost") / max(col("boost")).over(wAll))
+        when(col("n_tokens") > 0, sqrt(col("n_tokens").cast("double")) / col("den"))
+          .otherwise(lit(0.0)).as("temp_weight"))
+      .withColumn("boost",
+        when(col("n_tokens") > 0, col("temp_weight") / col("share"))
+          .otherwise(lit(0.0)))
+      .withColumn("rate",
+        when(col("n_tokens") > 0, col("boost") / max(col("boost")).over(wAll))
+          .otherwise(lit(0.0)))
       .orderBy(col("lang"))
   }
 

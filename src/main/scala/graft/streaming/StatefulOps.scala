@@ -927,8 +927,13 @@ object StatefulOps {
   case class LocfOut(key: String, hs: Long, n_events: Long, locf_max: Double)
   /** The OPEN hour: index, its event count and max so far. The open hour
     * is by definition active, so its `mx` IS the LOCF value for any gap
-    * hours that follow it — no separate carried value is needed. */
-  case class LocfAcc(hs: Long, n: Long, mx: Double)
+    * hours that follow it — no separate carried value is needed. `closed`
+    * marks an hour already emitted by its event-time timeout: the state is
+    * KEPT after the timeout-emit so a key that resumes in a later hour
+    * still fills the gap rows from the closed hour's max (removing it
+    * would silently hole the spine — the timeout proves the HOUR complete,
+    * not the key finished). */
+  case class LocfAcc(hs: Long, n: Long, mx: Double, closed: Boolean)
 
   private implicit val locfEvEnc: Encoder[LocfEv]   = Encoders.product[LocfEv]
   private implicit val locfOutEnc: Encoder[LocfOut] = Encoders.product[LocfOut]
@@ -942,8 +947,10 @@ object StatefulOps {
     * no event can ever close — is flushed by an event-time timeout at its
     * hour end, driven across the finish line by the far-future sentinel's
     * watermark advance, exactly like session expiry. State is O(1) per key
-    * and evicted at the timeout; the spine is emitted incrementally, so at
-    * no point does any executor hold a per-key hour range.
+    * — after the timeout-emit it shrinks to one CLOSED marker row (kept so
+    * a key that resumes hours later still gets its gap rows; removing it
+    * would silently hole the spine); the spine is emitted incrementally,
+    * so at no point does any executor hold a per-key hour range.
     *
     * Assumes watermark-ordered arrival per key (the ordered two-file
     * replay; a 0s-delay watermark makes anything else late data the engine
@@ -958,9 +965,12 @@ object StatefulOps {
         (key, rows, state: GroupState[LocfAcc]) =>
           if (state.hasTimedOut) {
             // the watermark passed the open hour's end: no event can ever
-            // land in it again — emit it and evict
+            // land in it again — emit it, but KEEP the closed hour in
+            // state: a key that resumes in a later hour owes gap rows
+            // carrying this hour's max (state stays one row per key; no
+            // new timeout is armed, so a silent key costs nothing more)
             val a = state.get
-            state.remove()
+            state.update(a.copy(closed = true))
             Iterator.single(LocfOut(key, a.hs, a.n, a.mx))
           } else {
             val out = Seq.newBuilder[LocfOut]
@@ -971,9 +981,18 @@ object StatefulOps {
               val h = Math.floorDiv(r.ts.getTime, 3600000L)
               acc match {
                 case None =>
-                  acc = Some(LocfAcc(h, 1L, r.value))
+                  acc = Some(LocfAcc(h, 1L, r.value, closed = false))
+                case Some(a) if a.closed =>
+                  // the hour was already emitted by its timeout; the
+                  // watermark passing its end guarantees h lands beyond it
+                  require(h > a.hs,
+                    s"key $key: hour $h arrived inside closed hour ${a.hs} — " +
+                      "watermark-ordered arrival violated")
+                  var g = a.hs + 1L
+                  while (g < h) { out += LocfOut(key, g, 0L, a.mx); g += 1L }
+                  acc = Some(LocfAcc(h, 1L, r.value, closed = false))
                 case Some(a) if h == a.hs =>
-                  acc = Some(LocfAcc(a.hs, a.n + 1L, math.max(a.mx, r.value)))
+                  acc = Some(LocfAcc(a.hs, a.n + 1L, math.max(a.mx, r.value), closed = false))
                 case Some(a) =>
                   require(h > a.hs,
                     s"key $key: hour $h arrived behind open hour ${a.hs} — " +
@@ -981,13 +1000,14 @@ object StatefulOps {
                   out += LocfOut(key, a.hs, a.n, a.mx)
                   var g = a.hs + 1L
                   while (g < h) { out += LocfOut(key, g, 0L, a.mx); g += 1L }
-                  acc = Some(LocfAcc(h, 1L, r.value))
+                  acc = Some(LocfAcc(h, 1L, r.value, closed = false))
               }
             }
             acc.foreach { a =>
               state.update(a)
-              // fires once the watermark proves the hour complete
-              state.setTimeoutTimestamp((a.hs + 1L) * 3600000L)
+              // fires once the watermark proves the hour complete; a slice
+              // that only observed an already-closed hour arms nothing new
+              if (!a.closed) state.setTimeoutTimestamp((a.hs + 1L) * 3600000L)
             }
             out.result().iterator
           }
