@@ -209,6 +209,25 @@ class PipelineOpsSpec extends SparkSpec {
       "kept tokens must realize the temperature-flattened mixture")
   }
 
+  test("temperature mix: a zero-token language takes rate 0 and cannot NaN-poison the rest") {
+    val docs = Seq(
+      ("en", Option((1 to 9).map(i => s"a$i").mkString(" "))),
+      ("de", Option((1 to 4).map(i => s"b$i").mkString(" "))),
+      ("xx", Option.empty[String])).toDF("lang", "text")
+    val r = TextOps.corpusMixTemperatureOf(docs).collect()
+      .map(x => x.getString(0) -> ((x.getDouble(3), x.getDouble(4), x.getDouble(5))))
+      .toMap
+    // the empty stratum is zeroed, not NaN (0/0 → NaN would propagate
+    // through max(boost) and zero EVERY language's rate)
+    assert(r("xx") === ((0.0, 0.0, 0.0)))
+    for ((lang, (tw, boost, rate)) <- r) {
+      assert(!tw.isNaN && !boost.isNaN && !rate.isNaN, s"$lang must not be NaN")
+    }
+    // the real languages keep the usual temperature shape
+    assert(r("de")._3 === 1.0, "most-boosted real language keeps everything")
+    assert(r("en")._3 > 0.0 && r("en")._3 < 1.0)
+  }
+
   test("temperature sample keeps exactly the below-threshold hashes of the derived rates") {
     val dir = Sf0001
     val P = graft.functions.TextFunctions.HashMod

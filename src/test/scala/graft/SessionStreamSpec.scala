@@ -78,6 +78,39 @@ class SessionStreamSpec extends SparkSpec {
       (3L, 1L, 4.0), (4L, 0L, 4.0), (5L, 1L, 7.0)))
   }
 
+  test("locf stream: a key resuming AFTER its timeout still emits the gap rows") {
+    import graft.streaming.StatefulOps.{LocfEv, LocfOut}
+    implicit val sqlCtx = spark.sqlContext
+    val H0 = 1699999200000L
+    def at(hour: Int) = new Timestamp(H0 + hour * 3600000L)
+    val h0 = H0 / 3600000L
+    val mem = MemoryStream[LocfEv]
+    val evs = mem.toDF()
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("ts"), col("value")).as[LocfEv]
+    val q = StatefulOps.gapfillLocfStream(evs)
+      .writeStream.outputMode("append").format("memory").queryName("locf_res").start()
+    mem.addData(LocfEv("a", at(0), 5.0))
+    q.processAllAvailable()
+    // the unrelated key advances the watermark past hour 0's end:
+    // a's open hour times out and is emitted — state must survive CLOSED
+    mem.addData(LocfEv("z", at(4), 1.0))
+    q.processAllAvailable()
+    // a resumes at hour 6: the spine owes gap rows 1..5 carrying max 5.0
+    // (the pre-fix remove-on-timeout silently dropped them)
+    mem.addData(LocfEv("a", at(6), 7.0))
+    q.processAllAvailable()
+    mem.addData(LocfEv("z", at(12), 1.0)) // flush a's hour 6 by timeout
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("locf_res").as[LocfOut].collect()
+      .filter(_.key == "a").sortBy(_.hs)
+      .map(o => (o.hs - h0, o.n_events, o.locf_max))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 5.0), (1L, 0L, 5.0), (2L, 0L, 5.0), (3L, 0L, 5.0),
+      (4L, 0L, 5.0), (5L, 0L, 5.0), (6L, 1L, 7.0)))
+  }
+
   test("gate form: streaming gap-fill ≡ batch spine + LOCF window") {
     val got = graft.operators.Sessionize.gapfillLocfStreaming(spark, Sf0001).collect()
     val want = graft.operators.Sessionize.gapfillLocf(spark, Sf0001).collect()
