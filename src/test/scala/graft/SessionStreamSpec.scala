@@ -111,6 +111,54 @@ class SessionStreamSpec extends SparkSpec {
       (4L, 0L, 5.0), (5L, 0L, 5.0), (6L, 1L, 7.0)))
   }
 
+  test("property: streaming gap-fill equals a local spine on random sequences and batch splits") {
+    import graft.streaming.StatefulOps.{LocfEv, LocfOut}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val H0 = 1699999200000L
+    var t = H0
+    // strictly increasing timestamps (so any chunking respects the 0s
+    // watermark), hour gaps up to 3h, 4 interleaved keys
+    val evs = (1 to 300).map { _ =>
+      t += 1L + rnd.nextInt(3 * 3600000)
+      LocfEv(s"k${rnd.nextInt(4)}", new Timestamp(t), rnd.nextInt(100).toDouble)
+    }
+    // local reference: per key, the dense hourly spine with LOCF max
+    val expect: Set[(String, Long, Long, Double)] = evs.groupBy(_.key).flatMap {
+      case (k, es) =>
+        val hourly = es.groupBy(e => Math.floorDiv(e.ts.getTime, 3600000L))
+          .map { case (h, xs) => h -> ((xs.size.toLong, xs.map(_.value).max)) }
+        var locf = 0.0
+        (hourly.keys.min to hourly.keys.max).map { h =>
+          hourly.get(h) match {
+            case Some((n, mx)) => locf = mx; (k, h, n, locf)
+            case None          => (k, h, 0L, locf)
+          }
+        }
+    }.toSet
+    val mem = MemoryStream[LocfEv]
+    val q = StatefulOps.gapfillLocfStream(
+        mem.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.outputMode("append").format("memory").queryName("locf_prop").start()
+    // random-size time-ordered chunks: hours, gaps, AND timeouts land on
+    // arbitrary micro-batch boundaries
+    var rest = evs
+    while (rest.nonEmpty) {
+      val k = 1 + rnd.nextInt(120)
+      mem.addData(rest.take(k): _*)
+      q.processAllAvailable()
+      rest = rest.drop(k)
+    }
+    // far-future sentinel key flushes every real key's final hour
+    mem.addData(LocfEv("zz", new Timestamp(t + 40L * 24 * 3600000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("locf_prop").as[LocfOut].collect()
+      .filter(_.key != "zz")
+      .map(o => (o.key, o.hs, o.n_events, o.locf_max)).toSet
+    assert(got === expect)
+  }
+
   test("gate form: streaming gap-fill ≡ batch spine + LOCF window") {
     val got = graft.operators.Sessionize.gapfillLocfStreaming(spark, Sf0001).collect()
     val want = graft.operators.Sessionize.gapfillLocf(spark, Sf0001).collect()
