@@ -318,6 +318,9 @@ object SparkEntry {
     // the spine emitted incrementally from O(1) open-hour state; final
     // hours flushed by event-time timeout (the session-expiry contract)
     "q29s_gapfill_locf_streaming" -> ((s, dir) => Sessionize.gapfillLocfStreaming(s, dir)),
+    // the disorder-hardened form: buffer-until-watermark over the
+    // engineered-disorder replay, same batch oracle
+    "q29o_gapfill_locf_ooo_streaming" -> ((s, dir) => Sessionize.gapfillLocfOooStreaming(s, dir)),
     // exact-decimal-moment regression/correlation (deterministic corr)
     "q30_regression_stats" -> ((s, dir) => Analytics.regressionStats(s, dir)),
     // multivariate face of q30: pairwise Pearson over hourly-count series,
@@ -2103,6 +2106,9 @@ object SparkEntry {
       // the spine is a pure function of the per-type hourly aggregate,
       // however incrementally the open-hour state emits it — same oracle
       "q29s_gapfill_locf_streaming"    -> base("q29_gapfill_locf"),
+      // the spine is a pure function of the time-sorted event list — the
+      // same batch oracle checks the ordered and disordered replays
+      "q29o_gapfill_locf_ooo_streaming" -> base("q29_gapfill_locf"),
       // the native session_window form: gap+1us makes the split predicate
       // bit-identical to the lag/running-sum construction at micros
       "q13n_sessionize_native"         -> base("q13_sessionize"),

@@ -431,12 +431,14 @@ object Sessionize {
     * watermark delay, optionally require the state-expiry witness, strip
     * the sentinel, rank per-user session ordinals. `private[graft]` so the
     * spec can replay hand-built disorder through BOTH ops. */
-  /** 0s-watermarked one-file-per-micro-batch stream over a replay dir —
-    * the common front half of every split+sentinel drain. */
-  private def replayStream(spark: SparkSession, dir: String): DataFrame =
+  /** Watermarked one-file-per-micro-batch stream over a replay dir — the
+    * common front half of every split+sentinel drain (0s delay for ordered
+    * replays; disordered replays pass a delay covering their slack). */
+  private def replayStream(spark: SparkSession, dir: String,
+                           delay: String = "0 seconds"): DataFrame =
     spark.readStream.schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", delay)
 
   /** Drain `out` to memory requiring one data micro-batch per replay file —
     * the shared gate that the split+sentinel replay genuinely exercised
@@ -712,6 +714,56 @@ object Sessionize {
               col("n_events"), col("locf_max"))
       .orderBy(col("event_type"), col("hour_start"))
   }
+
+  /** [[gapfillLocfStreaming]] hardened for OUT-OF-ORDER arrival, over the
+    * same engineered-disorder replay shape as [[sessionizeOooStreaming]]:
+    * even-id rows of a 2-hour window past the median cut ride EARLY in the
+    * first file, so the second micro-batch delivers their odd-id time
+    * neighbors late — behind hours the naive fold would already have
+    * closed — yet inside the watermark slack.
+    * [[graft.streaming.StatefulOps.gapfillLocfOooStream]] buffers until
+    * the watermark settles the order, and the UNCHANGED q29 batch oracle
+    * (the spine is a pure function of the time-sorted event list)
+    * hash-checks the result. The watermark delay covers the engineered
+    * lateness plus an hour of margin — a dropped late row would diverge
+    * from the oracle, so the margin is load-bearing. */
+  def gapfillLocfOooStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.LocfEv
+    implicit val locfEvEnc: org.apache.spark.sql.Encoder[LocfEv] =
+      org.apache.spark.sql.Encoders.product[LocfEv]
+    val slackUs = 2L * 3600L * 1000000L
+    val dir = locfOooReplayDir(spark, sfDir, slackUs)
+    val stream = replayStream(spark, dir, s"${slackUs / 1000000L + 3600L} seconds")
+      .select(col("key"), col("ts"), col("value")).as[LocfEv]
+    val filled = drainReplay(spark, dir,
+      StatefulOps.gapfillLocfOooStream(stream).toDF(),
+      "out-of-order cross-batch gap-fill and watermark-settled ordering")
+    filled.filter(!(col("key") <=> SessSentinelKey))
+      .select(col("key").as("event_type"), (col("hs") * 3600).as("hour_start"),
+              col("n_events"), col("locf_max"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /** The DISORDERED gap-fill replay ([[StatefulQueries
+    * .disorderedSplitWithSentinel]]'s contract over event_type-keyed
+    * (ts, value) rows), one cached copy per sfDir. */
+  private def locfOooReplayDir(spark: SparkSession, sfDir: String,
+                               slackUs: Long): String =
+    StatefulQueries.withNanosAsLong(spark) {
+      StatefulQueries.timeOrderedFilesCopy(spark, s"locfooo:$sfDir",
+          Seq("l0.parquet", "l1.parquet", "l2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_type").as("key"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("value"), col("event_id"))
+        def sentinel(afterUs: Long) = spark.range(1).select(
+          lit(SessSentinelKey).as("key"),
+          timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(0.0).as("value"), lit(-1L).as("event_id"))
+        StatefulQueries.disorderedSplitWithSentinel(ev, "event_id", "ts", slackUs)(sentinel)
+      }
+    }
 
   /** The split+sentinel gap-fill replay: event_type-keyed (ts, value) rows
     * cut at the median event's timestamp + the far-future sentinel — the

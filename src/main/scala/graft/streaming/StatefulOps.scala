@@ -1012,4 +1012,87 @@ object StatefulOps {
             out.result().iterator
           }
       }
+
+  /** One buffered event awaiting watermark settlement (epoch ms + value). */
+  case class LocfPendEv(ms: Long, v: Double)
+  /** OOO gap-fill state: the unsettled buffer + the open/closed hour. */
+  case class LocfOooAcc(pend: Seq[LocfPendEv], open: Option[LocfAcc])
+
+  private implicit val locfOooAccEnc: Encoder[LocfOooAcc] =
+    Encoders.product[LocfOooAcc]
+
+  /** [[gapfillLocfStream]] hardened for OUT-OF-ORDER arrival — the same
+    * buffer-until-the-watermark-settles-the-order discipline as
+    * [[sessionizeOooStream]]:
+    *
+    *  - rows at or above the watermark wait in the pend buffer (a future
+    *    row could still sort before them);
+    *  - rows strictly below it are SETTLED — every future engine-admitted
+    *    row sorts at or after the watermark, hence after them — and fold
+    *    through the ordered open/close/gap logic exactly as the ordered
+    *    form does (h can never regress: settled rows are ≥ the previous
+    *    batch's watermark, which is ≥ everything previously settled);
+    *  - the open hour closes (emits, stays as the CLOSED marker for later
+    *    gap fills) once the watermark passes its end — possibly in the
+    *    same invocation that opened it;
+    *  - `EventTimeTimeout` re-arms at whichever comes first: the open
+    *    hour's end or the earliest pending row's settlement, so the
+    *    sentinel-driven trailing batches drain everything.
+    *
+    * State is O(events within the watermark slack) per key plus the O(1)
+    * hour marker; same output contract and q29 batch oracle as the ordered
+    * form (the spine is a pure function of the time-sorted event list,
+    * which this op reconstructs exactly regardless of arrival order). */
+  def gapfillLocfOooStream(ds: Dataset[LocfEv],
+                           mode: OutputMode = OutputMode.Append()): Dataset[LocfOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[LocfOooAcc, LocfOut](mode,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[LocfOooAcc]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(LocfOooAcc(Nil, None))
+          val all = (prev.pend ++ rows.map(r => LocfPendEv(r.ts.getTime, r.value)))
+            .sortBy(e => (e.ms, e.v))
+          val (settled, pend) = all.partition(_.ms < wmMs)
+          val out = Seq.newBuilder[LocfOut]
+          var acc = prev.open
+          for (e <- settled) {
+            val h = Math.floorDiv(e.ms, 3600000L)
+            acc match {
+              case None =>
+                acc = Some(LocfAcc(h, 1L, e.v, closed = false))
+              case Some(a) if a.closed =>
+                require(h > a.hs,
+                  s"key $key: settled hour $h inside closed hour ${a.hs}")
+                var g = a.hs + 1L
+                while (g < h) { out += LocfOut(key, g, 0L, a.mx); g += 1L }
+                acc = Some(LocfAcc(h, 1L, e.v, closed = false))
+              case Some(a) if h == a.hs =>
+                acc = Some(LocfAcc(a.hs, a.n + 1L, math.max(a.mx, e.v), closed = false))
+              case Some(a) =>
+                require(h > a.hs,
+                  s"key $key: settled hour $h behind open hour ${a.hs}")
+                out += LocfOut(key, a.hs, a.n, a.mx)
+                var g = a.hs + 1L
+                while (g < h) { out += LocfOut(key, g, 0L, a.mx); g += 1L }
+                acc = Some(LocfAcc(h, 1L, e.v, closed = false))
+            }
+          }
+          // the open hour is complete once the watermark passes its end:
+          // every admitted future row lands in a strictly later hour
+          acc match {
+            case Some(a) if !a.closed && wmMs >= (a.hs + 1L) * 3600000L =>
+              out += LocfOut(key, a.hs, a.n, a.mx)
+              acc = Some(a.copy(closed = true))
+            case _ => ()
+          }
+          state.update(LocfOooAcc(pend, acc))
+          // wake at whichever settles next: the open hour's end, or the
+          // earliest pending row crossing the watermark (+1 ms ceil) —
+          // both strictly above the current watermark by construction
+          val wake = (acc.filter(!_.closed).map(a => (a.hs + 1L) * 3600000L).toSeq ++
+            pend.headOption.map(_.ms + 1L).toSeq).reduceOption((a, b) => math.min(a, b))
+          wake.foreach(state.setTimeoutTimestamp)
+          out.result().iterator
+      }
 }

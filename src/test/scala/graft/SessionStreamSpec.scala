@@ -111,6 +111,41 @@ class SessionStreamSpec extends SparkSpec {
       (4L, 0L, 5.0), (5L, 0L, 5.0), (6L, 1L, 7.0)))
   }
 
+  test("ooo gap-fill: a cross-batch late row lands in an hour the naive fold already passed") {
+    import graft.streaming.StatefulOps.{LocfEv, LocfOut}
+    implicit val sqlCtx = spark.sqlContext
+    val H0 = 1699999200000L
+    def at(hour: Int, minute: Int) = new Timestamp(H0 + hour * 3600000L + minute * 60000L)
+    val h0 = H0 / 3600000L
+    val mem = MemoryStream[LocfEv]
+    val q = StatefulOps.gapfillLocfOooStream(
+        mem.toDS().withWatermark("ts", "3 hours"))
+      .writeStream.outputMode("append").format("memory").queryName("locf_ooo").start()
+    // batch 1: a's HOUR-1 event arrives FIRST, with z@h3 advancing the
+    // watermark to h0:00 — hour 0 is still admissible but already "behind"
+    mem.addData(LocfEv("a", at(1, 10), 9.0), LocfEv("z", at(3, 0), 1.0))
+    q.processAllAvailable()
+    // batch 2: a's hour-0 event arrives LATE (within the 3h slack): the
+    // ordered fold would see the hour regress; the OOO op buffers instead
+    mem.addData(LocfEv("a", at(0, 30), 5.0))
+    q.processAllAvailable()
+    // batch 3: watermark to h6 settles and closes both hours
+    mem.addData(LocfEv("z", at(9, 0), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("locf_ooo").as[LocfOut].collect()
+      .filter(_.key == "a").sortBy(_.hs)
+      .map(o => (o.hs - h0, o.n_events, o.locf_max))
+    assert(got.toSeq === Seq((0L, 1L, 5.0), (1L, 1L, 9.0)))
+  }
+
+  test("gate form: disordered gap-fill replay ≡ batch spine + LOCF window") {
+    val got = graft.operators.Sessionize.gapfillLocfOooStreaming(spark, Sf0001).collect()
+    val want = graft.operators.Sessionize.gapfillLocf(spark, Sf0001).collect()
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("property: streaming gap-fill equals a local spine on random sequences and batch splits") {
     import graft.streaming.StatefulOps.{LocfEv, LocfOut}
     implicit val sqlCtx = spark.sqlContext
