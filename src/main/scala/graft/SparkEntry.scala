@@ -331,6 +331,9 @@ object SparkEntry {
     "chi2_type_weekday" -> ((s, dir) => Analytics.chi2TypeWeekday(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
+    // clickstream path mining: top-k length-3 type sequences, one user
+    // exchange shared by both leads, TakeOrdered top-k
+    "user_paths_top" -> ((s, dir) => Analytics.userPathsTop(s, dir)),
     // the same transitions through REAL keyed streaming state: one
     // last-event ValueState per user, sequences span the batch boundary
     "markov_transitions_streaming" -> ((s, dir) => StatefulQueries.markovTransitionsStreaming(s, dir)),
@@ -1619,6 +1622,15 @@ object SparkEntry {
         |SELECT y.event_type, y.wd, CAST(y.obs AS BIGINT) AS obs, y.exp,
         |       y.contrib, s.chi2, s.dof
         |FROM y CROSS JOIN s ORDER BY event_type, wd""".stripMargin,
+    // top-k with a deterministic path tiebreak — the LIMIT is stable
+    "user_paths_top" ->
+      """WITH s AS (SELECT event_type AS a,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c
+        | FROM events)
+        |SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+        |FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "markov_transitions" ->
       """WITH p AS (SELECT user_id, event_type AS from_type,
         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -88,6 +88,29 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** USER-PATH MINING: the top-k most frequent length-3 event-type
+    * sequences across all users — the clickstream-path generalization of
+    * [[markovTransitions]] (length-2 would be the transition matrix; the
+    * classic "user journey" report is exactly this top-k table). Two
+    * stacked `lead`s share the ONE user-keyed exchange (the funnel_steps
+    * discipline — a triple self-join would shuffle the stream three
+    * times); the path table is at most types³ rows after the map-side-
+    * combined count, and the top-k plans as TakeOrdered (per-partition
+    * k-row heaps + a driver merge), never a full sort. Ties break on the
+    * path string so the emitted k rows are deterministic. */
+  def userPathsTop(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** CROSS-SERIES CORRELATION MATRIX: Pearson correlation between every
     * pair of event types' hourly-count series, over the shared spine of
     * all active hours (a type absent from an hour contributes 0 — the

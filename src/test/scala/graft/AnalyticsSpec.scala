@@ -418,6 +418,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("user paths: top-k trigram counts equal a local recount with stable tiebreaks") {
+    val got = Analytics.userPathsTop(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // local recount: per-user (ts, event_id)-ordered type sequence trigrams
+    val seqs = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._3, e._4)).map(_._2).toSeq)
+    val counts = seqs.values.flatMap(_.sliding(3).filter(_.size == 3)
+        .map(_.mkString(">")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq === expect)
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
   test("hourly correlation matrix equals a local exact-moment recount; corr bounded") {
     val got = Analytics.corrMatrixHourly(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -493,6 +493,16 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(px).nonEmpty, px)
   }
 
+  test("user_paths_top: both leads share one user exchange; top-k is TakeOrdered") {
+    val p = plan("user_paths_top")
+    // the stacked leads must reuse the single user_id window partitioning
+    // (a triple self-join would need three), and the global top-k on the
+    // types³-sized count table must never plan a full sort
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length >= 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("mix_sample_temperature: corpus side is scan + broadcast-joined filter, no shuffle") {
     // the rate table is language-sized and must ride a broadcast; the
     // documents side contributes no exchange beyond the presentation sort
