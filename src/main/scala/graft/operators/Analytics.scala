@@ -33,12 +33,8 @@ object Analytics {
     * compute (r13 probe: width 32→8 halved every graph query at sf0.1); at
     * production scale the width follows the edge volume via config — this
     * constant is the gate-scale setting, not a claim. */
-  private def withWidth[T](spark: SparkSession, w: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, w.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+  private def withWidth[T](spark: SparkSession, w: Int)(body: => T): T =
+    StatefulQueries.withShuffleWidth(spark, w)(body)
 
   /** Fixed hour-index base (epoch hours) shared with the oracle SQL: the
     * regressor is HOURS SINCE this base, not raw epoch hours, keeping every
@@ -280,15 +276,15 @@ object Analytics {
     * [[wedgeStatsUsers]] measures exactly that gap on the user graph).
     * All joins are equi-joins on node keys; counts are exact integers.
     * The oracle states the naive canonical-edge 3-way join — same count. */
-  private def triangleCountOf(spark: SparkSession, eRaw: DataFrame): DataFrame =
-      withWidth(spark, 8) {
-    // the edge-building joins run ONCE: the canonical edge list is cached,
-    // and the ORIENTED edge table — referenced by both wedge sides and the
-    // closure — is cached too, so the degree joins run once, not thrice
-    val e = eRaw.cache()
+  /** The undirected degree table and the (degree, id)-ORIENTED edge table
+    * of a canonical (u < v) edge list — orient u→v iff (deg(u), u) <
+    * (deg(v), v). Held ONCE: [[triangleCountOf]] closes wedges over `dir`
+    * and [[wedgeStatsUsers]] measures exactly that join's row count, so a
+    * drift between two copies of the orientation rule would make the
+    * witness measure a different join than the one executed. */
+  private def orientedEdges(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient u→v iff (deg(u), u) < (deg(v), v)
     val du = deg.select(col("n").as("u"), col("d").as("du"))
     val dv = deg.select(col("n").as("v"), col("d").as("dv"))
     val dir = e.join(du, "u").join(dv, "v")
@@ -297,7 +293,16 @@ object Analytics {
                    struct(col("u").as("a"), col("v").as("b")))
                 .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .cache()
+    (deg, dir)
+  }
+
+  private def triangleCountOf(spark: SparkSession, eRaw: DataFrame): DataFrame =
+      withWidth(spark, 8) {
+    // the edge-building joins run ONCE: the canonical edge list is cached,
+    // and the ORIENTED edge table — referenced by both wedge sides and the
+    // closure — is cached too, so the degree joins run once, not thrice
+    val e = eRaw.cache()
+    val dir = orientedEdges(e)._2.cache()
     try {
       val wedges = dir.select(col("a"), col("b").as("m"))
         .join(dir.select(col("a").as("m"), col("b").as("c")), "m")
@@ -336,18 +341,10 @@ object Analytics {
   def wedgeStatsUsers(spark: SparkSession, sfDir: String): DataFrame =
       withWidth(spark, 8) {
     val e = userCoEdges(spark, sfDir).cache()
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val du = deg.select(col("n").as("u"), col("d").as("du"))
-    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    // the SAME orientation construction the triangle closure executes —
     // dir is cached: both per-node degree rollups below read it
-    val dir = e.join(du, "u").join(dv, "v")
-      .select(when(col("du") < col("dv") ||
-                   (col("du") === col("dv") && col("u") < col("v")),
-                   struct(col("u").as("a"), col("v").as("b")))
-                .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .cache()
+    val (deg, dirRaw) = orientedEdges(e)
+    val dir = dirRaw.cache()
     try {
       val naive = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("wedges_naive"),
         count(lit(1)).as("n_nodes"))
@@ -662,35 +659,43 @@ object Analytics {
         // localCheckpoint'ed outDeg measured ~2× slower per iteration)
         val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val n = nodes.count() // control-plane: node count
-        val base = 150000000L / n // 0.15 / N in ppb, integer-exact
-        val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
-        def step(ranks: DataFrame): DataFrame = {
-          val inc = edges
-            .join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outDeg, "src")
-            .select(col("dst").as("node"), expr("r div deg").as("contrib"))
-            .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
-          // eager localCheckpoint per iteration: the rank table is
-          // node-sized, and truncating its lineage keeps every iteration a
-          // shallow plan instead of one deep tree (bfsOf's measured fix)
-          val nd = nodes.join(inc, Seq("node"), "left")
-            .select(col("node"),
-                    (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
-            .localCheckpoint(true)
-          checkpointed += nd
-          // free the superseded iteration's blocks now (init is never
-          // checkpointed, so iteration 1's input is a no-op)
-          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(ranks)
-            .foreach(_.unpersist(blocking = false))
-          nd
+        // an empty corpus has no nodes and the result is empty regardless
+        // (the bfsHopsUsers guard — without it, base = 0.15/N divides by 0
+        // where the oracle yields an empty set)
+        if (n == 0) {
+          localize(spark, nodes
+            .select(col("node").as(keyName), col("node").as("rank_ppb")))
+        } else {
+          val base = 150000000L / n // 0.15 / N in ppb, integer-exact
+          val init = nodes.select(col("node"), lit(1000000000L / n).as("r"))
+          def step(ranks: DataFrame): DataFrame = {
+            val inc = edges
+              .join(ranks.withColumnRenamed("node", "src"), "src")
+              .join(outDeg, "src")
+              .select(col("dst").as("node"), expr("r div deg").as("contrib"))
+              .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
+            // eager localCheckpoint per iteration: the rank table is
+            // node-sized, and truncating its lineage keeps every iteration
+            // a shallow plan instead of one deep tree (bfsOf's measured fix)
+            val nd = nodes.join(inc, Seq("node"), "left")
+              .select(col("node"),
+                      (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
+              .localCheckpoint(true)
+            checkpointed += nd
+            // free the superseded iteration's blocks now (init is never
+            // checkpointed, so iteration 1's input is a no-op)
+            org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(ranks)
+              .foreach(_.unpersist(blocking = false))
+            nd
+          }
+          // the node-sized RESULT is collected to a LocalRelation while the
+          // edge cache is alive; later actions (Verify's write, Bench's
+          // count) read local rows, never the released edge lineage — and
+          // no cached blocks accumulate across a full Verify/Bench run
+          localize(spark, step(step(step(init)))
+            .select(col("node").as(keyName), col("r").as("rank_ppb"))
+            .orderBy(col(keyName)))
         }
-        // the node-sized RESULT is collected to a LocalRelation while the
-        // edge cache is alive; later actions (Verify's write, Bench's count)
-        // read local rows, never the released edge lineage — and no cached
-        // blocks accumulate across a full Verify/Bench run
-        localize(spark, step(step(step(init)))
-          .select(col("node").as(keyName), col("r").as("rank_ppb"))
-          .orderBy(col(keyName)))
       }
     } finally {
       edges.unpersist(blocking = false)

@@ -580,24 +580,41 @@ object StatefulQueries {
     * drained transition sink (transitions ≈ events, but the rollup is
     * types²-sized after one combine). Registered under markov_transitions'
     * oracle: streaming-stateful ≡ batch-window, hash-checked. */
+  /** The max-id/median event_id split behind the sentinel-free two-file
+    * replays (markov, attribution, TWAP): cut at mid = max(event_id)/2,
+    * empty halves dropped — a pre-filtered id space living entirely above
+    * mid legitimately yields ONE file, so callers must size their
+    * minBatches from [[replayFileCount]], never assume two (assuming two
+    * made the drain's require reject a corpus whose batch twin succeeds).
+    * Held ONCE, like the sentinel split's contract. */
+  private def medianIdSplit(ev: DataFrame): Seq[DataFrame] = {
+    val maxIdRow = ev.agg(max(col("event_id"))).head()
+    if (maxIdRow.isNullAt(0)) Seq(ev)
+    else {
+      val mid = maxIdRow.getLong(0) / 2
+      Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
+        .filter(!_.isEmpty)
+    }
+  }
+
+  /** Number of replay files actually produced into a copy dir. */
+  private def replayFileCount(dir: String): Int = {
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    try l.count().toInt finally l.close()
+  }
+
   def markovTransitionsStreaming(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.streaming.StatefulOps
     implicit val tEnc: Encoder[StatefulOps.TransEv] =
       Encoders.product[StatefulOps.TransEv]
     val copyDir = withNanosAsLong(spark) {
       timeOrderedFilesCopy(spark, s"markov:$sfDir", Seq("m0.parquet", "m1.parquet")) {
-        val ev = Tables.events(spark, sfDir)
-          .select(col("user_id"), col("event_id"), col("event_type"))
-        val maxIdRow = ev.agg(max(col("event_id"))).head()
-        if (maxIdRow.isNullAt(0)) Seq(ev)
-        else {
-          val mid = maxIdRow.getLong(0) / 2
-          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
-            .filter(!_.isEmpty)
-        }
+        medianIdSplit(Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("event_type")))
       }
     }
-    val trans = drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+    val trans = drainOrderedFiles(spark, copyDir,
+        minBatches = replayFileCount(copyDir)) { stream =>
       StatefulOps.transitionsStream(stream
         .select(col("user_id").cast("string").as("key"),
                 col("event_id").as("ord"), col("event_type").as("typ"))
@@ -629,21 +646,15 @@ object StatefulQueries {
       Encoders.product[StatefulOps.AttrEv]
     val copyDir = withNanosAsLong(spark) {
       timeOrderedFilesCopy(spark, s"attr:$sfDir", Seq("a0.parquet", "a1.parquet")) {
-        val ev = Tables.events(spark, sfDir)
+        medianIdSplit(Tables.events(spark, sfDir)
           .filter(col("event_type").isin("view", "purchase"))
           .select(col("user_id"), col("event_id"),
-                  expr("ts_ns div 1000").as("us"), col("event_type"))
-        val maxIdRow = ev.agg(max(col("event_id"))).head()
-        if (maxIdRow.isNullAt(0)) Seq(ev)
-        else {
-          val mid = maxIdRow.getLong(0) / 2
-          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
-            .filter(!_.isEmpty)
-        }
+                  expr("ts_ns div 1000").as("us"), col("event_type")))
       }
     }
     val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
-    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+    drainOrderedFiles(spark, copyDir,
+        minBatches = replayFileCount(copyDir)) { stream =>
       StatefulOps.attributionStream(stream
         .select(col("user_id").as("key"), col("event_id").as("ord"),
                 col("us"), col("event_type").as("typ"))
@@ -666,19 +677,13 @@ object StatefulQueries {
       Encoders.product[StatefulOps.LeadEv]
     val copyDir = withNanosAsLong(spark) {
       timeOrderedFilesCopy(spark, s"events-usv:$sfDir", Seq("t0.parquet", "t1.parquet")) {
-        val ev = Tables.events(spark, sfDir)
+        medianIdSplit(Tables.events(spark, sfDir)
           .select(col("event_type"), col("event_id"),
-                  expr("ts_ns div 1000").as("us"), col("value"))
-        val maxIdRow = ev.agg(max(col("event_id"))).head()
-        if (maxIdRow.isNullAt(0)) Seq(ev)
-        else {
-          val mid = maxIdRow.getLong(0) / 2
-          Seq(ev.filter(col("event_id") <= mid), ev.filter(col("event_id") > mid))
-            .filter(!_.isEmpty)
-        }
+                  expr("ts_ns div 1000").as("us"), col("value")))
       }
     }
-    val ivs = drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+    val ivs = drainOrderedFiles(spark, copyDir,
+        minBatches = replayFileCount(copyDir)) { stream =>
       StatefulOps.leadIntervalsStream(stream
         .select(col("event_type").as("key"), col("event_id").as("ord"),
                 col("us"), col("value").as("v"))

@@ -138,6 +138,16 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got === Seq(("a", 5.0), ("b", 3.0), ("a", 5.0), ("b", 9.0), ("a", 7.0)))
   }
 
+  test("gate form: TWAP through streaming interval state ≡ batch lead-window TWAP") {
+    // the one registered streaming twin that had no spec of its own: the
+    // two-file replay's intervals span the batch boundary in state, and
+    // the decimal rollup must land bit-identically on the batch result
+    val got = graft.operators.StatefulQueries.twapByTypeStreaming(spark, Sf0001).collect()
+    val want = graft.operators.Sessionize.twapByType(spark, Sf0001).collect()
+    assert(got.length === want.length && got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("attribution: a purchase attributes a view held in state from an earlier batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[AttrEv]
