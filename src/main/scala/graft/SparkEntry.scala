@@ -166,6 +166,15 @@ object SparkEntry {
     // retrieval-based selection: BM25-shaped (rational, log-free) ranking
     // against a derived seed-query term set
     "bm25_topdocs"     -> ((s, dir) => TextOps.bm25TopDocs(s, dir)),
+    // collocation mining: top-k PMI-ranked adjacent token pairs (log-free
+    // rational score), min-count pruned before the unigram joins
+    "pmi_bigrams"      -> ((s, dir) => TextOps.pmiBigrams(s, dir)),
+    // sparse tf-idf cosine top-k document pairs over a df-capped inverted
+    // index — the lexical complement to the dense ANN family
+    "doc_sim_sparse_topk" -> ((s, dir) => TextOps.docSimSparseTopK(s, dir)),
+    // per-source lexical diversity: type-token ratio + Simpson index
+    // (the log-free entropy surrogate — exact longs, two final double ops)
+    "token_diversity_by_source" -> ((s, dir) => TextOps.tokenDiversityBySource(s, dir)),
     "winnow_fingerprints" -> ((s, dir) => TextOps.winnowFingerprints(s, dir)),
     "vocab_topk"       -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     // the same top-k through a mergeable Misra-Gries heavy-hitters sketch
@@ -310,6 +319,9 @@ object SparkEntry {
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
     // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
     "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
+    // robust outlier days: median/MAD per type over exact daily totals —
+    // the distribution-free twin of q12a's mean/stddev z-score
+    "mad_anomaly_daily" -> ((s, dir) => Analytics.madAnomalyDaily(s, dir)),
     // native sliding (hopping) windows: 1h window / 30min slide
     "q12w_sliding_halfhour" -> ((s, dir) => Sessionize.slidingHalfHour(s, dir)),
     "q12ws_sliding_streaming" -> ((s, dir) => Sessionize.slidingHalfHourStream(s, dir)),
@@ -452,6 +464,9 @@ object SparkEntry {
     // windowed frame energy (Σv, Σv², peak per 32-sample frame) — the
     // VAD/silence-trim stand-in, integer-exact so the oracle hashes it
     "mm_audio_energy" -> ((s, dir) => Multimodal.audioEnergy(s, dir)),
+    // shot-boundary detection: exact integer SAD per adjacent frame pair,
+    // cut-flagged against a per-pixel threshold
+    "mm_video_scene_change" -> ((s, dir) => Multimodal.videoSceneChanges(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -898,6 +913,69 @@ object SparkEntry {
          | JOIN dfq USING (th) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
          |SELECT doc_id, CAST(SUM(CAST(idf * tfn AS DECIMAL(28,12))) AS DOUBLE) AS score
          |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // log-free rational PMI: three correctly-rounded double ops over exact
+    // longs, same parenthesization as the Spark side
+    "pmi_bigrams" ->
+      s"""WITH t AS (SELECT $tokenHashesSql AS ths FROM documents),
+         |u AS (SELECT th, CAST(count(*) AS BIGINT) AS uc
+         |      FROM (SELECT unnest(ths) AS th FROM t) GROUP BY th),
+         |ntok AS (SELECT CAST(sum(uc) AS BIGINT) AS n_tok FROM u),
+         |p0 AS (SELECT unnest(list_zip(ths[1:len(ths)-1], ths[2:len(ths)])) AS pr
+         |       FROM t WHERE len(ths) >= 2),
+         |b AS (SELECT struct_extract(pr, 1) AS t1, struct_extract(pr, 2) AS t2,
+         |       CAST(count(*) AS BIGINT) AS bc
+         |      FROM p0 GROUP BY 1, 2),
+         |npair AS (SELECT CAST(sum(bc) AS BIGINT) AS n_pair FROM b),
+         |s AS (SELECT b.t1, b.t2, b.bc, u1.uc AS uc1, u2.uc AS uc2,
+         |       CAST(b.bc AS DOUBLE) * n_tok * n_tok
+         |         / (CAST(n_pair AS DOUBLE) * u1.uc * u2.uc) AS score
+         |      FROM b JOIN u u1 ON b.t1 = u1.th JOIN u u2 ON b.t2 = u2.th
+         |           CROSS JOIN ntok CROSS JOIN npair
+         |      WHERE b.bc >= 5)
+         |SELECT t1, t2, bc, uc1, uc2, score FROM s
+         |ORDER BY score DESC, t1, t2 LIMIT 50""".stripMargin,
+    // capped-inverted-index cosine; decimal-exact dot/norm sums, doubles
+    // only at the final sqrt/divide (same policy as bm25)
+    "doc_sim_sparse_topk" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(ths)-1),
+         |        i -> ((ths[i]*31 + ths[i+1]) % $P * 31 + ths[i+2]) % $P)) AS th
+         |       FROM t),
+         |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY doc_id, th),
+         |dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
+         |dfc AS (SELECT th, df FROM dfq WHERE df >= 2 AND df <= 100),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tfw AS (SELECT tf.doc_id, tf.th,
+         |         tf.tf * ((n.n_docs * 1000) // dfc.df) AS w
+         |        FROM tf JOIN dfc USING (th) CROSS JOIN n),
+         |nrm AS (SELECT doc_id,
+         |         sqrt(${dd("sum(CAST(w * w AS DECIMAL(38,0)))")}) AS norm
+         |        FROM tfw GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          ${dd("sum(CAST(a.w * b.w AS DECIMAL(38,0)))")} AS dot
+         |         FROM tfw a JOIN tfw b
+         |           ON a.th = b.th AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_a, d.doc_b, d.dot,
+         |  d.dot / (na.norm * nb.norm) AS cosine
+         |FROM dots d JOIN nrm na ON d.doc_a = na.doc_id
+         |            JOIN nrm nb ON d.doc_b = nb.doc_id
+         |ORDER BY cosine DESC, d.doc_a, d.doc_b LIMIT 20""".stripMargin,
+    // Simpson diversity: exact longs until the two final double ops, same
+    // association as the Spark side
+    "token_diversity_by_source" ->
+      s"""WITH tk AS (SELECT source, unnest($tokenHashesSql) AS th FROM documents),
+         |c AS (SELECT source, th, CAST(count(*) AS BIGINT) AS c
+         |      FROM tk GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       CAST(sum(c*c) AS BIGINT) AS sumsq
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_tokens, n_distinct, sumsq,
+         | CAST(n_distinct AS DOUBLE)/n_tokens AS ttr,
+         | 1.0 - CAST(sumsq AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*n_tokens) AS simpson
+         |FROM a ORDER BY source""".stripMargin,
     // integer-exact until the two final divisions of exact longs — order-free
     "token_rarity" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
@@ -1534,6 +1612,22 @@ object SparkEntry {
          | CAST((h.cnt*s.n_hours - s.sum_cnt)*(h.cnt*s.n_hours - s.sum_cnt)
          |       > 4*(s.n_hours*s.sumsq_cnt - s.sum_cnt*s.sum_cnt) AS BIGINT) AS is_spike
          |FROM h JOIN s USING (event_type) ORDER BY event_type, hour_start""".stripMargin,
+    // median/MAD outlier days: exact decimal daily totals cross to double
+    // once; quantile_cont's interpolation is pinned to Spark `percentile`
+    // by q33's gate; strict > on identically-derived doubles
+    "mad_anomaly_daily" ->
+      s"""WITH d AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+         |       ${dd("sum(CAST(value AS DECIMAL(18,2)))")} AS total
+         |      FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, quantile_cont(total, 0.5) AS med FROM d GROUP BY 1),
+         |v AS (SELECT d.event_type, d.day, d.total, m.med,
+         |       abs(d.total - m.med) AS dev
+         |      FROM d JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM v GROUP BY 1)
+         |SELECT v.event_type, v.day, v.total, v.med, md.mad, v.dev
+         |FROM v JOIN md USING (event_type)
+         |WHERE v.dev > 3.0 * md.mad
+         |ORDER BY v.event_type, v.day""".stripMargin,
     // each event belongs to exactly 2 hopping windows: starts at the two
     // slide-aligned (30 min) boundaries covering it
     "q12w_sliding_halfhour" ->
@@ -2291,7 +2385,22 @@ object SparkEntry {
          | CAST(list_aggregate(vs, 'sum') AS BIGINT) AS sum_v,
          | CAST(list_aggregate(list_transform(vs, v -> v*v), 'sum') AS BIGINT) AS energy,
          | CAST(list_aggregate(vs, 'max') AS BIGINT) AS peak
-         |FROM fr ORDER BY media_id, win_idx""".stripMargin)
+         |FROM fr ORDER BY media_id, win_idx""".stripMargin,
+    "mm_video_scene_change" ->
+      // adjacent-frame SAD: |byteAt(f,j) - byteAt(f-1,j)| summed over the
+      // frame's pixels; frame_idx = the SECOND frame of the pair
+      s"""WITH $mmParamsCte,
+         |fr AS (SELECT doc_id, CAST(r.range AS BIGINT) AS f,
+         |   CAST(vw*vh*3 AS BIGINT) AS npix,
+         |   CAST(list_aggregate(list_transform(range(vw*vh*3),
+         |     j -> abs(((doc_id % 1000003)*31 + r.range*97 + j) % 256
+         |            - ((doc_id % 1000003)*31 + (r.range-1)*97 + j) % 256)),
+         |     'sum') AS BIGINT) AS sad
+         | FROM mp, range(8) r
+         | WHERE kindn = 2 AND r.range >= 1 AND r.range < nf)
+         |SELECT doc_id AS media_id, f AS frame_idx, npix AS n_pixels, sad,
+         | CAST(sad > npix * 120 AS BIGINT) AS is_cut
+         |FROM fr ORDER BY media_id, frame_idx""".stripMargin)
 
   // ---- DuckDB SQL macros mirroring graft.functions.TextFunctions exactly ----
 

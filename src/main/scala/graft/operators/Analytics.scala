@@ -784,4 +784,43 @@ object Analytics {
       .toDF("event_type", "rn", "event_id", "h")
       .orderBy(col("event_type"), col("rn"))
   }
+
+  /** Robust outlier days via MEDIAN / MAD (median absolute deviation) —
+    * the distribution-free complement to q12a's mean/stddev z-score: a
+    * single broken day cannot drag the center the way it drags a mean, so
+    * the detector still fires when a quarter of the days are bad. Flags
+    * days whose daily total deviates from the per-type median by more than
+    * `k`× the MAD.
+    *
+    * Numerics: daily totals are exact DECIMAL(18,2) sums crossed to double
+    * once (correctly rounded); both medians use the sort-based exact
+    * `percentile` whose linear interpolation is pinned bit-identical to
+    * `quantile_cont` by q33's gate; the flag is a strict `>` on
+    * identically-derived doubles.
+    *
+    * Scale shape: ONE corpus-sized map-side-combinable groupBy collapses
+    * events to a (types × days) table; both medians are then WINDOW
+    * aggregates over that bounded frame sharing a single event_type
+    * exchange — no joins, and the corpus is scanned exactly once (the
+    * join formulation inlined the daily aggregate into four scans).
+    * The `percentile` buffer is bounded by distinct daily totals per
+    * type (≤ days), never by event rows. */
+  def madAnomalyDaily(spark: SparkSession, sfDir: String,
+                      k: Double = 3.0): DataFrame = {
+    val DayNs = 86400000000000L
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total_dec"))
+      .select(col("event_type"), col("day"),
+              col("total_dec").cast("double").as("total"))
+      .withColumn("med",
+        expr("percentile(total, 0.5D) OVER (PARTITION BY event_type)"))
+      .withColumn("dev", abs(col("total") - col("med")))
+      .withColumn("mad",
+        expr("percentile(dev, 0.5D) OVER (PARTITION BY event_type)"))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("day"), col("total"),
+              col("med"), col("mad"), col("dev"))
+      .orderBy(col("event_type"), col("day"))
+  }
 }

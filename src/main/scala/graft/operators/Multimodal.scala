@@ -269,6 +269,43 @@ object Multimodal {
         }
       }
 
+  case class SceneCutRow(media_id: Long, frame_idx: Long, n_pixels: Long,
+                         sad: Long, is_cut: Long)
+  private implicit val sceneCutEnc: Encoder[SceneCutRow] =
+    Encoders.product[SceneCutRow]
+
+  /** SCENE-CHANGE detection over the video containers: per adjacent frame
+    * pair, the exact integer sum of absolute pixel differences (SAD — the
+    * standard shot-boundary statistic), flagged as a cut when it exceeds
+    * `perPixelThreshold` per pixel. Real pipelines run exactly this pass to
+    * pick representative frames and split shots before captioning; keeping
+    * the statistic integer-exact (not a float MSE) is what lets the
+    * closed-form oracle hash the whole table.
+    *
+    * `frame_idx` is the SECOND frame of the pair (the frame where the cut
+    * lands), so downstream splitting can cut before it. Per-row work is
+    * bounded by the container (frames × pixels); decode via
+    * `mapPartitions` — consecutive frames must be decoded together, which
+    * is precisely what a per-frame UDF cannot see. */
+  def sceneChanges(spark: SparkSession, sfDir: String,
+                   perPixelThreshold: Long = 120L): Dataset[SceneCutRow] =
+    mediaTable(spark, sfDir).filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { m =>
+          val frames = VideoContainer.decode(m.content)
+            .map(png => PngCodec.decode(png).pixels.map(_ & 0xff))
+          frames.iterator.sliding(2).withPartial(false).zipWithIndex.map {
+            case (pair, i) =>
+              val (a, b) = (pair(0), pair(1))
+              var sad = 0L
+              var j = 0
+              while (j < a.length) { sad += math.abs(b(j) - a(j)); j += 1 }
+              SceneCutRow(m.media_id, (i + 1).toLong, a.length.toLong, sad,
+                if (sad > a.length.toLong * perPixelThreshold) 1L else 0L)
+          }
+        }
+      }
+
   /** The stages as registered queries (ordering fixed for the oracle). */
   def mediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     decodeMeta(spark, sfDir).toDF().orderBy(col("media_id"))
@@ -295,4 +332,8 @@ object Multimodal {
   def audioEnergy(spark: SparkSession, sfDir: String): DataFrame =
     audioEnergyWindows(spark, sfDir).toDF()
       .orderBy(col("media_id"), col("win_idx"))
+
+  def videoSceneChanges(spark: SparkSession, sfDir: String): DataFrame =
+    sceneChanges(spark, sfDir).toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
 }

@@ -985,6 +985,154 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus collocation mining: the top-k adjacent token pairs by pointwise
+    * mutual information, the classic phrase-detection pass (word2vec's
+    * phrase pre-join, Gensim `Phrases`) that decides which bigrams become
+    * single vocabulary units before tokenizer training. The score is the
+    * LOG-FREE rational `p(ab) / (p(a)·p(b))` = `bc·N²tok / (Npair·uc₁·uc₂)`
+    * — `ln` is monotone, so the induced ranking is exactly PMI's (the
+    * [[tfidfTopTermsOf]] precedent), and the value is three
+    * correctly-rounded double ops over exact longs, bit-identical in any
+    * engine. `minCount` (the standard PMI reliability floor) is applied to
+    * the bigram counts BEFORE the unigram joins, so the joined stream is
+    * the frequent-bigram table, not the quadratically-larger raw one.
+    *
+    * Shuffle shape: one explode+groupBy for unigrams (vocab-sized result),
+    * one pair-explode+groupBy for bigrams (partial aggregation absorbs the
+    * Zipfian head), two token-keyed joins of the count-pruned bigram table
+    * against the unigram table (vocab-bounded — planner picks broadcast vs
+    * shuffle), and a final global top-k. Both corpus totals fold out of
+    * one extra pass over the per-doc lengths (a 1-row broadcast); the
+    * three passes share one materialized scan spread via AQE exchange
+    * reuse. */
+  def pmiBigrams(spark: SparkSession, sfDir: String,
+                 minCount: Long = 5L, k: Int = 50): DataFrame =
+    pmiBigramsOf(documentsFor(spark, sfDir), minCount, k)
+
+  def pmiBigramsOf(d: DataFrame, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val t = d.select(tokenHashes(col("text")).as("ths"))
+    val uni = t.select(explode(col("ths")).as("th"))
+      .groupBy(col("th")).agg(count(lit(1)).cast("long").as("uc"))
+    val bi = t.filter(size(col("ths")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ths)-2), i -> struct(ths[i] AS t1, ths[i+1] AS t2))")).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).cast("long").as("bc"))
+    // both totals fold out of ONE pass over the per-doc lengths (Σ len and
+    // Σ max(len-1, 0) ARE the unigram and adjacent-pair totals) — deriving
+    // them from the uni/bi aggregates would inline each aggregate subplan a
+    // second time, i.e. two more corpus scans for two scalars
+    val totals = t.agg(
+      sum(size(col("ths")).cast("long")).as("n_tok"),
+      sum(greatest(size(col("ths")) - 1, lit(0)).cast("long")).as("n_pair"))
+    bi.filter(col("bc") >= minCount)
+      .join(uni.select(col("th").as("t1"), col("uc").as("uc1")), "t1")
+      .join(uni.select(col("th").as("t2"), col("uc").as("uc2")), "t2")
+      .crossJoin(broadcast(totals))
+      .withColumn("score",
+        col("bc").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_pair").cast("double") * col("uc1") * col("uc2")))
+      .select(col("t1"), col("t2"), col("bc"), col("uc1"), col("uc2"), col("score"))
+      .orderBy(col("score").desc, col("t1"), col("t2")).limit(k)
+  }
+
+  /** Sparse-vector document similarity: the top-k most-similar document
+    * PAIRS by tf-idf cosine, computed through a DF-CAPPED inverted index —
+    * the sparse/lexical complement to the dense-embedding ANN family
+    * ([[Similarity]]): near-dup detection that needs no embedding model.
+    * The indexed term is the word-3-GRAM SHINGLE hash, not the unigram:
+    * shingles are the unit that witnesses shared phrasing (the
+    * [[Dedup.ngramJaccardOf]] unit), and their combinatorial vocabulary
+    * keeps the vector space sparse even over a small word vocabulary.
+    *
+    * The index keeps only terms with `2 <= df <= dfCap`: df=1 terms cannot
+    * co-occur (dead weight), and a term in more than `dfCap` documents is
+    * boilerplate vocabulary that would fan the posting-list self-join out
+    * by df² while contributing the least idf mass — the same
+    * cap-before-pair-generation rule as [[Dedup]]'s LSH bucket cap, and
+    * what makes the join output linear in corpus size (≤ dfCap·|vocab|
+    * pairs) instead of quadratic. Weights and norms live in the SAME
+    * capped space on both sides of the cosine, so the metric is exact over
+    * the pruned vocabulary.
+    *
+    * Numerics: the idf is QUANTIZED to the integer `(N·1000) div df` (the
+    * ppm-quantization rule of [[lmBigramScoreSketch]]), so every weight
+    * `tf·idfq` is an exact long and dot products / squared norms are
+    * order-free integer sums (DECIMAL(38,0) accumulators); doubles appear
+    * only at the final sqrt/divide, which are single correctly-rounded
+    * ops. A DECIMAL(28,12) float-product sum was tried first and is
+    * UNSOUND here: for products above ~1e5 the 12th fractional digit lies
+    * beyond double's 17 significant digits, where Spark's shortest-string
+    * BigDecimal cast and an exact-binary-expansion cast legitimately
+    * disagree — quantization removes the ambiguity instead of hiding it.
+    *
+    * Shuffle shape: tf groupBy (doc,term), df groupBy term, one term-keyed
+    * join to weight, one doc-keyed groupBy for norms, the capped
+    * term-keyed self-join, one pair groupBy, and a global top-k. */
+  def docSimSparseTopK(spark: SparkSession, sfDir: String,
+                       dfCap: Long = 100L, k: Int = 20): DataFrame =
+    docSimSparseTopKOf(documentsFor(spark, sfDir), dfCap, k)
+
+  def docSimSparseTopKOf(d: DataFrame, dfCap: Long = 100L,
+                         k: Int = 20): DataFrame = {
+    val docs = d.select(col("doc_id"), col("text"))
+    val tf = docs.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("th"))
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val tfw = tf.join(dfreq, "th").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("th"),
+        (col("tf") * expr("(n_docs * 1000L) div df")).as("w"))
+    val norms = tfw
+      .select(col("doc_id"), (col("w") * col("w")).cast("decimal(38,0)").as("w2"))
+      .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2"))
+      .select(col("doc_id"), sqrt(col("n2").cast("double")).as("norm"))
+    val dots = tfw.as("a").join(tfw.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.w") * col("b.w")).cast("decimal(38,0)").as("p"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("p")).as("dotx"))
+      .select(col("doc_a"), col("doc_b"), col("dotx").cast("double").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm").as("norm_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm").as("norm_b")), "doc_b")
+      .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
+      .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b")).limit(k)
+  }
+
+  /** Lexical DIVERSITY per corpus source — the curation dashboard numbers
+    * that catch a source collapsing into boilerplate: type-token ratio
+    * (V/N) and Simpson diversity (1 − Σc²/N², the probability two random
+    * tokens differ). Simpson is the ENTROPY stand-in chosen deliberately:
+    * Shannon's Σp·ln p needs a libm `ln` whose last ulp varies across
+    * engines, while Simpson is exact longs until two final
+    * correctly-rounded double ops — the same monotone-surrogate move as
+    * tfidf's log-free idf (both indices rank sources identically for the
+    * decisions this feeds).
+    *
+    * Scale shape: two map-side-combinable groupBys — (source, token)
+    * counts, then per-source moments; result is source-cardinality. The
+    * Zipfian token head is absorbed by partial aggregation exactly as in
+    * [[vocabTopK]]. */
+  def tokenDiversityBySource(spark: SparkSession, sfDir: String): DataFrame =
+    tokenDiversityBySourceOf(
+      Tables.documents(spark, sfDir).select(col("source"), col("text")))
+
+  def tokenDiversityBySourceOf(d: DataFrame): DataFrame =
+    d.select(col("source"), explode(tokenHashes(col("text"))).as("th"))
+      .groupBy(col("source"), col("th")).agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("source")).agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("c") * col("c")).cast("long").as("sumsq"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"), col("sumsq"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        (lit(1.0) - col("sumsq").cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens"))).as("simpson"))
+      .orderBy(col("source"))
+
   def winnowFingerprintsOf(d: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     // native one-pass deque kernel (codegen'd) — the HOF formulation
     // (array_distinct over per-window array_min slices) is interpreted and

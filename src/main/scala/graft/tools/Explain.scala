@@ -15,7 +15,15 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
       println(s"========== $name ==========")
-      graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      // "run:<name>" executes the query first and prints the FINAL adaptive
+      // plan (ReusedExchange nodes only appear after AQE materialization)
+      if (name.startsWith("run:")) {
+        val df = graft.SparkEntry.queries(name.stripPrefix("run:"))(spark, sfDir)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else {
+        graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
     }
     spark.stop()
   }

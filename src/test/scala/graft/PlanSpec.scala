@@ -511,4 +511,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert("Exchange rangepartitioning".r.findAllIn(p).length === 1, p)
   }
+
+  test("pmi_bigrams: min-count prunes BELOW the unigram joins; top-k is TakeOrdered") {
+    val p = plan("pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the 1-row totals ride broadcast nested loops, never a cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    // the bc >= 5 reliability floor must filter the bigram aggregate before
+    // any join sees it — joining the raw bigram table would shuffle the
+    // quadratically-larger unpruned stream
+    assert("Filter \\(bc#\\d+L >= 5\\)".r.findAllIn(p).nonEmpty
+      || p.contains(">= 5"), p)
+  }
+
+  test("mad_anomaly_daily: one corpus scan; both medians share one type exchange") {
+    val p = plan("mad_anomaly_daily")
+    // the join formulation inlined the daily aggregate into FOUR corpus
+    // scans; the window formulation is the pin: a single scan, the daily
+    // groupBy exchange, one event_type exchange under BOTH Window nodes,
+    // and the presentation sort — nothing else
+    assert("Scan parquet".r.findAllIn(p).length === 1, p)
+    assert("\\bWindow\\b".r.findAllIn(p).length === 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("doc_sim_sparse_topk: AQE collapses the three tf passes to one; no cartesian") {
+    // the tf/weight subplan feeds norms and both self-join sides; the
+    // static plan inlines it three times, and the SCALE property is that
+    // adaptive execution reuses one materialized exchange for all three.
+    // Execute at sf0.001 and pin the FINAL plan: at most 3 corpus scans
+    // (tf once + the n_docs count + one inlined copy the reuse rule keeps)
+    // and at least one ReusedExchange.
+    val df = SparkEntry.queries("doc_sim_sparse_topk")(spark, Sf0001)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), fin)
+    assert("FileScan parquet".r.findAllIn(fin).length <= 3, fin)
+    assert(fin.contains("ReusedExchange"), fin)
+    assert(fin.contains("TakeOrderedAndProject"), fin)
+  }
 }
