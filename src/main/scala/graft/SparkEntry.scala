@@ -447,6 +447,9 @@ object SparkEntry {
     // CDC change log -> SCD2 validity intervals (lead over user history)
     "scd2_user_values" -> ((s, dir) => Relational.scd2UserValues(s, dir)),
     "q23_interval_join"    -> ((s, dir) => Sessionize.intervalPairCounts(s, dir)),
+    // non-equi banding join: irregular [lo,hi) price bands ride a
+    // broadcast nested loop — the rate-card/bracket dimension-lookup class
+    "q34_band_join"        -> ((s, dir) => Relational.bandJoin(s, dir)),
     // q23 as a watermarked STREAM-STREAM join through the micro-batch engine
     "q23ss_interval_join_streaming" -> ((s, dir) => StatefulQueries.intervalJoinStreaming(s, dir)),
     // its LEFT OUTER twin: zero-pair users null-padded at state eviction
@@ -467,6 +470,9 @@ object SparkEntry {
     // shot-boundary detection: exact integer SAD per adjacent frame pair,
     // cut-flagged against a per-pixel threshold
     "mm_video_scene_change" -> ((s, dir) => Multimodal.videoSceneChanges(s, dir)),
+    // VAD decision stage: lead/tail silence trim spans from the windowed
+    // energy features — one conditional-extrema aggregate per clip
+    "mm_audio_trim" -> ((s, dir) => Multimodal.audioTrimSpans(s, dir)),
   )
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,4))"
@@ -2151,6 +2157,18 @@ object SparkEntry {
         | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |   AS valid_to_us
         |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    // disjoint bands tiling [0, inf): n_rows sums to the lineitem count
+    "q34_band_join" ->
+      s"""WITH bands(band_id, band, lo, hi) AS (VALUES
+         |  (0, 'micro', 0.0, 2000.0), (1, 'small', 2000.0, 15000.0),
+         |  (2, 'mid', 15000.0, 40000.0), (3, 'large', 40000.0, 75000.0),
+         |  (4, 'jumbo', 75000.0, 1.7976931348623157e308))
+         |SELECT CAST(band_id AS BIGINT) AS band_id, band,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | ${dd("sum(CAST(l_extendedprice AS DECIMAL(18,4)))")} AS sum_price
+         |FROM lineitem JOIN bands
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY 1, 2 ORDER BY band_id""".stripMargin,
     "q23_interval_join" ->
       """SELECT a.user_id, count(*) AS n_pairs
         |FROM events a JOIN events b ON a.user_id = b.user_id
@@ -2386,6 +2404,27 @@ object SparkEntry {
          | CAST(list_aggregate(list_transform(vs, v -> v*v), 'sum') AS BIGINT) AS energy,
          | CAST(list_aggregate(vs, 'max') AS BIGINT) AS peak
          |FROM fr ORDER BY media_id, win_idx""".stripMargin,
+    "mm_audio_trim" ->
+      // first/last window with energy >= 300000 over the same synthesized
+      // 32-sample frames as mm_audio_energy; all-silent -> -1 sentinels
+      s"""WITH $mmParamsCte,
+         |au AS (SELECT doc_id, asamp FROM mp WHERE kindn = 1),
+         |fr AS (SELECT doc_id, CAST(w.range AS BIGINT) AS win_idx,
+         |   list_transform(range(32), j -> CAST(
+         |     ((doc_id % 1000003)*31 + (w.range*32 + j)) % 256 AS BIGINT)) AS vs
+         | FROM au, range(18) w WHERE w.range < asamp // 32),
+         |en AS (SELECT doc_id, win_idx,
+         |   CAST(list_aggregate(list_transform(vs, v -> v*v), 'sum') AS BIGINT) AS energy
+         | FROM fr),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |   coalesce(min(CASE WHEN energy >= 300000 THEN win_idx END), -1) AS fv,
+         |   coalesce(max(CASE WHEN energy >= 300000 THEN win_idx END), -1) AS lv
+         | FROM en GROUP BY 1)
+         |SELECT doc_id AS media_id, n_windows,
+         | CAST(fv AS BIGINT) AS first_voiced, CAST(lv AS BIGINT) AS last_voiced,
+         | CAST(CASE WHEN fv = -1 THEN n_windows ELSE fv END AS BIGINT) AS n_lead_trim,
+         | CAST(CASE WHEN lv = -1 THEN 0 ELSE n_windows - 1 - lv END AS BIGINT) AS n_tail_trim
+         |FROM a ORDER BY media_id""".stripMargin,
     "mm_video_scene_change" ->
       // adjacent-frame SAD: |byteAt(f,j) - byteAt(f-1,j)| summed over the
       // frame's pixels; frame_idx = the SECOND frame of the pair

@@ -269,6 +269,30 @@ object Multimodal {
         }
       }
 
+  /** SILENCE-TRIM spans composed over [[audioEnergyWindows]] — the
+    * decision stage a VAD feeds: per audio clip, the first/last window
+    * whose energy clears `threshold` and the resulting lead/tail trim
+    * counts (all-silent clips trim everything: first/last = −1, lead =
+    * n_windows). One media-keyed aggregate over the window features — the
+    * conditional-extrema shape, no sort, no self-join; at 100 TB the
+    * feature stream never re-materializes per decision. */
+  def audioTrimSpans(spark: SparkSession, sfDir: String,
+                     win: Int = 32, threshold: Long = 300000L): DataFrame = {
+    val voicedIdx = when(col("energy") >= threshold, col("win_idx"))
+    audioEnergyWindows(spark, sfDir, win).toDF()
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(min(voicedIdx), lit(-1L)).as("first_voiced"),
+        coalesce(max(voicedIdx), lit(-1L)).as("last_voiced"))
+      .select(col("media_id"), col("n_windows"),
+        col("first_voiced"), col("last_voiced"),
+        when(col("first_voiced") === -1L, col("n_windows"))
+          .otherwise(col("first_voiced")).as("n_lead_trim"),
+        when(col("last_voiced") === -1L, lit(0L))
+          .otherwise(col("n_windows") - 1L - col("last_voiced")).as("n_tail_trim"))
+      .orderBy(col("media_id"))
+  }
+
   case class SceneCutRow(media_id: Long, frame_idx: Long, n_pixels: Long,
                          sad: Long, is_cut: Long)
   private implicit val sceneCutEnc: Encoder[SceneCutRow] =

@@ -174,6 +174,38 @@ object Relational {
         .cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Non-equi BANDING join: each lineitem priced into an IRREGULAR price
+    * band from a small dimension of [lo, hi) ranges — the dimension-lookup
+    * class (rate cards, tax brackets, risk tiers) that no equi-join can
+    * express. The band table rides a BROADCAST nested-loop join: with B
+    * bands each row evaluates ≤ B range predicates map-side and NOTHING
+    * shuffles until the band-sized aggregate — the only sane plan when the
+    * probe side is 100 TB and the build side is rows-you-can-print. For
+    * dimension tables too big to scan per row the scale path is
+    * interval-tree / sorted-bound binary search (bucketize + equi-join);
+    * for REGULAR widths `width_bucket` (q32) is the closed form. Bands
+    * here tile [0, ∞) disjointly, so the join is also a cardinality
+    * witness: output rows = probe rows, pinned by n_rows summing to the
+    * lineitem count in the oracle. */
+  def bandJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val bands = Seq(
+      (0L, "micro", 0.0, 2000.0),
+      (1L, "small", 2000.0, 15000.0),
+      (2L, "mid", 15000.0, 40000.0),
+      (3L, "large", 40000.0, 75000.0),
+      (4L, "jumbo", 75000.0, Double.MaxValue)
+    ).toDF("band_id", "band", "lo", "hi")
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_id"), col("band"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy(col("band_id"))
+  }
+
   /** Order-priority counts with a semi-join (EXISTS) against lineitem:
     * exercises left-semi planning; count-distinct-free so it stays one pass. */
   def orderPriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -512,6 +512,16 @@ class PlanSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).length === 1, p)
   }
 
+  test("q34_band_join: the band dimension rides a broadcast nested loop; agg partials map-side") {
+    val p = plan("q34_band_join")
+    // a non-equi join against a printable dimension must broadcast-NL with
+    // the fact side streamed — a shuffled or cartesian plan means the 100 TB
+    // probe side moved for a 5-row build side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert("partial_count".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("pmi_bigrams: min-count prunes BELOW the unigram joins; top-k is TakeOrdered") {
     val p = plan("pmi_bigrams")
     assert(p.contains("TakeOrderedAndProject"), p)
