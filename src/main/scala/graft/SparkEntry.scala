@@ -317,6 +317,10 @@ object SparkEntry {
     // full-outer join — merge ≡ recompute, bit-for-bit (decimal partials)
     "q12i_tumbling_incremental" -> ((s, dir) => Sessionize.tumblingHourlyIncremental(s, dir)),
     "q12s_tumbling_streaming" -> ((s, dir) => Sessionize.tumblingHourlyStream(s, dir)),
+    // update-mode foreachBatch into an idempotent batch-id parquet journal
+    // (the exactly-once recipe for non-transactional sinks), compacted
+    // newest-wins — the sink-side streaming witness
+    "q12fb_tumbling_foreachbatch" -> ((s, dir) => Sessionize.tumblingHourlyForeachBatch(s, dir)),
     // per-type hourly volume anomaly: integer-exact |z|>2 spike flag
     "q12a_hourly_anomaly" -> ((s, dir) => Sessionize.hourlyVolumeAnomaly(s, dir)),
     // robust outlier days: median/MAD per type over exact daily totals —
@@ -2209,6 +2213,8 @@ object SparkEntry {
       "q21_topk_aggregator"            -> base("q7_top_parts"),
       "quality_filter_streaming"       -> base("quality_filter"),
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
+      // the idempotent batch-id journal compacted newest-wins — same oracle
+      "q12fb_tumbling_foreachbatch"    -> base("q12_tumbling_hourly"),
       // overlapping windows stay open across micro-batches; the final
       // complete-mode emission must equal the batch hopping aggregate
       "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),

@@ -181,6 +181,70 @@ object Sessionize {
     }.orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** The tumbling aggregate through foreachBatch in UPDATE mode — the
+    * EXACTLY-ONCE SINK witness for targets with no transactional streaming
+    * writer (JDBC, plain parquet/object stores): each micro-batch's
+    * updated (hour, type) rows land in a batch-id-keyed parquet journal
+    * (`out/batch=<id>`, mode=overwrite), which is the documented
+    * foreachBatch idempotence recipe — a replayed batch OVERWRITES its own
+    * directory instead of appending duplicates, so failure+retry converges
+    * to the same journal. The registered result is the journal's
+    * COMPACTION view (newest batch wins per key — update-mode aggregate
+    * state is cumulative, so later updates supersede earlier ones),
+    * hash-gated under the same oracle as q12.
+    *
+    * Replay: the events split by EVENT-ID PARITY, not by time — an
+    * update-mode aggregate holds state without a watermark, so arrival
+    * order is free, and the parity interleave makes nearly every (hour,
+    * type) key update in BOTH batches (a median-time cut updates almost
+    * none on sparse fixtures: at sf0.001 there are 868 keys over 1000
+    * events, so no key straddles any time cut — probed). Two witnesses
+    * assert the mechanism is exercised, not vacuous: ≥ 2 data
+    * micro-batches ran, and ≥ 1 key was journaled by both batches, so
+    * compaction genuinely picks the newer row. At scale the journal is
+    * update-rows-sized per batch and the compaction window runs on the
+    * (hours × types) frame. */
+  def tumblingHourlyForeachBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"q12fb:$sfDir",
+        Seq("e0.parquet", "e1.parquet")) {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                col("event_type"), col("value"))
+      Seq(ev.filter(col("event_id") % 2 === 0).drop("event_id"),
+          ev.filter(col("event_id") % 2 === 1).drop("event_id")).filter(!_.isEmpty)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fb-journal-").toString
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val agg = stream
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+           max(col("value")).as("max_value"))
+    StatefulQueries.withShuffleWidth(spark, 8) {
+      val q = agg.writeStream.outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id"); ()
+        }
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the two-file replay did not produce two data micro-batches")
+    }
+    val journal = spark.read.parquet(outDir)
+    require(journal.groupBy(col("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count() == 1,
+      "no key was journaled by both batches — the compaction view is vacuous")
+    val newest = Window.partitionBy(col("hour_start"), col("event_type"))
+      .orderBy(col("batch").desc)
+    journal.withColumn("rk", row_number().over(newest)).filter(col("rk") === 1)
+      .drop("rk", "batch")
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Gap sessionization through the REAL micro-batch engine with EVENT-TIME
     * TIMEOUT — the streaming-semantics claim the gate did not yet cover:
     * sessions close when the WATERMARK passes session end + gap
