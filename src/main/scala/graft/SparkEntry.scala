@@ -454,6 +454,12 @@ object SparkEntry {
     // non-equi banding join: irregular [lo,hi) price bands ride a
     // broadcast nested loop — the rate-card/bracket dimension-lookup class
     "q34_band_join"        -> ((s, dir) => Relational.bandJoin(s, dir)),
+    // TPC-H Q13 shape: order counts pre-aggregate BEFORE the outer join;
+    // zero-order customers surface via coalesce
+    "q35_custdist"         -> ((s, dir) => Relational.custDist(s, dir)),
+    // daily conversion with Wilson bounds (z=2): uncertainty-aware metric,
+    // bit-exact fixed double expression tree over exact longs
+    "conversion_rate_wilson" -> ((s, dir) => Analytics.conversionRateWilson(s, dir)),
     // q23 as a watermarked STREAM-STREAM join through the micro-batch engine
     "q23ss_interval_join_streaming" -> ((s, dir) => StatefulQueries.intervalJoinStreaming(s, dir)),
     // its LEFT OUTER twin: zero-pair users null-padded at state eviction
@@ -2161,6 +2167,32 @@ object SparkEntry {
         | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |   AS valid_to_us
         |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q35_custdist" ->
+      """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |cc AS (SELECT coalesce(oc.n_orders, 0) AS c_count
+        |       FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        | CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Wilson algebra stated with the identical association as the Spark
+    // expression tree — every op a single correctly-rounded IEEE op
+    "conversion_rate_wilson" ->
+      """WITH d AS (SELECT (epoch_us(ts) // 86400000000) AS day,
+        |        CAST(count(*) AS BIGINT) AS n_events,
+        |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_purchases
+        |       FROM events GROUP BY 1),
+        |w AS (SELECT day, n_events, n_purchases,
+        |       CAST(n_events AS DOUBLE) AS n,
+        |       CAST(n_purchases AS DOUBLE) / CAST(n_events AS DOUBLE) AS p
+        |      FROM d)
+        |SELECT day, n_events, n_purchases, p,
+        | ((p + 2.0 / n) / (1.0 + 4.0 / n))
+        |   - (2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)) / (1.0 + 4.0 / n)) AS lo,
+        | ((p + 2.0 / n) / (1.0 + 4.0 / n))
+        |   + (2.0 * sqrt(p * (1.0 - p) / n + 1.0 / (n * n)) / (1.0 + 4.0 / n)) AS hi
+        |FROM w ORDER BY day""".stripMargin,
     // disjoint bands tiling [0, inf): n_rows sums to the lineitem count
     "q34_band_join" ->
       s"""WITH bands(band_id, band, lo, hi) AS (VALUES

@@ -785,6 +785,34 @@ object Analytics {
       .orderBy(col("event_type"), col("rn"))
   }
 
+  /** Daily conversion rate with WILSON 95%-style confidence bounds (z = 2,
+    * chosen exact-in-binary like ewma's α) — the uncertainty-aware metric
+    * an A/B dashboard actually plots: a 3-event day with one purchase is
+    * NOT a 33% conversion story, and the interval says so. All inputs are
+    * exact longs from one map-side-combinable daily aggregate; the Wilson
+    * algebra — center (p + z²/2n)/(1 + z²/n), half-width
+    * z·√(p(1−p)/n + z²/4n²)/(1 + z²/n) — is a FIXED double expression
+    * tree (division and sqrt are single correctly-rounded IEEE ops) that
+    * the oracle states with the identical association, so the gate is
+    * bit-exact. One shuffle; result is days-sized. */
+  def conversionRateWilson(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val n = col("n_events").cast("double")
+    val p = col("n_purchases").cast("double") / n
+    val denom = lit(1.0) + lit(4.0) / n
+    val center = (p + lit(2.0) / n) / denom
+    val half = lit(2.0) *
+      sqrt(p * (lit(1.0) - p) / n + lit(1.0) / (n * n)) / denom
+    Tables.events(spark, sfDir)
+      .groupBy(expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .cast("long").as("n_purchases"))
+      .select(col("day"), col("n_events"), col("n_purchases"),
+              p.as("p"), (center - half).as("lo"), (center + half).as("hi"))
+      .orderBy(col("day"))
+  }
+
   /** Robust outlier days via MEDIAN / MAD (median absolute deviation) —
     * the distribution-free complement to q12a's mean/stddev z-score: a
     * single broken day cannot drag the center the way it drags a mean, so

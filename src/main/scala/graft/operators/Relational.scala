@@ -206,6 +206,26 @@ object Relational {
       .orderBy(col("band_id"))
   }
 
+  /** TPC-H Q13-shaped customer distribution: how many customers placed
+    * exactly k orders, INCLUDING the zero-order customers — the outer-join
+    * + double-aggregation lattice (the classic "count the absent" query a
+    * plain join silently drops rows from). Orders pre-aggregate to
+    * per-customer counts BEFORE the join, so the left join moves one row
+    * per ordering customer instead of one per order — at 100 TB the
+    * difference between joining the fact table and joining its group-by;
+    * zero-order customers surface via coalesce(_, 0) after the outer join.
+    * The second aggregate runs on the customer-sized count table and the
+    * result is count-distribution-sized. */
+  def custDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val oc = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, sfDir).select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Order-priority counts with a semi-join (EXISTS) against lineitem:
     * exercises left-semi planning; count-distinct-free so it stays one pass. */
   def orderPriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {

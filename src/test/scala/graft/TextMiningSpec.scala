@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Behavioral checks for the round-13 text-mining operators on crafted
+  * corpora — the properties the corpus-level oracle gate cannot isolate
+  * (a known collocation ranking first, an exact duplicate scoring cosine
+  * 1.0, the diversity extremes). */
+class TextMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmi_bigrams: an exclusive collocation outranks a promiscuous pair") {
+    // "aa bb" always and only together (P(ab)=P(a)=P(b) among themselves);
+    // "cc" pairs with everything, so (cc, dd) has high counts but low lift
+    val docs = (
+      Seq.fill(6)("aa bb") ++
+      Seq.fill(6)("cc dd") ++ Seq.fill(6)("cc ee") ++ Seq.fill(6)("cc ff")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val top = TextOps.pmiBigramsOf(docs, minCount = 5L, k = 10).collect()
+    assert(top.nonEmpty)
+    val best = top.head
+    // decode nothing: just assert the top pair's counts are the exclusive
+    // pair's (bc = uc1 = uc2 = 6)
+    assert(best.getAs[Long]("bc") === 6L &&
+      best.getAs[Long]("uc1") === 6L && best.getAs[Long]("uc2") === 6L, best)
+    // every score is finite and positive; ordering is non-increasing
+    val scores = top.map(_.getAs[Double]("score"))
+    assert(scores.forall(s => s > 0 && !s.isInfinite))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("doc_sim_sparse_topk: an exact duplicate pair ranks first at cosine 1.0") {
+    // docs 0/1 identical (share every shingle); doc 2 overlaps them in one
+    // shingle run; docs 3+ provide df >= 2 company so terms survive the cap
+    val base = "x1 x2 x3 x4 x5 x6 x7 x8"
+    val docs = Seq(
+      0L -> base, 1L -> base,
+      2L -> "x1 x2 x3 y4 y5 y6 y7 y8",
+      3L -> "y4 y5 y6 y7 y8 z1 z2 z3",
+      4L -> "z1 z2 z3 z4 z5 z6 z7 z8",
+      5L -> "z4 z5 z6 z7 z8 w1 w2 w3"
+    ).toDF("doc_id", "text")
+    val rows = TextOps.docSimSparseTopKOf(docs, dfCap = 100L, k = 5).collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Long]("doc_a") === 0L && first.getAs[Long]("doc_b") === 1L, first)
+    // identical weight vectors: dot = norm², so the quotient is EXACTLY 1.0
+    // (s/(sqrt(s)*sqrt(s)) can drift an ulp, but both norms are the same
+    // double here and dot/norm² rounds to 1.0 when dot = n2 exactly... assert
+    // to an ulp to stay robust)
+    assert(math.abs(first.getAs[Double]("cosine") - 1.0) < 1e-12, first)
+    // cosines are non-increasing and within [0, 1+ulp]
+    val cs = rows.map(_.getAs[Double]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    assert(cs.forall(c => c >= 0.0 && c <= 1.0 + 1e-12))
+  }
+
+  test("token_diversity: single-token source hits simpson 0, all-distinct approaches 1") {
+    val docs = Seq(
+      ("mono", "aa aa aa aa"),
+      ("vari", "b1 b2 b3 b4")
+    ).zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val rows = TextOps.tokenDiversityBySourceOf(docs.select(col("source"), col("text")))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows("mono").getAs[Double]("simpson") === 0.0)
+    assert(rows("mono").getAs[Double]("ttr") === 0.25)
+    // 4 distinct of 4: simpson = 1 - 4/16 = 0.75 (max for N=4)
+    assert(rows("vari").getAs[Double]("simpson") === 0.75)
+    assert(rows("vari").getAs[Double]("ttr") === 1.0)
+  }
+}
