@@ -48,6 +48,25 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.subsetOf(jac))
   }
 
+  test("minhash LSH recall floor: banding catches the true jaccard >= 0.8 pairs") {
+    // the reverse gate of the precision test above: with 4 bands x 3 rows,
+    // P(candidate | s = 0.8) = 1 - (1 - 0.8^3)^4 ~ 0.94 in expectation —
+    // a regression in the banding (wrong band boundaries, an over-eager
+    // cap, a signature bug) shows up as recall collapse long before the
+    // oracle's reproducibility hash would notice. Gate, not report: the
+    // ann_recall-floor discipline applied to the dedup family.
+    val truth = Dedup.ngramJaccard(spark, Sf0001, minJaccard = 0.8)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    // minEstJaccard = 0 surfaces every banded CANDIDATE pair
+    val candidates = Dedup.minhashLsh(spark, Sf0001, minEstJaccard = 0.0)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(candidates.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"minhash banding recall $recall over ${truth.size} true pairs")
+  }
+
   test("simhash: near-dup pairs have small hamming distance") {
     val sims = Dedup.simhash(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
