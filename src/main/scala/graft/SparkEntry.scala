@@ -147,6 +147,12 @@ object SparkEntry {
     "q5_orc_source" -> ((s, dir) =>
       Relational.pricingSummaryOf(Tables.formatCopy(s, dir, "lineitem", "orc"))),
     "lang_id"          -> ((s, dir) => TextOps.langId(s, dir)),
+    // code-switch detection: runner-up marker score >= half the winner —
+    // integer test over one sorted score array, single projection
+    "lang_mixed_flag"  -> ((s, dir) => TextOps.langMixedFlag(s, dir)),
+    // per-source length distribution (p50/p95/mean tokens) — the first
+    // corpus-curation dashboard; percentile parity pinned by q33
+    "doc_length_stats" -> ((s, dir) => TextOps.docLengthStats(s, dir)),
     "doc_fingerprints" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     "quality_filter"   -> ((s, dir) => TextOps.qualityFilter(s, dir)),
     // the same gate through the real micro-batch engine (stateless streaming)
@@ -730,6 +736,27 @@ object SparkEntry {
         |  WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
         |  ELSE 'es' END AS lang_guess
         |FROM t ORDER BY doc_id""".stripMargin,
+    "lang_mixed_flag" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), x -> x='the' OR x='a')) AS score_en,
+        |  len(list_filter(string_split(text,' '), x -> x='der' OR x='die' OR x='und')) AS score_de,
+        |  len(list_filter(string_split(text,' '), x -> x='le' OR x='la' OR x='et')) AS score_fr,
+        |  len(list_filter(string_split(text,' '), x -> x='el' OR x='los' OR x='y')) AS score_es
+        | FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_sort([score_en, score_de, score_fr, score_es], 'DESC') AS ss FROM t)
+        |SELECT doc_id, ss[1] AS top1, ss[2] AS top2,
+        | CAST(ss[2] * 2 >= ss[1] AND ss[2] > 0 AS BIGINT) AS is_mixed
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_length_stats" ->
+      """WITH t AS (SELECT source, len(string_split(text,' ')) AS nt FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens_total,
+        | quantile_cont(nt, 0.5) AS p50_tokens,
+        | quantile_cont(nt, 0.95) AS p95_tokens,
+        | CAST(sum(nt) AS DOUBLE)/count(*) AS mean_tokens
+        |FROM t GROUP BY 1 ORDER BY source""".stripMargin,
     "doc_fingerprints" ->
       s"""SELECT doc_id,
          | md5(lower(trim(text))) AS fp_md5,

@@ -70,6 +70,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** MIXED-LANGUAGE detection on top of [[langIdOf]]'s marker scores: a
+    * document whose runner-up language scores at least half the winner is
+    * flagged — code-switched or concatenated-source text that a single
+    * lang label mislabels either way, which multilingual curation drops or
+    * routes separately. The test is integer (top2·2 ≥ top1), so the flag
+    * is exact; top1/top2 come from one sorted array over the per-language
+    * marker counts. Single projection over the scan — no shuffle beyond
+    * the presentation sort. */
+  def langMixedFlag(spark: SparkSession, sfDir: String): DataFrame =
+    langMixedFlagOf(documentsFor(spark, sfDir))
+
+  def langMixedFlagOf(d: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", stopwordCount(col("text"), words))
+    }
+    val sorted = sort_array(
+      array(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*), asc = false)
+    scored
+      .withColumn("top1", sorted.getItem(0))
+      .withColumn("top2", sorted.getItem(1))
+      .select(col("doc_id"), col("top1"), col("top2"),
+        (col("top2") * 2 >= col("top1") && col("top2") > 0).cast("long").as("is_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source document-LENGTH distribution — the first dashboard any
+    * corpus curation effort stands up: a source whose p95 collapses (or
+    * whose mean runs away from its median) is truncating or concatenating
+    * upstream. One map-side-combinable aggregate; the `percentile` buffer
+    * is bounded by distinct lengths per source (the q33 bounded-domain
+    * argument — document lengths are small integers), and the
+    * interpolation parity with `quantile_cont` is already pinned by q33's
+    * gate. */
+  def docLengthStats(spark: SparkSession, sfDir: String): DataFrame =
+    docLengthStatsOf(Tables.documents(spark, sfDir).select(col("source"), col("text")))
+
+  def docLengthStatsOf(d: DataFrame): DataFrame =
+    d.select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+           sum(col("nt")).cast("long").as("n_tokens_total"),
+           expr("percentile(nt, array(0.5D, 0.95D))").as("ps"))
+      .select(col("source"), col("n_docs"), col("n_tokens_total"),
+        col("ps").getItem(0).as("p50_tokens"),
+        col("ps").getItem(1).as("p95_tokens"),
+        (col("n_tokens_total").cast("double") / col("n_docs")).as("mean_tokens"))
+      .orderBy(col("source"))
+
   /** Document fingerprints: canonical md5 + order-sensitive rolling polynomial
     * hash over token hashes. */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
