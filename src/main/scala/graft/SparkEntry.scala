@@ -463,6 +463,9 @@ object SparkEntry {
     // TPC-H Q13 shape: order counts pre-aggregate BEFORE the outer join;
     // zero-order customers surface via coalesce
     "q35_custdist"         -> ((s, dir) => Relational.custDist(s, dir)),
+    // Pareto/ABC revenue concentration: exact decimal running shares with
+    // cross-multiplied class boundaries over the part-dimension aggregate
+    "pareto_parts_abc"     -> ((s, dir) => Relational.paretoPartsAbc(s, dir)),
     // daily conversion with Wilson bounds (z=2): uncertainty-aware metric,
     // bit-exact fixed double expression tree over exact longs
     "conversion_rate_wilson" -> ((s, dir) => Analytics.conversionRateWilson(s, dir)),
@@ -2194,6 +2197,22 @@ object SparkEntry {
         | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |   AS valid_to_us
         |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    // exact decimal running shares; class bounds cross-multiplied (no
+    // float thresholds); the share is the only float
+    "pareto_parts_abc" ->
+      s"""WITH r AS (SELECT l_partkey, sum($decPrice * ($one - $decDisc)) AS rev
+         |           FROM lineitem GROUP BY 1),
+         |c AS (SELECT l_partkey, rev,
+         |       sum(rev) OVER (ORDER BY rev DESC, l_partkey
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |       sum(rev) OVER () AS tot
+         |      FROM r)
+         |SELECT l_partkey,
+         | ${dd("rev")} AS revenue,
+         | ${dd("cum")} / ${dd("tot")} AS cum_share,
+         | CASE WHEN cum*5 <= tot*4 THEN 'A'
+         |      WHEN cum*20 <= tot*19 THEN 'B' ELSE 'C' END AS abc
+         |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin,
     "q35_custdist" ->
       """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
         |            FROM orders GROUP BY 1),

@@ -206,6 +206,43 @@ object Relational {
       .orderBy(col("band_id"))
   }
 
+  /** Pareto / ABC revenue-concentration analysis per part — the
+    * 80/15/5 classification every supply-chain BI stack runs: parts are
+    * ranked by discounted revenue, the running share of total revenue is
+    * accumulated down the ranking, and each part classes A (within the
+    * first 80% of revenue), B (80–95%), or C (tail). Class boundaries are
+    * CROSS-MULTIPLIED decimal comparisons (`cum·5 ≤ tot·4`,
+    * `cum·20 ≤ tot·19`) — exact, no float thresholds; the reported share
+    * is the only float (one division of exact decimals).
+    *
+    * Scale shape: the corpus-sized work is the part-keyed revenue groupBy
+    * (map-side combinable); the ranking window and cumulative sum run on
+    * the PART-dimension aggregate. The single-partition cumulative window
+    * is bounded by the part table — the rfm-exact precedent, with the
+    * same documented trade: at extreme part cardinalities the scale path
+    * is range-partitioned two-pass prefix sums (the pack_assign
+    * two-level machinery). */
+  def paretoPartsAbc(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Window.orderBy(col("rev_dec").desc, col("l_partkey"))
+    val byRev = ranked.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the total is the SAME window with a whole-partition frame — one sort,
+    // two frames, zero extra scans (an agg-derived total would inline the
+    // revenue aggregate a second time = a second corpus scan)
+    val whole = ranked.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(discRevenueSum.as("rev_dec"))
+    rev
+      .withColumn("cum_dec", sum(col("rev_dec")).over(byRev))
+      .withColumn("tot_dec", sum(col("rev_dec")).over(whole))
+      .select(col("l_partkey"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("cum_dec").cast("double") / col("tot_dec").cast("double")).as("cum_share"),
+        when(col("cum_dec") * 5 <= col("tot_dec") * 4, "A")
+          .when(col("cum_dec") * 20 <= col("tot_dec") * 19, "B")
+          .otherwise("C").as("abc"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
   /** TPC-H Q13-shaped customer distribution: how many customers placed
     * exactly k orders, INCLUDING the zero-order customers — the outer-join
     * + double-aggregation lattice (the classic "count the absent" query a
