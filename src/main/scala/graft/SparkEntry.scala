@@ -332,6 +332,9 @@ object SparkEntry {
     // robust outlier days: median/MAD per type over exact daily totals —
     // the distribution-free twin of q12a's mean/stddev z-score
     "mad_anomaly_daily" -> ((s, dir) => Analytics.madAnomalyDaily(s, dir)),
+    // engagement cadence: inter-session return gaps composed over the
+    // sessionizer — the lag window runs on the session-sized table
+    "session_return_gaps" -> ((s, dir) => Sessionize.sessionReturnGaps(s, dir)),
     // native sliding (hopping) windows: 1h window / 30min slide
     "q12w_sliding_halfhour" -> ((s, dir) => Sessionize.slidingHalfHour(s, dir)),
     "q12ws_sliding_streaming" -> ((s, dir) => Sessionize.slidingHalfHourStream(s, dir)),
@@ -2139,6 +2142,30 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         | min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // q13's session chain extended one level: per-user lag over the
+    // session table; integer µs until the one mean division
+    "session_return_gaps" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    > 3600000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts_us,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM t),
+        |sess AS (SELECT user_id, session_id, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |         FROM s GROUP BY user_id, session_id),
+        |g AS (SELECT user_id, start_us,
+        |       lag(end_us) OVER (PARTITION BY user_id ORDER BY session_id) AS prev_end
+        |      FROM sess)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(count(prev_end) AS BIGINT) AS n_gaps,
+        | CAST(min(start_us - prev_end) AS BIGINT) AS min_gap_us,
+        | CAST(max(start_us - prev_end) AS BIGINT) AS max_gap_us,
+        | CAST(sum(start_us - prev_end) AS DOUBLE)/count(prev_end) AS mean_gap_us
+        |FROM g GROUP BY 1 HAVING count(prev_end) > 0 ORDER BY user_id""".stripMargin,
     "q14_asof_prior_signup" ->
       """SELECT event_id, user_id,
         | max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (

@@ -123,6 +123,29 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** INTER-SESSION return gaps composed over [[sessionize]] — the
+    * engagement-cadence report (how long until a user comes back): per
+    * user with ≥ 2 sessions, the count/min/max/mean of the gaps between a
+    * session's end and the next session's start. All integer microseconds
+    * until the one mean division; the lag window runs on the SESSION
+    * table (session-count-sized, never the event stream), sharing the
+    * user partitioning the session build already shuffled to. */
+  def sessionReturnGaps(spark: SparkSession, sfDir: String,
+                        gapMinutes: Int = 60): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("session_id"))
+    sessionize(spark, sfDir, gapMinutes)
+      .withColumn("prev_end", lag(col("end_us"), 1).over(w))
+      .withColumn("gap_us", col("start_us") - col("prev_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+           count(col("gap_us")).cast("long").as("n_gaps"),
+           min(col("gap_us")).as("min_gap_us"),
+           max(col("gap_us")).as("max_gap_us"),
+           (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("mean_gap_us"))
+      .filter(col("n_gaps") > 0)
+      .orderBy(col("user_id"))
+  }
+
   /** Volume-anomaly detection over the hourly windows: flag hours whose
     * event count deviates more than 2σ from the type's mean hourly count.
     * The spike test is ALL-INTEGER — `|cnt − μ| > 2σ` cross-multiplied to
