@@ -335,6 +335,9 @@ object SparkEntry {
     // engagement cadence: inter-session return gaps composed over the
     // sessionizer — the lag window runs on the session-sized table
     "session_return_gaps" -> ((s, dir) => Sessionize.sessionReturnGaps(s, dir)),
+    // weekly seasonality baseline: per-(type, dow) mean daily total +
+    // residuals — the seasonal-naive model the forecasting family lacked
+    "seasonal_dow_residuals" -> ((s, dir) => Analytics.seasonalDowResiduals(s, dir)),
     // native sliding (hopping) windows: 1h window / 30min slide
     "q12w_sliding_halfhour" -> ((s, dir) => Sessionize.slidingHalfHour(s, dir)),
     "q12ws_sliding_streaming" -> ((s, dir) => Sessionize.slidingHalfHourStream(s, dir)),
@@ -1661,6 +1664,20 @@ object SparkEntry {
          | CAST((h.cnt*s.n_hours - s.sum_cnt)*(h.cnt*s.n_hours - s.sum_cnt)
          |       > 4*(s.n_hours*s.sumsq_cnt - s.sum_cnt*s.sum_cnt) AS BIGINT) AS is_spike
          |FROM h JOIN s USING (event_type) ORDER BY event_type, hour_start""".stripMargin,
+    // dd-crossed window sum / window count, then one double subtraction —
+    // association identical to the Spark side
+    "seasonal_dow_residuals" ->
+      s"""WITH d AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+         |        sum(CAST(value AS DECIMAL(18,2))) AS td
+         |       FROM events GROUP BY 1, 2),
+         |w AS (SELECT event_type, day, day % 7 AS dow, td,
+         |       ${dd("sum(td) OVER (PARTITION BY event_type, day % 7)")}
+         |         / count(*) OVER (PARTITION BY event_type, day % 7) AS dow_mean
+         |      FROM d)
+         |SELECT event_type, day, CAST(dow AS BIGINT) AS dow,
+         | ${dd("td")} AS total, dow_mean,
+         | ${dd("td")} - dow_mean AS residual
+         |FROM w ORDER BY event_type, day""".stripMargin,
     // median/MAD outlier days: exact decimal daily totals cross to double
     // once; quantile_cont's interpolation is pinned to Spark `percentile`
     // by q33's gate; strict > on identically-derived doubles

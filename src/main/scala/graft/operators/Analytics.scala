@@ -813,6 +813,36 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** SEASONAL day-of-week baseline + residuals — the seasonality component
+    * the forecasting family (EWMA, Holt, CUSUM) lacked: weekly traffic has
+    * a strong DOW cycle, and an anomaly detector that compares Monday to
+    * the all-days mean pages someone every Monday. Per (type, epoch-day %
+    * 7), the mean daily total is the baseline; each day reports its
+    * residual against its own weekday. The "seasonal naive" forecast for
+    * any future day is its weekday's mean — the standard-baseline model
+    * every fancier seasonal method must beat.
+    *
+    * Numerics: exact decimal daily totals; the weekday mean is one
+    * double division of the dd-crossed window sum by the window count;
+    * the residual is one double subtraction — all single correctly-
+    * rounded ops the oracle states identically. Scale shape: one corpus
+    * groupBy, then one window over the (types × days) frame partitioned
+    * by (type, dow) — control-plane-sized, no joins. */
+  def seasonalDowResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val w = Window.partitionBy(col("event_type"), col("dow"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("td"))
+      .withColumn("dow", col("day") % 7)
+      .withColumn("dow_mean",
+        sum(col("td")).over(w).cast("double") / count(lit(1)).over(w))
+      .select(col("event_type"), col("day"), col("dow"),
+        col("td").cast("double").as("total"), col("dow_mean"),
+        (col("td").cast("double") - col("dow_mean")).as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Robust outlier days via MEDIAN / MAD (median absolute deviation) —
     * the distribution-free complement to q12a's mean/stddev z-score: a
     * single broken day cannot drag the center the way it drags a mean, so
