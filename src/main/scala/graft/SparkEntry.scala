@@ -1002,10 +1002,10 @@ object SparkEntry {
          |         tf.tf * ((n.n_docs * 1000) // dfc.df) AS w
          |        FROM tf JOIN dfc USING (th) CROSS JOIN n),
          |nrm AS (SELECT doc_id,
-         |         sqrt(${dd("sum(CAST(w * w AS DECIMAL(38,0)))")}) AS norm
+         |         sqrt(${dd("sum(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)))")}) AS norm
          |        FROM tfw GROUP BY doc_id),
          |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |          ${dd("sum(CAST(a.w * b.w AS DECIMAL(38,0)))")} AS dot
+         |          ${dd("sum(CAST(a.w AS DECIMAL(19,0)) * CAST(b.w AS DECIMAL(19,0)))")} AS dot
          |         FROM tfw a JOIN tfw b
          |           ON a.th = b.th AND a.doc_id < b.doc_id
          |         GROUP BY 1, 2)

@@ -263,9 +263,15 @@ object Sessionize {
       "no key was journaled by both batches — the compaction view is vacuous")
     val newest = Window.partitionBy(col("hour_start"), col("event_type"))
       .orderBy(col("batch").desc)
-    journal.withColumn("rk", row_number().over(newest)).filter(col("rk") === 1)
+    // materialize the compaction eagerly, then delete the journal — a
+    // bench run re-executes this per repetition and must not accumulate
+    // orphaned temp dirs (the materializeAndDrop discipline)
+    val out = journal.withColumn("rk", row_number().over(newest))
+      .filter(col("rk") === 1)
       .drop("rk", "batch")
-      .orderBy(col("hour_start"), col("event_type"))
+      .localCheckpoint()
+    StatefulQueries.deleteRecursively(java.nio.file.Paths.get(outDir))
+    out.orderBy(col("hour_start"), col("event_type"))
   }
 
   /** Gap sessionization through the REAL micro-batch engine with EVENT-TIME

@@ -55,10 +55,18 @@ object TextOps {
   def langId(spark: SparkSession, sfDir: String): DataFrame =
     langIdOf(documentsFor(spark, sfDir))
 
-  def langIdOf(d: DataFrame): DataFrame = {
-    val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
-      case (df, (lang, words)) => df.withColumn(s"score_$lang", stopwordCount(col("text"), words))
+  /** Appends one `score_<lang>` marker-count column per [[LangMarkers]]
+    * entry — the ONE copy of the scoring fold shared by [[langIdOf]],
+    * [[langMixedFlagOf]], and [[corpusGatesOf]] (a marker-list change must
+    * not have to land three times). */
+  private def withLangScores(d: DataFrame): DataFrame =
+    LangMarkers.foldLeft(d) {
+      case (df, (l, words)) =>
+        df.withColumn(s"score_$l", stopwordCount(col("text"), words))
     }
+
+  def langIdOf(d: DataFrame): DataFrame = {
+    val scored = withLangScores(d.select(col("doc_id"), col("text")))
     val best = LangMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
     val guess = LangMarkers.reverse.foldLeft(lit("und")) {
       case (acc, (lang, _)) =>
@@ -82,10 +90,7 @@ object TextOps {
     langMixedFlagOf(documentsFor(spark, sfDir))
 
   def langMixedFlagOf(d: DataFrame): DataFrame = {
-    val scored = LangMarkers.foldLeft(d.select(col("doc_id"), col("text"))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang", stopwordCount(col("text"), words))
-    }
+    val scored = withLangScores(d.select(col("doc_id"), col("text")))
     val sorted = sort_array(
       array(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*), asc = false)
     scored
@@ -209,12 +214,10 @@ object TextOps {
                     maxDupBigramFrac: Double = 0.10,
                     extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = LangMarkers.foldLeft(
+    val scored = withLangScores(
       d.select(col("doc_id"), col("text"),
         size(toks).cast("long").as("n_tokens"),
-        tokenHashes(col("text")).as("ths"))) {
-      case (df, (l, words)) => df.withColumn(s"score_$l", stopwordCount(col("text"), words))
-    }
+        tokenHashes(col("text")).as("ths")))
     val best = LangMarkers.map { case (l, _) => col(s"score_$l") }.reduce((a, b) => greatest(a, b))
     val guess = LangMarkers.reverse.foldLeft(lit("und")) {
       case (acc, (l, _)) =>
@@ -1107,7 +1110,8 @@ object TextOps {
     * Numerics: the idf is QUANTIZED to the integer `(N·1000) div df` (the
     * ppm-quantization rule of [[lmBigramScoreSketch]]), so every weight
     * `tf·idfq` is an exact long and dot products / squared norms are
-    * order-free integer sums (DECIMAL(38,0) accumulators); doubles appear
+    * order-free integer sums (DECIMAL(19,0)×DECIMAL(19,0) products — a
+    * multiplication that can never round or wrap); doubles appear
     * only at the final sqrt/divide, which are single correctly-rounded
     * ops. A DECIMAL(28,12) float-product sum was tried first and is
     * UNSOUND here: for products above ~1e5 the 12th fractional digit lies
@@ -1133,14 +1137,19 @@ object TextOps {
     val tfw = tf.join(dfreq, "th").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("th"),
         (col("tf") * expr("(n_docs * 1000L) div df")).as("w"))
+    // the squares/products multiply as DECIMAL(19,0) — (19,0)×(19,0) →
+    // (38,0) can never round, whereas a Long×Long product would WRAP
+    // silently (ANSI off) once w ≥ ~3e9 while DuckDB errors: divergent
+    // engines and a wrong top-k with no signal
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     val norms = tfw
-      .select(col("doc_id"), (col("w") * col("w")).cast("decimal(38,0)").as("w2"))
+      .select(col("doc_id"), (d19(col("w")) * d19(col("w"))).as("w2"))
       .groupBy(col("doc_id")).agg(sum(col("w2")).as("n2"))
       .select(col("doc_id"), sqrt(col("n2").cast("double")).as("norm"))
     val dots = tfw.as("a").join(tfw.as("b"),
         col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (col("a.w") * col("b.w")).cast("decimal(38,0)").as("p"))
+        (d19(col("a.w")) * d19(col("b.w"))).as("p"))
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("p")).as("dotx"))
       .select(col("doc_a"), col("doc_b"), col("dotx").cast("double").as("dot"))
     dots
@@ -1175,7 +1184,10 @@ object TextOps {
       .groupBy(col("source")).agg(
         sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("n_distinct"),
-        sum(col("c") * col("c")).cast("long").as("sumsq"))
+        // c² as DECIMAL(19,0)² — a Long square wraps silently past
+        // c ≥ ~3e9 (a stopword at corpus scale) where DuckDB errors
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .cast("long").as("sumsq"))
       .select(col("source"), col("n_tokens"), col("n_distinct"), col("sumsq"),
         (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
         (lit(1.0) - col("sumsq").cast("double") /

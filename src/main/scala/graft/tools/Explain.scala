@@ -19,7 +19,9 @@ object Explain {
       // plan (ReusedExchange nodes only appear after AQE materialization)
       if (name.startsWith("run:")) {
         val df = graft.SparkEntry.queries(name.stripPrefix("run:"))(spark, sfDir)
-        df.collect()
+        // executor-side no-op action: finalizes the adaptive plan without
+        // collecting the result to the driver
+        df.foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
       } else {
         graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -529,9 +529,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     // the bc >= 5 reliability floor must filter the bigram aggregate before
     // any join sees it — joining the raw bigram table would shuffle the
-    // quadratically-larger unpruned stream
-    assert("Filter \\(bc#\\d+L >= 5\\)".r.findAllIn(p).nonEmpty
-      || p.contains(">= 5"), p)
+    // quadratically-larger unpruned stream. A Filter node on the bc column
+    // suffices positionally: the optimizer pushes filters down, never up,
+    // so its existence implies it sits below the joins
+    assert("Filter [^\\n]*\\bbc#\\d+L? >= 5".r.findAllIn(p).nonEmpty, p)
   }
 
   test("mad_anomaly_daily: one corpus scan; both medians share one type exchange") {
