@@ -472,6 +472,10 @@ object SparkEntry {
     // Pareto/ABC revenue concentration: exact decimal running shares with
     // cross-multiplied class boundaries over the part-dimension aggregate
     "pareto_parts_abc"     -> ((s, dir) => Relational.paretoPartsAbc(s, dir)),
+    // the scale path: revenue-banded two-level prefix sum — no
+    // single-partition window over the part table; same oracle (decimal
+    // addition is exact, so the split cumulative is bit-identical)
+    "pareto_parts_abc_scalable" -> ((s, dir) => Relational.paretoPartsAbcScalable(s, dir)),
     // daily conversion with Wilson bounds (z=2): uncertainty-aware metric,
     // bit-exact fixed double expression tree over exact longs
     "conversion_rate_wilson" -> ((s, dir) => Analytics.conversionRateWilson(s, dir)),
@@ -2337,6 +2341,9 @@ object SparkEntry {
       "q12s_tumbling_streaming"        -> base("q12_tumbling_hourly"),
       // the idempotent batch-id journal compacted newest-wins — same oracle
       "q12fb_tumbling_foreachbatch"    -> base("q12_tumbling_hourly"),
+      // banded two-level prefix sum ≡ the single-window cumulative
+      // (decimal addition is exact) — same oracle
+      "pareto_parts_abc_scalable"      -> base("pareto_parts_abc"),
       // overlapping windows stay open across micro-batches; the final
       // complete-mode emission must equal the batch hopping aggregate
       "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),

@@ -243,6 +243,50 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_partkey"))
   }
 
+  /** [[paretoPartsAbc]] WITHOUT the single-partition ranking window — the
+    * registered scale path (the weak-register retirement, the
+    * rfm_segments_approx playbook): the ranking is BANDED by a
+    * revenue-value chunk `chk = −(⌊rev⌋ div bandWidth)`, a pure function
+    * of the row that preserves the global order BETWEEN bands (higher
+    * revenue → smaller chk; equal revenues always share a band), so the
+    * cumulative share splits into pack_assign's two-level prefix sum:
+    * an in-band running sum partitioned by chk, plus a band-offset table
+    * (band-count-sized — ≤ 50 rows here — whose own prefix window and
+    * grand total are the only single-partition work) broadcast back.
+    * All sums stay exact decimal, so `cum_in + off` equals the
+    * single-window cumulative bit-for-bit and this registers under
+    * pareto_parts_abc's own oracle. Banding is value-static (no sampling
+    * pass); a pathological distribution collapsing into one band degrades
+    * to the exact form's profile, never below it. */
+  def paretoPartsAbcScalable(spark: SparkSession, sfDir: String,
+                             bandWidth: Long = 50000L): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(discRevenueSum.as("rev_dec"))
+      .withColumn("chk", expr(s"-(cast(rev_dec as bigint) div $bandWidth)"))
+    val wIn = Window.partitionBy(col("chk"))
+      .orderBy(col("rev_dec").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBand = rev.withColumn("cum_in", sum(col("rev_dec")).over(wIn))
+    val wOff = Window.orderBy(col("chk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("chk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = rev.groupBy(col("chk")).agg(sum(col("rev_dec")).as("tot_band"))
+      .withColumn("off", sum(col("tot_band")).over(wOff))
+      .withColumn("tot_dec", sum(col("tot_band")).over(wAll))
+      .select(col("chk"), col("off"), col("tot_dec"))
+    inBand.join(broadcast(offs), "chk")
+      .withColumn("cum_dec",
+        when(col("off").isNull, col("cum_in")).otherwise(col("cum_in") + col("off")))
+      .select(col("l_partkey"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("cum_dec").cast("double") / col("tot_dec").cast("double")).as("cum_share"),
+        when(col("cum_dec") * 5 <= col("tot_dec") * 4, "A")
+          .when(col("cum_dec") * 20 <= col("tot_dec") * 19, "B")
+          .otherwise("C").as("abc"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
   /** TPC-H Q13-shaped customer distribution: how many customers placed
     * exactly k orders, INCLUDING the zero-order customers — the outer-join
     * + double-aggregation lattice (the classic "count the absent" query a

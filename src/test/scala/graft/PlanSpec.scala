@@ -522,6 +522,16 @@ class PlanSpec extends SparkSpec {
     assert("partial_count".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("pareto_parts_abc_scalable: the ranking window is chk-partitioned, offsets broadcast") {
+    val p = plan("pareto_parts_abc_scalable")
+    // the whole point vs the exact form: the part-table cumulative must be
+    // partitioned by the revenue band, and the band-offset table must ride
+    // a broadcast — a part-table single-partition window would reintroduce
+    // the bottleneck this variant retires
+    assert("hashpartitioning\\(chk".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pmi_bigrams: min-count prunes BELOW the unigram joins; top-k is TakeOrdered") {
     val p = plan("pmi_bigrams")
     assert(p.contains("TakeOrderedAndProject"), p)
