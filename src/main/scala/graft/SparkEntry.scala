@@ -400,6 +400,10 @@ object SparkEntry {
     // (no range join — the oracle's BETWEEN formulation is the shape that
     // does NOT scale; hll_daily_users is the sketch path alongside)
     "dau_rolling_7d" -> ((s, dir) => Sessionize.dauRolling7d(s, dir)),
+    // the sketch scale path: one HLL blob per day explodes into its 7
+    // windows — shuffle is days × 7 blobs however many users a day saw;
+    // sparse-mode exact at fixture cardinality → same oracle
+    "dau_rolling_7d_sketch" -> ((s, dir) => FreqSketch.dauRolling7dSketch(s, dir)),
     "q13_sessionize"       -> ((s, dir) => Sessionize.sessionize(s, dir)),
     // the engine's own session_window aggregation (gap+1us = exact parity)
     "q13n_sessionize_native" -> ((s, dir) => Sessionize.sessionizeNative(s, dir)),
@@ -2344,6 +2348,9 @@ object SparkEntry {
       // banded two-level prefix sum ≡ the single-window cumulative
       // (decimal addition is exact) — same oracle
       "pareto_parts_abc_scalable"      -> base("pareto_parts_abc"),
+      // per-day HLL blobs unioned over the trailing window; sparse-mode
+      // exact at fixture cardinality — same oracle
+      "dau_rolling_7d_sketch"          -> base("dau_rolling_7d"),
       // overlapping windows stay open across micro-batches; the final
       // complete-mode emission must equal the batch hopping aggregate
       "q12ws_sliding_streaming"        -> base("q12w_sliding_halfhour"),

@@ -311,6 +311,39 @@ object FreqSketch {
       .orderBy(col("day_start"))
   }
 
+  /** The ROLLING 7-day distinct-user count via mergeable HLL sketches —
+    * the scale path [[graft.operators.Sessionize.dauRolling7d]]'s SCALING
+    * entry names: the exact form explodes (user, day) PAIRS into their 7
+    * contributing windows (linear, but user-pair-sized), while this form
+    * collapses each day to ONE constant-size sketch blob first and
+    * explodes the BLOBS — shuffle volume is days × 7 sketches no matter
+    * how many distinct users a day saw. At fixture cardinalities the
+    * DataSketches HLL stays in exact (sparse) mode, so this registers
+    * under dau_rolling_7d's own exact oracle — the hll_daily_users
+    * precedent; at production cardinalities the ±1.6%/√2^lgK estimate is
+    * the documented trade. */
+  def dauRolling7dSketch(spark: SparkSession, sfDir: String,
+                         lgK: Int = 14): DataFrame = {
+    val DayNs = 86400000000000L
+    val daily = Tables.events(spark, sfDir)
+      .select(expr(s"ts_ns div $DayNs").as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    // forward contribution on the blobs (dauRolling7d's explode, minus the
+    // per-user rows); the observed-days join drops windows past the tail
+    val win = daily
+      .select(col("sk"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(daily.select(col("day")), "day")
+      .groupBy(col("day"))
+      .agg(hll_union_agg(col("sk"), lit(true)).as("wsk"))
+    daily
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("dau"))
+      .join(win, "day")
+      .select(col("day"), col("dau"),
+              hll_sketch_estimate(col("wsk")).as("dau_7d"))
+      .orderBy(col("day"))
+  }
+
   // ---- Count–Min sketch: mergeable point-frequency estimates ----
 
   /** Row-hash constants live in [[graft.functions.HashKernels.CmA]] — ONE
