@@ -473,6 +473,10 @@ object SparkEntry {
     // TPC-H Q13 shape: order counts pre-aggregate BEFORE the outer join;
     // zero-order customers surface via coalesce
     "q35_custdist"         -> ((s, dir) => Relational.custDist(s, dir)),
+    // fulfillment SLA: p50/p95/mean order-to-ship days per priority over
+    // the fact-to-fact orderkey join; day-number differences keep
+    // negative latencies cross-engine exact
+    "q36_ship_latency"     -> ((s, dir) => Relational.shipLatency(s, dir)),
     // Pareto/ABC revenue concentration: exact decimal running shares with
     // cross-multiplied class boundaries over the part-dimension aggregate
     "pareto_parts_abc"     -> ((s, dir) => Relational.paretoPartsAbc(s, dir)),
@@ -2265,6 +2269,19 @@ object SparkEntry {
          | CASE WHEN cum*5 <= tot*4 THEN 'A'
          |      WHEN cum*20 <= tot*19 THEN 'B' ELSE 'C' END AS abc
          |FROM c ORDER BY revenue DESC, l_partkey""".stripMargin,
+    // day numbers are positive, so // (floor) here and `div` (truncate)
+    // on the Spark side agree; the DIFFERENCE may be negative — dividing
+    // the raw microsecond difference would diverge between the engines
+    "q36_ship_latency" ->
+      """WITH j AS (SELECT o.o_orderpriority,
+        |        (epoch_us(date_trunc('day', l.l_shipdate)) // 86400000000)
+        |      - (epoch_us(date_trunc('day', o.o_orderdate)) // 86400000000) AS lat_days
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | quantile_cont(lat_days, 0.5) AS p50_days,
+        | quantile_cont(lat_days, 0.95) AS p95_days,
+        | CAST(sum(lat_days) AS DOUBLE)/count(*) AS mean_days
+        |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "q35_custdist" ->
       """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
         |            FROM orders GROUP BY 1),

@@ -287,6 +287,36 @@ object Relational {
       .orderBy(col("revenue").desc, col("l_partkey"))
   }
 
+  /** Order-to-ship LATENCY distribution per order priority — the
+    * fulfillment-SLA report: p50/p95/mean days between an order's date and
+    * each line's ship date, over the canonical fact-to-fact orderkey join.
+    * Latency is a DIFFERENCE OF DAY NUMBERS, each `unix_micros(date_trunc)
+    * div 86_400_000_000` of a positive timestamp — on positives truncating
+    * (Spark `div`) and flooring (DuckDB `//`) integer division agree, so
+    * the negative latencies present in the synthetic data (ship before
+    * order) stay cross-engine exact, where dividing the raw µs difference
+    * would diverge on sign. Percentile interpolation parity is q33's gate;
+    * the mean is one division of exact longs. */
+  def shipLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    def dayNum(c: String) = expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
+    Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        (dayNum("l_shipdate") - dayNum("o_orderdate")).as("lat_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("lat_days")).cast("long").as("sum_days"),
+        expr("percentile(lat_days, array(0.5D, 0.95D))").as("ps"))
+      .select(col("o_orderpriority"), col("n"),
+        col("ps").getItem(0).as("p50_days"),
+        col("ps").getItem(1).as("p95_days"),
+        (col("sum_days").cast("double") / col("n")).as("mean_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** TPC-H Q13-shaped customer distribution: how many customers placed
     * exactly k orders, INCLUDING the zero-order customers — the outer-join
     * + double-aggregation lattice (the classic "count the absent" query a
