@@ -379,6 +379,12 @@ object SparkEntry {
     // Holt's linear trend (alpha=1/4, beta=1/8): two COUPLED recurrences
     "holt_by_type" -> ((s, dir) => StatefulQueries.holtByType(s, dir)),
     "holt_by_type_streaming" -> ((s, dir) => StatefulQueries.holtByTypeStreaming(s, dir)),
+    // running peak / max drawdown: window-expressible, so batch is the
+    // declarative two-cummax form; the twin carries (peak, worst) state
+    "drawdown_by_type" -> ((s, dir) => StatefulQueries.drawdownByType(s, dir)),
+    "drawdown_by_type_streaming" -> ((s, dir) => StatefulQueries.drawdownByTypeStreaming(s, dir)),
+    // bucket-sequence autocorrelation at lags 1-3, exact integer moments
+    "acf_by_type" -> ((s, dir) => Analytics.acfByType(s, dir)),
     // in-flight scan metrics via Dataset.observe (plan accumulators)
     "dq_observe" -> ((s, dir) => Relational.dqObserve(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
@@ -1915,6 +1921,55 @@ object SparkEntry {
         |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
         |SELECT event_id, event_type, l AS level, t AS trend, l + t AS forecast
         |FROM c ORDER BY event_id""".stripMargin,
+    // two stacked cumulative maxes + one subtraction: max picks an existing
+    // double, the subtraction is a single correctly-rounded op — the same
+    // window statement the Spark batch form executes (and the state the
+    // streaming twin carries across batches)
+    "drawdown_by_type" ->
+      """WITH p AS (
+        |  SELECT event_id, event_type, value,
+        |    max(value) OVER (PARTITION BY event_type ORDER BY event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM events),
+        |d AS (SELECT event_id, event_type, peak, peak - value AS drawdown FROM p)
+        |SELECT event_id, event_type, peak, drawdown,
+        |  max(drawdown) OVER (PARTITION BY event_type ORDER BY event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS max_drawdown
+        |FROM d ORDER BY event_id""".stripMargin,
+    // exact long moments cast to double once, then the identical IEEE
+    // finisher tree both sides (corr_matrix's discipline); lag alignment
+    // via lead() over the type's hour-ordered bucket sequence
+    "acf_by_type" ->
+      """WITH h AS (SELECT event_type, (epoch_us(ts) // 3600000000) AS hs,
+        |        count(*) AS c
+        |       FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, c,
+        |       lead(c, 1) OVER (PARTITION BY event_type ORDER BY hs) AS l1,
+        |       lead(c, 2) OVER (PARTITION BY event_type ORDER BY hs) AS l2,
+        |       lead(c, 3) OVER (PARTITION BY event_type ORDER BY hs) AS l3
+        |      FROM h),
+        |m AS (SELECT event_type, count(*) AS n_hours,
+        |       CAST(sum(c) AS DOUBLE) AS s, CAST(sum(c*c) AS DOUBLE) AS q,
+        |       CAST(sum(c*l1) AS DOUBLE) AS p1,
+        |       CAST(sum(CASE WHEN l1 IS NOT NULL THEN c END) AS DOUBLE) AS a1,
+        |       CAST(sum(l1) AS DOUBLE) AS b1,
+        |       CAST(sum(c*l2) AS DOUBLE) AS p2,
+        |       CAST(sum(CASE WHEN l2 IS NOT NULL THEN c END) AS DOUBLE) AS a2,
+        |       CAST(sum(l2) AS DOUBLE) AS b2,
+        |       CAST(sum(c*l3) AS DOUBLE) AS p3,
+        |       CAST(sum(CASE WHEN l3 IS NOT NULL THEN c END) AS DOUBLE) AS a3,
+        |       CAST(sum(l3) AS DOUBLE) AS b3
+        |      FROM l GROUP BY 1),
+        |n AS (SELECT event_type, n_hours, CAST(n_hours AS DOUBLE) AS nd,
+        |       s, q, p1, a1, b1, p2, a2, b2, p3, a3, b3 FROM m)
+        |SELECT event_type, n_hours,
+        | CASE WHEN nd*nd*q - nd*s*s <> 0.0 THEN
+        |   (nd*nd*p1 - nd*s*(a1+b1) + (nd-1.0)*s*s) / (nd*nd*q - nd*s*s) END AS acf_lag1,
+        | CASE WHEN nd*nd*q - nd*s*s <> 0.0 THEN
+        |   (nd*nd*p2 - nd*s*(a2+b2) + (nd-2.0)*s*s) / (nd*nd*q - nd*s*s) END AS acf_lag2,
+        | CASE WHEN nd*nd*q - nd*s*s <> 0.0 THEN
+        |   (nd*nd*p3 - nd*s*(a3+b3) + (nd-3.0)*s*s) / (nd*nd*q - nd*s*s) END AS acf_lag3
+        |FROM n ORDER BY event_type""".stripMargin,
     // the observe accumulators must equal what a plain aggregate computes
     "dq_observe" ->
       """SELECT count(*) AS n_rows,
@@ -2381,6 +2436,8 @@ object SparkEntry {
       "cusum_by_type_streaming"        -> base("cusum_by_type"),
       // the smoothed value carried across micro-batches — same oracle
       "ewma_by_type_streaming"         -> base("ewma_by_type"),
+      // peak and worst-drawdown-so-far cross the batch boundary together
+      "drawdown_by_type_streaming"     -> base("drawdown_by_type"),
       // (level, trend) carried across micro-batches together — same oracle
       "holt_by_type_streaming"         -> base("holt_by_type"),
       // merging delta aggregates must equal recomputing — same oracle

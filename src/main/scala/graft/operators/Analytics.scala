@@ -154,6 +154,151 @@ object Analytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** AUTOCORRELATION (ACF) of each event type's hourly-count series at
+    * lags 1–3 — the serial-dependence diagnostic the forecasting family
+    * (EWMA/Holt/seasonal-DOW) reads before choosing a model: a series
+    * with acf₁ ≈ 0 doesn't need smoothing, one with a spike at the
+    * daily lag wants the seasonal baseline. Computed over the ROW
+    * sequence of the type's existing hourly buckets ordered by hour
+    * (bucket-sequence ACF — the convention when the grid is near-dense;
+    * the gap-fill spine operators own the dense-grid variant).
+    *
+    * Numerics: with integer counts, rₖ = Σ(xₜ−m)(xₜ₊ₖ−m) / Σ(xₜ−m)²
+    * clears denominators exactly —
+    * num·n² = n²·Pₖ − n·S·(Aₖ+Bₖ) + (n−k)·S², den·n² = n²·Q − n·S²
+    * (Pₖ = Σxₜxₜ₊ₖ, Aₖ/Bₖ the lag-aligned partial sums, S/Q the full
+    * sum and sum-of-squares). The six moments are exact LONG sums cast
+    * to double once ([[corrMatrixHourly]]'s discipline); the num/den
+    * products may round past 2⁵³, but both engines evaluate the
+    * IDENTICAL IEEE expression tree on bit-identical inputs, so parity
+    * holds and the statistic's loss is ~1 ulp. Zero variance → NULL.
+    *
+    * Scale shape: events collapse to (type, hour) first (map-side
+    * combine); the three `lead`s share a single type-keyed window sort,
+    * and the moment rollup is one aggregation over the hours × types
+    * frame — time- and vocabulary-bounded, never event-proportional. */
+  def acfByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hs"))
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hs"))
+      .agg(count(lit(1)).as("c"))
+    val lagged = hourly
+      .withColumn("l1", lead(col("c"), 1).over(w))
+      .withColumn("l2", lead(col("c"), 2).over(w))
+      .withColumn("l3", lead(col("c"), 3).over(w))
+    val m = lagged.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_hours"),
+      sum(col("c")).cast("double").as("s"),
+      sum(col("c") * col("c")).cast("double").as("q"),
+      sum(col("c") * col("l1")).cast("double").as("p1"),
+      sum(when(col("l1").isNotNull, col("c"))).cast("double").as("a1"),
+      sum(col("l1")).cast("double").as("b1"),
+      sum(col("c") * col("l2")).cast("double").as("p2"),
+      sum(when(col("l2").isNotNull, col("c"))).cast("double").as("a2"),
+      sum(col("l2")).cast("double").as("b2"),
+      sum(col("c") * col("l3")).cast("double").as("p3"),
+      sum(when(col("l3").isNotNull, col("c"))).cast("double").as("a3"),
+      sum(col("l3")).cast("double").as("b3"))
+    def acf(k: Int): Column = {
+      val n = col("n_hours").cast("double"); val s = col("s")
+      val num = n * n * col(s"p$k") - n * s * (col(s"a$k") + col(s"b$k")) +
+        (n - lit(k.toDouble)) * s * s
+      val den = n * n * col("q") - n * s * s
+      when(den =!= 0.0, num / den).as(s"acf_lag$k")
+    }
+    m.select(col("event_type"), col("n_hours"), acf(1), acf(2), acf(3))
+      .orderBy(col("event_type"))
+  }
+
+  /** MARKET-BASKET ASSOCIATION RULES over co-ordered part brands —
+    * support / confidence / lift for every directed brand pair appearing
+    * in at least `minPairs` orders (the Agrawal-style rule report every
+    * retail engine ships). The basket is the DISTINCT brand set of an
+    * order; a brand repeated across an order's lines counts once.
+    *
+    * Numerics: all counts are exact longs; support and confidence are
+    * single divisions of exact-to-double casts, and lift clears its
+    * denominators first — (n_pairs·N)/(n_a·n_b), two exact BIGINT
+    * products (bounded by pairs×orders, far under 2⁵³ at any registered
+    * SF) and ONE division — so no association ambiguity exists.
+    *
+    * Scale shape: the brand dimension broadcasts into the lineitem scan;
+    * the basket distinct and the pair self-join share the ONE order-keyed
+    * exchange (pairs fan out only within an order: ≤ brands² per order,
+    * brand-bounded, never corpus-quadratic); marginals and the order
+    * count are brand- and 1-row-sized broadcasts onto the pair table. */
+  def assocRulesBrands(spark: SparkSession, sfDir: String,
+                       minPairs: Long = 10L): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val marg = baskets.groupBy(col("brand")).agg(count(lit(1)).as("n_brand"))
+    val pairs = baskets.select(col("ok"), col("brand").as("brand_a"))
+      .join(baskets.select(col("ok"), col("brand").as("brand_b")), "ok")
+      .filter(col("brand_a") =!= col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"),
+        col("n_brand").as("n_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"),
+        col("n_brand").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_pairs"),
+        col("n_a"), col("n_b"),
+        (col("n_pairs").cast("double") / col("n_orders").cast("double"))
+          .as("support"),
+        (col("n_pairs").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_pairs") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9 — stated
+    * as LITERALS (to the shortest round-trip double) rather than computed
+    * via log10 at runtime: libm log10 is not guaranteed correctly rounded,
+    * so JVM-vs-DuckDB evaluation could differ by an ulp; a literal both
+    * sides quote cannot. */
+  val BenfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** BENFORD'S-LAW first-digit screen over order totals — the
+    * fraud/data-quality diagnostic for naturally-occurring amounts: the
+    * leading digit of o_totalprice should follow log₁₀(1+1/d), and a
+    * per-digit χ² contribution localizes where a synthetic or truncated
+    * distribution deviates. Digits are extracted from the exact integer
+    * cents' decimal string (integer-to-string is engine-identical;
+    * float log10 bucketing near powers of ten is not); expected counts
+    * and contributions are fixed double trees over exact inputs.
+    * One corpus aggregate to 9 rows; the total broadcasts back. */
+  def benfordFirstDigit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
+    val d = Tables.orders(spark, sfDir)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = d.agg(sum(col("n_obs")).as("n_total"))
+    val p = BenfordP.zipWithIndex.tail.foldLeft(
+      when(col("digit") === 1, lit(BenfordP.head))) {
+        case (acc, (pd, i)) => acc.when(col("digit") === (i + 1), lit(pd))
+      }
+    val obs = col("n_obs").cast("double")
+    d.crossJoin(broadcast(total))
+      .withColumn("expected", col("n_total").cast("double") * p)
+      .select(col("digit"), col("n_obs"), col("expected"),
+        ((obs - col("expected")) * (obs - col("expected")) / col("expected"))
+          .as("contribution"))
+      .orderBy(col("digit"))
+  }
+
   /** CHI-SQUARE INDEPENDENCE TEST between event_type and the (epoch)
     * weekday — the categorical hypothesis-testing face of the analytics
     * family: per contingency cell, the observed count, the

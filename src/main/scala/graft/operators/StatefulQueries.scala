@@ -569,6 +569,48 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** RUNNING PEAK / DRAWDOWN / MAX-DRAWDOWN per event_type — the risk
+    * statistic of the reference's price-series domain (peak-to-trough
+    * loss since the running high). Unlike CUSUM/EWMA/Holt this recurrence
+    * IS window-expressible — peak and worst-so-far are both running maxes
+    * — so the batch form is the DECLARATIVE statement (two cumulative-max
+    * frames sharing one (key, ord) sort, zero joins; Catalyst keeps both
+    * in a single window exec) and the streaming twin is where the keyed
+    * state earns its keep. Numerics: max picks an existing double, the
+    * drawdown is one correctly-rounded subtraction — bit-parity with the
+    * oracle's window form by construction. */
+  def drawdownByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("peak", max(col("value")).over(w))
+      .withColumn("drawdown", col("peak") - col("value"))
+      .withColumn("max_drawdown", max(col("drawdown")).over(w))
+      .select(col("event_id"), col("event_type"), col("peak"),
+              col("drawdown"), col("max_drawdown"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[drawdownByType]] through the REAL micro-batch engine over the
+    * two-file median replay: the running peak AND the worst-drawdown-
+    * so-far cross the micro-batch boundary together in one state record
+    * ([[graft.streaming.StatefulOps.drawdownStream]]) — a peak set in
+    * batch 1 must still dominate values arriving in batch 2. Same oracle
+    * as the batch window form. */
+  def drawdownByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.drawdownStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("peak"), col("drawdown"), col("max_drawdown"))
+      .orderBy(col("event_id"))
+  }
+
   /** The Markov transition matrix ([[graft.operators.Analytics
     * .markovTransitions]]) with the per-user `lead()` replaced by REAL
     * keyed streaming state: [[graft.streaming.StatefulOps

@@ -901,6 +901,50 @@ object StatefulOps {
       (key, rows, state: GroupState[EwmaAcc]) => ewmaFold(key, rows, state, alpha)
     }
 
+  /** Drawdown accumulator: running peak and worst drawdown so far. */
+  case class DrawdownAcc(peak: Double, maxDd: Double)
+  case class DrawdownOut(key: String, ord: Long, peak: Double,
+                         drawdown: Double, max_drawdown: Double)
+
+  private implicit val ddAccEnc: Encoder[DrawdownAcc] = Encoders.product[DrawdownAcc]
+  private implicit val ddOutEnc: Encoder[DrawdownOut] = Encoders.product[DrawdownOut]
+
+  private def drawdownFold(key: String, rows: Iterator[KV],
+                           state: GroupState[DrawdownAcc]): Iterator[DrawdownOut] = {
+    var acc = if (state.exists) Some(state.get) else None
+    rows.map { r =>
+      val peak = acc match {
+        case None    => r.value
+        case Some(a) => math.max(a.peak, r.value)
+      }
+      val dd = peak - r.value
+      val maxDd = acc match {
+        case None    => dd
+        case Some(a) => math.max(a.maxDd, dd)
+      }
+      acc = Some(DrawdownAcc(peak, maxDd))
+      DrawdownOut(key, r.ord, peak, dd, maxDd)
+    } ++ { acc.foreach(state.update); Iterator.empty }
+  }
+
+  /** RUNNING PEAK / MAX DRAWDOWN per key — the risk statistic every
+    * price-series monitor carries: peakₙ = max(peakₙ₋₁, xₙ),
+    * ddₙ = peakₙ − xₙ, maxddₙ = max(maxddₙ₋₁, ddₙ). Unlike CUSUM/EWMA
+    * this recurrence IS window-expressible (two running maxes and one
+    * subtraction), so the batch form is declarative (the Spark-first
+    * statement); this stream form exists because a live monitor cannot
+    * re-window history — both peak and worst-so-far cross micro-batch
+    * boundaries in one ValueState-shaped record. Numerics: max picks an
+    * existing double and the subtraction is a single correctly-rounded
+    * op, so batch, streaming, and the window oracle agree bit-for-bit. */
+  def drawdownStream(ds: Dataset[KV],
+                     mode: OutputMode = OutputMode.Append()): Dataset[DrawdownOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DrawdownAcc, DrawdownOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[DrawdownAcc]) =>
+          drawdownFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
+      }
+
   /** [[thresholdGaps]] over a pre-ordered grouping: one lazy pass. */
   def thresholdGapsOrdered(g: KeyValueGroupedDataset[String, KV],
                            threshold: Double): Dataset[GapOut] =

@@ -256,6 +256,74 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.filter(col("forecast") =!= col("level") + col("trend")).count() == 0)
   }
 
+  test("drawdown: invariants hold, batch window equals streaming fold, fold equals direct recurrence") {
+    val b = graft.operators.StatefulQueries.drawdownByType(spark, Sf0001).cache()
+    assert(b.count() == graft.io.Tables.events(spark, Sf0001).count())
+    // peak dominates the value, drawdowns are non-negative, and the worst
+    // drawdown dominates the current one
+    assert(b.filter(col("drawdown") < 0).count() == 0)
+    assert(b.filter(col("max_drawdown") < col("drawdown")).count() == 0)
+    val s = graft.operators.StatefulQueries.drawdownByTypeStreaming(spark, Sf0001)
+    assert(b.exceptAll(s).count() == 0 && s.exceptAll(b).count() == 0)
+    b.unpersist()
+    // fold vs the recurrence computed directly
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    val rnd = new scala.util.Random(17)
+    (1 to 10).foreach { _ =>
+      val n = 1 + rnd.nextInt(50)
+      val vals = Seq.fill(n)(rnd.nextDouble() * 500)
+      var peak = Double.NegativeInfinity; var worst = Double.NegativeInfinity
+      val expect = vals.zipWithIndex.map { case (v, i) =>
+        peak = math.max(peak, v); val dd = peak - v; worst = math.max(worst, dd)
+        (i.toLong, peak, dd, worst)
+      }
+      val ds = vals.zipWithIndex.map { case (v, i) => StatefulOps.KV("k", i.toLong, v) }.toDS()
+      val got = StatefulOps.drawdownStream(ds)
+        .collect().sortBy(_.ord).map(o => (o.ord, o.peak, o.drawdown, o.max_drawdown)).toSeq
+      assert(got == expect)
+    }
+  }
+
+  test("acf: bounded by 1 in magnitude on real data; an alternating series scores acf1 = -1") {
+    val a = Analytics.acfByType(spark, Sf0001).cache()
+    assert(a.count() == graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_type")).distinct().count())
+    Seq("acf_lag1", "acf_lag2", "acf_lag3").foreach { c =>
+      assert(a.filter(abs(col(c)) > 1.0 + 1e-9).count() == 0)
+    }
+    a.unpersist()
+    // closed-form pin: a long +-alternating series has acf1 -> -1 (up to the
+    // finite-sample (n-k)/n correction) and acf2 -> +1 symmetric; verify the
+    // exact finite-sample values against the direct definition
+    def direct(xs: Seq[Long], k: Int): Double = {
+      val n = xs.size; val m = xs.sum.toDouble / n
+      val num = (0 until n - k).map(t => (xs(t) - m) * (xs(t + k) - m)).sum
+      val den = xs.map(x => (x - m) * (x - m)).sum
+      num / den
+    }
+    val alt = Seq.tabulate(40)(i => if (i % 2 == 0) 10L else 0L)
+    assert(math.abs(direct(alt, 1) - (-(39.0 / 40.0))) < 1e-12)
+    // and the Spark aggregation reproduces the direct definition on a
+    // synthetic frame pushed through the same moment formula
+    import spark.implicits._
+    val hours = alt.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = hours.toDF("hs", "c")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hs"))
+    val lagged = df.withColumn("l1", lead(col("c"), 1).over(w))
+    val r = lagged.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("c")).cast("double").as("s"),
+      sum(col("c") * col("c")).cast("double").as("q"),
+      sum(col("c") * col("l1")).cast("double").as("p1"),
+      sum(when(col("l1").isNotNull, col("c"))).cast("double").as("a1"),
+      sum(col("l1")).cast("double").as("b1")).head()
+    val (n, s, q, p1, a1, b1) = (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val acf1 = (n * n * p1 - n * s * (a1 + b1) + (n - 1) * s * s) / (n * n * q - n * s * s)
+    assert(math.abs(acf1 - direct(alt, 1)) < 1e-12)
+  }
+
   test("property: deletion banding finds every random <=1-edit pair, never a 2-edit pair unverified") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
