@@ -209,11 +209,17 @@ object SparkEntry {
     // corpus folds map-side into one constant-size counter matrix
     "token_df_countmin" -> ((s, dir) => FreqSketch.tokenDfCountMin(s, dir)),
     "split_stratified" -> ((s, dir) => TextOps.stratifiedSplit(s, dir)),
+    // group-aware split: every event of a user lands in one split, with
+    // the leakage audit computed from the assigned rows, never assumed
+    "split_grouped_leakfree" -> ((s, dir) => TextOps.groupedSplitLeakfree(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
     // the same decontamination with a bloom-filter prefilter on the train
     // fingerprint stream — exact result, map-side pruning before the shuffle
     "contamination_bloom" -> ((s, dir) => TextOps.contaminationBloom(s, dir)),
+    // raw 5-gram overlap (the exhaustive GPT-3-style method; winnowing
+    // above samples) — any shared n-gram flags the train/eval pair
+    "contamination_ngram" -> ((s, dir) => TextOps.contaminationNgram(s, dir)),
     "curation_manifest" -> ((s, dir) => Pipeline.curationManifest(s, dir)),
     // pipeline COMPOSITION through the real micro-batch engine: stateless
     // quality projection chained into state-store exact-dedup ownership in
@@ -385,6 +391,10 @@ object SparkEntry {
     "drawdown_by_type_streaming" -> ((s, dir) => StatefulQueries.drawdownByTypeStreaming(s, dir)),
     // bucket-sequence autocorrelation at lags 1-3, exact integer moments
     "acf_by_type" -> ((s, dir) => Analytics.acfByType(s, dir)),
+    // market-basket support/confidence/lift over co-ordered brand pairs
+    "assoc_rules_brands" -> ((s, dir) => Analytics.assocRulesBrands(s, dir)),
+    // Benford first-digit screen over order totals, literal probabilities
+    "benford_first_digit" -> ((s, dir) => Analytics.benfordFirstDigit(s, dir)),
     // in-flight scan metrics via Dataset.observe (plan accumulators)
     "dq_observe" -> ((s, dir) => Relational.dqObserve(s, dir)),
     // deterministic bottom-k-by-hash sample via a bounded O(k) aggregator
@@ -2686,6 +2696,15 @@ object SparkEntry {
     s"""(SELECT list_transform(range(1, len(ths)-1),
        |  i -> ((ths[i]*31 + ths[i+1]) % $P * 31 + ths[i+2]) % $P)
        | FROM (SELECT $tokenHashesSql AS ths))""".stripMargin.replaceAll("\n", " ")
+
+  /** Word-5-gram shingle hashes over a `ths` column (the raw-n-gram
+    * contamination width) — same rolling fold as HashExpressions
+    * .shingleHashes(_, 5). */
+  private val shingles5Sql: String =
+    s"""list_transform(range(1, len(ths)-3),
+       | i -> ((((ths[i]*31 + ths[i+1]) % $P * 31 + ths[i+2]) % $P * 31
+       |         + ths[i+3]) % $P * 31 + ths[i+4]) % $P)"""
+      .stripMargin.replaceAll("\n", " ")
 
   /** The 12 MinHash components (constants match Dedup.MinHashA/B). */
   private def minhashColsSql: String =

@@ -331,6 +331,49 @@ object TextOps {
                         trainPer10: Int = 8, valPer10: Int = 1): DataFrame =
     splitAssignOf(d, trainPer10, valPer10).orderBy(col("doc_id"))
 
+  /** GROUP-AWARE leak-free train/val/test split over events — the
+    * leakage-prevention complement of [[stratifiedSplit]]: when rows of
+    * one entity (here a user) are correlated, a row-level split leaks
+    * train information into eval, so the unit of assignment must be the
+    * GROUP — every event of a user lands in the same split by
+    * construction (the split is a pure function of user_id: the same
+    * Knuth multiplicative mix, mod 10 → 8/1/1). The report aggregates
+    * per split (event count, distinct users) and carries the AUDIT the
+    * guarantee is about: `leaked_users` counts users observed in more
+    * than one split — structurally zero, but computed from the assigned
+    * rows, not assumed (a refactor that re-keys the hash on event_id
+    * would flip it nonzero and fail the oracle hash).
+    *
+    * Scale shape: assignment is a stateless projection (zero shuffles —
+    * the degenerate form [[stratifiedSplit]]'s doc names, correct here
+    * because proportions hold only in expectation ACROSS users by
+    * design); the report is one user-keyed aggregate and a splits-sized
+    * rollup. NULL user ids form one sentinel pseudo-group (P-1) rather
+    * than a per-engine null-bucketing hazard. */
+  def groupedSplitLeakfree(spark: SparkSession, sfDir: String,
+                           trainPer10: Int = 8, valPer10: Int = 1): DataFrame = {
+    val P = 1000000007L
+    val uid = coalesce(col("user_id"), lit(P - 1))
+    val slot = (((uid % P) * lit(2654435761L)) % P) % 10
+    val assigned = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(slot < trainPer10, lit("train"))
+          .when(slot < trainPer10 + valPer10, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    val perUser = assigned
+      .groupBy(coalesce(col("user_id"), lit(P - 1)).as("u"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    val leaked = perUser.agg(
+      sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leaked_users"))
+    assigned
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(coalesce(col("user_id"), lit(P - 1))).as("n_users"))
+      .crossJoin(broadcast(leaked))
+      .select(col("split"), col("n_events"), col("n_users"), col("leaked_users"))
+      .orderBy(col("split"))
+  }
+
   /** [[stratifiedSplitOf]] without the presentation sort — the composable
     * form ([[Pipeline.curationManifest]] joins it on doc_id). */
   private[operators] def splitAssignOf(d: DataFrame,
@@ -785,6 +828,39 @@ object TextOps {
     val tr = winnowFps(corpus, "train_id", n, w)
       .filter(bloomMightContain(words, mBits, kProbes, col("fp")))
     contaminationJoin(tr, ev, minShared, maxFpFreq)
+  }
+
+  /** RAW N-GRAM overlap decontamination — the GPT-3/PaLM-style method
+    * (flag a training document on ANY shared n-gram with the benchmark,
+    * n chosen long enough that chance collisions vanish), where the
+    * winnowing family above SAMPLES fingerprints: winnowing guarantees a
+    * hit only for runs of >= w+n-1 tokens, while this form is exhaustive
+    * at exactly n. Same eval-set construction as [[contaminationExternal]]
+    * (head-truncated external slice in its own id space), same hot-shingle
+    * cap and join tail ([[contaminationJoin]]) — the per-doc
+    * `array_distinct` keeps a shingle repeated inside one document from
+    * inflating `n_shared`, so `overlap` = the fraction of the eval doc's
+    * DISTINCT n-grams found in the training doc. minShared = 1: one
+    * shared 5-gram IS the flag in the raw method; the winnow family owns
+    * the >= 2 convention.
+    *
+    * Scale shape: identical to the winnow join — explode, fingerprint-
+    * bucketed join, pair group-by; at 100 TB the bloom prefilter of
+    * [[contaminationBloomOf]] composes unchanged (the cap argument there
+    * is value-pure and n-gram hashes are values like any other). */
+  def contaminationNgram(spark: SparkSession, sfDir: String,
+                         evalMod: Int = 37, headTokens: Int = 30,
+                         idOffset: Long = 1000000L, n: Int = 5,
+                         minShared: Long = 1L, maxFpFreq: Int = 100): DataFrame = {
+    val d = documentsFor(spark, sfDir)
+    val ev = d.filter(col("doc_id") % evalMod === 0)
+      .select((col("doc_id") + idOffset).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, headTokens)).as("text"))
+    val tr = d.select(col("doc_id").as("train_id"),
+      explode(array_distinct(shingleHashes(col("text"), n))).as("fp"))
+    val evf = ev.select(col("doc_id").as("eval_id"),
+      explode(array_distinct(shingleHashes(col("text"), n))).as("fp"))
+    contaminationJoin(tr, evf, minShared, maxFpFreq)
   }
 
   /** (doc_id → `idAs`, exploded winnowing fingerprint) stream of a corpus. */
