@@ -1155,6 +1155,27 @@ object SparkEntry {
     "split_stratified" ->
       s"""WITH $splitCtes
          |SELECT doc_id, lang, source, split FROM sp ORDER BY doc_id""".stripMargin,
+    // group-aware split: assignment is a pure function of user_id (NULLs
+    // form the P-1 sentinel pseudo-group), leaked_users computed from the
+    // assigned rows, structurally zero
+    "split_grouped_leakfree" ->
+      """WITH a AS (SELECT user_id,
+        |  CASE WHEN ((((coalesce(user_id, 1000000006) % 1000000007)
+        |               * 2654435761) % 1000000007) % 10) < 8 THEN 'train'
+        |       WHEN ((((coalesce(user_id, 1000000006) % 1000000007)
+        |               * 2654435761) % 1000000007) % 10) < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM events),
+        |pu AS (SELECT coalesce(user_id, 1000000006) AS u,
+        |        count(DISTINCT split) AS n_splits
+        |       FROM a GROUP BY 1),
+        |lk AS (SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS leaked_users FROM pu)
+        |SELECT split, count(*) AS n_events,
+        | CAST(count(DISTINCT coalesce(user_id, 1000000006)) AS BIGINT) AS n_users,
+        | leaked_users
+        |FROM a CROSS JOIN lk
+        |GROUP BY split, leaked_users ORDER BY split""".stripMargin,
     "tfidf_top_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokenHashesSql) AS th FROM documents),
          |tf AS (SELECT doc_id, th, count(*) AS tf FROM tk GROUP BY doc_id, th),
@@ -1302,6 +1323,29 @@ object SparkEntry {
          | CAST(n_shared AS DOUBLE)/n_fp AS overlap
          |FROM hits JOIN evsz USING (eval_id)
          |WHERE n_shared >= 2 ORDER BY train_id, eval_id""".stripMargin,
+    // raw 5-gram decontamination: exhaustive shingles (no winnowing),
+    // minShared = 1 — one shared 5-gram is the flag in the GPT-3 method
+    "contamination_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |s AS (SELECT doc_id, list_distinct($shingles5Sql) AS fps FROM t),
+         |f AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM s),
+         |fr AS (SELECT fp, count(*) AS freq FROM f GROUP BY fp),
+         |evd AS (SELECT doc_id + 1000000 AS doc_id,
+         |  array_to_string(string_split(text,' ')[1:30], ' ') AS text
+         | FROM documents WHERE doc_id % 37 = 0),
+         |et AS (SELECT doc_id, $tokenHashesSql AS ths FROM evd),
+         |es AS (SELECT doc_id, list_distinct($shingles5Sql) AS fps FROM et),
+         |ev AS (SELECT doc_id AS eval_id, CAST(unnest(fps) AS BIGINT) AS fp FROM es),
+         |evsz AS (SELECT eval_id, count(*) AS n_fp FROM ev GROUP BY eval_id),
+         |hits AS (
+         | SELECT f.doc_id AS train_id, ev.eval_id, count(*) AS n_shared
+         | FROM f JOIN fr USING (fp) JOIN ev USING (fp)
+         | WHERE fr.freq <= 100 AND f.doc_id <> ev.eval_id
+         | GROUP BY 1, 2)
+         |SELECT train_id, eval_id, n_shared,
+         | CAST(n_shared AS DOUBLE)/n_fp AS overlap
+         |FROM hits JOIN evsz USING (eval_id)
+         |WHERE n_shared >= 1 ORDER BY train_id, eval_id""".stripMargin,
     "dedup_paragraph" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
          |$chunkHashCte,
@@ -1810,6 +1854,48 @@ object SparkEntry {
         |SELECT y.event_type, y.wd, CAST(y.obs AS BIGINT) AS obs, y.exp,
         |       y.contrib, s.chi2, s.dof
         |FROM y CROSS JOIN s ORDER BY event_type, wd""".stripMargin,
+    // basket pairs within an order (brand-bounded), support/confidence as
+    // single divisions of exact counts; lift clears denominators first —
+    // two exact BIGINT products, ONE division
+    "assoc_rules_brands" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+        |m AS (SELECT brand, count(*) AS n_brand FROM b GROUP BY brand),
+        |p AS (SELECT x.brand AS brand_a, y.brand AS brand_b,
+        |        count(*) AS n_pairs
+        |      FROM b x JOIN b y USING (ok)
+        |      WHERE x.brand <> y.brand
+        |      GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT brand_a, brand_b, n_pairs,
+        | ma.n_brand AS n_a, mb.n_brand AS n_b,
+        | CAST(n_pairs AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+        | CAST(n_pairs AS DOUBLE) / CAST(ma.n_brand AS DOUBLE) AS confidence,
+        | CAST(n_pairs * n_orders AS DOUBLE) /
+        |   CAST(ma.n_brand * mb.n_brand AS DOUBLE) AS lift
+        |FROM p
+        |JOIN m ma ON p.brand_a = ma.brand
+        |JOIN m mb ON p.brand_b = mb.brand
+        |CROSS JOIN n ORDER BY brand_a, brand_b""".stripMargin,
+    // digits from the exact integer cents' decimal string; expected counts
+    // and chi2 contributions are fixed double trees over exact inputs with
+    // the Benford probabilities stated as shortest-round-trip literals
+    "benford_first_digit" ->
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(
+         |    CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS VARCHAR),
+         |    1, 1) AS BIGINT) AS digit FROM orders),
+         |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g),
+         |e AS (SELECT digit, n_obs,
+         |        CAST(n_total AS DOUBLE) * (CASE digit
+         |          ${graft.operators.Analytics.BenfordP.zipWithIndex.map {
+              case (pd, i) => s"WHEN ${i + 1} THEN $pd" }.mkString(" ")}
+         |        END) AS expected
+         |      FROM g CROSS JOIN t)
+         |SELECT digit, n_obs, expected,
+         | (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+         |   / expected AS contribution
+         |FROM e ORDER BY digit""".stripMargin,
     // top-k with a deterministic path tiebreak — the LIMIT is stable
     "user_paths_top" ->
       """WITH s AS (SELECT event_type AS a,
