@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.operators.{Analytics, Dedup, FreqSketch, KeyedOps, Layout, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
+import graft.operators.{Analytics, Dedup, FreqSketch, Indicators, KeyedOps, Layout, Multimodal, Pipeline, Relational, Sessionize, Similarity, Skew, StatefulQueries, TextOps, TopK, TwsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -389,6 +389,21 @@ object SparkEntry {
     // declarative two-cummax form; the twin carries (peak, worst) state
     "drawdown_by_type" -> ((s, dir) => StatefulQueries.drawdownByType(s, dir)),
     "drawdown_by_type_streaming" -> ((s, dir) => StatefulQueries.drawdownByTypeStreaming(s, dir)),
+    // Wilder RSI (binary-exact alpha=1/16): the gain/loss split makes the
+    // recurrence non-associative — stateful-or-nothing, like CUSUM
+    "rsi_by_type" -> ((s, dir) => StatefulQueries.rsiByType(s, dir)),
+    "rsi_by_type_streaming" -> ((s, dir) => StatefulQueries.rsiByTypeStreaming(s, dir)),
+    // MACD: THREE coupled EMAs (1/4, 1/16, 1/8 — binary-exact 12/26/9)
+    "macd_by_type" -> ((s, dir) => StatefulQueries.macdByType(s, dir)),
+    "macd_by_type_streaming" -> ((s, dir) => StatefulQueries.macdByTypeStreaming(s, dir)),
+    // OHLC candlestick bars: element selection only, zero float arithmetic
+    "ohlc_hourly" -> ((s, dir) => Indicators.ohlcHourly(s, dir)),
+    // VWAP on synthetic deterministic volume: exact decimal weighted sum
+    "vwap_hourly" -> ((s, dir) => Indicators.vwapHourly(s, dir)),
+    // Bollinger bands: exact integer-cents rolling moments, 20-tick frame
+    "bollinger_by_type" -> ((s, dir) => Indicators.bollingerByType(s, dir)),
+    // stochastic oscillator %K: frame extrema + a fixed 4-op double tree
+    "stoch_osc_by_type" -> ((s, dir) => Indicators.stochOscByType(s, dir)),
     // bucket-sequence autocorrelation at lags 1-3, exact integer moments
     "acf_by_type" -> ((s, dir) => Analytics.acfByType(s, dir)),
     // market-basket support/confidence/lift over co-ordered brand pairs
@@ -2032,6 +2047,118 @@ object SparkEntry {
         |  max(drawdown) OVER (PARTITION BY event_type ORDER BY event_id
         |                      ROWS UNBOUNDED PRECEDING) AS max_drawdown
         |FROM d ORDER BY event_id""".stripMargin,
+    // Wilder RSI with the binary-exact 15/16-1/16 coefficients: the seed
+    // step joins rows i=1,2 (first diff seeds the averages), the recursive
+    // step re-evaluates the gain/loss CASE inline (the holt deterministic-
+    // re-evaluation precedent); flat-tape RSI is pinned to 50
+    "rsi_by_type" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT o2.event_type, o2.event_id, o2.i, o2.v,
+        |    CASE WHEN o2.v - o1.v > 0 THEN o2.v - o1.v ELSE 0.0 END AS ag,
+        |    CASE WHEN o2.v - o1.v < 0 THEN -(o2.v - o1.v) ELSE 0.0 END AS al
+        |  FROM o o1 JOIN o o2
+        |    ON o2.event_type = o1.event_type AND o1.i = 1 AND o2.i = 2
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i, o.v,
+        |    0.9375 * c.ag + 0.0625 *
+        |      (CASE WHEN o.v - c.v > 0 THEN o.v - c.v ELSE 0.0 END),
+        |    0.9375 * c.al + 0.0625 *
+        |      (CASE WHEN o.v - c.v < 0 THEN -(o.v - c.v) ELSE 0.0 END)
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
+        |SELECT event_id, event_type, ag AS avg_gain, al AS avg_loss,
+        |  CASE WHEN ag + al = 0 THEN 50.0
+        |       ELSE least(100.0, (100.0 * ag) / (ag + al)) END AS rsi
+        |FROM c ORDER BY event_id""".stripMargin,
+    // three coupled EMAs ride the recursion as (emaf, emas, sig); the
+    // signal's update inlines the new fast/slow expressions (deterministic
+    // re-evaluation); macd/histogram are re-derived in the final SELECT
+    // exactly as the fold computes them
+    "macd_by_type" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, i, v AS emaf, v AS emas,
+        |    CAST(0 AS DOUBLE) AS sig
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i,
+        |    0.75 * c.emaf + 0.25 * o.v,
+        |    0.9375 * c.emas + 0.0625 * o.v,
+        |    0.875 * c.sig + 0.125 *
+        |      ((0.75 * c.emaf + 0.25 * o.v) - (0.9375 * c.emas + 0.0625 * o.v))
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
+        |SELECT event_id, event_type, emaf - emas AS macd, sig AS signal_line,
+        |  (emaf - emas) - sig AS histogram
+        |FROM c ORDER BY event_id""".stripMargin,
+    // element selection only: arg_min/arg_max on the unique tape-ordered
+    // event_id (the Spark side's min_by/max_by key), extrema, count
+    "ohlc_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        | event_type,
+        | arg_min(value, event_id) AS open,
+        | max(value) AS high,
+        | min(value) AS low,
+        | arg_max(value, event_id) AS close,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // deterministic synthetic volume (event_id % 97 + 1) stated on both
+    // sides; the weighted sum is exact decimal, the one double op is the
+    // final division (dd() varchar round-trip for the decimal crossing)
+    "vwap_hourly" ->
+      s"""WITH v AS (SELECT ts, event_type,
+         |  CAST(event_id % 97 + 1 AS DECIMAL(3,0)) AS vol,
+         |  CAST(value AS DECIMAL(18,2)) AS p FROM events)
+         |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+         | event_type, count(*) AS n_events,
+         | CAST(sum(vol) AS BIGINT) AS sum_vol,
+         | ${dd("sum(p * vol)")} / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS vwap
+         |FROM v GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // exact integer-cents frame moments (benford's round(value*100)
+    // parity); double finishers in the stated association: mean = s/(100n),
+    // sd = sqrt(num/n^2)/100, band = mean +/- 2*sd
+    "bollinger_by_type" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, event_type,
+        |    count(*) OVER f AS n_win,
+        |    CAST(sum(vc) OVER f AS BIGINT) AS s,
+        |    CAST(sum(vc * vc) OVER f AS BIGINT) AS ss
+        |  FROM b
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY event_id
+        |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT event_id, event_type, n_win,
+        |    CAST(s AS DOUBLE) / CAST(n_win * 100 AS DOUBLE) AS mean,
+        |    sqrt(CAST(n_win * ss - s * s AS DOUBLE)
+        |         / CAST(n_win * n_win AS DOUBLE)) / 100.0 AS sd
+        |  FROM w)
+        |SELECT event_id, event_type, n_win, mean, sd,
+        |  mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
+        |FROM m ORDER BY event_id""".stripMargin,
+    // frame extrema are element selection; the %K score is the identical
+    // fixed 4-op double tree both engines evaluate; flat frame pins 50
+    "stoch_osc_by_type" ->
+      """WITH w AS (
+        |  SELECT event_id, event_type, value,
+        |    min(value) OVER f AS low_n,
+        |    max(value) OVER f AS high_n
+        |  FROM events
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY event_id
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, low_n, high_n,
+        |  CASE WHEN high_n = low_n THEN 50.0
+        |       ELSE least(100.0, (100.0 * (value - low_n)) / (high_n - low_n))
+        |  END AS pct_k
+        |FROM w ORDER BY event_id""".stripMargin,
     // exact long moments cast to double once, then the identical IEEE
     // finisher tree both sides (corr_matrix's discipline); lag alignment
     // via lead() over the type's hour-ordered bucket sequence
@@ -2536,6 +2663,10 @@ object SparkEntry {
       "drawdown_by_type_streaming"     -> base("drawdown_by_type"),
       // (level, trend) carried across micro-batches together — same oracle
       "holt_by_type_streaming"         -> base("holt_by_type"),
+      // (prev, avg gain, avg loss) cross the batch boundary as one record
+      "rsi_by_type_streaming"          -> base("rsi_by_type"),
+      // all three coupled EMAs cross the batch boundary together
+      "macd_by_type_streaming"         -> base("macd_by_type"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

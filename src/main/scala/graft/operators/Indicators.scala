@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Technical indicators over the `events` price tape — the DECLARATIVE
+  * (window/aggregate) half of the stock-analytics surface the reference
+  * domain implies (reference: src/main/java — four keyed-state jobs over
+  * the HDFC price CSV). The sequential-recurrence indicators (RSI, MACD)
+  * live in [[graft.operators.StatefulQueries]]/[[graft.streaming
+  * .StatefulOps]] because no window frame expresses them; everything here
+  * IS frame-expressible, so batch stays Spark-first: one shuffle on the
+  * series key, whole-stage-codegen'd window evaluation, no state store.
+  *
+  * Numeric discipline (the house float rules):
+  *   - rolling moments ride INTEGER CENTS (`round(value·100)` — the
+  *     benford-established double→cents parity), so every windowed sum is
+  *     an exact BIGINT and the variance numerator n·Σx² − (Σx)² is exact
+  *     integer arithmetic;
+  *   - doubles appear only in FINAL correctly-rounded ops (one divide,
+  *     one sqrt, one multiply-add per band) with the identical
+  *     association stated in the oracle;
+  *   - open/close are picked (min_by/max_by), never summed — element
+  *     selection is exact on any orderable type.
+  */
+object Indicators {
+
+  /** OHLC candlestick bars: per (event_type, hour) open/high/low/close +
+    * tick count. Open/close are `min_by`/`max_by` on the unique, tape-
+    * ordered `event_id` (fixture invariant: event_id order == (ts,
+    * event_id) order; the oracle's arg_min/arg_max states the same key),
+    * high/low are plain extrema — all element SELECTION, no float
+    * arithmetic anywhere. One map-side-combinable aggregate: partial
+    * (argmin, argmax, min, max, count) tuples merge associatively, so the
+    * 100 TB form is the same single groupBy. */
+  def ohlcHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+               col("event_type"))
+      .agg(min_by(col("value"), col("event_id")).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max_by(col("value"), col("event_id")).as("close"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Volume-weighted average price per (event_type, hour). The fixture
+    * has no volume column, so volume is the DETERMINISTIC synthetic
+    * `event_id % 97 + 1` (both engines state it — the mix_sample
+    * shared-constant discipline). The weighted sum rides DECIMAL
+    * (price at scale 2 × a 3-digit volume — exact, order-free); the one
+    * double op is the final division. Map-side combinable: the 100 TB
+    * form is this exact plan. */
+  def vwapHourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("vol", (col("event_id") % 97 + 1).cast("decimal(3,0)"))
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("vol")).cast("long").as("sum_vol"),
+           sum(col("value").cast("decimal(18,2)") * col("vol")).as("pv"))
+      .withColumn("vwap", col("pv").cast("double") / col("sum_vol").cast("double"))
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+              col("sum_vol"), col("vwap"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Bollinger bands: trailing-20-tick mean ± 2σ per event_type. The
+    * frame's Σx and Σx² are exact BIGINT sums of integer cents, the
+    * population variance numerator n·Σx² − (Σx)² is exact (20 ticks ×
+    * (5.7e4 cents)² ≈ 6.5e10 ≪ 2⁶³), and the double finishers are single
+    * correctly-rounded ops in the stated association: mean = s/(100n),
+    * sd = sqrt(num/n²)/100, band = mean ± 2·sd (2· is exact). Short heads
+    * (n < 20) use the actual frame count — no NULL warm-up rows. Scale:
+    * per-key windows shuffle once on the series key; frames are O(20). */
+  def bollingerByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-19, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+              round(col("value") * lit(100.0)).cast("long").as("vc"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s", sum(col("vc")).over(w).cast("long"))
+      .withColumn("ss", sum(col("vc") * col("vc")).over(w).cast("long"))
+      .withColumn("mean", col("s").cast("double") /
+                          (col("n_win") * 100L).cast("double"))
+      .withColumn("sd",
+        sqrt((col("n_win") * col("ss") - col("s") * col("s")).cast("double") /
+             (col("n_win") * col("n_win")).cast("double")) / lit(100.0))
+      .withColumn("upper", col("mean") + lit(2.0) * col("sd"))
+      .withColumn("lower", col("mean") - lit(2.0) * col("sd"))
+      .select(col("event_id"), col("event_type"), col("n_win"),
+              col("mean"), col("sd"), col("upper"), col("lower"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Stochastic oscillator %K over a trailing 14-tick frame per
+    * event_type: 100·(x − low₁₄)/(high₁₄ − low₁₄), 50 on a flat frame.
+    * Frame extrema are exact element selection; the score is a fixed
+    * four-op double tree (two subtractions, one multiply, one divide)
+    * stated identically in the oracle — no float sums anywhere. */
+  def stochOscByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-13, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("low_n", min(col("value")).over(w))
+      .withColumn("high_n", max(col("value")).over(w))
+      .withColumn("pct_k",
+        when(col("high_n") === col("low_n"), lit(50.0))
+          // the 100·(x−lo) numerator's rounding can push the quotient an
+          // ulp above 100 at x = hi; least() is exact selection
+          .otherwise(least(lit(100.0),
+            (lit(100.0) * (col("value") - col("low_n"))) /
+            (col("high_n") - col("low_n")))))
+      .select(col("event_id"), col("event_type"), col("low_n"),
+              col("high_n"), col("pct_k"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -611,6 +611,69 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Wilder RSI per event_type ([[graft.streaming.StatefulOps.rsiStream]]
+    * semantics) — batch execution as a lazy ordered fold (the q1s/cusum
+    * plan shape, O(1) state per key). Like CUSUM the gain/loss split makes
+    * the recurrence non-associative — stateful-or-nothing even in batch.
+    * The oracle is a DuckDB RECURSIVE CTE carrying (value, avg_gain,
+    * avg_loss) through the recursion with the binary-exact 15/16–1/16
+    * coefficients (the EWMA bit-parity argument). */
+  def rsiByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+    StatefulOps.rsiOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc)).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("avg_gain"), col("avg_loss"), col("rsi"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[rsiByType]] through the REAL micro-batch engine over the two-file
+    * median replay: the coupled (prev value, avg gain, avg loss) state
+    * crosses the micro-batch boundary as one record — the first row of
+    * batch 2 must diff against the last value of batch 1. Same oracle. */
+  def rsiByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.rsiStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("avg_gain"), col("avg_loss"), col("rsi"))
+      .orderBy(col("event_id"))
+  }
+
+  /** MACD per event_type ([[graft.streaming.StatefulOps.macdStream]]
+    * semantics) — batch execution as a lazy ordered fold. Three coupled
+    * EMAs (fast 1/4, slow 1/16, signal 1/8 — all binary-exact) ride the
+    * recursion together; the oracle CTE carries (emaf, emas, sig) and
+    * re-derives macd/histogram in its final projection exactly as the
+    * fold does (m = emaF − emaS, hist = m − sig). */
+  def macdByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+    StatefulOps.macdOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc)).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("macd"), col("signal_line"), col("histogram"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[macdByType]] through the micro-batch engine — all THREE coupled
+    * EMA state components cross the batch boundary together. Same oracle. */
+  def macdByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.macdStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("macd"), col("signal_line"), col("histogram"))
+      .orderBy(col("event_id"))
+  }
+
   /** The Markov transition matrix ([[graft.operators.Analytics
     * .markovTransitions]]) with the per-user `lead()` replaced by REAL
     * keyed streaming state: [[graft.streaming.StatefulOps

@@ -945,6 +945,118 @@ object StatefulOps {
           drawdownFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
       }
 
+  /** RSI accumulator: previous value + Wilder-smoothed gain/loss averages.
+    * `seeded` distinguishes "first diff seeds the averages" from the
+    * steady-state smoothing step. */
+  case class RsiAcc(prev: Double, ag: Double, al: Double, seeded: Boolean)
+  case class RsiOut(key: String, ord: Long, avg_gain: Double,
+                    avg_loss: Double, rsi: Double)
+
+  private implicit val rsiAccEnc: Encoder[RsiAcc] = Encoders.product[RsiAcc]
+  private implicit val rsiOutEnc: Encoder[RsiOut] = Encoders.product[RsiOut]
+
+  private def rsiFold(key: String, rows: Iterator[KV],
+                      state: GroupState[RsiAcc]): Iterator[RsiOut] = {
+    var acc = if (state.exists) Some(state.get) else None
+    rows.flatMap { r =>
+      acc match {
+        case None =>
+          // first observation per key: no diff yet, nothing emitted
+          acc = Some(RsiAcc(r.value, 0.0, 0.0, seeded = false))
+          Iterator.empty[RsiOut]
+        case Some(a) =>
+          val d = r.value - a.prev
+          val g = if (d > 0) d else 0.0
+          val l = if (d < 0) -d else 0.0
+          val (ag, al) =
+            if (!a.seeded) (g, l)
+            else (0.9375 * a.ag + 0.0625 * g, 0.9375 * a.al + 0.0625 * l)
+          acc = Some(RsiAcc(r.value, ag, al, seeded = true))
+          val denom = ag + al
+          // (100·ag)/denom can land an ulp above 100 when al = 0 (the
+          // numerator's rounding); min is exact selection, both engines
+          val rsi = if (denom == 0) 50.0
+                    else math.min(100.0, (100.0 * ag) / denom)
+          Iterator.single(RsiOut(key, r.ord, ag, al, rsi))
+      }
+    } ++ { acc.foreach(state.update); Iterator.empty }
+  }
+
+  /** WILDER'S RELATIVE STRENGTH INDEX per key, α = 1/16: split each
+    * one-step diff into gain/loss, smooth both with
+    * aₙ = (15/16)·aₙ₋₁ + (1/16)·xₙ, RSI = 100·ag/(ag + al) clamped to
+    * 100 (the numerator's rounding can overshoot by an ulp; flat tape →
+    * 50). The classic n = 14 smoothing (13/14, 1/14) is replaced by the
+    * BINARY-EXACT n = 16 so both coefficient multiplies are single
+    * correctly-rounded IEEE ops — the EWMA parity precondition. Averages
+    * seed from the FIRST DIFF (not Wilder's n-bar warm-up mean), the
+    * streaming-friendly seed: a live monitor has no warm-up buffer. The
+    * coupled (prev, ag, al) state crosses micro-batch boundaries as one
+    * record; like CUSUM the gain/loss SPLIT makes the recurrence
+    * non-associative — no window frame expresses it. */
+  def rsiStream(ds: Dataset[KV],
+                mode: OutputMode = OutputMode.Append()): Dataset[RsiOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[RsiAcc, RsiOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[RsiAcc]) =>
+          rsiFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
+      }
+
+  /** [[rsiStream]] over a pre-ordered grouping: one lazy pass, O(1) state. */
+  def rsiOrdered(g: KeyValueGroupedDataset[String, KV]): Dataset[RsiOut] =
+    g.flatMapGroupsWithState[RsiAcc, RsiOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[RsiAcc]) => rsiFold(key, rows, state)
+    }
+
+  /** MACD accumulator: fast EMA, slow EMA, signal EMA. */
+  case class MacdAcc(emaF: Double, emaS: Double, sig: Double)
+  case class MacdOut(key: String, ord: Long, macd: Double,
+                     signal_line: Double, histogram: Double)
+
+  private implicit val macdAccEnc: Encoder[MacdAcc] = Encoders.product[MacdAcc]
+  private implicit val macdOutEnc: Encoder[MacdOut] = Encoders.product[MacdOut]
+
+  private def macdFold(key: String, rows: Iterator[KV],
+                       state: GroupState[MacdAcc]): Iterator[MacdOut] = {
+    var acc = if (state.exists) Some(state.get) else None
+    rows.map { r =>
+      val next = acc match {
+        case None => MacdAcc(r.value, r.value, 0.0)
+        case Some(a) =>
+          val f = 0.75 * a.emaF + 0.25 * r.value
+          val s = 0.9375 * a.emaS + 0.0625 * r.value
+          MacdAcc(f, s, 0.875 * a.sig + 0.125 * (f - s))
+      }
+      acc = Some(next)
+      val m = next.emaF - next.emaS
+      MacdOut(key, r.ord, m, next.sig, m - next.sig)
+    } ++ { acc.foreach(state.update); Iterator.empty }
+  }
+
+  /** MACD (moving-average convergence/divergence) per key: fast EMA
+    * (α = 1/4) minus slow EMA (α = 1/16), with a signal EMA (α = 1/8) of
+    * that difference and histogram = macd − signal. All three smoothing
+    * factors are BINARY-EXACT replacements for the classic 12/26/9 spans
+    * (whose 2/(n+1) factors are not representable) — the EWMA parity
+    * argument then covers all THREE coupled recurrences, which cross
+    * micro-batch boundaries together in one state record. Seed: both EMAs
+    * start at x₁ (macd₁ = 0 exactly), signal starts at 0. */
+  def macdStream(ds: Dataset[KV],
+                 mode: OutputMode = OutputMode.Append()): Dataset[MacdOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[MacdAcc, MacdOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[MacdAcc]) =>
+          macdFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
+      }
+
+  /** [[macdStream]] over a pre-ordered grouping: one lazy pass, O(1) state. */
+  def macdOrdered(g: KeyValueGroupedDataset[String, KV]): Dataset[MacdOut] =
+    g.flatMapGroupsWithState[MacdAcc, MacdOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[MacdAcc]) => macdFold(key, rows, state)
+    }
+
   /** [[thresholdGaps]] over a pre-ordered grouping: one lazy pass. */
   def thresholdGapsOrdered(g: KeyValueGroupedDataset[String, KV],
                            threshold: Double): Dataset[GapOut] =

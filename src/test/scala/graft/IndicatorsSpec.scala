@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Indicators, StatefulQueries}
+import graft.streaming.StatefulOps
+
+/** Invariant + cross-form tests for the technical-indicator family: OHLC
+  * bars, VWAP, Bollinger bands, stochastic %K (declarative windows) and
+  * RSI / MACD (sequential folds with streaming twins). */
+class IndicatorsSpec extends SparkSpec {
+
+  test("ohlc: extrema bracket open/close, bars partition the tape") {
+    val o = Indicators.ohlcHourly(spark, Sf0001).cache()
+    assert(o.filter(col("high") < col("open") || col("high") < col("close") ||
+                    col("low") > col("open") || col("low") > col("close")).count() == 0)
+    assert(o.filter(col("high") < col("low")).count() == 0)
+    // bars cover every tick exactly once
+    assert(o.agg(sum(col("n_events"))).head().getLong(0) ==
+           graft.io.Tables.events(spark, Sf0001).count())
+    // single-tick bars are degenerate: open = high = low = close
+    assert(o.filter(col("n_events") === 1 &&
+                    (col("open") =!= col("close") || col("high") =!= col("low")))
+            .count() == 0)
+    o.unpersist()
+  }
+
+  test("vwap: lies within the bar's price range (cents tolerance) and weights are positive") {
+    val v = Indicators.vwapHourly(spark, Sf0001)
+    val o = Indicators.ohlcHourly(spark, Sf0001)
+      .select(col("hour_start"), col("event_type"), col("low"), col("high"))
+    val j = v.join(o, Seq("hour_start", "event_type")).cache()
+    assert(j.count() == v.count())
+    // decimal(18,2) price rounding can move each tick by at most half a cent
+    assert(j.filter(col("vwap") < col("low") - 0.005 ||
+                    col("vwap") > col("high") + 0.005).count() == 0)
+    // volumes are in [1, 97], so n <= sum_vol <= 97n
+    assert(j.filter(col("sum_vol") < col("n_events") ||
+                    col("sum_vol") > col("n_events") * 97).count() == 0)
+    j.unpersist()
+  }
+
+  test("bollinger: bands bracket the mean, sd >= 0, warm-up frames count correctly") {
+    val b = Indicators.bollingerByType(spark, Sf0001).cache()
+    assert(b.count() == graft.io.Tables.events(spark, Sf0001).count())
+    assert(b.filter(col("sd") < 0).count() == 0)
+    assert(b.filter(col("upper") < col("mean") || col("lower") > col("mean")).count() == 0)
+    assert(b.filter(col("n_win") < 1 || col("n_win") > 20).count() == 0)
+    // a single-row frame has zero variance, so both bands collapse to the mean
+    assert(b.filter(col("n_win") === 1 &&
+                    (col("sd") =!= 0.0 || col("upper") =!= col("mean"))).count() == 0)
+    b.unpersist()
+  }
+
+  test("stochastic %K: bounded in [0, 100] and the frame extrema are ordered") {
+    val s = Indicators.stochOscByType(spark, Sf0001).cache()
+    assert(s.filter(col("pct_k") < 0 || col("pct_k") > 100).count() == 0)
+    assert(s.filter(col("high_n") < col("low_n")).count() == 0)
+    s.unpersist()
+  }
+
+  test("rsi: bounded, batch fold equals streaming twin, fold equals direct recurrence") {
+    val b = StatefulQueries.rsiByType(spark, Sf0001).cache()
+    // one row per event except each key's first
+    val ev = graft.io.Tables.events(spark, Sf0001)
+    val nKeys = ev.select(col("event_type")).distinct().count()
+    assert(b.count() == ev.count() - nKeys)
+    assert(b.filter(col("rsi") < 0 || col("rsi") > 100).count() == 0)
+    assert(b.filter(col("avg_gain") < 0 || col("avg_loss") < 0).count() == 0)
+    val s = StatefulQueries.rsiByTypeStreaming(spark, Sf0001)
+    assert(b.exceptAll(s).count() == 0 && s.exceptAll(b).count() == 0)
+    b.unpersist()
+    // fold vs the recurrence computed directly
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 10).foreach { _ =>
+      val n = 2 + rnd.nextInt(50)
+      val vals = Seq.fill(n)(rnd.nextDouble() * 500)
+      var ag = 0.0; var al = 0.0; var seeded = false
+      val expect = vals.zip(vals.tail).zipWithIndex.map { case ((p, v), i) =>
+        val d = v - p
+        val g = if (d > 0) d else 0.0
+        val l = if (d < 0) -d else 0.0
+        if (!seeded) { ag = g; al = l; seeded = true }
+        else { ag = 0.9375 * ag + 0.0625 * g; al = 0.9375 * al + 0.0625 * l }
+        val rsi = if (ag + al == 0) 50.0
+                  else math.min(100.0, (100.0 * ag) / (ag + al))
+        ((i + 1).toLong, ag, al, rsi)
+      }
+      val ds = vals.zipWithIndex.map { case (v, i) => StatefulOps.KV("k", i.toLong, v) }.toDS()
+      val got = StatefulOps.rsiStream(ds)
+        .collect().sortBy(_.ord).map(o => (o.ord, o.avg_gain, o.avg_loss, o.rsi)).toSeq
+      assert(got == expect)
+    }
+    // a flat tape never moves: RSI pinned at 50 throughout
+    val flat = (0 until 20).map(i => StatefulOps.KV("f", i.toLong, 42.0)).toDS()
+    assert(StatefulOps.rsiStream(flat).collect().forall(o =>
+      o.rsi == 50.0 && o.avg_gain == 0.0 && o.avg_loss == 0.0))
+  }
+
+  test("macd: seed row is zero, histogram closes, batch equals streaming, fold equals recurrence") {
+    val b = StatefulQueries.macdByType(spark, Sf0001).cache()
+    assert(b.count() == graft.io.Tables.events(spark, Sf0001).count())
+    // histogram = macd - signal_line exactly (one shared subtraction)
+    assert(b.filter(col("histogram") =!= col("macd") - col("signal_line")).count() == 0)
+    val s = StatefulQueries.macdByTypeStreaming(spark, Sf0001)
+    assert(b.exceptAll(s).count() == 0 && s.exceptAll(b).count() == 0)
+    b.unpersist()
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    (1 to 10).foreach { _ =>
+      val n = 1 + rnd.nextInt(50)
+      val vals = Seq.fill(n)(rnd.nextDouble() * 500)
+      var f = 0.0; var sl = 0.0; var sg = 0.0; var first = true
+      val expect = vals.zipWithIndex.map { case (v, i) =>
+        if (first) { f = v; sl = v; sg = 0.0; first = false }
+        else {
+          f = 0.75 * f + 0.25 * v
+          sl = 0.9375 * sl + 0.0625 * v
+          sg = 0.875 * sg + 0.125 * (f - sl)
+        }
+        (i.toLong, f - sl, sg, (f - sl) - sg)
+      }
+      val ds = vals.zipWithIndex.map { case (v, i) => StatefulOps.KV("k", i.toLong, v) }.toDS()
+      val got = StatefulOps.macdStream(ds)
+        .collect().sortBy(_.ord).map(o => (o.ord, o.macd, o.signal_line, o.histogram)).toSeq
+      assert(got == expect)
+      // the first emitted row is exactly zero across the board
+      assert(got.head == (0L, 0.0, 0.0, 0.0))
+    }
+  }
+}
