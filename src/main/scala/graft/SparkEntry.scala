@@ -460,6 +460,16 @@ object SparkEntry {
     "q32_value_histogram" -> ((s, dir) => Relational.valueHistogram(s, dir)),
     // schema evolution: generations unioned BY NAME, missing col null-fills
     "union_schema_evolution" -> ((s, dir) => Relational.unionSchemaEvolution(s, dir)),
+    // TPC-H Q15 shape: scalar-subquery-over-view decorrelation, exact-
+    // decimal max equality, ties surface
+    "q37_top_supplier" -> ((s, dir) => Relational.topSupplier(s, dir)),
+    // TPC-H Q11 shape: HAVING vs broadcast global scalar, cross-multiplied
+    "q38_important_brands" -> ((s, dir) => Relational.importantBrands(s, dir)),
+    // TPC-H Q18 shape: IN (SELECT key FROM agg HAVING ...) — prune at the
+    // aggregate before any dimension join
+    "q39_large_volume_orders" -> ((s, dir) => Relational.largeVolumeOrders(s, dir)),
+    // correlated EXISTS + NOT EXISTS pair -> key-level semi/anti joins
+    "q40_exists_not_exists" -> ((s, dir) => Relational.existsNotExists(s, dir)),
     // exact sort-based percentiles — the exact twin of q10b's sketch
     "q33_percentile_exact" -> ((s, dir) => Relational.percentileExact(s, dir)),
     // edit-distance-1 similarity join via deletion-neighborhood banding
@@ -2568,6 +2578,50 @@ object SparkEntry {
         |SELECT CAST(c_count AS BIGINT) AS c_count,
         | CAST(count(*) AS BIGINT) AS custdist
         |FROM cc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // max-equality on the EXACT decimal revenue (a double crossing could
+    // merge revenues differing below double resolution); ties surface
+    "q37_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey, sum($decPrice * ($one - $decDisc)) AS rev
+         |           FROM lineitem GROUP BY 1),
+         |m AS (SELECT max(rev) AS mx FROM r)
+         |SELECT s_suppkey, s_name, ${dd("rev")} AS total_rev
+         |FROM r JOIN m ON rev = mx
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY s_suppkey""".stripMargin,
+    // share membership decided by the CROSS-MULTIPLIED exact decimal test
+    // (value*50 > total — the pareto boundary discipline); the reported
+    // share is display-only double
+    "q38_important_brands" ->
+      s"""WITH v AS (SELECT p_brand,
+         |        sum($decPrice * CAST(l_quantity AS DECIMAL(18,4))) AS value
+         |       FROM lineitem JOIN part ON l_partkey = p_partkey
+         |       GROUP BY 1),
+         |t AS (SELECT sum(value) AS total FROM v)
+         |SELECT p_brand, ${dd("value")} AS value,
+         | ${dd("value")} / ${dd("total")} AS share
+         |FROM v CROSS JOIN t WHERE value * 25 > total
+         |ORDER BY p_brand""".stripMargin,
+    // the HAVING prunes at the orderkey aggregate before the joins
+    "q39_large_volume_orders" ->
+      """WITH q AS (SELECT l_orderkey,
+        |        sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |       FROM lineitem GROUP BY 1 HAVING sum_qty > 250)
+        |SELECT o_orderkey, c_custkey, c_name, o_orderdate, o_totalprice,
+        | CAST(CAST(sum_qty AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q40_exists_not_exists" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l JOIN part p
+        |               ON l.l_partkey = p.p_partkey
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND p.p_brand = 'Brand#11')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l JOIN part p
+        |               ON l.l_partkey = p.p_partkey
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND p.p_brand = 'Brand#22')
+        |ORDER BY o_orderkey""".stripMargin,
     // Wilson algebra stated with the identical association as the Spark
     // expression tree — every op a single correctly-rounded IEEE op
     "conversion_rate_wilson" ->

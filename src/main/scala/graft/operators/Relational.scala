@@ -705,4 +705,87 @@ object Relational {
            sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first)
   }
+
+  /** TPC-H Q15 shape (top supplier): suppliers whose discounted revenue
+    * EQUALS the global maximum — the "scalar subquery over a derived
+    * view" decorrelation class. The revenue view aggregates once; its
+    * 1-row max rides a broadcast back over the supplier-count-sized
+    * aggregate (never the fact table), so the only fact-sized work is the
+    * one map-side-combined revenue groupBy. Ties all surface (the
+    * TPC-H-specified semantics) — no LIMIT 1 nondeterminism. The equality
+    * compares EXACT DECIMALS: crossing to double first could merge two
+    * revenues that differ below double resolution. */
+  def topSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(discRevenueSum.as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(spark, sfDir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+              col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q11 shape (important stock): brands whose inventory value
+    * exceeds the uniform 1/25 share of the corpus total — a HAVING over
+    * aggregated groups against a broadcast global scalar. The share test
+    * is CROSS-MULTIPLIED in exact decimal (value·25 > total, the pareto
+    * boundary discipline) — a double share threshold would make group
+    * membership float-sensitive at the boundary. Both the group aggregate
+    * and the total fold out of ONE fact scan shape (value per brand, then
+    * a 1-row re-aggregate of the brand table — never a second corpus
+    * pass); part is the broadcast dimension. */
+  def importantBrands(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("value"))
+    val tot = v.agg(sum(col("value")).as("total"))
+    v.join(broadcast(tot), col("value") * 25 > col("total"))
+      .select(col("p_brand"), col("value").cast("double").as("value"),
+              (col("value").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total quantity
+    * exceeds a threshold, rejoined to orders+customer for the report — the
+    * "IN (SELECT key FROM agg HAVING ...)" class. The quantity HAVING
+    * prunes at the aggregate (order-count-sized) BEFORE any dimension
+    * join, so the orders/customer joins move only qualifying keys; at
+    * 100 TB the orderkey agg and the orders join share co-partitioned
+    * shuffles. Quantity sums are exact decimal. */
+  def largeVolumeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val qty = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    qty.join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+              col("o_orderdate"), col("o_totalprice"),
+              col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Correlated EXISTS + NOT EXISTS pair (the TPC-H Q21 decorrelation
+    * class on available columns): orders containing at least one item of
+    * one brand and NONE of another. Both correlated subqueries decorrelate
+    * to key-level semi/anti joins against brand-filtered orderkey sets;
+    * the brand filters ride a broadcast part dimension, so each side's
+    * fact scan prunes to one brand's rows before its DISTINCT — the
+    * semi/anti build sides are orderkey-sized, never lineitem-sized. */
+  def existsNotExists(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    def brandOrders(brand: String) = li
+      .join(broadcast(p.filter(col("p_brand") === brand)),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey")).distinct()
+    Tables.orders(spark, sfDir)
+      .join(brandOrders("Brand#11"), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(brandOrders("Brand#22"), col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
 }

@@ -572,4 +572,27 @@ class PlanSpec extends SparkSpec {
     assert(fin.contains("ReusedExchange"), fin)
     assert(fin.contains("TakeOrderedAndProject"), fin)
   }
+
+  test("q37/q38: the global scalar rides a broadcast over the aggregate, never a sort or cartesian") {
+    val p37 = plan("q37_top_supplier")
+    // the 1-row max joins the supplier-level aggregate by broadcast; no
+    // global sort materializes (a sort-based top-1 would be the wrong shape)
+    assert(p37.contains("BroadcastHashJoin") || p37.contains("BroadcastNestedLoopJoin"), p37)
+    assert(!p37.contains("CartesianProduct"), p37)
+    val p38 = plan("q38_important_brands")
+    // part dimension AND the 1-row total both broadcast; the non-equi
+    // share test is a BroadcastNestedLoopJoin with a 1-row build side
+    assert(p38.contains("BroadcastNestedLoopJoin"), p38)
+    assert(p38.contains("BroadcastHashJoin"), p38)
+    assert(!p38.contains("CartesianProduct"), p38)
+  }
+
+  test("q40: both correlated existence tests decorrelate to semi/anti joins with pushed brand filters") {
+    val p = plan("q40_exists_not_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // each side's part scan prunes to its brand BEFORE the fact join
+    assert(p.contains("EqualTo(p_brand,Brand#11)"), p)
+    assert(p.contains("EqualTo(p_brand,Brand#22)"), p)
+  }
 }
