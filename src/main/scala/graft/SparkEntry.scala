@@ -318,6 +318,12 @@ object SparkEntry {
     "ann_recall"       -> ((s, dir) => Similarity.annRecall(s, dir)),
     // embedding-quality gate: cosine to own label's centroid, low = outlier
     "embedding_outliers" -> ((s, dir) => Similarity.embeddingOutliers(s, dir)),
+    // StandardScaler FIT: per-dimension n/mean/std/min/max, exact integer
+    // moments (round(x*2^20)), one map-side-combinable groupBy(dim)
+    "embedding_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
+    // StandardScaler TRANSFORM: corpus stats broadcast back over a sample,
+    // z = (x - mean)/std, zero corpus shuffle
+    "embedding_standardize" -> ((s, dir) => Similarity.standardizeSample(s, dir)),
     // contrastive (anchor, positive, hard-negative) mining: positives from
     // the label cell, hard negatives from LSH bucket collisions
     "contrastive_triplets" -> ((s, dir) => Similarity.contrastiveTriplets(s, dir)),
@@ -1577,6 +1583,49 @@ object SparkEntry {
          |  FROM kvl k JOIN cm c USING (label))
          |SELECT vec_id, label, cos_c, CAST(cos_c < 0.0 AS BIGINT) AS is_outlier
          |FROM s ORDER BY vec_id""".stripMargin,
+    // exact integer row moments (round(x*2^20) — the float->double cast is
+    // exact, the scaling is an exponent shift so the product is exact and
+    // half-away rounding agrees); mean/std are the stated fixed double
+    // trees over those sums (the corr_matrix association discipline)
+    "embedding_dim_stats" ->
+      s"""WITH $kvCte,
+         |e AS (SELECT CAST(r.range AS BIGINT) AS dim,
+         |        vec[CAST(r.range AS INT)+1] AS x
+         |      FROM kv, range($KMeansDim) r),
+         |q AS (SELECT dim, x, CAST(round(x * 1048576.0) AS BIGINT) AS q FROM e),
+         |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(q) AS BIGINT) AS s, CAST(sum(q*q) AS BIGINT) AS ss,
+         |       min(x) AS min_x, max(x) AS max_x
+         |      FROM q GROUP BY 1)
+         |SELECT dim, n,
+         | CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean,
+         | sqrt((CAST(ss AS DOUBLE)
+         |       - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+         |      / CAST(n AS DOUBLE)) / 1048576.0 AS std,
+         | min_x, max_x
+         |FROM g ORDER BY dim""".stripMargin,
+    // the corpus-wide stats join the deterministic sample; z is a two-op
+    // tree over already-pinned mean/std doubles
+    "embedding_standardize" ->
+      s"""WITH $kvCte,
+         |e AS (SELECT kv.vec_id, CAST(r.range AS BIGINT) AS dim,
+         |        vec[CAST(r.range AS INT)+1] AS x
+         |      FROM kv, range($KMeansDim) r),
+         |q AS (SELECT dim, CAST(round(x * 1048576.0) AS BIGINT) AS q FROM e),
+         |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(q) AS BIGINT) AS s, CAST(sum(q*q) AS BIGINT) AS ss
+         |      FROM q GROUP BY 1),
+         |st AS (SELECT dim,
+         | CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean,
+         | sqrt((CAST(ss AS DOUBLE)
+         |       - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+         |      / CAST(n AS DOUBLE)) / 1048576.0 AS std
+         |FROM g)
+         |SELECT e.vec_id, e.dim,
+         | CASE WHEN std = 0 THEN 0.0 ELSE (x - mean) / std END AS z
+         |FROM e JOIN st USING (dim)
+         |WHERE e.vec_id % 50 = 0
+         |ORDER BY vec_id, dim""".stripMargin,
     "zorder_zonemap" ->
       s"""WITH ev AS (SELECT user_id,
          |  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr FROM events),

@@ -1182,4 +1182,61 @@ object Similarity {
               (col("cos_c") < lit(threshold)).cast("long").as("is_outlier"))
       .orderBy(col("vec_id"))
   }
+
+  /** Component quantum for the feature-scaling moments: 2²⁰. Components
+    * land in (−1, 1), so a quantized value is < 2²¹ and its square < 2⁴²
+    * — exact BIGINT sums to ~2 × 10⁶ rows per dimension; past that the
+    * sums widen to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) unchanged. */
+  val ScaleQuantum = 1048576.0
+
+  /** Per-DIMENSION distribution of the embedding corpus — the
+    * feature-scaling statistics (the sklearn StandardScaler fit): n,
+    * mean, population std, min, max per component index. The float → IEEE
+    * double cast is exact, so `round(x·2²⁰)` is the benford-established
+    * double→integer parity and both row moments are EXACT integer sums;
+    * mean/std are fixed double trees over those exact sums with the
+    * association stated in the oracle (the corr_matrix discipline).
+    * One posexplode + one map-side-combinable groupBy(dim): at 100 TB the
+    * shuffle carries dims × partials, never the corpus. */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("dim"),
+              round(col("x") * lit(ScaleQuantum)).cast("long").as("q"), col("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+           sum(col("q") * col("q")).as("ss"),
+           min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("dim"), col("n"),
+        (col("s").cast("double") / (col("n") * lit(ScaleQuantum).cast("long"))
+          .cast("double")).as("mean"),
+        (sqrt((col("ss").cast("double") -
+               (col("s").cast("double") * col("s").cast("double")) /
+                 col("n").cast("double")) / col("n").cast("double")) /
+          lit(ScaleQuantum)).as("std"),
+        col("min_x"), col("max_x"))
+      .orderBy(col("dim"))
+
+  /** Z-SCORE STANDARDIZATION of a deterministic query sample against the
+    * corpus [[dimStats]] — the StandardScaler TRANSFORM: the dim-count-
+    * sized stats table broadcasts back over the (exploded) sample, so the
+    * corpus contributes one aggregate pass and the standardized rows are
+    * scan + broadcast-join, zero corpus shuffle. z = (x − mean)/std is a
+    * two-op double tree over already-pinned inputs; σ = 0 dimensions
+    * (none in the fixture, possible in production) emit z = 0 rather
+    * than ±inf. Output stays FLAT (vec_id, dim, z): a reassembled array
+    * would hash per-row, this hashes per-component — and downstream
+    * consumers (the ANN family) take either shape. */
+  def standardizeSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = dimStats(spark, sfDir).select(col("dim"), col("mean"), col("std"))
+    Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+              posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("std") === 0.0, lit(0.0))
+          .otherwise((col("x") - col("mean")) / col("std")).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
 }

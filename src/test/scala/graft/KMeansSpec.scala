@@ -277,4 +277,37 @@ class KMeansSpec extends SparkSpec {
       .select("cluster").distinct().as[Long].collect()
     assert(assigned === Array(0L))
   }
+
+  test("dim stats: extrema bracket the mean, std is non-negative, every dimension counted") {
+    import org.apache.spark.sql.functions.col
+    val s = Similarity.dimStats(spark, Sf0001).cache()
+    assert(s.count() == 64)
+    assert(s.filter(col("std") < 0).count() == 0)
+    // the quantized mean can sit at most half a quantum outside [min, max]
+    // only through rounding — with 2^20 resolution it never does here
+    assert(s.filter(col("mean") < col("min_x") || col("mean") > col("max_x")).count() == 0)
+    // every dimension sees the whole corpus
+    val nVecs = graft.io.Tables.embeddings(spark, Sf0001).count()
+    assert(s.filter(col("n") =!= nVecs).count() == 0)
+    s.unpersist()
+  }
+
+  test("standardize: z-scores are centered and unit-scaled when the sample IS the corpus") {
+    import org.apache.spark.sql.functions.{col, abs => sabs, avg, stddev_pop}
+    // the registered query standardizes a sample; the invariant check runs
+    // the same transform over every vector, where per-dim z must have
+    // mean ~0 and population std ~1 up to float/quantization error
+    val stats = Similarity.dimStats(spark, Sf0001)
+      .select(col("dim"), col("mean"), col("std"))
+    val z = graft.io.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.posexplode(
+          col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .join(org.apache.spark.sql.functions.broadcast(stats), "dim")
+      .select(col("dim"), ((col("x") - col("mean")) / col("std")).as("z"))
+    val agg = z.groupBy(col("dim"))
+      .agg(avg(col("z")).as("mz"), stddev_pop(col("z")).as("sz"))
+    assert(agg.filter(sabs(col("mz")) > 1e-6).count() == 0)
+    assert(agg.filter(sabs(col("sz") - 1.0) > 1e-6).count() == 0)
+  }
 }
