@@ -404,6 +404,12 @@ object SparkEntry {
     "macd_by_type_streaming" -> ((s, dir) => StatefulQueries.macdByTypeStreaming(s, dir)),
     // OHLC candlestick bars: element selection only, zero float arithmetic
     "ohlc_hourly" -> ((s, dir) => Indicators.ohlcHourly(s, dir)),
+    // the live candlestick builder: the same mergeable bar aggregate
+    // accumulating across micro-batches in the state store
+    "ohlc_hourly_streaming" -> ((s, dir) => Indicators.ohlcHourlyStream(s, dir)),
+    // weight-proportional systematic sampling: K deterministic draws by
+    // integer quantile crossings over a banded exact prefix sum
+    "sample_weighted_systematic" -> ((s, dir) => TextOps.sampleWeightedSystematic(s, dir)),
     // VWAP on synthetic deterministic volume: exact decimal weighted sum
     "vwap_hourly" -> ((s, dir) => Indicators.vwapHourly(s, dir)),
     // Bollinger bands: exact integer-cents rolling moments, 20-tick frame
@@ -1186,6 +1192,24 @@ object SparkEntry {
     "split_stratified" ->
       s"""WITH $splitCtes
          |SELECT doc_id, lang, source, split FROM sp ORDER BY doc_id""".stripMargin,
+    // the textbook ONE-WINDOW statement; the engine runs the banded
+    // two-level prefix sum, bit-identical because integer addition is
+    // associative; positive operands make // and `div` agree (q36's rule)
+    "sample_weighted_systematic" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |  CASE WHEN text IS NULL THEN 0
+         |       ELSE len(string_split(text,' ')) END AS w
+         | FROM documents),
+         |c AS (SELECT doc_id, lang, source, w,
+         |       sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+         |       sum(w) OVER () AS t
+         |      FROM d)
+         |SELECT doc_id, lang, source, CAST(w AS BIGINT) AS w,
+         | CAST((cum * ${TextOps.SampleWeightedK}) // t AS BIGINT) AS pick_idx
+         |FROM c
+         |WHERE w > 0 AND (cum * ${TextOps.SampleWeightedK}) // t
+         |            > ((cum - w) * ${TextOps.SampleWeightedK}) // t
+         |ORDER BY doc_id""".stripMargin,
     // group-aware split: assignment is a pure function of user_id (NULLs
     // form the P-1 sentinel pseudo-group), leaked_users computed from the
     // assigned rows, structurally zero
@@ -2770,6 +2794,8 @@ object SparkEntry {
       "rsi_by_type_streaming"          -> base("rsi_by_type"),
       // all three coupled EMAs cross the batch boundary together
       "macd_by_type_streaming"         -> base("macd_by_type"),
+      // the bar's open/high/low/close accumulate across micro-batches
+      "ohlc_hourly_streaming"          -> base("ohlc_hourly"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

@@ -66,6 +66,29 @@ object Indicators {
               col("sum_vol"), col("vwap"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** [[ohlcHourly]] through the REAL micro-batch engine — the live
+    * candlestick builder, the streaming aggregation a price-tape consumer
+    * actually runs. min_by/max_by/extrema/count are all associative
+    * mergeable aggregates, so the bar accumulates across micro-batches in
+    * the state store and complete-mode re-emits the final bar table
+    * (the q12s scaffold: state width sized to the (hour, type) group
+    * cardinality). Same oracle as the batch form — a bar whose open was
+    * set in batch 1 must survive ticks arriving in batch 2. */
+  def ohlcHourlyStream(spark: SparkSession, sfDir: String): DataFrame =
+    StatefulQueries.withNanosAsLong(spark) {
+      val stream = Tables.normalizeEvents(Tables.streamTable(spark, sfDir, "events"))
+      val agg = stream
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+                 col("event_type"))
+        .agg(min_by(col("value"), col("event_id")).as("open"),
+             max(col("value")).as("high"),
+             min(col("value")).as("low"),
+             max_by(col("value"), col("event_id")).as("close"),
+             count(lit(1)).as("n_events"))
+      StatefulQueries.drainToMemory(spark, agg,
+        stateWidth = Some(8), outputMode = "complete")()
+    }.orderBy(col("hour_start"), col("event_type"))
+
   /** Bollinger bands: trailing-20-tick mean ± 2σ per event_type. The
     * frame's Σx and Σx² are exact BIGINT sums of integer cents, the
     * population variance numerator n·Σx² − (Σx)² is exact (20 ticks ×

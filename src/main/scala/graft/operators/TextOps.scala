@@ -1280,4 +1280,52 @@ object TextOps {
     d.select(col("doc_id"), explode(wins).as("fp"))
       .orderBy(col("doc_id"), col("fp"))
   }
+
+  /** Target draw count and band width for [[sampleWeightedSystematic]] —
+    * shared constants the oracle states verbatim. */
+  val SampleWeightedK = 200L
+  private val SampleWeightedBand = 64L
+
+  /** WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLING: K deterministic draws with
+    * inclusion probability ∝ token count — the "sample by length/quality
+    * weight" pipeline op (a uniform doc sample over-represents short docs
+    * token-wise). A doc is drawn when its weight interval [cum−w, cum)
+    * crosses a quantile boundary: ⌊cum·K/T⌋ > ⌊(cum−w)·K/T⌋ — ALL BIGINT
+    * (positive, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree — the q36 rule), zero randomness, replayable.
+    *
+    * The prefix sum is BANDED from the start (the pareto_parts_abc_scalable
+    * two-level machinery): in-band running sums partitioned by
+    * `doc_id div 64`, plus a band-offset table whose own prefix window is
+    * the only single-partition work (band-count-sized). Integer addition
+    * is associative, so the split cumulative equals the single global
+    * window bit-for-bit and the op registers under the oracle's textbook
+    * one-window statement. Heavy docs spanning several quantiles still
+    * emit ONE row (pick_idx jumps) — draws ≤ K, exactly K when no doc
+    * outweighs a quantile. */
+  def sampleWeightedSystematic(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), tokenCount0.as("w"))
+      .withColumn("band", expr(s"doc_id div $SampleWeightedBand"))
+    val inBand = d.withColumn("cum_in",
+      sum(col("w")).over(W.partitionBy(col("band")).orderBy(col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)))
+    val bandTotals = d.groupBy(col("band")).agg(sum(col("w")).as("band_sum"))
+    val offsets = bandTotals
+      .withColumn("off", coalesce(sum(col("band_sum"))
+        .over(W.orderBy(col("band")).rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("band_sum"))
+        .over(W.orderBy(col("band"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .select(col("band"), col("off"), col("total"))
+    inBand.join(broadcast(offsets), "band")
+      .withColumn("cum", col("cum_in") + col("off"))
+      .filter(col("w") > 0 &&
+        expr(s"(cum * $SampleWeightedK) div total") >
+        expr(s"((cum - w) * $SampleWeightedK) div total"))
+      .select(col("doc_id"), col("lang"), col("source"), col("w"),
+              expr(s"(cum * $SampleWeightedK) div total").as("pick_idx"))
+      .orderBy(col("doc_id"))
+  }
 }

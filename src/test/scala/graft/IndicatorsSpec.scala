@@ -24,6 +24,12 @@ class IndicatorsSpec extends SparkSpec {
     o.unpersist()
   }
 
+  test("ohlc streaming: bars accumulated across micro-batches equal the batch bars") {
+    val b = Indicators.ohlcHourly(spark, Sf0001)
+    val s = Indicators.ohlcHourlyStream(spark, Sf0001)
+    assert(b.exceptAll(s).count() == 0 && s.exceptAll(b).count() == 0)
+  }
+
   test("vwap: lies within the bar's price range (cents tolerance) and weights are positive") {
     val v = Indicators.vwapHourly(spark, Sf0001)
     val o = Indicators.ohlcHourly(spark, Sf0001)

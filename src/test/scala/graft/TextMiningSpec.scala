@@ -70,4 +70,35 @@ class TextMiningSpec extends SparkSpec {
     assert(rows("vari").getAs[Double]("simpson") === 0.75)
     assert(rows("vari").getAs[Double]("ttr") === 1.0)
   }
+
+  test("weighted systematic sample: ≤K draws, banded prefix equals the global window, pick indices strictly increase") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val s = TextOps.sampleWeightedSystematic(spark, Sf0001).cache()
+    val k = TextOps.SampleWeightedK
+    assert(s.count() <= k && s.count() > k / 2)
+    // pick_idx is strictly increasing in doc_id order (each draw consumes
+    // at least one quantile) and bounded by K
+    val idx = s.orderBy(col("doc_id")).select(col("pick_idx")).collect().map(_.getLong(0))
+    assert(idx.zip(idx.tail).forall { case (a, b) => a < b })
+    assert(idx.last <= k)
+    // the banded two-level prefix sum must equal the textbook single
+    // global window bit-for-bit (integer addition is associative)
+    val W = org.apache.spark.sql.expressions.Window
+    val d = graft.io.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("w"))
+      .withColumn("cum", sum(col("w")).over(
+        W.orderBy(col("doc_id")).rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("w")).over(
+        W.orderBy(col("doc_id"))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .filter(col("w") > 0 &&
+        expr(s"(cum * $k) div total") > expr(s"((cum - w) * $k) div total"))
+      .select(col("doc_id"), col("lang"), col("source"), col("w"),
+              expr(s"(cum * $k) div total").as("pick_idx"))
+    assert(s.exceptAll(d).count() == 0 && d.exceptAll(s).count() == 0)
+    s.unpersist()
+  }
 }
