@@ -395,6 +395,12 @@ object SparkEntry {
     // declarative two-cummax form; the twin carries (peak, worst) state
     "drawdown_by_type" -> ((s, dir) => StatefulQueries.drawdownByType(s, dir)),
     "drawdown_by_type_streaming" -> ((s, dir) => StatefulQueries.drawdownByTypeStreaming(s, dir)),
+    // THE ALERTING COMPOSITION: CUSUM drift over the seasonal dow
+    // residuals (forecasting baseline -> sequential detector), relative
+    // residuals quantized to integer micros — scale-free thresholds
+    "cusum_seasonal_residuals" -> ((s, dir) => StatefulQueries.cusumSeasonalResiduals(s, dir)),
+    // perplexity-filter calibration histogram over the LM-score table
+    "ppl_bucket_stats" -> ((s, dir) => TextOps.pplBucketStats(s, dir)),
     // Wilder RSI (binary-exact alpha=1/16): the gain/loss split makes the
     // recurrence non-associative — stateful-or-nothing, like CUSUM
     "rsi_by_type" -> ((s, dir) => StatefulQueries.rsiByType(s, dir)),
@@ -1120,6 +1126,28 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_pairs, CAST(sum(ppm) AS BIGINT) AS ppm_sum,
          |  CAST(sum(ppm) AS DOUBLE)/count(*) AS mean_cond_ppm
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the same exact-count chain, collapsed to the calibration histogram:
+    // bucket id is two floor divisions of exact longs, extremes are
+    // element selection over the identically-derived mean double
+    "ppl_bucket_stats" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tt AS (SELECT doc_id, ths FROM t WHERE len(ths) >= 2),
+         |p0 AS (SELECT doc_id, unnest(list_zip(ths[1:len(ths)-1], ths[2:len(ths)])) AS pr FROM tt),
+         |p AS (SELECT doc_id, struct_extract(pr, 1) AS t1, struct_extract(pr, 2) AS t2 FROM p0),
+         |u AS (SELECT t1, count(*) AS uc FROM p GROUP BY 1),
+         |b AS (SELECT t1, t2, count(*) AS bc FROM p GROUP BY 1, 2),
+         |s AS (SELECT p.doc_id, (b.bc * 1000000) // u.uc AS ppm
+         |      FROM p JOIN u USING (t1) JOIN b USING (t1, t2)),
+         |d AS (SELECT doc_id, count(*) AS n_pairs, CAST(sum(ppm) AS BIGINT) AS ppm_sum,
+         |       CAST(sum(ppm) AS DOUBLE)/count(*) AS mean_cond_ppm
+         |      FROM s GROUP BY doc_id)
+         |SELECT CAST((ppm_sum // n_pairs) // ${graft.operators.TextOps.PplBucketPpm}
+         |            AS BIGINT) AS bucket,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_pairs) AS BIGINT) AS sum_pairs,
+         | min(mean_cond_ppm) AS min_mean_ppm,
+         | max(mean_cond_ppm) AS max_mean_ppm
+         |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
     "rep_stats" ->
       s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
          |b AS (SELECT doc_id, ths,
@@ -2130,6 +2158,47 @@ object SparkEntry {
         |  max(drawdown) OVER (PARTITION BY event_type ORDER BY event_id
         |                      ROWS UNBOUNDED PRECEDING) AS max_drawdown
         |FROM d ORDER BY event_id""".stripMargin,
+    // the composed detector: exact decimal daily totals, the relative
+    // residual's three-op tree with dow_mean's expression re-stated inline
+    // (deterministic re-evaluation), one ×1e6 round to integer micros,
+    // then the pure-integer CUSUM recurrence through the recursion
+    "cusum_seasonal_residuals" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    sum(CAST(value AS DECIMAL(18,2))) AS td
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, day, td,
+         |    sum(td) OVER (PARTITION BY event_type, day % 7) AS sdow,
+         |    count(*) OVER (PARTITION BY event_type, day % 7) AS ndow
+         |   FROM d),
+         |r AS (SELECT event_type, day,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         |    CAST(round(((${dd("td")} - ${dd("sdow")}/ndow)
+         |                / (${dd("sdow")}/ndow)) * 1000000.0) AS BIGINT) AS ru
+         |   FROM m),
+         |c AS (
+         |  SELECT event_type, day, i, ru,
+         |    CASE WHEN greatest(0, ru - ${StatefulQueries.SeasonalCusumSlackU})
+         |              > ${StatefulQueries.SeasonalCusumAlarmU} THEN 0
+         |         ELSE greatest(0, ru - ${StatefulQueries.SeasonalCusumSlackU})
+         |    END AS s,
+         |    CASE WHEN greatest(0, ru - ${StatefulQueries.SeasonalCusumSlackU})
+         |              > ${StatefulQueries.SeasonalCusumAlarmU} THEN 1
+         |         ELSE 0 END AS alarm
+         |  FROM r WHERE i = 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.day, r.i, r.ru,
+         |    CASE WHEN greatest(0, c.s + r.ru - ${StatefulQueries.SeasonalCusumSlackU})
+         |              > ${StatefulQueries.SeasonalCusumAlarmU} THEN 0
+         |         ELSE greatest(0, c.s + r.ru - ${StatefulQueries.SeasonalCusumSlackU})
+         |    END,
+         |    CASE WHEN greatest(0, c.s + r.ru - ${StatefulQueries.SeasonalCusumSlackU})
+         |              > ${StatefulQueries.SeasonalCusumAlarmU} THEN 1
+         |         ELSE 0 END
+         |  FROM c JOIN r ON r.event_type = c.event_type AND r.i = c.i + 1)
+         |SELECT event_type, day, ru, CAST(s AS BIGINT) AS cusum_u,
+         | CAST(alarm AS BIGINT) AS alarm
+         |FROM c ORDER BY event_type, day""".stripMargin,
     // Wilder RSI with the binary-exact 15/16-1/16 coefficients: the seed
     // step joins rows i=1,2 (first diff seeds the averages), the recursive
     // step re-evaluates the gain/loss CASE inline (the holt deterministic-

@@ -611,6 +611,51 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Relative-residual CUSUM slack and alarm thresholds, in MICRO units
+    * (0.02 / 0.15 of the seasonal baseline) — relative residuals make the
+    * detector SCALE-FREE, so one constant pair works at every SF (probed:
+    * 55/25/2 alarms at sf0.001/0.01/0.1 — non-vacuous and discriminating). */
+  val SeasonalCusumSlackU = 20000L
+  val SeasonalCusumAlarmU = 150000L
+
+  /** THE ALERTING COMPOSITION: CUSUM drift detection over the seasonal
+    * day-of-week residuals — forecasting baseline ([[graft.operators
+    * .Analytics.seasonalDowResiduals]]'s spine) feeding the sequential
+    * detector ([[graft.streaming.StatefulOps.cusumScaledOrdered]]), the
+    * two families built in rounds 12–13 composed the way a production
+    * monitor actually wires them (a raw-total CUSUM pages every Monday;
+    * the residual CUSUM pages on DRIFT FROM the weekly shape).
+    *
+    * Numerics: daily totals are exact decimal; the RELATIVE residual
+    * (td − dow_mean)/dow_mean is a fixed three-op double tree (the oracle
+    * re-states dow_mean's expression inline — deterministic
+    * re-evaluation, the holt precedent) quantized ONCE to integer micros
+    * (×10⁶, round half-away — identical op sequence both engines); the
+    * detector is then pure integer arithmetic against a RECURSIVE-CTE
+    * oracle. Scale: the corpus collapses to the (types × days) frame in
+    * one map-side-combinable groupBy; the fold runs on that control-plane
+    * table. */
+  def cusumSeasonalResiduals(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("dow"))
+    val resid = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("td"))
+      .withColumn("dow", col("day") % 7)
+      .withColumn("dow_mean",
+        sum(col("td")).over(w).cast("double") / count(lit(1)).over(w))
+      .select(col("event_type").as("key"), col("day").as("ord"),
+        round(((col("td").cast("double") - col("dow_mean")) / col("dow_mean"))
+              * lit(1000000.0)).cast("long").cast("double").as("value"))
+    StatefulOps.cusumScaledOrdered(
+        orderedByKey(resid).as[String, KV](Encoders.STRING, kvEnc),
+        SeasonalCusumSlackU, SeasonalCusumAlarmU).toDF()
+      .select(col("key").as("event_type"), col("ord").as("day"),
+              col("ru"), col("cusum_u"), col("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Wilder RSI per event_type ([[graft.streaming.StatefulOps.rsiStream]]
     * semantics) — batch execution as a lazy ordered fold (the q1s/cusum
     * plan shape, O(1) state per key). Like CUSUM the gain/loss split makes

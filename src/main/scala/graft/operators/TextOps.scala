@@ -1281,6 +1281,30 @@ object TextOps {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** LM-score bucket width in ppm: 1,000 ppm per bucket (fixture scores
+    * concentrate in 30k–49k mean ppm — probed; 1k width spreads them over
+    * ~20 informative buckets). */
+  val PplBucketPpm = 1000L
+
+  /** PERPLEXITY-FILTER CALIBRATION HISTOGRAM: document counts and token
+    * mass per LM-score bucket — the table a CCNet-style quality filter's
+    * threshold is actually chosen from (pick the cut, read off exactly
+    * how many docs/tokens survive). Composes [[lmBigramScoreSketch]]:
+    * the bucket id is PURE INTEGER arithmetic ((ppm_sum div n_pairs) div
+    * 50k — two floor divisions of exact longs, no float boundary to
+    * disagree on), and the per-bucket extremes of the mean-ppm double are
+    * element SELECTION. Scale: the per-doc score table is doc-count-
+    * sized; the histogram collapses it to ≤ 21 buckets map-side. */
+  def pplBucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    lmBigramScoreSketch(spark, sfDir)
+      .withColumn("bucket", expr(s"(ppm_sum div n_pairs) div $PplBucketPpm"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_pairs")).cast("long").as("sum_pairs"),
+           min(col("mean_cond_ppm")).as("min_mean_ppm"),
+           max(col("mean_cond_ppm")).as("max_mean_ppm"))
+      .orderBy(col("bucket"))
+
   /** Target draw count and band width for [[sampleWeightedSystematic]] —
     * shared constants the oracle states verbatim. */
   val SampleWeightedK = 200L

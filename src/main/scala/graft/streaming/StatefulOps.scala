@@ -945,6 +945,35 @@ object StatefulOps {
           drawdownFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
       }
 
+  /** Pre-scaled CUSUM accumulator (integer statistic units). */
+  case class CusumUAcc(s: Long)
+  case class CusumUOut(key: String, ord: Long, ru: Long, cusum_u: Long, alarm: Long)
+
+  private implicit val cusumUAccEnc: Encoder[CusumUAcc] = Encoders.product[CusumUAcc]
+  private implicit val cusumUOutEnc: Encoder[CusumUOut] = Encoders.product[CusumUOut]
+
+  /** [[cusumStream]]'s recurrence over ALREADY-QUANTIZED integer inputs:
+    * the caller supplies each observation as an integral double (micro
+    * units — exact to 2⁵³), and slack/alarm live in the same units. This
+    * is the composition-friendly form: upstream stages (e.g. seasonal
+    * residuals) own their quantization, the detector stays pure integer
+    * arithmetic — sₙ = max(0, sₙ₋₁ + rₙ − slack), alarm + reset past the
+    * threshold, bit-free of float drift by construction. */
+  def cusumScaledOrdered(g: KeyValueGroupedDataset[String, KV],
+                         slackU: Long, alarmU: Long): Dataset[CusumUOut] =
+    g.flatMapGroupsWithState[CusumUAcc, CusumUOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[CusumUAcc]) =>
+        var s = if (state.exists) state.get.s else 0L
+        rows.map { r =>
+          val ru = r.value.toLong
+          val raw = math.max(0L, s + ru - slackU)
+          val alarm = if (raw > alarmU) 1L else 0L
+          s = if (alarm == 1L) 0L else raw
+          CusumUOut(key, r.ord, ru, s, alarm)
+        } ++ { state.update(CusumUAcc(s)); Iterator.empty }
+    }
+
   /** RSI accumulator: previous value + Wilder-smoothed gain/loss averages.
     * `seeded` distinguishes "first diff seeds the averages" from the
     * steady-state smoothing step. */

@@ -285,6 +285,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal cusum: reset-on-alarm invariants hold and the detector is non-vacuous") {
+    val c = graft.operators.StatefulQueries.cusumSeasonalResiduals(spark, Sf0001).cache()
+    // one row per (type, day) of the residual spine
+    assert(c.count() == graft.operators.Analytics.seasonalDowResiduals(spark, Sf0001).count())
+    // the statistic is non-negative, resets exactly on alarm, and stays
+    // under the threshold between alarms
+    assert(c.filter(col("cusum_u") < 0).count() == 0)
+    assert(c.filter(col("alarm") === 1 && col("cusum_u") =!= 0).count() == 0)
+    assert(c.filter(col("alarm") === 0 &&
+      col("cusum_u") > graft.operators.StatefulQueries.SeasonalCusumAlarmU).count() == 0)
+    // non-vacuous at this SF: alarms fire, but not everywhere
+    val alarms = c.filter(col("alarm") === 1).count()
+    assert(alarms > 0 && alarms < c.count())
+    c.unpersist()
+  }
+
   test("acf: bounded by 1 in magnitude on real data; an alternating series scores acf1 = -1") {
     val a = Analytics.acfByType(spark, Sf0001).cache()
     assert(a.count() == graft.io.Tables.events(spark, Sf0001)

@@ -71,6 +71,22 @@ class TextMiningSpec extends SparkSpec {
     assert(rows("vari").getAs[Double]("ttr") === 1.0)
   }
 
+  test("ppl buckets: partition the scored docs, bucket bounds bracket the mean extremes") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val b = TextOps.pplBucketStats(spark, Sf0001).cache()
+    assert(b.count() >= 2) // a one-bucket histogram calibrates nothing
+    // buckets partition exactly the docs the LM scorer emitted
+    val scored = TextOps.lmBigramScoreSketch(spark, Sf0001).count()
+    assert(b.agg(sum(col("n_docs"))).head().getLong(0) == scored)
+    // the double mean lives in [int mean, int mean + 1), so each bucket's
+    // extremes sit inside [bucket*w, (bucket+1)*w + 1)
+    val w = TextOps.PplBucketPpm
+    assert(b.filter(col("min_mean_ppm") < col("bucket") * w ||
+                    col("max_mean_ppm") >= (col("bucket") + 1) * w + 1).count() == 0)
+    b.unpersist()
+  }
+
   test("weighted systematic sample: ≤K draws, banded prefix equals the global window, pick indices strictly increase") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextOps
