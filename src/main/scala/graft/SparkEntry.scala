@@ -422,6 +422,11 @@ object SparkEntry {
     "bollinger_by_type" -> ((s, dir) => Indicators.bollingerByType(s, dir)),
     // stochastic oscillator %K: frame extrema + a fixed 4-op double tree
     "stoch_osc_by_type" -> ((s, dir) => Indicators.stochOscByType(s, dir)),
+    // realized variance: exact integer cents deltas, one final /1e4
+    "realized_variance_daily" -> ((s, dir) => Indicators.realizedVarianceDaily(s, dir)),
+    // the THIRD stream-stream join type: left semi — emit-once existence,
+    // state strictly smaller than inner's, same eviction witness
+    "q23sj_interval_join_semi" -> ((s, dir) => StatefulQueries.intervalJoinStreamingSemi(s, dir)),
     // bucket-sequence autocorrelation at lags 1-3, exact integer moments
     "acf_by_type" -> ((s, dir) => Analytics.acfByType(s, dir)),
     // market-basket support/confidence/lift over co-ordered brand pairs
@@ -2800,6 +2805,32 @@ object SparkEntry {
         | AND b.event_id > a.event_id
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    // the textbook decorrelated EXISTS: distinct matched a-rows, then the
+    // per-user count — q23's predicate set verbatim
+    "q23sj_interval_join_semi" ->
+      """WITH m AS (SELECT DISTINCT a.user_id, a.event_id
+        |  FROM events a JOIN events b ON a.user_id = b.user_id
+        |   AND b.event_id > a.event_id
+        |   AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // integer cents deltas inside the (type, day) partition; the square
+    // sum is exact bigint; single-tick days pin rv = 0 on both engines
+    "realized_variance_daily" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |        event_id,
+        |        CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vc
+        |       FROM events),
+        |l AS (SELECT event_type, day,
+        |       vc - lag(vc) OVER (PARTITION BY event_type, day
+        |                          ORDER BY event_id) AS d
+        |      FROM b),
+        |g AS (SELECT event_type, day, CAST(count(d) AS BIGINT) AS n_deltas,
+        |       CAST(coalesce(sum(d*d), 0) AS BIGINT) AS rv_num
+        |      FROM l GROUP BY 1, 2)
+        |SELECT event_type, day, n_deltas, rv_num,
+        | CAST(rv_num AS DOUBLE) / 10000.0 AS rv
+        |FROM g ORDER BY event_type, day""".stripMargin,
   )
     base ++ Map(
       "q1s_running_max_stateful"       -> base("q1_running_max"),

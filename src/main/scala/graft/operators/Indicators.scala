@@ -118,6 +118,31 @@ object Indicators {
       .orderBy(col("event_id"))
   }
 
+  /** REALIZED VARIANCE per (event_type, day): the sum of squared
+    * tick-to-tick moves — the standard high-frequency volatility measure
+    * (RV = Σ(Δp)², realized vol = √RV). Deltas are differences of integer
+    * CENTS within the (type, day) partition, so Σd² is an exact BIGINT
+    * (|d| < 5.7e4 ⇒ d² < 3.3e9; bounded ticks/day keep the sum far from
+    * 2⁶³ — and the sum widens to DECIMAL(38,0) unchanged if not); the one
+    * double op is the final /10⁴ back to price² units. Single-tick days
+    * emit rv = 0 with n_deltas = 0, explicitly on both engines. One lag
+    * window + one map-side-combinable aggregate on the same (type, day)
+    * partitioning — one shuffle total. */
+  def realizedVarianceDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), expr(s"ts_ns div $DayNs").as("day"),
+              col("event_id"),
+              round(col("value") * lit(100.0)).cast("long").as("vc"))
+      .withColumn("d", col("vc") - lag(col("vc"), 1).over(w))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(col("d")).as("n_deltas"),
+           coalesce(sum(col("d") * col("d")), lit(0L)).cast("long").as("rv_num"))
+      .withColumn("rv", col("rv_num").cast("double") / lit(10000.0))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Stochastic oscillator %K over a trailing 14-tick frame per
     * event_type: 100·(x − low₁₄)/(high₁₄ − low₁₄), 50 on a flat frame.
     * Frame extrema are exact element selection; the score is a fixed

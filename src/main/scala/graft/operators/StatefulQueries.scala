@@ -1355,6 +1355,26 @@ object StatefulQueries {
     // eviction witness above non-vacuous. OUTER joins must keep it — the
     // sentinel-advanced watermark's final eviction is what emits the
     // null-padded rows for match-less users in the last file.
-    if (joinType == "inner") withNoDataBatchesDisabled(spark)(drain()) else drain()
+    if (joinType == "left_outer") drain()
+    else withNoDataBatchesDisabled(spark)(drain())
   }
+
+  /** Q23's LEFT SEMI twin — the third stream-stream join type the engine
+    * supports and the one an EXISTENCE query wants: each a-row is emitted
+    * AT MOST ONCE, as soon as any in-window b arrives (then dropped from
+    * state — semi state is strictly smaller than inner's), so the per-user
+    * result counts rows WITH a successor inside 5 minutes rather than
+    * pairs. Cross-batch witness: an a-row from micro-batch 1 whose only
+    * match arrives in batch 2 can emit only from a-side state. Same
+    * replay, eviction witness, and width as the inner form; the sentinel
+    * (user −1, matchless by the id tie-break) is dropped by the semi
+    * semantics itself. The oracle is the textbook decorrelated DISTINCT
+    * over the pair join. */
+  def intervalJoinStreamingSemi(spark: SparkSession, sfDir: String,
+                                gapMinutes: Int = 5): DataFrame =
+    drainPairJoin(spark, sfDir, gapMinutes, "left_semi")
+      .select(col("user_a").as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .orderBy(col("user_id"))
 }

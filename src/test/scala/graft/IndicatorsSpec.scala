@@ -64,6 +64,18 @@ class IndicatorsSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("realized variance: non-negative, delta counts partition the tape minus one per (type, day)") {
+    val rv = Indicators.realizedVarianceDaily(spark, Sf0001).cache()
+    assert(rv.filter(col("rv_num") < 0).count() == 0)
+    // rv = 0 exactly when no two consecutive ticks differ
+    assert(rv.filter(col("n_deltas") === 0 && col("rv_num") =!= 0).count() == 0)
+    // every tick contributes one delta except each (type, day)'s first
+    val nEvents = graft.io.Tables.events(spark, Sf0001).count()
+    val nGroups = rv.count()
+    assert(rv.agg(sum(col("n_deltas"))).head().getLong(0) == nEvents - nGroups)
+    rv.unpersist()
+  }
+
   test("rsi: bounded, batch fold equals streaming twin, fold equals direct recurrence") {
     val b = StatefulQueries.rsiByType(spark, Sf0001).cache()
     // one row per event except each key's first

@@ -79,4 +79,18 @@ class StreamJoinSpec extends SparkSpec {
     // the >=2-data-batch witness (complete-mode state accumulated across
     // micro-batches) lives inside the drain; reaching here means it held
   }
+
+  test("q23sj: semi join emits each matched row once — counts bounded by inner, same user set") {
+    import org.apache.spark.sql.functions.col
+    val semi  = graft.operators.StatefulQueries.intervalJoinStreamingSemi(spark, Sf0001)
+    val inner = SparkEntry.queries("q23_interval_join")(spark, Sf0001)
+      .withColumnRenamed("user_id", "iu")
+    // a user has a matched row iff it has a pair, and at-most-once
+    // emission means n_matched <= n_pairs with both strictly positive
+    val j = semi.join(inner, col("user_id") === col("iu"), "full_outer").cache()
+    assert(j.filter(col("user_id").isNull || col("iu").isNull).count() == 0)
+    assert(j.filter(col("n_matched") > col("n_pairs")).count() == 0)
+    assert(j.filter(col("n_matched") < 1).count() == 0)
+    j.unpersist()
+  }
 }
