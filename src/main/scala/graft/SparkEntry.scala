@@ -1642,8 +1642,11 @@ object SparkEntry {
          |FROM s ORDER BY vec_id""".stripMargin,
     // exact integer row moments (round(x*2^20) — the float->double cast is
     // exact, the scaling is an exponent shift so the product is exact and
-    // half-away rounding agrees); mean/std are the stated fixed double
-    // trees over those sums (the corr_matrix association discipline)
+    // half-away rounding agrees); the variance numerator n*ss - s*s is
+    // EXACT (HUGEINT here, DECIMAL(38,0) on the Spark side) and therefore
+    // provably >= 0 — the double-rounded (ss - s^2/n)/n tree can land a
+    // constant dimension at -epsilon, where sqrt ERRORS here and NaNs in
+    // Spark; doubles only in the stated final divide/sqrt
     "embedding_dim_stats" ->
       s"""WITH $kvCte,
          |e AS (SELECT CAST(r.range AS BIGINT) AS dim,
@@ -1656,9 +1659,9 @@ object SparkEntry {
          |      FROM q GROUP BY 1)
          |SELECT dim, n,
          | CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean,
-         | sqrt((CAST(ss AS DOUBLE)
-         |       - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
-         |      / CAST(n AS DOUBLE)) / 1048576.0 AS std,
+         | sqrt(CAST(CAST(CAST(n AS HUGEINT)*ss - CAST(s AS HUGEINT)*s
+         |                AS VARCHAR) AS DOUBLE)
+         |      / CAST(n * n AS DOUBLE)) / 1048576.0 AS std,
          | min_x, max_x
          |FROM g ORDER BY dim""".stripMargin,
     // the corpus-wide stats join the deterministic sample; z is a two-op
@@ -1674,9 +1677,9 @@ object SparkEntry {
          |      FROM q GROUP BY 1),
          |st AS (SELECT dim,
          | CAST(s AS DOUBLE) / CAST(n * 1048576 AS DOUBLE) AS mean,
-         | sqrt((CAST(ss AS DOUBLE)
-         |       - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
-         |      / CAST(n AS DOUBLE)) / 1048576.0 AS std
+         | sqrt(CAST(CAST(CAST(n AS HUGEINT)*ss - CAST(s AS HUGEINT)*s
+         |                AS VARCHAR) AS DOUBLE)
+         |      / CAST(n * n AS DOUBLE)) / 1048576.0 AS std
          |FROM g)
          |SELECT e.vec_id, e.dim,
          | CASE WHEN std = 0 THEN 0.0 ELSE (x - mean) / std END AS z
@@ -2736,8 +2739,8 @@ object SparkEntry {
          |JOIN supplier ON l_suppkey = s_suppkey
          |ORDER BY s_suppkey""".stripMargin,
     // share membership decided by the CROSS-MULTIPLIED exact decimal test
-    // (value*50 > total — the pareto boundary discipline); the reported
-    // share is display-only double
+    // (value*25 > total, the above-uniform-share cut over 25 brands — the
+    // pareto boundary discipline); the reported share is display-only double
     "q38_important_brands" ->
       s"""WITH v AS (SELECT p_brand,
          |        sum($decPrice * CAST(l_quantity AS DECIMAL(18,4))) AS value

@@ -973,20 +973,28 @@ object Analytics {
     * rounded ops the oracle states identically. Scale shape: one corpus
     * groupBy, then one window over the (types × days) frame partitioned
     * by (type, dow) — control-plane-sized, no joins. */
-  def seasonalDowResiduals(spark: SparkSession, sfDir: String): DataFrame = {
-    val DayUs = 86400000000L
+  /** The SHARED seasonal spine: per (event_type, day) exact decimal daily
+    * total + the (type, dow)-window baseline mean — the one copy both the
+    * residual report ([[seasonalDowResiduals]]) and the residual CUSUM
+    * ([[graft.operators.StatefulQueries.cusumSeasonalResiduals]]) compose
+    * over, so the baseline can never silently diverge between them. */
+  def seasonalSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
     val w = Window.partitionBy(col("event_type"), col("dow"))
     Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("td"))
       .withColumn("dow", col("day") % 7)
       .withColumn("dow_mean",
         sum(col("td")).over(w).cast("double") / count(lit(1)).over(w))
+  }
+
+  def seasonalDowResiduals(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalSpine(spark, sfDir)
       .select(col("event_type"), col("day"), col("dow"),
         col("td").cast("double").as("total"), col("dow_mean"),
         (col("td").cast("double") - col("dow_mean")).as("residual"))
       .orderBy(col("event_type"), col("day"))
-  }
 
   /** Robust outlier days via MEDIAN / MAD (median absolute deviation) —
     * the distribution-free complement to q12a's mean/stddev z-score: a

@@ -1194,12 +1194,19 @@ object Similarity {
     * mean, population std, min, max per component index. The float → IEEE
     * double cast is exact, so `round(x·2²⁰)` is the benford-established
     * double→integer parity and both row moments are EXACT integer sums;
-    * mean/std are fixed double trees over those exact sums with the
-    * association stated in the oracle (the corr_matrix discipline).
-    * One posexplode + one map-side-combinable groupBy(dim): at 100 TB the
-    * shuffle carries dims × partials, never the corpus. */
+    * the variance NUMERATOR n·Σq² − (Σq)² stays exact too (DECIMAL(38,0)
+    * here, HUGEINT in the oracle — the bollinger discipline), which is
+    * what makes it provably ≥ 0: the double-rounded (ss − s²/n)/n tree
+    * can land a constant dimension at −ε, where DuckDB's sqrt ERRORS and
+    * Spark emits NaN (probed). Doubles appear only in the final
+    * correctly-rounded divide/sqrt with the association stated in the
+    * oracle. One posexplode + one map-side-combinable groupBy(dim): at
+    * 100 TB the shuffle carries dims × partials, never the corpus. */
   def dimStats(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    dimStatsOf(Tables.embeddings(spark, sfDir))
+
+  def dimStatsOf(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
       .select(col("dim"),
               round(col("x") * lit(ScaleQuantum)).cast("long").as("q"), col("x"))
@@ -1207,12 +1214,14 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
            sum(col("q") * col("q")).as("ss"),
            min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .withColumn("num",
+        col("n").cast("decimal(19,0)") * col("ss").cast("decimal(19,0)") -
+        col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
       .select(col("dim"), col("n"),
         (col("s").cast("double") / (col("n") * lit(ScaleQuantum).cast("long"))
           .cast("double")).as("mean"),
-        (sqrt((col("ss").cast("double") -
-               (col("s").cast("double") * col("s").cast("double")) /
-                 col("n").cast("double")) / col("n").cast("double")) /
+        (sqrt(col("num").cast("double") /
+              (col("n") * col("n")).cast("double")) /
           lit(ScaleQuantum)).as("std"),
         col("min_x"), col("max_x"))
       .orderBy(col("dim"))

@@ -636,15 +636,7 @@ object StatefulQueries {
     * one map-side-combinable groupBy; the fold runs on that control-plane
     * table. */
   def cusumSeasonalResiduals(spark: SparkSession, sfDir: String): DataFrame = {
-    val DayNs = 86400000000000L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"), col("dow"))
-    val resid = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("td"))
-      .withColumn("dow", col("day") % 7)
-      .withColumn("dow_mean",
-        sum(col("td")).over(w).cast("double") / count(lit(1)).over(w))
+    val resid = graft.operators.Analytics.seasonalSpine(spark, sfDir)
       .select(col("event_type").as("key"), col("day").as("ord"),
         round(((col("td").cast("double") - col("dow_mean")) / col("dow_mean"))
               * lit(1000000.0)).cast("long").cast("double").as("value"))

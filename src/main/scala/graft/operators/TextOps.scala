@@ -1291,7 +1291,7 @@ object TextOps {
     * threshold is actually chosen from (pick the cut, read off exactly
     * how many docs/tokens survive). Composes [[lmBigramScoreSketch]]:
     * the bucket id is PURE INTEGER arithmetic ((ppm_sum div n_pairs) div
-    * 50k — two floor divisions of exact longs, no float boundary to
+    * [[PplBucketPpm]] — two floor divisions of exact longs, no float boundary to
     * disagree on), and the per-bucket extremes of the mean-ppm double are
     * element SELECTION. Scale: the per-doc score table is doc-count-
     * sized; the histogram collapses it to ≤ 21 buckets map-side. */

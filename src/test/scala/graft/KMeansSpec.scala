@@ -292,6 +292,21 @@ class KMeansSpec extends SparkSpec {
     s.unpersist()
   }
 
+  test("dim stats: a constant dimension yields std = 0.0 exactly, never NaN or an oracle sqrt error") {
+    import org.apache.spark.sql.functions.col
+    // the double-rounded (ss - s^2/n)/n tree can land a constant dim at
+    // -eps (NaN in Spark, a hard sqrt error in DuckDB); the exact-integer
+    // numerator n*ss - s*s is identically zero there, pinning std = 0.0
+    val vecs = (0L until 100L).map { i =>
+      (i, Array(0.123456789f, i.toFloat / 100f))
+    }.toDF("vec_id", "embedding")
+    val s = Similarity.dimStatsOf(vecs).collect().sortBy(_.getAs[Int]("dim"))
+    val c = s(0)
+    assert(c.getAs[Double]("std") == 0.0)
+    assert(!c.getAs[Double]("std").isNaN)
+    assert(s(1).getAs[Double]("std") > 0.0)
+  }
+
   test("standardize: z-scores are centered and unit-scaled when the sample IS the corpus") {
     import org.apache.spark.sql.functions.{col, abs => sabs, avg, stddev_pop}
     // the registered query standardizes a sample; the invariant check runs
