@@ -424,6 +424,12 @@ object SparkEntry {
     "stoch_osc_by_type" -> ((s, dir) => Indicators.stochOscByType(s, dir)),
     // realized variance: exact integer cents deltas, one final /1e4
     "realized_variance_daily" -> ((s, dir) => Indicators.realizedVarianceDaily(s, dir)),
+    // time-travel point query over the SCD2 intervals: state of every
+    // user at the data-derived midpoint cut — filter, no join
+    "scd2_asof_snapshot" -> ((s, dir) => Relational.scd2AsofSnapshot(s, dir)),
+    // vocabulary drift: chi2 of token x corpus-half over dense cells of
+    // the frequent vocabulary — the ingestion-generation drift monitor
+    "vocab_drift_chi2" -> ((s, dir) => TextOps.vocabDriftChi2(s, dir)),
     // the THIRD stream-stream join type: left semi — emit-once existence,
     // state strictly smaller than inner's, same eviction witness
     "q23sj_interval_join_semi" -> ((s, dir) => StatefulQueries.intervalJoinStreamingSemi(s, dir)),
@@ -1988,6 +1994,36 @@ object SparkEntry {
         |SELECT y.event_type, y.wd, CAST(y.obs AS BIGINT) AS obs, y.exp,
         |       y.contrib, s.chi2, s.dof
         |FROM y CROSS JOIN s ORDER BY event_type, wd""".stripMargin,
+    // chi2_type_weekday's discipline over the frequent vocabulary: dense
+    // (token, half) cells (absent cells materialize obs = 0 — the sparse
+    // join would drop exactly the most drifted cells), exact long
+    // marginals, ordered fold for the statistic, dof = tokens - 1
+    "vocab_drift_chi2" ->
+      s"""WITH tk AS (SELECT doc_id % 2 AS half, unnest($tokenHashesSql) AS th
+         |            FROM documents),
+         |c0 AS (SELECT th, half, count(*) AS obs0 FROM tk GROUP BY 1, 2),
+         |kp AS (SELECT th, sum(obs0) AS row_tot FROM c0 GROUP BY 1
+         |       HAVING sum(obs0) >= ${graft.operators.TextOps.VocabDriftMinCount}),
+         |h AS (SELECT unnest([0, 1]) AS half),
+         |c AS MATERIALIZED (SELECT kp.th, h.half, kp.row_tot,
+         |        coalesce(c0.obs0, 0) AS obs
+         |      FROM kp CROSS JOIN h
+         |      LEFT JOIN c0 ON c0.th = kp.th AND c0.half = h.half),
+         |k AS (SELECT half, sum(obs) AS ct FROM c GROUP BY 1),
+         |t AS (SELECT sum(obs) AS nt FROM c),
+         |x AS (SELECT c.th, c.half, c.obs,
+         |        CAST(c.row_tot AS DOUBLE) * CAST(ct AS DOUBLE) /
+         |          CAST((SELECT nt FROM t) AS DOUBLE) AS exp
+         |      FROM c JOIN k USING (half)),
+         |y AS MATERIALIZED (SELECT th, half, obs, exp,
+         |        (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
+         |          AS contrib FROM x),
+         |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(contrib ORDER BY th, half)), (a, b) -> a + b) AS chi2,
+         |      CAST((SELECT count(*) FROM kp) - 1 AS BIGINT) AS dof FROM y)
+         |SELECT y.th, CAST(y.half AS BIGINT) AS half, CAST(y.obs AS BIGINT) AS obs,
+         |       y.exp, y.contrib, s.chi2, s.dof
+         |FROM y CROSS JOIN s ORDER BY th, half""".stripMargin,
     // basket pairs within an order (brand-bounded), support/confidence as
     // single divisions of exact counts; lift clears denominators first —
     // two exact BIGINT products, ONE division
@@ -2691,6 +2727,21 @@ object SparkEntry {
         | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |   AS valid_to_us
         |FROM events ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    // interval membership at the data-derived midpoint: pure integer
+    // comparisons, exactly one surviving interval per active user
+    "scd2_asof_snapshot" ->
+      """WITH s AS (SELECT user_id, event_id, value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to_us
+        | FROM events),
+        |c AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS cut_us
+        |      FROM events)
+        |SELECT user_id, event_id, value, valid_from_us, cut_us
+        |FROM s CROSS JOIN c
+        |WHERE valid_from_us <= cut_us
+        |  AND (valid_to_us IS NULL OR valid_to_us > cut_us)
+        |ORDER BY user_id""".stripMargin,
     // exact decimal running shares; class bounds cross-multiplied (no
     // float thresholds); the share is the only float
     "pareto_parts_abc" ->

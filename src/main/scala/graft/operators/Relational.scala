@@ -550,6 +550,29 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** AS-OF (time-travel) SNAPSHOT over the [[scd2UserValues]] intervals:
+    * the state of every user at a single cut instant — the point query an
+    * SCD2 materialization exists to answer (training-data reproducibility:
+    * "the features as they were when the run started"). The cut is the
+    * DATA-DERIVED midpoint (min+max)/2 in integer µs (a 1-row broadcast),
+    * so both engines state it exactly; interval membership is pure integer
+    * comparison and each user's intervals partition time, so exactly one
+    * row per user active by the cut survives. Scale: the snapshot is a
+    * FILTER over the interval table — scan + broadcast, no join; at
+    * warehouse scale the same predicate drives partition pruning on a
+    * valid_from-partitioned layout. */
+  def scd2AsofSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = Tables.events(spark, sfDir)
+      .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("cut_us"))
+    scd2UserValues(spark, sfDir)
+      .crossJoin(broadcast(cut))
+      .filter(col("valid_from_us") <= col("cut_us") &&
+              (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("valid_from_us"), col("cut_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Decorrelated "orders above their customer's average" — the correlated
     * scalar subquery expressed as the join Catalyst would decorrelate it to
     * (aggregate once per customer, join back, filter). */

@@ -1305,6 +1305,59 @@ object TextOps {
            max(col("mean_cond_ppm")).as("max_mean_ppm"))
       .orderBy(col("bucket"))
 
+  /** Minimum corpus-wide occurrences for a token to enter the drift test —
+    * bounds the χ² table and keeps low-count cells (where the χ²
+    * approximation is invalid anyway) out. */
+  val VocabDriftMinCount = 100L
+
+  /** VOCABULARY DRIFT DETECTION: χ² independence test of token × corpus
+    * half — the data-drift monitor a pipeline runs between ingestion
+    * generations (a vocabulary whose distribution shifts signals source
+    * drift, scraper changes, or contamination upstream of any model).
+    * Halves split by doc_id parity (the deterministic stand-in for "old
+    * vs new generation"); cells are DENSE over the kept tokens (a token
+    * absent from one half contributes its full expected count — the
+    * sparse join would silently drop exactly the most drifted cells);
+    * the ≥ [[VocabDriftMinCount]] prune is an exact integer test applied
+    * BEFORE expected counts. Numerics: exact long counts/marginals,
+    * expected and contribution as the chi2_type_weekday fixed double
+    * trees, and the table statistic as the ORDERED fold over
+    * (th, half)-sorted cells. Scale: token counts are map-side
+    * combinable; the kept table is frequent-vocabulary-sized. */
+  def vocabDriftChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells0 = documentsFor(spark, sfDir)
+      .select((col("doc_id") % 2).as("half"),
+              explode(tokenHashes(col("text"))).as("th"))
+      .groupBy(col("th"), col("half")).agg(count(lit(1)).as("obs0"))
+    val keep = cells0.groupBy(col("th")).agg(sum(col("obs0")).as("row_tot"))
+      .filter(col("row_tot") >= VocabDriftMinCount)
+    val halves = cells0.sparkSession.range(2).select(col("id").as("half"))
+    val cells = keep.crossJoin(broadcast(halves))
+      .join(cells0, Seq("th", "half"), "left_outer")
+      .select(col("th"), col("half"), col("row_tot"),
+              coalesce(col("obs0"), lit(0L)).as("obs"))
+    val colT = cells.groupBy(col("half")).agg(sum(col("obs")).as("col_tot"))
+    val tot = cells.agg(sum(col("obs")).as("n_tot"))
+    val withExp = cells.join(broadcast(colT), "half").crossJoin(broadcast(tot))
+      .select(col("th"), col("half"), col("obs"),
+        (col("row_tot").cast("double") * col("col_tot").cast("double") /
+          col("n_tot").cast("double")).as("exp"))
+      .withColumn("contrib",
+        (col("obs").cast("double") - col("exp")) *
+          (col("obs").cast("double") - col("exp")) / col("exp"))
+    val total = withExp.agg(
+        sort_array(collect_list(struct(col("th"), col("half"), col("contrib"))))
+          .as("xs"),
+        (countDistinct(col("th")) - 1).as("dof"))
+      .select(
+        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)")
+          .as("chi2"), col("dof"))
+    withExp.crossJoin(broadcast(total))
+      .select(col("th"), col("half"), col("obs"), col("exp"),
+              col("contrib"), col("chi2"), col("dof"))
+      .orderBy(col("th"), col("half"))
+  }
+
   /** Target draw count and band width for [[sampleWeightedSystematic]] —
     * shared constants the oracle states verbatim. */
   val SampleWeightedK = 200L

@@ -285,6 +285,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("scd2 as-of snapshot: exactly one interval per active user, and it is the latest event at or before the cut") {
+    val s = graft.operators.Relational.scd2AsofSnapshot(spark, Sf0001).cache()
+    // one row per user key (nulls form their own key)
+    assert(s.groupBy(col("user_id")).count().filter(col("count") > 1).count() == 0)
+    // direct recompute: per user, the max event time <= cut picks the row
+    val cut = s.select(col("cut_us")).head().getLong(0)
+    val expect = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("value"),
+              expr("ts_ns div 1000").as("us"))
+      .filter(col("us") <= cut)
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("us").as("valid_from_us"), lit(cut).as("cut_us"))
+    assert(s.exceptAll(expect).count() == 0 && expect.exceptAll(s).count() == 0)
+    s.unpersist()
+  }
+
   test("seasonal cusum: reset-on-alarm invariants hold and the detector is non-vacuous") {
     val c = graft.operators.StatefulQueries.cusumSeasonalResiduals(spark, Sf0001).cache()
     // one row per (type, day) of the residual spine

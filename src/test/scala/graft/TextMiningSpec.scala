@@ -71,6 +71,26 @@ class TextMiningSpec extends SparkSpec {
     assert(rows("vari").getAs[Double]("ttr") === 1.0)
   }
 
+  test("vocab drift: dense 2-cell rows per kept token, marginal identity, chi2 = sum of contributions") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val d = TextOps.vocabDriftChi2(spark, Sf0001).cache()
+    // dense: every kept token has exactly one cell per half
+    assert(d.groupBy(col("th")).count().filter(col("count") =!= 2).count() == 0)
+    // kept tokens really clear the floor
+    val under = d.groupBy(col("th")).agg(sum(col("obs")).as("rt"))
+      .filter(col("rt") < TextOps.VocabDriftMinCount).count()
+    assert(under == 0)
+    // chi2 identity: sum(obs) == sum(exp) up to fp, chi2 == sum(contrib)
+    val r = d.agg(sum(col("obs")).cast("double").as("so"), sum(col("exp")).as("se"),
+                  sum(col("contrib")).as("sc"), max(col("chi2")).as("x2"),
+                  min(col("chi2")).as("x2min")).head()
+    assert(math.abs(r.getAs[Double]("so") - r.getAs[Double]("se")) < 1e-6)
+    assert(math.abs(r.getAs[Double]("sc") - r.getAs[Double]("x2")) < 1e-9 * r.getAs[Double]("x2"))
+    assert(r.getAs[Double]("x2") == r.getAs[Double]("x2min")) // one statistic on every row
+    d.unpersist()
+  }
+
   test("ppl buckets: partition the scored docs, bucket bounds bracket the mean extremes") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextOps
