@@ -765,7 +765,14 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("value"))
     val tot = v.agg(sum(col("value")).as("total"))
-    v.join(broadcast(tot), col("value") * 25 > col("total"))
+    // keep the ×25 product WITHIN precision 38: value is DECIMAL(38,8), and
+    // decimal(38,8) × int takes Catalyst's precision-loss path (rounded to
+    // scale 6 — no longer exact). Narrowing to (35,8) first (the corpus
+    // total needs far fewer than 27 integer digits even at 100 TB) makes
+    // the product decimal(38,8): 35+2+1 = 38, scale preserved, bit-exact.
+    v.join(broadcast(tot),
+           col("value").cast("decimal(35,8)") * lit(25).cast("decimal(2,0)") >
+             col("total"))
       .select(col("p_brand"), col("value").cast("double").as("value"),
               (col("value").cast("double") / col("total").cast("double")).as("share"))
       .orderBy(col("p_brand"))

@@ -1341,13 +1341,15 @@ object StatefulQueries {
           "watermark never evicted join state — the interval condition " +
             "failed to bound join state lifetime")
       }
-    // INNER joins emit only on data batches, so the trailing no-data
+    // INNER/SEMI joins emit only on data batches, so the trailing no-data
     // finalize batch buys nothing but its ~0.6 s fixed cost: batch 1's
     // watermark (from batch 0) already evicts file-0 state, keeping the
     // eviction witness above non-vacuous. OUTER joins must keep it — the
     // sentinel-advanced watermark's final eviction is what emits the
-    // null-padded rows for match-less users in the last file.
-    if (joinType == "left_outer") drain()
+    // null-padded rows for match-less users in the last file — so the gate
+    // is on the JOIN CLASS (any `*outer` variant keeps the finalize batch
+    // by construction), not on one literal type name.
+    if (joinType.endsWith("outer")) drain()
     else withNoDataBatchesDisabled(spark)(drain())
   }
 
