@@ -424,6 +424,11 @@ object SparkEntry {
     "stoch_osc_by_type" -> ((s, dir) => Indicators.stochOscByType(s, dir)),
     // realized variance: exact integer cents deltas, one final /1e4
     "realized_variance_daily" -> ((s, dir) => Indicators.realizedVarianceDaily(s, dir)),
+    // average true range over hourly bars: integer-cents TR (Wilder),
+    // trailing 14-bar mean, one final divide
+    "atr_hourly_by_type" -> ((s, dir) => Indicators.atrHourlyByType(s, dir)),
+    // on-balance volume: all-integer signed cumulative synthetic volume
+    "obv_by_type" -> ((s, dir) => Indicators.obvByType(s, dir)),
     // time-travel point query over the SCD2 intervals: state of every
     // user at the data-derived midpoint cut — filter, no join
     "scd2_asof_snapshot" -> ((s, dir) => Relational.scd2AsofSnapshot(s, dir)),
@@ -2340,6 +2345,56 @@ object SparkEntry {
         |SELECT event_id, event_type, n_win, mean, sd,
         |  mean + 2.0 * sd AS upper, mean - 2.0 * sd AS lower
         |FROM m ORDER BY event_id""".stripMargin,
+    // Wilder true range in exact integer cents (lag = selection, TR =
+    // max/abs of exact longs); the trailing-14-bar mean is the ONE double
+    // op, stated in the identical sum/(100*n) association on both sides
+    "atr_hourly_by_type" ->
+      """WITH b AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |    event_type,
+        |    CAST(round(CAST(max(value) AS DOUBLE) * 100.0) AS BIGINT) AS hc,
+        |    CAST(round(CAST(min(value) AS DOUBLE) * 100.0) AS BIGINT) AS lc,
+        |    CAST(round(CAST(arg_max(value, event_id) AS DOUBLE) * 100.0) AS BIGINT) AS cc
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT hour_start, event_type, hc, lc,
+        |    lag(cc) OVER (PARTITION BY event_type ORDER BY hour_start) AS pc
+        |  FROM b),
+        |t AS (
+        |  SELECT hour_start, event_type,
+        |    CASE WHEN pc IS NULL THEN hc - lc
+        |         ELSE greatest(hc - lc, abs(hc - pc), abs(lc - pc)) END AS tr_cents
+        |  FROM l)
+        |SELECT hour_start, event_type, CAST(tr_cents AS BIGINT) AS tr_cents,
+        |  CAST(count(*) OVER f AS BIGINT) AS n_win,
+        |  CAST(sum(tr_cents) OVER f AS DOUBLE)
+        |    / CAST(count(*) OVER f * 100 AS DOUBLE) AS atr
+        |FROM t
+        |WINDOW f AS (PARTITION BY event_type ORDER BY hour_start
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, hour_start""".stripMargin,
+    // all-integer signed cumulative volume: exact cents comparison picks
+    // the sign, the running sum is an exact BIGINT fold — no floats
+    "obv_by_type" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vc,
+        |    CAST(event_id % 97 + 1 AS BIGINT) AS vol
+        |  FROM events),
+        |l AS (
+        |  SELECT event_id, event_type, vc, vol,
+        |    lag(vc) OVER (PARTITION BY event_type ORDER BY event_id) AS pvc
+        |  FROM v),
+        |s AS (
+        |  SELECT event_id, event_type, vol,
+        |    CASE WHEN pvc IS NULL THEN 0
+        |         WHEN vc > pvc THEN 1
+        |         WHEN vc < pvc THEN -1 ELSE 0 END AS sgn
+        |  FROM l)
+        |SELECT event_id, event_type, vol, CAST(sgn AS BIGINT) AS sgn,
+        |  CAST(sum(sgn * vol) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+        |FROM s ORDER BY event_id""".stripMargin,
     // frame extrema are element selection; the %K score is the identical
     // fixed 4-op double tree both engines evaluate; flat frame pins 50
     "stoch_osc_by_type" ->

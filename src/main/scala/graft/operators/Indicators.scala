@@ -143,6 +143,70 @@ object Indicators {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** AVERAGE TRUE RANGE over the hourly bars per event_type: true range
+    * TR = max(high − low, |high − prev_close|, |low − prev_close|) (the
+    * Wilder definition; the first bar, with no previous close, uses
+    * high − low — the standard seed), averaged over a trailing 14-bar
+    * frame. Everything up to the one final division is INTEGER CENTS:
+    * bar extrema are exact element selection, the lag is selection, TR is
+    * max/abs/subtract of exact longs, and the frame sum is an exact
+    * BIGINT — so ATR = Σtr / (100·n) is a single correctly-rounded double
+    * op stated identically in the oracle. Plan: the bar build is the
+    * [[ohlcHourly]] map-side-combinable aggregate; the lag and the
+    * trailing frame share ONE window partitioning on event_type (bar
+    * table is hours×types-sized — tiny relative to the tape, so the
+    * second shuffle moves bars, never ticks). */
+  def atrHourlyByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+    val wF = wLag.rowsBetween(-13, 0)
+    ohlcHourly(spark, sfDir)
+      .select(col("hour_start"), col("event_type"),
+              round(col("high") * lit(100.0)).cast("long").as("hc"),
+              round(col("low") * lit(100.0)).cast("long").as("lc"),
+              round(col("close") * lit(100.0)).cast("long").as("cc"))
+      .withColumn("pc", lag(col("cc"), 1).over(wLag))
+      .withColumn("tr_cents",
+        when(col("pc").isNull, col("hc") - col("lc"))
+          .otherwise(greatest(col("hc") - col("lc"),
+                              abs(col("hc") - col("pc")),
+                              abs(col("lc") - col("pc")))))
+      .withColumn("n_win", count(lit(1)).over(wF))
+      .withColumn("atr", sum(col("tr_cents")).over(wF).cast("double") /
+                         (col("n_win") * 100L).cast("double"))
+      .select(col("hour_start"), col("event_type"), col("tr_cents"),
+              col("n_win"), col("atr"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /** ON-BALANCE VOLUME per event_type: the signed cumulative volume
+    * OBV_t = OBV_{t−1} + vol·sign(Δprice) — volume flows with the tick
+    * direction ([[vwapHourly]]'s deterministic synthetic volume
+    * `event_id % 97 + 1`, stated on both engines). ALL-INTEGER: price
+    * deltas compare exact cents, sign is selection, and the cumulative
+    * sum is an exact BIGINT fold — no floats anywhere, so there is no
+    * aggregation-order sensitivity at any scale. The first tick of a
+    * type contributes 0 (no prior price — the standard seed). One
+    * shuffle: the lag and the running sum share the same (event_type,
+    * event_id) window partitioning. */
+  def obvByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+              round(col("value") * lit(100.0)).cast("long").as("vc"),
+              (col("event_id") % 97 + 1).cast("long").as("vol"))
+      .withColumn("pvc", lag(col("vc"), 1).over(w))
+      .withColumn("sgn",
+        when(col("pvc").isNull, lit(0L))
+          .when(col("vc") > col("pvc"), lit(1L))
+          .when(col("vc") < col("pvc"), lit(-1L))
+          .otherwise(lit(0L)))
+      .withColumn("obv", sum(col("sgn") * col("vol")).over(cum).cast("long"))
+      .select(col("event_id"), col("event_type"), col("vol"), col("sgn"),
+              col("obv"))
+      .orderBy(col("event_id"))
+  }
+
   /** Stochastic oscillator %K over a trailing 14-tick frame per
     * event_type: 100·(x − low₁₄)/(high₁₄ − low₁₄), 50 on a flat frame.
     * Frame extrema are exact element selection; the score is a fixed

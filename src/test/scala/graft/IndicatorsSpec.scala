@@ -76,6 +76,46 @@ class IndicatorsSpec extends SparkSpec {
     rv.unpersist()
   }
 
+  test("atr: TR dominates the bar range, seed bar collapses to high-low, frames count correctly") {
+    val a = Indicators.atrHourlyByType(spark, Sf0001).cache()
+    val bars = Indicators.ohlcHourly(spark, Sf0001)
+    assert(a.count() == bars.count())
+    assert(a.filter(col("tr_cents") < 0 || col("atr") < 0).count() == 0)
+    assert(a.filter(col("n_win") < 1 || col("n_win") > 14).count() == 0)
+    // TR = max(range, |high-pc|, |low-pc|) >= the bar's own range
+    val j = a.join(bars.select(col("hour_start"), col("event_type"),
+        (round(col("high") * 100.0).cast("long") -
+         round(col("low") * 100.0).cast("long")).as("range_c")),
+      Seq("hour_start", "event_type"))
+    assert(j.count() == a.count())
+    assert(j.filter(col("tr_cents") < col("range_c")).count() == 0)
+    // each type's first bar seeds TR = high - low (no previous close)
+    assert(j.filter(col("n_win") === 1 &&
+                    col("tr_cents") =!= col("range_c")).count() == 0)
+    // a single-bar frame's ATR is exactly its own TR/100
+    assert(a.filter(col("n_win") === 1 &&
+      col("atr") =!= col("tr_cents").cast("double") / 100.0).count() == 0)
+    a.unpersist()
+  }
+
+  test("obv: all-integer ledger — every step moves by exactly sgn*vol") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Indicators.obvByType(spark, Sf0001).cache()
+    assert(o.count() == graft.io.Tables.events(spark, Sf0001).count())
+    assert(o.filter(!col("sgn").isin(-1L, 0L, 1L)).count() == 0)
+    assert(o.filter(col("vol") < 1 || col("vol") > 97).count() == 0)
+    // the cumulative ledger: obv - prev_obv == sgn * vol, seed row == its own step
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val stepped = o.withColumn("prev_obv", lag(col("obv"), 1).over(w))
+    assert(stepped.filter(
+      coalesce(col("prev_obv"), lit(0L)) + col("sgn") * col("vol") =!= col("obv"))
+      .count() == 0)
+    // each type's first tick has no prior price: sgn = 0, obv = 0
+    assert(stepped.filter(col("prev_obv").isNull &&
+      (col("sgn") =!= 0L || col("obv") =!= 0L)).count() == 0)
+    o.unpersist()
+  }
+
   test("rsi: bounded, batch fold equals streaming twin, fold equals direct recurrence") {
     val b = StatefulQueries.rsiByType(spark, Sf0001).cache()
     // one row per event except each key's first
