@@ -2002,7 +2002,10 @@ object SparkEntry {
     // chi2_type_weekday's discipline over the frequent vocabulary: dense
     // (token, half) cells (absent cells materialize obs = 0 — the sparse
     // join would drop exactly the most drifted cells), exact long
-    // marginals, ordered fold for the statistic, dof = tokens - 1
+    // marginals, dof = tokens - 1. The statistic is the ORDER-FREE
+    // integer-micro sum (floor(contrib*1e6) per cell, summed as exact
+    // decimal — floor of the identical double is exact selection), so
+    // neither engine folds a vocab-sized ordered list
     "vocab_drift_chi2" ->
       s"""WITH tk AS (SELECT doc_id % 2 AS half, unnest($tokenHashesSql) AS th
          |            FROM documents),
@@ -2023,8 +2026,8 @@ object SparkEntry {
          |y AS MATERIALIZED (SELECT th, half, obs, exp,
          |        (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
          |          AS contrib FROM x),
-         |s AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list(contrib ORDER BY th, half)), (a, b) -> a + b) AS chi2,
+         |s AS (SELECT ${dd("sum(CAST(floor(contrib * 1000000.0) AS DECIMAL(38,0)))")}
+         |        / 1000000.0 AS chi2,
          |      CAST((SELECT count(*) FROM kp) - 1 AS BIGINT) AS dof FROM y)
          |SELECT y.th, CAST(y.half AS BIGINT) AS half, CAST(y.obs AS BIGINT) AS obs,
          |       y.exp, y.contrib, s.chi2, s.dof

@@ -1321,9 +1321,16 @@ object TextOps {
     * the ≥ [[VocabDriftMinCount]] prune is an exact integer test applied
     * BEFORE expected counts. Numerics: exact long counts/marginals,
     * expected and contribution as the chi2_type_weekday fixed double
-    * trees, and the table statistic as the ORDERED fold over
-    * (th, half)-sorted cells. Scale: token counts are map-side
-    * combinable; the kept table is frequent-vocabulary-sized. */
+    * trees, and the table statistic as the INTEGER-MICRO sum (the
+    * doc_sim idf-ppm precedent): each cell's contribution quantizes to
+    * `floor(contrib·10⁶)` — floor of a double is exact selection with no
+    * tie semantics to disagree on — and the micros sum as DECIMAL(38,0),
+    * which is order-free, so no vocab-sized ordered fold (and no
+    * single-row collect_list array) exists anywhere in the plan. The
+    * reported chi2 re-scales the exact micro total with one
+    * correctly-rounded divide. Scale: token counts are map-side
+    * combinable; the kept table is frequent-vocabulary-sized and the
+    * statistic is a plain partial-aggregable sum. */
   def vocabDriftChi2(spark: SparkSession, sfDir: String): DataFrame = {
     val cells0 = documentsFor(spark, sfDir)
       .select((col("doc_id") % 2).as("half"),
@@ -1346,12 +1353,11 @@ object TextOps {
         (col("obs").cast("double") - col("exp")) *
           (col("obs").cast("double") - col("exp")) / col("exp"))
     val total = withExp.agg(
-        sort_array(collect_list(struct(col("th"), col("half"), col("contrib"))))
-          .as("xs"),
+        sum(floor(col("contrib") * lit(1000000.0)).cast("decimal(38,0)"))
+          .as("chi2_micros"),
         (countDistinct(col("th")) - 1).as("dof"))
-      .select(
-        expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.contrib)")
-          .as("chi2"), col("dof"))
+      .select((col("chi2_micros").cast("double") / lit(1000000.0)).as("chi2"),
+              col("dof"))
     withExp.crossJoin(broadcast(total))
       .select(col("th"), col("half"), col("obs"), col("exp"),
               col("contrib"), col("chi2"), col("dof"))
