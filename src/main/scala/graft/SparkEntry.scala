@@ -413,6 +413,10 @@ object SparkEntry {
     // the live candlestick builder: the same mergeable bar aggregate
     // accumulating across micro-batches in the state store
     "ohlc_hourly_streaming" -> ((s, dir) => Indicators.ohlcHourlyStream(s, dir)),
+    // the PRODUCTION candlestick shape: watermark-closing append mode —
+    // each bar emits exactly once when the watermark passes its hour end
+    // and leaves the store; late ticks drop observably
+    "ohlc_hourly_closed" -> ((s, dir) => Indicators.ohlcHourlyClosed(s, dir)),
     // weight-proportional systematic sampling: K deterministic draws by
     // integer quantile crossings over a banded exact prefix sum
     "sample_weighted_systematic" -> ((s, dir) => TextOps.sampleWeightedSystematic(s, dir)),
@@ -3008,6 +3012,10 @@ object SparkEntry {
       "macd_by_type_streaming"         -> base("macd_by_type"),
       // the bar's open/high/low/close accumulate across micro-batches
       "ohlc_hourly_streaming"          -> base("ohlc_hourly"),
+      // append mode: each bar emits once when the watermark closes its
+      // hour; the sentinel flush closes every real bar, so the closed-bar
+      // table IS the batch bar table
+      "ohlc_hourly_closed"             -> base("ohlc_hourly"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

@@ -89,6 +89,110 @@ object Indicators {
         stateWidth = Some(8), outputMode = "complete")()
     }.orderBy(col("hour_start"), col("event_type"))
 
+  /** The sentinel event_type of [[ohlcHourlyClosed]]'s replay — its far-
+    * future row advances the final watermark past every real bar's end;
+    * the type never collides with fixture types and is filtered from the
+    * result (its own bar is the one row the watermark never closes). */
+  private[graft] val OhlcSentinelType = "__ohlc_flush__"
+
+  /** [[ohlcHourly]] as a WATERMARK-CLOSING append-mode streaming query —
+    * the PRODUCTION candlestick shape (the complete-mode twin
+    * [[ohlcHourlyStream]] re-emits the whole bar table every batch and
+    * keeps every bar ever opened in state; correct over the gate's finite
+    * tape, unbounded over an endless one). Here the engine emits each
+    * (hour, type) bar EXACTLY ONCE, when the event-time watermark passes
+    * the hour's end, and EVICTS it from the store — so state holds only
+    * the open bars within watermark slack of the head, bounded regardless
+    * of tape length, and output is bars, never re-emission. Late-data
+    * semantics (probed, pinned in IndicatorsSpec): a late tick whose bar
+    * is STILL IN STATE (not yet emitted) is merged — the bar closes with
+    * it; a tick for a bar already closed AND evicted is DROPPED by the
+    * engine, observably in `numRowsDroppedByWatermark`. That is the
+    * contract a live bar feed wants: a closed candle is immutable. The median-split + far-future-sentinel
+    * replay ([[StatefulQueries.medianSplitWithSentinel]], ties early so
+    * the 0-second delay never strands a boundary tie) makes every real
+    * bar close before input ends; the sentinel's own bar is the single
+    * row left in state. Oracle: the batch [[ohlcHourly]] SQL — with the
+    * sentinel flush all real bars are closed, so "restricted to closed
+    * bars" is the full bar table. */
+  def ohlcHourlyClosed(spark: SparkSession, sfDir: String): DataFrame =
+    StatefulQueries.withNanosAsLong(spark) {
+      val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"ohlcclosed:$sfDir",
+          Seq("o0.parquet", "o1.parquet", "o2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_type"), col("value"))
+        def sentinel(maxUs: Long) = ev.sparkSession.range(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          lit(OhlcSentinelType).as("event_type"),
+          lit(0.0).as("value"))
+        StatefulQueries.medianSplitWithSentinel(ev, "event_id", "ts")(sentinel)
+      }
+      closedBarDrain(spark, dir, requireEviction = true)
+    }.orderBy(col("hour_start"), col("event_type"))
+
+  /** The append-mode closed-bar drain behind [[ohlcHourlyClosed]] and the
+    * IndicatorsSpec late-tick fixture: watermarked file replay → windowed
+    * bar aggregate → append-mode memory sink. The eviction witness reads
+    * the engine's own state-store metrics: every emitted bar left the
+    * store (numRowsRemoved > 0) and at most the sentinel's open bar
+    * survives the final batch. `extraCheck` lets the spec capture
+    * progress (the late-drop counter) without re-plumbing the drain. */
+  private[graft] def closedBarDrain(
+      spark: SparkSession, dir: String, requireEviction: Boolean,
+      extraCheck: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())
+      : DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(col("value"), col("event_id")).as("open"),
+           max(col("value")).as("high"),
+           min(col("value")).as("low"),
+           max_by(col("value"), col("event_id")).as("close"),
+           count(lit(1)).as("n_events"))
+    StatefulQueries.drainToMemory(spark, agg, stateWidth = Some(8)) { q =>
+      if (requireEviction) {
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        require(progs.nonEmpty, "no state-operator progress recorded")
+        val removed = progs.map(_.stateOperators(0).numRowsRemoved).sum
+        val left = progs.last.stateOperators(0).numRowsTotal
+        val totalRows = q.recentProgress.map(_.numInputRows).sum
+        require((removed > 0 || totalRows <= 1) && left <= 1,
+          s"closed-bar emission did not bound state: removed=$removed, left=$left — " +
+            "every closed bar must leave the store")
+      }
+      extraCheck(q)
+    }
+      .filter(col("event_type") =!= OhlcSentinelType)
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+              col("event_type"), col("open"), col("high"), col("low"),
+              col("close"), col("n_events"))
+  }
+
+  /** Replay hand-built (event_id, ts, event_type, value) frames through
+    * the closed-bar drain — the IndicatorsSpec entry point for the
+    * cross-batch LATE-TICK fixture. Returns (bars, rows the engine
+    * dropped past the watermark). `tag` must be unique per fixture (the
+    * replay copy is cached per JVM). */
+  private[graft] def closedBarReplayOf(
+      spark: SparkSession, frames: Seq[DataFrame], tag: String,
+      onProgress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit =
+        _ => ()): (DataFrame, Long) = {
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, tag,
+      frames.indices.map(i => s"c$i.parquet"))(frames)
+    var dropped = 0L
+    val bars = closedBarDrain(spark, dir, requireEviction = true, { q =>
+      q.recentProgress.foreach(onProgress)
+      dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+    })
+    (bars, dropped)
+  }
+
   /** Bollinger bands: trailing-20-tick mean ± 2σ per event_type. The
     * frame's Σx and Σx² are exact BIGINT sums of integer cents, the
     * population variance numerator n·Σx² − (Σx)² is exact (20 ticks ×

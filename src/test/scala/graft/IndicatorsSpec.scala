@@ -30,6 +30,51 @@ class IndicatorsSpec extends SparkSpec {
     assert(b.exceptAll(s).count() == 0 && s.exceptAll(b).count() == 0)
   }
 
+  test("ohlc closed: append mode equals batch bars, evicts emitted bars, drops late ticks") {
+    // registered form: the sentinel flush closes every real bar, so the
+    // closed-bar table equals the batch bar table (eviction witness is
+    // asserted inside the drain)
+    val b = Indicators.ohlcHourly(spark, Sf0001)
+    val c = Indicators.ohlcHourlyClosed(spark, Sf0001)
+    assert(b.exceptAll(c).count() == 0 && c.exceptAll(b).count() == 0)
+
+    // cross-batch late-tick fixture. Engine semantics (probed): a late
+    // tick for a bar STILL IN STATE is merged (the bar has not emitted
+    // yet), so the drop requires the bar to be closed AND evicted first:
+    // f0 opens hours 10/12, f1's hour-14 tick processes under the
+    // f0-derived watermark (12h) and closes hour 10, f2's hour-10 tick
+    // then targets an evicted bar — the engine must DROP it (a closed
+    // candle is immutable), observably in numRowsDroppedByWatermark
+    def frame(rows: Seq[(Long, Long, String, Double)]) = {
+      import spark.implicits._
+      rows.toDF("event_id", "us", "event_type", "value")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+                col("event_type"), col("value"))
+    }
+    val H = 3600L * 1000000L
+    val f0 = frame(Seq((0L, 10L * H + 1L, "a", 5.0), (1L, 10L * H + 2L, "a", 9.0),
+                       (2L, 12L * H + 1L, "a", 7.0)))
+    val f1 = frame(Seq((3L, 14L * H + 1L, "a", 6.0)))
+    val late = frame(Seq((4L, 10L * H + 3L, "a", 100.0)))
+    val sent = frame(Seq((-1L, 45L * H,
+                          graft.operators.Indicators.OhlcSentinelType, 0.0)))
+    val (bars, dropped) = graft.operators.Indicators.closedBarReplayOf(
+      spark, Seq(f0, f1, late, sent), "ohlcclosed-spec-late")
+    assert(dropped == 1, s"expected the 1 late tick dropped, saw $dropped")
+    val got = bars.orderBy(col("hour_start")).collect()
+    assert(got.length == 3)
+    // hour 10's bar closed before the late tick arrived: the 100.0 is out
+    val h10 = got(0)
+    assert(h10.getAs[Long]("hour_start") == 10L * 3600L)
+    assert(h10.getAs[Long]("n_events") == 2L)
+    assert(h10.getAs[Double]("open") == 5.0 && h10.getAs[Double]("close") == 9.0)
+    assert(h10.getAs[Double]("high") == 9.0 && h10.getAs[Double]("low") == 5.0)
+    assert(got(1).getAs[Long]("hour_start") == 12L * 3600L)
+    assert(got(1).getAs[Long]("n_events") == 1L)
+    assert(got(2).getAs[Long]("hour_start") == 14L * 3600L)
+    assert(got(2).getAs[Long]("n_events") == 1L)
+  }
+
   test("vwap: lies within the bar's price range (cents tolerance) and weights are positive") {
     val v = Indicators.vwapHourly(spark, Sf0001)
     val o = Indicators.ohlcHourly(spark, Sf0001)
