@@ -436,6 +436,10 @@ object SparkEntry {
     // time-travel point query over the SCD2 intervals: state of every
     // user at the data-derived midpoint cut — filter, no join
     "scd2_asof_snapshot" -> ((s, dir) => Relational.scd2AsofSnapshot(s, dir)),
+    // the WRITE side: incremental MERGE maintenance of the interval table
+    // through an idempotent versioned foreachBatch journal; its as-of
+    // snapshot hash-matches the read-side form's oracle
+    "scd2_upsert_snapshot" -> ((s, dir) => StatefulQueries.scd2UpsertSnapshot(s, dir)),
     // vocabulary drift: chi2 of token x corpus-half over dense cells of
     // the frequent vocabulary — the ingestion-generation drift monitor
     "vocab_drift_chi2" -> ((s, dir) => TextOps.vocabDriftChi2(s, dir)),
@@ -3016,6 +3020,9 @@ object SparkEntry {
       // hour; the sentinel flush closes every real bar, so the closed-bar
       // table IS the batch bar table
       "ohlc_hourly_closed"             -> base("ohlc_hourly"),
+      // incremental MERGE maintenance ≡ global lead(): the maintained
+      // table's as-of snapshot answers the read-side form's oracle
+      "scd2_upsert_snapshot"           -> base("scd2_asof_snapshot"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

@@ -1371,4 +1371,121 @@ object StatefulQueries {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_matched"))
       .orderBy(col("user_id"))
+
+  /** Read the newest SCD2 table version STRICTLY BELOW `version` from the
+    * `v=<batchId>` journal — the read side of [[applyScd2Batch]]'s
+    * idempotence contract: batch b always merges against the state AS OF
+    * batch b−1, so replaying b (failure + retry) recomputes byte-identical
+    * content into its own overwritten directory instead of compounding. */
+  private[graft] def scd2VersionBefore(spark: SparkSession, outDir: String,
+                                       version: Long): Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+    val vs = try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+        .filter(_ < version).toSeq
+      finally l.close()
+    if (vs.isEmpty) None
+    else Some(spark.read.parquet(s"$outDir/v=${vs.max}"))
+  }
+
+  /** Apply ONE micro-batch of CDC changes to the SCD2 interval table —
+    * the warehouse MERGE/upsert shape without a transactional table
+    * format: (1) the batch's own rows become new intervals (per-user
+    * lead(), exactly [[Relational.scd2UserValues]]'s construction scoped
+    * to the batch); (2) the previous version's OPEN interval for each
+    * touched user closes at that user's first change time in the batch
+    * (a users-in-batch-sized aggregate, BROADCAST against the table —
+    * the MERGE's join side); (3) untouched rows carry over. The result
+    * writes to `v=<batchId>` (mode=overwrite) and merges against the
+    * version BELOW the batch id, so a replayed batch converges to the
+    * same journal — the q12fb idempotent-foreachBatch recipe applied to
+    * a keyed table. At warehouse scale the rewrite is what MERGE does to
+    * copy-on-write storage: the broadcast user-set join prunes to
+    * touched files/partitions on a user-clustered layout; the full-table
+    * union here is the gate-scale stand-in for that partition-scoped
+    * rewrite. */
+  private[graft] def applyScd2Batch(spark: SparkSession, outDir: String,
+                                    batch: DataFrame, id: Long): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val newIv = batch
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("us").as("valid_from_us"), col("valid_to_us"))
+    val merged = scd2VersionBefore(spark, outDir, id) match {
+      case None => newIv
+      case Some(t) =>
+        val firstUs = batch.groupBy(col("user_id"))
+          .agg(min(col("us")).as("b_first_us"))
+        t.join(broadcast(firstUs), Seq("user_id"), "left_outer")
+          .withColumn("valid_to_us",
+            when(col("valid_to_us").isNull && col("b_first_us").isNotNull,
+                 col("b_first_us"))
+              .otherwise(col("valid_to_us")))
+          .drop("b_first_us")
+          .unionByName(newIv)
+    }
+    merged.write.mode("overwrite").parquet(s"$outDir/v=$id")
+  }
+
+  /** SCD2 MERGE MAINTENANCE — the WRITE-side half of the SCD2 pair (the
+    * engine reads SCD2 in [[Relational.scd2UserValues]] /
+    * [[Relational.scd2AsofSnapshot]]; this one BUILDS the interval table
+    * incrementally): the events CDC stream replays as two time-ordered
+    * micro-batches through foreachBatch, each applying the MERGE of
+    * [[applyScd2Batch]] to a versioned parquet journal; the registered
+    * result is the as-of snapshot of the MAINTAINED table at the same
+    * data-derived cut as the read-side form, hash-gated under the
+    * IDENTICAL oracle — incremental upsert ≡ global lead(), proven by
+    * the gate itself. Cross-batch witness: ≥ 1 interval written OPEN by
+    * batch 0 must be CLOSED in the final table (the maintenance
+    * genuinely spanned batches, not one batch doing all the work). */
+  def scd2UpsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"scd2up:$sfDir", Seq("u0.parquet", "u1.parquet")) {
+        medianIdSplit(Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  expr("ts_ns div 1000").as("us")))
+      }
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scd2-journal-").toString
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    withShuffleWidth(spark, 8) {
+      val q = stream.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyScd2Batch(spark, outDir, b, id)
+        }
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the two-file replay did not produce two data micro-batches")
+    }
+    val finalT = scd2VersionBefore(spark, outDir, Long.MaxValue)
+      .getOrElse(sys.error("no SCD2 version written"))
+    // cross-batch witness: some batch-0 OPEN interval is closed now
+    val v0open = spark.read.parquet(s"$outDir/v=0")
+      .filter(col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_id"))
+    val crossClosed = finalT.filter(col("valid_to_us").isNotNull)
+      .join(v0open, Seq("user_id", "event_id"), "left_semi").limit(1).count()
+    require(crossClosed == 1,
+      "no batch-0 open interval was closed by a later batch — the " +
+        "incremental maintenance is vacuous on this replay")
+    val cut = Tables.events(spark, sfDir)
+      .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("cut_us"))
+    // materialize eagerly, then delete the journal (bench repetitions
+    // must not accumulate temp dirs — the materializeAndDrop discipline)
+    val out = finalT.crossJoin(broadcast(cut))
+      .filter(col("valid_from_us") <= col("cut_us") &&
+              (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("valid_from_us"), col("cut_us"))
+      .localCheckpoint()
+    deleteRecursively(java.nio.file.Paths.get(outDir))
+    out.orderBy(col("user_id"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatefulQueries
+
+/** The SCD2 MERGE maintenance's contract, pinned on a hand-built CDC
+  * fixture: cross-batch interval closing, equivalence with the global
+  * lead() construction, and IDEMPOTENT REPLAY (re-applying a batch after
+  * a simulated failure converges to the identical journal — the q12fb
+  * foreachBatch discipline applied to a keyed table). */
+class Scd2UpsertSpec extends SparkSpec {
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("user_id"), col("event_id"), col("value"),
+              col("valid_from_us"), col("valid_to_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+                 if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toSet
+
+  test("scd2 upsert: MERGE closes open intervals across batches and replay is idempotent") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("scd2-spec-").toString
+    def b(rows: Seq[(Long, Long, Double, Long)]) =
+      rows.toDF("user_id", "event_id", "value", "us")
+    // batch 0: user 1 changes twice, user 2 once; batch 1: user 1 changes
+    // again (must close the batch-0 open interval), user 3 appears
+    val b0 = b(Seq((1L, 0L, 5.0, 100L), (1L, 1L, 6.0, 200L), (2L, 2L, 7.0, 150L)))
+    val b1 = b(Seq((1L, 3L, 8.0, 300L), (3L, 4L, 9.0, 400L)))
+    try {
+      StatefulQueries.applyScd2Batch(spark, outDir, b0, 0L)
+      StatefulQueries.applyScd2Batch(spark, outDir, b1, 1L)
+      val expected = Set(
+        (1L, 0L, 5.0, 100L, Some(200L)),  // closed inside batch 0
+        (1L, 1L, 6.0, 200L, Some(300L)),  // OPEN in v=0, closed BY batch 1
+        (1L, 3L, 8.0, 300L, None),
+        (2L, 2L, 7.0, 150L, None),
+        (3L, 4L, 9.0, 400L, None))
+      val afterB1 = rowsOf(
+        StatefulQueries.scd2VersionBefore(spark, outDir, Long.MaxValue).get)
+      assert(afterB1 == expected)
+      // v=0 really wrote (1,1) open — the close is cross-batch, not vacuous
+      val v0 = rowsOf(spark.read.parquet(s"$outDir/v=0"))
+      assert(v0.contains((1L, 1L, 6.0, 200L, None)))
+      // simulated failure + retry: re-apply batch 1; the journal must
+      // converge to the identical table (merge reads the version BELOW
+      // the batch id and overwrites the batch's own directory)
+      StatefulQueries.applyScd2Batch(spark, outDir, b1, 1L)
+      val replayed = rowsOf(
+        StatefulQueries.scd2VersionBefore(spark, outDir, Long.MaxValue).get)
+      assert(replayed == expected)
+    } finally {
+      StatefulQueries.deleteRecursively(java.nio.file.Paths.get(outDir))
+    }
+  }
+
+  test("scd2 upsert snapshot: registered form equals the read-side as-of snapshot") {
+    val a = graft.operators.Relational.scd2AsofSnapshot(spark, Sf0001)
+    val u = StatefulQueries.scd2UpsertSnapshot(spark, Sf0001)
+    assert(a.exceptAll(u).count() == 0 && u.exceptAll(a).count() == 0)
+  }
+}
