@@ -1358,7 +1358,12 @@ object StatefulQueries {
     * AT MOST ONCE, as soon as any in-window b arrives (then dropped from
     * state — semi state is strictly smaller than inner's), so the per-user
     * result counts rows WITH a successor inside 5 minutes rather than
-    * pairs. Cross-batch witness: an a-row from micro-batch 1 whose only
+    * pairs. (Storage detail, pinned in StreamJoinSpec: an a-row whose
+    * match is ALREADY in b-side state emits without ever entering the
+    * store; one stored before its match arrives is flagged matched —
+    * never re-emitted — and leaves at watermark eviction. Either way
+    * semi state never exceeds inner's.) Cross-batch witness: an a-row
+    * from micro-batch 1 whose only
     * match arrives in batch 2 can emit only from a-side state. Same
     * replay, eviction witness, and width as the inner form; the sentinel
     * (user −1, matchless by the id tie-break) is dropped by the semi

@@ -80,6 +80,45 @@ class StreamJoinSpec extends SparkSpec {
     // micro-batches) lives inside the drain; reaching here means it held
   }
 
+  test("q23sj semi: an a-row matching in BOTH batches emits once and leaves state at first match") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = imps.toDF().withWatermark("imp_ts", "20 minutes")
+      .join(
+        clicks.toDF().withWatermark("click_ts", "20 minutes"),
+        expr("""user = cuser AND
+                click_ts >= imp_ts AND
+                click_ts <= imp_ts + interval 10 minutes""".stripMargin),
+        "left_semi")
+    val q = joined.select(col("imp_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_semi_once").start()
+    try {
+      def stateRows = q.recentProgress.filter(_.numInputRows > 0)
+        .last.stateOperators(0).numRowsTotal
+      // batch 1: the FIRST match lands in b-side state before the a-row
+      clicks.addData(Click(10, "u", t(1)))
+      q.processAllAvailable()
+      assert(stateRows === 1L)
+      // batch 2: the a-row arrives, matches the stored click, emits —
+      // and is NEVER STORED (the semi state drop: a matched a-row does
+      // not enter the store; inner-style retention would show 2 rows)
+      imps.addData(Imp(1, "u", t(0)))
+      q.processAllAvailable()
+      assert(spark.table("ssj_semi_once").collect().map(_.getLong(0)).toSeq
+        == Seq(1L))
+      assert(stateRows === 1L)
+      // batch 3: a SECOND in-window match — the semi semantics must NOT
+      // re-emit (at-most-once); only the new click's state row is added
+      clicks.addData(Click(11, "u", t(2)))
+      q.processAllAvailable()
+      assert(spark.table("ssj_semi_once").collect().map(_.getLong(0)).toSeq
+        == Seq(1L), "a second in-window match re-emitted the a-row")
+      assert(stateRows === 2L)
+    } finally q.stop()
+  }
+
   test("q23sj: semi join emits each matched row once — counts bounded by inner, same user set") {
     import org.apache.spark.sql.functions.col
     val semi  = graft.operators.StatefulQueries.intervalJoinStreamingSemi(spark, Sf0001)
