@@ -433,6 +433,8 @@ object SparkEntry {
     "atr_hourly_by_type" -> ((s, dir) => Indicators.atrHourlyByType(s, dir)),
     // on-balance volume: all-integer signed cumulative synthetic volume
     "obv_by_type" -> ((s, dir) => Indicators.obvByType(s, dir)),
+    // the live ledger: (prev cents, obv) cross micro-batch boundaries
+    "obv_by_type_streaming" -> ((s, dir) => StatefulQueries.obvByTypeStreaming(s, dir)),
     // time-travel point query over the SCD2 intervals: state of every
     // user at the data-derived midpoint cut — filter, no join
     "scd2_asof_snapshot" -> ((s, dir) => Relational.scd2AsofSnapshot(s, dir)),
@@ -3023,6 +3025,8 @@ object SparkEntry {
       // incremental MERGE maintenance ≡ global lead(): the maintained
       // table's as-of snapshot answers the read-side form's oracle
       "scd2_upsert_snapshot"           -> base("scd2_asof_snapshot"),
+      // the all-integer ledger crosses the batch boundary — same oracle
+      "obv_by_type_streaming"          -> base("obv_by_type"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

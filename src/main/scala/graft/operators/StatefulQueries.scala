@@ -611,6 +611,24 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[graft.operators.Indicators.obvByType]] through the REAL micro-batch
+    * engine over the two-file median replay: the previous tick's cents and
+    * the running signed-volume ledger cross the micro-batch boundary in
+    * one state record ([[graft.streaming.StatefulOps.obvStream]]) — a
+    * ledger built in batch 1 must keep accumulating through batch 2's
+    * ticks, or the hash drops. Same oracle as the batch window form. */
+  def obvByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.obvStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc)).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("vol"), col("sgn"), col("obv"))
+      .orderBy(col("event_id"))
+  }
+
   /** Relative-residual CUSUM slack and alarm thresholds, in MICRO units
     * (0.02 / 0.15 of the seasonal baseline) — relative residuals make the
     * detector SCALE-FREE, so one constant pair works at every SF (probed:

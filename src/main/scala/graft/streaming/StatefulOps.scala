@@ -945,6 +945,49 @@ object StatefulOps {
           drawdownFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
       }
 
+  /** OBV accumulator: previous tick's integer cents + the running ledger. */
+  case class ObvAcc(prevVc: Long, obv: Long)
+  case class ObvOut(key: String, ord: Long, vol: Long, sgn: Long, obv: Long)
+
+  private implicit val obvAccEnc: Encoder[ObvAcc] = Encoders.product[ObvAcc]
+  private implicit val obvOutEnc: Encoder[ObvOut] = Encoders.product[ObvOut]
+
+  private def obvFold(key: String, rows: Iterator[KV],
+                      state: GroupState[ObvAcc]): Iterator[ObvOut] = {
+    var acc = if (state.exists) Some(state.get) else None
+    rows.map { r =>
+      // HALF_UP on the decimal string of value*100 — the batch twin's
+      // round(value * 100.0) (Spark round = BigDecimal HALF_UP), so the
+      // cents agree bit-for-bit on any input, not just 2-decimal prices
+      val vc = BigDecimal(r.value * 100.0)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLongExact
+      val vol = r.ord % 97 + 1
+      val sgn = acc match {
+        case None    => 0L
+        case Some(a) => if (vc > a.prevVc) 1L else if (vc < a.prevVc) -1L else 0L
+      }
+      val obv = acc.map(_.obv).getOrElse(0L) + sgn * vol
+      acc = Some(ObvAcc(vc, obv))
+      ObvOut(key, r.ord, vol, sgn, obv)
+    } ++ { acc.foreach(state.update); Iterator.empty }
+  }
+
+  /** ON-BALANCE VOLUME per key — the signed cumulative volume ledger
+    * (obvₙ = obvₙ₋₁ + volₙ·sign(centsₙ − centsₙ₋₁), first tick
+    * contributes 0). Window-expressible, so the batch form is declarative
+    * ([[graft.operators.Indicators.obvByType]]); this stream form exists
+    * because a live ledger cannot re-window history — (previous cents,
+    * running obv) cross micro-batch boundaries in one state record. The
+    * fold is ALL-INTEGER after the cents quantization, so batch,
+    * streaming, and the window oracle agree exactly at any batch split. */
+  def obvStream(ds: Dataset[KV],
+                mode: OutputMode = OutputMode.Append()): Dataset[ObvOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[ObvAcc, ObvOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[ObvAcc]) =>
+          obvFold(key, rows.toSeq.sortBy(_.ord).iterator, state)
+      }
+
   /** Pre-scaled CUSUM accumulator (integer statistic units). */
   case class CusumUAcc(s: Long)
   case class CusumUOut(key: String, ord: Long, ru: Long, cusum_u: Long, alarm: Long)

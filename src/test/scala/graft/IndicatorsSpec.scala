@@ -158,6 +158,10 @@ class IndicatorsSpec extends SparkSpec {
     // each type's first tick has no prior price: sgn = 0, obv = 0
     assert(stepped.filter(col("prev_obv").isNull &&
       (col("sgn") =!= 0L || col("obv") =!= 0L)).count() == 0)
+    // the streaming twin's ledger crosses the micro-batch boundary and
+    // lands on the identical rows
+    val s = StatefulQueries.obvByTypeStreaming(spark, Sf0001)
+    assert(o.exceptAll(s).count() == 0 && s.exceptAll(o).count() == 0)
     o.unpersist()
   }
 
