@@ -2036,7 +2036,7 @@ object SparkEntry {
          |y AS MATERIALIZED (SELECT th, half, obs, exp,
          |        (CAST(obs AS DOUBLE) - exp) * (CAST(obs AS DOUBLE) - exp) / exp
          |          AS contrib FROM x),
-         |s AS (SELECT ${dd("sum(CAST(floor(contrib * 1000000.0) AS DECIMAL(38,0)))")}
+         |s AS (SELECT ${dd("sum(CAST(least(floor(contrib * 1000000.0), 1000000000000000.0) AS DECIMAL(38,0)))")}
          |        / 1000000.0 AS chi2,
          |      CAST((SELECT count(*) FROM kp) - 1 AS BIGINT) AS dof FROM y)
          |SELECT y.th, CAST(y.half AS BIGINT) AS half, CAST(y.obs AS BIGINT) AS obs,

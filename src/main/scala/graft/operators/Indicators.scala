@@ -36,6 +36,13 @@ object Indicators {
     * (argmin, argmax, min, max, count) tuples merge associatively, so the
     * 100 TB form is the same single groupBy. */
   def ohlcHourly(spark: SparkSession, sfDir: String): DataFrame =
+    hourlyBars(spark, sfDir).orderBy(col("hour_start"), col("event_type"))
+
+  /** The (hour, type) bar aggregate itself, UNORDERED — [[ohlcHourly]]
+    * adds the presentation sort; [[atrHourlyByType]] consumes this form
+    * directly so its event_type window does not pay an inherited range
+    * exchange + sort it would immediately re-partition away. */
+  private def hourlyBars(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
                col("event_type"))
@@ -44,7 +51,6 @@ object Indicators {
            min(col("value")).as("low"),
            max_by(col("value"), col("event_id")).as("close"),
            count(lit(1)).as("n_events"))
-      .orderBy(col("hour_start"), col("event_type"))
 
   /** Volume-weighted average price per (event_type, hour). The fixture
     * has no volume column, so volume is the DETERMINISTIC synthetic
@@ -178,6 +184,18 @@ object Indicators {
     * cross-batch LATE-TICK fixture. Returns (bars, rows the engine
     * dropped past the watermark). `tag` must be unique per fixture (the
     * replay copy is cached per JVM). */
+  /** Build a (event_id, ts, event_type, value) tick frame from
+    * (id, µs, type, value) tuples — ONE copy of the closed-bar fixture
+    * builder, shared by the IndicatorsSpec late-tick case and the
+    * ProbeOhlcClosed dev probe so they cannot drift. */
+  private[graft] def tickFrame(spark: SparkSession,
+                               rows: Seq[(Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "us", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+              col("event_type"), col("value"))
+  }
+
   private[graft] def closedBarReplayOf(
       spark: SparkSession, frames: Seq[DataFrame], tag: String,
       onProgress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit =
@@ -263,7 +281,7 @@ object Indicators {
   def atrHourlyByType(spark: SparkSession, sfDir: String): DataFrame = {
     val wLag = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
     val wF = wLag.rowsBetween(-13, 0)
-    ohlcHourly(spark, sfDir)
+    hourlyBars(spark, sfDir)
       .select(col("hour_start"), col("event_type"),
               round(col("high") * lit(100.0)).cast("long").as("hc"),
               round(col("low") * lit(100.0)).cast("long").as("lc"),

@@ -1473,42 +1473,52 @@ object StatefulQueries {
                   expr("ts_ns div 1000").as("us")))
       }
     }
+    // medianIdSplit's contract: it may produce FEWER files than names
+    // (degenerate id spaces collapse to one) — size the witnesses from
+    // the replay, never assume two
+    val nFiles = replayFileCount(dir)
     val outDir = java.nio.file.Files.createTempDirectory("graft-scd2-journal-").toString
-    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-    withShuffleWidth(spark, 8) {
-      val q = stream.writeStream.outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          applyScd2Batch(spark, outDir, b, id)
-        }
-        .start()
-      q.awaitTermination()
-      require(q.recentProgress.count(_.numInputRows > 0) >= 2,
-        "the two-file replay did not produce two data micro-batches")
-    }
-    val finalT = scd2VersionBefore(spark, outDir, Long.MaxValue)
-      .getOrElse(sys.error("no SCD2 version written"))
-    // cross-batch witness: some batch-0 OPEN interval is closed now
-    val v0open = spark.read.parquet(s"$outDir/v=0")
-      .filter(col("valid_to_us").isNull)
-      .select(col("user_id"), col("event_id"))
-    val crossClosed = finalT.filter(col("valid_to_us").isNotNull)
-      .join(v0open, Seq("user_id", "event_id"), "left_semi").limit(1).count()
-    require(crossClosed == 1,
-      "no batch-0 open interval was closed by a later batch — the " +
-        "incremental maintenance is vacuous on this replay")
-    val cut = Tables.events(spark, sfDir)
-      .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("cut_us"))
-    // materialize eagerly, then delete the journal (bench repetitions
-    // must not accumulate temp dirs — the materializeAndDrop discipline)
-    val out = finalT.crossJoin(broadcast(cut))
-      .filter(col("valid_from_us") <= col("cut_us") &&
-              (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
-      .select(col("user_id"), col("event_id"), col("value"),
-              col("valid_from_us"), col("cut_us"))
-      .localCheckpoint()
-    deleteRecursively(java.nio.file.Paths.get(outDir))
-    out.orderBy(col("user_id"))
+    // the journal must not outlive a failed drain or witness either — the
+    // same discipline as the success-path delete below
+    try {
+      val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      withShuffleWidth(spark, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            applyScd2Batch(spark, outDir, b, id)
+          }
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.count(_.numInputRows > 0) >= nFiles,
+          s"the $nFiles-file replay did not produce $nFiles data micro-batches")
+      }
+      val finalT = scd2VersionBefore(spark, outDir, Long.MaxValue)
+        .getOrElse(sys.error("no SCD2 version written"))
+      // cross-batch witness (only meaningful when the replay really split):
+      // some batch-0 OPEN interval is closed now
+      if (nFiles >= 2) {
+        val v0open = spark.read.parquet(s"$outDir/v=0")
+          .filter(col("valid_to_us").isNull)
+          .select(col("user_id"), col("event_id"))
+        val crossClosed = finalT.filter(col("valid_to_us").isNotNull)
+          .join(v0open, Seq("user_id", "event_id"), "left_semi").limit(1).count()
+        require(crossClosed == 1,
+          "no batch-0 open interval was closed by a later batch — the " +
+            "incremental maintenance is vacuous on this replay")
+      }
+      val cut = Tables.events(spark, sfDir)
+        .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("cut_us"))
+      // materialize eagerly, then delete the journal (bench repetitions
+      // must not accumulate temp dirs — the materializeAndDrop discipline)
+      finalT.crossJoin(broadcast(cut))
+        .filter(col("valid_from_us") <= col("cut_us") &&
+                (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("valid_from_us"), col("cut_us"))
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally deleteRecursively(java.nio.file.Paths.get(outDir))
   }
 }

@@ -1324,7 +1324,9 @@ object TextOps {
     * trees, and the table statistic as the INTEGER-MICRO sum (the
     * doc_sim idf-ppm precedent): each cell's contribution quantizes to
     * `floor(contrib·10⁶)` — floor of a double is exact selection with no
-    * tie semantics to disagree on — and the micros sum as DECIMAL(38,0),
+    * tie semantics to disagree on — capped at 10¹⁵ micros on BOTH
+    * engines (exact in long and double; see the inline note) and the
+    * micros sum as DECIMAL(38,0),
     * which is order-free, so no vocab-sized ordered fold (and no
     * single-row collect_list array) exists anywhere in the plan. The
     * reported chi2 re-scales the exact micro total with one
@@ -1352,8 +1354,16 @@ object TextOps {
       .withColumn("contrib",
         (col("obs").cast("double") - col("exp")) *
           (col("obs").cast("double") - col("exp")) / col("exp"))
+    // per-cell micros CAP at 10¹⁵ (= 10⁹ χ² units — beyond any
+    // significance threshold by many orders): Spark's floor(double)
+    // returns LONG and would clamp implicitly at Long.MaxValue where
+    // DuckDB's double floor keeps going, so the cap is stated EXPLICITLY
+    // on both engines at a value exact in long AND double (10¹⁵ < 2⁵³) —
+    // the fold stays bit-identical at any corpus size, and a saturated
+    // cell is maximal drift by definition
     val total = withExp.agg(
-        sum(floor(col("contrib") * lit(1000000.0)).cast("decimal(38,0)"))
+        sum(least(floor(col("contrib") * lit(1000000.0)), lit(1000000000000000L))
+              .cast("decimal(38,0)"))
           .as("chi2_micros"),
         (countDistinct(col("th")) - 1).as("dof"))
       .select((col("chi2_micros").cast("double") / lit(1000000.0)).as("chi2"),

@@ -14,12 +14,8 @@ object ProbeOhlcClosed {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def frame(rows: Seq[(Long, Long, String, Double)]) = {
-      import spark.implicits._
-      rows.toDF("event_id", "us", "event_type", "value")
-        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-                col("event_type"), col("value"))
-    }
+    def frame(rows: Seq[(Long, Long, String, Double)]) =
+      Indicators.tickFrame(spark, rows)
     val H = 3600L * 1000000L
     val f0 = frame(Seq((0L, 10L * H + 1L, "a", 5.0), (1L, 10L * H + 2L, "a", 9.0),
                        (2L, 12L * H + 1L, "a", 7.0)))

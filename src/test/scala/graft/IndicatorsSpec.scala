@@ -45,12 +45,8 @@ class IndicatorsSpec extends SparkSpec {
     // f0-derived watermark (12h) and closes hour 10, f2's hour-10 tick
     // then targets an evicted bar — the engine must DROP it (a closed
     // candle is immutable), observably in numRowsDroppedByWatermark
-    def frame(rows: Seq[(Long, Long, String, Double)]) = {
-      import spark.implicits._
-      rows.toDF("event_id", "us", "event_type", "value")
-        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
-                col("event_type"), col("value"))
-    }
+    def frame(rows: Seq[(Long, Long, String, Double)]) =
+      graft.operators.Indicators.tickFrame(spark, rows)
     val H = 3600L * 1000000L
     val f0 = frame(Seq((0L, 10L * H + 1L, "a", 5.0), (1L, 10L * H + 2L, "a", 9.0),
                        (2L, 12L * H + 1L, "a", 7.0)))

@@ -81,12 +81,20 @@ class TextMiningSpec extends SparkSpec {
     val under = d.groupBy(col("th")).agg(sum(col("obs")).as("rt"))
       .filter(col("rt") < TextOps.VocabDriftMinCount).count()
     assert(under == 0)
-    // chi2 identity: sum(obs) == sum(exp) up to fp, chi2 == sum(contrib)
+    // chi2 identity: sum(obs) == sum(exp) up to fp; chi2 is the capped
+    // integer-micro quantization of the contributions — BIT-EXACT against
+    // the same fold recomputed here, and within cells*1e-6 of the raw sum
     val r = d.agg(sum(col("obs")).cast("double").as("so"), sum(col("exp")).as("se"),
                   sum(col("contrib")).as("sc"), max(col("chi2")).as("x2"),
-                  min(col("chi2")).as("x2min")).head()
+                  min(col("chi2")).as("x2min"),
+                  (sum(least(floor(col("contrib") * lit(1000000.0)),
+                             lit(1000000000000000L)).cast("decimal(38,0)"))
+                     .cast("double") / lit(1000000.0)).as("qc"),
+                  count(lit(1)).as("cells")).head()
     assert(math.abs(r.getAs[Double]("so") - r.getAs[Double]("se")) < 1e-6)
-    assert(math.abs(r.getAs[Double]("sc") - r.getAs[Double]("x2")) < 1e-9 * r.getAs[Double]("x2"))
+    assert(r.getAs[Double]("x2") == r.getAs[Double]("qc")) // exact quantized fold
+    val floorLoss = r.getAs[Double]("sc") - r.getAs[Double]("x2")
+    assert(floorLoss >= -1e-9 && floorLoss <= r.getAs[Long]("cells") * 1e-6 + 1e-9)
     assert(r.getAs[Double]("x2") == r.getAs[Double]("x2min")) // one statistic on every row
     d.unpersist()
   }
