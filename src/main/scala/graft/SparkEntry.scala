@@ -420,6 +420,12 @@ object SparkEntry {
     // weight-proportional systematic sampling: K deterministic draws by
     // integer quantile crossings over a banded exact prefix sum
     "sample_weighted_systematic" -> ((s, dir) => TextOps.sampleWeightedSystematic(s, dir)),
+    // context-window chunking: overlapping token-index windows per doc —
+    // all-integer spans, bounded explode, no shuffle
+    "doc_chunks" -> ((s, dir) => TextOps.docChunks(s, dir)),
+    // duplicate-3-gram repetition signal (the Gopher-filter family):
+    // exact integer counts, cross-multiplied flag, one final divide
+    "repetition_ngram_stats" -> ((s, dir) => TextOps.repetitionNgramStats(s, dir)),
     // VWAP on synthetic deterministic volume: exact decimal weighted sum
     "vwap_hourly" -> ((s, dir) => Indicators.vwapHourly(s, dir)),
     // Bollinger bands: exact integer-cents rolling moments, 20-tick frame
@@ -1249,6 +1255,50 @@ object SparkEntry {
     // the textbook ONE-WINDOW statement; the engine runs the banded
     // two-level prefix sum, bit-identical because integer addition is
     // associative; positive operands make // and `div` agree (q36's rule)
+    // chunk arithmetic is positive-integer ceil-division (// and div
+    // agree); the lateral chunk fan-out uses the range(CONST) + WHERE
+    // idiom (range over a column is not lateral-safe in DuckDB 1.0);
+    // 16 >> the 4-chunk max at 100-token docs with window 32
+    "doc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |  CASE WHEN text IS NULL THEN 0
+         |       ELSE len(string_split(text,' ')) END AS n_tok
+         | FROM documents),
+         |c AS (SELECT doc_id, lang, source, n_tok,
+         |   CASE WHEN n_tok <= ${TextOps.ChunkWindowTokens} THEN 1
+         |        ELSE (n_tok - ${TextOps.ChunkWindowTokens}
+         |              + ${TextOps.ChunkStrideTokens} - 1)
+         |             // ${TextOps.ChunkStrideTokens} + 1 END AS n_chunks
+         |  FROM d)
+         |SELECT doc_id, CAST(r.range AS BIGINT) AS chunk_id, lang, source,
+         | CAST(n_tok AS BIGINT) AS n_tok,
+         | CAST(r.range * ${TextOps.ChunkStrideTokens} AS BIGINT) AS start_tok,
+         | CAST(least(r.range * ${TextOps.ChunkStrideTokens}
+         |            + ${TextOps.ChunkWindowTokens}, n_tok) AS BIGINT) AS end_tok,
+         | CAST(least(r.range * ${TextOps.ChunkStrideTokens}
+         |            + ${TextOps.ChunkWindowTokens}, n_tok)
+         |      - r.range * ${TextOps.ChunkStrideTokens} AS BIGINT) AS chunk_tok
+         |FROM c, range(16) r WHERE r.range < n_chunks
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // exact integer 3-gram counts over the engine's rolling shingle
+    // hashes; the flag is the cross-multiplied dup*50 >= n test (2%,
+    // probed discriminating at all three SFs); fraction = one divide
+    "repetition_ngram_stats" ->
+      s"""WITH s AS (SELECT doc_id, lang, source,
+         |   CASE WHEN text IS NULL THEN [] ELSE $shinglesSql END AS ng
+         |  FROM documents),
+         |m AS (SELECT doc_id, lang, source,
+         |   CAST(len(ng) AS BIGINT) AS n_ngrams,
+         |   CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct FROM s)
+         |SELECT doc_id, lang, source, n_ngrams, n_distinct,
+         | n_ngrams - n_distinct AS n_dup,
+         | CASE WHEN n_ngrams = 0 THEN 0.0
+         |      ELSE CAST(n_ngrams - n_distinct AS DOUBLE)
+         |           / CAST(n_ngrams AS DOUBLE) END AS dup_frac,
+         | CAST((n_ngrams > 0 AND
+         |       (n_ngrams - n_distinct) * ${TextOps.RepetitionDupDenom}
+         |        >= n_ngrams) AS BIGINT) AS is_repetitive
+         |FROM m ORDER BY doc_id""".stripMargin,
     "sample_weighted_systematic" ->
       s"""WITH d AS (SELECT doc_id, lang, source,
          |  CASE WHEN text IS NULL THEN 0

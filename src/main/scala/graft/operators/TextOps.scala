@@ -1374,6 +1374,80 @@ object TextOps {
       .orderBy(col("th"), col("half"))
   }
 
+  /** Context-window width and stride (tokens) for [[docChunks]] — the
+    * shared constants the oracle states verbatim. Stride < window ⇒ a
+    * 25% overlap, the standard long-document encoding shape. The values
+    * are FIXTURE-SCALED (probed before freezing, the ppl-bucket rule:
+    * fixture docs top out at ~100 tokens, so a production 512/384 pair
+    * would put every doc in one chunk and the op would discriminate
+    * nothing); a real corpus runs the same plan at 512/384. */
+  val ChunkWindowTokens = 32L
+  val ChunkStrideTokens = 24L
+
+  /** CONTEXT-WINDOW CHUNKING: split every document into overlapping
+    * token-index windows (width [[ChunkWindowTokens]], stride
+    * [[ChunkStrideTokens]]) — the op that feeds a long document to a
+    * fixed-context model (each chunk carries its token span; the text
+    * slice itself stays with the reader, this is the METADATA plan a
+    * chunker executes from). All INTEGER: n_chunks = ⌈(n−W)/S⌉+1 with
+    * positive operands (so Spark `div` and DuckDB `//` agree — the q36
+    * rule), spans are pure multiplication/min. A 0-token (null/empty)
+    * doc emits ONE empty chunk, explicitly on both engines. Scale: one
+    * narrow projection + a ≤⌈n/S⌉-wide explode per doc — no shuffle,
+    * embarrassingly parallel; the explode fan-out is bounded by doc
+    * length over stride, never corpus-shaped. */
+  def docChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w, s) = (ChunkWindowTokens, ChunkStrideTokens)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), tokenCount0.as("n_tok"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= w, lit(1L))
+          .otherwise(expr(s"(n_tok - $w + $s - 1) div $s") + 1L))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_id") * s)
+      .withColumn("end_tok", least(col("start_tok") + w, col("n_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("lang"), col("source"),
+              col("n_tok"), col("start_tok"), col("end_tok"),
+              (col("end_tok") - col("start_tok")).as("chunk_tok"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Duplicate-3-gram flag threshold numerator for
+    * [[repetitionNgramStats]]: flag when dup·50 ≥ n_ngrams (= 2% of the
+    * doc's 3-grams are repeats). Probed for DISCRIMINATION at all three
+    * SFs before freezing (8/4/58 docs flag at sf0.001/0.01/0.1 — the
+    * clear repeaters, non-vacuous and not everything; the classic 30%
+    * literature cut flags ZERO fixture docs). */
+  val RepetitionDupDenom = 50L
+
+  /** REPETITION STATISTICS — the duplicate-n-gram quality signal of the
+    * Gopher/MassiveText filter family: the fraction of a document's word
+    * 3-grams that are repeats of an earlier 3-gram in the SAME document
+    * (machine-generated and boilerplate-heavy text repeats itself;
+    * natural prose mostly does not). Counts are exact integers over the
+    * engine's rolling 3-gram hashes ([[graft.functions.TextFunctions
+    * .shingleHashes]], the dedup family's unit), the flag is the
+    * CROSS-MULTIPLIED integer test dup·[[RepetitionDupDenom]] ≥ n (no
+    * float threshold), and the reported fraction is one final divide —
+    * 0.0 explicit for sub-3-token docs on both engines. Scale: narrow
+    * projection, per-doc array ops, no shuffle. */
+  def repetitionNgramStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(shingleHashes(col("text"), 3)).cast("long")).as("n_ngrams"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(array_distinct(shingleHashes(col("text"), 3))).cast("long"))
+          .as("n_distinct"))
+      .withColumn("n_dup", col("n_ngrams") - col("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_ngrams") === 0L, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_ngrams").cast("double")))
+      .withColumn("is_repetitive",
+        (col("n_ngrams") > 0L &&
+         col("n_dup") * RepetitionDupDenom >= col("n_ngrams")).cast("long"))
+      .orderBy(col("doc_id"))
+
   /** Target draw count and band width for [[sampleWeightedSystematic]] —
     * shared constants the oracle states verbatim. */
   val SampleWeightedK = 200L

@@ -99,6 +99,57 @@ class TextMiningSpec extends SparkSpec {
     d.unpersist()
   }
 
+  test("doc chunks: spans tile each doc with the stated overlap and cover every token") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val (w, s) = (TextOps.ChunkWindowTokens, TextOps.ChunkStrideTokens)
+    val c = TextOps.docChunks(spark, Sf0001).cache()
+    // spans are well-formed and within the doc
+    assert(c.filter(col("start_tok") < 0 || col("end_tok") > col("n_tok") ||
+                    col("chunk_tok") < 0 || col("chunk_tok") > w).count() == 0)
+    // chunk 0 starts at 0; the LAST chunk ends at n_tok (full coverage)
+    val agg = c.groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).as("n_chunks"), min(col("start_tok")).as("s0"),
+           max(col("end_tok")).as("eMax"))
+    assert(agg.filter(col("s0") =!= 0 || col("eMax") =!= col("n_tok")).count() == 0)
+    // short docs take exactly one chunk; long docs the ceil formula
+    assert(agg.filter(col("n_tok") <= w && col("n_chunks") =!= 1).count() == 0)
+    assert(agg.filter(col("n_tok") > w &&
+      col("n_chunks") =!= expr(s"(n_tok - $w + $s - 1) div $s") + 1).count() == 0)
+    // the fixture genuinely exercises multi-chunk docs
+    assert(agg.filter(col("n_chunks") >= 2).count() > 0)
+    // consecutive chunks overlap by exactly w - s while the window is full
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    assert(c.withColumn("prev_end", lag(col("end_tok"), 1).over(wn))
+      .filter(col("prev_end").isNotNull && col("prev_end") - col("start_tok") =!= w - s &&
+              col("end_tok") =!= col("n_tok"))
+      .count() == 0)
+    c.unpersist()
+  }
+
+  test("repetition stats: n-gram identity, bounded fraction, discriminating flag") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val r = TextOps.repetitionNgramStats(spark, Sf0001).cache()
+    assert(r.filter(col("n_distinct") > col("n_ngrams") || col("n_dup") < 0).count() == 0)
+    assert(r.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    // a doc with n tokens has exactly max(0, n-2) word 3-grams
+    val toks = graft.io.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("nt"))
+    val j = r.join(toks, "doc_id")
+    assert(j.filter(col("n_ngrams") =!= greatest(lit(0L), col("nt") - 2)).count() == 0)
+    // the flag is exactly the cross-multiplied 2% test, and non-vacuous
+    assert(r.filter((col("is_repetitive") === 1) =!=
+      (col("n_ngrams") > 0 &&
+       col("n_dup") * TextOps.RepetitionDupDenom >= col("n_ngrams"))).count() == 0)
+    val flagged = r.filter(col("is_repetitive") === 1).count()
+    assert(flagged > 0 && flagged < r.count())
+    r.unpersist()
+  }
+
   test("ppl buckets: partition the scored docs, bucket bounds bracket the mean extremes") {
     import org.apache.spark.sql.functions._
     import graft.operators.TextOps
