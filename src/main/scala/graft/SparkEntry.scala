@@ -324,6 +324,10 @@ object SparkEntry {
     // StandardScaler TRANSFORM: corpus stats broadcast back over a sample,
     // z = (x - mean)/std, zero corpus shuffle
     "embedding_standardize" -> ((s, dir) => Similarity.standardizeSample(s, dir)),
+    // feature covariance/correlation matrix (upper triangle): exact
+    // integer cross-moments, map-side-combined pair partials, 64-row
+    // diagonal broadcast — the whitening/PCA-prep statistic
+    "embedding_cov_matrix" -> ((s, dir) => Similarity.covMatrix(s, dir)),
     // contrastive (anchor, positive, hard-negative) mining: positives from
     // the label cell, hard negatives from LSH bucket collisions
     "contrastive_triplets" -> ((s, dir) => Similarity.contrastiveTriplets(s, dir)),
@@ -1735,6 +1739,36 @@ object SparkEntry {
          |      / CAST(n * n AS DOUBLE)) / 1048576.0 AS std,
          | min_x, max_x
          |FROM g ORDER BY dim""".stripMargin,
+    // the dimStats discipline extended to pairs: exact integer
+    // cross-moments, covariance numerator in HUGEINT, doubles only in
+    // the stated final trees; constant dims emit NULL corr on both sides
+    "embedding_cov_matrix" ->
+      s"""WITH $kvCte,
+         |q AS (SELECT list_transform(vec,
+         |        x -> CAST(round(x * 1048576.0) AS BIGINT)) AS qv FROM kv),
+         |p AS (SELECT CAST(r1.range AS BIGINT) AS dim_i,
+         |        CAST(r2.range AS BIGINT) AS dim_j,
+         |        qv[CAST(r1.range AS INT)+1] AS qi,
+         |        qv[CAST(r2.range AS INT)+1] AS qj
+         |      FROM q, range($KMeansDim) r1, range($KMeansDim) r2
+         |      WHERE r2.range >= r1.range),
+         |g AS (SELECT dim_i, dim_j, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(qi) AS BIGINT) AS si, CAST(sum(qj) AS BIGINT) AS sj,
+         |       CAST(sum(qi*qj) AS BIGINT) AS sij
+         |      FROM p GROUP BY 1, 2),
+         |m AS (SELECT dim_i, dim_j, n,
+         |       CAST(n AS HUGEINT)*sij - CAST(si AS HUGEINT)*sj AS num
+         |      FROM g),
+         |d AS (SELECT dim_i AS dim, num AS dnum FROM m WHERE dim_i = dim_j)
+         |SELECT m.dim_i, m.dim_j, m.n,
+         | ${dd("m.num")}
+         |   / (CAST(m.n * 1048576 AS DOUBLE) * CAST(m.n * 1048576 AS DOUBLE))
+         |   AS cov,
+         | CASE WHEN di.dnum > 0 AND dj.dnum > 0 THEN
+         |   ${dd("m.num")} / sqrt(${dd("di.dnum")} * ${dd("dj.dnum")})
+         | END AS corr
+         |FROM m JOIN d di ON m.dim_i = di.dim JOIN d dj ON m.dim_j = dj.dim
+         |ORDER BY dim_i, dim_j""".stripMargin,
     // the corpus-wide stats join the deterministic sample; z is a two-op
     // tree over already-pinned mean/std doubles
     "embedding_standardize" ->

@@ -1226,6 +1226,57 @@ object Similarity {
         col("min_x"), col("max_x"))
       .orderBy(col("dim"))
 
+  /** FEATURE COVARIANCE + CORRELATION MATRIX over the embedding corpus —
+    * the whitening / PCA-prep statistic completing the StandardScaler
+    * family ([[dimStats]] owns the diagonal's marginals; this adds the
+    * cross-moments). Upper triangle only (i ≤ j — the matrix is
+    * symmetric). Numerics are the [[dimStats]] discipline extended to
+    * pairs: components quantize once to integer 2²⁰ units, every moment
+    * (Σqᵢ, Σqⱼ, Σqᵢqⱼ) is an EXACT integer sum, and the covariance
+    * NUMERATOR n·Σqᵢqⱼ − Σqᵢ·Σqⱼ stays exact in decimal — doubles appear
+    * only in the final correctly-rounded ops with the association stated
+    * in the oracle (cov = num/((n·2²⁰)·(n·2²⁰)), corr = num/√(dᵢ·dⱼ);
+    * constant dimensions emit NULL corr explicitly on both engines).
+    * Scale: the per-row pair fan-out (dims²/2 = 2080 at 64 dims) feeds a
+    * map-side-combinable groupBy, so the shuffle carries 2080 partial
+    * tuples per partition — never the corpus; the Σqᵢqⱼ long sums widen
+    * to DECIMAL(38,0)/HUGEINT past ~2×10⁶ rows unchanged (the dimStats
+    * widening path), and the diagonal joins back as a 64-row broadcast. */
+  def covMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val q = Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding").cast("array<double>"),
+        x => round(x * lit(ScaleQuantum)).cast("long")).as("qv"))
+    val pairs = q
+      .select(posexplode(col("qv")).as(Seq("dim_i", "qi")), col("qv"))
+      .select(col("dim_i"), col("qi"),
+              posexplode(col("qv")).as(Seq("dim_j", "qj")))
+      .filter(col("dim_j") >= col("dim_i"))
+    val m = pairs.groupBy(col("dim_i"), col("dim_j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("si"),
+           sum(col("qj")).as("sj"), sum(col("qi") * col("qj")).as("sij"))
+      .withColumn("num",
+        col("n").cast(d19) * col("sij").cast(d19) -
+        col("si").cast(d19) * col("sj").cast(d19))
+    val diag = m.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").as("dim"), col("num").as("dnum"))
+    // n·2²⁰ is an exact long (and < 2⁵³, so its double is exact); the
+    // denominator is ONE double multiply of that pinned factor — n²·2⁴⁰
+    // as a long would overflow past n ≈ 8×10³
+    val nq = (col("n") * lit(ScaleQuantum).cast("long")).cast("double")
+    m.join(broadcast(diag.select(col("dim").as("di_dim"), col("dnum").as("dnum_i"))),
+           col("dim_i") === col("di_dim"))
+      .join(broadcast(diag.select(col("dim").as("dj_dim"), col("dnum").as("dnum_j"))),
+            col("dim_j") === col("dj_dim"))
+      .select(col("dim_i"), col("dim_j"), col("n"),
+        (col("num").cast("double") / (nq * nq)).as("cov"),
+        when(col("dnum_i") > 0 && col("dnum_j") > 0,
+          col("num").cast("double") /
+            sqrt(col("dnum_i").cast("double") * col("dnum_j").cast("double")))
+          .as("corr"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
   /** Z-SCORE STANDARDIZATION of a deterministic query sample against the
     * corpus [[dimStats]] — the StandardScaler TRANSFORM: the dim-count-
     * sized stats table broadcasts back over the (exploded) sample, so the

@@ -307,6 +307,28 @@ class KMeansSpec extends SparkSpec {
     assert(s(1).getAs[Double]("std") > 0.0)
   }
 
+  test("cov matrix: full upper triangle, unit diagonal corr, variance agrees with dim stats") {
+    import org.apache.spark.sql.functions.{col, abs => sabs, broadcast}
+    val m = Similarity.covMatrix(spark, Sf0001).cache()
+    // the 64-dim upper triangle, every pair over the whole corpus
+    assert(m.count() == 64L * 65L / 2L)
+    assert(m.filter(col("dim_j") < col("dim_i")).count() == 0)
+    val nVecs = graft.io.Tables.embeddings(spark, Sf0001).count()
+    assert(m.filter(col("n") =!= nVecs).count() == 0)
+    // correlation is bounded and the diagonal is 1 up to the d*d/sqrt ulp
+    assert(m.filter(sabs(col("corr")) > 1.0 + 1e-12).count() == 0)
+    assert(m.filter(col("dim_i") === col("dim_j") &&
+                    sabs(col("corr") - 1.0) > 1e-12).count() == 0)
+    // the diagonal covariance IS dimStats' variance (same exact numerator,
+    // different final association — so equal up to the stated ulp slack)
+    val v = Similarity.dimStats(spark, Sf0001)
+      .select(col("dim").as("dim_i"), (col("std") * col("std")).as("var0"))
+    val j = m.filter(col("dim_i") === col("dim_j")).join(broadcast(v), "dim_i")
+    assert(j.filter(sabs(col("cov") - col("var0")) >
+      lit(1e-9) * sabs(col("var0"))).count() == 0)
+    m.unpersist()
+  }
+
   test("standardize: z-scores are centered and unit-scaled when the sample IS the corpus") {
     import org.apache.spark.sql.functions.{col, abs => sabs, avg, stddev_pop}
     // the registered query standardizes a sample; the invariant check runs
