@@ -586,6 +586,21 @@ object SparkEntry {
     "q23ss_interval_join_streaming" -> ((s, dir) => StatefulQueries.intervalJoinStreaming(s, dir)),
     // its LEFT OUTER twin: zero-pair users null-padded at state eviction
     "q23lo_interval_join_outer"     -> ((s, dir) => StatefulQueries.intervalJoinStreamingOuter(s, dir)),
+    // the FULL OUTER twin: null-padding from BOTH state stores; padding
+    // counts obey the runs identity (tails = heads), spec-pinned
+    "q23fo_interval_join_full_outer" -> ((s, dir) => StatefulQueries.intervalJoinStreamingFullOuter(s, dir)),
+    // CEP followed-by: first following purchase within 1h, no error
+    // between — one window pass, no self-join (Flink-CEP's query class)
+    "cep_funnel_followedby" -> ((s, dir) => Sessionize.cepFunnelFollowedBy(s, dir)),
+    // the same pattern over REAL keyed pending-view NFA state; matches
+    // span the micro-batch boundary
+    "cep_funnel_followedby_streaming" -> ((s, dir) => StatefulQueries.cepFunnelFollowedByStreaming(s, dir)),
+    // change-data-feed read over the SCD2 MERGE journal: per-version
+    // insert/close deltas via an honest snapshot diff
+    "scd2_cdc_feed" -> ((s, dir) => StatefulQueries.scd2CdcFeed(s, dir)),
+    // 2-D Pareto frontier via banded strictly-before running max — no
+    // all-pairs dominance join
+    "skyline_price_size" -> ((s, dir) => Relational.skyline2d(s, dir)),
     // ---- training-data pipeline: multimodal columns (stub codecs) ----
     "mm_media_meta"     -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_media_features" -> ((s, dir) => Multimodal.mediaFeatures(s, dir)),
@@ -3020,6 +3035,73 @@ object SparkEntry {
         |   AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matched
         |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // the id-identified firsts: per-user event_id order coincides with
+    // (ts, id) order, so min(event_id) over the following frame IS the
+    // first following purchase/error and the no-error test is tie-free
+    "cep_funnel_followedby" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    min(CASE WHEN event_type='purchase' THEN event_id END) OVER w AS np_id,
+        |    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) OVER w AS np_us,
+        |    min(CASE WHEN event_type='error' THEN event_id END) OVER w AS ne_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, us AS view_us, np_us AS purchase_us
+        |FROM seq
+        |WHERE event_type='view' AND np_id IS NOT NULL
+        |  AND np_us - us <= 3600000000
+        |  AND (ne_id IS NULL OR ne_id > np_id)
+        |ORDER BY event_id""".stripMargin,
+    // full outer with q23's predicate set: pairs + both padding sides
+    "q23fo_interval_join_full_outer" ->
+      """SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        | count(CASE WHEN a.event_id IS NOT NULL AND b.event_id IS NOT NULL
+        |            THEN 1 END) AS n_pairs,
+        | count(CASE WHEN a.event_id IS NOT NULL AND b.event_id IS NULL
+        |            THEN 1 END) AS n_run_tails,
+        | count(CASE WHEN a.event_id IS NULL THEN 1 END) AS n_run_heads
+        |FROM events a FULL JOIN events b ON a.user_id = b.user_id
+        | AND b.event_id > a.event_id
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the feed re-derived from raw events under the median-split batch
+    // rule: batch-0 intervals all 'insert'; batch 1 contributes its own
+    // lead() intervals as 'insert' plus a 'close' for each open batch-0
+    // interval of a touched user (terminated at the user's first
+    // in-batch change) — the engine computes the same rows as a journal
+    // VERSION DIFF, so this gate proves diff ≡ derivation
+    "scd2_cdc_feed" ->
+      """WITH ev AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |            FROM events),
+        |mid AS (SELECT max(event_id)//2 AS m FROM ev),
+        |b0 AS (SELECT * FROM ev WHERE event_id <= (SELECT m FROM mid)),
+        |b1 AS (SELECT * FROM ev WHERE event_id > (SELECT m FROM mid)),
+        |v0 AS (SELECT user_id, event_id, value, us AS valid_from_us,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |          AS valid_to_us FROM b0),
+        |first1 AS (SELECT user_id, min(us) AS b_first_us FROM b1 GROUP BY 1),
+        |closes AS (SELECT 'close' AS op, v0.user_id, v0.event_id, v0.value,
+        |            v0.valid_from_us, f.b_first_us AS valid_to_us
+        |           FROM v0 JOIN first1 f ON v0.user_id = f.user_id
+        |           WHERE v0.valid_to_us IS NULL),
+        |ins0 AS (SELECT 'insert' AS op, user_id, event_id, value,
+        |          valid_from_us, valid_to_us FROM v0),
+        |ins1 AS (SELECT 'insert' AS op, user_id, event_id, value,
+        |          us AS valid_from_us,
+        |          lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |            AS valid_to_us FROM b1)
+        |SELECT * FROM closes UNION ALL SELECT * FROM ins0
+        |UNION ALL SELECT * FROM ins1
+        |ORDER BY event_id, op""".stripMargin,
+    // the textbook all-pairs dominance statement the banded plan avoids
+    "skyline_price_size" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
     // integer cents deltas inside the (type, day) partition; the square
     // sum is exact bigint; single-tick days pin rv = 0 on both engines
     "realized_variance_daily" ->
@@ -3044,6 +3126,7 @@ object SparkEntry {
       "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
       "q1k_running_max_socket"         -> base("q1_running_max"),
       "q23ss_interval_join_streaming"  -> base("q23_interval_join"),
+      "cep_funnel_followedby_streaming" -> base("cep_funnel_followedby"),
       "q6ss_revenue_join_stream_static" -> base("q6_revenue_by_nation"),
       // the outer form has its OWN oracle: zero-pair users appear with 0
       "q23lo_interval_join_outer" ->

@@ -337,6 +337,50 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** 2-D SKYLINE (Pareto frontier): the parts no other part beats on both
+    * axes at once — price LOWER-is-better, size BIGGER-is-better; a part
+    * survives iff no part is at-least-as-good on both and strictly
+    * better on one (the multi-criteria shortlist operator). NOT the
+    * all-pairs dominance join the textbook NOT EXISTS states: sorted by
+    * price, a part is dominated exactly when some cheaper-or-equal price
+    * reaches a larger-or-equal size, so the frontier falls out of a
+    * strictly-before running MAX of per-price max sizes — banded
+    * two-level like [[paretoPartsAbcScalable]] (in-band prefix max
+    * partitioned by a value-static price band + the band-count-sized
+    * offset table broadcast back; no single-partition window over the
+    * part table). Frontier levels: size equal to the level's own max AND
+    * strictly above every cheaper level's max — so ties ON a frontier
+    * point all survive (equal points do not dominate each other), and a
+    * same-price smaller size or a cheaper equal size is dominated. The
+    * frontier (≤ price levels, in practice a handful of rows) broadcasts
+    * back to recover part keys. */
+  def skyline2d(spark: SparkSession, sfDir: String,
+                bandWidth: Long = 100L): DataFrame = {
+    val lvl = Tables.part(spark, sfDir)
+      .groupBy(col("p_retailprice").as("pr"))
+      .agg(max(col("p_size")).as("smax"))
+      .withColumn("chk", expr(s"cast(pr as bigint) div $bandWidth"))
+    val wIn = Window.partitionBy(col("chk")).orderBy(col("pr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("chk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = lvl.groupBy(col("chk")).agg(max(col("smax")).as("band_max"))
+      .withColumn("m_off", max(col("band_max")).over(wOff))
+      .select(col("chk"), col("m_off"))
+    val frontier = lvl
+      .withColumn("m_in", max(col("smax")).over(wIn))
+      .join(broadcast(offs), "chk")
+      .filter(greatest(coalesce(col("m_in"), lit(Long.MinValue)),
+                       coalesce(col("m_off"), lit(Long.MinValue)))
+        < col("smax"))
+      .select(col("pr"), col("smax"))
+    Tables.part(spark, sfDir)
+      .join(broadcast(frontier),
+        col("p_retailprice") === col("pr") && col("p_size") === col("smax"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** Order-priority counts with a semi-join (EXISTS) against lineitem:
     * exercises left-semi planning; count-distinct-free so it stays one pass. */
   def orderPriorityCounts(spark: SparkSession, sfDir: String): DataFrame = {

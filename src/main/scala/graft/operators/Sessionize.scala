@@ -729,6 +729,45 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** CEP "FOLLOWED BY" pattern match — the complex-event-processing query
+    * class (the reference framework's flagship library) expressed
+    * relationally: a VIEW matches when the user's FIRST following
+    * purchase arrives within one hour and no error intervenes
+    * (skip-till-next-match: clicks/signups between are skipped; an error
+    * between the view and that purchase kills the partial match). The
+    * firsts are identified BY EVENT ID: per-user event_id order
+    * coincides with (ts, event_id) order in this corpus (the
+    * orderedEventsCopy monotonicity contract), so the conditional
+    * min(event_id) over the FOLLOWING frame is the first following
+    * purchase/error, and the no-error test is the tie-free integer
+    * comparison ne_id > np_id where a ts-based test could tie an error
+    * against a same-instant purchase. Plan: ONE user_id hash exchange
+    * shared by the three window columns, then a filter — no self-join,
+    * no automaton scan; the streaming twin replays the same semantics
+    * through keyed pending-view state ([[graft.streaming.StatefulOps
+    * .cepStream]]). */
+  def cepFunnelFollowedBy(spark: SparkSession, sfDir: String,
+                          withinHours: Int = 1): DataFrame = {
+    val withinUs = withinHours.toLong * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("np_id",
+        min(when(col("event_type") === "purchase", col("event_id"))).over(w))
+      .withColumn("np_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .withColumn("ne_id",
+        min(when(col("event_type") === "error", col("event_id"))).over(w))
+      .filter(col("event_type") === "view" &&
+        col("np_id").isNotNull && col("np_us") - col("us") <= withinUs &&
+        (col("ne_id").isNull || col("ne_id") > col("np_id")))
+      .select(col("user_id"), col("event_id"), col("us").as("view_us"),
+              col("np_us").as("purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP) per event_type: each event's value holds
     * until the type's next event; the average weights each value by its
     * holding interval — the irregular-sampling mean a plain `avg` gets

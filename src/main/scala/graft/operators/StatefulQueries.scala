@@ -822,6 +822,38 @@ object StatefulQueries {
     }.orderBy(col("event_id"))
   }
 
+  /** [[graft.operators.Sessionize.cepFunnelFollowedBy]] with the window
+    * firsts replaced by REAL keyed pending-match state: [[graft.streaming
+    * .StatefulOps.cepStream]] holds each user's open partial matches
+    * (pending views), and the two-file median replay forces matches to
+    * SPAN the micro-batch boundary — a first-half view completed by a
+    * second-half purchase emits from state, or the oracle hash drops.
+    * The stream carries only the view/purchase/error rows the automaton
+    * reads. Registered under cep_funnel_followedby's oracle: streaming
+    * NFA ≡ batch window firsts, hash-checked. */
+  def cepFunnelFollowedByStreaming(spark: SparkSession, sfDir: String,
+                                   withinHours: Int = 1): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val aEnc: Encoder[StatefulOps.AttrEv] =
+      Encoders.product[StatefulOps.AttrEv]
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"cep:$sfDir", Seq("c0.parquet", "c1.parquet")) {
+        medianIdSplit(Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("view", "purchase", "error"))
+          .select(col("user_id"), col("event_id"),
+                  expr("ts_ns div 1000").as("us"), col("event_type")))
+      }
+    }
+    val withinUs = withinHours.toLong * 3600L * 1000000L
+    drainOrderedFiles(spark, copyDir,
+        minBatches = replayFileCount(copyDir)) { stream =>
+      StatefulOps.cepStream(stream
+        .select(col("user_id").as("key"), col("event_id").as("ord"),
+                col("us"), col("event_type").as("typ"))
+        .as[StatefulOps.AttrEv], withinUs).toDF()
+    }.orderBy(col("event_id"))
+  }
+
   /** TIME-WEIGHTED AVERAGE ([[graft.operators.Sessionize.twapByType]])
     * with the `lead()` window replaced by REAL keyed streaming state:
     * [[graft.streaming.StatefulOps.leadIntervalsStream]] holds one
@@ -1355,7 +1387,17 @@ object StatefulQueries {
             "the stream-stream join did not exercise cross-batch state")
         val removed = q.recentProgress
           .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
-        require(totalRows <= 2 || removed > 0,
+        // FULL OUTER evicts through the padding-emission path without
+        // ticking numRowsRemoved (probed: state total 1003 → 2 across the
+        // finalize batch with removed=0, where left_outer ticks 499+500 on
+        // the identical replay) — witness ITS eviction as observed state
+        // shrink, peak row count strictly above the final batch's; every
+        // other join type keeps the strong removal-metric witness.
+        val totals = q.recentProgress
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        val shrank = totals.nonEmpty && totals.last < totals.max
+        require(totalRows <= 2 || removed > 0 ||
+            (joinType == "full_outer" && shrank),
           "watermark never evicted join state — the interval condition " +
             "failed to bound join state lifetime")
       }
@@ -1393,6 +1435,32 @@ object StatefulQueries {
       .select(col("user_a").as("user_id"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_matched"))
+      .orderBy(col("user_id"))
+
+  /** Q23's FULL OUTER twin — the FOURTH stream-stream join type through
+    * [[drainPairJoin]]'s shared scaffold, and the variant the outer-class
+    * finalize gating exists for: the watermark's final eviction must emit
+    * null-padding from BOTH state stores (match-less a-rows AND b-rows),
+    * so the no-data finalize batch is load-bearing on each side. The
+    * per-user rollup counts pairs plus both padding directions; on this
+    * symmetric self-replay the two padding counts are provably EQUAL —
+    * gaps wider than the interval partition each user's tape into runs,
+    * an unmatched a-row is precisely a run TAIL (no successor inside the
+    * window) and an unmatched b-row a run HEAD (no predecessor) — which
+    * StreamJoinSpec pins as the runs identity rather than leaving as
+    * coincidence. */
+  def intervalJoinStreamingFullOuter(spark: SparkSession, sfDir: String,
+                                     gapMinutes: Int = 5): DataFrame =
+    drainPairJoin(spark, sfDir, gapMinutes, "full_outer")
+      .select(coalesce(col("user_a"), col("user_b")).as("user_id"),
+              col("id_a"), col("id_b"))
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("id_a").isNotNull && col("id_b").isNotNull, 1))
+          .as("n_pairs"),
+        count(when(col("id_b").isNull, 1)).as("n_run_tails"),
+        count(when(col("id_a").isNull, 1)).as("n_run_heads"))
       .orderBy(col("user_id"))
 
   /** Read the newest SCD2 table version STRICTLY BELOW `version` from the
@@ -1464,7 +1532,14 @@ object StatefulQueries {
     * the gate itself. Cross-batch witness: ≥ 1 interval written OPEN by
     * batch 0 must be CLOSED in the final table (the maintenance
     * genuinely spanned batches, not one batch doing all the work). */
-  def scd2UpsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Build the SCD2 versioned journal by replaying the events CDC stream
+    * through [[applyScd2Batch]] — shared by [[scd2UpsertSnapshot]] and
+    * [[scd2CdcFeed]]. medianIdSplit's contract: it may produce FEWER
+    * files than names (degenerate id spaces collapse to one), so the
+    * returned replay file count sizes the callers' witnesses — never
+    * assume two. The CALLER owns `outDir` and must delete it. */
+  private def buildScd2Journal(spark: SparkSession, sfDir: String,
+                               outDir: String): Int = {
     import org.apache.spark.sql.streaming.Trigger
     val dir = withNanosAsLong(spark) {
       timeOrderedFilesCopy(spark, s"scd2up:$sfDir", Seq("u0.parquet", "u1.parquet")) {
@@ -1473,27 +1548,29 @@ object StatefulQueries {
                   expr("ts_ns div 1000").as("us")))
       }
     }
-    // medianIdSplit's contract: it may produce FEWER files than names
-    // (degenerate id spaces collapse to one) — size the witnesses from
-    // the replay, never assume two
     val nFiles = replayFileCount(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    withShuffleWidth(spark, 8) {
+      val q = stream.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyScd2Batch(spark, outDir, b, id)
+        }
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= nFiles,
+        s"the $nFiles-file replay did not produce $nFiles data micro-batches")
+    }
+    nFiles
+  }
+
+  def scd2UpsertSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft-scd2-journal-").toString
     // the journal must not outlive a failed drain or witness either — the
     // same discipline as the success-path delete below
     try {
-      val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      withShuffleWidth(spark, 8) {
-        val q = stream.writeStream.outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            applyScd2Batch(spark, outDir, b, id)
-          }
-          .start()
-        q.awaitTermination()
-        require(q.recentProgress.count(_.numInputRows > 0) >= nFiles,
-          s"the $nFiles-file replay did not produce $nFiles data micro-batches")
-      }
+      val nFiles = buildScd2Journal(spark, sfDir, outDir)
       val finalT = scd2VersionBefore(spark, outDir, Long.MaxValue)
         .getOrElse(sys.error("no SCD2 version written"))
       // cross-batch witness (only meaningful when the replay really split):
@@ -1519,6 +1596,62 @@ object StatefulQueries {
                 col("valid_from_us"), col("cut_us"))
         .localCheckpoint()
         .orderBy(col("user_id"))
+    } finally deleteRecursively(java.nio.file.Paths.get(outDir))
+  }
+
+  /** CHANGE DATA FEED over [[applyScd2Batch]]'s versioned journal — the
+    * third leg of the SCD2 warehouse story (read: as-of snapshot; write:
+    * MERGE upsert; here: WHAT A DOWNSTREAM CONSUMER TAILS): version 0's
+    * feed is its intervals as 'insert' rows, and each later version's
+    * feed is the MERGE's delta against its predecessor — 'insert' for
+    * the intervals the batch opened, 'close' for the rows whose open
+    * interval it terminated. Computed as an honest VERSION DIFF (outer
+    * key join of v_b against v_{b−1}, null-safe change test on valid_to
+    * — the co-partitioned snapshot diff a CDF reader runs when storage
+    * keeps no row tracking), never a re-derivation from the raw events;
+    * the oracle re-derives the same delta from the events under the
+    * median-split batch rule, so the hash gate proves diff ≡ derivation,
+    * and replaying the feed reconstructs the maintained table (pinned in
+    * Scd2UpsertSpec). Unchanged carried-over rows never leave the diff
+    * join — the feed is delta-sized (touched users), not table-sized. */
+  def scd2CdcFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-scd2-cdc-").toString
+    try {
+      val nFiles = buildScd2Journal(spark, sfDir, outDir)
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(outDir))
+      val versions = try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+          .toSeq.sorted
+        finally l.close()
+      val feeds = versions.zipWithIndex.map { case (v, i) =>
+        val cur = spark.read.parquet(s"$outDir/v=$v")
+        if (i == 0)
+          cur.withColumn("op", lit("insert"))
+        else {
+          val prev = spark.read.parquet(s"$outDir/v=${versions(i - 1)}")
+            .select(col("user_id"), col("event_id"),
+                    col("valid_to_us").as("prev_to_us"), lit(1).as("in_prev"))
+          cur.join(prev, Seq("user_id", "event_id"), "left_outer")
+            .withColumn("op",
+              when(col("in_prev").isNull, "insert")
+                .when(!(col("valid_to_us") <=> col("prev_to_us")), "close"))
+            .filter(col("op").isNotNull)
+            .drop("prev_to_us", "in_prev")
+        }
+      }
+      val feed = feeds.reduce(_ unionByName _)
+        .select(col("op"), col("user_id"), col("event_id"), col("value"),
+                col("valid_from_us"), col("valid_to_us"))
+        .localCheckpoint()
+      // the delta really crossed versions: some later batch closed an
+      // earlier version's open interval
+      if (nFiles >= 2)
+        require(feed.filter(col("op") === "close").limit(1).count() == 1,
+          "no close row in the change feed — the version diff is vacuous " +
+            "on this replay")
+      feed.orderBy(col("event_id"), col("op"))
     } finally deleteRecursively(java.nio.file.Paths.get(outDir))
   }
 }

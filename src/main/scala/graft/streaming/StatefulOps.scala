@@ -483,6 +483,52 @@ object StatefulOps {
           out.iterator
       }
 
+  /** One PENDING view (an open partial match) for [[cepStream]]. */
+  case class CepView(ord: Long, us: Long)
+  /** The per-user NFA state: pending views, arrival-ordered. */
+  case class CepPend(views: List[CepView])
+  case class CepOut(user_id: Long, event_id: Long, view_us: Long,
+                    purchase_us: Long)
+  private implicit val cepPendEnc: Encoder[CepPend] = Encoders.product[CepPend]
+  private implicit val cepOutEnc: Encoder[CepOut] = Encoders.product[CepOut]
+
+  /** CEP "view FOLLOWED BY purchase within the horizon, no error between"
+    * as a keyed NFA over REAL streaming state ([[graft.operators
+    * .Sessionize.cepFunnelFollowedBy]]'s semantics, the Flink-CEP query
+    * class run through `flatMapGroupsWithState`): the state is the user's
+    * list of PENDING views — open partial matches; a purchase COMPLETES
+    * (and clears) every pending view still inside the horizon, because
+    * skip-till-next-match means each view's first following purchase is
+    * this one — an older pending view was either completed by an earlier
+    * purchase, killed by an error, or expired; an error KILLS all pending
+    * matches (the view's first following error now precedes any future
+    * purchase); and every arrival first EXPIRES views older than the
+    * horizon (no later purchase can be inside their window), so state is
+    * bounded by each key's views-per-horizon arrival rate, never the
+    * tape. Input must be pre-filtered to view/purchase/error rows
+    * (anything else is a view — [[attributionStream]]'s contract); the
+    * same sorted-slice ordering contract applies. */
+  def cepStream(ds: Dataset[AttrEv], withinUs: Long,
+                mode: OutputMode = OutputMode.Append()): Dataset[CepOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CepPend, CepOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[CepPend]) =>
+          var pending = state.getOption.map(_.views).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CepOut]
+          rows.toSeq.sortBy(_.ord).foreach { r =>
+            pending = pending.filter(v => r.us - v.us <= withinUs)
+            r.typ match {
+              case "purchase" =>
+                pending.foreach(v => out += CepOut(key, v.ord, v.us, r.us))
+                pending = Nil
+              case "error" => pending = Nil
+              case _ => pending = pending :+ CepView(r.ord, r.us)
+            }
+          }
+          if (pending.isEmpty) state.remove() else state.update(CepPend(pending))
+          out.iterator
+      }
+
   /** (fingerprint, event-time, record id) input for [[ttlDedupStream]]; `ts`
     * must be the WATERMARKED event-time column (the engine requires it in
     * the grouped Dataset for event-time timeouts). */

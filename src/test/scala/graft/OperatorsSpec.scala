@@ -113,4 +113,17 @@ class OperatorsSpec extends SparkSpec {
     assert(t.agg(sum(col("n_events"))).head().getLong(0) ===
       graft.io.Tables.events(spark, Sf0001).count())
   }
+
+  test("skyline: banded running-max frontier equals the all-pairs dominance definition") {
+    val sky = Relational.skyline2d(spark, Sf0001)
+    val part = graft.io.Tables.part(spark, Sf0001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    // the textbook definition, as a (test-only) non-equi anti join
+    val textbook = part.join(part.select(
+        col("p_retailprice").as("qr"), col("p_size").as("qs")),
+      expr("""qr <= p_retailprice AND qs >= p_size AND
+              (qr < p_retailprice OR qs > p_size)""".stripMargin), "left_anti")
+    assert(sky.exceptAll(textbook).isEmpty && textbook.exceptAll(sky).isEmpty)
+    assert(sky.count() > 0)
+  }
 }

@@ -59,4 +59,25 @@ class Scd2UpsertSpec extends SparkSpec {
     val u = StatefulQueries.scd2UpsertSnapshot(spark, Sf0001)
     assert(a.exceptAll(u).count() == 0 && u.exceptAll(a).count() == 0)
   }
+
+  test("cdc feed replay reconstructs the maintained table (global lead intervals)") {
+    val feed = StatefulQueries.scd2CdcFeed(spark, Sf0001)
+    val inserts = feed.filter(col("op") === "insert").drop("op")
+    val closes = feed.filter(col("op") === "close")
+      .select(col("user_id").as("cu"), col("event_id").as("ce"),
+              col("valid_to_us").as("close_to"))
+    // a consumer tailing the feed: upsert the close rows over the inserts
+    val reconstructed = inserts
+      .join(closes,
+        col("user_id") === col("cu") && col("event_id") === col("ce"),
+        "left_outer")
+      .select(col("user_id"), col("event_id"), col("value"),
+              col("valid_from_us"),
+              coalesce(col("close_to"), col("valid_to_us")).as("valid_to_us"))
+    assert(rowsOf(reconstructed) ===
+      rowsOf(graft.operators.Relational.scd2UserValues(spark, Sf0001)))
+    // a close always terminates: its new valid_to is never null
+    assert(feed.filter(col("op") === "close" && col("valid_to_us").isNull)
+      .count() === 0L)
+  }
 }

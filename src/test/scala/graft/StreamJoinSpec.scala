@@ -119,6 +119,60 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full outer memory stream: unmatched rows on BOTH sides null-pad after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = imps.toDF().withWatermark("imp_ts", "5 minutes")
+      .join(
+        clicks.toDF().withWatermark("click_ts", "5 minutes"),
+        expr("""user = cuser AND
+                click_ts >= imp_ts AND
+                click_ts <= imp_ts + interval 10 minutes""".stripMargin),
+        "full_outer")
+    val q = joined.select(col("imp_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_fo").start()
+    try {
+      imps.addData(Imp(1, "u", t(0)),   // matches click 10
+                   Imp(2, "w", t(6)))   // no click for w -> a-side padding
+      clicks.addData(Click(10, "u", t(5)),
+                     Click(11, "v", t(5))) // no imp for v -> b-side padding
+      q.processAllAvailable()
+      // two more batches: the first advances the watermark past every
+      // window, the second applies it (eviction emits the padding)
+      imps.addData(Imp(98, "z", t(120)))
+      q.processAllAvailable()
+      clicks.addData(Click(99, "z2", t(125)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_fo").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got.contains((1L, 10L)), "matched pair missing")
+      assert(got.contains((2L, -1L)), "a-side padding missing")
+      assert(got.contains((-1L, 11L)), "b-side padding missing")
+    } finally q.stop()
+  }
+
+  test("q23fo: full outer counts pairs and pads both sides; run-heads equal run-tails") {
+    val fo = graft.operators.StatefulQueries
+      .intervalJoinStreamingFullOuter(spark, Sf0001)
+    val rows = fo.collect()
+    val ev = graft.io.Tables.events(spark, Sf0001)
+    assert(rows.length === ev.select("user_id").distinct().count())
+    // the runs identity: gaps wider than the interval partition each
+    // user's tape into runs; an unmatched a-row is a run TAIL (no
+    // successor inside the window), an unmatched b-row a run HEAD (no
+    // predecessor) — one of each per run, so the padding counts agree
+    assert(rows.forall(r => r.getLong(2) === r.getLong(3)))
+    assert(rows.exists(_.getLong(2) > 0), "padding never fired")
+    // matched-pair counts agree with the inner form (absent user = 0)
+    val inner = SparkEntry.queries("q23_interval_join")(spark, Sf0001)
+      .withColumnRenamed("user_id", "iu").withColumnRenamed("n_pairs", "ip")
+    val j = fo.join(inner, col("user_id") === col("iu"), "left_outer")
+    assert(j.filter(col("ip").isNotNull && col("n_pairs") =!= col("ip")).count() === 0L)
+    assert(j.filter(col("ip").isNull && col("n_pairs") =!= 0).count() === 0L)
+  }
+
   test("q23sj: semi join emits each matched row once — counts bounded by inner, same user set") {
     import org.apache.spark.sql.functions.col
     val semi  = graft.operators.StatefulQueries.intervalJoinStreamingSemi(spark, Sf0001)
