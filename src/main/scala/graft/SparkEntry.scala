@@ -421,6 +421,9 @@ object SparkEntry {
     // each bar emits exactly once when the watermark passes its hour end
     // and leaves the store; late ticks drop observably
     "ohlc_hourly_closed" -> ((s, dir) => Indicators.ohlcHourlyClosed(s, dir)),
+    // signal generation downstream of the indicators: golden/death SMA
+    // crosses, all-integer cross-multiplied comparison
+    "signal_sma_cross" -> ((s, dir) => Indicators.smaCrossSignals(s, dir)),
     // weight-proportional systematic sampling: K deterministic draws by
     // integer quantile crossings over a banded exact prefix sum
     "sample_weighted_systematic" -> ((s, dir) => TextOps.sampleWeightedSystematic(s, dir)),
@@ -595,6 +598,12 @@ object SparkEntry {
     // the same pattern over REAL keyed pending-view NFA state; matches
     // span the micro-batch boundary
     "cep_funnel_followedby_streaming" -> ((s, dir) => StatefulQueries.cepFunnelFollowedByStreaming(s, dir)),
+    // the NEGATIVE pattern (notFollowedBy...within): views with NO
+    // purchase inside the horizon — the absence-alert class
+    "cep_absence_alert" -> ((s, dir) => Sessionize.cepAbsenceAlert(s, dir)),
+    // absence through REAL event-time timers: tape-end verdicts fire off
+    // the watermark, not off data
+    "cep_absence_alert_streaming" -> ((s, dir) => StatefulQueries.cepAbsenceAlertStreaming(s, dir)),
     // change-data-feed read over the SCD2 MERGE journal: per-version
     // insert/close deltas via an honest snapshot diff
     "scd2_cdc_feed" -> ((s, dir) => StatefulQueries.scd2CdcFeed(s, dir)),
@@ -3053,6 +3062,47 @@ object SparkEntry {
         |  AND np_us - us <= 3600000000
         |  AND (ne_id IS NULL OR ne_id > np_id)
         |ORDER BY event_id""".stripMargin,
+    // the absence complement of the same window firsts: no purchase
+    // inside the horizon (null or beyond); deadline = view + horizon
+    "cep_absence_alert" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) OVER w AS np_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, us AS view_us,
+        |       us + 3600000000 AS deadline_us
+        |FROM seq
+        |WHERE event_type='view'
+        |  AND (np_us IS NULL OR np_us - us > 3600000000)
+        |ORDER BY event_id""".stripMargin,
+    // integer-cents closes; SMA comparison cross-multiplied so the cross
+    // predicate is exact bigint on both engines; rows before both frames
+    // fill (rn <= 16) excluded on both sides
+    "signal_sma_cross" ->
+      """WITH bars AS (
+        |  SELECT event_type,
+        |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |    CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, hour_start,
+        |    row_number() OVER wn AS rn,
+        |    sum(c) OVER (wn ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 16
+        |      - sum(c) OVER (wn ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) * 4
+        |      AS d
+        |  FROM bars
+        |  WINDOW wn AS (PARTITION BY event_type ORDER BY hour_start)),
+        |x AS (
+        |  SELECT event_type, hour_start, rn, d,
+        |    lag(d) OVER (PARTITION BY event_type ORDER BY hour_start) AS d_prev
+        |  FROM s)
+        |SELECT event_type, hour_start,
+        |  CASE WHEN d > 0 THEN 'golden' ELSE 'death' END AS signal
+        |FROM x
+        |WHERE rn > 16 AND ((d > 0 AND d_prev <= 0) OR (d < 0 AND d_prev >= 0))
+        |ORDER BY hour_start, event_type""".stripMargin,
     // full outer with q23's predicate set: pairs + both padding sides
     "q23fo_interval_join_full_outer" ->
       """SELECT coalesce(a.user_id, b.user_id) AS user_id,
@@ -3127,6 +3177,7 @@ object SparkEntry {
       "q1k_running_max_socket"         -> base("q1_running_max"),
       "q23ss_interval_join_streaming"  -> base("q23_interval_join"),
       "cep_funnel_followedby_streaming" -> base("cep_funnel_followedby"),
+      "cep_absence_alert_streaming"     -> base("cep_absence_alert"),
       "q6ss_revenue_join_stream_static" -> base("q6_revenue_by_nation"),
       // the outer form has its OWN oracle: zero-pair users appear with 0
       "q23lo_interval_join_outer" ->

@@ -95,6 +95,42 @@ object Indicators {
         stateWidth = Some(8), outputMode = "complete")()
     }.orderBy(col("hour_start"), col("event_type"))
 
+  /** SMA CROSSOVER SIGNALS — golden/death crosses of a fast moving
+    * average through a slow one over the hourly close bars: the SIGNAL
+    * GENERATION step a trading pipeline runs downstream of the indicator
+    * family (indicators are values; this emits decisions). All-integer
+    * and order-free: closes ride integer cents, both SMAs stay as raw
+    * frame SUMS, and the comparison cross-multiplies
+    * (sf/fast vs ss/slow ⟺ sf·slow vs ss·fast — exact BIGINT, the q38
+    * share-test discipline), so the cross predicate
+    * d > 0 ∧ d_prev ≤ 0 (golden) / d < 0 ∧ d_prev ≥ 0 (death) never
+    * touches a float. Rows before both frames fill (rn ≤ slow) carry
+    * partial sums that are not SMAs — excluded on both engines; a
+    * previous-bar d of exactly 0 signals in the leaving direction.
+    * Plan: the bar aggregate is map-side combinable; the windows run on
+    * the bars table (hours × types, ≪ ticks), one exchange on
+    * event_type shared by all three window columns. */
+  def smaCrossSignals(spark: SparkSession, sfDir: String,
+                      fast: Int = 4, slow: Int = 16): DataFrame = {
+    require(fast < slow, "fast SMA must be shorter than slow")
+    val wn = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+    val d = sum(col("c")).over(wn.rowsBetween(-(fast - 1), 0)) * slow -
+      sum(col("c")).over(wn.rowsBetween(-(slow - 1), 0)) * fast
+    hourlyBars(spark, sfDir)
+      .select(col("event_type"), col("hour_start"),
+              expr("cast(round(close * 100) as bigint)").as("c"))
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("d", d)
+      .withColumn("d_prev", lag(col("d"), 1).over(wn))
+      .filter(col("rn") > slow &&
+        ((col("d") > 0 && col("d_prev") <= 0) ||
+         (col("d") < 0 && col("d_prev") >= 0)))
+      .select(col("event_type"), col("hour_start"),
+              when(col("d") > 0, lit("golden")).otherwise(lit("death"))
+                .as("signal"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** The sentinel event_type of [[ohlcHourlyClosed]]'s replay — its far-
     * future row advances the final watermark past every real bar's end;
     * the type never collides with fixture types and is filtered from the

@@ -768,6 +768,35 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** CEP ABSENCE pattern — the NEGATIVE of [[cepFunnelFollowedBy]]'s
+    * query class (Flink-CEP `notFollowedBy(...).within(...)`): a VIEW
+    * alerts when NO purchase follows it within the horizon — the
+    * cart-abandonment / SLA-breach shape a monitoring pipeline pages on.
+    * The first following purchase is the conditional `min` over the same
+    * FOLLOWING frame (per-user event_id order ≡ (ts, id) order, the
+    * orderedEventsCopy contract); the alert predicate is its null-or-
+    * beyond-horizon complement, so batch is the SAME one-exchange window
+    * plan with the filter inverted. `deadline_us` is when the alert
+    * became decidable — the streaming twin ([[graft.streaming.StatefulOps
+    * .cepAbsenceStream]]) emits the row at exactly that event-time
+    * watermark, off a real timer. */
+  def cepAbsenceAlert(spark: SparkSession, sfDir: String,
+                      withinHours: Int = 1): DataFrame = {
+    val withinUs = withinHours.toLong * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("np_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .filter(col("event_type") === "view" &&
+        (col("np_us").isNull || col("np_us") - col("us") > withinUs))
+      .select(col("user_id"), col("event_id"), col("us").as("view_us"),
+              (col("us") + withinUs).as("deadline_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP) per event_type: each event's value holds
     * until the type's next event; the average weights each value by its
     * holding interval — the irregular-sampling mean a plain `avg` gets

@@ -854,6 +854,64 @@ object StatefulQueries {
     }.orderBy(col("event_id"))
   }
 
+  /** [[graft.operators.Sessionize.cepAbsenceAlert]] through REAL
+    * event-time timers ([[graft.streaming.StatefulOps.cepAbsenceStream]])
+    * — the one CEP shape whose verdict cannot come from data: a tape-end
+    * view alerts only because the WATERMARK passed its deadline, so the
+    * drain witnesses the timers directly: every key's state must be
+    * emptied by the final timer-firing batch (the sentinel purchase — a
+    * key no real row uses — advances the watermark past every real
+    * deadline and leaves no state of its own, so no post-drain filter is
+    * needed). The median-time split forces pending views to CROSS the
+    * micro-batch boundary before their verdict. Registered under
+    * cep_absence_alert's oracle: timer-driven absence ≡ batch window
+    * complement, hash-checked. */
+  def cepAbsenceAlertStreaming(spark: SparkSession, sfDir: String,
+                               withinHours: Int = 1): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val enc: Encoder[StatefulOps.CepTimedEv] =
+      Encoders.product[StatefulOps.CepTimedEv]
+    val withinUs = withinHours.toLong * 3600L * 1000000L
+    val dir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"cepabs:$sfDir",
+          Seq("a0.parquet", "a1.parquet", "a2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id").as("key"), col("event_id").as("ord"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_type").as("typ"))
+        medianSplitWithSentinel(ev, "ord", "ts") { afterUs =>
+          spark.range(1).select(
+            lit(-1L).as("key"), lit(-1L).as("ord"),
+            timestamp_micros(lit(afterUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+            lit("purchase").as("typ"))
+        }
+      }
+    }
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .as[StatefulOps.CepTimedEv]
+    drainToMemory(spark,
+        StatefulOps.cepAbsenceStream(stream, withinUs).toDF(),
+        stateWidth = Some(8)) { q =>
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      require(progs.nonEmpty, "no state-operator progress recorded")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      val totalRows = q.recentProgress.map(_.numInputRows).sum
+      // the sentinel alone is one data batch; real data must cross batches
+      require(totalRows <= 1 || dataBatches >= 2,
+        s"expected >= 2 data micro-batches, saw $dataBatches")
+      // the timer witness: the final (timer-firing) batch must leave the
+      // store EMPTY — every pending view's deadline fired off the
+      // sentinel-advanced watermark, and the sentinel itself parked nothing
+      val left = progs.last.stateOperators(0).numRowsTotal
+      require(left == 0,
+        s"event-time timers did not flush tape-end state: $left rows left")
+    }.orderBy(col("event_id"))
+  }
+
   /** TIME-WEIGHTED AVERAGE ([[graft.operators.Sessionize.twapByType]])
     * with the `lead()` window replaced by REAL keyed streaming state:
     * [[graft.streaming.StatefulOps.leadIntervalsStream]] holds one

@@ -529,6 +529,84 @@ object StatefulOps {
           out.iterator
       }
 
+  /** (key, order, event-time, type) input for [[cepAbsenceStream]]; `ts`
+    * must be the WATERMARKED event-time column (event-time timeouts
+    * require it in the grouped Dataset). */
+  case class CepTimedEv(key: Long, ord: Long, ts: java.sql.Timestamp,
+                        typ: String)
+  case class CepAlert(user_id: Long, event_id: Long, view_us: Long,
+                      deadline_us: Long)
+  private implicit val cepAlertEnc: Encoder[CepAlert] =
+    Encoders.product[CepAlert]
+
+  /** CEP ABSENCE pattern — "view NOT followed by a purchase within the
+    * horizon" (Flink-CEP's `notFollowedBy(...).within(...)`, the timeout
+    * half of the pattern library: the alert a monitoring pipeline pages
+    * on) — as a keyed NFA whose NEGATIVE verdicts need EVENT-TIME TIMERS:
+    * a match emits when something arrives, but an absence alert emits
+    * when nothing does, so the deadline must fire off the WATERMARK, not
+    * off data. Two emission paths, both exact under ordered per-key
+    * arrival:
+    *
+    *  - DATA-DRIVEN: any arrival first flushes pending views whose
+    *    horizon it has passed (`us − view_us > withinUs`) as alerts —
+    *    every purchase that could have completed them sorts strictly
+    *    earlier and was already processed; a purchase then silently
+    *    completes (drops) every still-live pending view.
+    *  - TIMER-DRIVEN: tape-end views see no later arrival at all, so the
+    *    state registers an `EventTimeTimeout` at the EARLIEST pending
+    *    deadline, rounded UP to the engine's ms granularity (flooring
+    *    could fire up to 999 µs early, alerting a view whose completing
+    *    purchase is still inside the horizon — the ttlDedupStream rule).
+    *    On fire, views whose deadline the watermark passed alert and
+    *    leave state; the rest re-register at their earliest deadline
+    *    (strictly above the watermark by the same rounding, so the
+    *    re-registration never violates the engine's monotonicity check).
+    *
+    * State is bounded by views-per-horizon per key — the watermark frees
+    * everything else. Input must be pre-filtered to view/purchase rows
+    * (anything else is a view); the replay's far-future sentinel (a
+    * PURCHASE for a key no real row uses, completing nothing and leaving
+    * no state) advances the final watermark so every tape-end deadline
+    * fires. */
+  def cepAbsenceStream(ds: Dataset[CepTimedEv], withinUs: Long,
+                       mode: OutputMode = OutputMode.Append()): Dataset[CepAlert] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[CepPend, CepAlert](
+        mode, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state: GroupState[CepPend]) =>
+          def alert(v: CepView) = CepAlert(key, v.ord, v.us, v.us + withinUs)
+          def deadlineMs(v: CepView): Long = (v.us + withinUs + 999L) / 1000L
+          def park(pending: List[CepView]): Unit =
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(CepPend(pending))
+              state.setTimeoutTimestamp(pending.map(deadlineMs).min)
+            }
+          if (state.hasTimedOut) {
+            val wm = state.getCurrentWatermarkMs()
+            val (expired, live) = state.getOption.map(_.views).getOrElse(Nil)
+              .partition(v => deadlineMs(v) <= wm)
+            park(live)
+            expired.map(alert).iterator
+          } else {
+            def micros(t: java.sql.Timestamp): Long =
+              t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+            var pending = state.getOption.map(_.views).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[CepAlert]
+            rows.toSeq.map(r => (micros(r.ts), r.ord, r.typ)).sorted.foreach {
+              case (us, ord, typ) =>
+                val (expired, live) = pending.partition(v => us - v.us > withinUs)
+                expired.foreach(v => out += alert(v))
+                pending =
+                  if (typ == "purchase") Nil // completes every live view
+                  else live :+ CepView(ord, us)
+            }
+            park(pending)
+            out.iterator
+          }
+      }
+
   /** (fingerprint, event-time, record id) input for [[ttlDedupStream]]; `ts`
     * must be the WATERMARKED event-time column (the engine requires it in
     * the grouped Dataset for event-time timeouts). */

@@ -54,4 +54,58 @@ class CepSpec extends SparkSpec {
     // the match set is non-vacuous at this SF (probed: 3 matches)
     assert(ba.count() > 0)
   }
+
+  test("cep absence: timer fires the alert off the watermark; purchase suppresses; data flushes") {
+    import StatefulOps.{CepAlert, CepTimedEv}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val mem = MemoryStream[CepTimedEv]
+    // 2-second horizon
+    val q = StatefulOps.cepAbsenceStream(
+        mem.toDS().withWatermark("ts", "0 seconds").as[CepTimedEv],
+        withinUs = 2000000L)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("cep_abs").start()
+    try {
+      // u1's view is completed by an in-horizon purchase -> silence;
+      // u2's view pends (deadline 3.5 s in timer-ms terms)
+      mem.addData(Seq(CepTimedEv(1, 1, ts(1000), "view"),
+                      CepTimedEv(1, 2, ts(2000), "purchase"),
+                      CepTimedEv(2, 3, ts(1500), "view")))
+      q.processAllAvailable()
+      assert(spark.table("cep_abs").count() === 0,
+        "nothing may alert before the watermark passes a deadline")
+      // an unrelated purchase advances the watermark to 10 s -> u2's
+      // TIMER fires: the alert exists although NO u2 row ever arrived
+      mem.addData(Seq(CepTimedEv(3, 4, ts(10000), "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("cep_abs").as[CepAlert].collect().toSet ===
+        Set(CepAlert(2L, 3L, 1500000L, 3500000L)))
+      // DATA-DRIVEN flush: u4's second view arrives past the first's
+      // horizon -> the first alerts immediately, no timer needed
+      mem.addData(Seq(CepTimedEv(4, 5, ts(20000), "view"),
+                      CepTimedEv(4, 6, ts(23000), "view")))
+      q.processAllAvailable()
+      assert(spark.table("cep_abs").as[CepAlert].collect().toSet ===
+        Set(CepAlert(2L, 3L, 1500000L, 3500000L),
+            CepAlert(4L, 5L, 20000000L, 22000000L)))
+    } finally q.stop()
+  }
+
+  test("cep absence streaming (timers) equals the batch window complement on the corpus") {
+    val st = operators.StatefulQueries.cepAbsenceAlertStreaming(spark, Sf0001)
+    val ba = operators.Sessionize.cepAbsenceAlert(spark, Sf0001)
+    assert(st.exceptAll(ba).isEmpty && ba.exceptAll(st).isEmpty)
+    // probed at sf0.001: 185 alerts, 10 of them tape-end (timer-only)
+    assert(ba.count() > 0)
+    // the two verdict sets are DISJOINT: a match needs its first
+    // following purchase inside the horizon, an alert needs it null or
+    // beyond (a view killed by an intervening error is in neither —
+    // absence ignores errors, so the sets partition only the error-free
+    // views)
+    val matches = operators.Sessionize.cepFunnelFollowedBy(spark, Sf0001)
+      .select("event_id")
+    val alerts = ba.select("event_id")
+    assert(matches.intersect(alerts).isEmpty)
+  }
 }

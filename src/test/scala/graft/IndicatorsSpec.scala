@@ -161,6 +161,31 @@ class IndicatorsSpec extends SparkSpec {
     o.unpersist()
   }
 
+  test("sma cross: signals equal a driver-side integer re-derivation, both directions fire") {
+    val got = Indicators.smaCrossSignals(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // independent recomputation: collect the bars (hours x types at this
+    // SF) and walk each type's close series with explicit sliding sums
+    val bars = Indicators.ohlcHourly(spark, Sf0001)
+      .select(col("event_type"), col("hour_start"),
+              expr("cast(round(close * 100) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = bars.groupBy(_._1).flatMap { case (typ, rows) =>
+      val s = rows.sortBy(_._2)
+      val cs = s.map(_._3)
+      // d_i defined where the 16-bar frame fills (i >= 15)
+      def d(i: Int): Long =
+        cs.slice(i - 3, i + 1).sum * 16 - cs.slice(i - 15, i + 1).sum * 4
+      (16 until s.length).collect {
+        case i if d(i) > 0 && d(i - 1) <= 0 => (typ, s(i)._2, "golden")
+        case i if d(i) < 0 && d(i - 1) >= 0 => (typ, s(i)._2, "death")
+      }
+    }.toSet
+    assert(got === expect)
+    assert(got.exists(_._3 == "golden") && got.exists(_._3 == "death"),
+      "probed at sf0.001: 90 golden / 90 death — both directions must fire")
+  }
+
   test("rsi: bounded, batch fold equals streaming twin, fold equals direct recurrence") {
     val b = StatefulQueries.rsiByType(spark, Sf0001).cache()
     // one row per event except each key's first
