@@ -607,6 +607,9 @@ object SparkEntry {
     // change-data-feed read over the SCD2 MERGE journal: per-version
     // insert/close deltas via an honest snapshot diff
     "scd2_cdc_feed" -> ((s, dir) => StatefulQueries.scd2CdcFeed(s, dir)),
+    // Flink-SQL temporal table join: streaming purchases against the
+    // SCD2 version valid AT EACH ROW'S OWN event time
+    "temporal_join_streaming" -> ((s, dir) => StatefulQueries.temporalJoinStreaming(s, dir)),
     // 2-D Pareto frontier via banded strictly-before running max — no
     // all-pairs dominance join
     "skyline_price_size" -> ((s, dir) => Relational.skyline2d(s, dir)),
@@ -3144,6 +3147,21 @@ object SparkEntry {
         |SELECT * FROM closes UNION ALL SELECT * FROM ins0
         |UNION ALL SELECT * FROM ins1
         |ORDER BY event_id, op""".stripMargin,
+    // each purchase joined to the user-value version valid strictly
+    // before its own event time; per-user intervals partition time so
+    // the match is unique; priorless purchases drop (inner join)
+    "temporal_join_streaming" ->
+      """WITH v AS (
+        |  SELECT user_id, value, epoch_us(ts) AS f,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.us, v.value AS as_of_value
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.f < p.us AND (v.t IS NULL OR v.t >= p.us)
+        |ORDER BY p.event_id""".stripMargin,
     // the textbook all-pairs dominance statement the banded plan avoids
     "skyline_price_size" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p

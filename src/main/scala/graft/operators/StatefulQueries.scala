@@ -1398,6 +1398,52 @@ object StatefulQueries {
     } finally dims.unpersist()
   }
 
+  /** FLINK-SQL TEMPORAL TABLE JOIN (`FOR SYSTEM_TIME AS OF a.ts`) in
+    * Spark form: each streaming probe row joins the VERSION of a
+    * dimension that was valid AT ITS OWN EVENT TIME — here purchases
+    * against the [[graft.operators.Relational.scd2UserValues]] interval
+    * history, picking the user's latest value STRICTLY BEFORE the
+    * purchase (`valid_from < us ≤ valid_to`, boundary closed on the
+    * right so a same-instant change does not see itself; per-user
+    * intervals partition time, so the match is unique — zero-width
+    * same-µs intervals can never satisfy both bounds). The stream-static
+    * interval join is STATELESS per micro-batch: the versioned dimension
+    * is computed once, persisted, and re-probed by every batch — Spark's
+    * dual of Flink keeping the temporal table in keyed state. At
+    * warehouse scale the dimension pre-buckets by user_id so each
+    * batch's join co-locates without a per-batch dim shuffle (the q6ss
+    * playbook), and the interval predicate prunes a valid_from-
+    * partitioned layout. Registered under its own as-of oracle; probed
+    * unique at all three SFs (200/1952/19790 matches, purchases without
+    * a prior version drop out of the inner join). */
+  def temporalJoinStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Relational.scd2UserValues(spark, sfDir)
+      .select(col("user_id").as("d_user"), col("value").as("as_of_value"),
+              col("valid_from_us"), col("valid_to_us"))
+      .persist()
+    dim.count() // materialize BEFORE the drain; batches hit cached blocks
+    try {
+      val copyDir = withNanosAsLong(spark) {
+        timeOrderedFilesCopy(spark, s"tempjoin:$sfDir",
+            Seq("p0.parquet", "p1.parquet")) {
+          medianIdSplit(Tables.events(spark, sfDir)
+            .filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id"),
+                    expr("ts_ns div 1000").as("us")))
+        }
+      }
+      drainOrderedFiles(spark, copyDir,
+          minBatches = replayFileCount(copyDir)) { stream =>
+        stream.join(dim,
+          col("user_id") === col("d_user") &&
+            col("valid_from_us") < col("us") &&
+            (col("valid_to_us").isNull || col("valid_to_us") >= col("us")))
+          .select(col("user_id"), col("event_id"), col("us"),
+                  col("as_of_value"))
+      }.orderBy(col("event_id"))
+    } finally dim.unpersist()
+  }
+
   /** The shared stream-stream join drain behind q23ss/q23lo: two
     * independent watermarked file streams over [[userEventsCopy]]'s
     * replay, symmetric-hash-joined under the key + two-sided time

@@ -173,6 +173,26 @@ class StreamJoinSpec extends SparkSpec {
     assert(j.filter(col("ip").isNull && col("n_pairs") =!= 0).count() === 0L)
   }
 
+  test("temporal join: each purchase reads the version valid strictly before its own time") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.operators.StatefulQueries.temporalJoinStreaming(spark, Sf0001)
+    // independent re-derivation: a RANGE frame over us (not rows — a
+    // same-µs earlier-id event must NOT be visible, matching the interval
+    // join's strict valid_from < us), latest version by (us, event_id)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val expect = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("value"), expr("ts_ns div 1000").as("us"))
+      .withColumn("prev",
+        max(struct(col("us"), col("event_id"), col("value"))).over(w))
+      .filter(col("event_type") === "purchase" && col("prev").isNotNull)
+      .select(col("user_id"), col("event_id"), col("us"),
+              col("prev.value").as("as_of_value"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("q23sj: semi join emits each matched row once — counts bounded by inner, same user set") {
     import org.apache.spark.sql.functions.col
     val semi  = graft.operators.StatefulQueries.intervalJoinStreamingSemi(spark, Sf0001)
