@@ -359,6 +359,9 @@ object SparkEntry {
     "q12ws_sliding_streaming" -> ((s, dir) => Sessionize.slidingHalfHourStream(s, dir)),
     // resample + LOCF gap-fill: dense hourly spine over the aggregate
     "q29_gapfill_locf" -> ((s, dir) => Sessionize.gapfillLocf(s, dir)),
+    // linear-interpolation resampling to the hourly grid: straight-line
+    // values between bracketing ticks via one union+window pass
+    "resample_linear_hourly" -> ((s, dir) => Sessionize.resampleLinearHourly(s, dir)),
     // the spine emitted incrementally from O(1) open-hour state; final
     // hours flushed by event-time timeout (the session-expiry contract)
     "q29s_gapfill_locf_streaming" -> ((s, dir) => Sessionize.gapfillLocfStreaming(s, dir)),
@@ -373,6 +376,9 @@ object SparkEntry {
     // categorical hypothesis test: per-cell expected counts + the ordered-
     // fold chi-square statistic and its degrees of freedom
     "chi2_type_weekday" -> ((s, dir) => Analytics.chi2TypeWeekday(s, dir)),
+    // retrospective single-changepoint CUSUM MLE per series: argmax of
+    // the exact-integer max-deviation statistic, earliest-id tie-break
+    "changepoint_by_type" -> ((s, dir) => Analytics.changepointByType(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // clickstream path mining: top-k length-3 type sequences, one user
@@ -610,6 +616,9 @@ object SparkEntry {
     // Flink-SQL temporal table join: streaming purchases against the
     // SCD2 version valid AT EACH ROW'S OWN event time
     "temporal_join_streaming" -> ((s, dir) => StatefulQueries.temporalJoinStreaming(s, dir)),
+    // Flink broadcast-state pattern: per-type flag rules RELOADED
+    // mid-stream — each batch applies the version in force when it runs
+    "dynamic_rules_streaming" -> ((s, dir) => StatefulQueries.dynamicRulesStreaming(s, dir)),
     // 2-D Pareto frontier via banded strictly-before running max — no
     // all-pairs dominance join
     "skyline_price_size" -> ((s, dir) => Relational.skyline2d(s, dir)),
@@ -3147,6 +3156,85 @@ object SparkEntry {
         |SELECT * FROM closes UNION ALL SELECT * FROM ins0
         |UNION ALL SELECT * FROM ins1
         |ORDER BY event_id, op""".stripMargin,
+    // the exact-integer max-CUSUM-deviation statistic in HUGEINT, the
+    // same earliest-id tie-break, statistic crossed via dd()
+    "changepoint_by_type" ->
+      s"""WITH e AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER w AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+        |    count(*) OVER (PARTITION BY event_type) AS nn,
+        |    sum(CAST(round(value * 100) AS BIGINT))
+        |      OVER (PARTITION BY event_type) AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (SELECT event_type, event_id,
+        |         abs(CAST(nn AS HUGEINT) * s - CAST(n AS HUGEINT) * ss)
+        |           AS stat
+        |       FROM e),
+        |mx AS (SELECT event_type, max(stat) AS m FROM st GROUP BY 1)
+        |SELECT st.event_type, min(st.event_id) AS cp_id,
+        |  ${dd("max(st.stat)")} AS stat
+        |FROM st JOIN mx ON st.event_type = mx.event_type AND st.stat = mx.m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical union + ordered-window bracketing and the identical
+    // three-op double tree; ticks sort before a same-instant grid row
+    "resample_linear_hourly" ->
+      """WITH tk AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |b AS (SELECT event_type, min(us) AS lo, max(us) AS hi
+        |      FROM tk GROUP BY 1),
+        |g0 AS (SELECT event_type,
+        |         unnest(generate_series((lo + 3599999999) // 3600000000,
+        |                                hi // 3600000000)) AS hs
+        |       FROM b),
+        |g AS (SELECT event_type, hs * 3600000000 AS us FROM g0),
+        |u AS (
+        |  SELECT event_type, us, 0 AS isg, event_id, c FROM tk
+        |  UNION ALL
+        |  SELECT event_type, us, 1 AS isg, -1 AS event_id, NULL AS c FROM g),
+        |w AS (
+        |  SELECT event_type, us, isg,
+        |    last_value(c IGNORE NULLS) OVER wb AS v0,
+        |    last_value(CASE WHEN c IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER wb AS t0,
+        |    first_value(c IGNORE NULLS) OVER wf AS v1,
+        |    first_value(CASE WHEN c IS NOT NULL THEN us END IGNORE NULLS)
+        |      OVER wf AS t1
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY us, isg, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY us, isg, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, us AS grid_us,
+        |  CAST(v0 AS DOUBLE) + CAST(v1 - v0 AS DOUBLE) *
+        |    (CAST(us - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+        |    AS interp_cents
+        |FROM w
+        |WHERE isg = 1 AND t0 IS NOT NULL AND t1 IS NOT NULL
+        |ORDER BY event_type, grid_us""".stripMargin,
+    // the median-split batch rule decides which rule version flags each
+    // row; thresholds are the same integer-cents literals the engine's
+    // versioned config store carries
+    "dynamic_rules_streaming" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+        |r(rule_version, event_type, thr_cents) AS (VALUES
+        |  (0,'view',5000),(0,'click',5000),(0,'purchase',5000),
+        |  (0,'signup',5000),(0,'error',5000),
+        |  (1,'view',3000),(1,'purchase',3000),
+        |  (1,'click',6000),(1,'signup',6000),(1,'error',6000)),
+        |e AS (SELECT CASE WHEN event_id <= (SELECT mid FROM m)
+        |               THEN 0 ELSE 1 END AS rule_version,
+        |        event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |      FROM events)
+        |SELECT CAST(e.rule_version AS BIGINT) AS rule_version, e.event_type,
+        |  count(CASE WHEN c >= thr_cents THEN 1 END) AS n_flagged,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e JOIN r USING (rule_version, event_type)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // each purchase joined to the user-value version valid strictly
     // before its own event time; per-user intervals partition time so
     // the match is unique; priorless purchases drop (inner join)

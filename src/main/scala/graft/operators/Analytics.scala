@@ -315,6 +315,41 @@ object Analytics {
     * 7 rows); marginals are aggregates of cells, the fold's collect_list
     * sees only cells — all control-plane-sized regardless of event
     * volume. */
+  /** OFFLINE CHANGE-POINT ESTIMATE per series — the retrospective
+    * complement of the sequential CUSUM detectors (cusum_by_type pages
+    * WHEN drift crosses a threshold; this answers WHERE the mean most
+    * likely shifted, the single-changepoint CUSUM MLE): the event_id
+    * maximizing |N·S_t − n_t·S_N| over the id-ordered cents prefix sums —
+    * the classic max-CUSUM-deviation statistic with the n_t/N scaling
+    * cross-multiplied away, so the whole search is EXACT integer
+    * arithmetic (prefix sums are long, the products ride DECIMAL(38,0)
+    * via (19,0) operands so Catalyst never takes the precision-loss
+    * path); ties broken to the earliest id on both engines. One exchange
+    * on the series key serves the running window, the whole-partition
+    * totals, and the argmax window; the statistic crosses to the oracle
+    * through the canonical decimal→string→double round-trip. */
+  def changepointByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val d19 = "decimal(19,0)"
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("c"))
+      .withColumn("n", row_number().over(wSeq).cast("long"))
+      .withColumn("s",
+        sum(col("c")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nn", count(lit(1)).over(wAll))
+      .withColumn("ss", sum(col("c")).over(wAll))
+      .withColumn("stat", abs(col("nn").cast(d19) * col("s").cast(d19) -
+                              col("n").cast(d19) * col("ss").cast(d19)))
+      .withColumn("mx", max(col("stat")).over(wAll))
+      .filter(col("stat") === col("mx"))
+      .groupBy(col("event_type"))
+      .agg(min(col("event_id")).as("cp_id"),
+           max(col("stat")).cast("string").cast("double").as("stat"))
+      .orderBy(col("event_type"))
+  }
+
   def chi2TypeWeekday(spark: SparkSession, sfDir: String): DataFrame = {
     val cells = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("(ts_ns div 86400000000000) % 7").as("wd"))

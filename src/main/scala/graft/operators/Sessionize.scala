@@ -850,6 +850,65 @@ object Sessionize {
       .orderBy(col("event_type"), col("hour_start"))
   }
 
+  /** LINEAR-INTERPOLATION RESAMPLING to the hourly grid — the second
+    * irregular→regular time-series bridge next to [[gapfillLocf]]'s
+    * step-function LOCF: each on-the-hour grid instant strictly inside a
+    * tick pair takes the straight-line value between its brackets —
+    * v₀ + (v₁−v₀)·(g−t₀)/(t₁−t₀) — the resampler a model-feature spine
+    * wants when the signal is a level, not an event count. Brackets are
+    * found WITHOUT a per-pair explode or an as-of join: grid rows union
+    * with the ticks and one (us, isg, event_id)-ordered window pass per
+    * type LOCFs the last tick backward (ticks sort before a same-instant
+    * grid row, so t₀ ≤ g is inclusive and a grid point ON a tick
+    * reproduces it exactly — the formula's (g−t₀)=0 path) and pulls the
+    * first strictly-later tick forward; grid points outside any bracket
+    * (before the first tick, or at/after the last) drop. Arithmetic:
+    * cents and µs gaps are exact longs (gaps < 2⁵³ so the double casts
+    * are exact); the interpolation is ONE fixed three-op double tree
+    * stated identically in the oracle (the Wilson-bounds rule). Scale:
+    * the union adds hours-per-span rows to the tape's own exchange — the
+    * window pass is the q29 spine profile, no join, no explode. */
+  def resampleLinearHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val H = 3600000000L // µs per hour
+    val tk = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("ts_ns div 1000").as("us"),
+              col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("c"))
+    val grid = tk.groupBy(col("event_type"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      // ceil/floor to on-the-hour instants inside [lo, hi]; positive µs so
+      // div is floor; guard lo-hour > hi-hour (a sub-hour span) because
+      // Spark's sequence() would happily DESCEND through it
+      .withColumn("g0", expr(s"(lo + ${H - 1}) div $H"))
+      .withColumn("g1", expr(s"hi div $H"))
+      .filter(col("g0") <= col("g1"))
+      .select(col("event_type"),
+              explode(sequence(col("g0"), col("g1"))).as("hs"))
+      .select(col("event_type"), (col("hs") * H).as("us"),
+              lit(1).as("isg"), lit(-1L).as("event_id"),
+              lit(null).cast("long").as("c"))
+    val u = tk.withColumn("isg", lit(0))
+      .select("event_type", "us", "isg", "event_id", "c")
+      .unionByName(grid)
+    val ord = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("isg"), col("event_id"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wF = ord.rowsBetween(1, Window.unboundedFollowing)
+    u.withColumn("v0", last(col("c"), ignoreNulls = true).over(wB))
+      .withColumn("t0",
+        last(when(col("c").isNotNull, col("us")), ignoreNulls = true).over(wB))
+      .withColumn("v1", first(col("c"), ignoreNulls = true).over(wF))
+      .withColumn("t1",
+        first(when(col("c").isNotNull, col("us")), ignoreNulls = true).over(wF))
+      .filter(col("isg") === 1 && col("t0").isNotNull && col("t1").isNotNull)
+      .select(col("event_type"), col("us").as("grid_us"),
+        (col("v0").cast("double") +
+          (col("v1") - col("v0")).cast("double") *
+            ((col("us") - col("t0")).cast("double") /
+             (col("t1") - col("t0")).cast("double"))).as("interp_cents"))
+      .orderBy(col("event_type"), col("grid_us"))
+  }
+
   /** [[gapfillLocf]] through the REAL micro-batch engine: the hourly spine
     * emitted incrementally from O(1) per-key state
     * ([[graft.streaming.StatefulOps.gapfillLocfStream]]) over the

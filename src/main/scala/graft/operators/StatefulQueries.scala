@@ -1398,6 +1398,83 @@ object StatefulQueries {
     } finally dims.unpersist()
   }
 
+  /** FLINK BROADCAST-STATE PATTERN — DYNAMIC RECONFIGURATION WITHOUT
+    * RESTART: a control-plane rules table (per-type flag thresholds,
+    * integer cents) UPDATES MID-STREAM and each micro-batch applies the
+    * version in force when it runs. Spark's dual of Flink broadcasting a
+    * control stream into operator state is the `foreachBatch` config
+    * poll: the rules live in a versioned store written before the drain
+    * (the external config service), each batch re-reads its version AT
+    * BATCH START and broadcast-joins it against the batch slice — the
+    * rules never touch keyed state, exactly like Flink's broadcast state
+    * never keys. Per-batch flag aggregates land in an idempotent
+    * `b=<batchId>` overwrite journal (the q12fb replay contract: a
+    * retried batch rewrites, never double-counts) and the final read
+    * re-aggregates journal rows only — sink-sized, never the tape.
+    * Version rule mirrored by the oracle: batch 0 (ids ≤ median) flags
+    * under v0's uniform 50.00 threshold, batch 1 under v1's per-type
+    * split (30.00 view/purchase, 60.00 elsewhere) — probed
+    * discriminating at all three SFs (v0≠v1 flag rates everywhere). */
+  def dynamicRulesStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val rulesDir =
+      java.nio.file.Files.createTempDirectory("graft-rules-").toString
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-rules-journal-").toString
+    try {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      import spark.implicits._
+      types.map(t => (t, 5000L)).toDF("event_type", "thr_cents")
+        .write.parquet(s"$rulesDir/v=0")
+      types.map(t =>
+          (t, if (t == "view" || t == "purchase") 3000L else 6000L))
+        .toDF("event_type", "thr_cents")
+        .write.parquet(s"$rulesDir/v=1")
+      val copyDir = withNanosAsLong(spark) {
+        timeOrderedFilesCopy(spark, s"rules:$sfDir",
+            Seq("r0.parquet", "r1.parquet")) {
+          medianIdSplit(Tables.events(spark, sfDir)
+            .select(col("event_type"), col("event_id"),
+                    expr("cast(round(value * 100) as bigint)").as("c")))
+        }
+      }
+      val nFiles = replayFileCount(copyDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(copyDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(copyDir)
+      withShuffleWidth(spark, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val v = math.min(id, 1L) // the version in force for this batch
+            // poll the config store AT BATCH START — the reload point
+            val rules = spark.read.parquet(s"$rulesDir/v=$v")
+            b.join(broadcast(rules), Seq("event_type"))
+              .groupBy(col("event_type"))
+              .agg(count(when(col("c") >= col("thr_cents"), 1))
+                     .as("n_flagged"),
+                   count(lit(1)).as("n_events"))
+              .withColumn("rule_version", lit(v))
+              .write.mode("overwrite").parquet(s"$outDir/b=$id")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.count(_.numInputRows > 0) >= nFiles,
+          s"the $nFiles-file replay did not produce $nFiles data batches")
+      }
+      spark.read.parquet(outDir)
+        .groupBy(col("rule_version"), col("event_type"))
+        .agg(sum(col("n_flagged")).as("n_flagged"),
+             sum(col("n_events")).as("n_events"))
+        .localCheckpoint() // materialize before the journal dirs vanish
+        .orderBy(col("rule_version"), col("event_type"))
+    } finally {
+      deleteRecursively(java.nio.file.Paths.get(rulesDir))
+      deleteRecursively(java.nio.file.Paths.get(outDir))
+    }
+  }
+
   /** FLINK-SQL TEMPORAL TABLE JOIN (`FOR SYSTEM_TIME AS OF a.ts`) in
     * Spark form: each streaming probe row joins the VERSION of a
     * dimension that was valid AT ITS OWN EVENT TIME — here purchases

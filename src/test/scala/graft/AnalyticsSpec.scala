@@ -33,6 +33,36 @@ class AnalyticsSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("resample linear: grid interpolations lie between their brackets and match a local recompute") {
+    val r = Sessionize.resampleLinearHourly(spark, Sf0001).cache()
+    // every grid point is on the hour
+    assert(r.filter(col("grid_us") % 3600000000L =!= 0).count() == 0)
+    // driver-side recompute from the raw ticks: for each grid point find
+    // the bracketing pair by (us, event_id) and apply the same formula
+    val ticks = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr("ts_ns div 1000").as("us"),
+              col("event_id"), expr("cast(round(value*100) as bigint)").as("c"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .groupBy(_._1).map { case (t, a) => t -> a.map(x => (x._2, x._3, x._4)).sorted }
+    val got = r.collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+    assert(got.nonEmpty)
+    for ((t, g, v) <- got) {
+      val s = ticks(t)
+      val before = s.filter(_._1 <= g)
+      val after = s.filter(_._1 > g)
+      assert(before.nonEmpty && after.nonEmpty, s"grid $g not bracketed for $t")
+      val (t0, _, v0) = before.last
+      val (t1, _, v1) = after.head
+      val expect = v0.toDouble + (v1 - v0).toDouble *
+        ((g - t0).toDouble / (t1 - t0).toDouble)
+      assert(v === expect, s"interp at ($t, $g)")
+      // and it lies within the bracket's value envelope
+      assert(v >= math.min(v0, v1).toDouble - 1e-9 &&
+             v <= math.max(v0, v1).toDouble + 1e-9)
+    }
+    r.unpersist()
+  }
+
   test("regression stats agree with Spark's built-in corr to float tolerance") {
     val r = Analytics.regressionStats(spark, Sf0001).cache()
     val builtin = graft.io.Tables.events(spark, Sf0001)
@@ -588,6 +618,32 @@ class AnalyticsSpec extends SparkSpec {
     val r0 = rows.map(_.getString(0)).distinct.length - 1
     val c0 = rows.map(_.getLong(1)).distinct.length - 1
     assert(rows.head.getLong(6) == r0.toLong * c0)
+  }
+
+  test("changepoint: argmax equals a driver-side brute force over exact integer prefix sums") {
+    val got = Analytics.changepointByType(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val series = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = series.groupBy(_._1).map { case (t, rows) =>
+      val s = rows.sortBy(_._2)
+      val nn = BigInt(s.length)
+      val ss = BigInt(s.map(_._3).sum)
+      var run = BigInt(0)
+      val stats = s.zipWithIndex.map { case ((_, id, c), i) =>
+        run += c
+        (id, (nn * run - BigInt(i + 1) * ss).abs)
+      }
+      val m = stats.map(_._2).max
+      t -> (stats.filter(_._2 == m).map(_._1).min, m.toDouble)
+    }
+    assert(got.keySet === expect.keySet)
+    for ((t, (id, s)) <- expect) {
+      assert(got(t)._1 === id, s"cp_id for $t")
+      assert(got(t)._2 === s, s"stat for $t")
+    }
   }
 
   test("user connected components equal a local union-find; isolated users are singletons") {

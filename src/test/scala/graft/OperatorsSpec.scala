@@ -114,6 +114,24 @@ class OperatorsSpec extends SparkSpec {
       graft.io.Tables.events(spark, Sf0001).count())
   }
 
+  test("dynamic rules: both versions applied, reload observably changes the flag rule") {
+    val r = graft.operators.StatefulQueries.dynamicRulesStreaming(spark, Sf0001).cache()
+    val ev = graft.io.Tables.events(spark, Sf0001)
+    // both rule versions ran, and together they saw the whole tape once
+    assert(r.select("rule_version").distinct().count() === 2L)
+    assert(r.agg(sum(col("n_events"))).head().getLong(0) === ev.count())
+    // the reload is observable: under v1 the view/purchase threshold
+    // DROPPED (50.00 -> 30.00) so their flag RATE must exceed v0's, and
+    // the raised types (60.00) must flag at a lower rate than v0's
+    val rates = r.collect().map(x => (x.getLong(0), x.getString(1)) ->
+      (x.getLong(2).toDouble / x.getLong(3))).toMap
+    for (t <- Seq("view", "purchase"))
+      assert(rates((1L, t)) > rates((0L, t)), s"lowered threshold must flag more: $t")
+    for (t <- Seq("click", "signup", "error"))
+      assert(rates((1L, t)) < rates((0L, t)), s"raised threshold must flag less: $t")
+    r.unpersist()
+  }
+
   test("skyline: banded running-max frontier equals the all-pairs dominance definition") {
     val sky = Relational.skyline2d(spark, Sf0001)
     val part = graft.io.Tables.part(spark, Sf0001)
