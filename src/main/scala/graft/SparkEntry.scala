@@ -226,6 +226,9 @@ object SparkEntry {
     // one streaming query over a two-batch doc_id-ordered replay
     "curation_manifest_streaming" -> ((s, dir) => Pipeline.curationManifestStream(s, dir)),
     "tfidf_top_terms"  -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
+    // the hashing trick: vocabulary-free fixed-width featurizer — token
+    // hash mod 64 slots, per-doc counts, no fit pass at any scale
+    "feature_hash_vectors" -> ((s, dir) => TextOps.featureHashVectors(s, dir)),
     "pack_assign"      -> ((s, dir) => TextOps.packAssign(s, dir)),
     // packing with document SPLITTING: per-(doc, pack) token spans
     "pack_segments"    -> ((s, dir) => TextOps.packSegments(s, dir)),
@@ -613,6 +616,9 @@ object SparkEntry {
     // change-data-feed read over the SCD2 MERGE journal: per-version
     // insert/close deltas via an honest snapshot diff
     "scd2_cdc_feed" -> ((s, dir) => StatefulQueries.scd2CdcFeed(s, dir)),
+    // BITEMPORAL: the values BELIEVED (journal v0, transaction time)
+    // valid AT the cut (valid time) — training-run reproducibility
+    "scd2_bitemporal_snapshot" -> ((s, dir) => StatefulQueries.scd2BitemporalSnapshot(s, dir)),
     // Flink-SQL temporal table join: streaming purchases against the
     // SCD2 version valid AT EACH ROW'S OWN event time
     "temporal_join_streaming" -> ((s, dir) => StatefulQueries.temporalJoinStreaming(s, dir)),
@@ -3156,6 +3162,29 @@ object SparkEntry {
         |SELECT * FROM closes UNION ALL SELECT * FROM ins0
         |UNION ALL SELECT * FROM ins1
         |ORDER BY event_id, op""".stripMargin,
+    // transaction time = batch 0 of the median-split journal (ids <= mid,
+    // the same batch rule as scd2_cdc_feed); valid time = the asof cut
+    "scd2_bitemporal_snapshot" ->
+      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
+        |cut AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c
+        |        FROM events),
+        |v0 AS (SELECT user_id, event_id, value, epoch_us(ts) AS f,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS t
+        |       FROM events WHERE event_id <= (SELECT mid FROM m))
+        |SELECT user_id, event_id, value, f AS valid_from_us,
+        |       (SELECT c FROM cut) AS cut_us
+        |FROM v0
+        |WHERE f <= (SELECT c FROM cut)
+        |  AND (t IS NULL OR t > (SELECT c FROM cut))
+        |ORDER BY user_id""".stripMargin,
+    // the identical polynomial token hash and slot rule (hash mod P is
+    // non-negative, so % agrees between engines)
+    "feature_hash_vectors" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokenHashesSql) AS th
+        |           FROM documents)
+        |SELECT doc_id, th % 64 AS slot, CAST(count(*) AS BIGINT) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the exact-integer max-CUSUM-deviation statistic in HUGEINT, the
     // same earliest-id tie-break, statistic crossed via dd()
     "changepoint_by_type" ->

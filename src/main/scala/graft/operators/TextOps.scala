@@ -700,6 +700,24 @@ object TextOps {
   def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
     tfidfTopTermsOf(documentsFor(spark, sfDir), k)
 
+  /** FEATURE HASHING (the hashing trick, Weinberger 2009) — the
+    * vocabulary-free featurizer a linear model or a quick quality probe
+    * runs at corpus scale: token → fixed slot `hash % dim`, per-doc slot
+    * counts. The whole point at 100 TB is what it REMOVES — no vocabulary
+    * pass, no fit step, no dictionary broadcast, constant output width
+    * regardless of corpus; collisions are the accepted trade and the slot
+    * space is sized by the caller. One explode + one map-side-combinable
+    * groupBy over the codegen'd [[graft.functions]] token hashes (mod P,
+    * non-negative by construction, so `%` agrees between engines); the
+    * oracle states the identical polynomial hash and slot rule. */
+  def featureHashVectors(spark: SparkSession, sfDir: String,
+                         dim: Int = 64): DataFrame =
+    documentsFor(spark, sfDir)
+      .select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))
+      .groupBy(col("doc_id"), (col("th") % dim).as("slot"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("slot"))
+
   def tfidfTopTermsOf(d: DataFrame, k: Int = 3): DataFrame = {
     val docs = d.select(col("doc_id"), col("text"))
     val tf = docs.select(col("doc_id"), explode(tokenHashes(col("text"))).as("th"))

@@ -60,6 +60,24 @@ class Scd2UpsertSpec extends SparkSpec {
     assert(a.exceptAll(u).count() == 0 && u.exceptAll(a).count() == 0)
   }
 
+  test("bitemporal snapshot: belief revisions exist and untouched users agree with the final as-of") {
+    val bt = StatefulQueries.scd2BitemporalSnapshot(spark, Sf0001)
+      .select(col("user_id"), col("event_id").as("bt_ev"))
+    val af = StatefulQueries.scd2UpsertSnapshot(spark, Sf0001)
+      .select(col("user_id"), col("event_id").as("af_ev"))
+    // both snapshot every user active by the cut
+    assert(bt.count() === af.count())
+    val j = bt.join(af, "user_id").cache()
+    // BELIEF REVISIONS are the point: some users' believed-at-v0 row
+    // differs from the final-knowledge row (probed: 10 of 15 at sf0.001)
+    val revised = j.filter(col("bt_ev") =!= col("af_ev")).count()
+    assert(revised > 0, "no belief revision — the bitemporal axis is vacuous here")
+    // and NOT everyone revised: the agreeing users pin that the two
+    // snapshots share the identical valid-time cut rule
+    assert(j.filter(col("bt_ev") === col("af_ev")).count() > 0)
+    j.unpersist()
+  }
+
   test("cdc feed replay reconstructs the maintained table (global lead intervals)") {
     val feed = StatefulQueries.scd2CdcFeed(spark, Sf0001)
     val inserts = feed.filter(col("op") === "insert").drop("op")
