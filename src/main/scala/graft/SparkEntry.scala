@@ -331,6 +331,9 @@ object SparkEntry {
     // integer cross-moments, map-side-combined pair partials, 64-row
     // diagonal broadcast — the whitening/PCA-prep statistic
     "embedding_cov_matrix" -> ((s, dir) => Similarity.covMatrix(s, dir)),
+    // no-training dimension reduction: deterministic ±1 sign projection
+    // (Johnson-Lindenstrauss), exact integer sums on the quantized grid
+    "embedding_jl_projection" -> ((s, dir) => Similarity.jlRandomProjection(s, dir)),
     // contrastive (anchor, positive, hard-negative) mining: positives from
     // the label cell, hard negatives from LSH bucket collisions
     "contrastive_triplets" -> ((s, dir) => Similarity.contrastiveTriplets(s, dir)),
@@ -382,6 +385,9 @@ object SparkEntry {
     // retrospective single-changepoint CUSUM MLE per series: argmax of
     // the exact-integer max-deviation statistic, earliest-id tie-break
     "changepoint_by_type" -> ((s, dir) => Analytics.changepointByType(s, dir)),
+    // experimentation readout: id-parity arms, heavy-purchaser success,
+    // pooled two-proportion z in one fixed double tree
+    "ab_test_ztest" -> ((s, dir) => Analytics.abTestZtest(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // clickstream path mining: top-k length-3 type sequences, one user
@@ -3162,6 +3168,53 @@ object SparkEntry {
         |SELECT * FROM closes UNION ALL SELECT * FROM ins0
         |UNION ALL SELECT * FROM ins1
         |ORDER BY event_id, op""".stripMargin,
+    // the identical Knuth-hash sign matrix and quantized integer sums;
+    // DuckDB lists are 1-based where Spark arrays are 0-based, hence the
+    // qv[i+1] shift on this side only
+    "embedding_jl_projection" ->
+      """WITH kv AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |q AS (SELECT vec_id,
+        |        list_transform(vec, x -> CAST(round(x * 1048576) AS BIGINT)) AS qv
+        |      FROM kv),
+        |p AS (SELECT vec_id,
+        |        list_transform(range(16), j ->
+        |          list_reduce(list_transform(range(64), i ->
+        |            (CASE WHEN ((i * 16 + j) * 2654435761) % 4294967296
+        |                       // 65536 % 2 = 0
+        |                  THEN 1 ELSE -1 END) * qv[i + 1]),
+        |            (a, b) -> a + b)) AS y
+        |      FROM q),
+        |e AS (SELECT vec_id, CAST(r.range AS BIGINT) AS dim,
+        |        y[CAST(r.range AS INT) + 1] AS yq
+        |      FROM p, range(16) r)
+        |SELECT vec_id, dim, CAST(yq AS BIGINT) AS yq,
+        |       CAST(yq AS DOUBLE) / 1048576.0 AS y
+        |FROM e ORDER BY vec_id, dim""".stripMargin,
+    // arm counts off one user aggregate; the z tree is stated with the
+    // identical association as the Spark side
+    "ab_test_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) * 5
+        |              > count(*) THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |  CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN arm = 0 THEN conv END) AS BIGINT) AS c0,
+        |  CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN arm = 1 THEN conv END) AS BIGINT) AS c1
+        |  FROM u)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS lift,
+        |  (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+        |    - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |  / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |         * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+        |         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
+        |FROM a""".stripMargin,
     // transaction time = batch 0 of the median-split journal (ids <= mid,
     // the same batch rule as scd2_cdc_feed); valid time = the asof cut
     "scd2_bitemporal_snapshot" ->

@@ -315,6 +315,42 @@ object Analytics {
     * 7 rows); marginals are aggregates of cells, the fold's collect_list
     * sees only cells — all control-plane-sized regardless of event
     * volume. */
+  /** A/B TWO-PROPORTION Z-TEST — the experimentation readout: users
+    * split into arms by id parity (arms must be CONCURRENT, so the split
+    * is a user property, never a time cut), per-user success = the
+    * heavy-purchaser predicate `purchases·5 > events` (cross-multiplied
+    * exact integers — the probe showed plain ≥1-purchase conversion
+    * saturates at 100% on this corpus, a vacuous metric), then the
+    * pooled two-proportion z on the arm counts. Counts are exact longs
+    * off ONE user-keyed aggregate; the rates, lift, and z are a single
+    * fixed double tree stated identically in the oracle (the Wilson-
+    * bounds rule: identical association ⟹ bit-equal). Scale: user agg
+    * partial-aggregates map-side; the arm rollup is 2 rows. */
+  def abTestZtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(when(col("event_type") === "purchase", 1)).as("np"),
+           count(lit(1)).as("n"))
+      .select((col("user_id") % 2).as("arm"),
+              (col("np") * 5 > col("n")).cast("long").as("conv"))
+    val arms = u.groupBy(col("arm"))
+      .agg(count(lit(1)).as("nu"), sum(col("conv")).as("nc"))
+    val one = arms.agg(
+      sum(when(col("arm") === 0, col("nu"))).as("n0"),
+      sum(when(col("arm") === 0, col("nc"))).as("c0"),
+      sum(when(col("arm") === 1, col("nu"))).as("n1"),
+      sum(when(col("arm") === 1, col("nc"))).as("c1"))
+    val p0 = col("c0").cast("double") / col("n0").cast("double")
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val pp = (col("c0") + col("c1")).cast("double") /
+      (col("n0") + col("n1")).cast("double")
+    one.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      p0.as("p0"), p1.as("p1"), (p1 - p0).as("lift"),
+      ((p0 - p1) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0").cast("double") +
+         lit(1.0) / col("n1").cast("double")))).as("z"))
+  }
+
   /** OFFLINE CHANGE-POINT ESTIMATE per series — the retrospective
     * complement of the sequential CUSUM detectors (cusum_by_type pages
     * WHEN drift crosses a threshold; this answers WHERE the mean most

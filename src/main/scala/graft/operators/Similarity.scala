@@ -1287,6 +1287,38 @@ object Similarity {
     * than ±inf. Output stays FLAT (vec_id, dim, z): a reassembled array
     * would hash per-row, this hashes per-component — and downstream
     * consumers (the ANN family) take either shape. */
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION (sign/Achlioptas variant) —
+    * the NO-TRAINING dimension reducer completing the embedding family:
+    * PQ and IVF need a codebook fit; a ±1 sign projection needs only a
+    * hash, making it the first-resort 100 TB sketch (project once on
+    * ingest, keep 16 of 64 dims, distances survive to ~1/√k). Everything
+    * is DETERMINISTIC and exact: the matrix entry for cell (i,j) is the
+    * parity of bit 16 of Knuth's multiplicative hash
+    * ((i·16+j)·2654435761 mod 2³²) — stated as the same integer
+    * arithmetic in the oracle; inputs quantize to the [[ScaleQuantum]]
+    * integer grid so each output coordinate is an ORDER-FREE exact
+    * integer sum (the dimStats discipline), floated only by the final
+    * constant divide. Plan: one whole-stage-codegen'd higher-order
+    * `transform`/`aggregate` per row — no explode, no shuffle beyond the
+    * output sort; fan-out is the fixed 16-coordinate array. */
+  def jlRandomProjection(spark: SparkSession, sfDir: String,
+                         outDims: Int = 16): DataFrame = {
+    val d = 64
+    val q = s"transform(cast(embedding as array<double>), x -> cast(round(x * ${ScaleQuantum.toLong}) as bigint))"
+    val sign = s"(CASE WHEN ((i * $outDims + j) * 2654435761L) % 4294967296L div 65536 % 2 = 0 THEN 1L ELSE -1L END)"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(q).as("qv"))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, ${outDims - 1}), j ->
+                   aggregate(sequence(0, ${d - 1}), 0L,
+                             (acc, i) -> acc + $sign * qv[i]))""")
+          .as("y"))
+      .select(col("vec_id"), posexplode(col("y")).as(Seq("dim", "yq")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("yq"),
+              (col("yq").cast("double") / lit(ScaleQuantum)).as("y"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   def standardizeSample(spark: SparkSession, sfDir: String): DataFrame = {
     val stats = dimStats(spark, sfDir).select(col("dim"), col("mean"), col("std"))
     Tables.embeddings(spark, sfDir)

@@ -620,6 +620,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getLong(6) == r0.toLong * c0)
   }
 
+  test("jl projection: norms preserved in expectation (the JL property) and dims balanced") {
+    val p = graft.operators.Similarity.jlRandomProjection(spark, Sf0001).cache()
+    val k = 16
+    assert(p.select("dim").distinct().count() === k.toLong)
+    // E[||y||^2 / k] = ||x||^2 for a +/-1 sign projection: the CORPUS mean
+    // ratio must land near 1 (per-vector variance ~ sqrt(2/k) is too wide
+    // to pin, the mean over 500 vectors is not)
+    val py = p.groupBy(col("vec_id"))
+      .agg((sum(col("y") * col("y")) / k).as("y2"))
+    val px = graft.io.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"),
+        expr("aggregate(cast(embedding as array<double>), 0.0D, (a, x) -> a + x * x)").as("x2"))
+    val ratio = py.join(px, "vec_id")
+      .agg(avg(col("y2") / col("x2"))).head().getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2, s"JL mean norm ratio $ratio out of band")
+    // the deterministic sign matrix is roughly balanced (a degenerate
+    // all-plus matrix would also pass the ratio test via cancellation luck)
+    val signs = (0 until 64).flatMap(i => (0 until 16).map(j =>
+      if ((((i * 16 + j).toLong * 2654435761L) % 4294967296L) / 65536 % 2 == 0) 1 else 0))
+    assert(signs.sum > 410 && signs.sum < 614, s"sign matrix unbalanced: ${signs.sum}/1024")
+    p.unpersist()
+  }
+
+  test("ab test: arm counts reconcile and the z readout is finite on interior rates") {
+    val r = graft.operators.Analytics.abTestZtest(spark, Sf0001).head()
+    val users = graft.io.Tables.events(spark, Sf0001)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) === users)
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2))
+    // heavy-purchaser rates are interior at this SF (probed 4/8 vs 4/7),
+    // so the pooled z is a finite number and lift = p1 - p0 exactly
+    assert(!r.getDouble(7).isNaN && !r.getDouble(7).isInfinite)
+    assert(r.getDouble(6) === r.getDouble(5) - r.getDouble(4))
+  }
+
   test("changepoint: argmax equals a driver-side brute force over exact integer prefix sums") {
     val got = Analytics.changepointByType(spark, Sf0001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
