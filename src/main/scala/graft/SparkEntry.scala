@@ -388,6 +388,33 @@ object SparkEntry {
     // experimentation readout: id-parity arms, heavy-purchaser success,
     // pooled two-proportion z in one fixed double tree
     "ab_test_ztest" -> ((s, dir) => Analytics.abTestZtest(s, dir)),
+    // survival analysis: Nelson-Aalen cumulative hazard over customer
+    // order lifetimes, ppm-quantized increments so the running sum is
+    // an exact integer fold
+    "survival_nelson_aalen" -> ((s, dir) => Analytics.survivalNelsonAalen(s, dir)),
+    // revenue-inequality Gini via the banded two-level rank (no global
+    // sort); exact decimal moments crossed once to double
+    "revenue_gini" -> ((s, dir) => Analytics.revenueGini(s, dir)),
+    // privacy admission gate: k-anonymity class sizes + l-diversity of
+    // the sensitive attribute over the quasi-identifier tuple
+    "k_anonymity_report" -> ((s, dir) => Analytics.kAnonymityReport(s, dir)),
+    // ANALYZE-style one-scan numeric column profile (stack unpivot,
+    // exact NDVs planned as a single expand)
+    "column_stats_profile" -> ((s, dir) => Relational.columnStatsProfile(s, dir)),
+    // mid-frequency-band inverted-index postings, df band + cap stated
+    // in the oracle
+    "inverted_index_postings" -> ((s, dir) => TextOps.invertedIndexPostings(s, dir)),
+    // RAG hybrid retrieval: BM25 ⊕ dense-cosine rankings fused by
+    // reciprocal rank (no score calibration across retrievers)
+    "hybrid_rrf_topk" -> ((s, dir) => Similarity.hybridRrfTopK(s, dir)),
+    // DeepWalk input: hash-deterministic walks over the user graph,
+    // one frontier equi-join per step
+    "random_walks_users" -> ((s, dir) => Analytics.randomWalksUsers(s, dir)),
+    // grouped k-fold CV assignment summary (leak-free by construction)
+    "cv_fold_assign" -> ((s, dir) => Analytics.cvFoldAssign(s, dir)),
+    // funnel latency: first-view → first-subsequent-purchase delay
+    // histogram in exact integer microseconds
+    "funnel_time_to_convert" -> ((s, dir) => Analytics.funnelTimeToConvert(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // clickstream path mining: top-k length-3 type sequences, one user
@@ -1351,6 +1378,19 @@ object SparkEntry {
          |       (n_ngrams - n_distinct) * ${TextOps.RepetitionDupDenom}
          |        >= n_ngrams) AS BIGINT) AS is_repetitive
          |FROM m ORDER BY doc_id""".stripMargin,
+    // mid-frequency posting lists: df band [5,40] and 32-posting cap are
+    // part of the contract; exploded row form, doc_id-ascending positions
+    "inverted_index_postings" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |pr AS (SELECT DISTINCT doc_id, unnest(ths) AS th FROM t),
+         |dfb AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM pr
+         |        GROUP BY th HAVING count(*) BETWEEN 5 AND 40),
+         |po AS (SELECT pr.th, dfb.df, CAST(row_number() OVER (
+         |         PARTITION BY pr.th ORDER BY pr.doc_id) AS BIGINT) AS pos,
+         |         pr.doc_id
+         |       FROM pr JOIN dfb ON pr.th = dfb.th)
+         |SELECT th, df, pos, doc_id FROM po WHERE pos <= 32
+         |ORDER BY th, pos""".stripMargin,
     "sample_weighted_systematic" ->
       s"""WITH d AS (SELECT doc_id, lang, source,
          |  CASE WHEN text IS NULL THEN 0
@@ -3215,6 +3255,196 @@ object SparkEntry {
         |         * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
         |         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
         |FROM a""".stripMargin,
+    // right-censoring at horizon-90d; hazard increments ppm-quantized so
+    // the cumulative hazard is an exact integer running sum (no float Σ)
+    "survival_nelson_aalen" ->
+      """WITH s AS (SELECT o_custkey,
+        |    min(epoch_us(date_trunc('day', o_orderdate)) // 86400000000) AS fst,
+        |    max(epoch_us(date_trunc('day', o_orderdate)) // 86400000000) AS lst
+        |  FROM orders GROUP BY o_custkey),
+        |h AS (SELECT max(lst) AS hz FROM s),
+        |lt AS (SELECT lst - fst AS t,
+        |         CASE WHEN lst < (SELECT hz FROM h) - 90 THEN 1 ELSE 0 END AS ev
+        |       FROM s),
+        |bt AS (SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+        |         CAST(sum(ev) AS BIGINT) AS d
+        |       FROM lt GROUP BY t),
+        |w AS (SELECT t, d, leaving - d AS c,
+        |        CAST(sum(leaving) OVER (ORDER BY t
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |          AS n_risk
+        |      FROM bt),
+        |hp AS (SELECT t, n_risk, d, c,
+        |         CAST(round(1000000.0 * CAST(d AS DOUBLE)
+        |              / CAST(n_risk AS DOUBLE)) AS BIGINT) AS hazard_ppm
+        |       FROM w)
+        |SELECT t, n_risk, d, c, hazard_ppm,
+        |  CAST(sum(hazard_ppm) OVER (ORDER BY t) AS BIGINT) AS cum_hazard_ppm
+        |FROM hp ORDER BY t""".stripMargin,
+    // rank formula over ascending cents (custkey tie-break); exact HUGEINT
+    // moments crossed to double through the canonical string round-trip
+    "revenue_gini" ->
+      """WITH x AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey)
+        |        AS BIGINT) AS rnk FROM x),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(cents AS HUGEINT)) AS sx,
+        |        sum(CAST(rnk AS HUGEINT) * CAST(cents AS HUGEINT)) AS srx
+        |      FROM r)
+        |SELECT n, CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS total_cents,
+        |  CAST(CAST(2*srx - (n+1)*sx AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(n*sx AS VARCHAR) AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
+    // quasi-ids (nation, segment); sensitive attr = in-debt flag; k = 10
+    "k_anonymity_report" ->
+      """WITH cl AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS l_div
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(sz) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS classes_below_k,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  CAST(round(1000000.0
+        |      * CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(sz) AS DOUBLE)) AS BIGINT) AS risk_ppm,
+        |  CAST(min(l_div) AS BIGINT) AS min_l_diversity
+        |FROM cl""".stripMargin,
+    // dates profile as epoch day numbers; every stat double-exact
+    "column_stats_profile" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey AS DOUBLE) AS l_orderkey,
+        |    CAST(l_partkey AS DOUBLE) AS l_partkey,
+        |    CAST(l_suppkey AS DOUBLE) AS l_suppkey,
+        |    CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |    CAST(l_discount AS DOUBLE) AS l_discount,
+        |    CAST(epoch_us(date_trunc('day', l_shipdate)) // 86400000000
+        |      AS DOUBLE) AS l_shipdate
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(l_orderkey) AS BIGINT) AS c1, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1, min(l_orderkey) AS mn1, max(l_orderkey) AS mx1,
+        |  CAST(count(l_partkey) AS BIGINT) AS c2, CAST(count(DISTINCT l_partkey) AS BIGINT) AS d2, min(l_partkey) AS mn2, max(l_partkey) AS mx2,
+        |  CAST(count(l_suppkey) AS BIGINT) AS c3, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d3, min(l_suppkey) AS mn3, max(l_suppkey) AS mx3,
+        |  CAST(count(l_quantity) AS BIGINT) AS c4, CAST(count(DISTINCT l_quantity) AS BIGINT) AS d4, min(l_quantity) AS mn4, max(l_quantity) AS mx4,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS c5, CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS d5, min(l_extendedprice) AS mn5, max(l_extendedprice) AS mx5,
+        |  CAST(count(l_discount) AS BIGINT) AS c6, CAST(count(DISTINCT l_discount) AS BIGINT) AS d6, min(l_discount) AS mn6, max(l_discount) AS mx6,
+        |  CAST(count(l_shipdate) AS BIGINT) AS c7, CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d7, min(l_shipdate) AS mn7, max(l_shipdate) AS mx7
+        |  FROM li)
+        |SELECT 'l_orderkey' AS column_name, n AS n_rows, n - c1 AS n_nulls, d1 AS ndv, mn1 AS min_val, mx1 AS max_val FROM a
+        |UNION ALL SELECT 'l_partkey', n, n - c2, d2, mn2, mx2 FROM a
+        |UNION ALL SELECT 'l_suppkey', n, n - c3, d3, mn3, mx3 FROM a
+        |UNION ALL SELECT 'l_quantity', n, n - c4, d4, mn4, mx4 FROM a
+        |UNION ALL SELECT 'l_extendedprice', n, n - c5, d5, mn5, mx5 FROM a
+        |UNION ALL SELECT 'l_discount', n, n - c6, d6, mn6, mx6 FROM a
+        |UNION ALL SELECT 'l_shipdate', n, n - c7, d7, mn7, mx7 FROM a
+        |ORDER BY column_name""".stripMargin,
+    // same hash→fold map as split_grouped_leakfree, k = 5
+    "cv_fold_assign" ->
+      """WITH pu AS (SELECT
+        |    ((coalesce(user_id, 1000000006) % 1000000007) * 2654435761)
+        |      % 1000000007 % 5 AS fold,
+        |    user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pu)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(round(1000000.0 * CAST(sum(n) AS DOUBLE)
+        |       / CAST((SELECT n_total FROM t) AS DOUBLE)) AS BIGINT)
+        |    AS row_share_ppm
+        |FROM pu GROUP BY fold ORDER BY fold""".stripMargin,
+    // first view → first at-or-after purchase; 10-minute integer bins
+    "funnel_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |fv AS (SELECT user_id, min(us) AS fv FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT ev.user_id, fv.fv, min(ev.us) AS fp
+        |       FROM ev JOIN fv USING (user_id)
+        |       WHERE ev.event_type = 'purchase' AND ev.us >= fv.fv
+        |       GROUP BY 1, 2),
+        |d AS (SELECT (fp - fv) // 600000000 AS bin, fp - fv AS delay_us FROM fp)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(delay_us) AS BIGINT) AS min_delay_us,
+        |  CAST(max(delay_us) AS BIGINT) AS max_delay_us
+        |FROM d GROUP BY bin ORDER BY bin""".stripMargin,
+    // hash-deterministic 3-step walks: next hop = adjacency rank
+    // hash(node, step) mod degree + 1 over dst-ascending neighbors
+    "random_walks_users" -> {
+      val head =
+        """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+          |    epoch_us(ts) // 60000000 AS w FROM events),
+          |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+          |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+          |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM ce
+          |  UNION ALL SELECT v, u FROM ce),
+          |adj AS MATERIALIZED (SELECT src, dst,
+          |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rn,
+          |  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
+          |f0 AS (SELECT DISTINCT user_id AS start, user_id AS node FROM events)"""
+          .stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""f$i AS (SELECT f${i - 1}.start, adj.dst AS node
+           |  FROM f${i - 1} JOIN adj ON adj.src = f${i - 1}.node
+           |  AND adj.rn = ((((f${i - 1}.node % 1000000007) * 2654435761 + $i)
+           |                 % 1000000007) % adj.deg) + 1)""".stripMargin
+      }.mkString(",\n")
+      val emits = (0 to 3).map(i =>
+        s"SELECT start, CAST($i AS BIGINT) AS step, node FROM f$i")
+        .mkString("\nUNION ALL ")
+      s"$head,\n$steps\n$emits\nORDER BY start, step"
+    },
+    // RRF fusion: lexical = the bm25_topdocs pipeline at depth 101 minus
+    // the query doc; dense = brute cosine vs vec 0 at depth 100; missing
+    // ranks carry sentinel 0 and contribute nothing
+    "hybrid_rrf_topk" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tk AS (SELECT doc_id, unnest(ths) AS th FROM t),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+         |dfq AS (SELECT th, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY th),
+         |q AS (SELECT DISTINCT unnest($tokenHashesSql) AS th FROM documents WHERE doc_id = 0),
+         |s AS (SELECT tf.doc_id,
+         |   (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+         |     / (CAST(dfq.df AS DOUBLE) + 0.5) AS idf,
+         |   (CAST(tf.tf AS DOUBLE) * 2.2)
+         |     / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+         |        (CAST(dl.dl AS DOUBLE)
+         |          / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS tfn
+         | FROM (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tk JOIN q USING (th) GROUP BY doc_id, th) tf
+         | JOIN dfq USING (th) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |sc AS (SELECT doc_id, CAST(SUM(CAST(idf * tfn AS DECIMAL(28,12))) AS DOUBLE) AS score
+         |       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 101),
+         |lex AS (SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS BIGINT) AS lex_rank FROM sc WHERE doc_id <> 0)
+         |  WHERE lex_rank <= 100),
+         |qv AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
+         |dc AS (SELECT e.vec_id AS doc_id,
+         |        ${cosineSql("qv.q_vec", "e.embedding::DOUBLE[]")} AS cos
+         |       FROM embeddings e, qv WHERE e.vec_id <> 0),
+         |dtop AS (SELECT doc_id, cos FROM dc ORDER BY cos DESC, doc_id LIMIT 100),
+         |den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+         |          AS BIGINT) AS dense_rank FROM dtop),
+         |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+         |        coalesce(lex.lex_rank, 0) AS lex_rank,
+         |        coalesce(den.dense_rank, 0) AS dense_rank,
+         |        (CASE WHEN lex.lex_rank IS NULL THEN 0.0
+         |              ELSE 1.0 / (60.0 + CAST(lex.lex_rank AS DOUBLE)) END
+         |         + CASE WHEN den.dense_rank IS NULL THEN 0.0
+         |                ELSE 1.0 / (60.0 + CAST(den.dense_rank AS DOUBLE)) END) AS rrf
+         |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+         |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+         |  CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     // transaction time = batch 0 of the median-split journal (ids <= mid,
     // the same batch rule as scd2_cdc_feed); valid time = the asof cut
     "scd2_bitemporal_snapshot" ->

@@ -1105,4 +1105,252 @@ object Analytics {
               col("med"), col("mad"), col("dev"))
       .orderBy(col("event_type"), col("day"))
   }
+
+  /** NELSON-AALEN cumulative-hazard table over customer order lifetimes —
+    * the survival-analysis face of the analytics family (churn: "what
+    * fraction of customers are still ordering after t days?"). Subjects
+    * are ordering customers; observed lifetime = days between first and
+    * last order; a subject is an EVENT (churned) if its last order
+    * precedes the corpus horizon by more than `censorDays`, else CENSORED
+    * at its observed lifetime — the standard right-censoring rule, stated
+    * identically in the oracle. Per distinct lifetime t the table carries
+    * the risk set n(t) = subjects with lifetime ≥ t, events d(t),
+    * censorings c(t), the hazard increment d/n, and the running
+    * Nelson-Aalen estimate Ĥ(t) = Σ_{s≤t} d(s)/n(s).
+    *
+    * Numerics: n/d/c are exact longs off integer day arithmetic (the
+    * shipLatency dayNum rule); each hazard increment is ONE correctly-
+    * rounded double division quantized to integer PPM (the idf-ppm
+    * precedent), so the cumulative hazard is an exact integer running sum
+    * — order-free, immune to the cross-engine float-summation divergence
+    * a double Σ d/n would hit (DuckDB evaluates running windows through
+    * a segment tree whose association differs from Spark's sequential
+    * frame).
+    *
+    * Scale shape: one map-side-combinable groupBy collapses orders to a
+    * subject table (customer-sized), a second collapses subjects to the
+    * lifetime-day domain (bounded by the corpus day span — control-plane
+    * sized), and the risk-set/cumulative windows run over that bounded
+    * frame only. The horizon is a 1-row broadcast. */
+  def survivalNelsonAalen(spark: SparkSession, sfDir: String,
+                          censorDays: Long = 90L): DataFrame = {
+    val DayUs = 86400000000L
+    def dayNum(c: String) = expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
+    val subj = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), dayNum("o_orderdate").as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("fst"), max(col("d")).as("lst"))
+    val horizon = subj.agg(max(col("lst")).as("hz"))
+    val lifetimes = subj.crossJoin(broadcast(horizon))
+      .select((col("lst") - col("fst")).as("t"),
+        (col("lst") < col("hz") - lit(censorDays)).cast("long").as("ev"))
+    val byT = lifetimes.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("leaving"),
+           sum(col("ev")).cast("long").as("d"))
+      .withColumn("c", col("leaving") - col("d"))
+    val ordT = Window.orderBy(col("t"))
+    byT
+      .withColumn("n_risk",
+        sum(col("leaving")).over(
+          ordT.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("hazard_ppm",
+        round(lit(1000000.0) * col("d").cast("double") /
+              col("n_risk").cast("double")).cast("bigint"))
+      .withColumn("cum_hazard_ppm",
+        sum(col("hazard_ppm")).over(
+          ordT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+              col("hazard_ppm"), col("cum_hazard_ppm"))
+      .orderBy(col("t"))
+  }
+
+  /** EXACT GINI COEFFICIENT of customer revenue — the inequality summary
+    * behind every "top x% of customers drive y% of revenue" claim, computed
+    * by the rank formula G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over
+    * ascending revenue cents (ties broken by custkey — a deterministic
+    * total order both engines state identically).
+    *
+    * Scale shape: the global ascending RANK is built WITHOUT a global sort
+    * by the [[Relational.paretoPartsAbcScalable]] two-level banding —
+    * band = cents div bandWidth is a pure value function that preserves
+    * order between bands, so rank = (count of rows in lower bands,
+    * broadcast from a band-count-sized offset table) + (row_number within
+    * the band). Σ rank·x rides DECIMAL(38,0) via (19,0) operands (the
+    * changepoint precedent — never Catalyst's precision-loss path);
+    * the final Gini is one division of two exact decimals crossed to
+    * double through the canonical string round-trip. */
+  def revenueGini(spark: SparkSession, sfDir: String,
+                  bandWidth: Long = 2000000L): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val x = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("v"))
+      .groupBy(col("o_custkey")).agg(sum(col("v")).as("cents"))
+      .withColumn("chk", expr(s"cents div $bandWidth"))
+    val wIn = Window.partitionBy(col("chk"))
+      .orderBy(col("cents"), col("o_custkey"))
+    val inBand = x.withColumn("rn", row_number().over(wIn).cast("long"))
+    val wOff = Window.orderBy(col("chk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = x.groupBy(col("chk")).agg(count(lit(1)).cast("long").as("nb"))
+      .withColumn("off", coalesce(sum(col("nb")).over(wOff), lit(0L)))
+      .select(col("chk"), col("off"))
+    val ranked = inBand.join(broadcast(offs), "chk")
+      .select(col("cents"), (col("rn") + col("off")).as("rank"))
+    val agg = ranked.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("cents").cast(d19)).as("sx"),
+      sum(col("rank").cast(d19) * col("cents").cast(d19)).as("srx"))
+    agg.select(col("n"),
+      col("sx").cast("string").cast("double").as("total_cents"),
+      ((lit(2).cast(d19) * col("srx") -
+        (col("n") + lit(1)).cast(d19) * col("sx"))
+         .cast("string").cast("double") /
+       (col("n").cast(d19) * col("sx")).cast("string").cast("double"))
+        .as("gini"))
+  }
+
+  /** K-ANONYMITY / L-DIVERSITY AUDIT over the customer table — the privacy
+    * admission gate a training-data pipeline runs before releasing any
+    * person-keyed slice: group by the quasi-identifier tuple
+    * (nation, market segment), measure the smallest equivalence class, the
+    * classes below k, the rows they expose, and the minimum l-diversity of
+    * the sensitive attribute (account-balance sign: in-debt vs not — the
+    * re-identifiable fact the quasi-identifiers must not pin down). A class
+    * below k, or with l = 1, is a linkage-attack surface; the report makes
+    * that DATA, not a log line (the dqReport contract).
+    *
+    * Scale shape: one map-side-combinable groupBy to the quasi-id class
+    * table (|nations| × |segments| rows — control-plane sized), then one
+    * aggregate over it; the risk fraction is the single fixed double→PPM
+    * tree. Exact longs throughout. */
+  def kAnonymityReport(spark: SparkSession, sfDir: String,
+                       k: Long = 10L): DataFrame = {
+    val classes = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        (col("c_acctbal") < 0).cast("long").as("sens"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("sz"),
+           countDistinct(col("sens")).cast("long").as("l_div"))
+    classes.agg(
+      sum(col("sz")).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_classes"),
+      min(col("sz")).as("min_class_size"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).cast("long")
+        .as("classes_below_k"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).cast("long")
+        .as("rows_below_k"),
+      min(col("l_div")).as("min_l_diversity"))
+    .select(col("n_rows"), col("n_classes"), col("min_class_size"),
+      col("classes_below_k"), col("rows_below_k"),
+      round(lit(1000000.0) * col("rows_below_k").cast("double") /
+            col("n_rows").cast("double")).cast("bigint").as("risk_ppm"),
+      col("min_l_diversity"))
+  }
+
+  /** DETERMINISTIC RANDOM WALKS over the user co-occurrence graph — the
+    * DeepWalk/node2vec INPUT generator (walk corpora are what graph
+    * embeddings train on, exactly as token windows are what word vectors
+    * train on): from every node, a `steps`-step walk whose next hop is the
+    * neighbor at index hash(current, step) mod degree in the
+    * dst-ascending adjacency ranking. The hash is the house multiplicative
+    * hash (the split_grouped constants), so the walk is a PURE FUNCTION of
+    * the graph — task retries, speculative execution, and the oracle all
+    * reproduce it bit-for-bit; a seeded `rand()` could not cross engines.
+    * Isolated nodes emit only their step-0 row (the walk has nowhere to
+    * go); that drop is structural, not sampled.
+    *
+    * Scale shape: the adjacency (with per-source rank and degree from one
+    * src-partitioned window) is built once and cached; each step is ONE
+    * equi-join of the frontier against it on the source key — walk length
+    * bounds the join count, and no step ever materializes more than
+    * |nodes| rows. The result is walk-corpus-sized (nodes × steps). */
+  def randomWalksUsers(spark: SparkSession, sfDir: String,
+                       steps: Int = 3): DataFrame = {
+    val P = 1000000007L
+    val A = 2654435761L
+    val e = userCoEdges(spark, sfDir)
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))).cast("long"))
+      .withColumn("deg", count(lit(1)).over(
+        Window.partitionBy(col("src"))).cast("long"))
+      .cache()
+    try {
+      val start = Tables.events(spark, sfDir)
+        .select(col("user_id").as("start")).distinct()
+      var frontier = start.select(col("start"), col("start").as("node"))
+      var out = frontier.select(col("start"), lit(0L).as("step"), col("node"))
+      for (i <- 1 to steps) {
+        frontier = frontier.join(adj,
+          col("node") === col("src") &&
+          col("rn") === ((((col("node") % P) * A + i) % P) % col("deg")) + 1)
+          .select(col("start"), col("dst").as("node"))
+        out = out.unionAll(
+          frontier.select(col("start"), lit(i.toLong).as("step"), col("node")))
+      }
+      localize(spark, out.orderBy(col("start"), col("step")))
+    } finally adj.unpersist(blocking = false)
+  }
+
+  /** GROUPED K-FOLD CROSS-VALIDATION assignment summary — the k-fold twin
+    * of split_grouped_leakfree: every event lands in the fold of its USER
+    * (fold = multiplicative-hash(user) mod k, a pure row function — no
+    * user can straddle folds by construction, the leak-freedom CV
+    * requires), and the report carries per fold the user count, row count,
+    * and row share in PPM, so fold imbalance is data. NULL users form the
+    * sentinel pseudo-group (the split_grouped rule).
+    *
+    * Scale shape: one map-side-combinable two-level aggregate (user, fold)
+    * → fold; the report is k rows. */
+  def cvFoldAssign(spark: SparkSession, sfDir: String,
+                   folds: Int = 5): DataFrame = {
+    val fold = expr(
+      s"((coalesce(user_id, 1000000006) % 1000000007) * 2654435761) % 1000000007 % $folds")
+    val perUser = Tables.events(spark, sfDir)
+      .select(fold.as("fold"), col("user_id"))
+      .groupBy(col("fold"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val total = perUser.agg(sum(col("n")).cast("long").as("n_total"))
+    perUser.groupBy(col("fold"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+           sum(col("n")).cast("long").as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("fold"), col("n_users"), col("n_rows"),
+        round(lit(1000000.0) * col("n_rows").cast("double") /
+              col("n_total").cast("double")).cast("bigint").as("row_share_ppm"))
+      .orderBy(col("fold"))
+  }
+
+  /** FUNNEL TIME-TO-CONVERT distribution — the latency face of the funnel
+    * family (funnel_steps counts WHO converts; this measures HOW FAST):
+    * per user, the delay from the first `view` to the first `purchase` at
+    * or after it, bucketed into 10-minute bins. Delays are exact integer
+    * microseconds (ties inside a bin surface as the bin's exact min/max),
+    * so the histogram is hash-stable with no float anywhere.
+    *
+    * Scale shape: two user-keyed map-side-combinable aggregates co-keyed
+    * into one join (the second aggregate reuses the first's partitioning),
+    * then a bin-domain-sized groupBy. Users who never view, or never
+    * purchase after viewing, drop out structurally — the funnel's own
+    * semantics, stated identically in the oracle. */
+  def funnelTimeToConvert(spark: SparkSession, sfDir: String,
+                          binUs: Long = 600000000L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("fv"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fv, "user_id")
+      .filter(col("us") >= col("fv"))
+      .groupBy(col("user_id"), col("fv")).agg(min(col("us")).as("fp"))
+    fp.select(expr(s"(fp - fv) div $binUs").as("bin"),
+              (col("fp") - col("fv")).as("delay_us"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+           min(col("delay_us")).as("min_delay_us"),
+           max(col("delay_us")).as("max_delay_us"))
+      .orderBy(col("bin"))
+  }
 }

@@ -862,4 +862,42 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** ANALYZE-style NUMERIC COLUMN PROFILE of the lineitem fact — the
+    * catalog-statistics collection pass a cost-based optimizer (and every
+    * data-contract check) feeds on: per column, row count, null count,
+    * exact NDV, and min/max, one report row per column. Dates profile as
+    * epoch day numbers (the shipLatency dayNum rule) so every stat is a
+    * double-exact integer or an exact double — no engine-variant string
+    * formatting in the output.
+    *
+    * Scale shape: ONE corpus scan — all per-column aggregates (including
+    * the seven exact countDistincts, which Catalyst plans as one expand)
+    * collapse in a single aggregate to a 1-row frame, and `stack` unpivots
+    * that single row into the 7-row report with no re-execution (the
+    * dq_report union-of-selects shape would re-run the aggregate per
+    * branch). At 100 TB the exact NDVs are the expensive half; the
+    * registered approximate path is q10a's HLL form. */
+  def columnStatsProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_shipdate")
+    val li = Tables.lineitem(spark, sfDir).select(cols.map { c =>
+      (if (c == "l_shipdate")
+         expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
+       else col(c)).cast("double").as(c)
+    }: _*)
+    val aggs = count(lit(1)).cast("long").as("n") +: cols.flatMap { c =>
+      Seq(count(col(c)).cast("long").as(s"cnt_$c"),
+          countDistinct(col(c)).cast("long").as(s"ndv_$c"),
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val stats = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', n, n - cnt_$c, ndv_$c, min_$c, max_$c"
+    }.mkString(", ")
+    stats.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_nulls, ndv, min_val, max_val)")
+      .orderBy(col("column_name"))
+  }
 }

@@ -1331,4 +1331,63 @@ object Similarity {
           .otherwise((col("x") - col("mean")) / col("std")).as("z"))
       .orderBy(col("vec_id"), col("dim"))
   }
+
+  /** HYBRID RETRIEVAL via RECIPROCAL RANK FUSION — the RAG-stack reranker
+    * that merges a LEXICAL ranking (BM25 over document 0's text as the
+    * query, [[TextOps.bm25TopDocsOf]]) with a DENSE ranking (brute cosine
+    * against vec 0 — doc_id and vec_id are the same identity space in
+    * this corpus) into one list: RRF(d) = Σ_lists 1/(60 + rank_list(d)),
+    * the rank-only fusion that needs NO score calibration between the two
+    * retrievers (the reason RRF beats score interpolation in practice —
+    * BM25 scores and cosines live on incomparable scales). Candidates
+    * missing from a list contribute 0 and carry rank sentinel 0 — the cap
+    * is oracle-stated, never silent.
+    *
+    * Numerics: each term is ONE correctly-rounded double division of
+    * exact integers and the fusion is a two-term fixed tree — bit-stable
+    * cross-engine; ties (e.g. lex-only rank r vs dense-only rank r) break
+    * on doc_id. Scale shape: both input rankings are top-`depth` lists
+    * (k-sized control plane regardless of corpus size), the fusion is a
+    * full outer join of two 100-row frames, and the heavy lifting — BM25's
+    * pruned-df aggregation, the dense scan — keeps each retriever's own
+    * documented scale shape. */
+  def hybridRrfTopK(spark: SparkSession, sfDir: String,
+                    depth: Int = 100, k: Int = 20): DataFrame = {
+    // lexical: BM25 vs doc 0's tokens; doc 0 itself (the query) excluded
+    // AFTER scoring so remaining ranks are 1..depth
+    val lex = TextOps.bm25TopDocsOf(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        depth + 1)
+      .filter(col("doc_id") =!= 0L)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("lex_rank") <= depth)
+      .select(col("doc_id"), col("lex_rank"))
+    // dense: brute cosine of every other vector against vec 0
+    val q0 = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("norm_q", sqrt(dot(col("q_vec"), col("q_vec"))))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition k-heaps,
+    // no global sort); the rank window then runs on the depth-sized result
+    val denseTop = baseDf(spark, sfDir).filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q0))
+      .withColumn("cos", dot(col("q_vec"), col("vec")) /
+                         (col("norm_q") * col("norm_v")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(depth)
+    val dense = denseTop
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"),
+        (when(col("lex_rank").isNull, lit(0.0))
+           .otherwise(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double"))) +
+         when(col("dense_rank").isNull, lit(0.0))
+           .otherwise(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double"))))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

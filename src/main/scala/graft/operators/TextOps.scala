@@ -1513,4 +1513,38 @@ object TextOps {
               expr(s"(cum * $SampleWeightedK) div total").as("pick_idx"))
       .orderBy(col("doc_id"))
   }
+
+  /** INVERTED-INDEX POSTING LISTS for the mid-frequency token band — the
+    * search-index build step (and the exact-match retrieval side of a RAG
+    * corpus): for every token hash whose document frequency lies in
+    * [dfLo, dfHi], the doc_id-ascending posting list, emitted in EXPLODED
+    * row form (th, df, pos, doc_id) capped at `cap` postings per token.
+    * The band is the honest scale contract made explicit: stopword-grade
+    * tokens (df above the band) would each carry a corpus-sized posting
+    * list — the same row-width hazard as the vocab-sized fold vocab_drift
+    * retired — and BM25/tf-idf already serve them; hapax tokens below the
+    * band retrieve nothing. Both the band and the cap are stated in the
+    * oracle, so what is dropped is oracle-visible, never silent.
+    *
+    * Scale shape: tokenize → distinct (token, doc) pairs (map-side
+    * combinable), df groupBy on the same key, band filter BEFORE the
+    * posting window, and the row_number window is bounded by dfHi per
+    * token — no global sort, no unbounded group. */
+  def invertedIndexPostings(spark: SparkSession, sfDir: String,
+                            dfLo: Long = 5L, dfHi: Long = 40L,
+                            cap: Int = 32): DataFrame = {
+    val pairs = Tables.documentsNarrow(spark, sfDir)
+      .select(explode(tokenHashes(col("text"))).as("th"), col("doc_id"))
+      .distinct()
+    val dfBand = pairs.groupBy(col("th"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= dfLo && col("df") <= dfHi)
+    pairs.join(dfBand, "th")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("th")).orderBy(col("doc_id"))).cast("long"))
+      .filter(col("pos") <= cap)
+      .select(col("th"), col("df"), col("pos"), col("doc_id"))
+      .orderBy(col("th"), col("pos"))
+  }
 }

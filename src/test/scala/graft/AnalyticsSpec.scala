@@ -754,4 +754,135 @@ class AnalyticsSpec extends SparkSpec {
     assert(bad.count() == 0)
     h.unpersist()
   }
+
+  test("nelson-aalen: risk sets telescope, subjects conserve, hazard accumulates monotonically") {
+    val s = Analytics.survivalNelsonAalen(spark, Sf0001).cache()
+    val rows = s.orderBy(col("t")).collect()
+    assert(rows.nonEmpty)
+    // the first risk set is the full subject count (every ordering customer)
+    val nSubjects = graft.io.Tables.orders(spark, Sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == nSubjects)
+    // telescoping: n_risk(t_{i+1}) = n_risk(t_i) - (d + c)(t_i)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_risk") ==
+          a.getAs[Long]("n_risk") - a.getAs[Long]("d") - a.getAs[Long]("c"))
+      case _ =>
+    }
+    // every subject leaves exactly once: Σ(d+c) = n subjects
+    assert(rows.map(r => r.getAs[Long]("d") + r.getAs[Long]("c")).sum == nSubjects)
+    // cumulative hazard is the running sum of increments and never decreases
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getAs[Long]("hazard_ppm")
+      assert(r.getAs[Long]("cum_hazard_ppm") == acc)
+      assert(r.getAs[Long]("hazard_ppm") >= 0L)
+    }
+    s.unpersist()
+  }
+
+  test("gini: banded rank formula matches a local exact recompute and sits in [0,1)") {
+    val g = Analytics.revenueGini(spark, Sf0001).head()
+    val cents = graft.io.Tables.orders(spark, Sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("c"))
+      .collect().map(r => (r.getAs[Long]("c"), r.getAs[Long]("o_custkey")))
+      .sortBy(identity)
+    val n = cents.length.toLong
+    val sx = cents.map(x => BigInt(x._1)).sum
+    val srx = cents.zipWithIndex.map { case ((c, _), i) => BigInt(i + 1) * c }.sum
+    val expect = (BigDecimal(2 * srx - (n + 1) * sx) / BigDecimal(BigInt(n) * sx)).toDouble
+    assert(g.getAs[Long]("n") == n)
+    assert(math.abs(g.getAs[Double]("gini") - expect) < 1e-12)
+    assert(g.getAs[Double]("gini") >= 0.0 && g.getAs[Double]("gini") < 1.0)
+  }
+
+  test("k-anonymity report is consistent with a direct class recount") {
+    val r = Analytics.kAnonymityReport(spark, Sf0001).head()
+    val classes = graft.io.Tables.customer(spark, Sf0001)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz")).collect().map(_.getAs[Long]("sz"))
+    assert(r.getAs[Long]("n_rows") == classes.sum)
+    assert(r.getAs[Long]("n_classes") == classes.length)
+    assert(r.getAs[Long]("min_class_size") == classes.min)
+    assert(r.getAs[Long]("classes_below_k") == classes.count(_ < 10))
+    assert(r.getAs[Long]("rows_below_k") == classes.filter(_ < 10).sum)
+    assert(r.getAs[Long]("min_l_diversity") >= 1L &&
+           r.getAs[Long]("min_l_diversity") <= 2L)
+  }
+
+  test("random walks: every hop is a real edge chosen by the stated hash, walks die only at isolated nodes") {
+    val w = Analytics.randomWalksUsers(spark, Sf0001).cache()
+    val rows = w.collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("step"), r.getAs[Long]("node")))
+    // rebuild the adjacency locally
+    val buckets = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts_ns div 60000000000").as("b")).distinct()
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toList
+    val edges: Set[(Long, Long)] = buckets.groupBy(_._1).values.toList.flatMap { g =>
+      val us = g.map(_._2).distinct.sorted
+      for (a <- us; b <- us if a < b) yield (a, b)
+    }.toSet
+    val adj: Map[Long, List[Long]] = edges.toList
+      .flatMap { case (a, b) => List(a -> b, b -> a) }
+      .groupBy(_._1).map { case (s, ns) => s -> ns.map(_._2).distinct.sorted }
+    val byWalk = rows.groupBy(_._1)
+    val nodes = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(byWalk.keySet == nodes)
+    byWalk.foreach { case (start, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(path.head == start)
+      // isolated nodes stop at step 0; connected nodes take all 3 hops
+      val expectLen = if (adj.contains(start)) 4 else 1
+      assert(path.length == expectLen, s"walk from $start")
+      // hash-chosen hops: verify each step lands on the stated pick,
+      // not just any edge (indexing by step, since walks may revisit)
+      for (i <- 1 until path.length) {
+        val a = path(i - 1)
+        val ns = adj(a)
+        val idx = ((((a % 1000000007L) * 2654435761L + i) % 1000000007L)
+                     % ns.length).toInt
+        assert(path(i) == ns(idx), s"hop $a -> ${path(i)} at step $i")
+      }
+    }
+    w.unpersist()
+  }
+
+  test("cv folds: shares sum to ~1e6, every user in exactly one fold, fold ids dense") {
+    val f = Analytics.cvFoldAssign(spark, Sf0001).collect()
+    assert(f.map(_.getAs[Long]("fold")).toSet.subsetOf((0L until 5L).toSet))
+    val totalRows = graft.io.Tables.events(spark, Sf0001).count()
+    assert(f.map(_.getAs[Long]("n_rows")).sum == totalRows)
+    // ppm shares add to one million give or take per-fold rounding
+    val ppm = f.map(_.getAs[Long]("row_share_ppm")).sum
+    assert(math.abs(ppm - 1000000L) <= f.length)
+    // leak-freedom: fold is a pure function of user, so Σ n_users over
+    // folds equals the distinct user count (each user counted once)
+    val users = graft.io.Tables.events(spark, Sf0001)
+      .select(coalesce(col("user_id"), lit(1000000006L))).distinct().count()
+    assert(f.map(_.getAs[Long]("n_users")).sum == users)
+  }
+
+  test("funnel time-to-convert: bins conserve converting users and bounds sit inside their bin") {
+    val d = Analytics.funnelTimeToConvert(spark, Sf0001).collect()
+    assert(d.nonEmpty)
+    d.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("min_delay_us") >= bin * 600000000L)
+      assert(r.getAs[Long]("max_delay_us") < (bin + 1) * 600000000L)
+      assert(r.getAs[Long]("min_delay_us") <= r.getAs[Long]("max_delay_us"))
+      assert(r.getAs[Long]("n_users") > 0)
+    }
+    // conservation vs a direct recount of converting users
+    val ev = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_type"), expr("ts_ns div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val converting = ev.groupBy(_._1).count { case (_, g) =>
+      val views = g.filter(_._2 == "view").map(_._3)
+      views.nonEmpty && g.exists(e => e._2 == "purchase" && e._3 >= views.min)
+    }
+    assert(d.map(_.getAs[Long]("n_users")).sum == converting)
+  }
 }

@@ -144,4 +144,27 @@ class OperatorsSpec extends SparkSpec {
     assert(sky.exceptAll(textbook).isEmpty && textbook.exceptAll(sky).isEmpty)
     assert(sky.count() > 0)
   }
+
+  test("column profile: one row per column, stats agree with direct per-column recomputes") {
+    val prof = graft.operators.Relational.columnStatsProfile(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(prof.size == 7)
+    val li = graft.io.Tables.lineitem(spark, Sf0001).cache()
+    val n = li.count()
+    // spot-check two numeric columns and the date column exactly
+    for (c <- Seq("l_quantity", "l_suppkey")) {
+      val row = prof(c)
+      assert(row.getAs[Long]("n_rows") == n)
+      assert(row.getAs[Long]("n_nulls") == 0L)
+      assert(row.getAs[Long]("ndv") == li.select(col(c)).distinct().count())
+      val mm = li.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      assert(row.getAs[Double]("min_val") == mm.getDouble(0))
+      assert(row.getAs[Double]("max_val") == mm.getDouble(1))
+    }
+    // the date column profiles as epoch day numbers (integral doubles)
+    val sd = prof("l_shipdate")
+    assert(sd.getAs[Double]("min_val") == sd.getAs[Double]("min_val").floor)
+    assert(sd.getAs[Double]("max_val") > sd.getAs[Double]("min_val"))
+    li.unpersist()
+  }
 }

@@ -196,4 +196,50 @@ class TextMiningSpec extends SparkSpec {
     assert(s.exceptAll(d).count() == 0 && d.exceptAll(s).count() == 0)
     s.unpersist()
   }
+
+  test("inverted index: df band respected, positions dense and doc-ascending, postings deduped") {
+    val p = TextOps.invertedIndexPostings(spark, Sf0001).cache()
+    assert(p.count() > 0)
+    // band: every emitted token's df in [5, 40]; cap: pos never exceeds 32
+    assert(p.filter(col("df") < 5 || col("df") > 40).count() == 0)
+    assert(p.filter(col("pos") > 32).count() == 0)
+    // per token: positions are 1..min(df, 32) dense, doc_ids strictly
+    // ascending with pos, and no duplicate doc in a posting list
+    val byTok = p.collect().groupBy(_.getAs[Long]("th"))
+    byTok.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      val df = sorted.head.getAs[Long]("df")
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq ==
+        (1L to math.min(df, 32L)).toSeq)
+      val docs = sorted.map(_.getAs[Long]("doc_id")).toSeq
+      assert(docs == docs.sorted && docs.distinct.size == docs.size)
+    }
+    p.unpersist()
+  }
+
+  test("hybrid rrf: scores recompute from the emitted ranks and the list is rrf-descending") {
+    val f = graft.operators.Similarity.hybridRrfTopK(spark, Sf0001).collect()
+    assert(f.length == 20)
+    f.foreach { r =>
+      val lr = r.getAs[Long]("lex_rank")
+      val dr = r.getAs[Long]("dense_rank")
+      assert(lr >= 0 && lr <= 100 && dr >= 0 && dr <= 100)
+      assert(lr > 0 || dr > 0) // a fused doc came from at least one list
+      val expect = (if (lr == 0) 0.0 else 1.0 / (60.0 + lr.toDouble)) +
+                   (if (dr == 0) 0.0 else 1.0 / (60.0 + dr.toDouble))
+      assert(r.getAs[Double]("rrf") == expect)
+    }
+    // descending with doc_id tie-break
+    f.sliding(2).foreach {
+      case Array(a, b) =>
+        val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+        assert(ra > rb ||
+          (ra == rb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+      case _ =>
+    }
+    // both retrievers contribute to the fused head: some doc carries two
+    // live ranks, and the top doc beats any single-list-only candidate
+    assert(f.exists(r => r.getAs[Long]("lex_rank") > 0 &&
+                         r.getAs[Long]("dense_rank") > 0))
+  }
 }
