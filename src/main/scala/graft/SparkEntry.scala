@@ -415,6 +415,15 @@ object SparkEntry {
     // funnel latency: first-view → first-subsequent-purchase delay
     // histogram in exact integer microseconds
     "funnel_time_to_convert" -> ((s, dir) => Analytics.funnelTimeToConvert(s, dir)),
+    // outlier-immune trend: median pairwise slope over the bounded
+    // (type × day) frame, quadratic only in days
+    "theil_sen_daily" -> ((s, dir) => Analytics.theilSenDaily(s, dir)),
+    // robust location: mean of exact cents inside the [p05, p95] band
+    "trimmed_mean_by_type" -> ((s, dir) => Analytics.trimmedMeanByType(s, dir)),
+    // pre-salting diagnostic: heaviest key + max/avg skew ratio in ppm
+    "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
+    // equi-depth decile binning against broadcast exact-percentile edges
+    "quantile_bins_value" -> ((s, dir) => Relational.quantileBinsValue(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // clickstream path mining: top-k length-3 type sequences, one user
@@ -3345,6 +3354,87 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount', n, n - c6, d6, mn6, mx6 FROM a
         |UNION ALL SELECT 'l_shipdate', n, n - c7, d7, mn7, mx7 FROM a
         |ORDER BY column_name""".stripMargin,
+    // median pairwise slope + median residual intercept; quantile_cont
+    // parity with Spark's percentile is q33's pinned gate
+    "theil_sen_daily" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+        |          / (CAST(b.day AS DOUBLE) - CAST(a.day AS DOUBLE)) AS s
+        |      FROM d a JOIN d b ON a.event_type = b.event_type
+        |                       AND a.day < b.day),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        quantile_cont(s, 0.5) AS slope
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT d.event_type, m.n_pairs, m.slope,
+        |        CAST(d.y AS DOUBLE) - m.slope * CAST(d.day AS DOUBLE) AS ic
+        |      FROM d JOIN m USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(min(n_pairs) AS BIGINT) AS n_pairs, min(slope) AS slope,
+        |  quantile_cont(ic, 0.5) AS intercept
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // values strictly outside [p05, p95] dropped; survivors are exact
+    // cents so the mean is one division of exact longs
+    "trimmed_mean_by_type" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |q AS (SELECT event_type, quantile_cont(c, 0.05) AS lo,
+        |        quantile_cont(c, 0.95) AS hi
+        |      FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) >= q.lo
+        |                 AND CAST(c.c AS DOUBLE) <= q.hi
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(q.lo) AS lo, min(q.hi) AS hi,
+        |  CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) >= q.lo
+        |                 AND CAST(c.c AS DOUBLE) <= q.hi
+        |            THEN c.c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN CAST(c.c AS DOUBLE) >= q.lo
+        |                     AND CAST(c.c AS DOUBLE) <= q.hi
+        |               THEN 1 ELSE 0 END) AS DOUBLE) / 100.0 AS trimmed_mean
+        |FROM c JOIN q USING (event_type)
+        |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    // heaviest-key diagnostic; argmax ties to the smallest key
+    "key_skew_report" ->
+      """WITH kc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(max(cnt) AS BIGINT) AS max_key_rows FROM kc)
+        |SELECT t.n_rows, t.n_keys, t.max_key_rows,
+        |  CAST(min(kc.o_custkey) AS BIGINT) AS argmax_key,
+        |  CAST(round(1000000.0 * CAST(t.max_key_rows AS DOUBLE)
+        |       / (CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE)))
+        |    AS BIGINT) AS skew_ppm
+        |FROM kc, t WHERE kc.cnt = t.max_key_rows
+        |GROUP BY t.n_rows, t.n_keys, t.max_key_rows""".stripMargin,
+    // decile edges via quantile_cont; bin = #(edges strictly below),
+    // edge-equal values go low
+    "quantile_bins_value" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |e AS (SELECT quantile_cont(c, 0.1) AS e1, quantile_cont(c, 0.2) AS e2,
+        |        quantile_cont(c, 0.3) AS e3, quantile_cont(c, 0.4) AS e4,
+        |        quantile_cont(c, 0.5) AS e5, quantile_cont(c, 0.6) AS e6,
+        |        quantile_cont(c, 0.7) AS e7, quantile_cont(c, 0.8) AS e8,
+        |        quantile_cont(c, 0.9) AS e9 FROM c),
+        |b AS (SELECT
+        |    CAST(CASE WHEN CAST(c.c AS DOUBLE) > e.e1 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e2 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e3 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e4 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e5 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e6 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e7 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e8 THEN 1 ELSE 0 END
+        |       + CASE WHEN CAST(c.c AS DOUBLE) > e.e9 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS bin, c.c
+        |  FROM c, e)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(c) AS BIGINT) AS min_cents,
+        |  CAST(max(c) AS BIGINT) AS max_cents
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     // same hash→fold map as split_grouped_leakfree, k = 5
     "cv_fold_assign" ->
       """WITH pu AS (SELECT

@@ -1353,4 +1353,80 @@ object Analytics {
            max(col("delay_us")).as("max_delay_us"))
       .orderBy(col("bin"))
   }
+
+  /** THEIL-SEN ROBUST TREND per series — the outlier-immune complement to
+    * q30's least-squares slope (one corrupted day drags an OLS fit; the
+    * MEDIAN of pairwise slopes shrugs off up to ~29% contamination): per
+    * event type, the median over all day-pairs of (Δdaily-total / Δday),
+    * plus the standard median intercept of the per-day residuals
+    * y − slope·day. Each pairwise slope is ONE double division of exact
+    * integer operands (daily cents totals, day numbers); both medians use
+    * the sort-based exact `percentile` whose interpolation is pinned
+    * bit-identical to DuckDB's quantile_cont by q33's gate; the intercept
+    * residual is a fixed 2-op double tree.
+    *
+    * Scale shape: the corpus collapses FIRST to the (type × day) table —
+    * map-side-combinable, control-plane sized — and the quadratic
+    * pair-enumeration runs on that bounded frame (days², never events²):
+    * the same bounded-domain-quadratic contract as chi2's cell fold. The
+    * intercept pass joins the day table to the type-sized slope table. */
+  def theilSenDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+    val a = daily.select(col("event_type"), col("day").as("da"), col("y").as("ya"))
+    val b = daily.select(col("event_type"), col("day").as("db"), col("y").as("yb"))
+    val sen = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .select(col("event_type"),
+        ((col("yb").cast("double") - col("ya").cast("double")) /
+         (col("db").cast("double") - col("da").cast("double"))).as("s"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+           expr("percentile(s, 0.5D)").as("slope"))
+    daily.join(sen, "event_type")
+      .select(col("event_type"), col("n_pairs"), col("slope"),
+        (col("y").cast("double") - col("slope") * col("day").cast("double"))
+          .as("ic"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+           first(col("n_pairs")).as("n_pairs"),
+           first(col("slope")).as("slope"),
+           expr("percentile(ic, 0.5D)").as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** TRIMMED MEAN per series — the robust location estimate a reporting
+    * layer quotes when tail events would distort a plain mean: drop
+    * values strictly outside the exact [p05, p95] band and average the
+    * survivors. Percentile thresholds share q33's interpolation parity;
+    * the kept values are exact integer cents so the trimmed mean is ONE
+    * division of exact longs — no float summation anywhere, unlike a
+    * naive mean-of-doubles which is partition-order-dependent.
+    *
+    * Scale shape: thresholds come from one type-keyed percentile pass,
+    * broadcast back onto the same exchange (type-sized table); the keep
+    * filter and final aggregate are map-side combinable. */
+  def trimmedMeanByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("cast(round(value * 100) as bigint)").as("c"))
+    val cuts = cents.groupBy(col("event_type"))
+      .agg(expr("percentile(c, array(0.05D, 0.95D))").as("ps"))
+      .select(col("event_type"),
+              col("ps").getItem(0).as("lo"), col("ps").getItem(1).as("hi"))
+    cents.join(broadcast(cuts), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("c").cast("double") >= col("lo") &&
+                 col("c").cast("double") <= col("hi"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"),
+        sum(when(col("c").cast("double") >= col("lo") &&
+                 col("c").cast("double") <= col("hi"), col("c")).otherwise(0L))
+          .cast("long").as("sum_kept"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col("event_type"), col("n"), col("n_kept"), col("lo"), col("hi"),
+        (col("sum_kept").cast("double") / col("n_kept").cast("double") / 100.0)
+          .as("trimmed_mean"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -900,4 +900,60 @@ object Relational {
       s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_nulls, ndv, min_val, max_val)")
       .orderBy(col("column_name"))
   }
+
+  /** KEY-SKEW DIAGNOSTIC for the orders→customer key — the pre-flight
+    * check behind every salting/AQE-skew decision: row count, key
+    * cardinality, the heaviest key and its row count, and the skew ratio
+    * max/avg in PPM. A ratio near 1e6 is uniform; a hot key shows up as
+    * the number the partitioner would feel. Argmax ties break to the
+    * SMALLEST key (stated in the oracle); the ratio is the single fixed
+    * double→PPM tree over exact longs.
+    *
+    * Scale shape: one map-side-combinable groupBy to the key-count table,
+    * one aggregate over it, and a 1-row broadcast back to pick the argmax
+    * — never a sort of the key table. */
+  def keySkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val kc = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).cast("long").as("cnt"))
+    val tot = kc.agg(sum(col("cnt")).cast("long").as("n_rows"),
+                     count(lit(1)).cast("long").as("n_keys"),
+                     max(col("cnt")).as("max_key_rows"))
+    kc.crossJoin(broadcast(tot))
+      .filter(col("cnt") === col("max_key_rows"))
+      .groupBy(col("n_rows"), col("n_keys"), col("max_key_rows"))
+      .agg(min(col("o_custkey")).as("argmax_key"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("argmax_key"),
+        round(lit(1000000.0) * col("max_key_rows").cast("double") /
+              (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .cast("bigint").as("skew_ppm"))
+  }
+
+  /** EQUI-DEPTH QUANTILE DISCRETIZER over the event value — the ML
+    * feature-binning pass (and the histogram a CBO prefers over
+    * equi-width when the data is skewed): decile edges from the exact
+    * sort-based `percentile` (q33's quantile_cont parity), then every
+    * value assigned bin = #(edges strictly below it) — a branch-free
+    * comparison sum against the broadcast 1-row edge vector, values equal
+    * to an edge going LOW. Per bin: count and exact min/max cents.
+    *
+    * Scale shape: one percentile pass (buffer bounded by distinct cents
+    * values), edges broadcast, one map-side-combinable groupBy to the
+    * 10-row report. */
+  def quantileBinsValue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Tables.events(spark, sfDir)
+      .select(expr("cast(round(value * 100) as bigint)").as("c"))
+    val edges = cents.agg(expr(
+      "percentile(c, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("es"))
+    val bin = (0 until 9).map(i =>
+      when(col("c").cast("double") > col("es").getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cents.crossJoin(broadcast(edges))
+      .select(bin.as("bin"), col("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+      .orderBy(col("bin"))
+  }
 }

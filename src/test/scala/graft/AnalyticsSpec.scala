@@ -885,4 +885,70 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(d.map(_.getAs[Long]("n_users")).sum == converting)
   }
+
+  test("theil-sen: slope is the exact median of locally recomputed pairwise slopes") {
+    val got = Analytics.theilSenDaily(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"), r.getAs[Double]("slope")))
+      .toMap
+    val daily = graft.io.Tables.events(spark, Sf0001)
+      .groupBy(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    daily.groupBy(_._1).foreach { case (t, ds) =>
+      val pts = ds.map(d => (d._2, d._3)).sortBy(_._1)
+      val slopes = (for {
+        (da, ya) <- pts; (db, yb) <- pts if da < db
+      } yield (yb.toDouble - ya.toDouble) / (db.toDouble - da.toDouble)).sorted
+      val (nd, np, slope) = got(t)
+      assert(nd == pts.length && np == slopes.length)
+      // exact-percentile median with linear interpolation
+      val mid = (slopes.length - 1) * 0.5
+      val lo = slopes(mid.floor.toInt); val hi = slopes(mid.ceil.toInt)
+      val expect = lo + (hi - lo) * (mid - mid.floor)
+      assert(slope == expect, s"type $t")
+    }
+  }
+
+  test("trimmed mean: survivors bounded by the cuts, mean inside [lo, hi]/100") {
+    val rows = Analytics.trimmedMeanByType(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n"), r.getAs[Long]("n_kept"))
+      assert(k > 0 && k <= n)
+      // the 5% trim drops at most ~10% + interpolation slack
+      assert(k.toDouble >= 0.88 * n)
+      val m = r.getAs[Double]("trimmed_mean") * 100.0
+      assert(m >= r.getAs[Double]("lo") && m <= r.getAs[Double]("hi"))
+    }
+  }
+
+  test("key skew report recomputes from a local key-count pass") {
+    val r = graft.operators.Relational.keySkewReport(spark, Sf0001).head()
+    val counts = graft.io.Tables.orders(spark, Sf0001)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getAs[Long]("o_custkey"), x.getAs[Long]("c"))).toList
+    assert(r.getAs[Long]("n_rows") == counts.map(_._2).sum)
+    assert(r.getAs[Long]("n_keys") == counts.length)
+    val mx = counts.map(_._2).max
+    assert(r.getAs[Long]("max_key_rows") == mx)
+    assert(r.getAs[Long]("argmax_key") ==
+      counts.filter(_._2 == mx).map(_._1).min)
+    assert(r.getAs[Long]("skew_ppm") >= 1000000L) // max ≥ avg always
+  }
+
+  test("quantile bins: counts conserve, bins ordered and roughly equi-depth") {
+    val b = graft.operators.Relational.quantileBinsValue(spark, Sf0001).collect()
+    val n = graft.io.Tables.events(spark, Sf0001).count()
+    assert(b.map(_.getAs[Long]("n")).sum == n)
+    assert(b.map(_.getAs[Long]("bin")).toSeq == b.map(_.getAs[Long]("bin")).toSeq.sorted)
+    // bin value ranges never overlap: max of bin i < min of bin i+1
+    b.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getAs[Long]("max_cents") <= y.getAs[Long]("min_cents"))
+      case _ =>
+    }
+    // equi-depth within interpolation slack: each decile holds 10% ± 5pp
+    b.foreach(r => assert(math.abs(r.getAs[Long]("n").toDouble / n - 0.1) < 0.05))
+  }
 }
