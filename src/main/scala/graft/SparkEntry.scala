@@ -424,6 +424,11 @@ object SparkEntry {
     "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
     // equi-depth decile binning against broadcast exact-percentile edges
     "quantile_bins_value" -> ((s, dir) => Relational.quantileBinsValue(s, dir)),
+    // audit diff between two as-of snapshots: added/removed/changed users
+    "scd2_snapshot_diff" -> ((s, dir) => Relational.scd2SnapshotDiff(s, dir)),
+    // SQ8 storage-shrink audit: per-dim reconstruction error as exact
+    // integer pico-unit folds
+    "embedding_sq8_stats" -> ((s, dir) => Similarity.sq8Stats(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // clickstream path mining: top-k length-3 type sequences, one user
@@ -3354,6 +3359,52 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount', n, n - c6, d6, mn6, mx6 FROM a
         |UNION ALL SELECT 'l_shipdate', n, n - c7, d7, mn7, mx7 FROM a
         |ORDER BY column_name""".stripMargin,
+    // two quartile-instant snapshots of the SCD2 intervals full-outer
+    // joined; unchanged users dropped; -1 sentinel for absent values
+    "scd2_snapshot_diff" ->
+      """WITH c AS (SELECT min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 4 AS cut1,
+        |    min(epoch_us(ts)) + ((max(epoch_us(ts)) - min(epoch_us(ts))) * 3) // 4 AS cut2
+        |  FROM events),
+        |iv AS (SELECT user_id, value, epoch_us(ts) AS f,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, value AS v1 FROM iv, c
+        |       WHERE f <= cut1 AND (t IS NULL OR t > cut1)),
+        |s2 AS (SELECT user_id, value AS v2 FROM iv, c
+        |       WHERE f <= cut2 AND (t IS NULL OR t > cut2)),
+        |d AS (SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+        |        CASE WHEN s1.v1 IS NULL THEN 'added'
+        |             WHEN s2.v2 IS NULL THEN 'removed'
+        |             ELSE 'changed' END AS status,
+        |        coalesce(s1.v1, -1.0) AS value_t1,
+        |        coalesce(s2.v2, -1.0) AS value_t2
+        |      FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+        |SELECT user_id, status, value_t1, value_t2 FROM d
+        |WHERE status <> 'changed' OR value_t1 <> value_t2
+        |ORDER BY user_id""".stripMargin,
+    // affine 255-level code per dim; squared errors quantized to integer
+    // pico units so the MSE fold is order-free
+    "embedding_sq8_stats" ->
+      s"""WITH $kvCte,
+         |e AS (SELECT CAST(r.range AS BIGINT) AS dim,
+         |        vec[CAST(r.range AS INT)+1] AS x
+         |      FROM kv, range(64) r),
+         |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+         |co AS (SELECT e.dim, e.x, mm.mn, mm.mx,
+         |        CASE WHEN mm.mx = mm.mn THEN 0
+         |             ELSE CAST(round(255.0 * (e.x - mm.mn)
+         |                              / (mm.mx - mm.mn)) AS BIGINT) END AS code
+         |       FROM e JOIN mm USING (dim)),
+         |r2 AS (SELECT dim, mn, mx,
+         |        CAST(round((x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))
+         |                 * (x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0))
+         |                 * 1.0e12) AS BIGINT) AS e2p
+         |       FROM co)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n, min(mn) AS mn, min(mx) AS mx,
+         |  CAST(sum(e2p) AS BIGINT) AS sum_e2_pico,
+         |  CAST(max(e2p) AS BIGINT) AS max_e2_pico
+         |FROM r2 GROUP BY dim ORDER BY dim""".stripMargin,
     // median pairwise slope + median residual intercept; quantile_cont
     // parity with Spark's percentile is q33's pinned gate
     "theil_sen_daily" ->

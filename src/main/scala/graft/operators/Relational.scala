@@ -617,6 +617,42 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** SNAPSHOT DIFF between two as-of cuts of the SCD2 interval table —
+    * the audit query behind "what changed between the t1 training run and
+    * the t2 rerun": users ADDED (absent at t1), REMOVED (no live interval
+    * at t2), or CHANGED (live at both with a different value), with
+    * unchanged users dropped. Cuts are the data-derived quartile instants
+    * min + (span)/4 and min + 3·(span)/4 in integer µs (1-row broadcast,
+    * both engines state them exactly); absent values carry the −1
+    * sentinel (values are positive) so the diff row is null-free and
+    * hash-stable.
+    *
+    * Scale shape: each snapshot is [[scd2AsofSnapshot]]'s broadcast-filter
+    * over the interval table (partition-prunable on valid_from at
+    * warehouse scale); the diff is one user-keyed full outer join of two
+    * user-sized snapshots. */
+  def scd2SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val cuts = Tables.events(spark, sfDir)
+      .agg(expr("min(ts_ns div 1000) + (max(ts_ns div 1000) - min(ts_ns div 1000)) div 4").as("cut1"),
+           expr("min(ts_ns div 1000) + ((max(ts_ns div 1000) - min(ts_ns div 1000)) * 3) div 4").as("cut2"))
+    val iv = scd2UserValues(spark, sfDir)
+    def snapAt(cut: Column, v: String): DataFrame =
+      iv.crossJoin(broadcast(cuts))
+        .filter(col("valid_from_us") <= cut &&
+                (col("valid_to_us").isNull || col("valid_to_us") > cut))
+        .select(col("user_id"), col("value").as(v))
+    snapAt(col("cut1"), "v1").join(snapAt(col("cut2"), "v2"),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "removed")
+          .otherwise("changed").as("status"),
+        coalesce(col("v1"), lit(-1.0)).as("value_t1"),
+        coalesce(col("v2"), lit(-1.0)).as("value_t2"))
+      .filter(col("status") =!= "changed" || col("value_t1") =!= col("value_t2"))
+      .orderBy(col("user_id"))
+  }
+
   /** Decorrelated "orders above their customer's average" — the correlated
     * scalar subquery expressed as the join Catalyst would decorrelate it to
     * (aggregate once per customer, join back, filter). */

@@ -1390,4 +1390,43 @@ object Similarity {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** INT8 SCALAR-QUANTIZATION AUDIT per dimension — the storage-shrink
+    * decision input for an embedding store (SQ8 cuts a float corpus 4×;
+    * this measures what that costs BEFORE committing): per dim, the
+    * min/max calibration range, and the reconstruction error of the
+    * 255-level affine code round(255·(x−min)/(max−min)), as the exact sum
+    * and max of squared errors quantized to integer PICO units — so the
+    * per-dim MSE aggregate is an order-free integer fold (the idf-ppm
+    * precedent; a double Σ err² would be partition-order-dependent).
+    * Constant dimensions (max = min) code to 0 with zero error, stated on
+    * both engines.
+    *
+    * Scale shape: pass 1 is the [[dimStats]] min/max groupBy (64-row
+    * result, broadcast back); pass 2 re-scans the corpus, codes, and
+    * folds map-side into the 64-row report — two scans total, the
+    * calibrate-then-apply shape every quantizer has (production caches
+    * the calibration table; here it is a 64-row broadcast either way). */
+  def sq8Stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    val mm = x.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val recon = col("mn") +
+      col("code").cast("double") * (col("mx") - col("mn")) / lit(255.0)
+    x.join(broadcast(mm), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round(lit(255.0) * (col("x") - col("mn")) /
+                           (col("mx") - col("mn"))).cast("long")))
+      .withColumn("e2p",
+        round((col("x") - recon) * (col("x") - recon) * lit(1.0e12))
+          .cast("long"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           min(col("mn")).as("mn"), min(col("mx")).as("mx"),
+           sum(col("e2p")).cast("long").as("sum_e2_pico"),
+           max(col("e2p")).as("max_e2_pico"))
+      .orderBy(col("dim"))
+  }
 }

@@ -347,4 +347,23 @@ class KMeansSpec extends SparkSpec {
     assert(agg.filter(sabs(col("mz")) > 1e-6).count() == 0)
     assert(agg.filter(sabs(col("sz") - 1.0) > 1e-6).count() == 0)
   }
+
+  test("sq8: every dim reported, error bounded by half a quantization step, codes hit the rails") {
+    val s = graft.operators.Similarity.sq8Stats(spark, Sf0001).collect()
+    assert(s.map(_.getAs[Int]("dim")).toSeq == (0 until 64))
+    val n = graft.io.Tables.embeddings(spark, Sf0001).count()
+    s.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      val mn = r.getAs[Double]("mn"); val mx = r.getAs[Double]("mx")
+      assert(mx >= mn)
+      // max squared error ≤ (step/2)² with rounding slack; step = range/255
+      val step = (mx - mn) / 255.0
+      val bound = (step / 2.0) * (step / 2.0) * 1e12 + 1.0
+      assert(r.getAs[Long]("max_e2_pico").toDouble <= bound)
+      assert(r.getAs[Long]("sum_e2_pico") >= r.getAs[Long]("max_e2_pico"))
+      // MSE is strictly positive on real data (a zero-error dim would
+      // mean 255 levels losslessly code the floats — not at 64-dim random)
+      assert(r.getAs[Long]("sum_e2_pico") > 0L)
+    }
+  }
 }

@@ -98,4 +98,39 @@ class Scd2UpsertSpec extends SparkSpec {
     assert(feed.filter(col("op") === "close" && col("valid_to_us").isNull)
       .count() === 0L)
   }
+
+  test("scd2 snapshot diff agrees with two independently rebuilt as-of states") {
+    val diff = graft.operators.Relational.scd2SnapshotDiff(spark, Sf0001)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("status"), r.getAs[Double]("value_t1"),
+         r.getAs[Double]("value_t2"))).toMap
+    // rebuild both snapshots locally from the raw events
+    val ev = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), col("event_id"), col("value"),
+              expr("ts_ns div 1000").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val minUs = ev.map(_._4).min; val maxUs = ev.map(_._4).max
+    val cut1 = minUs + (maxUs - minUs) / 4
+    val cut2 = minUs + (maxUs - minUs) * 3 / 4
+    def snap(cut: Long): Map[Long, Double] = ev.groupBy(_._1).flatMap {
+      case (u, g) =>
+        val live = g.filter(_._4 <= cut)
+        if (live.isEmpty) None
+        else Some(u -> live.maxBy(e => (e._4, e._2))._3)
+    }
+    val (s1, s2) = (snap(cut1), snap(cut2))
+    val expect = (s1.keySet ++ s2.keySet).flatMap { u =>
+      (s1.get(u), s2.get(u)) match {
+        case (None, Some(v2))                      => Some(u -> (("added", -1.0, v2)))
+        case (Some(v1), None)                      => Some(u -> (("removed", v1, -1.0)))
+        case (Some(v1), Some(v2)) if v1 != v2      => Some(u -> (("changed", v1, v2)))
+        case _                                     => None
+      }
+    }.toMap
+    assert(diff == expect)
+    // the diff is non-trivial on this fixture: values do change mid-tape
+    assert(diff.values.exists(_._1 == "changed"))
+  }
 }
