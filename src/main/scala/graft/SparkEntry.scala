@@ -429,6 +429,12 @@ object SparkEntry {
     // SQ8 storage-shrink audit: per-dim reconstruction error as exact
     // integer pico-unit folds
     "embedding_sq8_stats" -> ((s, dir) => Similarity.sq8Stats(s, dir)),
+    // hash-deterministic Poisson bootstrap: per-type median with a
+    // [min,max]-of-resample-medians CI band
+    "bootstrap_median_ci" -> ((s, dir) => Analytics.bootstrapMedianCi(s, dir)),
+    // nonparametric arm comparison via banded tie-averaged ranks —
+    // no row-level sort, exact integer rank algebra
+    "mannwhitney_value_arms" -> ((s, dir) => Analytics.mannWhitneyArms(s, dir)),
     // per-user event-sequence transition matrix with row-normalized p
     "markov_transitions" -> ((s, dir) => Analytics.markovTransitions(s, dir)),
     // clickstream path mining: top-k length-3 type sequences, one user
@@ -3359,6 +3365,58 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount', n, n - c6, d6, mn6, mx6 FROM a
         |UNION ALL SELECT 'l_shipdate', n, n - c7, d7, mn7, mx7 FROM a
         |ORDER BY column_name""".stripMargin,
+    // pseudo-Poisson multiplicities from the house hash, /16 pmf
+    // {0:5,1:7,2:3,3:1}; medians via quantile_cont parity
+    "bootstrap_median_ci" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        quantile_cont(c, 0.5) AS median FROM base GROUP BY 1),
+        |m AS (SELECT event_type, c, CAST(r.range AS BIGINT) AS r,
+        |        CASE WHEN ((event_id % 1000000007) * 2654435761
+        |                   + CAST(r.range AS BIGINT)) % 1000000007 % 16 < 5 THEN 0
+        |             WHEN ((event_id % 1000000007) * 2654435761
+        |                   + CAST(r.range AS BIGINT)) % 1000000007 % 16 < 12 THEN 1
+        |             WHEN ((event_id % 1000000007) * 2654435761
+        |                   + CAST(r.range AS BIGINT)) % 1000000007 % 16 < 15 THEN 2
+        |             ELSE 3 END AS mult
+        |      FROM base, range(16) r),
+        |x AS (SELECT event_type, r, c
+        |      FROM m, range(1, 4) d WHERE CAST(d.range AS BIGINT) <= mult),
+        |rm AS (SELECT event_type, r, quantile_cont(c, 0.5) AS med
+        |       FROM x GROUP BY 1, 2),
+        |ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_resamples,
+        |        min(med) AS ci_lo, max(med) AS ci_hi FROM rm GROUP BY 1)
+        |SELECT pt.event_type, pt.n, pt.median,
+        |  ci.n_resamples, ci.ci_lo, ci.ci_hi
+        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+    // doubled tie-averaged ranks R2 = 2*below + tied + 1 keep the rank
+    // algebra in exact integers; z tree stated over string-roundtrip
+    // doubles with identical association
+    "mannwhitney_value_arms" ->
+      """WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT c, na, nb, na + nb AS t,
+        |        coalesce(sum(na + nb) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |      FROM v),
+        |a AS (SELECT CAST(sum(na) AS BIGINT) AS n0,
+        |        CAST(sum(nb) AS BIGINT) AS n1,
+        |        sum(CAST(na AS HUGEINT) * (2 * below + t + 1)) AS ra2,
+        |        sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+        |      FROM r)
+        |SELECT n0, n1,
+        |  CAST(CAST(ra2 - CAST(n0 AS HUGEINT) * (n0 + 1) AS VARCHAR) AS DOUBLE) AS u2,
+        |  CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS tie_term,
+        |  (CAST(CAST(ra2 - CAST(n0 AS HUGEINT) * (n0 + 1) AS VARCHAR) AS DOUBLE) / 2.0
+        |    - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+        |  / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+        |      ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+        |       - CAST(CAST(ties AS VARCHAR) AS DOUBLE)
+        |         / (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0)))) AS z
+        |FROM a""".stripMargin,
     // two quartile-instant snapshots of the SCD2 intervals full-outer
     // joined; unchanged users dropped; -1 sentinel for absent values
     "scd2_snapshot_diff" ->

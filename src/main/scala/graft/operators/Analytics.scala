@@ -1429,4 +1429,104 @@ object Analytics {
           .as("trimmed_mean"))
       .orderBy(col("event_type"))
   }
+
+  /** DETERMINISTIC POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the per-type
+    * median — the resampling CI at cluster scale, done the only way a
+    * 1000-executor job can: classic bootstrap draws n-with-replacement
+    * (impossible without a global pass per resample); POISSON bootstrap
+    * gives each ROW an independent multiplicity with mean 1, a pure map.
+    * Multiplicities here are pseudo-Poisson drawn from the house
+    * multiplicative hash of (event_id, resample) quantized to the /16
+    * pmf {0:5, 1:7, 2:3, 3:1} (mean exactly 1) — a pure row function, so
+    * task retries and the oracle reproduce every resample bit-for-bit; a
+    * seeded `rand()` could not cross engines. Per type: the point median
+    * over the real data and [min, max] of the B resample medians as the
+    * CI band. All medians are the exact sort-based `percentile` (q33's
+    * quantile_cont parity).
+    *
+    * Scale shape: the B-fold fan-out is a bounded explode (≤ 3 copies per
+    * (row, resample)); medians run per (type, resample) on one
+    * map-partial exchange; the report is type-sized. At 100 TB the exact
+    * median inside each resample is the expensive part — the registered
+    * approximate path is q10b's sketch. */
+  def bootstrapMedianCi(spark: SparkSession, sfDir: String,
+                        b: Int = 16): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+              expr("cast(round(value * 100) as bigint)").as("c"))
+    val point = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           expr("percentile(c, 0.5D)").as("median"))
+    val res = base
+      .select(col("event_type"), col("c"),
+        explode(expr(s"transform(sequence(0, ${b - 1}), r -> named_struct(" +
+          "'r', cast(r as bigint), " +
+          "'m', ((event_id % 1000000007) * 2654435761 + r) % 1000000007 % 16))"))
+          .as("d"))
+      .select(col("event_type"), col("c"), col("d.r").as("r"),
+        when(col("d.m") < 5, 0L).when(col("d.m") < 12, 1L)
+          .when(col("d.m") < 15, 2L).otherwise(3L).as("mult"))
+      .filter(col("mult") > 0)
+      .select(col("event_type"), col("r"),
+              explode(expr("sequence(1, mult)")).as("dup"), col("c"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(expr("percentile(c, 0.5D)").as("med"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_resamples"),
+           min(col("med")).as("ci_lo"), max(col("med")).as("ci_hi"))
+    point.join(res, "event_type")
+      .select(col("event_type"), col("n"), col("median"),
+              col("n_resamples"), col("ci_lo"), col("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** MANN-WHITNEY U TEST between the id-parity arms — the nonparametric
+    * complement to [[abTestZtest]] (that tests a proportion; this tests
+    * whether one arm's VALUES are stochastically larger, with no
+    * normality assumption), computed WITHOUT ranking a single row: group
+    * to per-value-arm counts, take the value-ordered prefix over the
+    * bounded distinct-cents table, and use the tie-averaged rank in
+    * DOUBLED integer units R2(v) = 2·cnt_below(v) + tied(v) + 1 — exact
+    * longs end to end. The rank-sum, U statistic (kept as 2U, integer),
+    * tie-correction term Σ(t³−t), and the normal-approximation z
+    * (tie-corrected variance) follow as one fixed double tree over exact
+    * integers crossed via the canonical string round-trip.
+    *
+    * Scale shape: the corpus collapses to per-(value, arm) counts in one
+    * map-side-combinable groupBy; every later step runs on the
+    * distinct-value table (bounded by the cents domain), whose prefix sum
+    * is a single window over that bounded frame. */
+  def mannWhitneyArms(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val byVal = Tables.events(spark, sfDir)
+      .select(expr("cast(round(value * 100) as bigint)").as("c"),
+              (col("user_id") % 2).as("arm"))
+      .groupBy(col("c"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("na"),
+           sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    val wv = Window.orderBy(col("c"))
+    val ranked = byVal
+      .withColumn("below",
+        coalesce(sum(col("t")).over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+                 lit(0L)))
+      .withColumn("r2", lit(2L) * col("below") + col("t") + 1L)
+    val agg = ranked.agg(
+      sum(col("na")).cast("long").as("n0"),
+      sum(col("nb")).cast("long").as("n1"),
+      sum(col("na").cast(d19) * col("r2").cast(d19)).as("ra2"),
+      sum(col("t").cast(d19) * col("t").cast(d19) * col("t").cast(d19) -
+          col("t").cast(d19)).as("ties"))
+    val n0d = col("n0").cast("double"); val n1d = col("n1").cast("double")
+    val nd = (col("n0") + col("n1")).cast("double")
+    val u2 = col("ra2") - (col("n0").cast(d19) *
+                           (col("n0") + lit(1)).cast(d19))
+    agg.select(col("n0"), col("n1"),
+        u2.cast("string").cast("double").as("u2"),
+        col("ties").cast("string").cast("double").as("tie_term"))
+      .select(col("n0"), col("n1"), col("u2"), col("tie_term"),
+        ((col("u2") / 2.0 - n0d * n1d / 2.0) /
+         sqrt(n0d * n1d / 12.0 *
+           ((nd + 1.0) - col("tie_term") / (nd * (nd - 1.0))))).as("z"))
+  }
 }

@@ -951,4 +951,47 @@ class AnalyticsSpec extends SparkSpec {
     // equi-depth within interpolation slack: each decile holds 10% ± 5pp
     b.foreach(r => assert(math.abs(r.getAs[Long]("n").toDouble / n - 0.1) < 0.05))
   }
+
+  test("bootstrap CI: band brackets the point median and resamples are all present") {
+    val rows = Analytics.bootstrapMedianCi(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_resamples") == 16L)
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= hi)
+      // the point median need not lie inside [lo,hi] in theory, but a
+      // mean-1 resampler on thousands of rows keeps it there in practice
+      val m = r.getAs[Double]("median")
+      assert(m >= lo - 1e-9 && m <= hi + 1e-9)
+      // a 16-resample band on real data is not degenerate
+      assert(hi > lo)
+    }
+  }
+
+  test("mann-whitney recomputes from a local full-sort rank pass") {
+    val r = Analytics.mannWhitneyArms(spark, Sf0001).head()
+    val vals = graft.io.Tables.events(spark, Sf0001)
+      .select(expr("cast(round(value * 100) as bigint)").as("c"),
+              (col("user_id") % 2).as("arm"))
+      .collect().map(x => (x.getAs[Long]("c"), x.getAs[Long]("arm"))).toList
+    val n0 = vals.count(_._2 == 0L).toLong
+    val n1 = vals.count(_._2 == 1L).toLong
+    assert(r.getAs[Long]("n0") == n0 && r.getAs[Long]("n1") == n1)
+    // textbook average ranks over the fully sorted sample
+    val sorted = vals.sortBy(_._1)
+    val rankByValue = sorted.map(_._1).zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+    val ra = vals.filter(_._2 == 0L).map(v => rankByValue(v._1)).sum
+    val u = ra - n0.toDouble * (n0 + 1) / 2.0
+    assert(math.abs(r.getAs[Double]("u2") / 2.0 - u) < 1e-6)
+    // tie term: Σ t³ − t over value multiplicities
+    val ties = vals.groupBy(_._1).values
+      .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+    assert(r.getAs[Double]("tie_term") == ties.toDouble)
+    // z recomputes from the same tree
+    val nd = (n0 + n1).toDouble
+    val z = (u - n0 * n1 / 2.0) /
+      math.sqrt(n0 * n1 / 12.0 * ((nd + 1.0) - ties / (nd * (nd - 1.0))))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-9)
+  }
 }
