@@ -457,6 +457,11 @@ object SparkEntry {
     // Holt's linear trend (alpha=1/4, beta=1/8): two COUPLED recurrences
     "holt_by_type" -> ((s, dir) => StatefulQueries.holtByType(s, dir)),
     "holt_by_type_streaming" -> ((s, dir) => StatefulQueries.holtByTypeStreaming(s, dir)),
+    // triple smoothing: the seasonal ring buffer rides state as a
+    // fixed-width array (the ListState-shaped stateful form)
+    "holt_winters_by_type" -> ((s, dir) => StatefulQueries.holtWintersByType(s, dir)),
+    "holt_winters_by_type_streaming" ->
+      ((s, dir) => StatefulQueries.holtWintersByTypeStreaming(s, dir)),
     // running peak / max drawdown: window-expressible, so batch is the
     // declarative two-cummax form; the twin carries (peak, worst) state
     "drawdown_by_type" -> ((s, dir) => StatefulQueries.drawdownByType(s, dir)),
@@ -2397,6 +2402,32 @@ object SparkEntry {
         |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
         |SELECT event_id, event_type, l AS level, t AS trend, l + t AS forecast
         |FROM c ORDER BY event_id""".stripMargin,
+    // the triple-smoothing recursion carries the seasonal LIST through
+    // the CTE (oldest first); L re-stated inline for t and s (the holt
+    // precedent) — identical IEEE trees both sides; cold start L=x, T=0,
+    // all-zero seasonal buffer
+    "holt_winters_by_type" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, i, CAST(v AS DOUBLE) AS l,
+        |    CAST(0 AS DOUBLE) AS t,
+        |    [0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]::DOUBLE[] AS s
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i,
+        |    0.25 * (o.v - c.s[1]) + 0.75 * (c.l + c.t),
+        |    0.125 * ((0.25 * (o.v - c.s[1]) + 0.75 * (c.l + c.t)) - c.l)
+        |      + 0.875 * c.t,
+        |    list_append(c.s[2:8],
+        |      0.25 * (o.v - (0.25 * (o.v - c.s[1]) + 0.75 * (c.l + c.t)))
+        |        + 0.75 * c.s[1])
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
+        |SELECT event_id, event_type, l AS level, t AS trend,
+        |  s[8] AS seasonal, l + t + s[1] AS forecast
+        |FROM c ORDER BY event_id""".stripMargin,
     // two stacked cumulative maxes + one subtraction: max picks an existing
     // double, the subtraction is a single correctly-rounded op — the same
     // window statement the Spark batch form executes (and the state the
@@ -3847,6 +3878,8 @@ object SparkEntry {
       "drawdown_by_type_streaming"     -> base("drawdown_by_type"),
       // (level, trend) carried across micro-batches together — same oracle
       "holt_by_type_streaming"         -> base("holt_by_type"),
+      // level, trend AND the seasonal ring buffer cross together
+      "holt_winters_by_type_streaming" -> base("holt_winters_by_type"),
       // (prev, avg gain, avg loss) cross the batch boundary as one record
       "rsi_by_type_streaming"          -> base("rsi_by_type"),
       // all three coupled EMAs cross the batch boundary together

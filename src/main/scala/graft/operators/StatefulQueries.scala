@@ -569,6 +569,42 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Holt-Winters factors — all binary-exact (bit-parity precondition);
+    * season length 8 keeps the ring buffer a fixed-width array. */
+  val HwAlpha  = 0.25
+  val HwBeta   = 0.125
+  val HwGamma  = 0.25
+  val HwSeason = 8
+
+  /** Holt-Winters additive seasonal smoothing per event_type — batch
+    * ordered fold; the state adds a fixed-width seasonal RING BUFFER to
+    * holt's (level, trend) pair (the ListState-shaped stateful form). */
+  def holtWintersByType(spark: SparkSession, sfDir: String): DataFrame = {
+    val kv = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+    StatefulOps.holtWintersOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc),
+        HwAlpha, HwBeta, HwGamma, HwSeason).toDF()
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("level"), col("trend"), col("seasonal"), col("forecast"))
+      .orderBy(col("event_id"))
+  }
+
+  /** [[holtWintersByType]] through the micro-batch engine — the THREE
+    * coupled components (level, trend, seasonal ring buffer) cross the
+    * batch boundary together in one state record. */
+  def holtWintersByTypeStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.holtWintersStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), HwAlpha, HwBeta, HwGamma, HwSeason).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("level"), col("trend"), col("seasonal"), col("forecast"))
+      .orderBy(col("event_id"))
+  }
+
   /** RUNNING PEAK / DRAWDOWN / MAX-DRAWDOWN per event_type — the risk
     * statistic of the reference's price-series domain (peak-to-trough
     * loss since the running high). Unlike CUSUM/EWMA/Holt this recurrence

@@ -908,6 +908,71 @@ object StatefulOps {
           holtFold(key, rows.toSeq.sortBy(_.ord).iterator, state, alpha, beta)
       }
 
+  /** Holt-Winters accumulator: level, trend, and the seasonal RING BUFFER
+    * s[0..m−1] (oldest first) — the first stateful shape here whose state
+    * is a fixed-width ARRAY crossing micro-batch boundaries (the
+    * Flink-ListState analogue of holt's two scalars; width m is a
+    * constant, so state stays O(m) per key, never history-sized). */
+  case class HwAcc(l: Double, t: Double, s: Seq[Double])
+  case class HwOut(key: String, ord: Long, level: Double, trend: Double,
+                   seasonal: Double, forecast: Double)
+
+  private implicit val hwAccEnc: Encoder[HwAcc] = Encoders.product[HwAcc]
+  private implicit val hwOutEnc: Encoder[HwOut] = Encoders.product[HwOut]
+
+  private def hwFold(key: String, rows: Iterator[KV], state: GroupState[HwAcc],
+                     alpha: Double, beta: Double, gamma: Double,
+                     m: Int): Iterator[HwOut] = {
+    var acc = if (state.exists) Some(state.get) else None
+    rows.map { r =>
+      val next = acc match {
+        case None => HwAcc(r.value, 0.0, Vector.fill(m)(0.0))
+        case Some(HwAcc(l0, t0, s)) =>
+          val s0 = s.head
+          val l = alpha * (r.value - s0) + (1.0 - alpha) * (l0 + t0)
+          val t = beta * (l - l0) + (1.0 - beta) * t0
+          val sn = gamma * (r.value - l) + (1.0 - gamma) * s0
+          HwAcc(l, t, s.tail :+ sn)
+      }
+      acc = Some(next)
+      HwOut(key, r.ord, next.l, next.t, next.s.last,
+            next.l + next.t + next.s.head)
+    } ++ { acc.foreach(state.update); Iterator.empty }
+  }
+
+  /** HOLT-WINTERS additive seasonal smoothing (triple exponential) per
+    * key — the seasonal completion of the [[ewmaStream]]→[[holtStream]]
+    * forecasting ladder, with THREE coupled recurrences:
+    * Lₙ = α(xₙ − sₙ₋ₘ) + (1−α)(Lₙ₋₁ + Tₙ₋₁),
+    * Tₙ = β(Lₙ − Lₙ₋₁) + (1−β)Tₙ₋₁,
+    * sₙ = γ(xₙ − Lₙ) + (1−γ)sₙ₋ₘ, one-step forecast Lₙ + Tₙ + sₙ₋ₘ₊₁.
+    * Deterministic cold start: L₁ = x₁, T₁ = 0, seasonal buffer all-zero
+    * (components LEARN rather than being pre-fit — the only init both
+    * engines can state without a separate fitting pass). All three
+    * factors binary-exact (α = γ = 1/4, β = 1/8), so the recursive
+    * oracle — which carries the seasonal LIST through the recursion —
+    * pins the fold bit-for-bit. */
+  def holtWintersStream(ds: Dataset[KV], alpha: Double, beta: Double,
+                        gamma: Double, m: Int,
+                        mode: OutputMode = OutputMode.Append()): Dataset[HwOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[HwAcc, HwOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[HwAcc]) =>
+          hwFold(key, rows.toSeq.sortBy(_.ord).iterator, state,
+                 alpha, beta, gamma, m)
+      }
+
+  /** [[holtWintersStream]] over a pre-ordered grouping: one lazy pass,
+    * O(m) state. */
+  def holtWintersOrdered(g: org.apache.spark.sql.KeyValueGroupedDataset[String, KV],
+                         alpha: Double, beta: Double, gamma: Double,
+                         m: Int): Dataset[HwOut] =
+    g.flatMapGroupsWithState[HwAcc, HwOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[HwAcc]) =>
+        hwFold(key, rows, state, alpha, beta, gamma, m)
+    }
+
   /** CUSUM CHANGE DETECTION per key: sₙ = max(0, sₙ₋₁ + xₙ − target),
     * alarm and reset when sₙ exceeds the alarm threshold — the classic
     * sequential drift detector (Page 1954). The reset makes the recurrence

@@ -286,6 +286,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.filter(col("forecast") =!= col("level") + col("trend")).count() == 0)
   }
 
+  test("holt-winters: zero-seasonal start degenerates to holt on constant input; fold matches a direct recurrence; streaming equals batch") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    // constant input: level fixes at the value, trend and seasonals stay 0
+    val const = (0 until 40).map(i => StatefulOps.KV("k", i.toLong, 42.5)).toDS()
+    StatefulOps.holtWintersStream(const, 0.25, 0.125, 0.25, 8)
+      .collect().foreach { o =>
+        assert(o.level == 42.5 && o.trend == 0.0 &&
+               o.seasonal == 0.0 && o.forecast == 42.5)
+      }
+    // random tape: the fold equals the textbook recurrence computed directly
+    val rnd = new scala.util.Random(23)
+    val vals = Seq.fill(60)(rnd.nextDouble() * 100)
+    val ds = vals.zipWithIndex.map { case (v, i) =>
+      StatefulOps.KV("k", i.toLong, v) }.toDS()
+    val got = StatefulOps.holtWintersStream(ds, 0.25, 0.125, 0.25, 8)
+      .collect().sortBy(_.ord)
+    var l = vals.head; var t = 0.0; var s = Vector.fill(8)(0.0)
+    vals.zipWithIndex.foreach { case (x, i) =>
+      if (i > 0) {
+        val s0 = s.head
+        val l1 = 0.25 * (x - s0) + 0.75 * (l + t)
+        t = 0.125 * (l1 - l) + 0.875 * t
+        val sn = 0.25 * (x - l1) + 0.75 * s0
+        l = l1; s = s.tail :+ sn
+      }
+      assert(got(i).level == l && got(i).trend == t)
+      assert(got(i).seasonal == s.last)
+      assert(got(i).forecast == l + t + s.head)
+    }
+    // the registered streaming twin equals the batch form row for row
+    val b = graft.operators.StatefulQueries.holtWintersByType(spark, Sf0001)
+    val st = graft.operators.StatefulQueries.holtWintersByTypeStreaming(spark, Sf0001)
+    assert(b.exceptAll(st).count() == 0 && st.exceptAll(b).count() == 0)
+  }
+
   test("drawdown: invariants hold, batch window equals streaming fold, fold equals direct recurrence") {
     val b = graft.operators.StatefulQueries.drawdownByType(spark, Sf0001).cache()
     assert(b.count() == graft.io.Tables.events(spark, Sf0001).count())
