@@ -410,6 +410,9 @@ object SparkEntry {
     // DeepWalk input: hash-deterministic walks over the user graph,
     // one frontier equi-join per step
     "random_walks_users" -> ((s, dir) => Analytics.randomWalksUsers(s, dir)),
+    // deterministic synchronous LPA: majority neighbor label, 4 rounds
+    // run identically by engine and oracle
+    "label_prop_communities" -> ((s, dir) => Analytics.labelPropCommunities(s, dir)),
     // grouped k-fold CV assignment summary (leak-free by construction)
     "cv_fold_assign" -> ((s, dir) => Analytics.cvFoldAssign(s, dir)),
     // funnel latency: first-view → first-subsequent-purchase delay
@@ -3604,6 +3607,37 @@ object SparkEntry {
         |  CAST(min(delay_us) AS BIGINT) AS min_delay_us,
         |  CAST(max(delay_us) AS BIGINT) AS max_delay_us
         |FROM d GROUP BY bin ORDER BY bin""".stripMargin,
+    // deterministic synchronous LPA, 4 rounds generated mechanically
+    // (the bfs/cc oracle discipline): majority neighbor label with the
+    // (count desc, label asc) tie-break, isolated nodes keep their id
+    "label_prop_communities" -> {
+      val head =
+        """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+          |    epoch_us(ts) // 60000000 AS w FROM events),
+          |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+          |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+          |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM ce
+          |  UNION ALL SELECT v, u FROM ce),
+          |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+          |l0 AS MATERIALIZED (SELECT node, node AS lab FROM nd)""".stripMargin
+      val steps = (1 to 4).map { i =>
+        val p = i - 1
+        s"""v$i AS MATERIALIZED (SELECT e.src AS node, l$p.lab AS lab,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM e JOIN l$p ON e.dst = l$p.node GROUP BY 1, 2),
+           |m$i AS MATERIALIZED (SELECT node, lab FROM (
+           |    SELECT node, lab, row_number() OVER (PARTITION BY node
+           |      ORDER BY c DESC, lab ASC) AS rn FROM v$i) WHERE rn = 1),
+           |l$i AS MATERIALIZED (SELECT nd.node,
+           |    coalesce(m$i.lab, l$p.lab) AS lab
+           |  FROM nd JOIN l$p USING (node) LEFT JOIN m$i USING (node))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT node AS user_id, CAST(lab AS BIGINT) AS community
+         |FROM l4 ORDER BY user_id""".stripMargin
+    },
     // hash-deterministic 3-step walks: next hop = adjacency rank
     // hash(node, step) mod degree + 1 over dst-ascending neighbors
     "random_walks_users" -> {

@@ -1294,6 +1294,64 @@ object Analytics {
     } finally adj.unpersist(blocking = false)
   }
 
+  /** LABEL-PROPAGATION COMMUNITY DETECTION over the user co-occurrence
+    * graph — the modularity-seeking complement to [[ccUsers]] (CC answers
+    * REACHABILITY — one dense component swallows most users; LPA answers
+    * COHESION — each node adopts its neighbors' MAJORITY label, so labels
+    * pool inside densely-linked groups and stop at sparse cuts). Fully
+    * deterministic synchronous LPA: new label = the most frequent label
+    * among neighbors (count desc, label asc tie-break — no random visit
+    * order), isolated nodes keep their own id; a FIXED 4-round horizon is
+    * run identically by engine and oracle (unlike cc, where only the
+    * oracle carries a horizon and the engine converges).
+    *
+    * Scale shape: each round is one edge-side equi-join against the
+    * node-sized label table, a map-side-combinable (node, label) vote
+    * count, and a per-node argmax window bounded by the node's distinct
+    * neighbor labels; the label frame is eagerly localCheckpointed per
+    * round (the pagerank lineage-truncation discipline) and superseded
+    * checkpoints are freed. */
+  def labelPropCommunities(spark: SparkSession, sfDir: String,
+                           rounds: Int = 4): DataFrame = {
+    val e = userCoEdges(spark, sfDir)
+    val edges = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .cache()
+    val checkpointed = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      val nodes = Tables.events(spark, sfDir)
+        .select(col("user_id").as("node")).distinct()
+      var cur = nodes.select(col("node"), col("node").as("lab"))
+      for (_ <- 1 to rounds) {
+        val votes = edges
+          .join(cur.select(col("node").as("dst"), col("lab")), "dst")
+          .groupBy(col("src"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        val best = votes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("c").desc, col("lab").asc)))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("lab").as("new_lab"))
+        val nd = cur.join(best, Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
+          .localCheckpoint(true)
+        checkpointed += nd
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(cur)
+          .foreach(_.unpersist(blocking = false))
+        cur = nd
+      }
+      localize(spark, cur
+        .select(col("node").as("user_id"), col("lab").as("community"))
+        .orderBy(col("user_id")))
+    } finally {
+      edges.unpersist(blocking = false)
+      checkpointed.foreach(d =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+          .foreach(_.unpersist(blocking = false)))
+    }
+  }
+
   /** GROUPED K-FOLD CROSS-VALIDATION assignment summary — the k-fold twin
     * of split_grouped_leakfree: every event lands in the fold of its USER
     * (fold = multiplicative-hash(user) mod k, a pure row function — no

@@ -886,6 +886,41 @@ class AnalyticsSpec extends SparkSpec {
     w.unpersist()
   }
 
+  test("label propagation matches a local synchronous 4-round recompute") {
+    val got = Analytics.labelPropCommunities(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("community")).toMap
+    // rebuild the symmetrized adjacency locally (the random-walk recipe)
+    val buckets = graft.io.Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr("ts_ns div 60000000000").as("b")).distinct()
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toList
+    val edges: Set[(Long, Long)] = buckets.groupBy(_._1).values.toList.flatMap { g =>
+      val us = g.map(_._2).distinct.sorted
+      for (a <- us; b <- us if a < b) yield (a, b)
+    }.toSet
+    val adj: Map[Long, List[Long]] = edges.toList
+      .flatMap { case (a, b) => List(a -> b, b -> a) }
+      .groupBy(_._1).map { case (s, ns) => s -> ns.map(_._2).distinct }
+    val nodes = got.keySet
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = nodes.map { n =>
+        adj.get(n) match {
+          case None => n -> lab(n)
+          case Some(ns) =>
+            val counts = ns.map(lab).groupBy(identity)
+              .map { case (l, g) => (l, g.size) }
+            val best = counts.toList.sortBy { case (l, c) => (-c, l) }.head._1
+            n -> best
+        }
+      }.toMap
+    }
+    assert(got == lab)
+    // cohesion beats reachability: LPA yields at least as many groups as CC
+    val ccGroups = Analytics.ccUsers(spark, Sf0001)
+      .select(col("component")).distinct().count()
+    assert(got.values.toSet.size >= ccGroups)
+  }
+
   test("cv folds: shares sum to ~1e6, every user in exactly one fold, fold ids dense") {
     val f = Analytics.cvFoldAssign(spark, Sf0001).collect()
     assert(f.map(_.getAs[Long]("fold")).toSet.subsetOf((0L until 5L).toSet))
