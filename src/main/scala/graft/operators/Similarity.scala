@@ -1407,8 +1407,11 @@ object Similarity {
     * folds map-side into the 64-row report — two scans total, the
     * calibrate-then-apply shape every quantizer has (production caches
     * the calibration table; here it is a 64-row broadcast either way). */
-  def sq8Stats(spark: SparkSession, sfDir: String): DataFrame = {
-    val x = Tables.embeddings(spark, sfDir)
+  def sq8Stats(spark: SparkSession, sfDir: String): DataFrame =
+    sq8StatsOf(Tables.embeddings(spark, sfDir))
+
+  def sq8StatsOf(embeddings: DataFrame): DataFrame = {
+    val x = embeddings
       .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
     val mm = x.groupBy(col("dim"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))

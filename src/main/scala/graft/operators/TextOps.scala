@@ -1532,8 +1532,12 @@ object TextOps {
     * token — no global sort, no unbounded group. */
   def invertedIndexPostings(spark: SparkSession, sfDir: String,
                             dfLo: Long = 5L, dfHi: Long = 40L,
-                            cap: Int = 32): DataFrame = {
-    val pairs = Tables.documentsNarrow(spark, sfDir)
+                            cap: Int = 32): DataFrame =
+    invertedIndexPostingsOf(Tables.documentsNarrow(spark, sfDir), dfLo, dfHi, cap)
+
+  def invertedIndexPostingsOf(d: DataFrame, dfLo: Long = 5L, dfHi: Long = 40L,
+                              cap: Int = 32): DataFrame = {
+    val pairs = d
       .select(explode(tokenHashes(col("text"))).as("th"), col("doc_id"))
       .distinct()
     val dfBand = pairs.groupBy(col("th"))

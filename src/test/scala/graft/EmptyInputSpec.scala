@@ -42,6 +42,14 @@ class EmptyInputSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((2L, 3L)))
   }
 
+  test("round-15 operators: empty in, empty out; null text drops from postings") {
+    assert(TextOps.invertedIndexPostingsOf(emptyDocs).count() === 0)
+    assert(Similarity.sq8StatsOf(emptyVecs).count() === 0)
+    // null text tokenizes to nothing: no postings, no crash
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(TextOps.invertedIndexPostingsOf(nulls).count() === 0)
+  }
+
   test("round-8 operators: empty in, empty out") {
     assert(Dedup.containmentWinnowOf(emptyDocs).count() === 0)
     // a null-text doc cannot be fingerprinted: reported with zeros, kept
