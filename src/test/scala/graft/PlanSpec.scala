@@ -595,4 +595,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_brand,Brand#11)"), p)
     assert(p.contains("EqualTo(p_brand,Brand#22)"), p)
   }
+
+  test("revenue_gini: the rank window is chk-partitioned, band offsets broadcast, no global sort of the key table") {
+    val p = plan("revenue_gini")
+    // in-band ranking window partitions by the value band
+    assert(p.contains("windowspecdefinition(chk"), p)
+    // the band-offset table joins back by broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hybrid_rrf: the dense top-k plans TakeOrdered, never a corpus-wide sort+window") {
+    val p = plan("hybrid_rrf_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quantile_bins / trimmed_mean: percentile edges ride a 1-row broadcast back onto the scan") {
+    val pq = plan("quantile_bins_value")
+    assert(pq.contains("BroadcastNestedLoopJoin") || pq.contains("BroadcastHashJoin"), pq)
+    assert(!pq.contains("CartesianProduct"), pq)
+    val pt = plan("trimmed_mean_by_type")
+    assert(pt.contains("BroadcastHashJoin"), pt)
+    assert(!pt.contains("CartesianProduct"), pt)
+  }
+
+  test("column_stats_profile: ONE aggregate feeds the stack unpivot — no per-column re-scan union") {
+    val p = plan("column_stats_profile")
+    // the dq_report shape would show one Union of seven aggregates; the
+    // stack unpivot runs a single HashAggregate pair over one scan
+    assert(!p.contains("Union"), p)
+    assert(p.contains("Expand"), p) // the multi-countDistinct expand
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
+
+  test("mannwhitney: one corpus exchange; the rank prefix runs on the bounded value table") {
+    val p = plan("mannwhitney_value_arms")
+    // exactly one exchange carries corpus rows (the per-value-arm groupBy);
+    // remaining exchanges are single-partition moves of the value table
+    assert(p.contains("hashpartitioning(c"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
