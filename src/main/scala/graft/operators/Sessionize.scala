@@ -893,13 +893,22 @@ object Sessionize {
     val ord = Window.partitionBy(col("event_type"))
       .orderBy(col("us"), col("isg"), col("event_id"))
     val wB = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val wF = ord.rowsBetween(1, Window.unboundedFollowing)
+    // the LOOKAHEAD pass runs as a reverse-ordered RUNNING frame: the first
+    // strictly-later tick in forward order is the last tick seen strictly
+    // before the row in reverse order. A literal (1, unboundedFollowing)
+    // frame re-scans the partition suffix per row — O(n²) per type,
+    // measured 48 s at sf0.1; the reversed cumulative frame is O(n) (one
+    // extra sort, same exchange). The (us, isg, event_id) order is total,
+    // so the reversal is exact and the oracle statement is unchanged.
+    val ordR = Window.partitionBy(col("event_type"))
+      .orderBy(col("us").desc, col("isg").desc, col("event_id").desc)
+    val wFr = ordR.rowsBetween(Window.unboundedPreceding, -1)
     u.withColumn("v0", last(col("c"), ignoreNulls = true).over(wB))
       .withColumn("t0",
         last(when(col("c").isNotNull, col("us")), ignoreNulls = true).over(wB))
-      .withColumn("v1", first(col("c"), ignoreNulls = true).over(wF))
+      .withColumn("v1", last(col("c"), ignoreNulls = true).over(wFr))
       .withColumn("t1",
-        first(when(col("c").isNotNull, col("us")), ignoreNulls = true).over(wF))
+        last(when(col("c").isNotNull, col("us")), ignoreNulls = true).over(wFr))
       .filter(col("isg") === 1 && col("t0").isNotNull && col("t1").isNotNull)
       .select(col("event_type"), col("us").as("grid_us"),
         (col("v0").cast("double") +
