@@ -407,6 +407,9 @@ object SparkEntry {
     // RAG hybrid retrieval: BM25 ⊕ dense-cosine rankings fused by
     // reciprocal rank (no score calibration across retrievers)
     "hybrid_rrf_topk" -> ((s, dir) => Similarity.hybridRrfTopK(s, dir)),
+    // the fusion's registered dense-side scale path: IVF-pruned
+    // candidates (query's coarse cell), ranks fused identically
+    "hybrid_rrf_ivf_topk" -> ((s, dir) => Similarity.hybridRrfIvfTopK(s, dir)),
     // DeepWalk input: hash-deterministic walks over the user graph,
     // one frontier equi-join per step
     "random_walks_users" -> ((s, dir) => Analytics.randomWalksUsers(s, dir)),
@@ -3667,48 +3670,10 @@ object SparkEntry {
     // RRF fusion: lexical = the bm25_topdocs pipeline at depth 101 minus
     // the query doc; dense = brute cosine vs vec 0 at depth 100; missing
     // ranks carry sentinel 0 and contribute nothing
-    "hybrid_rrf_topk" ->
-      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
-         |tk AS (SELECT doc_id, unnest(ths) AS th FROM t),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |        CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
-         |dfq AS (SELECT th, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY th),
-         |q AS (SELECT DISTINCT unnest($tokenHashesSql) AS th FROM documents WHERE doc_id = 0),
-         |s AS (SELECT tf.doc_id,
-         |   (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-         |     / (CAST(dfq.df AS DOUBLE) + 0.5) AS idf,
-         |   (CAST(tf.tf AS DOUBLE) * 2.2)
-         |     / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-         |        (CAST(dl.dl AS DOUBLE)
-         |          / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS tfn
-         | FROM (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
-         |        FROM tk JOIN q USING (th) GROUP BY doc_id, th) tf
-         | JOIN dfq USING (th) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
-         |sc AS (SELECT doc_id, CAST(SUM(CAST(idf * tfn AS DECIMAL(28,12))) AS DOUBLE) AS score
-         |       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 101),
-         |lex AS (SELECT doc_id, lex_rank FROM (
-         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-         |      AS BIGINT) AS lex_rank FROM sc WHERE doc_id <> 0)
-         |  WHERE lex_rank <= 100),
-         |qv AS (SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id = 0),
-         |dc AS (SELECT e.vec_id AS doc_id,
-         |        ${cosineSql("qv.q_vec", "e.embedding::DOUBLE[]")} AS cos
-         |       FROM embeddings e, qv WHERE e.vec_id <> 0),
-         |dtop AS (SELECT doc_id, cos FROM dc ORDER BY cos DESC, doc_id LIMIT 100),
-         |den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
-         |          AS BIGINT) AS dense_rank FROM dtop),
-         |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
-         |        coalesce(lex.lex_rank, 0) AS lex_rank,
-         |        coalesce(den.dense_rank, 0) AS dense_rank,
-         |        (CASE WHEN lex.lex_rank IS NULL THEN 0.0
-         |              ELSE 1.0 / (60.0 + CAST(lex.lex_rank AS DOUBLE)) END
-         |         + CASE WHEN den.dense_rank IS NULL THEN 0.0
-         |                ELSE 1.0 / (60.0 + CAST(den.dense_rank AS DOUBLE)) END) AS rrf
-         |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
-         |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
-         |  CAST(dense_rank AS BIGINT) AS dense_rank, rrf
-         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "hybrid_rrf_topk" -> hybridRrfOracle(ivfPruned = false),
+    // same fusion statement; the dense candidate set adds the coarse-cell
+    // prune (the ann_ivf shape) — the ONE line that differs
+    "hybrid_rrf_ivf_topk" -> hybridRrfOracle(ivfPruned = true),
     // transaction time = batch 0 of the median-split journal (ids <= mid,
     // the same batch rule as scd2_cdc_feed); valid time = the asof cut
     "scd2_bitemporal_snapshot" ->
@@ -4296,6 +4261,55 @@ object SparkEntry {
   private def nearDupBandSql(vecExpr: String, b: Int): String =
     bucketSqlPlanes(vecExpr,
       graft.operators.Similarity.hyperplanes(8, 64).slice(2 * b, 2 * b + 2))
+
+  /** The hybrid-RRF oracle, GENERATED for both dense retrievers (brute /
+    * IVF-pruned) so the fusion statement cannot drift between them — only
+    * the dense candidate CTE's cell filter differs. */
+  private def hybridRrfOracle(ivfPruned: Boolean): String = {
+    val cellFilter = if (ivfPruned) " AND e.label = qv.q_label" else ""
+    s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+       |tk AS (SELECT doc_id, unnest(ths) AS th FROM t),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
+       |dfq AS (SELECT th, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY th),
+       |q AS (SELECT DISTINCT unnest($tokenHashesSql) AS th FROM documents WHERE doc_id = 0),
+       |s AS (SELECT tf.doc_id,
+       |   (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+       |     / (CAST(dfq.df AS DOUBLE) + 0.5) AS idf,
+       |   (CAST(tf.tf AS DOUBLE) * 2.2)
+       |     / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |        (CAST(dl.dl AS DOUBLE)
+       |          / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) AS tfn
+       | FROM (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
+       |        FROM tk JOIN q USING (th) GROUP BY doc_id, th) tf
+       | JOIN dfq USING (th) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+       |sc AS (SELECT doc_id, CAST(SUM(CAST(idf * tfn AS DECIMAL(28,12))) AS DOUBLE) AS score
+       |       FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 101),
+       |lex AS (SELECT doc_id, lex_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |      AS BIGINT) AS lex_rank FROM sc WHERE doc_id <> 0)
+       |  WHERE lex_rank <= 100),
+       |qv AS (SELECT embedding::DOUBLE[] AS q_vec, label AS q_label
+       |       FROM embeddings WHERE vec_id = 0),
+       |dc AS (SELECT e.vec_id AS doc_id,
+       |        ${cosineSql("qv.q_vec", "e.embedding::DOUBLE[]")} AS cos
+       |       FROM embeddings e, qv WHERE e.vec_id <> 0$cellFilter),
+       |dtop AS (SELECT doc_id, cos FROM dc ORDER BY cos DESC, doc_id LIMIT 100),
+       |den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+       |          AS BIGINT) AS dense_rank FROM dtop),
+       |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+       |        coalesce(lex.lex_rank, 0) AS lex_rank,
+       |        coalesce(den.dense_rank, 0) AS dense_rank,
+       |        (CASE WHEN lex.lex_rank IS NULL THEN 0.0
+       |              ELSE 1.0 / (60.0 + CAST(lex.lex_rank AS DOUBLE)) END
+       |         + CASE WHEN den.dense_rank IS NULL THEN 0.0
+       |                ELSE 1.0 / (60.0 + CAST(den.dense_rank AS DOUBLE)) END) AS rrf
+       |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+       |SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       |  CAST(dense_rank AS BIGINT) AS dense_rank, rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+  }
 
   /** Cosine with the exact same association as Similarity.cosine. */
   private def cosineSql(a: String, b: String): String =

@@ -1350,7 +1350,21 @@ object Similarity {
     * pruned-df aggregation, the dense scan — keeps each retriever's own
     * documented scale shape. */
   def hybridRrfTopK(spark: SparkSession, sfDir: String,
-                    depth: Int = 100, k: Int = 20): DataFrame = {
+                    depth: Int = 100, k: Int = 20): DataFrame =
+    hybridRrfWith(spark, sfDir, depth, k, ivfPruned = false)
+
+  /** [[hybridRrfTopK]] with the dense list from the IVF-PRUNED retriever
+    * (candidates = the query's coarse cell only, the ann_ivf shape) — the
+    * registered scale path for the fusion's dense side (perf-weak #8):
+    * RRF consumes ranks, so swapping the retriever changes no fusion
+    * arithmetic; cell recall is the stated trade, exactly as in the ANN
+    * family, and the swap is oracle-gated end to end. */
+  def hybridRrfIvfTopK(spark: SparkSession, sfDir: String,
+                       depth: Int = 100, k: Int = 20): DataFrame =
+    hybridRrfWith(spark, sfDir, depth, k, ivfPruned = true)
+
+  private def hybridRrfWith(spark: SparkSession, sfDir: String,
+                            depth: Int, k: Int, ivfPruned: Boolean): DataFrame = {
     // lexical: BM25 vs doc 0's tokens; doc 0 itself (the query) excluded
     // AFTER scoring so remaining ranks are 1..depth
     val lex = TextOps.bm25TopDocsOf(
@@ -1361,14 +1375,19 @@ object Similarity {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .filter(col("lex_rank") <= depth)
       .select(col("doc_id"), col("lex_rank"))
-    // dense: brute cosine of every other vector against vec 0
+    // dense: cosine of candidates against vec 0 — the whole corpus
+    // (brute, the exact baseline) or vec 0's coarse cell (IVF prune)
     val q0 = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
-      .select(col("embedding").cast("array<double>").as("q_vec"))
+      .select(col("embedding").cast("array<double>").as("q_vec"),
+              col("label").as("q_label"))
       .withColumn("norm_q", sqrt(dot(col("q_vec"), col("q_vec"))))
+    val cand = baseDf(spark, sfDir).filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q0))
+    val pruned = if (ivfPruned) cand.filter(col("label") === col("q_label"))
+                 else cand
     // orderBy+limit plans as TakeOrderedAndProject (per-partition k-heaps,
     // no global sort); the rank window then runs on the depth-sized result
-    val denseTop = baseDf(spark, sfDir).filter(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q0))
+    val denseTop = pruned
       .withColumn("cos", dot(col("q_vec"), col("vec")) /
                          (col("norm_q") * col("norm_v")))
       .orderBy(col("cos").desc, col("vec_id")).limit(depth)

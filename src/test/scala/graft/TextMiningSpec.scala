@@ -242,4 +242,22 @@ class TextMiningSpec extends SparkSpec {
     assert(f.exists(r => r.getAs[Long]("lex_rank") > 0 &&
                          r.getAs[Long]("dense_rank") > 0))
   }
+
+  test("hybrid rrf ivf: dense candidates come only from the query's coarse cell") {
+    val labels = graft.io.Tables.embeddings(spark, Sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qCell = labels(0L)
+    val f = graft.operators.Similarity.hybridRrfIvfTopK(spark, Sf0001).collect()
+    assert(f.length == 20)
+    // every dense-ranked doc sits in the query's cell; lex-only docs may not
+    f.filter(_.getAs[Long]("dense_rank") > 0).foreach { r =>
+      assert(labels(r.getAs[Long]("doc_id")) == qCell)
+    }
+    // the prune changes the dense list (some brute-ranked doc is outside
+    // the cell), so the two fusions genuinely differ
+    val brute = graft.operators.Similarity.hybridRrfTopK(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dense_rank"))).toMap
+    assert(brute.exists { case (d, dr) => dr > 0 && labels(d) != qCell })
+  }
 }
