@@ -1379,17 +1379,18 @@ object SparkEntry {
          |        ELSE (n_tok - ${TextOps.ChunkWindowTokens}
          |              + ${TextOps.ChunkStrideTokens} - 1)
          |             // ${TextOps.ChunkStrideTokens} + 1 END AS n_chunks
-         |  FROM d)
-         |SELECT doc_id, CAST(r.range AS BIGINT) AS chunk_id, lang, source,
+         |  FROM d),
+         |u AS (SELECT doc_id, lang, source, n_tok,
+         |        unnest(range(n_chunks)) AS ci FROM c)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id, lang, source,
          | CAST(n_tok AS BIGINT) AS n_tok,
-         | CAST(r.range * ${TextOps.ChunkStrideTokens} AS BIGINT) AS start_tok,
-         | CAST(least(r.range * ${TextOps.ChunkStrideTokens}
+         | CAST(ci * ${TextOps.ChunkStrideTokens} AS BIGINT) AS start_tok,
+         | CAST(least(ci * ${TextOps.ChunkStrideTokens}
          |            + ${TextOps.ChunkWindowTokens}, n_tok) AS BIGINT) AS end_tok,
-         | CAST(least(r.range * ${TextOps.ChunkStrideTokens}
+         | CAST(least(ci * ${TextOps.ChunkStrideTokens}
          |            + ${TextOps.ChunkWindowTokens}, n_tok)
-         |      - r.range * ${TextOps.ChunkStrideTokens} AS BIGINT) AS chunk_tok
-         |FROM c, range(16) r WHERE r.range < n_chunks
-         |ORDER BY doc_id, chunk_id""".stripMargin,
+         |      - ci * ${TextOps.ChunkStrideTokens} AS BIGINT) AS chunk_tok
+         |FROM u ORDER BY doc_id, chunk_id""".stripMargin,
     // exact integer 3-gram counts over the engine's rolling shingle
     // hashes; the flag is the cross-multiplied dup*50 >= n test (2%,
     // probed discriminating at all three SFs); fraction = one divide

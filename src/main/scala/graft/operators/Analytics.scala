@@ -1319,7 +1319,11 @@ object Analytics {
       .cache()
     val checkpointed = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
+      // a NULL key identifies no user: dropped, matching the oracle's
+      // inner nd-join semantics (a left join would carry a (NULL, NULL)
+      // row the oracle's NULL-hostile equi-joins never produce)
       val nodes = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
         .select(col("user_id").as("node")).distinct()
       var cur = nodes.select(col("node"), col("node").as("lab"))
       for (_ <- 1 to rounds) {

@@ -605,13 +605,23 @@ object Relational {
     * FILTER over the interval table — scan + broadcast, no join; at
     * warehouse scale the same predicate drives partition pruning on a
     * valid_from-partitioned layout. */
+  /** Interval LIVENESS at a cut instant — THE SCD2 as-of boundary rule
+    * (valid_from ≤ cut < valid_to; an open-ended row is live forever),
+    * defined ONCE and shared by every as-of reader (asof snapshot,
+    * snapshot diff, upsert snapshot, bitemporal snapshot) so a one-sided
+    * boundary edit cannot silently desynchronize one reader from the
+    * others and their shared oracles. (The temporal table join keeps its
+    * own deliberately different STRICTLY-BEFORE rule.) */
+  private[operators] def scd2LiveAt(cut: Column): Column =
+    col("valid_from_us") <= cut &&
+      (col("valid_to_us").isNull || col("valid_to_us") > cut)
+
   def scd2AsofSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
     val cut = Tables.events(spark, sfDir)
       .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("cut_us"))
     scd2UserValues(spark, sfDir)
       .crossJoin(broadcast(cut))
-      .filter(col("valid_from_us") <= col("cut_us") &&
-              (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+      .filter(scd2LiveAt(col("cut_us")))
       .select(col("user_id"), col("event_id"), col("value"),
               col("valid_from_us"), col("cut_us"))
       .orderBy(col("user_id"))
@@ -638,8 +648,7 @@ object Relational {
     val iv = scd2UserValues(spark, sfDir)
     def snapAt(cut: Column, v: String): DataFrame =
       iv.crossJoin(broadcast(cuts))
-        .filter(col("valid_from_us") <= cut &&
-                (col("valid_to_us").isNull || col("valid_to_us") > cut))
+        .filter(scd2LiveAt(cut))
         .select(col("user_id"), col("value").as(v))
     snapAt(col("cut1"), "v1").join(snapAt(col("cut2"), "v2"),
         Seq("user_id"), "full_outer")

@@ -1475,6 +1475,13 @@ object StatefulQueries {
         }
       }
       val nFiles = replayFileCount(copyDir)
+      // the reload boundary (batch index → rule version) is stated in the
+      // oracle as the max(event_id)/2 split — a degenerate one-file replay
+      // would apply v0 to rows the oracle scores under v1; fail loudly
+      // (impossible on the driver fixtures, whose ids are dense from 0)
+      require(nFiles == 2,
+        s"dynamic-rules replay needs rows on both sides of max(event_id)/2 " +
+        s"(got $nFiles file(s)) — the reload boundary and its oracle are defined by that split")
       val stream = spark.readStream
         .schema(spark.read.parquet(copyDir).schema)
         .option("maxFilesPerTrigger", "1").parquet(copyDir)
@@ -1766,6 +1773,15 @@ object StatefulQueries {
       }
     }
     val nFiles = replayFileCount(dir)
+    // the journal's batch structure is LOAD-BEARING for the bitemporal
+    // reader (transaction-time v0 = batch 0 = ids ≤ max/2, the rule its
+    // oracle hardcodes): an id space whose lower half is empty would make
+    // batch 0 the WHOLE corpus and silently desynchronize engine from
+    // oracle — fail loudly instead (cannot occur on the driver fixtures,
+    // whose ids are dense from 0)
+    require(nFiles == 2,
+      s"SCD2 MERGE journal needs rows on both sides of max(event_id)/2 " +
+      s"(got $nFiles replay file(s)) — the bitemporal oracle is stated on that split")
     val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     withShuffleWidth(spark, 8) {
@@ -1820,8 +1836,7 @@ object StatefulQueries {
         .agg(expr("(min(ts_ns div 1000) + max(ts_ns div 1000)) div 2").as("cut_us"))
       // lazy is safe: the shared journal lives for the JVM (scd2Journal)
       finalT.crossJoin(broadcast(cut))
-        .filter(col("valid_from_us") <= col("cut_us") &&
-                (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+        .filter(Relational.scd2LiveAt(col("cut_us")))
         .select(col("user_id"), col("event_id"), col("value"),
                 col("valid_from_us"), col("cut_us"))
         .orderBy(col("user_id"))
@@ -1904,8 +1919,7 @@ object StatefulQueries {
         .as("cut_us"))
     // lazy is safe: the shared journal lives for the JVM (scd2Journal)
     v0.crossJoin(broadcast(cut))
-      .filter(col("valid_from_us") <= col("cut_us") &&
-              (col("valid_to_us").isNull || col("valid_to_us") > col("cut_us")))
+      .filter(Relational.scd2LiveAt(col("cut_us")))
       .select(col("user_id"), col("event_id"), col("value"),
               col("valid_from_us"), col("cut_us"))
       .orderBy(col("user_id"))
