@@ -322,6 +322,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(b.exceptAll(st).count() == 0 && st.exceptAll(b).count() == 0)
   }
 
+  test("holt-winters with gamma = 0 degenerates exactly to holt (algebraic pin)") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    // with all-zero initial seasonals and gamma = 0 the seasonal buffer
+    // stays identically zero, so (level, trend) must follow holt's
+    // recurrence BIT-FOR-BIT on any tape — a drift in either fold's
+    // association breaks this equality before any oracle sees it
+    val rnd = new scala.util.Random(41)
+    val vals = Seq.fill(80)(rnd.nextDouble() * 200)
+    val ds = vals.zipWithIndex.map { case (v, i) =>
+      StatefulOps.KV("k", i.toLong, v) }.toDS()
+    val hw = StatefulOps.holtWintersStream(ds, 0.25, 0.125, 0.0, 8)
+      .collect().sortBy(_.ord)
+    val h = StatefulOps.holtStream(ds, 0.25, 0.125).collect().sortBy(_.ord)
+    hw.zip(h).foreach { case (w, p) =>
+      assert(w.level == p.level && w.trend == p.trend)
+      assert(w.seasonal == 0.0 && w.forecast == p.forecast)
+    }
+  }
+
+  test("bootstrap multiplicities follow the stated /16 pmf with mean exactly 1") {
+    // recompute the hash → multiplicity map locally over the fixture ids
+    // for every resample: values confined to {0,1,2,3}, and the EXACT pmf
+    // {0:5, 1:7, 2:3, 3:1}/16 holds per residue class — so E[m] = 1 and
+    // the resampler neither loses nor inflates corpus mass in expectation
+    val ids = graft.io.Tables.events(spark, Sf0001)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var total = 0L
+    for (id <- ids; r <- 0L until 16L) {
+      val m16 = ((id % 1000000007L) * 2654435761L + r) % 1000000007L % 16L
+      val m = if (m16 < 5) 0L else if (m16 < 12) 1L else if (m16 < 15) 2L else 3L
+      counts(m) += 1; total += m
+    }
+    assert(counts.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val n = ids.length.toLong * 16L
+    // empirical mean within 2% of 1 on the fixture (exactly 1 as n → ∞
+    // over uniform residues; the fixture's ids are dense so it's close)
+    assert(math.abs(total.toDouble / n - 1.0) < 0.02)
+    // and the draw frequencies sit near the stated pmf
+    assert(math.abs(counts(0L).toDouble / n - 5.0 / 16) < 0.02)
+    assert(math.abs(counts(1L).toDouble / n - 7.0 / 16) < 0.02)
+    assert(math.abs(counts(2L).toDouble / n - 3.0 / 16) < 0.02)
+    assert(math.abs(counts(3L).toDouble / n - 1.0 / 16) < 0.02)
+  }
+
   test("drawdown: invariants hold, batch window equals streaming fold, fold equals direct recurrence") {
     val b = graft.operators.StatefulQueries.drawdownByType(spark, Sf0001).cache()
     assert(b.count() == graft.io.Tables.events(spark, Sf0001).count())
