@@ -110,6 +110,9 @@ object SparkEntry {
     // session windows on TWS EVENT-TIME TIMERS (registerTimer /
     // handleExpiredTimer), disordered replay, RocksDB
     "q13t_sessionize_tws"       -> ((s, dir) => TwsQueries.sessionizeTws(s, dir)),
+    // Holt-Winters on transformWithState: ValueState level/trend + the
+    // seasonal ring in a literal ListState — the compound-state witness
+    "holt_winters_by_type_tws"  -> ((s, dir) => TwsQueries.holtWintersTws(s, dir)),
     // ---- the same jobs as spill-safe SECONDARY-SORT passes (the 100 TB
     //      batch execution: memory independent of group size) — same oracles ----
     "q1p_running_max_secondary_sort" -> ((s, dir) => StatefulQueries.runningMaxSecondarySort(s, dir)),
@@ -401,6 +404,10 @@ object SparkEntry {
     // ANALYZE-style one-scan numeric column profile (stack unpivot,
     // exact NDVs planned as a single expand)
     "column_stats_profile" -> ((s, dir) => Relational.columnStatsProfile(s, dir)),
+    // the profile's 100 TB path: NDV via HLL++ (plain aggregate, no
+    // expand), sketch gated in-plan against the exact NDV (q10a pattern)
+    "column_stats_profile_sketch" ->
+      ((s, dir) => Relational.columnStatsProfileSketch(s, dir)),
     // mid-frequency-band inverted-index postings, df band + cap stated
     // in the oracle
     "inverted_index_postings" -> ((s, dir) => TextOps.invertedIndexPostings(s, dir)),
@@ -416,6 +423,9 @@ object SparkEntry {
     // deterministic synchronous LPA: majority neighbor label, 4 rounds
     // run identically by engine and oracle
     "label_prop_communities" -> ((s, dir) => Analytics.labelPropCommunities(s, dir)),
+    // Newman modularity of LPA's labels vs the CC partition on the same
+    // graph — exact-integer Q ratio, the detector's quality as data
+    "community_modularity" -> ((s, dir) => Analytics.communityModularity(s, dir)),
     // grouped k-fold CV assignment summary (leak-free by construction)
     "cv_fold_assign" -> ((s, dir) => Analytics.cvFoldAssign(s, dir)),
     // funnel latency: first-view → first-subsequent-purchase delay
@@ -677,6 +687,12 @@ object SparkEntry {
     // absence through REAL event-time timers: tape-end verdicts fire off
     // the watermark, not off data
     "cep_absence_alert_streaming" -> ((s, dir) => StatefulQueries.cepAbsenceAlertStreaming(s, dir)),
+    // CEP times quantifier A.times(3).within(10min) followedBy purchase:
+    // row-sequential burst completion (lag over views), one window pass
+    "cep_times_burst" -> ((s, dir) => Sessionize.cepTimesBurst(s, dir)),
+    // the quantifier over REAL NFA state: the (n−1)-view ring and open
+    // bursts cross the micro-batch boundary
+    "cep_times_burst_streaming" -> ((s, dir) => StatefulQueries.cepTimesBurstStreaming(s, dir)),
     // change-data-feed read over the SCD2 MERGE journal: per-version
     // insert/close deltas via an honest snapshot diff
     "scd2_cdc_feed" -> ((s, dir) => StatefulQueries.scd2CdcFeed(s, dir)),
@@ -686,6 +702,9 @@ object SparkEntry {
     // Flink-SQL temporal table join: streaming purchases against the
     // SCD2 version valid AT EACH ROW'S OWN event time
     "temporal_join_streaming" -> ((s, dir) => StatefulQueries.temporalJoinStreaming(s, dir)),
+    // the LIVE-dimension temporal join: each probe batch re-reads the
+    // SCD2 MERGE journal, so a mid-stream upsert flips later matches
+    "temporal_join_updating_dim" -> ((s, dir) => StatefulQueries.temporalJoinUpdatingDim(s, dir)),
     // Flink broadcast-state pattern: per-type flag rules RELOADED
     // mid-stream — each batch applies the version in force when it runs
     "dynamic_rules_streaming" -> ((s, dir) => StatefulQueries.dynamicRulesStreaming(s, dir)),
@@ -758,6 +777,83 @@ object SparkEntry {
        |$steps
        |SELECT node AS user_id, CAST(coalesce(h, -1) AS BIGINT) AS hops
        |FROM d$rounds ORDER BY user_id""".stripMargin
+  }
+
+  /** The community_modularity oracle: the LPA (4 majority rounds) and CC
+    * (8 min-label rounds) label tables unrolled over the SAME shared head
+    * CTEs, each scored by the identical exact-integer modularity fold
+    * Q = Σ_c (4m·e_c − d_c²) / 4m² — HUGEINT numerator crossed to double
+    * through the canonical string round-trip (the gini recipe). Labels
+    * only matter joined to edge endpoints, so one NULL-filtered node
+    * table serves both labelings. */
+  private def communityModularityOracle: String = {
+    val head =
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |e AS MATERIALIZED (SELECT u AS src, v AS dst FROM ce
+        |  UNION ALL SELECT v, u FROM ce),
+        |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events
+        |  WHERE user_id IS NOT NULL),
+        |deg AS MATERIALIZED (SELECT src AS n, CAST(count(*) AS BIGINT) AS d
+        |  FROM e GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+        |p0 AS MATERIALIZED (SELECT node, node AS lab FROM nd),
+        |c0 AS MATERIALIZED (SELECT node, node AS lab FROM nd)""".stripMargin
+    val lpaSteps = (1 to 4).map { i =>
+      val p = i - 1
+      s"""pv$i AS MATERIALIZED (SELECT e.src AS node, p$p.lab AS lab,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN p$p ON e.dst = p$p.node GROUP BY 1, 2),
+         |pm$i AS MATERIALIZED (SELECT node, lab FROM (
+         |    SELECT node, lab, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lab ASC) AS rn FROM pv$i) WHERE rn = 1),
+         |p$i AS MATERIALIZED (SELECT nd.node,
+         |    coalesce(pm$i.lab, p$p.lab) AS lab
+         |  FROM nd JOIN p$p USING (node) LEFT JOIN pm$i USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    val ccSteps = (1 to 8).map { i =>
+      val p = i - 1
+      s"""cm$i AS MATERIALIZED (SELECT e.dst AS node, min(c$p.lab) AS ml
+         |  FROM e JOIN c$p ON e.src = c$p.node GROUP BY 1),
+         |c$i AS MATERIALIZED (SELECT c$p.node,
+         |    CASE WHEN cm$i.ml IS NOT NULL AND cm$i.ml < c$p.lab
+         |         THEN cm$i.ml ELSE c$p.lab END AS lab
+         |  FROM c$p LEFT JOIN cm$i USING (node))""".stripMargin
+    }.mkString(",\n")
+    def qOf(tbl: String, nm: String): String =
+      s"""${nm}ec AS (SELECT a.lab AS lab, CAST(count(*) AS BIGINT) AS ec
+         |  FROM ce JOIN $tbl a ON ce.u = a.node
+         |          JOIN $tbl b2 ON ce.v = b2.node
+         |  WHERE a.lab = b2.lab GROUP BY 1),
+         |${nm}q AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+         |    sum(CAST(4 AS HUGEINT) * CAST((SELECT m FROM mm) AS HUGEINT)
+         |          * CAST(coalesce(ec, 0) AS HUGEINT)
+         |        - CAST(dc AS HUGEINT) * CAST(dc AS HUGEINT)) AS num
+         |  FROM (SELECT $tbl.lab AS lab, CAST(sum(deg.d) AS BIGINT) AS dc
+         |        FROM deg JOIN $tbl ON deg.n = $tbl.node GROUP BY 1) dcs
+         |  LEFT JOIN ${nm}ec USING (lab))""".stripMargin
+    val den =
+      """CAST(CAST(CAST(4 AS HUGEINT)
+        |    * CAST((SELECT m FROM mm) AS HUGEINT)
+        |    * CAST((SELECT m FROM mm) AS HUGEINT) AS VARCHAR) AS DOUBLE)"""
+        .stripMargin
+    s"""$head,
+       |$lpaSteps,
+       |$ccSteps,
+       |${qOf("c8", "cc")},
+       |${qOf("p4", "lp")}
+       |SELECT 'cc' AS method, n_communities,
+       |  (SELECT m FROM mm) AS n_edges,
+       |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / $den AS modularity
+       |FROM ccq
+       |UNION ALL
+       |SELECT 'lpa', n_communities, (SELECT m FROM mm),
+       |  CAST(CAST(num AS VARCHAR) AS DOUBLE) / $den
+       |FROM lpq
+       |ORDER BY method""".stripMargin
   }
 
   /** The cc_users oracle, GENERATED like [[bfsUsersOracle]]: `rounds`
@@ -3184,6 +3280,27 @@ object SparkEntry {
         |  AND np_us - us <= 3600000000
         |  AND (ne_id IS NULL OR ne_id > np_id)
         |ORDER BY event_id""".stripMargin,
+    // the times quantifier: burst completion is the ROW-sequential
+    // lag(n-1)-within-window rule over views (what a record-by-record NFA
+    // evaluates); the first strictly-following purchase completes it
+    "cep_times_burst" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np_us
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, event_id, us, np_us,
+        |    lag(us, 2) OVER (PARTITION BY user_id
+        |                     ORDER BY us, event_id) AS bstart
+        |  FROM a WHERE event_type = 'view')
+        |SELECT user_id, event_id, bstart AS burst_start_us,
+        |       us AS view_us, np_us AS purchase_us
+        |FROM v
+        |WHERE bstart IS NOT NULL AND us - bstart <= 86400000000
+        |  AND np_us IS NOT NULL AND np_us - us <= 86400000000
+        |ORDER BY event_id""".stripMargin,
     // the absence complement of the same window firsts: no purchase
     // inside the horizon (null or beyond); deadline = view + horizon
     "cep_absence_alert" ->
@@ -3333,11 +3450,11 @@ object SparkEntry {
         |          AS n_risk
         |      FROM bt),
         |hp AS (SELECT t, n_risk, d, c,
-        |         CAST(round(1000000.0 * CAST(d AS DOUBLE)
-        |              / CAST(n_risk AS DOUBLE)) AS BIGINT) AS hazard_ppm
+        |         CAST(round(1000000000.0 * CAST(d AS DOUBLE)
+        |              / CAST(n_risk AS DOUBLE)) AS BIGINT) AS hazard_ppb
         |       FROM w)
-        |SELECT t, n_risk, d, c, hazard_ppm,
-        |  CAST(sum(hazard_ppm) OVER (ORDER BY t) AS BIGINT) AS cum_hazard_ppm
+        |SELECT t, n_risk, d, c, hazard_ppb,
+        |  CAST(sum(hazard_ppb) OVER (ORDER BY t) AS BIGINT) AS cum_hazard_ppb
         |FROM hp ORDER BY t""".stripMargin,
     // rank formula over ascending cents (custkey tie-break); exact HUGEINT
     // moments crossed to double through the canonical string round-trip
@@ -3402,6 +3519,36 @@ object SparkEntry {
         |UNION ALL SELECT 'l_extendedprice', n, n - c5, d5, mn5, mx5 FROM a
         |UNION ALL SELECT 'l_discount', n, n - c6, d6, mn6, mx6 FROM a
         |UNION ALL SELECT 'l_shipdate', n, n - c7, d7, mn7, mx7 FROM a
+        |ORDER BY column_name""".stripMargin,
+    // same exact profile truth; the sketch estimate rides only through
+    // the in-plan approx_ok gate (TRUE here — the q10a oracle pattern)
+    "column_stats_profile_sketch" ->
+      """WITH li AS (SELECT
+        |    CAST(l_orderkey AS DOUBLE) AS l_orderkey,
+        |    CAST(l_partkey AS DOUBLE) AS l_partkey,
+        |    CAST(l_suppkey AS DOUBLE) AS l_suppkey,
+        |    CAST(l_quantity AS DOUBLE) AS l_quantity,
+        |    CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+        |    CAST(l_discount AS DOUBLE) AS l_discount,
+        |    CAST(epoch_us(date_trunc('day', l_shipdate)) // 86400000000
+        |      AS DOUBLE) AS l_shipdate
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(l_orderkey) AS BIGINT) AS c1, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d1, min(l_orderkey) AS mn1, max(l_orderkey) AS mx1,
+        |  CAST(count(l_partkey) AS BIGINT) AS c2, CAST(count(DISTINCT l_partkey) AS BIGINT) AS d2, min(l_partkey) AS mn2, max(l_partkey) AS mx2,
+        |  CAST(count(l_suppkey) AS BIGINT) AS c3, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d3, min(l_suppkey) AS mn3, max(l_suppkey) AS mx3,
+        |  CAST(count(l_quantity) AS BIGINT) AS c4, CAST(count(DISTINCT l_quantity) AS BIGINT) AS d4, min(l_quantity) AS mn4, max(l_quantity) AS mx4,
+        |  CAST(count(l_extendedprice) AS BIGINT) AS c5, CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS d5, min(l_extendedprice) AS mn5, max(l_extendedprice) AS mx5,
+        |  CAST(count(l_discount) AS BIGINT) AS c6, CAST(count(DISTINCT l_discount) AS BIGINT) AS d6, min(l_discount) AS mn6, max(l_discount) AS mx6,
+        |  CAST(count(l_shipdate) AS BIGINT) AS c7, CAST(count(DISTINCT l_shipdate) AS BIGINT) AS d7, min(l_shipdate) AS mn7, max(l_shipdate) AS mx7
+        |  FROM li)
+        |SELECT 'l_orderkey' AS column_name, n AS n_rows, n - c1 AS n_nulls, d1 AS ndv, mn1 AS min_val, mx1 AS max_val, TRUE AS approx_ok FROM a
+        |UNION ALL SELECT 'l_partkey', n, n - c2, d2, mn2, mx2, TRUE FROM a
+        |UNION ALL SELECT 'l_suppkey', n, n - c3, d3, mn3, mx3, TRUE FROM a
+        |UNION ALL SELECT 'l_quantity', n, n - c4, d4, mn4, mx4, TRUE FROM a
+        |UNION ALL SELECT 'l_extendedprice', n, n - c5, d5, mn5, mx5, TRUE FROM a
+        |UNION ALL SELECT 'l_discount', n, n - c6, d6, mn6, mx6, TRUE FROM a
+        |UNION ALL SELECT 'l_shipdate', n, n - c7, d7, mn7, mx7, TRUE FROM a
         |ORDER BY column_name""".stripMargin,
     // pseudo-Poisson multiplicities from the house hash, /16 pmf
     // {0:5,1:7,2:3,3:1}; medians via quantile_cont parity
@@ -3655,7 +3802,8 @@ object SparkEntry {
           |adj AS MATERIALIZED (SELECT src, dst,
           |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rn,
           |  CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
-          |f0 AS (SELECT DISTINCT user_id AS start, user_id AS node FROM events)"""
+          |f0 AS (SELECT DISTINCT user_id AS start, user_id AS node
+          |       FROM events WHERE user_id IS NOT NULL)"""
           .stripMargin
       val steps = (1 to 3).map { i =>
         s"""f$i AS (SELECT f${i - 1}.start, adj.dst AS node
@@ -3792,6 +3940,39 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v.f < p.us AND (v.t IS NULL OR v.t >= p.us)
         |ORDER BY p.event_id""".stripMargin,
+    // LIVE dimension: batch 0 (purchase ids <= the purchases' median)
+    // probes the v0 journal (events ids <= the events median, lead within
+    // that prefix — its last version per user still OPEN); batch 1 probes
+    // the fully-merged v1 ≡ the global lead table
+    "temporal_join_updating_dim" ->
+      """WITH em AS (SELECT max(event_id) // 2 AS mid FROM events),
+        |pm AS (SELECT max(event_id) // 2 AS pmid FROM events
+        |       WHERE event_type = 'purchase'),
+        |v0 AS (SELECT user_id, value, epoch_us(ts) AS f,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS t
+        |       FROM events WHERE event_id <= (SELECT mid FROM em)),
+        |v1 AS (SELECT user_id, value, epoch_us(ts) AS f,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS t
+        |       FROM events),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |        CASE WHEN event_id <= (SELECT pmid FROM pm)
+        |          THEN 0 ELSE 1 END AS b
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.us,
+        |       CAST(p.b AS BIGINT) AS dim_version, v.value AS as_of_value
+        |FROM p JOIN v0 v ON p.b = 0 AND p.user_id = v.user_id
+        |  AND v.f < p.us AND (v.t IS NULL OR v.t >= p.us)
+        |UNION ALL
+        |SELECT p.user_id, p.event_id, p.us,
+        |       CAST(p.b AS BIGINT), v.value
+        |FROM p JOIN v1 v ON p.b = 1 AND p.user_id = v.user_id
+        |  AND v.f < p.us AND (v.t IS NULL OR v.t >= p.us)
+        |ORDER BY event_id""".stripMargin,
+    // LPA labels (4 unrolled majority rounds) and CC labels (8 unrolled
+    // min-label rounds) scored by the same exact-integer modularity fold
+    "community_modularity" -> communityModularityOracle,
     // the textbook all-pairs dominance statement the banded plan avoids
     "skyline_price_size" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size FROM part p
@@ -3938,6 +4119,12 @@ object SparkEntry {
       "q2ct_block_avg_tws_checkpoint"  -> base("q2_block_avg"),
       "q3t_running_max_month_tws"      -> base("q3_running_max_month"),
       "q4t_threshold_gaps_tws"         -> base("q4_threshold_gaps"),
+      // the ListState ring ≡ the GroupState ring ≡ the batch fold — the
+      // compound TWS state answers the same recursive oracle
+      "holt_winters_by_type_tws"       -> base("holt_winters_by_type"),
+      // the ring-NFA evaluates exactly the batch lag-window definition;
+      // bursts and open matches span the micro-batch boundary
+      "cep_times_burst_streaming"      -> base("cep_times_burst"),
       // timer-driven closure ≡ batch-gap semantics — same oracle as q13
       "q13t_sessionize_tws"            -> base("q13_sessionize"),
       // star contraction computes the same labeling as min-label propagation
@@ -4267,8 +4454,28 @@ object SparkEntry {
     * IVF-pruned) so the fusion statement cannot drift between them — only
     * the dense candidate CTE's cell filter differs. */
   private def hybridRrfOracle(ivfPruned: Boolean): String = {
-    val cellFilter = if (ivfPruned) " AND e.label = qv.q_label" else ""
-    s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+    // pruned arm: the dense candidates come from vec 0's 4 nearest TRAINED
+    // coarse cells — the full Lloyd chain replayed, the probe list ranked
+    // by (score, cid) exactly as the engine's array_sort slice
+    val trainedCtes = if (ivfPruned)
+      s"""$kmeansCtes,
+         |ivfb AS (SELECT v.vec_id, v.vec, a3cl.cluster
+         |         FROM kv v JOIN $kmeansFinalAssign a3cl USING (vec_id)),
+         |ivfq AS (SELECT cid AS q_cluster FROM (
+         |    SELECT s.cid, row_number() OVER (ORDER BY s.score, s.cid) AS prk
+         |    FROM ${kmeansFinalAssign}_s s WHERE s.vec_id = 0) WHERE prk <= 4),
+         |""".stripMargin
+    else ""
+    val denseCand = if (ivfPruned)
+      s"""dc AS (SELECT b.vec_id AS doc_id,
+         |        ${cosineSql("qv.q_vec", "b.vec")} AS cos
+         |       FROM ivfb b JOIN ivfq ON b.cluster = ivfq.q_cluster, qv
+         |       WHERE b.vec_id <> 0),""".stripMargin
+    else
+      s"""dc AS (SELECT e.vec_id AS doc_id,
+         |        ${cosineSql("qv.q_vec", "e.embedding::DOUBLE[]")} AS cos
+         |       FROM embeddings e, qv WHERE e.vec_id <> 0),""".stripMargin
+    s"""WITH ${trainedCtes}t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
        |tk AS (SELECT doc_id, unnest(ths) AS th FROM t),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id),
        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -4291,11 +4498,9 @@ object SparkEntry {
        |    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
        |      AS BIGINT) AS lex_rank FROM sc WHERE doc_id <> 0)
        |  WHERE lex_rank <= 100),
-       |qv AS (SELECT embedding::DOUBLE[] AS q_vec, label AS q_label
+       |qv AS (SELECT embedding::DOUBLE[] AS q_vec
        |       FROM embeddings WHERE vec_id = 0),
-       |dc AS (SELECT e.vec_id AS doc_id,
-       |        ${cosineSql("qv.q_vec", "e.embedding::DOUBLE[]")} AS cos
-       |       FROM embeddings e, qv WHERE e.vec_id <> 0$cellFilter),
+       |$denseCand
        |dtop AS (SELECT doc_id, cos FROM dc ORDER BY cos DESC, doc_id LIMIT 100),
        |den AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
        |          AS BIGINT) AS dense_rank FROM dtop),

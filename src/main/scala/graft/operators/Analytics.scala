@@ -16,18 +16,36 @@ import graft.io.Tables
   */
 object Analytics {
 
-  /** Collects a control-plane-sized result (a handful of rows: graph node
-    * tables, 1-row counts) and rebuilds it as a LocalRelation DataFrame, so
-    * every cached block — the edge-list cache AND the result cache — is
-    * released before returning instead of accumulating across a full
-    * 176-query Verify/Bench run. Only ever called on node-sized frames. */
+  /** Collects a STRICTLY CONTROL-PLANE-SIZED result and rebuilds it as a
+    * LocalRelation DataFrame, so every cached block upstream is released
+    * before returning instead of accumulating across a full Verify/Bench
+    * run. Scope contract (r15 review): callable ONLY on frames whose row
+    * count is a CONSTANT of the domain — the 1-row triangle/wedge
+    * aggregates here (and the pagerank empty-corpus branch, 0 rows) — never
+    * on anything keyed by a data-cardinality column. Results keyed by user,
+    * document, or node id go through [[detach]] instead: at 100 TB those
+    * tables are billions of rows and a driver round-trip is the classic
+    * collect bottleneck. PlanSpec pins the four user-scale graph queries to
+    * contain no LocalRelation, so a regression here is a test failure. */
   private def localize(spark: SparkSession, df: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(df.collect().toList.asJava, df.schema)
   }
 
+  /** EAGERLY materializes `df` as a lineage-free local checkpoint — the
+    * scale-safe sibling of [[localize]] for DATA-CARDINALITY results: the
+    * rows stay in EXECUTOR block storage (never cross the driver), the
+    * returned frame is a shallow LogicalRDD with no upstream lineage, and
+    * because materialization is eager every superseded cache the caller
+    * holds (edge lists, per-round checkpoints) can be freed in its finally
+    * block before returning. The result's own blocks are reclaimed by
+    * Spark's ContextCleaner once the caller drops the frame — one
+    * node-sized table in flight per query, not an accumulating set. */
+  private def detach(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
   /** Run `body` (which must MATERIALIZE its result — every graph core ends
-    * in [[localize]]'s collect) with the shuffle width narrowed to `w`,
+    * in [[localize]]'s collect or [[detach]]'s eager checkpoint) with the
+    * shuffle width narrowed to `w`,
     * restoring the session value afterwards. The graph stages operate on
     * edge/node-sized aggregates where 32-way task scheduling dominates the
     * compute (r13 probe: width 32→8 halved every graph query at sf0.1); at
@@ -631,9 +649,11 @@ object Analytics {
             .foreach(_.unpersist(blocking = false))
           nd
         }
-        // collect the node-sized result locally so every cached block —
-        // edge cache AND round checkpoints — is released before returning
-        localize(spark, finalD
+        // detach the node-sized result (eager executor-side checkpoint, no
+        // driver trip — the result is USER-cardinality on the user graph)
+        // so every upstream cached block — edge cache AND round
+        // checkpoints — can be released in the finally before returning
+        detach(finalD
           .select(col("node").as(keyName), coalesce(col("h"), lit(-1L)).as("hops"))
           .orderBy(col(keyName)))
       }
@@ -879,6 +899,7 @@ object Analytics {
         // (the bfsHopsUsers guard — without it, base = 0.15/N divides by 0
         // where the oracle yields an empty set)
         if (n == 0) {
+          // 0 rows by construction — control-plane, localize's contract
           localize(spark, nodes
             .select(col("node").as(keyName), col("node").as("rank_ppb")))
         } else {
@@ -904,11 +925,12 @@ object Analytics {
               .foreach(_.unpersist(blocking = false))
             nd
           }
-          // the node-sized RESULT is collected to a LocalRelation while the
-          // edge cache is alive; later actions (Verify's write, Bench's
-          // count) read local rows, never the released edge lineage — and
-          // no cached blocks accumulate across a full Verify/Bench run
-          localize(spark, step(step(step(init)))
+          // the node-sized RESULT is eagerly checkpointed executor-side
+          // while the edge cache is alive; later actions (Verify's write,
+          // Bench's count) read the lineage-free blocks, never the released
+          // edge lineage — and nothing data-sized ever crosses the driver
+          // (on the user graph this result is USER-cardinality)
+          detach(step(step(step(init)))
             .select(col("node").as(keyName), col("r").as("rank_ppb"))
             .orderBy(col(keyName)))
         }
@@ -1120,8 +1142,12 @@ object Analytics {
     *
     * Numerics: n/d/c are exact longs off integer day arithmetic (the
     * shipLatency dayNum rule); each hazard increment is ONE correctly-
-    * rounded double division quantized to integer PPM (the idf-ppm
-    * precedent), so the cumulative hazard is an exact integer running sum
+    * rounded double division quantized to integer PARTS-PER-BILLION (the
+    * idf-ppm precedent at a finer quantum — the running sum accumulates
+    * one rounded increment per distinct lifetime, and ppb keeps the
+    * worst-case accumulated bias under 1 ppm across the fixtures' ~1600
+    * lifetime steps, where ppm drifted up to ~800 ppm; ADVICE r15),
+    * so the cumulative hazard is an exact integer running sum
     * — order-free, immune to the cross-engine float-summation divergence
     * a double Σ d/n would hit (DuckDB evaluates running windows through
     * a segment tree whose association differs from Spark's sequential
@@ -1153,14 +1179,20 @@ object Analytics {
       .withColumn("n_risk",
         sum(col("leaving")).over(
           ordT.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
-      .withColumn("hazard_ppm",
-        round(lit(1000000.0) * col("d").cast("double") /
+      // PARTS-PER-BILLION quantum (r16, was ppm): the cumulative hazard
+      // sums one rounded increment per distinct lifetime, so the
+      // accumulated rounding bias is ≤ 0.5 quantum × steps — at ppb the
+      // worst case over the sf0.1 domain (~1600 steps) is < 1 ppm where
+      // the ppm quantum drifted up to ~800 ppm. The running sum stays an
+      // exact integer fold (bigint comfortably holds 1e9 × steps).
+      .withColumn("hazard_ppb",
+        round(lit(1000000000.0) * col("d").cast("double") /
               col("n_risk").cast("double")).cast("bigint"))
-      .withColumn("cum_hazard_ppm",
-        sum(col("hazard_ppm")).over(
+      .withColumn("cum_hazard_ppb",
+        sum(col("hazard_ppb")).over(
           ordT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("t"), col("n_risk"), col("d"), col("c"),
-              col("hazard_ppm"), col("cum_hazard_ppm"))
+              col("hazard_ppb"), col("cum_hazard_ppb"))
       .orderBy(col("t"))
   }
 
@@ -1226,9 +1258,14 @@ object Analytics {
     * tree. Exact longs throughout. */
   def kAnonymityReport(spark: SparkSession, sfDir: String,
                        k: Long = 10L): DataFrame = {
+    // NULL-safe sensitive flag: a NULL acctbal classifies as "not in debt"
+    // (0) on BOTH engines — a bare (acctbal < 0).cast produces NULL, which
+    // Spark's countDistinct skips while the oracle's CASE..ELSE 0 counts,
+    // a latent cross-engine l-diversity mismatch if the fixture ever gains
+    // NULLs (TPC-H customer has none today)
     val classes = Tables.customer(spark, sfDir)
       .select(col("c_nationkey"), col("c_mktsegment"),
-        (col("c_acctbal") < 0).cast("long").as("sens"))
+        when(col("c_acctbal") < 0, 1L).otherwise(0L).as("sens"))
       .groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).cast("long").as("sz"),
            countDistinct(col("sens")).cast("long").as("l_div"))
@@ -1278,7 +1315,12 @@ object Analytics {
         Window.partitionBy(col("src"))).cast("long"))
       .cache()
     try {
+      // NULL user ids identify no walker: dropped (the labelPropCommunities
+      // rule) — a NULL start would emit a (NULL, 0, NULL) step-0 row whose
+      // ORDER BY position differs between engines (Spark NULLS FIRST,
+      // DuckDB NULLS LAST); the oracle's f0 carries the same filter
       val start = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
         .select(col("user_id").as("start")).distinct()
       var frontier = start.select(col("start"), col("start").as("node"))
       var out = frontier.select(col("start"), lit(0L).as("step"), col("node"))
@@ -1290,7 +1332,8 @@ object Analytics {
         out = out.unionAll(
           frontier.select(col("start"), lit(i.toLong).as("step"), col("node")))
       }
-      localize(spark, out.orderBy(col("start"), col("step")))
+      // walk-corpus-sized (nodes × steps) → detach, never the driver
+      detach(out.orderBy(col("start"), col("step")))
     } finally adj.unpersist(blocking = false)
   }
 
@@ -1314,17 +1357,29 @@ object Analytics {
   def labelPropCommunities(spark: SparkSession, sfDir: String,
                            rounds: Int = 4): DataFrame = {
     val e = userCoEdges(spark, sfDir)
+    // a NULL key identifies no user: dropped, matching the oracle's
+    // inner nd-join semantics (a left join would carry a (NULL, NULL)
+    // row the oracle's NULL-hostile equi-joins never produce)
+    val nodes = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("node")).distinct()
+    labelPropOf(spark, nodes, e, rounds)
+      .select(col("node").as("user_id"), col("lab").as("community"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The LPA core over any (node) table and canonical (u, v) edge list —
+    * [[labelPropCommunities]]'s loop, shared with AnalyticsSpec's
+    * planted-partition quality witness. Returns the DETACHED (node, lab)
+    * table. */
+  private[graft] def labelPropOf(spark: SparkSession, nodesRaw: DataFrame,
+                                     e: DataFrame, rounds: Int): DataFrame = {
     val edges = e.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
       .cache()
     val checkpointed = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      // a NULL key identifies no user: dropped, matching the oracle's
-      // inner nd-join semantics (a left join would carry a (NULL, NULL)
-      // row the oracle's NULL-hostile equi-joins never produce)
-      val nodes = Tables.events(spark, sfDir)
-        .filter(col("user_id").isNotNull)
-        .select(col("user_id").as("node")).distinct()
+      val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
       var cur = nodes.select(col("node"), col("node").as("lab"))
       for (_ <- 1 to rounds) {
         val votes = edges
@@ -1345,15 +1400,90 @@ object Analytics {
           .foreach(_.unpersist(blocking = false))
         cur = nd
       }
-      localize(spark, cur
-        .select(col("node").as("user_id"), col("lab").as("community"))
-        .orderBy(col("user_id")))
+      // node-cardinality labels → detach, never the driver
+      detach(cur.orderBy(col("node")))
     } finally {
       edges.unpersist(blocking = false)
       checkpointed.foreach(d =>
         org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
           .foreach(_.unpersist(blocking = false)))
     }
+  }
+
+  /** NEWMAN MODULARITY of a node labeling over the user co-occurrence
+    * graph — the QUALITY number [[labelPropCommunities]] was missing
+    * (its labels are hash-pinned but nothing measured whether they are
+    * GOOD communities): Q = Σ_c (e_c/m − (d_c/2m)²) over communities c,
+    * where e_c counts intra-community edges, d_c sums member degrees, and
+    * m is the canonical edge count. Computed for BOTH partitions of the
+    * same graph — LPA's labels and connected components' — so the report
+    * is a comparison, not a bare number: CC's reachability partition
+    * collapses everything reachable into one component (a single
+    * component's Q is identically 0 — e_c = m, d_c = 2m, 1 − 1), and the
+    * gap between LPA's Q and that baseline MEASURES how much community
+    * structure the labels found. On the fixtures' user co-occurrence
+    * graph the honest answer is "none": the graph is one dense
+    * near-clique (avg degree ~14 at sf0.01), every split of it scores
+    * ≤ 0, and the report says so (measured: lpa −0.0039 vs cc 0 at
+    * sf0.01). The ALGORITHMIC inequality — LPA strictly beats the CC
+    * baseline where a planted partition exists — is pinned in
+    * AnalyticsSpec on a two-clique bridge graph through the same
+    * [[labelPropOf]]/[[modularityOf]] cores this query runs.
+    *
+    * Determinism: Q is a RATIO OF EXACT INTEGERS — Σ_c (4m·e_c − d_c²)
+    * over 4m², accumulated in DECIMAL(38,0) and crossed to double through
+    * the canonical string round-trip (the gini recipe), so the hash gate
+    * holds with no float-sum order hazard.
+    *
+    * Scale shape: per labeling, ONE edge-side equi-join against the
+    * node-sized label table (both endpoints — the LPA round profile), a
+    * map-side-combinable per-community rollup, and a community-sized
+    * final fold; m rides a 1-row broadcast. Nothing data-sized crosses
+    * the driver (labels come from the detached graph cores). */
+  def communityModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = userCoEdges(spark, sfDir).cache()
+    try {
+      e.count() // materialize: both labelings' joins read the cache
+      val lpa = labelPropCommunities(spark, sfDir)
+      val cc = ccUsers(spark, sfDir)
+      modularityOf(e, cc, "cc").unionAll(modularityOf(e, lpa, "lpa"))
+        .orderBy(col("method"))
+        .localCheckpoint(true) // 2 rows; frees the edge cache eagerly
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Modularity Q of one labeling over a canonical (u, v) edge list —
+    * [[communityModularity]]'s fold, shared with AnalyticsSpec's planted-
+    * partition witness. `labels`: (node, label) in its first two columns;
+    * only labels of edge-adjacent nodes enter Q (an isolated community
+    * has e_c = d_c = 0 and contributes nothing). Returns one row:
+    * (method, n_communities, n_edges, modularity). */
+  private[graft] def modularityOf(e: DataFrame, labels: DataFrame,
+                                      method: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
+    val mRow = e.agg(count(lit(1)).cast("long").as("m"))
+    val lab = labels.toDF("n", "lab")
+    val ec = e
+      .join(lab.select(col("n").as("u"), col("lab").as("lu")), "u")
+      .join(lab.select(col("n").as("v"), col("lab").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lab"))
+      .agg(count(lit(1)).cast("long").as("ec"))
+    val dc = deg.join(lab, "n").groupBy(col("lab"))
+      .agg(sum(col("d")).cast("long").as("dc"))
+    dc.join(ec, Seq("lab"), "left")
+      .select(col("lab"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+      .crossJoin(broadcast(mRow))
+      .agg(count(lit(1)).cast("long").as("n_communities"),
+           min(col("m")).as("n_edges"),
+           sum(lit(4).cast(d38) * col("m").cast(d38) * col("ec").cast(d38)
+               - col("dc").cast(d38) * col("dc").cast(d38)).as("num"))
+      .select(lit(method).as("method"), col("n_communities"), col("n_edges"),
+        (col("num").cast("string").cast("double") /
+         (lit(4).cast(d38) * col("n_edges").cast(d38) * col("n_edges").cast(d38))
+           .cast("string").cast("double")).as("modularity"))
   }
 
   /** GROUPED K-FOLD CROSS-VALIDATION assignment summary — the k-fold twin
@@ -1452,8 +1582,12 @@ object Analytics {
           .as("ic"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("long").as("n_days"),
-           first(col("n_pairs")).as("n_pairs"),
-           first(col("slope")).as("slope"),
+           // min, not first: the carried-through values are constant within
+           // each group, but first() is partition-order-nondeterministic
+           // and fragile to refactors that break the constancy — min() is
+           // order-free and what the oracle states
+           min(col("n_pairs")).as("n_pairs"),
+           min(col("slope")).as("slope"),
            expr("percentile(ic, 0.5D)").as("intercept"))
       .orderBy(col("event_type"))
   }
@@ -1485,7 +1619,9 @@ object Analytics {
         sum(when(col("c").cast("double") >= col("lo") &&
                  col("c").cast("double") <= col("hi"), col("c")).otherwise(0L))
           .cast("long").as("sum_kept"),
-        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+        // min, not first: constant within the group (one cutpoint row per
+        // type), and min() is order-deterministic where first() is not
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"))
       .select(col("event_type"), col("n"), col("n_kept"), col("lo"), col("hi"),
         (col("sum_kept").cast("double") / col("n_kept").cast("double") / 100.0)
           .as("trimmed_mean"))

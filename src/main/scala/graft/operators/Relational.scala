@@ -946,6 +946,49 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** [[columnStatsProfile]]'s SKETCH sibling — the 100 TB profile pass:
+    * NDV via HyperLogLog++ (`approx_count_distinct`, a constant-size
+    * mergeable sketch, map-side combined — ONE plain aggregate over one
+    * scan with NO expand, where the exact form multiplies scan rows ×8
+    * through Catalyst's multi-countDistinct expand). The sketch estimate
+    * itself is not bit-reproducible across engines, so it rides only
+    * through an IN-PLAN tolerance gate (the q10a pattern): the output
+    * carries the exact NDV as the oracle-checkable truth plus a per-column
+    * `approx_ok` boolean pinning that the sketch lands within `tolerance`
+    * of the truth it replaces at scale. The exact countDistincts remain in
+    * this plan only to FEED that gate; the production profile drops them
+    * and keeps the sketch (the exact sibling is perf-weak-registered). */
+  def columnStatsProfileSketch(spark: SparkSession, sfDir: String,
+                               rsd: Double = 0.05,
+                               tolerance: Double = 0.15): DataFrame = {
+    val DayUs = 86400000000L
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_shipdate")
+    val li = Tables.lineitem(spark, sfDir).select(cols.map { c =>
+      (if (c == "l_shipdate")
+         expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
+       else col(c)).cast("double").as(c)
+    }: _*)
+    val aggs = count(lit(1)).cast("long").as("n") +: cols.flatMap { c =>
+      Seq(count(col(c)).cast("long").as(s"cnt_$c"),
+          countDistinct(col(c)).cast("long").as(s"ndv_$c"),
+          approx_count_distinct(col(c), rsd).as(s"andv_$c"),
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val stats = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', n, n - cnt_$c, ndv_$c, andv_$c, min_$c, max_$c"
+    }.mkString(", ")
+    stats.selectExpr(
+        s"stack(${cols.size}, $stacked) AS " +
+          "(column_name, n_rows, n_nulls, ndv, andv, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_val"), col("max_val"),
+        (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
+          <= lit(tolerance)).as("approx_ok"))
+      .orderBy(col("column_name"))
+  }
+
   /** KEY-SKEW DIAGNOSTIC for the orders→customer key — the pre-flight
     * check behind every salting/AQE-skew decision: row count, key
     * cardinality, the heaviest key and its row count, and the skew ratio

@@ -797,6 +797,48 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** CEP TIMES QUANTIFIER — Flink-CEP's `A.times(n).within(W)` followed-by
+    * pattern (the activity-burst shape: at least `n` views inside a
+    * `windowMinutes` window, then a purchase within `followHours` — the
+    * registered defaults, a day for both, are tuned to the fixtures'
+    * event rate so the match set is non-vacuous at every shipped SF
+    * (measured: 2 / 32 / 512 matches at sf0.001/0.01/0.1)): a VIEW
+    * COMPLETES a burst when the (n−1)-back view in the user's view
+    * sequence lies within the window — a row-sequential definition (`lag`
+    * over views ordered by (ts, id)), deliberately chosen over a RANGE
+    * window count because it is exactly what a streaming NFA can evaluate
+    * record-by-record: a range count over [t−W, t] would include
+    * same-timestamp LATER-id views no sequential automaton has seen yet.
+    * Each completing view then matches its FIRST strictly-following
+    * purchase within the follow horizon (skip-till-next-match, the
+    * [[cepFunnelFollowedBy]] rule). Plan: the conditional next-purchase
+    * min and the view lag share ONE user_id exchange; no self-join, no
+    * automaton scan. Streaming twin: [[graft.streaming.StatefulOps
+    * .cepTimesStream]] (a bounded (n−1)-view ring + pending open matches,
+    * the burst provably spanning micro-batches in CepSpec). */
+  def cepTimesBurst(spark: SparkSession, sfDir: String, n: Int = 3,
+                    windowMinutes: Int = 1440, followHours: Int = 24): DataFrame = {
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val followUs = followHours.toLong * 3600L * 1000000L
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val wViews = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("np_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(wAll))
+      .filter(col("event_type") === "view")
+      .withColumn("bstart", lag(col("us"), n - 1).over(wViews))
+      .filter(col("bstart").isNotNull && col("us") - col("bstart") <= winUs &&
+        col("np_us").isNotNull && col("np_us") - col("us") <= followUs)
+      .select(col("user_id"), col("event_id"),
+              col("bstart").as("burst_start_us"), col("us").as("view_us"),
+              col("np_us").as("purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** TIME-WEIGHTED AVERAGE (TWAP) per event_type: each event's value holds
     * until the type's next event; the average weights each value by its
     * holding interval — the irregular-sampling mean a plain `avg` gets

@@ -1353,18 +1353,26 @@ object Similarity {
                     depth: Int = 100, k: Int = 20): DataFrame =
     hybridRrfWith(spark, sfDir, depth, k, ivfPruned = false)
 
-  /** [[hybridRrfTopK]] with the dense list from the IVF-PRUNED retriever
-    * (candidates = the query's coarse cell only, the ann_ivf shape) — the
-    * registered scale path for the fusion's dense side (perf-weak #8):
-    * RRF consumes ranks, so swapping the retriever changes no fusion
-    * arithmetic; cell recall is the stated trade, exactly as in the ANN
-    * family, and the swap is oracle-gated end to end. */
+  /** [[hybridRrfTopK]] with the dense list from the TRAINED-IVF MULTIPROBE
+    * retriever (the query's `nProbe` nearest coarse cells of the shared
+    * per-corpus k-means quantizer — [[ivfTrainedMultiProbeTopK]]'s shape,
+    * the family's best recall-per-cost point) — the registered scale path
+    * for the fusion's dense side (perf-weak #8): RRF consumes ranks, so
+    * swapping the retriever changes no fusion arithmetic; probe recall is
+    * the stated trade, and the swap is oracle-gated end to end (the oracle
+    * replays the full Lloyd chain). Round 16 upgraded this path from the
+    * label-cell prune: the label partition has no distance structure, and
+    * its fused top-20 Jaccard vs brute measured 0.05 at sf0.01 —
+    * chance-level, an unshippable quality trade; the trained probe-4 path
+    * is floor-gated in KMeansSpec instead of merely different. */
   def hybridRrfIvfTopK(spark: SparkSession, sfDir: String,
                        depth: Int = 100, k: Int = 20): DataFrame =
     hybridRrfWith(spark, sfDir, depth, k, ivfPruned = true)
 
   private def hybridRrfWith(spark: SparkSession, sfDir: String,
-                            depth: Int, k: Int, ivfPruned: Boolean): DataFrame = {
+                            depth: Int, k: Int, ivfPruned: Boolean,
+                            nProbe: Int = 4, nClusters: Int = 8,
+                            trainRounds: Int = 2): DataFrame = {
     // lexical: BM25 vs doc 0's tokens; doc 0 itself (the query) excluded
     // AFTER scoring so remaining ranks are 1..depth
     val lex = TextOps.bm25TopDocsOf(
@@ -1376,15 +1384,32 @@ object Similarity {
       .filter(col("lex_rank") <= depth)
       .select(col("doc_id"), col("lex_rank"))
     // dense: cosine of candidates against vec 0 — the whole corpus
-    // (brute, the exact baseline) or vec 0's coarse cell (IVF prune)
-    val q0 = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
-      .select(col("embedding").cast("array<double>").as("q_vec"),
-              col("label").as("q_label"))
+    // (brute, the exact baseline) or vec 0's nProbe nearest TRAINED
+    // coarse cells (the ivfTrainedMultiProbe shape, shared model cache)
+    val q0v = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>").as("q_vec"))
       .withColumn("norm_q", sqrt(dot(col("q_vec"), col("q_vec"))))
-    val cand = baseDf(spark, sfDir).filter(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q0))
-    val pruned = if (ivfPruned) cand.filter(col("label") === col("q_label"))
-                 else cand
+    val pruned = if (ivfPruned) {
+      // training is eager (centroids collect inside withCached), so the
+      // returned plan references only the k×dim literals, never the cache
+      val cents = withCached(trainInput(spark, sfDir))(b =>
+        coarseFor(sfDir, b, nClusters, trainRounds))
+      val scored = cents.map { case (cid, c) =>
+        struct((lit(selfDot(c)) - lit(2.0) * dot(col("q_vec"), typedLit(c))).as("score"),
+               lit(cid).as("cid"))
+      }
+      val qp = q0v.select(col("q_vec"), col("norm_q"),
+          explode(slice(array_sort(array(scored: _*)), 1, nProbe)).as("p"))
+        .select(col("q_vec"), col("norm_q"), col("p.cid").as("q_cluster"))
+      // a base vector lives in exactly ONE cell: nProbe probes cannot
+      // duplicate candidates
+      withCluster(baseDf(spark, sfDir), cents)
+        .filter(col("vec_id") =!= 0L)
+        .join(broadcast(qp), col("cluster") === col("q_cluster"))
+    } else {
+      baseDf(spark, sfDir).filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q0v))
+    }
     // orderBy+limit plans as TakeOrderedAndProject (per-partition k-heaps,
     // no global sort); the rank window then runs on the depth-sized result
     val denseTop = pruned

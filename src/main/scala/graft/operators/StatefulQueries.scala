@@ -890,6 +890,45 @@ object StatefulQueries {
     }.orderBy(col("event_id"))
   }
 
+  /** [[graft.operators.Sessionize.cepTimesBurst]] with the quantifier
+    * evaluated by REAL keyed NFA state ([[graft.streaming.StatefulOps
+    * .cepTimesStream]]): the (n−1)-view ring and the open completed
+    * bursts live in GroupState, and the two-file median replay forces the
+    * interesting transitions to SPAN the micro-batch boundary — a burst
+    * whose views straddle the split completes from the recovered ring,
+    * and a first-half burst completed by a second-half purchase emits
+    * from open-match state, or the oracle hash drops. The stream carries
+    * only the view/purchase rows the automaton reads (an error row would
+    * be read as a view — the batch form ignores them entirely, so the
+    * pre-filter is part of the semantics, not an optimization).
+    * Registered under cep_times_burst's oracle: streaming ring-NFA ≡
+    * batch lag window, hash-checked. */
+  def cepTimesBurstStreaming(spark: SparkSession, sfDir: String, n: Int = 3,
+                             windowMinutes: Int = 1440,
+                             followHours: Int = 24): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val aEnc: Encoder[StatefulOps.AttrEv] =
+      Encoders.product[StatefulOps.AttrEv]
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"ceptimes:$sfDir",
+          Seq("t0.parquet", "t1.parquet")) {
+        medianIdSplit(Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_id"),
+                  expr("ts_ns div 1000").as("us"), col("event_type")))
+      }
+    }
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val followUs = followHours.toLong * 3600L * 1000000L
+    drainOrderedFiles(spark, copyDir,
+        minBatches = replayFileCount(copyDir)) { stream =>
+      StatefulOps.cepTimesStream(stream
+        .select(col("user_id").as("key"), col("event_id").as("ord"),
+                col("us"), col("event_type").as("typ"))
+        .as[StatefulOps.AttrEv], n, winUs, followUs).toDF()
+    }.orderBy(col("event_id"))
+  }
+
   /** [[graft.operators.Sessionize.cepAbsenceAlert]] through REAL
     * event-time timers ([[graft.streaming.StatefulOps.cepAbsenceStream]])
     * — the one CEP shape whose verdict cannot come from data: a tape-end
@@ -1702,6 +1741,85 @@ object StatefulQueries {
       finally l.close()
     if (vs.isEmpty) None
     else Some(spark.read.parquet(s"$outDir/v=${vs.max}"))
+  }
+
+  /** TEMPORAL TABLE JOIN against a LIVE dimension — the missing half of
+    * [[temporalJoinStreaming]], which freezes the SCD2 dimension before
+    * the drain: Flink's temporal join tracks a dimension MAINTAINED
+    * CONCURRENTLY with the probe stream, so a mid-stream upsert changes
+    * later probes' matches. Composition (the r15 ask): the probe stream
+    * (purchases, two time-ordered micro-batches) re-reads the SCD2 MERGE
+    * journal ([[scd2Journal]] — the write-side maintenance) AT EACH BATCH
+    * START, the dynamic-rules reload pattern: batch b probes journal
+    * version b — the version set as of its own processing point. A
+    * batch-0 probe therefore matches the OPEN interval of the v0 table
+    * even when the full history would have closed it (that closing
+    * version had not been upserted yet), and a batch-1 probe sees every
+    * mid-stream upsert — the flip Scd2UpsertSpec witnesses. The oracle
+    * states both versions from the same median-id split the journal is
+    * built on. Per batch the join is the same pruned interval equi-join
+    * as the frozen form; the journal re-read is the config-poll cost,
+    * amortized per micro-batch, never per row. */
+  def temporalJoinUpdatingDim(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (journalDir, nVersions) = scd2Journal(spark, sfDir)
+    require(nVersions == 2,
+      s"the updating-dim probe needs two journal versions (got $nVersions)")
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"tempjoinup:$sfDir",
+          Seq("p0.parquet", "p1.parquet")) {
+        medianIdSplit(Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+                  expr("ts_ns div 1000").as("us")))
+      }
+    }
+    val nFiles = replayFileCount(copyDir)
+    // the batch→version map below is stated in the oracle as the
+    // purchases' own median-id split; a one-file replay would probe v0
+    // with rows the oracle scores under v1 — fail loudly (impossible on
+    // the driver fixtures, whose purchase ids straddle their median)
+    require(nFiles == 2,
+      s"updating-dim replay needs purchases on both sides of their median id " +
+      s"(got $nFiles file(s)) — the batch→version rule is defined by that split")
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-tempjoin-journal-").toString
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(copyDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(copyDir)
+      withShuffleWidth(spark, 8) {
+        val q = stream.writeStream.outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val v = math.min(id, 1L)
+            // poll the dimension journal AT BATCH START — the version in
+            // force at this batch's processing point
+            val dim = scd2VersionBefore(spark, journalDir, v + 1)
+              .getOrElse(sys.error(s"no SCD2 journal version below ${v + 1}"))
+              .select(col("user_id").as("d_user"),
+                      col("value").as("as_of_value"),
+                      col("valid_from_us"), col("valid_to_us"))
+            b.join(dim,
+                col("user_id") === col("d_user") &&
+                  col("valid_from_us") < col("us") &&
+                  (col("valid_to_us").isNull || col("valid_to_us") >= col("us")))
+              .select(col("user_id"), col("event_id"), col("us"),
+                      lit(v).as("dim_version"), col("as_of_value"))
+              .write.mode("overwrite").parquet(s"$outDir/b=$id")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(q.recentProgress.count(_.numInputRows > 0) >= nFiles,
+          s"the $nFiles-file replay did not produce $nFiles data batches")
+      }
+      spark.read.parquet(outDir)
+        .select(col("user_id"), col("event_id"), col("us"),
+                col("dim_version"), col("as_of_value"))
+        .localCheckpoint() // materialize before the journal dir vanishes
+        .orderBy(col("event_id"))
+    } finally deleteRecursively(java.nio.file.Paths.get(outDir))
   }
 
   /** Apply ONE micro-batch of CDC changes to the SCD2 interval table —

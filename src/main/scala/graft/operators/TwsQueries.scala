@@ -158,4 +158,20 @@ object TwsQueries {
     }
       .select(col("ord").as("event_id"), col("key").as("event_type"), col("gap"))
       .orderBy(col("event_id"))
+
+  /** Holt-Winters on transformWithState ([[TwsOps.HoltWintersProcessor]] —
+    * two ValueStates + the seasonal ring in a literal `ListState[Double]`,
+    * the compound-state witness), registered under holt_winters_by_type's
+    * oracle: the gate proves ListState-ring ≡ GroupState-ring ≡ the batch
+    * plan-ordered fold. */
+  def holtWintersTws(spark: SparkSession, sfDir: String): DataFrame =
+    drainTws(spark, sfDir) { stream =>
+      TwsOps.holtWintersTws(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"), col("value"))
+        .as[KV](kvEnc), StatefulQueries.HwAlpha, StatefulQueries.HwBeta,
+        StatefulQueries.HwGamma, StatefulQueries.HwSeason).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("level"), col("trend"), col("seasonal"), col("forecast"))
+      .orderBy(col("event_id"))
 }

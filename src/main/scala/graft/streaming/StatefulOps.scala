@@ -529,6 +529,59 @@ object StatefulOps {
           out.iterator
       }
 
+  /** One OPEN times-quantifier match: a completed burst awaiting its
+    * first following purchase. */
+  case class TimesOpen(ord: Long, bstart: Long, us: Long)
+  /** Per-user times-NFA state: the last ≤ n−1 view times (the
+    * quantifier's ring — O(n), NOT horizon-sized) plus the open completed
+    * bursts (bounded by views-per-follow-horizon). */
+  case class TimesPend(recent: List[CepView], open: List[TimesOpen])
+  case class TimesOut(user_id: Long, event_id: Long, burst_start_us: Long,
+                      view_us: Long, purchase_us: Long)
+  private implicit val timesPendEnc: Encoder[TimesPend] = Encoders.product[TimesPend]
+  private implicit val timesOutEnc: Encoder[TimesOut] = Encoders.product[TimesOut]
+
+  /** CEP TIMES QUANTIFIER — `A.times(n).within(W) followedBy B` (the
+    * [[graft.operators.Sessionize.cepTimesBurst]] semantics) as a keyed
+    * NFA: the state's RING is the last n−1 view times, so a new view
+    * completes a burst exactly when the ring is full and its oldest entry
+    * lies within the window — the sequential evaluation the batch form's
+    * row-ordered `lag(n−1)` was deliberately defined to match (its ring
+    * spans micro-batch boundaries, the CepSpec witness). A completed
+    * burst becomes an OPEN match; the first following purchase inside the
+    * follow horizon completes (and clears) every open match — an open
+    * match whose horizon a later arrival has passed expires unseen,
+    * because any purchase that could have completed it sorts strictly
+    * earlier under ordered per-key arrival and was already processed.
+    * Input must be pre-filtered to view/purchase rows (anything else IS a
+    * view — [[attributionStream]]'s contract); the sorted-slice ordering
+    * contract applies. */
+  def cepTimesStream(ds: Dataset[AttrEv], n: Int, winUs: Long, followUs: Long,
+                     mode: OutputMode = OutputMode.Append()): Dataset[TimesOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[TimesPend, TimesOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[TimesPend]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          var open = state.getOption.map(_.open).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[TimesOut]
+          rows.toSeq.sortBy(_.ord).foreach { r =>
+            open = open.filter(o => r.us - o.us <= followUs)
+            r.typ match {
+              case "purchase" =>
+                open.foreach(o =>
+                  out += TimesOut(key, o.ord, o.bstart, o.us, r.us))
+                open = Nil // skip-till-next-match: this purchase was first
+              case _ => // pre-filtered: anything else IS a view
+                if (recent.length == n - 1 && r.us - recent.head.us <= winUs)
+                  open = open :+ TimesOpen(r.ord, recent.head.us, r.us)
+                recent = (recent :+ CepView(r.ord, r.us)).takeRight(n - 1)
+            }
+          }
+          if (recent.isEmpty && open.isEmpty) state.remove()
+          else state.update(TimesPend(recent, open))
+          out.iterator
+      }
+
   /** (key, order, event-time, type) input for [[cepAbsenceStream]]; `ts`
     * must be the WATERMARKED event-time column (event-time timeouts
     * require it in the grouped Dataset). */

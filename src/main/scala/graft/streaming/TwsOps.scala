@@ -67,6 +67,9 @@ object TwsOps {
   val SessGensVar = "openSessions"
   val SessPendVar = "pendingTs"
   val TtlAccVar = "fpGen"
+  val HwLevelVar = "hwLevel"
+  val HwTrendVar = "hwTrend"
+  val HwRingVar = "hwSeasonRing"
 
   /** Q1: running max per key, one emission per record — `ValueState`. */
   class RunningMaxProcessor extends StatefulProcessor[String, KV, KeyedOut] {
@@ -376,4 +379,64 @@ object TwsOps {
   def thresholdGapsTws(ds: Dataset[KV], threshold: Double): Dataset[GapOut] =
     ds.groupByKey(_.key)
       .transformWithState(new ThresholdGapProcessor(threshold), TimeMode.None(), OutputMode.Append())
+
+  /** HOLT-WINTERS on transformWithState — the COMPOUND-state witness the
+    * TWS family lacked: the triple-smoothing recurrence carries two scalars
+    * (level, trend) in `ValueState[Double]` handles AND the m-slot seasonal
+    * ring buffer in a real `ListState[Double]` (Flink's
+    * `ListState<Double>` shape holding DATA the recurrence reads every
+    * record, where [[ThresholdGapProcessor]]'s list is only ever counted).
+    * The fold is bit-identical to [[StatefulOps.holtWintersStream]]'s
+    * `hwFold` — same binary-exact factors, same all-zero cold start — so
+    * the registered form answers the existing Holt-Winters oracle and the
+    * hash gate itself proves ListState-ring ≡ GroupState-ring. The ring is
+    * read once per batch slice and written back once (m is a small
+    * constant; per-element `appendValue` would pay m store round-trips per
+    * record for no bound improvement). */
+  class HoltWintersProcessor(alpha: Double, beta: Double, gamma: Double, m: Int)
+      extends StatefulProcessor[String, KV, StatefulOps.HwOut] {
+    import StatefulOps.HwOut
+    @transient private var level: ValueState[Double] = _
+    @transient private var trend: ValueState[Double] = _
+    @transient private var ring: ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      level = getHandle.getValueState[Double](HwLevelVar, Encoders.scalaDouble, TTLConfig.NONE)
+      trend = getHandle.getValueState[Double](HwTrendVar, Encoders.scalaDouble, TTLConfig.NONE)
+      ring = getHandle.getListState[Double](HwRingVar, Encoders.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: String, rows: Iterator[KV],
+                                 timerValues: TimerValues): Iterator[HwOut] = {
+      var started = level.exists()
+      var l = if (started) level.get() else 0.0
+      var t = if (started) trend.get() else 0.0
+      var s: Vector[Double] =
+        if (started) { val b = Vector.newBuilder[Double]
+                       ring.get().foreach(b += _); b.result() }
+        else Vector.empty
+      val out = rows.toSeq.sortBy(_.ord).map { r =>
+        if (!started) { // deterministic cold start: L₁ = x₁, T₁ = 0, s ≡ 0
+          started = true; l = r.value; t = 0.0; s = Vector.fill(m)(0.0)
+        } else {
+          val s0 = s.head
+          val l1 = alpha * (r.value - s0) + (1.0 - alpha) * (l + t)
+          t = beta * (l1 - l) + (1.0 - beta) * t
+          l = l1
+          s = s.tail :+ (gamma * (r.value - l) + (1.0 - gamma) * s0)
+        }
+        HwOut(key, r.ord, l, t, s.last, l + t + s.head)
+      }
+      if (started) { level.update(l); trend.update(t); ring.put(s.toArray) }
+      out.iterator
+    }
+  }
+
+  /** Holt-Winters over TWS (see [[HoltWintersProcessor]]). */
+  def holtWintersTws(ds: Dataset[KV], alpha: Double, beta: Double,
+                     gamma: Double, m: Int): Dataset[StatefulOps.HwOut] = {
+    implicit val outEnc: Encoder[StatefulOps.HwOut] =
+      Encoders.product[StatefulOps.HwOut]
+    ds.groupByKey(_.key)
+      .transformWithState(new HoltWintersProcessor(alpha, beta, gamma, m),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

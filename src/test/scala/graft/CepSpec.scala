@@ -108,4 +108,67 @@ class CepSpec extends SparkSpec {
     val alerts = ba.select("event_id")
     assert(matches.intersect(alerts).isEmpty)
   }
+
+  test("cep times NFA: the view ring crosses the batch boundary; fires exactly once; horizons expire") {
+    import StatefulOps.TimesOut
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    // n = 3 views within 1000 µs, purchase within 5000 µs
+    val q = StatefulOps.cepTimesStream(mem.toDS(), n = 3,
+        winUs = 1000L, followUs = 5000L)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("cep_times").start()
+    try {
+      // batch 1: two views — the ring holds 2, no burst yet
+      mem.addData(Seq(AttrEv(1, 1, 100, "view"), AttrEv(1, 2, 200, "view")))
+      q.processAllAvailable()
+      assert(spark.table("cep_times").count() === 0)
+      // batch 2: the CROSS-BATCH witness — the third view completes the
+      // burst only because the ring survived the boundary, and the
+      // purchase completes the open match in the same batch
+      mem.addData(Seq(AttrEv(1, 3, 300, "view"), AttrEv(1, 4, 900, "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("cep_times").as[TimesOut].collect().toSeq ===
+        Seq(TimesOut(1L, 3L, 100L, 300L, 900L)))
+      // batch 3: a SECOND purchase must not re-fire the completed burst
+      // (skip-till-next-match cleared the open list)
+      mem.addData(Seq(AttrEv(1, 5, 1000, "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("cep_times").count() === 1,
+        "a burst matches only its first following purchase")
+      // u2: burst completes, but the first purchase arrives BEYOND the
+      // follow horizon -> the open match expires unseen
+      mem.addData(Seq(AttrEv(2, 6, 100, "view"), AttrEv(2, 7, 150, "view"),
+                      AttrEv(2, 8, 200, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(AttrEv(2, 9, 99999, "purchase")))
+      q.processAllAvailable()
+      assert(!spark.table("cep_times").as[TimesOut].collect().exists(_.user_id == 2L))
+      // u3: three views too SLOW for the window (ring full but stale) ->
+      // no burst, so the in-horizon purchase completes nothing
+      mem.addData(Seq(AttrEv(3, 10, 0, "view"), AttrEv(3, 11, 2000, "view"),
+                      AttrEv(3, 12, 4000, "view"), AttrEv(3, 13, 4500, "purchase")))
+      q.processAllAvailable()
+      assert(!spark.table("cep_times").as[TimesOut].collect().exists(_.user_id == 3L))
+      // u4: a long view run — EVERY ring-complete view inside the window
+      // opens its own match (sliding times semantics), one purchase
+      // completes them all
+      mem.addData(Seq(AttrEv(4, 14, 100, "view"), AttrEv(4, 15, 200, "view"),
+                      AttrEv(4, 16, 300, "view"), AttrEv(4, 17, 400, "view"),
+                      AttrEv(4, 18, 500, "purchase")))
+      q.processAllAvailable()
+      val u4 = spark.table("cep_times").as[TimesOut].collect()
+        .filter(_.user_id == 4L).map(o => (o.event_id, o.burst_start_us)).toSet
+      assert(u4 === Set((16L, 100L), (17L, 200L)))
+    } finally q.stop()
+  }
+
+  test("cep times streaming equals the batch lag-window form on the corpus") {
+    val st = operators.StatefulQueries.cepTimesBurstStreaming(spark, Sf0001)
+    val ba = operators.Sessionize.cepTimesBurst(spark, Sf0001)
+    assert(st.exceptAll(ba).isEmpty && ba.exceptAll(st).isEmpty)
+    // the match set is non-vacuous at this SF (measured: 2 matches under
+    // the registered day-long window/follow horizons)
+    assert(ba.count() > 0)
+  }
 }

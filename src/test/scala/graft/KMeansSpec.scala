@@ -230,6 +230,26 @@ class KMeansSpec extends SparkSpec {
     Similarity.RecallVariants.foreach(v => assert(r(v) > 0.0, s"$v recalled nothing"))
   }
 
+  test("hybrid RRF: the IVF-pruned scale path keeps fused-list quality (Jaccard floor)") {
+    // the r15 verdict ask: the ANN family's recall-gate discipline applied
+    // to the FUSION itself — the prune is allowed to change the fused list
+    // (it does), but by a BOUNDED amount, so the quality trade is a
+    // number, not an assumption. Floor sits between chance and measured
+    // (the KMeansSpec recall-floor rule): a collapse-to-noise trips,
+    // benign drift does not.
+    val dir = "/root/testdata/sf0.01"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val brute = ids(Similarity.hybridRrfTopK(spark, dir))
+    val ivf = ids(Similarity.hybridRrfIvfTopK(spark, dir))
+    assert(brute.size == 20 && ivf.size == 20)
+    val j = brute.intersect(ivf).size.toDouble / brute.union(ivf).size.toDouble
+    assert(j >= 0.6, s"fused top-20 Jaccard vs brute fell to $j (< 0.6 floor)")
+    // and the prune genuinely changes the list — were the two identical,
+    // this gate would be testing nothing (the r15 DIFFER witness, kept)
+    assert(brute != ivf, "IVF prune changed nothing — the scale path is untested here")
+  }
+
   test("trained models are shared per (corpus, params): repeat searches do not retrain") {
     // the index-build amortization the bench numbers rest on: the first
     // call may add cache entries, the second call for the SAME

@@ -629,6 +629,28 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
   }
 
+  test("user-scale graph results are executor-side checkpoints, never a driver LocalRelation") {
+    // the r15 review finding: these four return USER-cardinality results —
+    // a collect()-based LocalRelation is the classic driver bottleneck at
+    // billion-node scale. Pin that the plan reads the detached executor-side
+    // checkpoint (a scan over an existing RDD) and contains no non-empty
+    // LocalRelation anywhere. The 1-row triangle/wedge aggregates keep the
+    // localize() collect by explicit contract (control-plane-sized).
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    for (q <- Seq("pagerank_users", "bfs_hops_users",
+                  "random_walks_users", "label_prop_communities")) {
+      val df = SparkEntry.queries(q)(spark, Sf0001)
+      val locals = df.queryExecution.optimizedPlan.collect {
+        case l: LocalRelation if l.data.nonEmpty => l
+      }
+      assert(locals.isEmpty, s"$q plans a non-empty LocalRelation (driver round-trip)")
+      val rdds = df.queryExecution.optimizedPlan.collect {
+        case p if p.nodeName == "LogicalRDD" => p
+      }
+      assert(rdds.nonEmpty, s"$q does not read from a detached checkpoint")
+    }
+  }
+
   test("mannwhitney: one corpus exchange; the rank prefix runs on the bounded value table") {
     val p = plan("mannwhitney_value_arms")
     // exactly one exchange carries corpus rows (the per-value-arm groupBy);

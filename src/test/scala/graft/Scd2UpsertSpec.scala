@@ -60,6 +60,49 @@ class Scd2UpsertSpec extends SparkSpec {
     assert(a.exceptAll(u).count() == 0 && u.exceptAll(a).count() == 0)
   }
 
+  test("temporal join on the UPDATING dim: a mid-stream upsert flips a later batch's match") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.lead
+    val out = StatefulQueries.temporalJoinUpdatingDim(spark, Sf0001).cache()
+    try {
+      // rebuild the journal's two versions from the raw events: v0 =
+      // per-user lead over ids <= the events median (its last change per
+      // user still OPEN — the pre-upsert belief), v1 = the global lead
+      val ev = graft.io.Tables.events(spark, Sf0001)
+        .select(col("user_id"), col("event_id"), col("value"),
+                org.apache.spark.sql.functions.expr("ts_ns div 1000").as("us"))
+      val mid = ev.agg(org.apache.spark.sql.functions.max(col("event_id")))
+        .head().getLong(0) / 2
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val v0 = ev.filter(col("event_id") <= mid)
+        .withColumn("t", lead(col("us"), 1).over(w))
+        .select(col("user_id").as("d_user"), col("value").as("v"),
+                col("us").as("f"), col("t"))
+      def joinedTo(dim: org.apache.spark.sql.DataFrame, probes: org.apache.spark.sql.DataFrame) =
+        probes.join(dim,
+          col("user_id") === col("d_user") && col("f") < col("us") &&
+            (col("t").isNull || col("t") >= col("us")), "left")
+      // batch 0 ran BEFORE the upsert: every registered match must equal
+      // the frozen-v0 answer
+      val b0 = out.filter(col("dim_version") === 0)
+        .select(col("user_id"), col("event_id"), col("us"), col("as_of_value"))
+      assert(joinedTo(v0, b0)
+        .filter(col("v").isNull || col("v") =!= col("as_of_value"))
+        .count() === 0L, "a batch-0 probe diverged from the frozen v0 dimension")
+      // batch 1 ran AFTER: at least one registered match must DIFFER from
+      // what the frozen v0 would have answered — the mid-stream version
+      // flip (same user, different as_of_value across dim versions)
+      val b1 = out.filter(col("dim_version") === 1)
+        .select(col("user_id"), col("event_id"), col("us"), col("as_of_value"))
+      val flips = joinedTo(v0, b1)
+        .filter(col("v").isNull || col("v") =!= col("as_of_value")).count()
+      assert(flips > 0,
+        "no batch-1 match differs from the frozen-v0 answer — the updating dim is vacuous on this replay")
+      // both batches contributed rows (the replay genuinely split)
+      assert(b0.count() > 0 && b1.count() > 0)
+    } finally out.unpersist()
+  }
+
   test("bitemporal snapshot: belief revisions exist and untouched users agree with the final as-of") {
     val bt = StatefulQueries.scd2BitemporalSnapshot(spark, Sf0001)
       .select(col("user_id"), col("event_id").as("bt_ev"))

@@ -243,21 +243,37 @@ class TextMiningSpec extends SparkSpec {
                          r.getAs[Long]("dense_rank") > 0))
   }
 
-  test("hybrid rrf ivf: dense candidates come only from the query's coarse cell") {
-    val labels = graft.io.Tables.embeddings(spark, Sf0001)
-      .select(col("vec_id"), col("label")).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val qCell = labels(0L)
+  test("hybrid rrf ivf: dense candidates come only from the query's probed trained cells") {
+    import graft.operators.Similarity
+    // rebuild the shared coarse quantizer the fusion's scale path probes
+    // (deterministic training — same input, same seed, same fixed-point
+    // sums — so this is THE model, not a lookalike)
+    val base = Similarity.baseOf(graft.io.Tables.embeddings(spark, Sf0001))
+    val cents = Similarity.kmeansCentroids(base, k = 8, rounds = 2)
+    val cluster = Similarity.withCluster(base, cents)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = graft.io.Tables.embeddings(spark, Sf0001)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def dotl(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val probes = cents
+      .map { case (cid, c) => ((dotl(c, c) - 2.0 * dotl(q, c), cid), cid) }
+      .sortBy(_._1).take(4).map(_._2).toSet
     val f = graft.operators.Similarity.hybridRrfIvfTopK(spark, Sf0001).collect()
     assert(f.length == 20)
-    // every dense-ranked doc sits in the query's cell; lex-only docs may not
+    // every dense-ranked doc sits in one of the query's 4 probed cells;
+    // lex-only docs may not
     f.filter(_.getAs[Long]("dense_rank") > 0).foreach { r =>
-      assert(labels(r.getAs[Long]("doc_id")) == qCell)
+      assert(probes.contains(cluster(r.getAs[Long]("doc_id"))),
+        s"doc ${r.getAs[Long]("doc_id")} dense-ranked from an unprobed cell")
     }
-    // the prune changes the dense list (some brute-ranked doc is outside
-    // the cell), so the two fusions genuinely differ
+    // the prune changes the dense list (some brute-ranked doc sits outside
+    // the probed cells), so the two fusions genuinely differ
     val brute = graft.operators.Similarity.hybridRrfTopK(spark, Sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dense_rank"))).toMap
-    assert(brute.exists { case (d, dr) => dr > 0 && labels(d) != qCell })
+    assert(brute.exists { case (d, dr) => dr > 0 && !probes.contains(cluster(d)) })
   }
 }

@@ -312,6 +312,53 @@ class TwsSpec extends SparkSpec {
     assert(tiny === Seq((1000000000L, 1L), (1100000000L, 1L)))
   }
 
+  test("tws holt-winters: matches a local restatement of the fold and registers the compound state") {
+    // the COMPOUND-state witness: two ValueStates + the seasonal ring in a
+    // literal ListState, all three crossing the store together. Expected
+    // values come from an independent local restatement of the recurrence
+    // (same binary-exact factors -> bit-identical doubles -> identical
+    // Row.toString), not from the implementation under test.
+    val data = (1L to 12L).map(i =>
+      KV(if (i % 2 == 0) "a" else "b", i, (i * 37 % 11).toDouble))
+    val (rows, meta) = drainWithMetadata[KV](data.toDS(), ds =>
+      TwsOps.holtWintersTws(ds, 0.25, 0.125, 0.25, 4).toDF())
+    def hw(xs: Seq[(Long, Double)]): Seq[(Long, Double, Double, Double, Double)] = {
+      var started = false; var l = 0.0; var t = 0.0
+      var s = Vector.fill(4)(0.0)
+      xs.sortBy(_._1).map { case (ord, x) =>
+        if (!started) { started = true; l = x; t = 0.0; s = Vector.fill(4)(0.0) }
+        else {
+          val s0 = s.head
+          val l1 = 0.25 * (x - s0) + 0.75 * (l + t)
+          t = 0.125 * (l1 - l) + 0.875 * t
+          l = l1
+          s = s.tail :+ (0.25 * (x - l) + 0.75 * s0)
+        }
+        (ord, l, t, s.last, l + t + s.head)
+      }
+    }
+    val expected = data.groupBy(_.key).toSeq.flatMap { case (k, xs) =>
+      hw(xs.map(x => (x.ord, x.value))).map { case (ord, l, t, sl, f) =>
+        s"[$k,$ord,$l,$t,$sl,$f]" }
+    }.sorted
+    assert(rows === expected)
+    assert(stateVar(meta, TwsOps.HwLevelVar, "ValueState"), meta)
+    assert(stateVar(meta, TwsOps.HwTrendVar, "ValueState"), meta)
+    assert(stateVar(meta, TwsOps.HwRingVar, "ListState"), meta)
+  }
+
+  test("tws holt-winters gate form ≡ the fMGWS seasonal-ring twin across the 2-file replay") {
+    // same recurrence, two state machineries, one 2-file drain each: the
+    // ring provably crosses the micro-batch boundary in BOTH and the rows
+    // must agree exactly (both answer the holt_winters_by_type oracle)
+    val got = graft.operators.TwsQueries.holtWintersTws(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.StatefulQueries.holtWintersByTypeStreaming(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("tws threshold gaps: matches the fMGWS twin and registers a literal ListState") {
     val data = Seq(
       KV("k", 1L, 1.0), KV("k", 2L, 2.0), KV("k", 3L, 100.0), KV("k", 4L, 3.0),
