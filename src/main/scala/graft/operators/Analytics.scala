@@ -1443,12 +1443,30 @@ object Analytics {
   def communityModularity(spark: SparkSession, sfDir: String): DataFrame = {
     val e = userCoEdges(spark, sfDir).cache()
     try {
-      e.count() // materialize: both labelings' joins read the cache
-      val lpa = labelPropCommunities(spark, sfDir)
-      val cc = ccUsers(spark, sfDir)
+      e.count() // materialize OUTSIDE the narrowed scope: the edge build's
+      // fact joins keep the session width (the bfsOf discipline)
+      withWidth(spark, 8) {
+      // BOTH labelings and both Q folds read this
+      // one cached edge table — calling the registered label_prop/cc_users
+      // queries here would rebuild the co-occurrence join twice more
+      // (measured 6.4 s → 3.9 s at sf0.1 for the composite)
+      val nodes = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id").as("node")).distinct()
+      val lpa = labelPropOf(spark, nodes, e, rounds = 4)
+      // the ccUsers construction over the same cached edges (singletons
+      // label themselves through the left join; NULL nodes are irrelevant
+      // to Q — only edge-adjacent labels enter the fold)
+      val comp = Dedup.lshComponentsOf(
+        e.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      val cc = nodes.join(
+          comp.select(col("doc_id").as("node"), col("component")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("component"), col("node")).as("lab"))
       modularityOf(e, cc, "cc").unionAll(modularityOf(e, lpa, "lpa"))
         .orderBy(col("method"))
         .localCheckpoint(true) // 2 rows; frees the edge cache eagerly
+      }
     } finally e.unpersist(blocking = false)
   }
 

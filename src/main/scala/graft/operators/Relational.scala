@@ -969,13 +969,21 @@ object Relational {
          expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
        else col(c)).cast("double").as(c)
     }: _*)
-    val aggs = count(lit(1)).cast("long").as("n") +: cols.flatMap { c =>
+    // the exact side keeps columnStatsProfile's expand-based plan; the
+    // SKETCH side runs as its OWN plain aggregate — mixed into one agg,
+    // Catalyst routes the HLL updates through the multi-countDistinct
+    // expand and pays the ×8 row multiplier on the sketches too (measured
+    // 11.0 s vs 3.5 s for the exact form at sf0.1); split out, the sketch
+    // pass is the cheap no-expand single scan the 100 TB profile actually
+    // runs, and the two 1-row frames meet in a broadcast
+    val exactAggs = count(lit(1)).cast("long").as("n") +: cols.flatMap { c =>
       Seq(count(col(c)).cast("long").as(s"cnt_$c"),
           countDistinct(col(c)).cast("long").as(s"ndv_$c"),
-          approx_count_distinct(col(c), rsd).as(s"andv_$c"),
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
-    val stats = li.agg(aggs.head, aggs.tail: _*)
+    val sketchAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"andv_$c"))
+    val stats = li.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(sketchAggs.head, sketchAggs.tail: _*)))
     val stacked = cols.map { c =>
       s"'$c', n, n - cnt_$c, ndv_$c, andv_$c, min_$c, max_$c"
     }.mkString(", ")

@@ -1919,8 +1919,9 @@ object StatefulQueries {
   private val scd2JournalCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
-  /** The MERGE journal built ONCE per (JVM, sfDir) and shared by its three
-    * consumers (upsert snapshot, CDC feed, bitemporal snapshot) — the
+  /** The MERGE journal built ONCE per (JVM, sfDir) and shared by its four
+    * consumers (upsert snapshot, CDC feed, bitemporal snapshot, and the
+    * updating-dim temporal join) — the
     * [[timeOrderedFilesCopy]] lifecycle: each bench/verify repetition
     * replays the maintenance a single time instead of once per reader,
     * and the journal persists for the JVM's life so every reader's plan
