@@ -687,6 +687,13 @@ object SparkEntry {
     // absence through REAL event-time timers: tape-end verdicts fire off
     // the watermark, not off data
     "cep_absence_alert_streaming" -> ((s, dir) => StatefulQueries.cepAbsenceAlertStreaming(s, dir)),
+    // CEP strict contiguity A.next(B).within(W): the IMMEDIATELY
+    // following event must be the purchase — an intervening click breaks
+    // the match where followed-by skips it
+    "cep_next_match" -> ((s, dir) => Sessionize.cepNextMatch(s, dir)),
+    // the adjacency held in keyed state (one previous event per user),
+    // crossing the micro-batch boundary over the full-event replay
+    "cep_next_match_streaming" -> ((s, dir) => StatefulQueries.cepNextMatchStreaming(s, dir)),
     // CEP times quantifier A.times(3).within(10min) followedBy purchase:
     // row-sequential burst completion (lag over views), one window pass
     "cep_times_burst" -> ((s, dir) => Sessionize.cepTimesBurst(s, dir)),
@@ -3280,6 +3287,20 @@ object SparkEntry {
         |  AND np_us - us <= 3600000000
         |  AND (ne_id IS NULL OR ne_id > np_id)
         |ORDER BY event_id""".stripMargin,
+    // strict contiguity: the lead() pair over ALL events — the very next
+    // row must be the purchase, any intervening event breaks the match
+    "cep_next_match" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+        |    lead(event_type) OVER w AS nx_typ,
+        |    lead(epoch_us(ts)) OVER w AS nx_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, event_id, us AS view_us, nx_us AS purchase_us
+        |FROM seq
+        |WHERE event_type = 'view' AND nx_typ = 'purchase'
+        |  AND nx_us - us <= 3600000000
+        |ORDER BY event_id""".stripMargin,
     // the times quantifier: burst completion is the ROW-sequential
     // lag(n-1)-within-window rule over views (what a record-by-record NFA
     // evaluates); the first strictly-following purchase completes it
@@ -4125,6 +4146,9 @@ object SparkEntry {
       // the ring-NFA evaluates exactly the batch lag-window definition;
       // bursts and open matches span the micro-batch boundary
       "cep_times_burst_streaming"      -> base("cep_times_burst"),
+      // one carried previous event per user ≡ the batch lead() pair;
+      // the adjacency crosses the micro-batch boundary through state
+      "cep_next_match_streaming"       -> base("cep_next_match"),
       // timer-driven closure ≡ batch-gap semantics — same oracle as q13
       "q13t_sessionize_tws"            -> base("q13_sessionize"),
       // star contraction computes the same labeling as min-label propagation

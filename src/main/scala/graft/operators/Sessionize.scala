@@ -797,6 +797,33 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** CEP STRICT CONTIGUITY — Flink-CEP's `A.next(B).within(W)` (the
+    * fourth and last pattern primitive next to followed-by, absence, and
+    * the times quantifier): a VIEW matches only when the user's
+    * IMMEDIATELY following event — of ANY type, which is what makes the
+    * contiguity strict — is a purchase within the horizon; a single
+    * intervening click/error/signup breaks the match where followed-by
+    * would skip it. One `lead` pair over the user partitioning (the same
+    * single exchange every CEP batch form shares); the streaming twin
+    * ([[graft.streaming.StatefulOps.cepNextStream]]) carries exactly ONE
+    * previous event per user across micro-batches — the smallest keyed
+    * state any pattern here holds. */
+  def cepNextMatch(spark: SparkSession, sfDir: String,
+                   withinHours: Int = 1): DataFrame = {
+    val withinUs = withinHours.toLong * 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("nx_typ", lead(col("event_type"), 1).over(w))
+      .withColumn("nx_us", lead(col("us"), 1).over(w))
+      .filter(col("event_type") === "view" && col("nx_typ") === "purchase" &&
+              col("nx_us") - col("us") <= withinUs)
+      .select(col("user_id"), col("event_id"), col("us").as("view_us"),
+              col("nx_us").as("purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** CEP TIMES QUANTIFIER — Flink-CEP's `A.times(n).within(W)` followed-by
     * pattern (the activity-burst shape: at least `n` views inside a
     * `windowMinutes` window, then a purchase within `followHours` — the

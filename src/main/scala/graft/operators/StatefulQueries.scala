@@ -890,6 +890,37 @@ object StatefulQueries {
     }.orderBy(col("event_id"))
   }
 
+  /** [[graft.operators.Sessionize.cepNextMatch]] with the adjacency held
+    * in REAL keyed state ([[graft.streaming.StatefulOps.cepNextStream]] —
+    * one previous event per user): the replay carries ALL event types
+    * (strictness demands the intervening clicks), and the median split
+    * forces some view→purchase adjacency to straddle the micro-batch
+    * boundary, where only the carried state can see it. Registered under
+    * cep_next_match's oracle: streaming last-event NFA ≡ batch lead()
+    * pair, hash-checked. */
+  def cepNextMatchStreaming(spark: SparkSession, sfDir: String,
+                            withinHours: Int = 1): DataFrame = {
+    import graft.streaming.StatefulOps
+    implicit val aEnc: Encoder[StatefulOps.AttrEv] =
+      Encoders.product[StatefulOps.AttrEv]
+    val copyDir = withNanosAsLong(spark) {
+      timeOrderedFilesCopy(spark, s"cepnext:$sfDir",
+          Seq("n0.parquet", "n1.parquet")) {
+        medianIdSplit(Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"),
+                  expr("ts_ns div 1000").as("us"), col("event_type")))
+      }
+    }
+    val withinUs = withinHours.toLong * 3600L * 1000000L
+    drainOrderedFiles(spark, copyDir,
+        minBatches = replayFileCount(copyDir)) { stream =>
+      StatefulOps.cepNextStream(stream
+        .select(col("user_id").as("key"), col("event_id").as("ord"),
+                col("us"), col("event_type").as("typ"))
+        .as[StatefulOps.AttrEv], withinUs).toDF()
+    }.orderBy(col("event_id"))
+  }
+
   /** [[graft.operators.Sessionize.cepTimesBurst]] with the quantifier
     * evaluated by REAL keyed NFA state ([[graft.streaming.StatefulOps
     * .cepTimesStream]]): the (n−1)-view ring and the open completed

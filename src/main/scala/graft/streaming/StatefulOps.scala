@@ -529,6 +529,44 @@ object StatefulOps {
           out.iterator
       }
 
+  /** The single previous event [[cepNextStream]] carries per user. */
+  case class NextAcc(typ: String, ord: Long, us: Long)
+  case class NextOut(user_id: Long, event_id: Long, view_us: Long,
+                     purchase_us: Long)
+  private implicit val nextAccEnc: Encoder[NextAcc] = Encoders.product[NextAcc]
+  private implicit val nextOutEnc: Encoder[NextOut] = Encoders.product[NextOut]
+
+  /** CEP STRICT CONTIGUITY — `A.next(B).within(W)` ([[graft.operators
+    * .Sessionize.cepNextMatch]]'s semantics) as the minimal keyed NFA:
+    * state is exactly ONE previous event per user (type, ord, time); a
+    * purchase matches iff the carried previous event is a view within the
+    * horizon, and EVERY arrival — click, error, anything — overwrites the
+    * carried event, which is precisely what makes the contiguity strict
+    * (the input must NOT be pre-filtered to view/purchase rows, unlike
+    * [[cepStream]]/[[cepTimesStream]]: dropping an intervening click
+    * would silently turn `next` into `followedBy`). The view→purchase
+    * adjacency crosses micro-batch boundaries through the carried state;
+    * ordering contract as everywhere (sorted slice, ordered per-key
+    * arrival). */
+  def cepNextStream(ds: Dataset[AttrEv], withinUs: Long,
+                    mode: OutputMode = OutputMode.Append()): Dataset[NextOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[NextAcc, NextOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[NextAcc]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[NextOut]
+          rows.toSeq.sortBy(_.ord).foreach { r =>
+            prev.foreach { p =>
+              if (p.typ == "view" && r.typ == "purchase" &&
+                  r.us - p.us <= withinUs)
+                out += NextOut(key, p.ord, p.us, r.us)
+            }
+            prev = Some(NextAcc(r.typ, r.ord, r.us))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+
   /** One OPEN times-quantifier match: a completed burst awaiting its
     * first following purchase. */
   case class TimesOpen(ord: Long, bstart: Long, us: Long)

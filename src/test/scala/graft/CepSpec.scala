@@ -163,6 +163,54 @@ class CepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cep next NFA: strictness breaks on ANY intervening event; adjacency crosses the batch boundary") {
+    import StatefulOps.NextOut
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    val q = StatefulOps.cepNextStream(mem.toDS(), withinUs = 1000L)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("cep_next").start()
+    try {
+      // u1: view then an intervening CLICK then purchase — followed-by
+      // would match, strict contiguity must not
+      mem.addData(Seq(AttrEv(1, 1, 100, "view"), AttrEv(1, 2, 150, "click"),
+                      AttrEv(1, 3, 200, "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("cep_next").count() === 0,
+        "an intervening click must break strict contiguity")
+      // u2: the CROSS-BATCH witness — view ends batch 2, purchase opens
+      // batch 3; only the carried previous-event state can see the pair
+      mem.addData(Seq(AttrEv(2, 4, 100, "view")))
+      q.processAllAvailable()
+      mem.addData(Seq(AttrEv(2, 5, 600, "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("cep_next").as[NextOut].collect().toSeq ===
+        Seq(NextOut(2L, 4L, 100L, 600L)))
+      // u3: adjacent but BEYOND the horizon -> no match
+      mem.addData(Seq(AttrEv(3, 6, 0, "view"), AttrEv(3, 7, 5000, "purchase")))
+      q.processAllAvailable()
+      assert(!spark.table("cep_next").as[NextOut].collect().exists(_.user_id == 3L))
+      // u2 again: a SECOND purchase is not adjacent to the view anymore
+      // (the first purchase overwrote the carried event)
+      mem.addData(Seq(AttrEv(2, 8, 700, "purchase")))
+      q.processAllAvailable()
+      assert(spark.table("cep_next").count() === 1)
+    } finally q.stop()
+  }
+
+  test("cep next streaming equals the batch lead pair on the corpus; next ⊆ followed-by") {
+    val st = operators.StatefulQueries.cepNextMatchStreaming(spark, Sf0001)
+    val ba = operators.Sessionize.cepNextMatch(spark, Sf0001)
+    assert(st.exceptAll(ba).isEmpty && ba.exceptAll(st).isEmpty)
+    // non-vacuous (measured: 3 strict matches at sf0.001), and every
+    // strict match is also a followed-by match with the same purchase
+    // (the error-kill cannot bite: the next event IS the purchase)
+    assert(ba.count() > 0)
+    val fb = operators.Sessionize.cepFunnelFollowedBy(spark, Sf0001)
+    assert(ba.join(fb, Seq("user_id", "event_id", "view_us", "purchase_us"),
+      "left_anti").count() === 0)
+  }
+
   test("cep times streaming equals the batch lag-window form on the corpus") {
     val st = operators.StatefulQueries.cepTimesBurstStreaming(spark, Sf0001)
     val ba = operators.Sessionize.cepTimesBurst(spark, Sf0001)
