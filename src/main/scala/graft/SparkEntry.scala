@@ -436,6 +436,33 @@ object SparkEntry {
     "theil_sen_daily" -> ((s, dir) => Analytics.theilSenDaily(s, dir)),
     // robust location: mean of exact cents inside the [p05, p95] band
     "trimmed_mean_by_type" -> ((s, dir) => Analytics.trimmedMeanByType(s, dir)),
+    // monotone association on tie-averaged integer ranks (doubled units),
+    // rho as one closed-form double tree over exact rank moments
+    "spearman_daily" -> ((s, dir) => Analytics.spearmanDaily(s, dir)),
+    // Mann-Kendall trend: exact concordant/discordant/tie pair counts
+    // over the bounded (type × day) frame, tau-b as one double tree
+    "kendall_tau_daily" -> ((s, dir) => Analytics.kendallTauDaily(s, dir)),
+    // trend (centered 7-obs MA) + day-of-week seasonal of the DETRENDED
+    // series + residual — every numerator an exact long
+    "stl_decompose_daily" -> ((s, dir) => Analytics.stlDecomposeDaily(s, dir)),
+    // landmark harmonic closeness: ONE multi-source BFS from the 3
+    // smallest user ids, Σ 1000000 div d in exact micro-units
+    "closeness_landmarks_users" -> ((s, dir) => Analytics.closenessLandmarksUsers(s, dir)),
+    // Newman degree-mixing r over directed edges: exact DECIMAL moments,
+    // one double tree (do hubs attach to hubs?)
+    "graph_assortativity_users" -> ((s, dir) => Analytics.graphAssortativityUsers(s, dir)),
+    // gaps-and-islands: longest consecutive-active-day run per user via
+    // the day − row_number island constant — no self-join, no recursion
+    "user_activity_streaks" -> ((s, dir) => Analytics.userActivityStreaks(s, dir)),
+    // exact weighted median (half the QUANTITY at or below): smallest
+    // price with 2·cumw ≥ totw over the bounded distinct-price table
+    "weighted_median_lineitem" -> ((s, dir) => Relational.weightedMedianLineitem(s, dir)),
+    // trailing-20 breakout bands over the PRIOR window (current row
+    // excluded) + turtle-rule flags, exact cents
+    "donchian_by_type" -> ((s, dir) => Indicators.donchianByType(s, dir)),
+    // product-limit survival: the sequential multiplicative fold through
+    // the cusum/ewma execution class, same life table as Nelson-Aalen
+    "kaplan_meier_survival" -> ((s, dir) => StatefulQueries.kaplanMeierSurvival(s, dir)),
     // pre-salting diagnostic: heaviest key + max/avg skew ratio in ppm
     "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
     // equi-depth decile binning against broadcast exact-percentile edges
@@ -473,6 +500,9 @@ object SparkEntry {
     // Holt's linear trend (alpha=1/4, beta=1/8): two COUPLED recurrences
     "holt_by_type" -> ((s, dir) => StatefulQueries.holtByType(s, dir)),
     "holt_by_type_streaming" -> ((s, dir) => StatefulQueries.holtByTypeStreaming(s, dir)),
+    // rolling-origin one-step-ahead evaluation of the Holt fold: MAE +
+    // sMAPE from floor-quantized error integers (order-free sums)
+    "forecast_backtest_holt" -> ((s, dir) => StatefulQueries.forecastBacktestHolt(s, dir)),
     // triple smoothing: the seasonal ring buffer rides state as a
     // fixed-width array (the ListState-shaped stateful form)
     "holt_winters_by_type" -> ((s, dir) => StatefulQueries.holtWintersByType(s, dir)),
@@ -557,6 +587,9 @@ object SparkEntry {
     // last-touch attribution: purchases -> most recent prior view <= 24h,
     // one conditional window max, never a purchases x views self-join
     "attribution_last_touch" -> ((s, dir) => Sessionize.attributionLastTouch(s, dir)),
+    // U-shaped multi-touch: every purchase splits exactly 1e6 micro-
+    // credits 40/20/40 over its lookback views; per-view rollup
+    "attribution_position_ushape" -> ((s, dir) => Sessionize.attributionPositionUshape(s, dir)),
     // time-weighted average: exact decimal sum(value x holding-interval)
     "twap_by_type" -> ((s, dir) => Sessionize.twapByType(s, dir)),
     // TWAP's streaming twin: one (µs, value) ValueState per type closes
@@ -784,6 +817,47 @@ object SparkEntry {
        |$steps
        |SELECT node AS user_id, CAST(coalesce(h, -1) AS BIGINT) AS hops
        |FROM d$rounds ORDER BY user_id""".stripMargin
+  }
+
+  /** The closeness_landmarks_users oracle: [[bfsUsersOracle]]'s unrolled
+    * min-plus relaxations with the distance table keyed on (node, lm) —
+    * the L landmarks relax simultaneously, exactly the multi-source
+    * engine form; the finisher folds the exact integer-micro harmonic
+    * sum per node. d0 already covers every (node, lm) cell, so each
+    * round is one LEFT JOIN of the previous table against the round's
+    * candidate minima. */
+  private def closenessUsersOracle(landmarks: Int, rounds: Int): String = {
+    val head =
+      s"""WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |e AS MATERIALIZED (SELECT u AS x, v AS y FROM ce
+        |  UNION ALL SELECT v, u FROM ce),
+        |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+        |lms AS MATERIALIZED (SELECT node AS lm FROM nd
+        |  ORDER BY node LIMIT $landmarks),
+        |d0 AS MATERIALIZED (SELECT node, lm,
+        |  CASE WHEN node = lm THEN 0 END AS h FROM nd CROSS JOIN lms)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.y AS node, d$p.lm, min(d$p.h + 1) AS nh
+         |       FROM e JOIN d$p ON e.x = d$p.node
+         |       WHERE d$p.h IS NOT NULL GROUP BY 1, 2),
+         |d$i AS MATERIALIZED (SELECT d$p.node, d$p.lm,
+         |         CASE WHEN d$p.h IS NULL THEN c$i.nh
+         |         WHEN c$i.nh IS NULL THEN d$p.h
+         |         WHEN c$i.nh < d$p.h THEN c$i.nh ELSE d$p.h END AS h
+         |       FROM d$p LEFT JOIN c$i USING (node, lm))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node AS user_id, CAST(count(h) AS BIGINT) AS n_reached,
+       |  CAST(sum(CASE WHEN h >= 1 THEN 1000000 // h ELSE 0 END) AS BIGINT)
+       |    AS harmonic_micro,
+       |  CAST(sum(CASE WHEN h >= 1 THEN 1000000 // h ELSE 0 END) AS DOUBLE)
+       |    / 1000000.0 AS closeness
+       |FROM d$rounds GROUP BY node ORDER BY user_id""".stripMargin
   }
 
   /** The community_modularity oracle: the LPA (4 majority rounds) and CC
@@ -2430,6 +2504,36 @@ object SparkEntry {
         |SELECT event_id, user_id, us AS purchase_us,
         | CASE WHEN us - lv <= 86400000000 THEN lv END AS attributed_view_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // every conversion splits exactly 1e6 micro-credits 40/20/40 over its
+    // lookback views; middle share = 200000 // (n−2), remainder to the
+    // LAST middle — identical integer div/mod on both engines
+    "attribution_position_ushape" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, us AS v_us FROM ev
+        |  WHERE event_type = 'view'),
+        |t AS (SELECT p.p_id, v.v_id, v.v_us
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  WHERE (v.v_us < p.p_us OR (v.v_us = p.p_us AND v.v_id < p.p_id))
+        |    AND p.p_us - v.v_us <= 86400000000),
+        |r AS (SELECT p_id, v_id,
+        |    CAST(row_number() OVER (PARTITION BY p_id ORDER BY v_us, v_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+        |  FROM t),
+        |cr AS (SELECT v_id,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN rn = 1 OR rn = n THEN 400000
+        |         ELSE 200000 // (n - 2)
+        |           + CASE WHEN rn = n - 1 THEN 200000 % (n - 2) ELSE 0 END
+        |    END AS credit
+        |  FROM r)
+        |SELECT v_id AS event_id, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(credit) AS BIGINT) AS credit_micro
+        |FROM cr GROUP BY 1 ORDER BY event_id""".stripMargin,
     // each value holds until the type's next event; the last event carries
     // zero weight (no successor) — identical statement on both sides
     "twap_by_type" ->
@@ -2512,6 +2616,40 @@ object SparkEntry {
         |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1)
         |SELECT event_id, event_type, l AS level, t AS trend, l + t AS forecast
         |FROM c ORDER BY event_id""".stripMargin,
+    // the same holt recursion carrying v; the one-step-ahead error is
+    // lag(l + t) vs the row's actual, floor-quantized (micro / ppb)
+    // BEFORE the exact long sums — floor is the same IEEE op on both
+    // engines where round() and CAST(double AS BIGINT) are not
+    "forecast_backtest_holt" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  SELECT event_type, event_id, value AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS i
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, event_id, i, v, v AS l, CAST(0 AS DOUBLE) AS t
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.event_id, o.i, o.v,
+        |    0.25 * o.v + 0.75 * (c.l + c.t),
+        |    0.125 * ((0.25 * o.v + 0.75 * (c.l + c.t)) - c.l) + 0.875 * c.t
+        |  FROM c JOIN o ON o.event_type = c.event_type AND o.i = c.i + 1),
+        |b AS (SELECT event_type, i, v,
+        |    lag(l + t) OVER (PARTITION BY event_type ORDER BY i) AS f
+        |  FROM c),
+        |s AS (SELECT event_type,
+        |    CAST(floor(abs(v - f) * 1000000.0) AS BIGINT) AS ae_micro,
+        |    CAST(CASE WHEN abs(v) + abs(f) = 0 THEN 0
+        |      ELSE floor(2.0 * abs(v - f) / (abs(v) + abs(f)) * 1000000000.0)
+        |      END AS BIGINT) AS sm_ppb
+        |  FROM b WHERE f IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(ae_micro) AS BIGINT) AS sum_ae_micro,
+        |  CAST(sum(sm_ppb) AS BIGINT) AS sum_smape_ppb,
+        |  CAST(sum(ae_micro) AS DOUBLE) / 1000000.0
+        |    / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(sum(sm_ppb) AS DOUBLE) / 1000000000.0
+        |    / CAST(count(*) AS DOUBLE) AS smape
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the triple-smoothing recursion carries the seasonal LIST through
     // the CTE (oldest first); L re-stated inline for t and s (the holt
     // precedent) — identical IEEE trees both sides; cold start L=x, T=0,
@@ -2887,6 +3025,7 @@ object SparkEntry {
         |       (SELECT CAST(sum(ind * outd) AS BIGINT)
         |        FROM od JOIN idg USING (m)) AS wedges_oriented""".stripMargin,
     "bfs_hops_users" -> bfsUsersOracle(6),
+    "closeness_landmarks_users" -> closenessUsersOracle(3, 6),
     "cc_users" -> ccUsersOracle(8),
     // same unrolled integer-ppb iterations as pagerank_nations, over the
     // symmetrized user co-occurrence edges
@@ -3711,6 +3850,192 @@ object SparkEntry {
         |               THEN 1 ELSE 0 END) AS DOUBLE) / 100.0 AS trimmed_mean
         |FROM c JOIN q USING (event_type)
         |GROUP BY c.event_type ORDER BY c.event_type""".stripMargin,
+    // tie-averaged ranks in DOUBLED integer units (2·rank_min + tied − 1,
+    // the mannwhitney recipe); rho is one double tree over exact moments;
+    // a zero-variance side yields NULL via the stated guard
+    "spearman_daily" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+        |      + count(*) OVER (PARTITION BY event_type, y) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY cnt)
+        |      + count(*) OVER (PARTITION BY event_type, cnt) - 1 AS ry
+        |  FROM d),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy,
+        |    CAST(sum(rx * rx) AS BIGINT) AS sxx,
+        |    CAST(sum(ry * ry) AS BIGINT) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  CASE WHEN n_days * sxx - sx * sx = 0
+        |         OR n_days * syy - sy * sy = 0 THEN NULL
+        |    ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) END AS rho
+        |FROM m ORDER BY event_type""".stripMargin,
+    // x = day index (never tied) so tau-b's denominator is
+    // √(n0·(n0−ty)); every count an exact pair-join integer
+    "kendall_tau_daily" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS concordant,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS discordant,
+        |    CAST(sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ties_y
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM d GROUP BY 1)
+        |SELECT nd.event_type, nd.n_days,
+        |  concordant + discordant + ties_y AS n_pairs,
+        |  concordant, discordant, ties_y,
+        |  CASE WHEN concordant + discordant + ties_y = 0
+        |         OR concordant + discordant + ties_y = ties_y THEN NULL
+        |    ELSE CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(CAST((concordant + discordant + ties_y)
+        |                  * (concordant + discordant) AS DOUBLE)) END AS tau_b
+        |FROM nd JOIN g USING (event_type) ORDER BY event_type""".stripMargin,
+    // trend = centered 7-observation MA (full windows only); seasonal =
+    // dow mean of 7·y − s7 (exact longs); residual one fixed double tree
+    "stl_decompose_daily" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, y,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS c7
+        |  FROM d),
+        |f AS (SELECT event_type, day, day % 7 AS dow, y, s7, 7 * y - s7 AS d7
+        |  FROM w WHERE c7 = 7),
+        |s AS (SELECT event_type, dow, CAST(sum(d7) AS BIGINT) AS sd7,
+        |    CAST(count(*) AS BIGINT) AS dn FROM f GROUP BY 1, 2)
+        |SELECT f.event_type, f.day, f.dow, f.y AS y_cents,
+        |  CAST(f.s7 AS DOUBLE) / 7.0 AS trend,
+        |  CAST(s.sd7 AS DOUBLE) / (7.0 * CAST(s.dn AS DOUBLE)) AS seasonal,
+        |  CAST(f.y AS DOUBLE) - CAST(f.s7 AS DOUBLE) / 7.0
+        |    - CAST(s.sd7 AS DOUBLE) / (7.0 * CAST(s.dn AS DOUBLE)) AS residual
+        |FROM f JOIN s USING (event_type, dow)
+        |ORDER BY event_type, day""".stripMargin,
+    // Newman r over directed edges (each undirected edge both ways, so
+    // Σdx ≡ Σdy); HUGEINT moments crossed via the gini string round-trip
+    "graph_assortativity_users" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |ce AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |e AS MATERIALIZED (SELECT u AS x, v AS y FROM ce
+        |  UNION ALL SELECT v, u FROM ce),
+        |deg AS (SELECT x AS n, CAST(count(*) AS BIGINT) AS d
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS mm,
+        |    sum(CAST(dx.d AS HUGEINT)) AS sx,
+        |    sum(CAST(dy.d AS HUGEINT)) AS sy,
+        |    sum(CAST(dx.d AS HUGEINT) * CAST(dy.d AS HUGEINT)) AS sxy,
+        |    sum(CAST(dx.d AS HUGEINT) * CAST(dx.d AS HUGEINT)) AS sxx,
+        |    sum(CAST(dy.d AS HUGEINT) * CAST(dy.d AS HUGEINT)) AS syy
+        |  FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  mm // 2 AS n_edges,
+        |  CAST(CAST(CAST(mm AS HUGEINT) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+        |    / (sqrt(CAST(CAST(CAST(mm AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |              AS DOUBLE))
+        |       * sqrt(CAST(CAST(CAST(mm AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |              AS DOUBLE))) AS assortativity
+        |FROM m""".stripMargin,
+    // the island constant day − row_number() is shared by consecutive
+    // days and broken by any gap — all exact integers
+    "user_activity_streaks" ->
+      """WITH ad AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp FROM ad),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS max_streak
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // smallest price whose doubled cumulative quantity reaches the total
+    // — the discrete weighted median, stated identically on both engines
+    "weighted_median_lineitem" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |g AS (SELECT l_returnflag, pc, CAST(sum(q) AS BIGINT) AS w
+        |  FROM li GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, pc, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc)
+        |      AS BIGINT) AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM g)
+        |SELECT l_returnflag, CAST(min(tw) AS BIGINT) AS total_qty,
+        |  CAST(min(CASE WHEN 2 * cw >= tw THEN pc END) AS BIGINT)
+        |    AS wmedian_cents
+        |FROM c GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // prior-window bands (current row excluded); flags only on a FULL
+    // 20-row prior window; NULL bands on warmup rows on both engines
+    "donchian_by_type" ->
+      """WITH w AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    CAST(count(*) OVER pw AS BIGINT) AS n_prior,
+        |    CAST(max(CAST(round(value * 100) AS BIGINT)) OVER pw AS BIGINT)
+        |      AS donch_hi,
+        |    CAST(min(CAST(round(value * 100) AS BIGINT)) OVER pw AS BIGINT)
+        |      AS donch_lo
+        |  FROM events
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, vc, n_prior, donch_hi, donch_lo,
+        |  CAST(CASE WHEN n_prior = 20 AND vc > donch_hi THEN 1 ELSE 0 END
+        |    AS BIGINT) AS breakout_up,
+        |  CAST(CASE WHEN n_prior = 20 AND vc < donch_lo THEN 1 ELSE 0 END
+        |    AS BIGINT) AS breakout_dn
+        |FROM w ORDER BY event_id""".stripMargin,
+    // the same life table as survival_nelson_aalen; the product-limit
+    // recursion states the identical IEEE multiply sequence the ordered
+    // fold executes (1.0·x ≡ x, so the base case is the first factor)
+    "kaplan_meier_survival" ->
+      """WITH RECURSIVE o AS MATERIALIZED (
+        |  WITH s AS (SELECT o_custkey,
+        |      min(epoch_us(date_trunc('day', o_orderdate)) // 86400000000)
+        |        AS fst,
+        |      max(epoch_us(date_trunc('day', o_orderdate)) // 86400000000)
+        |        AS lst
+        |    FROM orders GROUP BY o_custkey),
+        |  h AS (SELECT max(lst) AS hz FROM s),
+        |  lt AS (SELECT lst - fst AS t,
+        |           CASE WHEN lst < (SELECT hz FROM h) - 90 THEN 1 ELSE 0 END
+        |             AS ev
+        |         FROM s),
+        |  bt AS (SELECT t, CAST(count(*) AS BIGINT) AS leaving,
+        |           CAST(sum(ev) AS BIGINT) AS d
+        |         FROM lt GROUP BY t)
+        |  SELECT t, d, leaving - d AS c,
+        |    CAST(sum(leaving) OVER (ORDER BY t
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+        |      AS n_risk,
+        |    row_number() OVER (ORDER BY t) AS i
+        |  FROM bt),
+        |k AS (
+        |  SELECT t, n_risk, d, c, i,
+        |    1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS s
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.t, o.n_risk, o.d, o.c, o.i,
+        |    k.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
+        |  FROM k JOIN o ON o.i = k.i + 1)
+        |SELECT t, n_risk, d, c, s AS survival FROM k ORDER BY t""".stripMargin,
     // heaviest-key diagnostic; argmax ties to the smallest key
     "key_skew_report" ->
       """WITH kc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt

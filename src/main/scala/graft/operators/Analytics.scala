@@ -487,7 +487,7 @@ object Analytics {
     * corpus whose single bucket is hot takes the same cap-before-pairs
     * discipline as LSH banding (Dedup.cappedBucketPairs); here the exact
     * form is oracle-stated. */
-  private[operators] def userCoEdges(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def userCoEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val b = Tables.events(spark, sfDir)
       .select(col("user_id"), expr("ts_ns div 60000000000").as("w"))
       .distinct()
@@ -1160,25 +1160,8 @@ object Analytics {
     * frame only. The horizon is a 1-row broadcast. */
   def survivalNelsonAalen(spark: SparkSession, sfDir: String,
                           censorDays: Long = 90L): DataFrame = {
-    val DayUs = 86400000000L
-    def dayNum(c: String) = expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
-    val subj = Tables.orders(spark, sfDir)
-      .select(col("o_custkey"), dayNum("o_orderdate").as("d"))
-      .groupBy(col("o_custkey"))
-      .agg(min(col("d")).as("fst"), max(col("d")).as("lst"))
-    val horizon = subj.agg(max(col("lst")).as("hz"))
-    val lifetimes = subj.crossJoin(broadcast(horizon))
-      .select((col("lst") - col("fst")).as("t"),
-        (col("lst") < col("hz") - lit(censorDays)).cast("long").as("ev"))
-    val byT = lifetimes.groupBy(col("t"))
-      .agg(count(lit(1)).cast("long").as("leaving"),
-           sum(col("ev")).cast("long").as("d"))
-      .withColumn("c", col("leaving") - col("d"))
     val ordT = Window.orderBy(col("t"))
-    byT
-      .withColumn("n_risk",
-        sum(col("leaving")).over(
-          ordT.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    survivalAtRisk(spark, sfDir, censorDays)
       // PARTS-PER-BILLION quantum (r16, was ppm): the cumulative hazard
       // sums one rounded increment per distinct lifetime, so the
       // accumulated rounding bias is ≤ 0.5 quantum × steps — at ppb the
@@ -1194,6 +1177,107 @@ object Analytics {
       .select(col("t"), col("n_risk"), col("d"), col("c"),
               col("hazard_ppb"), col("cum_hazard_ppb"))
       .orderBy(col("t"))
+  }
+
+  /** The survival family's shared life-table: per-customer lifetime in
+    * days (first order → last order), administrative censoring inside
+    * `censorDays` of the corpus horizon, collapsed to the per-distinct-
+    * lifetime table (t, leaving, d, c, n_risk). Factored out of
+    * [[survivalNelsonAalen]] so the Kaplan-Meier product-limit twin
+    * ([[StatefulQueries.kaplanMeierSurvival]]) cannot drift from the
+    * hazard form's subject/censoring rules. Control-plane-sized output
+    * (distinct lifetimes ≤ day span). */
+  private[operators] def survivalAtRisk(spark: SparkSession, sfDir: String,
+                                        censorDays: Long): DataFrame = {
+    val DayUs = 86400000000L
+    def dayNum(c: String) = expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
+    val subj = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), dayNum("o_orderdate").as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("d")).as("fst"), max(col("d")).as("lst"))
+    val horizon = subj.agg(max(col("lst")).as("hz"))
+    val lifetimes = subj.crossJoin(broadcast(horizon))
+      .select((col("lst") - col("fst")).as("t"),
+        (col("lst") < col("hz") - lit(censorDays)).cast("long").as("ev"))
+    lifetimes.groupBy(col("t"))
+      .agg(count(lit(1)).cast("long").as("leaving"),
+           sum(col("ev")).cast("long").as("d"))
+      .withColumn("c", col("leaving") - col("d"))
+      .withColumn("n_risk",
+        sum(col("leaving")).over(Window.orderBy(col("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+  }
+
+  /** DEGREE ASSORTATIVITY of the user co-occurrence graph — the one-number
+    * mixing summary (do hubs attach to hubs?) that decides which scale
+    * strategies work: a high-assortativity graph keeps its hubs in one
+    * shuffle partition's blast radius, a disassortative one spreads them.
+    * Newman's r = Pearson correlation of endpoint degrees over DIRECTED
+    * edges (each undirected edge counted both ways — the standard
+    * formulation, which also makes Σdx ≡ Σdy so r is symmetric by
+    * construction). The five moments accumulate as exact DECIMAL(38,0)
+    * via (19,0) operands (degree² × edge-count outruns a long on a real
+    * graph — the changepoint/mannwhitney precedent), and r is one double
+    * tree over exact integers crossed through the canonical string
+    * round-trip (the gini recipe).
+    *
+    * Scale shape: one degree groupBy + two node-keyed joins of the edge
+    * list against the degree table (the triangle orientation profile) +
+    * one map-side-combinable moment aggregate; output is a single row. */
+  def graphAssortativityUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val ce = userCoEdges(spark, sfDir)
+    val e = ce.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
+    val deg = e.groupBy(col("x").as("n")).agg(count(lit(1)).cast("long").as("d"))
+    val j = e.join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+    val m = j.agg(
+      count(lit(1)).cast("long").as("mm"),
+      sum(col("dx").cast(d19)).as("sx"),
+      sum(col("dy").cast(d19)).as("sy"),
+      sum(col("dx").cast(d19) * col("dy").cast(d19)).as("sxy"),
+      sum(col("dx").cast(d19) * col("dx").cast(d19)).as("sxx"),
+      sum(col("dy").cast(d19) * col("dy").cast(d19)).as("syy"))
+    val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+    val mmD = col("mm").cast(d19)
+    m.crossJoin(broadcast(nNodes))
+      .select(col("n_nodes"), expr("mm div 2").as("n_edges"),
+        ((mmD * col("sxy") - col("sx") * col("sy"))
+           .cast("string").cast("double") /
+         (sqrt((mmD * col("sxx") - col("sx") * col("sx"))
+            .cast("string").cast("double")) *
+          sqrt((mmD * col("syy") - col("sy") * col("sy"))
+            .cast("string").cast("double"))))
+          .as("assortativity"))
+  }
+
+  /** ACTIVITY STREAKS per user — the classic gaps-and-islands rollup
+    * (longest run of CONSECUTIVE active days, number of runs, total
+    * active days): the engagement summary behind every retention
+    * dashboard's "current streak" tile, and the canonical
+    * MATCH_RECOGNIZE-lite shape SQL answers with the day − row_number()
+    * island constant (consecutive days share it; any gap shifts it) —
+    * no self-join, no recursion, all exact integers.
+    *
+    * Scale shape: one distinct collapse to (user, day) — map-side
+    * combinable, bounded by users × day-span — then one user-partitioned
+    * window and two grouped rollups on the SAME user key (one exchange
+    * end to end). */
+  def userActivityStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val ad = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ad.withColumn("grp", col("day") - row_number().over(w).cast("long"))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).cast("long").as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+           count(lit(1)).cast("long").as("n_streaks"),
+           max(col("len")).cast("long").as("max_streak"))
+      .orderBy(col("user_id"))
   }
 
   /** EXACT GINI COEFFICIENT of customer revenue — the inequality summary
@@ -1744,5 +1828,226 @@ object Analytics {
         ((col("u2") / 2.0 - n0d * n1d / 2.0) /
          sqrt(n0d * n1d / 12.0 *
            ((nd + 1.0) - col("tie_term") / (nd * (nd - 1.0))))).as("z"))
+  }
+
+  /** Daily (event_type × day) totals-and-counts table shared by the rank
+    * statistics below: y = exact integer-cent daily value total, cnt =
+    * daily event count — ONE map-side-combinable groupBy collapses the
+    * corpus to a control-plane-sized frame (types × days) before any rank
+    * or pair machinery touches it. */
+  private def dailyYn(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $DayNs").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("y"),
+           count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** SPEARMAN RANK CORRELATION per event_type between the daily value
+    * total and the daily event count — the monotone-association test a
+    * metrics layer runs when "do busy days move more money?" must be
+    * robust to outlier days (Pearson on raw values is dragged by one fat
+    * day; Pearson on RANKS is not). Ranks use Mann-Whitney's
+    * tie-averaged DOUBLED integer units r2 = 2·rank_min + tied − 1
+    * (exact longs, no 0.5 anywhere), the five rank moments accumulate as
+    * exact longs (safe while days/type < ~10^4: r2 ≤ 2N, so N·Σ(r2·r2)
+    * ≤ 4N^4 ≈ 4·10^16 < 2^63), and rho is ONE closed-form double tree
+    * over those integers — the doubling cancels algebraically. A
+    * zero-variance side (all days tied) yields NULL via the explicit
+    * guard, stated identically in the oracle.
+    *
+    * Scale shape: the corpus collapses to the (type × day) table first;
+    * the two rank windows share the single event_type exchange; the
+    * moment aggregate is map-side combinable over that bounded frame. */
+  def spearmanDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyYn(spark, sfDir)
+    def r2(c: String): Column =
+      lit(2L) * rank().over(
+          Window.partitionBy(col("event_type")).orderBy(col(c))).cast("long") +
+        count(lit(1)).over(
+          Window.partitionBy(col("event_type"), col(c))).cast("long") - lit(1L)
+    val ranked = daily.select(col("event_type"),
+      r2("y").as("rx"), r2("cnt").as("ry"))
+    val m = ranked.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("long").as("n_days"),
+      sum(col("rx")).cast("long").as("sx"),
+      sum(col("ry")).cast("long").as("sy"),
+      sum(col("rx") * col("ry")).cast("long").as("sxy"),
+      sum(col("rx") * col("rx")).cast("long").as("sxx"),
+      sum(col("ry") * col("ry")).cast("long").as("syy"))
+    val vx = m("n_days") * m("sxx") - m("sx") * m("sx")
+    val vy = m("n_days") * m("syy") - m("sy") * m("sy")
+    m.select(col("event_type"), col("n_days"),
+        when(vx === 0L || vy === 0L, lit(null).cast("double"))
+          .otherwise(
+            (m("n_days") * m("sxy") - m("sx") * m("sy")).cast("double") /
+              (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("rho"))
+      .orderBy(col("event_type"))
+  }
+
+  /** KENDALL TAU-B TREND TEST per event_type: is the daily value total
+    * monotonically drifting over the month? The nonparametric complement
+    * to [[theilSenDaily]] (that estimates the slope; this scores its
+    * SIGNIFICANCE as rank concordance) — the Mann-Kendall trend statistic.
+    * The x side is the day index (never tied), so tau-b reduces to
+    * (C − D) / √(n0 · (n0 − ty)) with n0 = n(n−1)/2 and ty the tied-y
+    * pair count; every count is an exact long and tau is one fixed double
+    * tree. Long-safety: n0² < 2^63 while days/type < ~10^4.7.
+    *
+    * Scale shape: theilSenDaily's bounded-domain-quadratic contract — the
+    * corpus collapses to the (type × day) table FIRST and the pair
+    * enumeration runs on that control-plane frame (days², never events²).
+    * At horizons where days² itself hurts, Kendall has O(n log n)
+    * merge-sort formulations; this registered form is the exact-count
+    * witness. */
+  def kendallTauDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = dailyYn(spark, sfDir).select(col("event_type"), col("day"), col("y"))
+    val a = daily.select(col("event_type"), col("day").as("da"), col("y").as("ya"))
+    val b = daily.select(col("event_type"), col("day").as("db"), col("y").as("yb"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+    val agg = pairs.groupBy(col("event_type")).agg(
+      sum(when(col("yb") > col("ya"), 1L).otherwise(0L)).cast("long").as("concordant"),
+      sum(when(col("yb") < col("ya"), 1L).otherwise(0L)).cast("long").as("discordant"),
+      sum(when(col("yb") === col("ya"), 1L).otherwise(0L)).cast("long").as("ties_y"))
+    val n0 = col("concordant") + col("discordant") + col("ties_y")
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"))
+      .join(agg, "event_type")
+      .select(col("event_type"), col("n_days"), n0.as("n_pairs"),
+        col("concordant"), col("discordant"), col("ties_y"),
+        when(n0 === 0L || n0 === col("ties_y"), lit(null).cast("double"))
+          .otherwise((col("concordant") - col("discordant")).cast("double") /
+            sqrt((n0 * (n0 - col("ties_y"))).cast("double")))
+          .as("tau_b"))
+      .orderBy(col("event_type"))
+  }
+
+  /** STL-STYLE SEASONAL DECOMPOSITION of the per-type daily total into
+    * trend + seasonal + residual — the classic time-series triage view
+    * (is Monday's dip seasonality or decay?). Unlike
+    * [[seasonalDowResiduals]] (day-of-week means of the RAW totals), this
+    * is the decomposition proper: trend is the centered 7-OBSERVATION
+    * moving average (emitted only where the window is full, the standard
+    * MA edge rule), the seasonal index is the day-of-week mean of the
+    * DETRENDED series, and the residual is what neither explains.
+    * Numerics: y is exact cents; the trend numerator s7 is an exact
+    * 7-term long window sum; the detrended value is kept as the exact
+    * long 7·y − s7 (no division until the finisher), so the seasonal
+    * numerator is an exact long too, and all three emitted components are
+    * ONE fixed double tree over exact integers — no float accumulates
+    * anywhere, the cross-engine hash precondition.
+    *
+    * Scale shape: one corpus-collapsing groupBy to the (type × day)
+    * frame, one event_type-partitioned window over it, one broadcast-back
+    * join of the 7-rows-per-type seasonal table; days arrive dense in
+    * this corpus so the 7-observation window IS 7 calendar days — on
+    * gappy data compose with q29's gap-fill spine first. */
+  def stlDecomposeDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = dailyYn(spark, sfDir).select(col("event_type"), col("day"), col("y"))
+      .withColumn("s7", sum(col("y")).over(w).cast("long"))
+      .withColumn("c7", count(lit(1)).over(w).cast("long"))
+      .filter(col("c7") === 7L)
+      .withColumn("dow", col("day") % 7L)
+      .withColumn("d7", lit(7L) * col("y") - col("s7"))
+    val seas = t.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("d7")).cast("long").as("sd7"),
+           count(lit(1)).cast("long").as("dn"))
+    t.join(broadcast(seas), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("y").as("y_cents"),
+        (col("s7").cast("double") / 7.0).as("trend"),
+        (col("sd7").cast("double") / (lit(7.0) * col("dn").cast("double")))
+          .as("seasonal"),
+        (col("y").cast("double") - col("s7").cast("double") / 7.0 -
+          col("sd7").cast("double") / (lit(7.0) * col("dn").cast("double")))
+          .as("residual"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** MULTI-SOURCE BFS: [[bfsOf]]'s min-plus relaxation with the distance
+    * frame keyed on (node, landmark) — L sources relax SIMULTANEOUSLY
+    * through the same per-round edge join instead of L sequential BFS
+    * passes, so the edge list is scanned rounds times, not rounds×L times.
+    * Same lifecycle discipline as bfsOf: edge cache pre-partitioned on the
+    * join key at the rounds' width, eager per-round localCheckpoint with
+    * superseded blocks freed immediately, the final (node×L)-sized frame
+    * detached executor-side (never a driver LocalRelation — the localize
+    * scope contract). `sources` must be a CONTROL-PLANE-sized frame (the
+    * landmark set) with a single column `lm`. */
+  private def multiBfsOf(spark: SparkSession, nodesRaw: DataFrame,
+                         eRaw: DataFrame, sources: DataFrame,
+                         rounds: Int): DataFrame = {
+    val e = eRaw.repartition(8, col("x")).cache()
+    val checkpointed = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      e.count() // materialize outside withWidth: the build runs wide
+      withWidth(spark, 8) {
+        val nodes = nodesRaw.select(col(nodesRaw.columns.head).as("node"))
+        val init = nodes.crossJoin(broadcast(sources))
+          .select(col("node"), col("lm"),
+            when(col("node") === col("lm"), lit(0L)).as("h"))
+        def relax(d: DataFrame): DataFrame = {
+          val cand = e.join(
+              d.filter(col("h").isNotNull).withColumnRenamed("node", "x"), "x")
+            .select(col("y").as("node"), col("lm"), (col("h") + 1L).as("nh"))
+            .groupBy(col("node"), col("lm")).agg(min(col("nh")).as("nh"))
+          d.join(cand, Seq("node", "lm"), "left")
+            .select(col("node"), col("lm"), least(col("h"), col("nh")).as("h"))
+        }
+        val finalD = (1 to rounds).foldLeft(init) { (d, _) =>
+          val nd = relax(d).localCheckpoint(true)
+          checkpointed += nd
+          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+            .foreach(_.unpersist(blocking = false))
+          nd
+        }
+        detach(finalD)
+      }
+    } finally {
+      e.unpersist(blocking = false)
+      checkpointed.foreach(d =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+          .foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  /** LANDMARK HARMONIC CLOSENESS over the user co-occurrence graph — the
+    * practical centrality at scale: exact closeness needs all-pairs
+    * distances (|V| BFS passes, impossible at billions of nodes); the
+    * landmark estimate runs ONE multi-source BFS from L deterministic
+    * pivots (the L smallest user ids — a choice both engines can state)
+    * and scores each node by the harmonic sum of its landmark distances.
+    * Harmonic (Σ 1/d), not classic (1/Σd), so unreached landmarks
+    * contribute zero instead of poisoning the sum — the standard choice
+    * on disconnected graphs, which sparse SFs genuinely are. The sum is
+    * the exact integer Σ 1000000 div d (micro-units, integer division —
+    * no float accumulation), `n_reached` counts landmarks within the
+    * horizon (the landmark itself included at d = 0, which adds no
+    * harmonic mass).
+    *
+    * Scale shape: the relaxation frame is (|V|·L) rows — L is a constant
+    * (3), so this is the BFS profile with a constant-factor-wider
+    * frontier, NOT L sequential edge scans; the final groupBy collapses
+    * by node on the same key the rounds already shuffle on. */
+  def closenessLandmarksUsers(spark: SparkSession, sfDir: String,
+                              landmarks: Int = 3,
+                              rounds: Int = 6): DataFrame = {
+    val ce = userCoEdges(spark, sfDir)
+    val e = ce.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
+    val nodes = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+    val lms = nodes.orderBy(col("user_id")).limit(landmarks)
+      .select(col("user_id").as("lm"))
+    val d = multiBfsOf(spark, nodes, e, lms, rounds)
+    d.groupBy(col("node"))
+      .agg(count(col("h")).cast("long").as("n_reached"),
+        sum(when(col("h") >= 1L, expr("1000000 div h")).otherwise(0L))
+          .cast("long").as("harmonic_micro"))
+      .select(col("node").as("user_id"), col("n_reached"),
+        col("harmonic_micro"),
+        (col("harmonic_micro").cast("double") / 1000000.0).as("closeness"))
+      .orderBy(col("user_id"))
   }
 }

@@ -276,6 +276,41 @@ object Indicators {
       .orderBy(col("event_id"))
   }
 
+  /** DONCHIAN CHANNEL per event_type: the trailing-20 breakout bands
+    * (highest and lowest value over the PRIOR 20 observations, excluding
+    * the current row — including it would make an upward breakout
+    * definitionally impossible) plus the breakout flags the turtle-style
+    * signal rule fires on. Bands are exact integer cents; flags emit only
+    * when the prior window is FULL (n_prior = 20 — the SMA-cross warmup
+    * rule), as integer 0/1. NULL bands on warmup rows are stated
+    * identically on both engines.
+    *
+    * Scale shape: one event_type exchange shared by all three window
+    * columns (the bollinger plan); trailing frames stream in one sorted
+    * pass. Per-type event_id order ≡ (ts, id) order — the
+    * orderedEventsCopy contract every indicator leans on. */
+  def donchianByType(spark: SparkSession, sfDir: String,
+                     n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-n, -1)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+              expr("cast(round(value * 100) as bigint)").as("vc"))
+      .withColumn("n_prior", count(lit(1)).over(w).cast("long"))
+      .withColumn("donch_hi", max(col("vc")).over(w))
+      .withColumn("donch_lo", min(col("vc")).over(w))
+      .withColumn("breakout_up",
+        (col("n_prior") === n.toLong && col("vc") > col("donch_hi"))
+          .cast("long"))
+      .withColumn("breakout_dn",
+        (col("n_prior") === n.toLong && col("vc") < col("donch_lo"))
+          .cast("long"))
+      .select(col("event_id"), col("event_type"), col("vc"), col("n_prior"),
+              col("donch_hi"), col("donch_lo"),
+              col("breakout_up"), col("breakout_dn"))
+      .orderBy(col("event_id"))
+  }
+
   /** REALIZED VARIANCE per (event_type, day): the sum of squared
     * tick-to-tick moves — the standard high-frequency volatility measure
     * (RV = Σ(Δp)², realized vol = √RV). Deltas are differences of integer

@@ -1052,4 +1052,37 @@ object Relational {
            min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
       .orderBy(col("bin"))
   }
+
+  /** EXACT WEIGHTED MEDIAN of line-item price weighted by quantity, per
+    * return flag — the "median dollar" (half the QUANTITY ships at or
+    * below this price), which a plain median-of-rows misstates whenever
+    * quantity correlates with price. Deterministic discrete rule, exact
+    * integers end to end: the smallest price whose cumulative quantity
+    * reaches half the total, i.e. min price with 2·cumw ≥ totw — the
+    * doubled-units trick (mannwhitney's) so "half" never materializes a
+    * fraction. No percentile interpolation, no floats anywhere.
+    *
+    * Scale shape: the corpus collapses FIRST to per-(flag, price-cents)
+    * weights (map-side combinable); the cumulative window runs over that
+    * DISTINCT-PRICE table (bounded by the cents domain, never row count —
+    * the mannwhitney bounded-domain contract); the rollup reuses the same
+    * flag key. */
+  def weightedMedianLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"),
+        expr("cast(round(l_quantity) as bigint)").as("q"))
+    val g = li.groupBy(col("l_returnflag"), col("pc"))
+      .agg(sum(col("q")).cast("long").as("w"))
+    val wf = Window.partitionBy(col("l_returnflag"))
+    val c = g
+      .withColumn("cw", sum(col("w")).over(wf.orderBy(col("pc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .withColumn("tw", sum(col("w")).over(wf).cast("long"))
+    c.groupBy(col("l_returnflag"))
+      .agg(min(col("tw")).as("total_qty"),
+           min(when(lit(2L) * col("cw") >= col("tw"), col("pc")))
+             .as("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -729,6 +729,59 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** U-SHAPED (position-based) MULTI-TOUCH ATTRIBUTION — the marketing
+    * model between last-touch's winner-takes-all and linear's flat split:
+    * every purchase distributes exactly 1,000,000 micro-credits over the
+    * same user's strictly-preceding views inside the 24 h lookback — 40%
+    * to the first touch, 40% to the last, 20% split across the middles —
+    * and a VIEW aggregates credit across every conversion it served (the
+    * many-to-many the last-touch window form cannot express). Credits are
+    * EXACT INTEGERS: the middle share is 200000 div (n−2) per middle with
+    * the remainder assigned to the LAST middle (a stated, deterministic
+    * rule — both engines compute identical div/mod), n = 2 splits 50/50,
+    * n = 1 takes all; so Σcredit = 1,000,000 × attributed conversions
+    * holds exactly (spec-pinned) and the aggregate is an order-free long
+    * sum. "Strictly preceding" is the (us, id) lexicographic rule shared
+    * with [[attributionLastTouch]]'s ≤ −1 frame.
+    *
+    * Scale shape: purchases join views on the USER key with the lookback
+    * band as a join-level filter — the q23 interval-join shape, state
+    * bounded by the horizon per user (never a free cross product); the
+    * position windows partition by conversion id (conversion-sized
+    * groups); the final per-view rollup is map-side combinable. At skewed
+    * hot users the band join salts like any keyed join. */
+  def attributionPositionUshape(spark: SparkSession, sfDir: String,
+                                lookbackHours: Int = 24): DataFrame = {
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    val ev = Tables.events(spark, sfDir).withColumn("us", expr("ts_ns div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("us").as("v_us"))
+    val touches = p.join(v, Seq("user_id"))
+      .filter((col("v_us") < col("p_us") ||
+               (col("v_us") === col("p_us") && col("v_id") < col("p_id"))) &&
+              col("p_us") - col("v_us") <= lookbackUs)
+    val wPos = Window.partitionBy(col("p_id")).orderBy(col("v_us"), col("v_id"))
+    val wN = Window.partitionBy(col("p_id"))
+    val credited = touches
+      .withColumn("rn", row_number().over(wPos).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN).cast("long"))
+      .withColumn("credit",
+        when(col("n") === 1L, 1000000L)
+          .when(col("n") === 2L, 500000L)
+          .when(col("rn") === 1L || col("rn") === col("n"), 400000L)
+          .otherwise(expr("200000 div (n - 2)") +
+            when(col("rn") === col("n") - 1L, expr("200000 % (n - 2)"))
+              .otherwise(0L)))
+    credited.groupBy(col("v_id"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+           sum(col("credit")).cast("long").as("credit_micro"))
+      .select(col("v_id").as("event_id"), col("n_conversions"),
+              col("credit_micro"))
+      .orderBy(col("event_id"))
+  }
+
   /** CEP "FOLLOWED BY" pattern match — the complex-event-processing query
     * class (the reference framework's flagship library) expressed
     * relationally: a VIEW matches when the user's FIRST following

@@ -569,6 +569,82 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** KAPLAN-MEIER PRODUCT-LIMIT SURVIVAL CURVE over the customer
+    * lifetime table — the estimator every churn analysis quotes, and the
+    * multiplicative complement of [[Analytics.survivalNelsonAalen]]'s
+    * cumulative hazard (both read the SAME factored life table,
+    * [[Analytics.survivalAtRisk]], so the subject/censoring rules cannot
+    * drift between the two). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) is a
+    * sequential product no SQL window states — exp(Σ ln) would trade
+    * exactness for libm's last ulp — so the curve runs through the
+    * ordered-fold machinery ([[StatefulOps.productOrdered]], the
+    * cusum/ewma execution class) and the oracle states the identical
+    * IEEE multiply sequence as a recursive CTE. Each factor is one
+    * division of exact longs; the life table is control-plane-sized
+    * (distinct lifetimes ≤ day span), so the single-key fold is a
+    * bounded-domain sequential pass, not a corpus scan. */
+  def kaplanMeierSurvival(spark: SparkSession, sfDir: String,
+                          censorDays: Long = 90L): DataFrame = {
+    val byT = Analytics.survivalAtRisk(spark, sfDir, censorDays)
+    val kv = byT.select(lit("all").as("key"), col("t").as("ord"),
+      (lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+        .as("value"))
+    val s = StatefulOps.productOrdered(
+        orderedByKey(kv).as[String, KV](Encoders.STRING, kvEnc)).toDF()
+      .select(col("ord").as("t"), col("product").as("survival"))
+    byT.join(s, "t")
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+      .orderBy(col("t"))
+  }
+
+  /** ROLLING-ORIGIN FORECAST BACKTEST of [[holtByType]] — the evaluation
+    * loop a forecasting pipeline runs before it trusts a model: every
+    * row's Holt forecast is a genuine ONE-STEP-AHEAD prediction (state
+    * through row i predicts row i+1), so lagging the forecast against the
+    * next actual scores the model out-of-sample at every origin, no
+    * train/test split needed. Per type: MAE and sMAPE. Numerics: the
+    * per-row errors are doubles from the IEEE-pinned recurrence, so they
+    * are floor-QUANTIZED before summation (|err| to integer micro-units,
+    * the symmetric ratio to ppb) — floor, not round, because Spark's
+    * double round detours through a decimal re-representation while
+    * DuckDB rounds the double directly (a latent half-way hazard), and
+    * CAST(double AS BIGINT) itself disagrees (Spark truncates, DuckDB
+    * rounds); floor() is the same IEEE operation in both engines. The
+    * quantized longs sum exactly (order-free), and both reported means
+    * are one fixed double tree. A zero-vs-zero sMAPE term is pinned to 0
+    * by an explicit guard, stated identically in the oracle.
+    *
+    * Scale shape: the fold is holtByType's one-exchange ordered pass; the
+    * lag window rides the SAME event_type partitioning; the 1:1 value
+    * join is co-keyed on event_id; the report is type-sized and
+    * map-side combinable. */
+  def forecastBacktestHolt(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val scored = holtByType(spark, sfDir)
+      .join(Tables.events(spark, sfDir).select(col("event_id"), col("value")),
+            "event_id")
+      .withColumn("f", lag(col("forecast"), 1).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("ae", abs(col("value") - col("f")))
+      .withColumn("ae_micro", floor(col("ae") * 1000000.0).cast("long"))
+      .withColumn("sm_ppb",
+        when(abs(col("value")) + abs(col("f")) === 0.0, 0L)
+          .otherwise(floor(lit(2.0) * col("ae") /
+            (abs(col("value")) + abs(col("f"))) * 1000000000.0).cast("long")))
+    scored.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("ae_micro")).cast("long").as("sum_ae_micro"),
+        sum(col("sm_ppb")).cast("long").as("sum_smape_ppb"))
+      .select(col("event_type"), col("n_pairs"),
+        col("sum_ae_micro"), col("sum_smape_ppb"),
+        (col("sum_ae_micro").cast("double") / 1000000.0 /
+          col("n_pairs").cast("double")).as("mae"),
+        (col("sum_smape_ppb").cast("double") / 1000000000.0 /
+          col("n_pairs").cast("double")).as("smape"))
+      .orderBy(col("event_type"))
+  }
+
   /** Holt-Winters factors — all binary-exact (bit-parity precondition);
     * season length 8 keeps the ring buffer a fixed-width array. */
   val HwAlpha  = 0.25

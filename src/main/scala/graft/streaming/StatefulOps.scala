@@ -1181,6 +1181,30 @@ object StatefulOps {
       (key, rows, state: GroupState[EwmaAcc]) => ewmaFold(key, rows, state, alpha)
     }
 
+  /** Running-product accumulator ([[productOrdered]]). */
+  case class ProdAcc(s: Double)
+  case class ProdOut(key: String, ord: Long, product: Double)
+  private implicit val prodAccEnc: Encoder[ProdAcc] = Encoders.product[ProdAcc]
+  private implicit val prodOutEnc: Encoder[ProdOut] = Encoders.product[ProdOut]
+
+  /** RUNNING PRODUCT per key over a pre-ordered grouping — the sequential
+    * multiplicative fold SQL has no window aggregate for (exp(Σln) trades
+    * exactness for libm's last ulp — a cross-engine hazard; the fold is
+    * the same IEEE multiply sequence a recursive CTE states). O(1) state:
+    * the current product, seeded at 1.0 (1.0·x ≡ x bit-exactly, so the
+    * first output equals the first factor). Kaplan-Meier's product-limit
+    * estimator is the registered consumer. */
+  def productOrdered(g: KeyValueGroupedDataset[String, KV]): Dataset[ProdOut] =
+    g.flatMapGroupsWithState[ProdAcc, ProdOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (key, rows, state: GroupState[ProdAcc]) =>
+        var s = if (state.exists) state.get.s else 1.0
+        rows.map { r =>
+          s = s * r.value
+          ProdOut(key, r.ord, s)
+        } ++ { state.update(ProdAcc(s)); Iterator.empty }
+    }
+
   /** Drawdown accumulator: running peak and worst drawdown so far. */
   case class DrawdownAcc(peak: Double, maxDd: Double)
   case class DrawdownOut(key: String, ord: Long, peak: Double,

@@ -638,7 +638,8 @@ class PlanSpec extends SparkSpec {
     // localize() collect by explicit contract (control-plane-sized).
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     for (q <- Seq("pagerank_users", "bfs_hops_users",
-                  "random_walks_users", "label_prop_communities")) {
+                  "random_walks_users", "label_prop_communities",
+                  "closeness_landmarks_users")) {
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val locals = df.queryExecution.optimizedPlan.collect {
         case l: LocalRelation if l.data.nonEmpty => l

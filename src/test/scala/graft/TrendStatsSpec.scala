@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.{Analytics, Sessionize, StatefulQueries}
+
+/** Pins for the round-16 rank/series/attribution additions: each operator
+  * is re-derived here by an INDEPENDENT third implementation (plain Scala
+  * over collected control-plane frames — not Spark SQL, not DuckDB), so a
+  * bug that both engines happened to share would still fail the suite.
+  * Everything runs on the sf0.001 fixture; the collected frames are the
+  * bounded (type × day) / node-sized tables, never raw events.
+  */
+class TrendStatsSpec extends SparkSpec {
+
+  private val DayNs = 86400000000000L
+
+  /** (type, day) -> (y cents, count) recomputed from raw events in Scala. */
+  private lazy val daily: Map[(String, Long), (Long, Long)] =
+    Tables.events(spark, Sf0001)
+      .select(col("event_type"), expr(s"ts_ns div $DayNs").as("day"),
+              expr("cast(round(value * 100) as bigint)").as("c"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) => k -> (rs.map(_.getLong(2)).sum, rs.length.toLong) }
+
+  private def avgRanks(xs: Seq[Long]): Seq[Double] = {
+    val sorted = xs.sorted
+    val rank = xs.map { x =>
+      val below = sorted.count(_ < x)
+      val tied = sorted.count(_ == x)
+      below + (tied + 1) / 2.0
+    }
+    rank
+  }
+
+  test("spearman: operator rho equals a plain-Scala average-rank Pearson per type") {
+    val got = Analytics.spearmanDaily(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val types = daily.keys.map(_._1).toSeq.distinct
+    assert(types.nonEmpty && got.keySet == types.toSet)
+    for (t <- types) {
+      val rows = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2)
+      val ys = rows.map(_._2._1); val ns = rows.map(_._2._2)
+      val rx = avgRanks(ys); val ry = avgRanks(ns)
+      val n = rx.length
+      val mx = rx.sum / n; val my = ry.sum / n
+      val cov = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = rx.map(a => (a - mx) * (a - mx)).sum
+      val vy = ry.map(b => (b - my) * (b - my)).sum
+      val expect = cov / (math.sqrt(vx) * math.sqrt(vy))
+      assert(got(t)._1 == n.toLong)
+      assert(math.abs(got(t)._2 - expect) < 1e-12,
+        s"$t: got ${got(t)._2}, brute $expect")
+    }
+  }
+
+  test("kendall: pair counts partition n(n-1)/2 and tau-b matches the brute pair scan") {
+    val got = Analytics.kendallTauDaily(spark, Sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+         r.getDouble(6))).toMap
+    for ((t, (nDays, nPairs, c, d, ty, tau)) <- got) {
+      assert(nPairs == nDays * (nDays - 1) / 2)
+      assert(c + d + ty == nPairs)
+      val ys = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2).map(_._2._1)
+      var (bc, bd, bt) = (0L, 0L, 0L)
+      for (i <- ys.indices; j <- (i + 1) until ys.length) {
+        if (ys(j) > ys(i)) bc += 1 else if (ys(j) < ys(i)) bd += 1 else bt += 1
+      }
+      assert((bc, bd, bt) == ((c, d, ty)))
+      val expect = (bc - bd).toDouble / math.sqrt((nPairs * (nPairs - ty)).toDouble)
+      assert(math.abs(tau - expect) < 1e-12)
+    }
+  }
+
+  test("stl: full-window rule, per-(type,dow) seasonal constancy, trend is the 7-day centered mean") {
+    val rows = Analytics.stlDecomposeDaily(spark, Sf0001).collect()
+    // full-window rule: exactly days-6 rows per type (fixture days are dense)
+    val perType = rows.groupBy(_.getString(0))
+    for ((t, rs) <- perType) {
+      val nDays = daily.keys.count(_._1 == t)
+      assert(rs.length == nDays - 6, s"$t: ${rs.length} rows for $nDays days")
+    }
+    // seasonal is a pure (type, dow) function
+    val distinctSeasonal = rows.groupBy(r => (r.getString(0), r.getLong(2)))
+      .view.mapValues(_.map(_.getDouble(5)).distinct.size)
+    assert(distinctSeasonal.values.forall(_ == 1))
+    // trend re-derived in Scala from the raw daily table
+    for (r <- rows) {
+      val t = r.getString(0); val day = r.getLong(1)
+      val s7 = (day - 3 to day + 3).map(d => daily((t, d))._1).sum
+      assert(r.getDouble(4) == s7.toDouble / 7.0,
+        s"$t day $day: trend ${r.getDouble(4)} vs ${s7 / 7.0}")
+      // reconstruction: residual is exactly y - trend - seasonal
+      assert(r.getDouble(6) ==
+        r.getLong(3).toDouble - r.getDouble(4) - r.getDouble(5))
+    }
+  }
+
+  test("ushape: every conversion's credits sum to exactly 1e6; totals match the qualifying-purchase count") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts_ns div 1000").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val look = 24L * 3600L * 1000000L
+    val views = ev.filter(_._3 == "view")
+    val purchases = ev.filter(_._3 == "purchase")
+    // brute per-conversion credit assignment
+    val perView = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var qualifying = 0L
+    for ((pId, pUser, _, pUs) <- purchases) {
+      val ts = views.filter { case (vId, vUser, _, vUs) =>
+        vUser == pUser && (vUs < pUs || (vUs == pUs && vId < pId)) &&
+          pUs - vUs <= look
+      }.sortBy(v => (v._4, v._1))
+      val n = ts.length.toLong
+      if (n > 0) {
+        qualifying += 1
+        val credits = ts.zipWithIndex.map { case (v, i) =>
+          val rn = i + 1L
+          val credit =
+            if (n == 1) 1000000L
+            else if (n == 2) 500000L
+            else if (rn == 1 || rn == n) 400000L
+            else 200000L / (n - 2) +
+              (if (rn == n - 1) 200000L % (n - 2) else 0L)
+          (v._1, credit)
+        }
+        assert(credits.map(_._2).sum == 1000000L, s"conversion $pId: $n touches")
+        for ((vId, c) <- credits) {
+          val (k, s) = perView.getOrElse(vId, (0L, 0L))
+          perView(vId) = (k + 1, s + c)
+        }
+      }
+    }
+    val got = Sessionize.attributionPositionUshape(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == perView.toMap)
+    assert(got.values.map(_._2).sum == 1000000L * qualifying)
+  }
+
+  test("closeness with a single landmark degenerates to bfs_hops_users' distances") {
+    val hops = Analytics.bfsHopsUsers(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val close = Analytics.closenessLandmarksUsers(spark, Sf0001, landmarks = 1)
+      .collect()
+    assert(close.nonEmpty && close.length == hops.size)
+    for (r <- close) {
+      val h = hops(r.getLong(0))
+      assert(r.getLong(1) == (if (h >= 0) 1L else 0L))
+      assert(r.getLong(2) == (if (h >= 1) 1000000L / h else 0L))
+    }
+  }
+
+  test("assortativity: brute-Scala Pearson of endpoint degrees; |r| <= 1; symmetric moments") {
+    val edges = graft.operators.Analytics.userCoEdges(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dir = edges ++ edges.map { case (u, v) => (v, u) }
+    val deg = dir.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = dir.map { case (x, _) => deg(x).toDouble }
+    val ys = dir.map { case (_, y) => deg(y).toDouble }
+    val n = xs.length
+    val mx = xs.sum / n; val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val vx = xs.map(a => (a - mx) * (a - mx)).sum
+    val vy = ys.map(b => (b - my) * (b - my)).sum
+    val expect = cov / (math.sqrt(vx) * math.sqrt(vy))
+    val row = graft.operators.Analytics.graphAssortativityUsers(spark, Sf0001)
+      .collect().head
+    assert(row.getLong(0) == deg.size && row.getLong(1) == edges.length)
+    val r = row.getDouble(2)
+    assert(math.abs(r) <= 1.0 && math.abs(r - expect) < 1e-9)
+  }
+
+  test("streaks: islands re-derived brute; lens partition active days") {
+    val ad = Tables.events(spark, Sf0001)
+      .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    def streaks(days: List[Long]): List[Long] =
+      days.foldLeft(List.empty[(Long, Long)]) {
+        case ((last, len) :: rest, d) if d == last + 1 => (d, len + 1) :: rest
+        case (acc, d) => (d, 1L) :: acc
+      }.map(_._2)
+    val got = graft.operators.Analytics.userActivityStreaks(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == ad.keySet)
+    for ((u, days) <- ad) {
+      val ss = streaks(days)
+      assert(got(u) == ((days.length.toLong, ss.length.toLong, ss.max)))
+    }
+  }
+
+  test("weighted median: at least half the quantity sits at or below; strictly less below it") {
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("pc"),
+        expr("cast(round(l_quantity) as bigint)").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.operators.Relational.weightedMedianLineitem(spark, Sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == li.keySet)
+    for ((f, rows) <- li) {
+      val (tw, med) = got(f)
+      assert(tw == rows.map(_._3).sum)
+      val atOrBelow = rows.filter(_._2 <= med).map(_._3).sum
+      val strictlyBelow = rows.filter(_._2 < med).map(_._3).sum
+      assert(2 * atOrBelow >= tw, s"$f: median rule violated at $med")
+      assert(2 * strictlyBelow < tw, s"$f: a smaller price already qualifies")
+    }
+  }
+
+  test("donchian: prior-window bands re-derived brute on one type; breakout implies outside band") {
+    val rows = graft.operators.Indicators.donchianByType(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      if (r.getLong(6) == 1L) assert(r.getLong(2) > r.getLong(4) && r.getLong(3) == 20L)
+      if (r.getLong(7) == 1L) assert(r.getLong(2) < r.getLong(5) && r.getLong(3) == 20L)
+    }
+    // brute sliding window on the densest type
+    val t = rows.groupBy(_.getString(1)).maxBy(_._2.length)._1
+    val seq = rows.filter(_.getString(1) == t).sortBy(_.getLong(0))
+    val vcs = seq.map(_.getLong(2))
+    for (i <- seq.indices) {
+      val prior = vcs.slice(math.max(0, i - 20), i)
+      assert(seq(i).getLong(3) == prior.length.toLong)
+      if (prior.nonEmpty) {
+        assert(seq(i).getLong(4) == prior.max && seq(i).getLong(5) == prior.min)
+      } else assert(seq(i).isNullAt(4) && seq(i).isNullAt(5))
+    }
+    // non-vacuous: at least one breakout fires on the fixture
+    assert(rows.exists(r => r.getLong(6) == 1L || r.getLong(7) == 1L))
+  }
+
+  test("kaplan-meier: survival is a monotone nonincreasing product in (0,1]; matches brute; consistent with nelson-aalen's table") {
+    val km = graft.operators.StatefulQueries.kaplanMeierSurvival(spark, Sf0001)
+      .collect()
+    val na = graft.operators.Analytics.survivalNelsonAalen(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(km.nonEmpty && km.map(_.getLong(0)).toSet == na.keySet)
+    var s = 1.0
+    var prev = Double.MaxValue
+    for (r <- km.sortBy(_.getLong(0))) {
+      // the same (n_risk, d) as the hazard form — one shared life table
+      assert((r.getLong(1), r.getLong(2)) == na(r.getLong(0)))
+      s = s * (1.0 - r.getLong(2).toDouble / r.getLong(1).toDouble)
+      assert(r.getDouble(4) == s, s"t=${r.getLong(0)}")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= prev)
+      prev = r.getDouble(4)
+    }
+  }
+
+  test("backtest: n_pairs is rows-1 per type and MAE re-derives from the holt fold") {
+    val perTypeRows = Tables.events(spark, Sf0001)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val holt = StatefulQueries.holtByType(spark, Sf0001)
+      .select(col("event_id"), col("event_type"), col("forecast")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val vals = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val brute = holt.groupBy(_._2).map { case (t, rs) =>
+      val ordered = rs.sortBy(_._1)
+      val errs = ordered.sliding(2).collect { case Array(prev, cur) =>
+        math.floor(math.abs(vals(cur._1) - prev._3) * 1000000.0).toLong
+      }.toSeq
+      t -> (errs.length.toLong, errs.sum)
+    }
+    val got = StatefulQueries.forecastBacktestHolt(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == brute.keySet)
+    for ((t, (n, sum)) <- brute) {
+      assert(got(t)._1 == n && n == perTypeRows(t) - 1)
+      assert(got(t)._2 == sum)
+    }
+  }
+}
