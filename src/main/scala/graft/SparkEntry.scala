@@ -834,7 +834,8 @@ object SparkEntry {
         |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
         |e AS MATERIALIZED (SELECT u AS x, v AS y FROM ce
         |  UNION ALL SELECT v, u FROM ce),
-        |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events),
+        |nd AS MATERIALIZED (SELECT DISTINCT user_id AS node FROM events
+        |  WHERE user_id IS NOT NULL),
         |lms AS MATERIALIZED (SELECT node AS lm FROM nd
         |  ORDER BY node LIMIT $landmarks),
         |d0 AS MATERIALIZED (SELECT node, lm,
@@ -3946,17 +3947,23 @@ object SparkEntry {
         |  FROM e JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n)
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
         |  mm // 2 AS n_edges,
+        |  CASE WHEN CAST(CAST(CAST(mm AS HUGEINT) * sxx - sx * sx AS VARCHAR)
+        |           AS DOUBLE) = 0
+        |         OR CAST(CAST(CAST(mm AS HUGEINT) * syy - sy * sy AS VARCHAR)
+        |           AS DOUBLE) = 0 THEN NULL
+        |  ELSE
         |  CAST(CAST(CAST(mm AS HUGEINT) * sxy - sx * sy AS VARCHAR) AS DOUBLE)
         |    / (sqrt(CAST(CAST(CAST(mm AS HUGEINT) * sxx - sx * sx AS VARCHAR)
         |              AS DOUBLE))
         |       * sqrt(CAST(CAST(CAST(mm AS HUGEINT) * syy - sy * sy AS VARCHAR)
-        |              AS DOUBLE))) AS assortativity
+        |              AS DOUBLE))) END AS assortativity
         |FROM m""".stripMargin,
     // the island constant day − row_number() is shared by consecutive
     // days and broken by any gap — all exact integers
     "user_activity_streaks" ->
       """WITH ad AS (SELECT DISTINCT user_id,
-        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |    epoch_us(ts) // 86400000000 AS day FROM events
+        |  WHERE user_id IS NOT NULL),
         |isl AS (SELECT user_id, day,
         |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
         |      AS grp FROM ad),

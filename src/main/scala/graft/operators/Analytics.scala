@@ -1241,14 +1241,19 @@ object Analytics {
       sum(col("dy").cast(d19) * col("dy").cast(d19)).as("syy"))
     val nNodes = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
     val mmD = col("mm").cast(d19)
+    val dvx = (mmD * col("sxx") - col("sx") * col("sx"))
+      .cast("string").cast("double")
+    val dvy = (mmD * col("syy") - col("sy") * col("sy"))
+      .cast("string").cast("double")
     m.crossJoin(broadcast(nNodes))
       .select(col("n_nodes"), expr("mm div 2").as("n_edges"),
-        ((mmD * col("sxy") - col("sx") * col("sy"))
-           .cast("string").cast("double") /
-         (sqrt((mmD * col("sxx") - col("sx") * col("sx"))
-            .cast("string").cast("double")) *
-          sqrt((mmD * col("syy") - col("sy") * col("sy"))
-            .cast("string").cast("double"))))
+        // zero-variance guard (degree-regular graph): NULL on both
+        // engines — unguarded, Spark's non-ANSI Divide yields NULL where
+        // DuckDB's IEEE 0/0 yields NaN (the spearman rule, r16 review fix)
+        when(dvx === 0.0 || dvy === 0.0, lit(null).cast("double"))
+          .otherwise(
+            (mmD * col("sxy") - col("sx") * col("sy"))
+              .cast("string").cast("double") / (sqrt(dvx) * sqrt(dvy)))
           .as("assortativity"))
   }
 
@@ -1266,7 +1271,11 @@ object Analytics {
     * end to end). */
   def userActivityStreaks(spark: SparkSession, sfDir: String): DataFrame = {
     val DayNs = 86400000000000L
+    // NULL users dropped on BOTH engines: the final ORDER BY would place
+    // a NULL group NULLS FIRST here and NULLS LAST in DuckDB (the
+    // randomWalksUsers divergence class, r16 review fix)
     val ad = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
@@ -1484,8 +1493,12 @@ object Analytics {
           .foreach(_.unpersist(blocking = false))
         cur = nd
       }
-      // node-cardinality labels → detach, never the driver
-      detach(cur.orderBy(col("node")))
+      // node-cardinality labels → detach, never the driver. UNSORTED
+      // (the lshComponentsOf convention): both consumers destroy order —
+      // labelPropCommunities re-sorts by user_id for presentation and
+      // communityModularity joins the labels — so a sort here would be a
+      // node-cardinality exchange nobody reads (r16 review fix).
+      detach(cur)
     } finally {
       edges.unpersist(blocking = false)
       checkpointed.foreach(d =>
@@ -1579,7 +1592,10 @@ object Analytics {
       .select(col("lab"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
       .crossJoin(broadcast(mRow))
       .agg(count(lit(1)).cast("long").as("n_communities"),
-           min(col("m")).as("n_edges"),
+           // coalesce: on an EMPTY edge list min over zero rows is NULL
+           // while the oracle's scalar-subquery m is 0 (r16 review fix);
+           // modularity itself is NULL on both engines there (NULL num)
+           coalesce(min(col("m")), lit(0L)).as("n_edges"),
            sum(lit(4).cast(d38) * col("m").cast(d38) * col("ec").cast(d38)
                - col("dc").cast(d38) * col("dc").cast(d38)).as("num"))
       .select(lit(method).as("method"), col("n_communities"), col("n_edges"),
@@ -2037,7 +2053,13 @@ object Analytics {
     val ce = userCoEdges(spark, sfDir)
     val e = ce.select(col("u").as("x"), col("v").as("y"))
       .unionAll(ce.select(col("v").as("x"), col("u").as("y")))
-    val nodes = Tables.events(spark, sfDir).select(col("user_id")).distinct()
+    // NULL keys dropped on BOTH engines (the labelPropCommunities rule):
+    // a NULL user would otherwise enter Spark's NULLS-FIRST limit(L)
+    // landmark set but not DuckDB's NULLS-LAST one — a value divergence,
+    // not just row order (r16 review fix)
+    val nodes = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct()
     val lms = nodes.orderBy(col("user_id")).limit(landmarks)
       .select(col("user_id").as("lm"))
     val d = multiBfsOf(spark, nodes, e, lms, rounds)
