@@ -463,6 +463,18 @@ object SparkEntry {
     // product-limit survival: the sequential multiplicative fold through
     // the cusum/ewma execution class, same life table as Nelson-Aalen
     "kaplan_meier_survival" -> ((s, dir) => StatefulQueries.kaplanMeierSurvival(s, dir)),
+    // the trailing-20 ring as keyed streaming state crossing micro-batch
+    // boundaries — value-bounded compound state, same oracle as batch
+    "donchian_by_type_streaming" -> ((s, dir) => StatefulQueries.donchianByTypeStreaming(s, dir)),
+    // the forecast baseline under the same metric definitions: same
+    // weekday last week; errors exact longs, only sMAPE quantizes
+    "forecast_backtest_seasonal_naive" -> ((s, dir) => Analytics.forecastBacktestSeasonalNaive(s, dir)),
+    // HLL set algebra: intersection via inclusion-exclusion, gated
+    // in-plan vs exact relative to the UNION size (the q10a pattern)
+    "hll_intersection_users" -> ((s, dir) => Relational.hllIntersectionUsers(s, dir)),
+    // three-stage ER: exact collapse -> deletion-banded fuzzy match over
+    // DISTINCT names -> CC transitive closure; canonical = min name-id
+    "entity_resolution_parts" -> ((s, dir) => Analytics.entityResolutionParts(s, dir)),
     // pre-salting diagnostic: heaviest key + max/avg skew ratio in ppm
     "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
     // equi-depth decile binning against broadcast exact-percentile edges
@@ -859,6 +871,47 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN h >= 1 THEN 1000000 // h ELSE 0 END) AS DOUBLE)
        |    / 1000000.0 AS closeness
        |FROM d$rounds GROUP BY node ORDER BY user_id""".stripMargin
+  }
+
+  /** The entity_resolution_parts oracle: exact name collapse, the SAME
+    * deletion-signature banding the engine runs (range is end-exclusive
+    * like the engine's sequence(0, len−1)), and `rounds` unrolled plain
+    * min-label propagation rounds over the banded match graph (fixpoint
+    * ≤ 2 probed at every shipped SF — the cc_users horizon
+    * adjudication: the engine converges, only the oracle carries the
+    * horizon). */
+  private def erPartsOracle(rounds: Int): String = {
+    val head =
+      """WITH names AS MATERIALIZED (SELECT p_name AS nm,
+        |    CAST(min(p_partkey) AS BIGINT) AS nid FROM part GROUP BY 1),
+        |sigs AS MATERIALIZED (SELECT nid, nm, unnest(list_append(
+        |    list_transform(range(0, length(nm)),
+        |      i -> substr(nm, 1, i) || substr(nm, i + 2)), nm)) AS sig
+        |  FROM names),
+        |e AS MATERIALIZED (SELECT DISTINCT a.nid AS u, b.nid AS v
+        |  FROM sigs a JOIN sigs b USING (sig)
+        |  WHERE a.nid < b.nid AND levenshtein(a.nm, b.nm) <= 1),
+        |ed AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |l0 AS MATERIALIZED (SELECT nid AS node, nid AS lab FROM names)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = i - 1
+      s"""l$i AS MATERIALIZED (SELECT l.node,
+         |    CASE WHEN m.ml IS NULL OR l.lab <= m.ml THEN l.lab ELSE m.ml END
+         |      AS lab
+         |  FROM l$p l LEFT JOIN (SELECT ed.a AS node, min(x.lab) AS ml
+         |    FROM ed JOIN l$p x ON x.node = ed.b GROUP BY 1) m USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps,
+       |ent AS (SELECT n.nm, l$rounds.lab AS entity
+       |  FROM names n JOIN l$rounds ON l$rounds.node = n.nid),
+       |sz AS (SELECT ent.entity, CAST(count(*) AS BIGINT) AS entity_size
+       |  FROM part p JOIN ent ON ent.nm = p.p_name GROUP BY 1)
+       |SELECT p.p_partkey, p.p_name, ent.entity, sz.entity_size
+       |FROM part p JOIN ent ON ent.nm = p.p_name JOIN sz USING (entity)
+       |ORDER BY p_partkey""".stripMargin
   }
 
   /** The community_modularity oracle: the LPA (4 majority rounds) and CC
@@ -4043,6 +4096,43 @@ object SparkEntry {
         |    k.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
         |  FROM k JOIN o ON o.i = k.i + 1)
         |SELECT t, n_risk, d, c, s AS survival FROM k ORDER BY t""".stripMargin,
+    // the forecast baseline: same weekday last week over the dense daily
+    // spine; errors are exact longs, only the sMAPE ratio quantizes
+    "forecast_backtest_seasonal_naive" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, y,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM d),
+        |s AS (SELECT event_type, abs(y - f) AS ae,
+        |    CAST(CASE WHEN y = 0 AND f = 0 THEN 0
+        |      ELSE floor(2.0 * CAST(abs(y - f) AS DOUBLE)
+        |           / CAST(abs(y) + abs(f) AS DOUBLE) * 1000000000.0)
+        |      END AS BIGINT) AS sm_ppb
+        |  FROM b WHERE f IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(ae) AS BIGINT) AS sum_ae_cents,
+        |  CAST(sum(sm_ppb) AS BIGINT) AS sum_smape_ppb,
+        |  CAST(sum(ae) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(sum(sm_ppb) AS DOUBLE) / 1000000000.0
+        |    / CAST(count(*) AS DOUBLE) AS smape
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // inclusion-exclusion intersection: exact counts + the in-plan HLL
+    // gate (the q10a TRUE-literal pattern)
+    "hll_intersection_users" ->
+      """WITH x AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'view'
+        |      THEN user_id END) AS BIGINT) AS n_viewers,
+        |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+        |      THEN user_id END) AS BIGINT) AS n_purchasers,
+        |    CAST(count(DISTINCT CASE WHEN event_type IN ('view', 'purchase')
+        |      THEN user_id END) AS BIGINT) AS n_union
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT n_viewers, n_purchasers, n_union,
+        |  n_viewers + n_purchasers - n_union AS n_both, TRUE AS approx_ok
+        |FROM x""".stripMargin,
+    "entity_resolution_parts" -> erPartsOracle(4),
     // heaviest-key diagnostic; argmax ties to the smallest key
     "key_skew_report" ->
       """WITH kc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
@@ -4429,6 +4519,8 @@ object SparkEntry {
       "scd2_upsert_snapshot"           -> base("scd2_asof_snapshot"),
       // the all-integer ledger crosses the batch boundary — same oracle
       "obv_by_type_streaming"          -> base("obv_by_type"),
+      // the trailing-20 ring carried across micro-batches in keyed state
+      "donchian_by_type_streaming"     -> base("donchian_by_type"),
       // merging delta aggregates must equal recomputing — same oracle
       "q12i_tumbling_incremental"      -> base("q12_tumbling_hourly"),
       "q13s_sessionize_streaming"      -> base("q13_sessionize"),

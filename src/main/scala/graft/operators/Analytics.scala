@@ -1982,6 +1982,83 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** SEASONAL-NAIVE FORECAST BACKTEST — the baseline every forecast
+    * evaluation needs next to the model's score ([[StatefulQueries
+    * .forecastBacktestHolt]]): predict each day's total with the SAME
+    * WEEKDAY LAST WEEK (lag 7 over the dense daily spine) and score MAE +
+    * sMAPE one-step-ahead. A model that cannot beat seasonal-naive is
+    * not a model — publishing the baseline under the same metric
+    * definitions makes that comparison data. Errors here are EXACT LONGS
+    * (both operands are integer daily cents), so only the sMAPE ratio is
+    * floor-quantized (the holt backtest rule); MAE needs no quantization
+    * at all.
+    *
+    * Scale shape: one corpus-collapsing groupBy + one lag over the
+    * control-plane daily frame; dense days make lag-7 the calendar week
+    * (the stl rule — gappy data composes with q29's spine first). */
+  def forecastBacktestSeasonalNaive(spark: SparkSession, sfDir: String,
+                                    season: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val b = dailyYn(spark, sfDir).select(col("event_type"), col("day"), col("y"))
+      .withColumn("f", lag(col("y"), season).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("ae", abs(col("y") - col("f")))
+      .withColumn("sm_ppb",
+        when(col("y") === 0L && col("f") === 0L, 0L)
+          .otherwise(floor(lit(2.0) * col("ae").cast("double") /
+            (abs(col("y")) + abs(col("f"))).cast("double") * 1000000000.0)
+            .cast("long")))
+    b.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("ae")).cast("long").as("sum_ae_cents"),
+        sum(col("sm_ppb")).cast("long").as("sum_smape_ppb"))
+      .select(col("event_type"), col("n_pairs"),
+        col("sum_ae_cents"), col("sum_smape_ppb"),
+        (col("sum_ae_cents").cast("double") / 100.0 /
+          col("n_pairs").cast("double")).as("mae"),
+        (col("sum_smape_ppb").cast("double") / 1000000000.0 /
+          col("n_pairs").cast("double")).as("smape"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ENTITY RESOLUTION over part names — the classic three-stage ER
+    * pipeline as ONE composed operator: (1) exact collapse (identical
+    * names are trivially the same entity — at any scale this shrinks the
+    * fuzzy stage's input from rows to DISTINCT names), (2) fuzzy blocking
+    *+ match over the distinct-name table ([[fuzzyJoinEditDist1Of]]'s
+    * deletion banding — candidates come from shared deletion signatures,
+    * never all-pairs), (3) transitive closure over the match graph
+    * ([[Dedup.lshComponentsOf]] — min-label + pointer jumping), with the
+    * cluster's minimum name-id as the canonical entity id. Every part
+    * row maps back through its name, carrying the entity id and the
+    * entity's member count.
+    *
+    * Scale shape: the name collapse is one map-side-combinable groupBy;
+    * banding bounds candidate pairs by signature collisions; CC rounds
+    * are O(log d); the map-back is a broadcast-sized join at fixture
+    * scale and a co-keyed name join generally. The oracle unrolls 4
+    * plain min-label rounds over the same banded pairs (fixpoint ≤ 2
+    * probed at every shipped SF — the cc_users horizon adjudication). */
+  def entityResolutionParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.table(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val names = p.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("nid"))
+    val pairs = fuzzyJoinEditDist1Of(
+      names.select(col("nid").as("s_suppkey"), col("p_name").as("s_name")))
+    val labels = Dedup.lshComponentsOf(
+      pairs.select(col("a_key").as("doc_a"), col("b_key").as("doc_b")))
+    val ent = names.join(
+        labels.select(col("doc_id").as("nid"), col("component")),
+        Seq("nid"), "left")
+      .select(col("p_name"), coalesce(col("component"), col("nid")).as("entity"))
+    val sizes = p.join(ent, "p_name").groupBy(col("entity"))
+      .agg(count(lit(1)).cast("long").as("entity_size"))
+    p.join(ent, "p_name").join(sizes, "entity")
+      .select(col("p_partkey"), col("p_name"), col("entity"), col("entity_size"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** MULTI-SOURCE BFS: [[bfsOf]]'s min-plus relaxation with the distance
     * frame keyed on (node, landmark) — L sources relax SIMULTANEOUSLY
     * through the same per-round edge join instead of L sequential BFS

@@ -421,6 +421,45 @@ object Relational {
           <= lit(tolerance)).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL SET ALGEBRA — approximate SET INTERSECTION via inclusion-
+    * exclusion over three sketches: |viewers ∩ purchasers| ≈ |A|̂ + |B|̂ −
+    * |A∪B|̂. HLL sketches union natively but cannot intersect, so
+    * inclusion-exclusion is THE one-pass answer to "how many users did
+    * BOTH" at 100 TB — with the standard caveat that its error scales
+    * with the UNION's cardinality, not the intersection's (a tiny overlap
+    * of two huge sets is unestimable; the gate below is therefore
+    * relative to n_union). The exact pass (three countDistincts — one
+    * multi-distinct expand, the column_stats_profile adjudication: the
+    * oracle-strongest form, dropped in production) and the sketch pass
+    * run as SEPARATE aggregates so the sketches never ride the expand
+    * (the profile_sketch lesson); the emitted columns are the exact
+    * counts plus the in-plan boolean gate (the q10a pattern — the sketch
+    * estimate itself is not bit-reproducible across engines and rides
+    * only through the gate). */
+  def hllIntersectionUsers(spark: SparkSession, sfDir: String,
+                           rsd: Double = 0.02,
+                           tolPpm: Long = 50000L): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    val isV = col("event_type") === "view"
+    val isP = col("event_type") === "purchase"
+    val exact = ev.agg(
+      countDistinct(when(isV, col("user_id"))).cast("long").as("n_viewers"),
+      countDistinct(when(isP, col("user_id"))).cast("long").as("n_purchasers"),
+      countDistinct(when(isV || isP, col("user_id"))).cast("long").as("n_union"))
+    val sk = ev.agg(
+      approx_count_distinct(when(isV, col("user_id")), rsd).as("e_v"),
+      approx_count_distinct(when(isP, col("user_id")), rsd).as("e_p"),
+      approx_count_distinct(when(isV || isP, col("user_id")), rsd).as("e_u"))
+    exact.crossJoin(broadcast(sk))
+      .select(col("n_viewers"), col("n_purchasers"), col("n_union"),
+        (col("n_viewers") + col("n_purchasers") - col("n_union")).as("n_both"),
+        (abs((col("e_v") + col("e_p") - col("e_u")) -
+             (col("n_viewers") + col("n_purchasers") - col("n_union")))
+           * lit(1000000L) <= lit(tolPpm) * col("n_union")).as("approx_ok"))
+  }
+
   /** Approximate percentiles — the quantile-sketch family member next to
     * q10a's HLL: per returnflag, p50/p95 of l_extendedprice. The sketch
     * (approx_percentile, a mergeable fixed-size summary — the only way to

@@ -569,6 +569,27 @@ object StatefulQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[graft.operators.Indicators.donchianByType]] through the
+    * micro-batch engine: the trailing-20 ring crosses the batch boundary
+    * in keyed state (the Holt-Winters-ring compound-state shape, value-
+    * bounded). Cents are cast IN THE PLAN (the cusum convention) so the
+    * fold never re-rounds. Same oracle as the batch window form. */
+  def donchianByTypeStreaming(spark: SparkSession, sfDir: String,
+                              n: Int = 20): DataFrame = {
+    val copyDir = orderedEventsCopy(spark, sfDir)
+    drainOrderedFiles(spark, copyDir, minBatches = 2) { stream =>
+      StatefulOps.donchianStream(stream
+        .select(col("event_type").as("key"), col("event_id").as("ord"),
+          expr("cast(cast(round(value * 100) as bigint) as double)")
+            .as("value"))
+        .as[KV](kvEnc), n).toDF()
+    }
+      .select(col("ord").as("event_id"), col("key").as("event_type"),
+              col("vc"), col("n_prior"), col("donch_hi"), col("donch_lo"),
+              col("breakout_up"), col("breakout_dn"))
+      .orderBy(col("event_id"))
+  }
+
   /** KAPLAN-MEIER PRODUCT-LIMIT SURVIVAL CURVE over the customer
     * lifetime table — the estimator every churn analysis quotes, and the
     * multiplicative complement of [[Analytics.survivalNelsonAalen]]'s

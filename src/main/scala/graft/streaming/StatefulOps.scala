@@ -1181,6 +1181,48 @@ object StatefulOps {
       (key, rows, state: GroupState[EwmaAcc]) => ewmaFold(key, rows, state, alpha)
     }
 
+  /** The trailing-n ring [[donchianStream]] carries per key (oldest
+    * first, at most n values). */
+  case class DonchAcc(ring: List[Long])
+  case class DonchOut(key: String, ord: Long, vc: Long, n_prior: Long,
+                      donch_hi: Option[Long], donch_lo: Option[Long],
+                      breakout_up: Long, breakout_dn: Long)
+  private implicit val donchAccEnc: Encoder[DonchAcc] = Encoders.product[DonchAcc]
+  private implicit val donchOutEnc: Encoder[DonchOut] = Encoders.product[DonchOut]
+
+  /** DONCHIAN CHANNEL as keyed streaming state — the trailing-n PRIOR
+    * window ([[graft.operators.Indicators.donchianByType]]'s semantics)
+    * carried as a bounded ring per key: each arrival reads the band off
+    * the ring BEFORE appending itself (the batch form's 1-PRECEDING
+    * frame), flags fire only on a full ring, and the ring crosses
+    * micro-batch boundaries in state — the compound-state shape next to
+    * Holt-Winters' seasonal ring, but VALUE-bounded (n cents) rather
+    * than season-bounded. `value` must arrive as INTEGER CENTS already
+    * cast in the plan (the cusum convention — plan-side `round` is the
+    * engine's HALF_UP decimal rule; a JVM-side math.round would diverge
+    * on negative halves). Ordering contract as everywhere (sorted
+    * slice, ordered per-key arrival). */
+  def donchianStream(ds: Dataset[KV], n: Int,
+                     mode: OutputMode = OutputMode.Append()): Dataset[DonchOut] =
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[DonchAcc, DonchOut](mode, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[DonchAcc]) =>
+          var ring = if (state.exists) state.get.ring else Nil
+          val out = rows.toSeq.sortBy(_.ord).map { r =>
+            val vc = r.value.toLong
+            val nPrior = ring.length.toLong
+            val full = ring.length == n
+            val hi = if (ring.isEmpty) None else Some(ring.max)
+            val lo = if (ring.isEmpty) None else Some(ring.min)
+            val up = if (full && hi.exists(vc > _)) 1L else 0L
+            val dn = if (full && lo.exists(vc < _)) 1L else 0L
+            ring = (ring :+ vc).takeRight(n)
+            DonchOut(key, r.ord, vc, nPrior, hi, lo, up, dn)
+          }
+          state.update(DonchAcc(ring))
+          out.iterator
+      }
+
   /** Running-product accumulator ([[productOrdered]]). */
   case class ProdAcc(s: Double)
   case class ProdOut(key: String, ord: Long, product: Double)

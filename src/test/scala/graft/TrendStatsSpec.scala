@@ -254,6 +254,96 @@ class TrendStatsSpec extends SparkSpec {
     }
   }
 
+  test("donchian streaming ring: equals the batch window form on the corpus; ring crosses the batch boundary") {
+    val ba = graft.operators.Indicators.donchianByType(spark, Sf0001)
+    val st = graft.operators.StatefulQueries.donchianByTypeStreaming(spark, Sf0001)
+    assert(ba.exceptAll(st).isEmpty && st.exceptAll(ba).isEmpty)
+    // handcrafted tape: 20 warmup values end batch 1, the breakout opens
+    // batch 2 — only the carried ring can see the full prior window
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.KV
+    implicit val sqlCtx = spark.sqlContext
+    implicit val kvEnc = org.apache.spark.sql.Encoders.product[KV]
+    val mem = MemoryStream[KV]
+    val q = StatefulOps.donchianStream(mem.toDS(), n = 20)
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName("donch_ring").start()
+    try {
+      mem.addData((1 to 20).map(i => KV("k", i.toLong, (100 + i).toDouble)))
+      q.processAllAvailable()
+      val warm = spark.table("donch_ring").collect()
+      assert(warm.forall(_.getLong(6) == 0L), "no breakout during warmup")
+      mem.addData(Seq(KV("k", 21L, 999.0)))
+      q.processAllAvailable()
+      val last = spark.table("donch_ring").collect().find(_.getLong(1) == 21L).get
+      assert(last.getLong(3) == 20L, "prior ring is full across the boundary")
+      assert(last.getLong(4) == 120L && last.getLong(5) == 101L,
+        "band is the carried batch-1 ring")
+      assert(last.getLong(6) == 1L, "breakout fires off state, not batch-local rows")
+    } finally q.stop()
+  }
+
+  test("hll intersection: exact inclusion-exclusion equals the brute set intersection; gate holds") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_type"), col("user_id")).collect()
+      .filter(!_.isNullAt(1)).map(r => (r.getString(0), r.getLong(1)))
+    val viewers = ev.filter(_._1 == "view").map(_._2).toSet
+    val purchasers = ev.filter(_._1 == "purchase").map(_._2).toSet
+    val row = graft.operators.Relational.hllIntersectionUsers(spark, Sf0001)
+      .collect().head
+    assert(row.getLong(0) == viewers.size && row.getLong(1) == purchasers.size)
+    assert(row.getLong(2) == (viewers ++ purchasers).size)
+    assert(row.getLong(3) == (viewers intersect purchasers).size,
+      "inclusion-exclusion is exact on the exact side")
+    assert(row.getBoolean(4), "HLL gate holds at fixture scale")
+  }
+
+  test("entity resolution: clusters are transitively closed over dist<=1 name pairs; sizes partition the part table") {
+    val parts = Tables.table(spark, Sf0001, "part")
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = graft.operators.Analytics.entityResolutionParts(spark, Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == parts.length)
+    val entOf = got.map(g => g._2 -> g._3).toMap // name -> entity
+    // same name -> same entity (exact collapse)
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).distinct.length == 1))
+    // dist<=1 names share an entity (match edges honored)
+    def lev1(a: String, b: String): Boolean = {
+      if (a == b) true
+      else if (math.abs(a.length - b.length) > 1) false
+      else if (a.length == b.length) a.zip(b).count { case (x, y) => x != y } <= 1
+      else {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        (0 to s.length).exists(i => l.substring(0, i) == s.substring(0, i) &&
+          l.substring(i + 1) == s.substring(i))
+      }
+    }
+    val names = parts.map(_._2).distinct
+    for (i <- names.indices; j <- (i + 1) until names.length
+         if lev1(names(i), names(j))) {
+      assert(entOf(names(i)) == entOf(names(j)),
+        s"'${names(i)}' and '${names(j)}' must share an entity")
+    }
+    // entity_size partitions the table
+    val sizes = got.groupBy(_._3).view.mapValues(_.length.toLong)
+    assert(got.forall(g => g._4 == sizes(g._3)))
+  }
+
+  test("seasonal naive: n_pairs = days-7 per type; exact MAE re-derives brute") {
+    val got = graft.operators.Analytics
+      .forecastBacktestSeasonalNaive(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((t, (n, sumAe)) <- got) {
+      val ys = daily.filter(_._1._1 == t).toSeq.sortBy(_._1._2).map(_._2._1)
+      assert(n == ys.length - 7)
+      val brute = ys.indices.drop(7).map(i => math.abs(ys(i) - ys(i - 7))).sum
+      assert(sumAe == brute)
+    }
+  }
+
   test("backtest: n_pairs is rows-1 per type and MAE re-derives from the holt fold") {
     val perTypeRows = Tables.events(spark, Sf0001)
       .groupBy(col("event_type")).count().collect()
