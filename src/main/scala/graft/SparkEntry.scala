@@ -876,10 +876,12 @@ object SparkEntry {
   /** The entity_resolution_parts oracle: exact name collapse, the SAME
     * deletion-signature banding the engine runs (range is end-exclusive
     * like the engine's sequence(0, len−1)), and `rounds` unrolled plain
-    * min-label propagation rounds over the banded match graph (fixpoint
-    * ≤ 2 probed at every shipped SF — the cc_users horizon
-    * adjudication: the engine converges, only the oracle carries the
-    * horizon). */
+    * min-label propagation rounds over the banded match graph. The
+    * engine converges fully (pointer jumping); only the oracle carries
+    * the horizon — 8 rounds, the cc_users convention (fixpoint ≤ 2
+    * probed at every shipped SF, so 8 is 4× headroom against longer
+    * similarity chains in a denser name space; r16 review raised it
+    * from 4). */
   private def erPartsOracle(rounds: Int): String = {
     val head =
       """WITH names AS MATERIALIZED (SELECT p_name AS nm,
@@ -4132,7 +4134,7 @@ object SparkEntry {
         |SELECT n_viewers, n_purchasers, n_union,
         |  n_viewers + n_purchasers - n_union AS n_both, TRUE AS approx_ok
         |FROM x""".stripMargin,
-    "entity_resolution_parts" -> erPartsOracle(4),
+    "entity_resolution_parts" -> erPartsOracle(8),
     // heaviest-key diagnostic; argmax ties to the smallest key
     "key_skew_report" ->
       """WITH kc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt

@@ -837,7 +837,15 @@ object Analytics {
   /** [[fuzzyJoinEditDist1]] over any (s_suppkey, s_name) frame — the
     * testable core (AnalyticsSpec's randomized recall property drives it
     * with generated edit pairs). */
-  def fuzzyJoinEditDist1Of(s: DataFrame): DataFrame = {
+  def fuzzyJoinEditDist1Of(s: DataFrame): DataFrame =
+    fuzzyPairsOf(s).orderBy(col("a_key"), col("b_key"))
+
+  /** The UNSORTED fuzzy-pair core — [[fuzzyJoinEditDist1Of]] minus the
+    * presentation sort, for consumers that immediately destroy order
+    * (the ER pipeline's connected components caches and repartitions the
+    * pairs; a sort before that is a dead wide exchange — the
+    * lshComponentsOf convention). */
+  private[graft] def fuzzyPairsOf(s: DataFrame): DataFrame = {
     val sigs = s.select(col("s_suppkey"), col("s_name"),
       explode(array_union(array(col("s_name")),
         expr("transform(sequence(0, length(s_name) - 1), " +
@@ -852,7 +860,6 @@ object Analytics {
       .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_key"), col("b_key"),
               levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
-      .orderBy(col("a_key"), col("b_key"))
   }
 
   /** FIXED-POINT PAGERANK (3 iterations, damping 0.85) over the nation
@@ -2044,7 +2051,11 @@ object Analytics {
       .select(col("p_partkey"), col("p_name"))
     val names = p.groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("nid"))
-    val pairs = fuzzyJoinEditDist1Of(
+    // the UNSORTED pair core: CC caches and repartitions the pairs
+    // immediately, so the registered fuzzy join's presentation sort would
+    // be a dead wide exchange here (the labelPropOf dead-sort class,
+    // r16 review fix)
+    val pairs = fuzzyPairsOf(
       names.select(col("nid").as("s_suppkey"), col("p_name").as("s_name")))
     val labels = Dedup.lshComponentsOf(
       pairs.select(col("a_key").as("doc_a"), col("b_key").as("doc_b")))
@@ -2052,9 +2063,12 @@ object Analytics {
         labels.select(col("doc_id").as("nid"), col("component")),
         Seq("nid"), "left")
       .select(col("p_name"), coalesce(col("component"), col("nid")).as("entity"))
-    val sizes = p.join(ent, "p_name").groupBy(col("entity"))
-      .agg(count(lit(1)).cast("long").as("entity_size"))
-    p.join(ent, "p_name").join(sizes, "entity")
+    // ONE map-back join; entity_size as a window count over the same
+    // frame — the two-join form re-ran the part scan and the name
+    // collapse twice (no cross-branch CSE in Spark; r16 review fix)
+    p.join(ent, "p_name")
+      .withColumn("entity_size",
+        count(lit(1)).over(Window.partitionBy(col("entity"))).cast("long"))
       .select(col("p_partkey"), col("p_name"), col("entity"), col("entity_size"))
       .orderBy(col("p_partkey"))
   }

@@ -438,7 +438,14 @@ object Relational {
     * only through the gate). */
   def hllIntersectionUsers(spark: SparkSession, sfDir: String,
                            rsd: Double = 0.02,
-                           tolPpm: Long = 50000L): DataFrame = {
+                           // gate margin: the inclusion-exclusion estimate
+                           // combines THREE sketches, worst-case error std
+                           // ≈ rsd·√(v²+p²+u²) ≤ rsd·√3·u ≈ 3.5% of the
+                           // union at rsd 0.02 — 15% is > 4σ (the
+                           // approxDistinctCounts 3×-headroom convention),
+                           // so the TRUE-literal oracle cannot flip at an
+                           // unprobed scale (r16 review fix; was 5% ≈ 1.4σ)
+                           tolPpm: Long = 150000L): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type"), col("user_id"))
