@@ -475,6 +475,18 @@ object SparkEntry {
     // three-stage ER: exact collapse -> deletion-banded fuzzy match over
     // DISTINCT names -> CC transitive closure; canonical = min name-id
     "entity_resolution_parts" -> ((s, dir) => Analytics.entityResolutionParts(s, dir)),
+    // recency-weighted attribution: integer halving weights per 6h age
+    // bucket (8/4/2/1), remainder to the most recent touch
+    "attribution_time_decay" -> ((s, dir) => Sessionize.attributionTimeDecay(s, dir)),
+    // transitivity: C = 3·triangles / wedges from the two audited
+    // counting cores, exact integers, guarded ratio
+    "clustering_coefficient_users" -> ((s, dir) => Analytics.clusteringCoefficientUsers(s, dir)),
+    // growth curve: first-seen collapse + cumulative window over the
+    // gapless day spine, exact integers
+    "cumulative_users_daily" -> ((s, dir) => Analytics.cumulativeUsersDaily(s, dir)),
+    // 7-day rolling view/click co-movement: exact window moments, one
+    // guarded double tree per full window
+    "rolling_corr_view_click" -> ((s, dir) => Analytics.rollingCorrPair(s, dir)),
     // pre-salting diagnostic: heaviest key + max/avg skew ratio in ppm
     "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
     // equi-depth decile binning against broadcast exact-percentile edges
@@ -4135,6 +4147,97 @@ object SparkEntry {
         |  n_viewers + n_purchasers - n_union AS n_both, TRUE AS approx_ok
         |FROM x""".stripMargin,
     "entity_resolution_parts" -> erPartsOracle(8),
+    // halving weight per 6h age bucket, clamped at the oldest bucket for
+    // an exact-lookback age; base = 1e6·w // Σw, remainder to the most
+    // recent touch — all integer div/mod, identical on both engines
+    "attribution_time_decay" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, us AS v_us FROM ev
+        |  WHERE event_type = 'view'),
+        |t AS (SELECT p.p_id, v.v_id, v.v_us,
+        |    least((p.p_us - v.v_us) // 21600000000, 3) AS k
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  WHERE (v.v_us < p.p_us OR (v.v_us = p.p_us AND v.v_id < p.p_id))
+        |    AND p.p_us - v.v_us <= 86400000000),
+        |r AS (SELECT p_id, v_id,
+        |    CAST(1 << (3 - k) AS BIGINT) AS w,
+        |    CAST(sum(1 << (3 - k)) OVER (PARTITION BY p_id) AS BIGINT) AS sw,
+        |    row_number() OVER (PARTITION BY p_id
+        |      ORDER BY v_us DESC, v_id DESC) AS rn_last
+        |  FROM t),
+        |cr AS (SELECT p_id, v_id, (1000000 * w) // sw AS base,
+        |    CAST(sum((1000000 * w) // sw) OVER (PARTITION BY p_id)
+        |      AS BIGINT) AS tot_base, rn_last
+        |  FROM r)
+        |SELECT v_id AS event_id, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(base + CASE WHEN rn_last = 1
+        |    THEN 1000000 - tot_base ELSE 0 END) AS BIGINT) AS credit_micro
+        |FROM cr GROUP BY 1 ORDER BY event_id""".stripMargin,
+    // the triangle closure and the Σ d(d−1)/2 wedge count as closed
+    // forms over the same canonical edges; guarded exact-integer ratio
+    "clustering_coefficient_users" ->
+      """WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS uid,
+        |    epoch_us(ts) // 60000000 AS w FROM events),
+        |t AS MATERIALIZED (SELECT DISTINCT l.uid AS u, r.uid AS v
+        |  FROM b l JOIN b r USING (w) WHERE l.uid < r.uid),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS n FROM t UNION ALL SELECT v FROM t) un GROUP BY 1),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM t a
+        |        JOIN t b2 ON a.v = b2.u
+        |        JOIN t c2 ON c2.u = a.u AND c2.v = b2.v),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |        CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM deg)
+        |SELECT agg.n_nodes, (SELECT CAST(count(*) AS BIGINT) FROM t)
+        |    AS n_edges,
+        |  tri.n_triangles, agg.wedges,
+        |  CASE WHEN agg.wedges = 0 THEN NULL
+        |    ELSE CAST(3 * tri.n_triangles AS DOUBLE)
+        |      / CAST(agg.wedges AS DOUBLE) END AS clustering_coeff
+        |FROM tri, agg""".stripMargin,
+    // first-seen collapse; the distinct-day spine keeps zero-new-user
+    // days on the curve
+    "cumulative_users_daily" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events
+        |  WHERE user_id IS NOT NULL),
+        |fs AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+        |np AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY 1),
+        |sp AS (SELECT DISTINCT day FROM ud)
+        |SELECT sp.day, coalesce(np.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(np.new_users, 0)) OVER (ORDER BY sp.day)
+        |    AS BIGINT) AS cum_users
+        |FROM sp LEFT JOIN np USING (day) ORDER BY sp.day""".stripMargin,
+    // shared day spine (a day missing one type contributes 0); exact
+    // window moments; zero-variance windows NULL on both engines
+    "rolling_corr_view_click" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+        |      AS xa,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+        |      AS xb
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1),
+        |m AS (SELECT day, xa, xb,
+        |    CAST(count(*) OVER w AS BIGINT) AS c7,
+        |    CAST(sum(xa) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(xb) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(xa * xb) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(xa * xa) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(xb * xb) OVER w AS BIGINT) AS syy
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, xa, xb,
+        |  CASE WHEN 7 * sxx - sx * sx = 0 OR 7 * syy - sy * sy = 0 THEN NULL
+        |    ELSE CAST(7 * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(7 * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(7 * syy - sy * sy AS DOUBLE))) END
+        |    AS rolling_corr
+        |FROM m WHERE c7 = 7 ORDER BY day""".stripMargin,
     // heaviest-key diagnostic; argmax ties to the smallest key
     "key_skew_report" ->
       """WITH kc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt

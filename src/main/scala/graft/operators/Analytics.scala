@@ -2073,6 +2073,109 @@ object Analytics {
       .orderBy(col("p_partkey"))
   }
 
+  /** GLOBAL CLUSTERING COEFFICIENT of the user co-occurrence graph —
+    * C = 3·triangles / wedges, the transitivity number that says whether
+    * co-occurrence is cliquish (friends-of-friends co-occur) or
+    * star-shaped (hubs touch everyone, neighbors never meet). Composed
+    * from the two audited counting cores this repo already runs at the
+    * falsifying cardinality: [[triangleCountOf]]'s degree-oriented wedge
+    * closure and the degree table's Σ d(d−1)/2 naive wedge count — both
+    * exact integers, the ratio one guarded double division (a
+    * wedge-free graph reports NULL on both engines).
+    *
+    * Scale shape: the triangle core's orientation bound (out-degree
+    * O(√|E|)) plus one degree aggregate; the combine is a 1-row
+    * broadcast crossJoin. */
+  def clusteringCoefficientUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ce = userCoEdges(spark, sfDir)
+    val tri = triangleCountOf(spark, ce)
+    val deg = ce.select(col("u").as("n")).unionAll(ce.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
+    val wedges = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).cast("long").as("wedges"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
+        when(col("wedges") === 0L, lit(null).cast("double"))
+          .otherwise((lit(3L) * col("n_triangles")).cast("double") /
+            col("wedges").cast("double"))
+          .as("clustering_coeff"))
+  }
+
+  /** CUMULATIVE USER GROWTH CURVE — per day: users seen for the FIRST
+    * time that day and the running total, the canonical growth chart.
+    * First-seen collapses each user to one row before any windowing
+    * (map-side combinable); days with zero new users still appear (the
+    * distinct-day spine left-join, stated identically in the oracle) so
+    * the curve is gapless wherever events exist. All exact integers.
+    *
+    * Scale shape: two user-keyed aggregates + one cumulative window over
+    * the DAY table — domain-bounded (the pareto_scalable adjudication
+    * for the single-partition day window: days, not rows). */
+  def cumulativeUsersDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 86400000000000L
+    val ud = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day"))
+      .distinct()
+    val newPerDay = ud.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).cast("long").as("new_users"))
+    ud.select(col("day")).distinct()
+      .join(newPerDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy(col("day"))
+  }
+
+  /** ROLLING BIVARIATE CORRELATION between two event types' daily value
+    * totals (7-observation trailing window) — the co-movement monitor a
+    * metrics layer runs on channel pairs ("do views and clicks still
+    * move together this week?"), where the GLOBAL correlation
+    * ([[corrMatrixHourly]]) hides regime changes. Both series are exact
+    * integer cents on a shared day spine (a day missing one type
+    * contributes 0 — stated identically in the oracle); the five window
+    * moments are exact long sums, the correlation one closed-form
+    * guarded double tree per full window (the spearman zero-variance
+    * rule). Long-safety: daily cents ≤ ~10⁷ ⇒ n·Σxy ≤ 7²·10¹⁴ far
+    * under 2⁶³.
+    *
+    * Scale shape: one corpus-collapsing groupBy to the day table, one
+    * window over it — domain-bounded single-partition (days, not rows;
+    * the cumulativeUsersDaily adjudication). */
+  def rollingCorrPair(spark: SparkSession, sfDir: String,
+                      typeA: String = "view", typeB: String = "click",
+                      n: Int = 7): DataFrame = {
+    val DayNs = 86400000000000L
+    val d = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr(s"ts_ns div $DayNs").as("day"))
+      .agg(
+        coalesce(sum(when(col("event_type") === typeA,
+          expr("cast(round(value * 100) as bigint)"))), lit(0L)).as("xa"),
+        coalesce(sum(when(col("event_type") === typeB,
+          expr("cast(round(value * 100) as bigint)"))), lit(0L)).as("xb"))
+    val w = Window.orderBy(col("day")).rowsBetween(-(n - 1), 0)
+    val m = d
+      .withColumn("c7", count(lit(1)).over(w).cast("long"))
+      .withColumn("sx", sum(col("xa")).over(w).cast("long"))
+      .withColumn("sy", sum(col("xb")).over(w).cast("long"))
+      .withColumn("sxy", sum(col("xa") * col("xb")).over(w).cast("long"))
+      .withColumn("sxx", sum(col("xa") * col("xa")).over(w).cast("long"))
+      .withColumn("syy", sum(col("xb") * col("xb")).over(w).cast("long"))
+      .filter(col("c7") === n.toLong)
+    val nL = lit(n.toLong)
+    val vx = nL * col("sxx") - col("sx") * col("sx")
+    val vy = nL * col("syy") - col("sy") * col("sy")
+    m.select(col("day"), col("xa"), col("xb"),
+        when(vx === 0L || vy === 0L, lit(null).cast("double"))
+          .otherwise((nL * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))))
+          .as("rolling_corr"))
+      .orderBy(col("day"))
+  }
+
   /** MULTI-SOURCE BFS: [[bfsOf]]'s min-plus relaxation with the distance
     * frame keyed on (node, landmark) — L sources relax SIMULTANEOUSLY
     * through the same per-round edge join instead of L sequential BFS

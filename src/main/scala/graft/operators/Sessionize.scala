@@ -782,6 +782,60 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** TIME-DECAY MULTI-TOUCH ATTRIBUTION — the third attribution model
+    * next to last-touch and U-shaped: recency wins, but smoothly. Each
+    * purchase's 1,000,000 micro-credits split across its lookback views
+    * proportionally to a HALVING weight per 6-hour age bucket — w =
+    * 2^(3−k) for bucket k = age div 6h ∈ {0..3}, i.e. 8/4/2/1 — which
+    * keeps every weight an exact INTEGER where the textbook exp(−age/τ)
+    * would hang cross-engine parity on libm's pow. Credit_i =
+    * 1,000,000·w_i div Σw with the rounding remainder assigned to the
+    * MOST RECENT touch (a stated, deterministic rule — the ushape
+    * remainder discipline), so Σcredit = 1,000,000 per conversion holds
+    * exactly (spec-pinned with the other two models).
+    *
+    * Scale shape: identical to [[attributionPositionUshape]] — the
+    * user-keyed horizon-bounded band join, conversion-id windows for Σw
+    * and the remainder target, one map-side-combinable per-view rollup. */
+  def attributionTimeDecay(spark: SparkSession, sfDir: String,
+                           lookbackHours: Int = 24,
+                           halfLifeHours: Int = 6): DataFrame = {
+    val lookbackUs = lookbackHours.toLong * 3600L * 1000000L
+    val halfUs = halfLifeHours.toLong * 3600L * 1000000L
+    val maxK = (lookbackHours.toLong - 1) / halfLifeHours // 3 at 24h/6h
+    val ev = Tables.events(spark, sfDir).withColumn("us", expr("ts_ns div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"), col("us").as("v_us"))
+    val touches = p.join(v, Seq("user_id"))
+      .filter((col("v_us") < col("p_us") ||
+               (col("v_us") === col("p_us") && col("v_id") < col("p_id"))) &&
+              col("p_us") - col("v_us") <= lookbackUs)
+      // clamp: an age of EXACTLY the lookback lands in bucket maxK+1
+      // (div is floor); it shares the oldest bucket's weight — stated
+      // identically in the oracle
+      .withColumn("k", least(expr(s"(p_us - v_us) div $halfUs"), lit(maxK)))
+      .withColumn("w", expr(s"shiftleft(1L, cast(($maxK - k) as int))"))
+    val wConv = Window.partitionBy(col("p_id"))
+    val wLast = Window.partitionBy(col("p_id"))
+      .orderBy(col("v_us").desc, col("v_id").desc)
+    val credited = touches
+      .withColumn("sw", sum(col("w")).over(wConv).cast("long"))
+      .withColumn("base", expr("(1000000 * w) div sw"))
+      .withColumn("tot_base", sum(col("base")).over(wConv).cast("long"))
+      .withColumn("rn_last", row_number().over(wLast))
+      .withColumn("credit", col("base") +
+        when(col("rn_last") === 1, lit(1000000L) - col("tot_base"))
+          .otherwise(0L))
+    credited.groupBy(col("v_id"))
+      .agg(count(lit(1)).cast("long").as("n_conversions"),
+           sum(col("credit")).cast("long").as("credit_micro"))
+      .select(col("v_id").as("event_id"), col("n_conversions"),
+              col("credit_micro"))
+      .orderBy(col("event_id"))
+  }
+
   /** CEP "FOLLOWED BY" pattern match — the complex-event-processing query
     * class (the reference framework's flagship library) expressed
     * relationally: a VIEW matches when the user's FIRST following

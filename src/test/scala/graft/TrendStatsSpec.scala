@@ -344,6 +344,96 @@ class TrendStatsSpec extends SparkSpec {
     }
   }
 
+  test("time-decay attribution: per-conversion credits sum to exactly 1e6; recency weight halves per bucket") {
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts_ns div 1000").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val look = 24L * 3600L * 1000000L
+    val half = 6L * 3600L * 1000000L
+    val views = ev.filter(_._3 == "view")
+    val perView = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    for ((pId, pUser, _, pUs) <- ev.filter(_._3 == "purchase")) {
+      val ts = views.filter { case (vId, vUser, _, vUs) =>
+        vUser == pUser && (vUs < pUs || (vUs == pUs && vId < pId)) &&
+          pUs - vUs <= look
+      }.sortBy(v => (-v._4, -v._1)) // most recent first
+      if (ts.nonEmpty) {
+        val ws = ts.map(v => 1L << (3 - math.min((pUs - v._4) / half, 3L)).toInt)
+        val sw = ws.sum
+        val base = ws.map(w => 1000000L * w / sw)
+        val credits = base.updated(0, base.head + (1000000L - base.sum))
+        assert(credits.sum == 1000000L)
+        // weights are nonincreasing from most recent to oldest
+        assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+        for ((v, c) <- ts.zip(credits)) {
+          val (k, s) = perView.getOrElse(v._1, (0L, 0L))
+          perView(v._1) = (k + 1, s + c)
+        }
+      }
+    }
+    val got = Sessionize.attributionTimeDecay(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == perView.toMap)
+  }
+
+  test("clustering coefficient: consistent with the registered triangle and wedge counts; C in [0,1]") {
+    val row = Analytics.clusteringCoefficientUsers(spark, Sf0001).collect().head
+    val tri = Analytics.triangleCountUsers(spark, Sf0001).collect().head
+    val wedge = Analytics.wedgeStatsUsers(spark, Sf0001).collect().head
+    assert(row.getLong(1) == tri.getLong(1) && row.getLong(2) == tri.getLong(0))
+    assert(row.getLong(0) == wedge.getLong(0) && row.getLong(3) == wedge.getLong(2))
+    val c = row.getDouble(4)
+    assert(c == 3.0 * row.getLong(2) / row.getLong(3))
+    assert(c >= 0.0 && c <= 1.0)
+  }
+
+  test("cumulative users: monotone, gapless over event days, totals the distinct user count") {
+    val rows = Analytics.cumulativeUsersDaily(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val users = Tables.events(spark, Sf0001)
+      .filter(col("user_id").isNotNull).select(col("user_id")).distinct().count()
+    assert(rows.last._3 == users)
+    assert(rows.map(_._2).sum == users)
+    assert(rows.zip(rows.tail).forall { case (a, b) => b._3 >= a._3 })
+    // gapless: one row per distinct event day
+    val days = Tables.events(spark, Sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(expr(s"ts_ns div $DayNs")).distinct().count()
+    assert(rows.length == days)
+  }
+
+  test("rolling correlation: full-window rule; |r| <= 1; brute re-derivation on the day table") {
+    val got = Analytics.rollingCorrPair(spark, Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    // the FULL pre-filter day series (output drops warmup rows, so the
+    // brute windows must come from the raw daily table, not the output)
+    val dayset = daily.keys.collect {
+      case (t, d) if t == "view" || t == "click" => d
+    }.toSeq.distinct.sorted
+    val series = dayset.map(d =>
+      (d, daily.getOrElse(("view", d), (0L, 0L))._1,
+          daily.getOrElse(("click", d), (0L, 0L))._1))
+    assert(got.keySet == dayset.drop(6).toSet, "full-window rule")
+    for (i <- series.indices if i >= 6) {
+      val win = series.slice(i - 6, i + 1)
+      val xs = win.map(_._2.toDouble); val ys = win.map(_._3.toDouble)
+      val mx = xs.sum / 7; val my = ys.sum / 7
+      val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+      val vx = xs.map(a => (a - mx) * (a - mx)).sum
+      val vy = ys.map(b => (b - my) * (b - my)).sum
+      got(series(i)._1) match {
+        case Some(r) =>
+          assert(math.abs(r) <= 1.0 + 1e-12)
+          assert(math.abs(r - cov / (math.sqrt(vx) * math.sqrt(vy))) < 1e-9)
+        case None => assert(vx == 0.0 || vy == 0.0)
+      }
+    }
+  }
+
   test("backtest: n_pairs is rows-1 per type and MAE re-derives from the holt fold") {
     val perTypeRows = Tables.events(spark, Sf0001)
       .groupBy(col("event_type")).count().collect()
