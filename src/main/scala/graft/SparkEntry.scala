@@ -487,6 +487,12 @@ object SparkEntry {
     // 7-day rolling view/click co-movement: exact window moments, one
     // guarded double tree per full window
     "rolling_corr_view_click" -> ((s, dir) => Analytics.rollingCorrPair(s, dir)),
+    // the FIFTH stream-stream join type: padding flips to the b-side,
+    // run-HEAD counts observable as data
+    "q23ro_interval_join_right_outer" -> ((s, dir) => StatefulQueries.intervalJoinStreamingRightOuter(s, dir)),
+    // stateful dedup FEEDING a stateful windowed count in one
+    // append-mode plan — watermark-closed daily active users
+    "dau_daily_closed_streaming" -> ((s, dir) => StatefulQueries.dauDailyClosedStreaming(s, dir)),
     // pre-salting diagnostic: heaviest key + max/avg skew ratio in ppm
     "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
     // equi-depth decile binning against broadcast exact-percentile edges
@@ -4563,6 +4569,23 @@ object SparkEntry {
           | AND b.event_id > a.event_id
           | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
           |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+      // the right-outer anchor: every b-row appears; n_heads counts the
+      // padded run heads (no predecessor inside the window)
+      "q23ro_interval_join_right_outer" ->
+        """SELECT b.user_id, CAST(count(a.event_id) AS BIGINT) AS n_preds,
+          | CAST(sum(CASE WHEN a.event_id IS NULL THEN 1 ELSE 0 END)
+          |   AS BIGINT) AS n_heads
+          |FROM events b LEFT JOIN events a ON a.user_id = b.user_id
+          | AND b.event_id > a.event_id
+          | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+          |GROUP BY b.user_id ORDER BY b.user_id""".stripMargin,
+      // closed daily windows over deduplicated (user, day) arrivals ≡
+      // the batch per-day distinct count
+      "dau_daily_closed_streaming" ->
+        """SELECT epoch_us(ts) // 86400000000 AS day,
+          | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM events WHERE user_id IS NOT NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
       "dedup_exact_streaming"          -> base("dedup_exact"),
       "dedup_exact_native_streaming" ->
         """SELECT DISTINCT md5(lower(trim(text))) AS fp_md5

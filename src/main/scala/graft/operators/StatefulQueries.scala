@@ -1544,6 +1544,77 @@ object StatefulQueries {
       .agg(count(col("id_b")).as("n_pairs"))
       .orderBy(col("user_id"))
 
+  /** Q23's RIGHT OUTER twin — the FIFTH stream-stream join type through
+    * [[drainPairJoin]]'s shared scaffold, completing the matrix
+    * (inner / left outer / left semi / full outer / right outer). The
+    * null-padding direction flips: a match-less B-ROW (a run HEAD — no
+    * predecessor inside the window, the full-outer runs-identity's other
+    * half) emits padded from the LEFT side's state at the watermark's
+    * final eviction, so the finalize batch is load-bearing on the
+    * opposite store from left_outer's. The rollup makes the direction
+    * observable as data: per user, predecessor-pair count AND the padded
+    * head count (a left-outer rollup could never produce n_heads). */
+  def intervalJoinStreamingRightOuter(spark: SparkSession, sfDir: String,
+                                      gapMinutes: Int = 5): DataFrame =
+    drainPairJoin(spark, sfDir, gapMinutes, "right_outer")
+      .select(col("user_b").as("user_id"), col("id_a"))
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(col("id_a")).as("n_preds"),
+           sum(when(col("id_a").isNull, 1L).otherwise(0L)).cast("long")
+             .as("n_heads"))
+      .orderBy(col("user_id"))
+
+  /** WATERMARK-CLOSED DAILY ACTIVE USERS — the append-mode production
+    * form of the DAU report ([[graft.operators.FreqSketch]]'s
+    * hll_daily_users family): streaming (user, day) DEDUPLICATION
+    * composed with a windowed count, both state-bounded by the
+    * watermark. The dedup is `dropDuplicatesWithinWatermark` with a
+    * 25-hour delay — every duplicate of a (user, day) key arrives
+    * within 24 h of its first occurrence BY CONSTRUCTION (same calendar
+    * day), so the 25 h retention can never re-admit a duplicate while
+    * still evicting each key one day after its day ends; the daily
+    * windows close off the sentinel-advanced watermark (the
+    * ohlc_hourly_closed discipline) and the drain witnesses BOTH state
+    * operators evicting. This is the engine-surface composition the
+    * registry lacked: stateful dedup FEEDING a stateful windowed
+    * aggregate in one append-mode plan. */
+  def dauDailyClosedStreaming(spark: SparkSession, sfDir: String): DataFrame =
+    withNanosAsLong(spark) {
+      val dir = timeOrderedFilesCopy(spark, s"dauclosed:$sfDir",
+          Seq("d0.parquet", "d1.parquet", "d2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .filter(col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id"),
+                  timestamp_micros(expr("ts_ns div 1000")).as("ts"))
+        def sentinel(maxUs: Long) = ev.sparkSession.range(1).select(
+          lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000L)).as("ts"))
+        medianSplitWithSentinel(ev, "event_id", "ts")(sentinel)
+      }
+      val schema = spark.read.parquet(dir).schema
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "25 hours")
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .dropDuplicatesWithinWatermark("user_id", "day")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_users"))
+      drainToMemory(spark, agg, stateWidth = Some(8)) { q =>
+        val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        require(progs.nonEmpty, "no state-operator progress recorded")
+        val removed = progs.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+        val left = progs.last.stateOperators.map(_.numRowsTotal).sum
+        val totalRows = q.recentProgress.map(_.numInputRows).sum
+        // at most the sentinel's dedup key + its open window survive
+        require((removed > 0 || totalRows <= 1) && left <= 2,
+          s"dedup+window state not watermark-bounded: removed=$removed, left=$left")
+      }
+        .select(expr("unix_micros(window.start) div 86400000000").as("day"),
+                col("n_users").cast("long").as("n_users"))
+        .orderBy(col("day"))
+    }
+
   /** Q6 as a STREAM-STATIC join with a COMPLETE-mode streaming aggregation,
     * registered under q6's oracle — the two engine surfaces the other
     * streaming queries never touch: a streaming fact joined to a STATIC

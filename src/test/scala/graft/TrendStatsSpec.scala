@@ -434,6 +434,32 @@ class TrendStatsSpec extends SparkSpec {
     }
   }
 
+  test("right-outer stream join: pair counts anchor-invariant vs left outer; heads only where padding fired") {
+    val ro = StatefulQueries.intervalJoinStreamingRightOuter(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lo = StatefulQueries.intervalJoinStreamingOuter(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the per-user PAIR count is the same whichever side anchors the
+    // outer join (pairs are (a,b) with one shared user)
+    assert(ro.keySet == lo.keySet)
+    for ((u, (preds, heads)) <- ro) {
+      assert(preds == lo(u), s"user $u: pair count must be anchor-invariant")
+      assert(heads >= 1L, s"user $u: every user's first in-gap run has a head")
+    }
+  }
+
+  test("dau closed streaming: equals the batch per-day distinct count") {
+    val batch = Tables.events(spark, Sf0001)
+      .filter(col("user_id").isNotNull)
+      .select(expr(s"ts_ns div $DayNs").as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = StatefulQueries.dauDailyClosedStreaming(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+
   test("backtest: n_pairs is rows-1 per type and MAE re-derives from the holt fold") {
     val perTypeRows = Tables.events(spark, Sf0001)
       .groupBy(col("event_type")).count().collect()
