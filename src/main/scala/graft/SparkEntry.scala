@@ -493,6 +493,13 @@ object SparkEntry {
     // stateful dedup FEEDING a stateful windowed count in one
     // append-mode plan — watermark-closed daily active users
     "dau_daily_closed_streaming" -> ((s, dir) => StatefulQueries.dauDailyClosedStreaming(s, dir)),
+    // the third as-of direction (nearest either way, ties to prior);
+    // one user exchange, both conditional extrema share it
+    "q14n_asof_nearest" -> ((s, dir) => Sessionize.asofNearestSignup(s, dir)),
+    // SCD2 maintenance: adjacent same-tier versions merge (gaps-and-
+    // islands over intervals); compacted valid_to via lead(), no
+    // NULL-poisoned max
+    "scd2_compact_tiers" -> ((s, dir) => Relational.scd2CompactTiers(s, dir)),
     // pre-salting diagnostic: heaviest key + max/avg skew ratio in ppm
     "key_skew_report" -> ((s, dir) => Relational.keySkewReport(s, dir)),
     // equi-depth decile binning against broadcast exact-percentile edges
@@ -3299,6 +3306,56 @@ object SparkEntry {
         | CASE WHEN us - pr <= 604800000000 THEN pr END AS prior_signup_us,
         | CASE WHEN us - pr <= 604800000000 THEN us - pr END AS staleness_us
         |FROM p ORDER BY event_id""".stripMargin,
+    // nearest either direction in (ts, id) order; integer µs distances;
+    // ties to the PRIOR — stated identically on both sides
+    "q14n_asof_nearest" ->
+      """WITH d AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        | max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+        | min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+        |FROM events)
+        |SELECT event_id, user_id,
+        | CASE WHEN pr IS NULL AND nx IS NULL THEN NULL
+        |   WHEN nx IS NULL OR (pr IS NOT NULL AND us - pr <= nx - us)
+        |   THEN pr ELSE nx END AS nearest_signup_us,
+        | CASE WHEN pr IS NULL AND nx IS NULL THEN NULL
+        |   WHEN nx IS NULL OR (pr IS NOT NULL AND us - pr <= nx - us)
+        |   THEN us - pr ELSE nx - us END AS dist_us,
+        | CASE WHEN pr IS NULL AND nx IS NULL THEN NULL
+        |   WHEN nx IS NULL OR (pr IS NOT NULL AND us - pr <= nx - us)
+        |   THEN 'prior' ELSE 'next' END AS direction
+        |FROM d ORDER BY event_id""".stripMargin,
+    // islands over the SCD2 chain: tier-change marker -> running sum;
+    // compacted valid_to = next island's valid_from via lead()
+    "scd2_compact_tiers" ->
+      """WITH iv AS (SELECT user_id, event_id, value, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, us AS valid_from_us,
+        |    CAST(round(value * 100) AS BIGINT) // 10000 AS tier
+        |  FROM iv),
+        |m AS (SELECT user_id, event_id, valid_from_us, tier,
+        |    CASE WHEN lag(tier) OVER w IS NULL
+        |           OR tier <> lag(tier) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)),
+        |g AS (SELECT user_id, valid_from_us, tier,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS grp
+        |  FROM m),
+        |isl AS (SELECT user_id, grp, CAST(min(tier) AS BIGINT) AS tier,
+        |    min(valid_from_us) AS valid_from_us,
+        |    CAST(count(*) AS BIGINT) AS n_merged
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, tier, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us) AS valid_to_us,
+        |  n_merged
+        |FROM isl ORDER BY user_id, valid_from_us""".stripMargin,
     "q15_brand_set_ops" ->
       """(SELECT DISTINCT p_brand FROM part WHERE p_size >= 40
         | INTERSECT

@@ -1099,6 +1099,46 @@ object Relational {
       .orderBy(col("bin"))
   }
 
+  /** SCD2 HISTORY COMPACTION — the maintenance pass every slowly-changing
+    * dimension needs once a tracked attribute gets DERIVED at coarser
+    * grain: consecutive versions whose VALUE TIER (cents div 10000 — the
+    * pricing-band attribute) did not change merge into one interval, the
+    * classic gaps-and-islands collapse over [[scd2UserValues]]'s interval
+    * chain. Islands form off the exact-integer change marker (tier ≠
+    * previous tier → new island via a running sum — the
+    * userActivityStreaks machinery applied to intervals); each island
+    * emits its first valid_from, and the compacted valid_to is the NEXT
+    * island's valid_from via lead() — which sidesteps the NULL-poisoned
+    * max(valid_to) of an open last interval entirely and reconstructs
+    * the chain property (intervals tile the span, last one open) by
+    * construction. n_merged makes the compaction ratio data.
+    *
+    * Scale shape: everything rides ONE user-keyed exchange (the scd2
+    * build's own): the change-marker window, the island rollup, and the
+    * lead() all share it. */
+  def scd2CompactTiers(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    val marked = scd2UserValues(spark, sfDir)
+      .withColumn("tier", expr("cast(round(value * 100) as bigint) div 10000"))
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(w).isNull ||
+             col("tier") =!= lag(col("tier"), 1).over(w), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+    val islands = marked.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("tier")).as("tier"),
+           min(col("valid_from_us")).as("valid_from_us"),
+           count(lit(1)).cast("long").as("n_merged"))
+    islands
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))))
+      .select(col("user_id"), col("tier"), col("valid_from_us"),
+              col("valid_to_us"), col("n_merged"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   /** EXACT WEIGHTED MEDIAN of line-item price weighted by quantity, per
     * return flag — the "median dollar" (half the QUANTITY ships at or
     * below this price), which a plain median-of-rows misstates whenever

@@ -664,6 +664,43 @@ object Sessionize {
       .orderBy(col("event_id"))
   }
 
+  /** AS-OF NEAREST — `merge_asof(direction='nearest')`, the third as-of
+    * direction next to q14's backward and q14t's tolerance-bounded
+    * backward: for every event, the same user's CLOSEST signup in either
+    * direction (prior at-or-before vs next strictly-after in (ts, id)
+    * order), ties to the PRIOR (a stated rule — a float tiebreak would
+    * be undefined; integer µs distances make it exact). Emits the
+    * matched instant, the distance, and the direction as data.
+    *
+    * Scale shape: ONE user-keyed exchange shared by both conditional
+    * window extrema (the q14/cep plan) — never a self-join against the
+    * signup subsequence. */
+  def asofNearestSignup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val wP = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = base.rowsBetween(1, Window.unboundedFollowing)
+    val sig = when(col("event_type") === "signup", expr("ts_ns div 1000"))
+    val d = Tables.events(spark, sfDir)
+      .withColumn("us", expr("ts_ns div 1000"))
+      .withColumn("pr", max(sig).over(wP))
+      .withColumn("nx", min(sig).over(wN))
+      .withColumn("dp", col("us") - col("pr"))
+      .withColumn("dn", col("nx") - col("us"))
+    val priorWins = col("nx").isNull ||
+      (col("pr").isNotNull && col("dp") <= col("dn"))
+    d.select(col("event_id"), col("user_id"),
+        when(col("pr").isNull && col("nx").isNull, lit(null).cast("long"))
+          .when(priorWins, col("pr")).otherwise(col("nx"))
+          .as("nearest_signup_us"),
+        when(col("pr").isNull && col("nx").isNull, lit(null).cast("long"))
+          .when(priorWins, col("dp")).otherwise(col("dn"))
+          .as("dist_us"),
+        when(col("pr").isNull && col("nx").isNull, lit(null).cast("string"))
+          .when(priorWins, lit("prior")).otherwise(lit("next"))
+          .as("direction"))
+      .orderBy(col("event_id"))
+  }
+
   /** SLIDING (hopping) 1-hour window, 30-minute slide, per event_type —
     * the overlapping-window shape [[tumblingHourly]] does not cover: each
     * event lands in exactly window_len/slide = 2 windows, via Spark's

@@ -460,6 +460,81 @@ class TrendStatsSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("asof nearest: agrees with backward asof when prior is closer; dist is the true minimum") {
+    val prior = Sessionize.asofPriorSignup(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    // brute signup timeline per user
+    val ev = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              expr("ts_ns div 1000").as("us"), col("ts_ns"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val sigs = ev.filter(_._3 == "signup")
+      .groupBy(_._2).view.mapValues(_.map(s => (s._5, s._1, s._4)).sorted).toMap
+    val got = Sessionize.asofNearestSignup(spark, Sf0001).collect()
+    assert(got.nonEmpty && got.exists(r => !r.isNullAt(4) && r.getString(4) == "next"))
+    for (r <- got) {
+      val (id, u) = (r.getLong(0), r.getLong(1))
+      val row = ev.find(_._1 == id).get
+      val us = row._4
+      sigs.get(u) match {
+        case None => assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+        case Some(ss) =>
+          val before = ss.filter(s => (s._1, s._2) != ((row._5, id)) &&
+            (s._1 < row._5 || (s._1 == row._5 && s._2 < id)))
+            .map(_._3).lastOption
+          val pr = if (row._3 == "signup") Some(us) else before
+          val nx = ss.filter(s => s._1 > row._5 || (s._1 == row._5 && s._2 > id))
+            .map(_._3).headOption
+          val expect = (pr, nx) match {
+            case (None, None) => None
+            case (Some(p), None) => Some((p, us - p, "prior"))
+            case (None, Some(n)) => Some((n, n - us, "next"))
+            case (Some(p), Some(n)) =>
+              if (us - p <= n - us) Some((p, us - p, "prior"))
+              else Some((n, n - us, "next"))
+          }
+          expect match {
+            case None => assert(r.isNullAt(2))
+            case Some((t, dd, dir)) =>
+              assert(r.getLong(2) == t && r.getLong(3) == dd &&
+                r.getString(4) == dir, s"event $id")
+          }
+          // nearest never beaten by the backward match
+          prior(id).foreach(p => assert(r.getLong(3) <= us - p))
+      }
+    }
+  }
+
+  test("scd2 compaction: islands tile each user's span, adjacent tiers differ, merges sum to the version count") {
+    val raw = graft.operators.Relational.scd2UserValues(spark, Sf0001)
+      .select(col("user_id"), col("valid_from_us"),
+              expr("cast(round(value * 100) as bigint) div 10000").as("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = graft.operators.Relational.scd2CompactTiers(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+      .groupBy(_._1)
+    assert(got.keySet == raw.keySet)
+    var merged = 0L
+    for ((u, rows0) <- got) {
+      val rows = rows0.sortBy(_._3)
+      // tiling: each valid_to equals the next valid_from; last is open
+      for (Array(a, b) <- rows.sliding(2).map(_.toArray))
+        assert(a._4.contains(b._3) && a._2 != b._2,
+          s"user $u: islands must tile and adjacent tiers must differ")
+      assert(rows.last._4.isEmpty)
+      // first interval starts at the user's first version
+      assert(rows.head._3 == raw(u).map(_._2).min)
+      assert(rows.map(_._5).sum == raw(u).size.toLong)
+      merged += rows.map(_._5).sum - rows.length
+    }
+    assert(merged > 0, "the tier compaction must actually merge on the fixture")
+  }
+
   test("backtest: n_pairs is rows-1 per type and MAE re-derives from the holt fold") {
     val perTypeRows = Tables.events(spark, Sf0001)
       .groupBy(col("event_type")).count().collect()
