@@ -684,6 +684,7 @@ object SparkEntry {
     "q33_percentile_exact" -> ((s, dir) => Relational.percentileExact(s, dir)),
     // edit-distance-1 similarity join via deletion-neighborhood banding
     "fuzzy_join_editdist1" -> ((s, dir) => Analytics.fuzzyJoinEditDist1(s, dir)),
+    "fuzzy_bucket_stats" -> ((s, dir) => Analytics.fuzzyBucketStats(s, dir)),
     // fixed-point (integer-ppb) PageRank over the nation trade graph
     "pagerank_nations" -> ((s, dir) => Analytics.pagerankNations(s, dir)),
     // RFM quartile segmentation over the per-user aggregate
@@ -3213,6 +3214,25 @@ object SparkEntry {
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
+    // observability for the fuzzy-join bucket cap: the oracle restates the
+    // deletion-neighborhood signature explode and the same 2+/cap rollup
+    "fuzzy_bucket_stats" ->
+      """WITH sigs AS (
+        |  SELECT s_suppkey,
+        |    unnest(list_distinct(list_append(
+        |      list_transform(range(0, length(s_name)),
+        |        i -> concat(substring(s_name, 1, i), substring(s_name, i + 2))),
+        |      s_name))) AS sig
+        |  FROM supplier),
+        |b AS (SELECT sig, count(*) AS freq FROM sigs GROUP BY sig
+        |      HAVING count(*) >= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidate_buckets,
+        |  CAST(coalesce(max(freq), 0) AS BIGINT) AS max_bucket,
+        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_dropped_buckets,
+        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN freq ELSE 0 END), 0)
+        |    AS BIGINT) AS n_dropped_names
+        |FROM b""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),
         |f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
@@ -4627,7 +4647,10 @@ object SparkEntry {
           | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
           |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
       // the right-outer anchor: every b-row appears; n_heads counts the
-      // padded run heads (no predecessor inside the window)
+      // padded run heads (no predecessor inside the window). The engine's
+      // sentinel-exclusion filter (user_id >= 0) also excludes NULL and
+      // negative REAL users on both sides — stated here so the convention
+      // holds if a future fixture adds such rows (ADVICE r16 #2)
       "q23ro_interval_join_right_outer" ->
         """SELECT b.user_id, CAST(count(a.event_id) AS BIGINT) AS n_preds,
           | CAST(sum(CASE WHEN a.event_id IS NULL THEN 1 ELSE 0 END)
@@ -4635,6 +4658,7 @@ object SparkEntry {
           |FROM events b LEFT JOIN events a ON a.user_id = b.user_id
           | AND b.event_id > a.event_id
           | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+          |WHERE b.user_id >= 0
           |GROUP BY b.user_id ORDER BY b.user_id""".stripMargin,
       // closed daily windows over deduplicated (user, day) arrivals ≡
       // the batch per-day distinct count

@@ -840,17 +840,42 @@ object Analytics {
   def fuzzyJoinEditDist1Of(s: DataFrame): DataFrame =
     fuzzyPairsOf(s).orderBy(col("a_key"), col("b_key"))
 
-  /** The UNSORTED fuzzy-pair core — [[fuzzyJoinEditDist1Of]] minus the
-    * presentation sort, for consumers that immediately destroy order
-    * (the ER pipeline's connected components caches and repartitions the
-    * pairs; a sort before that is a dead wide exchange — the
-    * lshComponentsOf convention). */
-  private[graft] def fuzzyPairsOf(s: DataFrame): DataFrame = {
-    val sigs = s.select(col("s_suppkey"), col("s_name"),
+  /** Hot-bucket cap for the deletion-neighborhood signature join — the
+    * dedup family's cap-before-pair-generation discipline ([[Dedup]]'s
+    * `MaxLshBucketSize`) applied to [[fuzzyPairsOf]]: a signature bucket
+    * larger than this generates NO pairs instead of a quadratic blowup.
+    * Sized far above any fixture bucket (sf0.1 max is measured in the
+    * tens — [[fuzzyBucketStats]] is the observable) so shipped results
+    * are cap-invariant; on open-vocabulary input the drop is visible in
+    * the stats query, never a silent recall loss. */
+  private[graft] val MaxFuzzyBucketSize = 1024
+
+  /** The per-name deletion-neighborhood signature rows: identity plus
+    * every single-character deletion, distinct per name — the shared
+    * input of the pair generator and the bucket-stats observability
+    * query (the lshBandRowsOf convention). */
+  private[graft] def fuzzySigsOf(s: DataFrame): DataFrame =
+    s.select(col("s_suppkey"), col("s_name"),
       explode(array_union(array(col("s_name")),
         expr("transform(sequence(0, length(s_name) - 1), " +
              "i -> concat(substring(s_name, 1, i), substring(s_name, i + 2)))")))
         .as("sig"))
+
+  /** The UNSORTED fuzzy-pair core — [[fuzzyJoinEditDist1Of]] minus the
+    * presentation sort, for consumers that immediately destroy order
+    * (the ER pipeline's connected components caches and repartitions the
+    * pairs; a sort before that is a dead wide exchange — the
+    * lshComponentsOf convention). Buckets are capped BEFORE pair
+    * generation ([[MaxFuzzyBucketSize]]); singleton buckets are pruned in
+    * the same pass (they can emit no pair, so dropping them only shrinks
+    * the join input). */
+  private[graft] def fuzzyPairsOf(s: DataFrame,
+                                  maxBucketSize: Int = MaxFuzzyBucketSize): DataFrame = {
+    val bucketW = Window.partitionBy(col("sig"))
+    val sigs = fuzzySigsOf(s)
+      .withColumn("freq", count(lit(1)).over(bucketW))
+      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
+      .drop("freq")
     val a = sigs.select(col("sig"), col("s_suppkey").as("a_key"), col("s_name").as("a_name"))
     val b = sigs.select(col("sig"), col("s_suppkey").as("b_key"), col("s_name").as("b_name"))
     a.join(b, Seq("sig"))
@@ -861,6 +886,33 @@ object Analytics {
       .select(col("a_key"), col("b_key"),
               levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
   }
+
+  /** Observability for [[MaxFuzzyBucketSize]] (the Dedup `lshBucketStats`
+    * convention): over the supplier-name signature blocks, the candidate
+    * (2+-member) bucket count, the largest bucket, and how many buckets /
+    * member names the cap would drop. One narrow aggregation over the
+    * signature rows — strictly cheaper than the pair join it instruments;
+    * at 100 TB a spike in n_dropped_names means a name flood the upstream
+    * exact collapse had better be absorbing, and this query is how an
+    * operator SEES that instead of guessing. */
+  def fuzzyBucketStats(spark: SparkSession, sfDir: String,
+                       maxBucketSize: Int = MaxFuzzyBucketSize): DataFrame =
+    fuzzyBucketStatsOf(Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")), maxBucketSize)
+
+  /** [[fuzzyBucketStats]] over any (s_suppkey, s_name) frame — the
+    * testable core (AnalyticsSpec drives it with a synthetic hot block
+    * to witness the cap engaging). */
+  private[graft] def fuzzyBucketStatsOf(s: DataFrame, maxBucketSize: Int): DataFrame =
+    fuzzySigsOf(s)
+      .groupBy(col("sig")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= 2)
+      .agg(count(lit(1)).as("n_candidate_buckets"),
+        coalesce(max(col("freq")), lit(0L)).as("max_bucket"),
+        coalesce(sum(when(col("freq") > maxBucketSize, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n_dropped_buckets"),
+        coalesce(sum(when(col("freq") > maxBucketSize, col("freq")).otherwise(lit(0L))),
+          lit(0L)).as("n_dropped_names"))
 
   /** FIXED-POINT PAGERANK (3 iterations, damping 0.85) over the nation
     * trade graph: a directed edge src→dst wherever some customer of nation
@@ -2043,7 +2095,7 @@ object Analytics {
     * Scale shape: the name collapse is one map-side-combinable groupBy;
     * banding bounds candidate pairs by signature collisions; CC rounds
     * are O(log d); the map-back is a broadcast-sized join at fixture
-    * scale and a co-keyed name join generally. The oracle unrolls 4
+    * scale and a co-keyed name join generally. The oracle unrolls 8
     * plain min-label rounds over the same banded pairs (fixpoint ≤ 2
     * probed at every shipped SF — the cc_users horizon adjudication). */
   def entityResolutionParts(spark: SparkSession, sfDir: String): DataFrame = {

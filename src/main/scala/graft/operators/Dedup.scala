@@ -739,8 +739,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (nMatches.cast("double") / nSig).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      // a pair colliding in k bands appears k times with the same estimate
-      .groupBy(col("doc_a"), col("doc_b")).agg(first(col("est_jaccard")).as("est_jaccard"))
+      // a pair colliding in k bands appears k times with the same estimate;
+      // min() is an order-deterministic reduce over those identical copies
+      // (first() would be shuffle-order-dependent if the invariant ever broke)
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Connected components over the near-duplicate graph (LSH candidate
@@ -1101,8 +1103,8 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       // a pair within maxHamming collides in >= (4 - maxHamming) bands —
-      // dedup the repeats
-      .groupBy(col("doc_a"), col("doc_b")).agg(first(col("hamming")).as("hamming"))
+      // dedup the repeats via an order-deterministic min() reduce
+      .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -191,9 +191,9 @@ object Similarity {
       .withColumn("score", col("cdot") - lit(2.0) * dot(col("vec"), col("cvec")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("score"), col("cid"))).getField("cid").as("__cluster_raw"),
-           (carried.filter(_ != "vec_id").map(c => first(col(c)).as(c)) :+
+           (carried.filter(_ != "vec_id").map(c => min(col(c)).as(c)) :+
              count(lit(1)).as("__n")): _*)
-      // the first()-recovered carried columns are only sound when base rows
+      // the min()-recovered carried columns are only sound when base rows
       // are UNIQUE per vec_id (every consumer's contract); a duplicate
       // would silently merge rows with arbitrarily-mixed carried values, so
       // it must be an ERROR. Each unique row contributes exactly
@@ -521,8 +521,9 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
-      // a pair matching in k bands appears k times with the same cosine
-      .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
+      // a pair matching in k bands appears k times with the same cosine;
+      // min() dedups them order-deterministically
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("cos")).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

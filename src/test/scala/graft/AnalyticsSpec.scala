@@ -179,6 +179,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
   }
 
+  test("fuzzy bucket cap: a synthetic hot block is dropped, observably; fixture stats report zero drops") {
+    import spark.implicits._
+    // 20 length-2 names differing only in the first char: all share the
+    // deletion signature "z" (bucket size 20) and no other multi-member
+    // bucket, so capping at 8 must kill every pair — and the stats frame
+    // must SHOW the drop rather than silently losing recall
+    val hot = ('a' to 't').zipWithIndex
+      .map { case (c, i) => (i.toLong, s"${c}z") }.toDF("s_suppkey", "s_name")
+    val uncapped = Analytics.fuzzyPairsOf(hot).count()
+    assert(uncapped == 20L * 19 / 2) // every pair is a distance-1 substitution
+    assert(Analytics.fuzzyPairsOf(hot, maxBucketSize = 8).count() == 0)
+    val st = Analytics.fuzzyBucketStatsOf(hot, maxBucketSize = 8).head()
+    assert(st.getAs[Long]("n_dropped_buckets") == 1L)
+    assert(st.getAs[Long]("n_dropped_names") == 20L)
+    assert(st.getAs[Long]("max_bucket") == 20L)
+    // the production cap never engages at fixture scale: results there are
+    // cap-invariant by a wide margin
+    val fixture = Analytics.fuzzyBucketStats(spark, Sf0001).head()
+    assert(fixture.getAs[Long]("n_dropped_buckets") == 0L)
+    assert(fixture.getAs[Long]("max_bucket") < Analytics.MaxFuzzyBucketSize / 4)
+  }
+
   test("pagerank: every nation holds at least the teleport mass; total never exceeds 1.0") {
     val r = Analytics.pagerankNations(spark, Sf0001).cache()
     assert(r.count() == 25)

@@ -100,6 +100,7 @@ class TrendStatsSpec extends SparkSpec {
 
   test("ushape: every conversion's credits sum to exactly 1e6; totals match the qualifying-purchase count") {
     val ev = Tables.events(spark, Sf0001)
+      .filter(col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"),
               expr("ts_ns div 1000").as("us"))
       .collect()
@@ -175,7 +176,10 @@ class TrendStatsSpec extends SparkSpec {
   }
 
   test("streaks: islands re-derived brute; lens partition active days") {
+    // mirror the operator's NULL-user filter so a future NULL fixture row
+    // fails in the operator (visibly), not via getLong silently reading 0
     val ad = Tables.events(spark, Sf0001)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), expr(s"ts_ns div $DayNs").as("day")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
@@ -346,6 +350,7 @@ class TrendStatsSpec extends SparkSpec {
 
   test("time-decay attribution: per-conversion credits sum to exactly 1e6; recency weight halves per bucket") {
     val ev = Tables.events(spark, Sf0001)
+      .filter(col("user_id").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"),
               expr("ts_ns div 1000").as("us"))
       .collect()
