@@ -3741,8 +3741,8 @@ object SparkEntry {
         |         * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
         |         * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z
         |FROM a""".stripMargin,
-    // right-censoring at horizon-90d; hazard increments ppm-quantized so
-    // the cumulative hazard is an exact integer running sum (no float Σ)
+    // right-censoring at horizon-90d; hazard increments ppb-quantized (r16,
+    // was ppm) so the cumulative hazard is an exact integer running sum
     "survival_nelson_aalen" ->
       """WITH s AS (SELECT o_custkey,
         |    min(epoch_us(date_trunc('day', o_orderdate)) // 86400000000) AS fst,

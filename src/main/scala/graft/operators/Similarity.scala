@@ -305,9 +305,27 @@ object Similarity {
     if (hit != null) hit.asInstanceOf[T]
     else {
       val built = train
+      modelBuilds.computeIfAbsent(key,
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
       val prior = modelCache.putIfAbsent(key, built)
       (if (prior != null) prior else built).asInstanceOf[T]
     }
+  }
+  /** Per-key TRAIN count — distinct from key-set presence: a cache-scope
+    * regression that re-runs `train` under an existing key (or races one
+    * key through two builders sequentially) leaves the key set unchanged
+    * but shows up here. KMeansSpec pins warm repeats to zero new builds. */
+  private val modelBuilds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  /** How many times `train` actually ran for `key` this session. */
+  private[graft] def modelBuildCount(key: String): Long = {
+    val c = modelBuilds.get(key)
+    if (c == null) 0L else c.get()
+  }
+  /** Total train executions across all keys this session. */
+  private[graft] def modelBuildTotal: Long = {
+    import scala.jdk.CollectionConverters._
+    modelBuilds.values.asScala.map(_.get()).sum
   }
   /** Number of cached trained models — lets tests pin that repeat
     * searches share a build instead of silently retraining. */
@@ -323,7 +341,10 @@ object Similarity {
     * a long-lived driver that regenerates data under the SAME path (or a
     * test reusing a temp path) must call this, exactly like rebuilding any
     * external index after its source moved underneath it. */
-  private[graft] def clearModelCache(): Unit = modelCache.clear()
+  private[graft] def clearModelCache(): Unit = {
+    modelCache.clear()
+    modelBuilds.clear() // keep the build ledger coherent with the cache
+  }
   /** The coarse quantizer's cache key for (corpus, k, rounds) — exposed so
     * specs pin the exact entry a search shares, not a count. */
   private[graft] def coarseModelKey(sfDir: String, k: Int, rounds: Int = 2): String =

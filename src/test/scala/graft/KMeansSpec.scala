@@ -273,6 +273,33 @@ class KMeansSpec extends SparkSpec {
     assert(coarseKey4 !== coarseKey)
   }
 
+  test("model-cache lifecycle: warm standalone ANN queries trigger ZERO new trains") {
+    // the r16 verdict's cache-scope pin: key-set stability alone cannot
+    // catch a regression that re-RUNS train under an existing key, so this
+    // gate is on actual train executions. Warm the whole trained family
+    // once, snapshot the total build count, then run every standalone
+    // trained-path query again — construction AND execution must add no
+    // build: a drift in any memoModel key format (or an accidental
+    // per-query model scope) fails here, not as a silent bench regression
+    Similarity.ivfTrainedTopK(spark, Sf0001).count()
+    Similarity.ivfTrainedMultiProbeTopK(spark, Sf0001, nProbe = 2).count()
+    Similarity.hybridRrfIvfTopK(spark, Sf0001).count()
+    Similarity.annRecall(spark, Sf0001).count()
+    val coarseKey = Similarity.coarseModelKey(Sf0001, k = 8)
+    assert(Similarity.modelBuildCount(coarseKey) == 1L,
+      s"the shared coarse model trained ${Similarity.modelBuildCount(coarseKey)}x " +
+        "in a single-threaded warmup — it must train exactly once per session")
+    val warm = Similarity.modelBuildTotal
+    Similarity.ivfTrainedTopK(spark, Sf0001).count()
+    Similarity.ivfTrainedMultiProbeTopK(spark, Sf0001, nProbe = 2).count()
+    Similarity.hybridRrfIvfTopK(spark, Sf0001).count()
+    Similarity.annRecall(spark, Sf0001).count()
+    assert(Similarity.modelBuildTotal == warm,
+      "a warm repeat of the trained ANN family re-ran training " +
+        s"(${Similarity.modelBuildTotal - warm} new builds) — Lloyd stages are " +
+        "leaking into the standalone warm path")
+  }
+
   test("recall report: the brute-force truth table is cached per (corpus, k, queryMod)") {
     // ann_recall's ground truth is a trained artifact like any model: the
     // first report may add the entry, a repeat report for the SAME
