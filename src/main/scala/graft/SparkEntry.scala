@@ -571,6 +571,10 @@ object SparkEntry {
     // each bar emits exactly once when the watermark passes its hour end
     // and leaves the store; late ticks drop observably
     "ohlc_hourly_closed" -> ((s, dir) => Indicators.ohlcHourlyClosed(s, dir)),
+    // the Flink sideOutputLateData contract: the ticks the closed-bar
+    // query drops, EMITTED as a second output, routed per row by the
+    // engine's own watermark (deterministic-lateness replay tape)
+    "ohlc_late_sideoutput" -> ((s, dir) => Indicators.ohlcLateSideOutput(s, dir)),
     // signal generation downstream of the indicators: golden/death SMA
     // crosses, all-integer cross-multiplied comparison
     "signal_sma_cross" -> ((s, dir) => Indicators.smaCrossSignals(s, dir)),
@@ -4723,6 +4727,21 @@ object SparkEntry {
       // hour; the sentinel flush closes every real bar, so the closed-bar
       // table IS the batch bar table
       "ohlc_hourly_closed"             -> base("ohlc_hourly"),
+      // the replay (bulk, per-type watermark carriers, stragglers =
+      // event_id % 97 == 0) makes late exactly the stragglers whose bar
+      // the bulk watermark (ms-floored max bulk ts) had already closed —
+      // stragglers in the bulk's final open hour merge, like the
+      // aggregate. The engine routes per row off its own stored watermark
+      "ohlc_late_sideoutput" ->
+        """WITH mx AS (SELECT max(epoch_us(ts)) // 1000 * 1000 AS wm_us
+          |            FROM events WHERE event_id % 97 <> 0)
+          |SELECT event_id,
+          |  epoch_us(ts) // 3600000000 * 3600 AS hour_start,
+          |  event_type, value
+          |FROM events, mx
+          |WHERE event_id % 97 = 0
+          |  AND (epoch_us(ts) // 3600000000 + 1) * 3600000000 <= mx.wm_us
+          |ORDER BY event_id""".stripMargin,
       // incremental MERGE maintenance ≡ global lead(): the maintained
       // table's as-of snapshot answers the read-side form's oracle
       "scd2_upsert_snapshot"           -> base("scd2_asof_snapshot"),

@@ -247,6 +247,114 @@ object Indicators {
     (bars, dropped)
   }
 
+  /** A tick routed to the late side output: the bar it belonged to
+    * (already closed and evicted when it arrived) plus the tick's own
+    * identity — what a downstream repair/audit job needs. */
+  private[graft] case class LateTick(event_id: Long, ts: java.sql.Timestamp,
+                                     event_type: String, value: Double)
+  private[graft] case class LateOut(event_id: Long, hour_start: Long,
+                                    event_type: String, value: Double)
+
+  /** LATE-DATA SIDE OUTPUT — the Flink `sideOutputLateData` contract
+    * (reference framework surface; the repo's drop-COUNTER witness sees
+    * that late rows vanished, this op EMITS them): a second streaming
+    * output carrying exactly the ticks the closed-bar query drops, routed
+    * by the ENGINE'S OWN event-time watermark, not by fixture knowledge.
+    *
+    * The drop rule it must mirror (probed — the first cut of this op got
+    * it wrong and the partition spec caught it): the aggregate drops a
+    * row iff its bar was evicted in a PRIOR batch. Eviction in batch N
+    * uses batch N's watermark, but a row arriving in the very batch whose
+    * watermark closes its bar still MERGES (late-event filtering uses the
+    * PREVIOUS batch's watermark — Spark's two-watermark model). So the
+    * tagger, a flatMapGroupsWithState keyed like the bar aggregate,
+    * stores each batch's `getCurrentWatermarkMs()` in its state and
+    * classifies rows against the value STORED LAST BATCH: hour end ≤
+    * previous watermark ⟺ the bar is already evicted ⟺ the aggregate
+    * discards the row. NoTimeout is load-bearing: fMGWS pre-filters
+    * sub-watermark input rows only under EventTimeTimeout, so the tagger
+    * still SEES the late rows it must route. Main + side then partition
+    * the input exactly (spec-witnessed) — exact for keys that observe
+    * every batch (the registered tape guarantees it with per-type
+    * watermark-carrier rows); a key skipping batches holds a conservative
+    * (older) watermark, the documented approximation of Flink's
+    * operator-global watermark under per-key state.
+    *
+    * Scale shape: the tagger is one long of state per key behind one
+    * shuffle on the bar key — strictly cheaper than the bar aggregate it
+    * shadows; output is bounded by the late-arrival rate. At 100 TB the
+    * side stream feeds the repair path (backfill/correction journal)
+    * instead of silently losing ticks. */
+  private[graft] def lateSideOutputDrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val HourUs = 3600000000L
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .withWatermark("ts", "0 seconds")
+    val side = stream.as[LateTick]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, LateOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Long]) =>
+          val prevWmUs = state.getOption.getOrElse(0L)
+          // all state access happens BEFORE the lazy row iterator returns
+          state.update(state.getCurrentWatermarkMs() * 1000L)
+          rows.flatMap { r =>
+            val us = r.ts.getTime * 1000L + (r.ts.getNanos % 1000000) / 1000
+            val hourEndUs = (us / HourUs + 1L) * HourUs
+            if (hourEndUs <= prevWmUs)
+              Some(LateOut(r.event_id, (us / HourUs) * 3600L, key, r.value))
+            else None
+          }
+      }
+    StatefulQueries.drainToMemory(spark, side.toDF(), stateWidth = Some(8))()
+      .filter(col("event_id") >= 0) // watermark-carrier / sentinel rows out
+  }
+
+  /** [[lateSideOutputDrain]] as a registered gate query with DETERMINISTIC
+    * lateness: the tape replays the bulk (event_id % 97 != 0) first, then
+    * one far-future WATERMARK-CARRIER row per event_type (each tagger key
+    * must observe the bulk-derived watermark — the per-key face of the
+    * aggregate's global one), then the stragglers (event_id % 97 == 0).
+    * The engine must route to the side output exactly the stragglers
+    * whose bar the bulk watermark had closed — hour end ≤ the ms-floored
+    * bulk max — and the oracle states that set in plain SQL (stragglers
+    * inside the bulk's final open hour MERGE, like the aggregate).
+    * The ENGINE still decides per row (the tagger never sees the 97): a
+    * watermark-plumbing bug surfaces as a hash mismatch, not a silent
+    * drop. */
+  def ohlcLateSideOutput(spark: SparkSession, sfDir: String): DataFrame =
+    StatefulQueries.withNanosAsLong(spark) {
+      val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"ohlclate:$sfDir",
+          Seq("l0.parquet", "l1.parquet", "l2.parquet")) {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("event_id"), timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+                  col("event_type"), col("value"))
+        val maxRow = ev.agg(max(unix_micros(col("ts")))).head()
+        val maxUs = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+        val carriers = ev.select(col("event_type")).distinct().select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 30L * 24 * 3600 * 1000000L)).as("ts"),
+          col("event_type"),
+          lit(0.0).as("value"))
+        Seq(ev.filter(col("event_id") % 97 =!= 0), carriers,
+            ev.filter(col("event_id") % 97 === 0))
+      }
+      lateSideOutputDrain(spark, dir)
+    }.orderBy(col("event_id"))
+
+  /** [[closedBarReplayOf]]'s side-output twin for specs: BOTH outputs of
+    * the same replayed tape — the closed bars and the engine-routed late
+    * side output — so a test can assert they partition the input. */
+  private[graft] def lateSideOutputReplayOf(
+      spark: SparkSession, frames: Seq[DataFrame], tag: String): (DataFrame, DataFrame) = {
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, tag,
+      frames.indices.map(i => s"s$i.parquet"))(frames)
+    (closedBarDrain(spark, dir, requireEviction = true), lateSideOutputDrain(spark, dir))
+  }
+
   /** Bollinger bands: trailing-20-tick mean ± 2σ per event_type. The
     * frame's Σx and Σx² are exact BIGINT sums of integer cents, the
     * population variance numerator n·Σx² − (Σx)² is exact (20 ticks ×

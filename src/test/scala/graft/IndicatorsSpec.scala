@@ -71,6 +71,50 @@ class IndicatorsSpec extends SparkSpec {
     assert(got(2).getAs[Long]("n_events") == 1L)
   }
 
+  test("late side output: engine-watermark routing partitions the tape into bars XOR side") {
+    // the sideOutputLateData contract: every input tick lands in exactly
+    // one place — merged into some emitted bar, or emitted on the side
+    // stream — decided by the ENGINE's watermark, under the aggregate's
+    // two-watermark drop rule (a row drops iff its bar was evicted in a
+    // PRIOR batch). The fixture carries both late classes: id4 arrives a
+    // batch AFTER the f1-batch watermark (12.5h, from f0's max) evicted
+    // its hour-10 bar → side output; id5 arrives in the SAME batch but its
+    // hour-12 bar (end 13h > 12.5h) is still in state → it must MERGE, not
+    // side-emit, exactly like the aggregate (this distinction is what
+    // killed the first, current-watermark cut of the tagger)
+    def frame(rows: Seq[(Long, Long, String, Double)]) =
+      graft.operators.Indicators.tickFrame(spark, rows)
+    val H = 3600L * 1000000L
+    val f0 = frame(Seq((0L, 10L * H + 1L, "a", 5.0), (1L, 10L * H + 2L, "a", 9.0),
+                       (2L, 12L * H + 1800L * 1000000L, "a", 7.0)))
+    val f1 = frame(Seq((3L, 14L * H + 1L, "a", 8.0)))
+    val f2 = frame(Seq((4L, 10L * H + 3L, "a", 100.0),
+                       (5L, 12L * H + 2400L * 1000000L, "a", 6.0)))
+    // the sentinel rides the SAME type so the tagger key observes every
+    // batch; its far-future bar never closes, so it never reaches output
+    val sent = frame(Seq((-1L, 45L * H, "a", 0.0)))
+    val (bars, side) = graft.operators.Indicators.lateSideOutputReplayOf(
+      spark, Seq(f0, f1, f2, sent), "ohlc-sideoutput-spec")
+    val s = side.collect()
+    assert(s.length == 1, s"side output must hold exactly the evicted-bar tick, got ${s.length}")
+    assert(s(0).getAs[Long]("event_id") == 4L)
+    assert(s(0).getAs[Long]("hour_start") == 10L * 3600L)
+    assert(s(0).getAs[Double]("value") == 100.0)
+    val got = bars.orderBy(col("hour_start")).collect()
+    assert(got.length == 3)
+    // partition: 6 real ticks = 5 aggregated + 1 side-emitted
+    assert(got.map(_.getAs[Long]("n_events")).sum + s.length == 6)
+    val h10 = got(0)
+    assert(h10.getAs[Long]("n_events") == 2L && h10.getAs[Double]("high") == 9.0)
+    // the merged-late tick: id5 is INSIDE the hour-12 bar (close = 6.0 by
+    // max event_id) and absent from the side output
+    val h12 = got(1)
+    assert(h12.getAs[Long]("hour_start") == 12L * 3600L)
+    assert(h12.getAs[Long]("n_events") == 2L)
+    assert(h12.getAs[Double]("open") == 7.0 && h12.getAs[Double]("close") == 6.0)
+    assert(got(2).getAs[Long]("n_events") == 1L)
+  }
+
   test("vwap: lies within the bar's price range (cents tolerance) and weights are positive") {
     val v = Indicators.vwapHourly(spark, Sf0001)
     val o = Indicators.ohlcHourly(spark, Sf0001)
