@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Super-linear-shape detector over three bench scales.
+
+Usage: scaling_ratio.py BENCH_sf0.001.json BENCH_sf0.01.json BENCH_sf0.1.json OUT.json
+
+Model: t(s) = c + v*s for a linear-in-data query, where c is the
+per-query fixed floor (JVM/planning/micro-batch scaffold) and v the
+data-proportional cost. The two small scales identify the model
+(data ratio 10x): c = max(0, (10*t1 - t2) / 9), v10 = t2 - c
+(the per-sf0.01-unit variable cost). A linear query then predicts
+t(sf0.1) = c + 10*v10; a super-linear one overshoots. Flag when the
+measured sf0.1 time exceeds the prediction by BOTH a ratio (>2x the
+predicted variable part, i.e. measured_var > 2 * 10*v10) and an
+absolute margin (>1.0 s), so noise on sub-second queries never flags.
+Queries with negligible variable cost at both small scales use the
+absolute test against the floor alone.
+"""
+import json
+import sys
+
+
+def main() -> None:
+    b1, b2, b3, out = sys.argv[1:5]
+    t1 = json.load(open(b1))["queries"]  # sf0.001
+    t2 = json.load(open(b2))["queries"]  # sf0.01
+    t3 = json.load(open(b3))["queries"]  # sf0.1
+    rows = {}
+    flagged = []
+    for q in sorted(t3):
+        a, b, c3 = t1.get(q), t2.get(q), t3[q]
+        if a is None or b is None:
+            continue
+        floor = max(0.0, (10.0 * a - b) / 9.0)
+        v10 = max(0.0, b - floor)  # variable cost at sf0.01
+        pred = floor + 10.0 * v10
+        measured_var = max(0.0, c3 - floor)
+        ratio = (measured_var / (10.0 * v10)) if v10 > 1e-3 else None
+        over = c3 - pred
+        is_flag = over > 1.0 and (ratio is None or ratio > 2.0)
+        rows[q] = {
+            "t_sf0.001": round(a, 3), "t_sf0.01": round(b, 3),
+            "t_sf0.1": round(c3, 3), "floor_est": round(floor, 3),
+            "pred_sf0.1_linear": round(pred, 3),
+            "excess_sec": round(over, 3),
+            "var_ratio_vs_linear": round(ratio, 2) if ratio is not None else None,
+            "flagged": is_flag,
+        }
+        if is_flag:
+            flagged.append(q)
+    artifact = {
+        "model": "t(s) = floor + var*s; floor from (sf0.001, sf0.01); "
+                 "flag: sf0.1 exceeds linear prediction by >1.0s AND >2x "
+                 "the predicted variable part",
+        "n_queries": len(rows), "flagged": flagged, "queries": rows,
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"{len(rows)} queries, {len(flagged)} flagged: {flagged}")
+
+
+if __name__ == "__main__":
+    main()
