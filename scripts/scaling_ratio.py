@@ -26,9 +26,11 @@ def main() -> None:
     t3 = json.load(open(b3))["queries"]  # sf0.1
     rows = {}
     flagged = []
-    for q in sorted(t3):
-        a, b, c3 = t1.get(q), t2.get(q), t3[q]
-        if a is None or b is None:
+    skipped = []  # no silent coverage shrink: every skip is in the artifact
+    for q in sorted(set(t1) | set(t2) | set(t3)):
+        a, b, c3 = t1.get(q), t2.get(q), t3.get(q)
+        if not all(isinstance(x, (int, float)) for x in (a, b, c3)):
+            skipped.append(q)
             continue
         floor = max(0.0, (10.0 * a - b) / 9.0)
         v10 = max(0.0, b - floor)  # variable cost at sf0.01
@@ -51,11 +53,15 @@ def main() -> None:
         "model": "t(s) = floor + var*s; floor from (sf0.001, sf0.01); "
                  "flag: sf0.1 exceeds linear prediction by >1.0s AND >2x "
                  "the predicted variable part",
-        "n_queries": len(rows), "flagged": flagged, "queries": rows,
+        "n_queries": len(rows), "flagged": flagged,
+        "skipped_missing_or_nonnumeric": skipped, "queries": rows,
     }
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"{len(rows)} queries, {len(flagged)} flagged: {flagged}")
+    if skipped:
+        print(f"WARNING: {len(skipped)} queries skipped "
+              f"(missing from a bench or non-numeric): {skipped}")
 
 
 if __name__ == "__main__":

@@ -689,6 +689,7 @@ object SparkEntry {
     // edit-distance-1 similarity join via deletion-neighborhood banding
     "fuzzy_join_editdist1" -> ((s, dir) => Analytics.fuzzyJoinEditDist1(s, dir)),
     "fuzzy_bucket_stats" -> ((s, dir) => Analytics.fuzzyBucketStats(s, dir)),
+    "fuzzy_bucket_stats_parts" -> ((s, dir) => Analytics.fuzzyBucketStatsParts(s, dir)),
     // fixed-point (integer-ppb) PageRank over the nation trade graph
     "pagerank_nations" -> ((s, dir) => Analytics.pagerankNations(s, dir)),
     // RFM quartile segmentation over the per-user aggregate
@@ -3235,7 +3236,28 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) AS n_dropped_buckets,
         |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN freq ELSE 0 END), 0)
-        |    AS BIGINT) AS n_dropped_names
+        |    AS BIGINT) AS n_dropped_memberships
+        |FROM b""".stripMargin,
+    // the same rollup over the ER input (collapsed distinct part names) —
+    // the cap's headroom observable for every gated fuzzyPairsOf consumer
+    "fuzzy_bucket_stats_parts" ->
+      """WITH names AS (SELECT p_name AS nm,
+        |    CAST(min(p_partkey) AS BIGINT) AS nid FROM part GROUP BY 1),
+        |sigs AS (
+        |  SELECT nid,
+        |    unnest(list_distinct(list_append(
+        |      list_transform(range(0, length(nm)),
+        |        i -> concat(substring(nm, 1, i), substring(nm, i + 2))),
+        |      nm))) AS sig
+        |  FROM names),
+        |b AS (SELECT sig, count(*) AS freq FROM sigs GROUP BY sig
+        |      HAVING count(*) >= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_candidate_buckets,
+        |  CAST(coalesce(max(freq), 0) AS BIGINT) AS max_bucket,
+        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_dropped_buckets,
+        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN freq ELSE 0 END), 0)
+        |    AS BIGINT) AS n_dropped_memberships
         |FROM b""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT user_id, (epoch_us(ts) // 604800000000) AS week FROM events),

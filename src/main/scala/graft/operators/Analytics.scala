@@ -845,9 +845,14 @@ object Analytics {
     * `MaxLshBucketSize`) applied to [[fuzzyPairsOf]]: a signature bucket
     * larger than this generates NO pairs instead of a quadratic blowup.
     * Sized far above any fixture bucket (sf0.1 max is measured in the
-    * tens — [[fuzzyBucketStats]] is the observable) so shipped results
-    * are cap-invariant; on open-vocabulary input the drop is visible in
-    * the stats query, never a silent recall loss. */
+    * tens on BOTH gated inputs — [[fuzzyBucketStats]] instruments the
+    * supplier-name form, [[fuzzyBucketStatsParts]] the ER part-name
+    * form) so shipped results are cap-invariant; on open-vocabulary
+    * input the drop is visible in the stats queries, never a silent
+    * recall loss. The gate oracles deliberately state the UNCAPPED
+    * definition: if a fixture ever grows a bucket past the cap, the
+    * gate fails loudly instead of both sides silently agreeing on a
+    * lossy answer. */
   private[graft] val MaxFuzzyBucketSize = 1024
 
   /** The per-name deletion-neighborhood signature rows: identity plus
@@ -871,16 +876,16 @@ object Analytics {
     * the join input). */
   private[graft] def fuzzyPairsOf(s: DataFrame,
                                   maxBucketSize: Int = MaxFuzzyBucketSize): DataFrame = {
-    val bucketW = Window.partitionBy(col("sig"))
-    val sigs = fuzzySigsOf(s)
-      .withColumn("freq", count(lit(1)).over(bucketW))
-      .filter(col("freq") >= 2 && col("freq") <= maxBucketSize)
-      .drop("freq")
-    val a = sigs.select(col("sig"), col("s_suppkey").as("a_key"), col("s_name").as("a_name"))
-    val b = sigs.select(col("sig"), col("s_suppkey").as("b_key"), col("s_name").as("b_name"))
-    a.join(b, Seq("sig"))
-      .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+    // ONE cap implementation in the repo: Dedup.cappedBucketPairs (the
+    // LSH/SimHash families' collect_list pair generator — window-capped
+    // buckets, no B² self-join re-expansion), fed (key, name) as the
+    // item struct
+    val exploded = fuzzySigsOf(s)
+      .select(struct(col("s_suppkey").as("doc_id"), col("s_name").as("nm")).as("item"),
+              col("sig"))
+    Dedup.cappedBucketPairs(exploded, Seq(col("sig")), maxBucketSize)
+      .select(col("a.doc_id").as("a_key"), col("b.doc_id").as("b_key"),
+              col("a.nm").as("a_name"), col("b.nm").as("b_name"))
       .distinct()
       .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
       .select(col("a_key"), col("b_key"),
@@ -900,9 +905,23 @@ object Analytics {
     fuzzyBucketStatsOf(Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"), col("s_name")), maxBucketSize)
 
+  /** [[fuzzyBucketStats]] over the ENTITY-RESOLUTION input — the collapsed
+    * distinct part names [[entityResolutionParts]] actually bands — so the
+    * cap's headroom is observable on every gated consumer of
+    * [[fuzzyPairsOf]], not just the supplier join (r17 review: the ER
+    * input previously had no observable at all). */
+  def fuzzyBucketStatsParts(spark: SparkSession, sfDir: String,
+                            maxBucketSize: Int = MaxFuzzyBucketSize): DataFrame =
+    fuzzyBucketStatsOf(Tables.table(spark, sfDir, "part")
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("nid"))
+      .select(col("nid").as("s_suppkey"), col("p_name").as("s_name")), maxBucketSize)
+
   /** [[fuzzyBucketStats]] over any (s_suppkey, s_name) frame — the
     * testable core (AnalyticsSpec drives it with a synthetic hot block
-    * to witness the cap engaging). */
+    * to witness the cap engaging). `n_dropped_memberships` counts bucket
+    * MEMBERSHIPS, not distinct names: a name whose signatures land in two
+    * over-cap buckets contributes twice (the honest unit — each dropped
+    * membership is one lost pairing opportunity). */
   private[graft] def fuzzyBucketStatsOf(s: DataFrame, maxBucketSize: Int): DataFrame =
     fuzzySigsOf(s)
       .groupBy(col("sig")).agg(count(lit(1)).as("freq"))
@@ -912,7 +931,7 @@ object Analytics {
         coalesce(sum(when(col("freq") > maxBucketSize, lit(1L)).otherwise(lit(0L))),
           lit(0L)).as("n_dropped_buckets"),
         coalesce(sum(when(col("freq") > maxBucketSize, col("freq")).otherwise(lit(0L))),
-          lit(0L)).as("n_dropped_names"))
+          lit(0L)).as("n_dropped_memberships"))
 
   /** FIXED-POINT PAGERANK (3 iterations, damping 0.85) over the nation
     * trade graph: a directed edge src→dst wherever some customer of nation

@@ -666,8 +666,8 @@ object Dedup {
     * `exploded` must carry an `item` struct with a `doc_id` field plus the
     * bucket key columns; returns (a, b) struct pairs with a.doc_id <
     * b.doc_id. */
-  private def cappedBucketPairs(exploded: DataFrame, keys: Seq[org.apache.spark.sql.Column],
-                                maxBucketSize: Int): DataFrame = {
+  private[graft] def cappedBucketPairs(exploded: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+                                       maxBucketSize: Int): DataFrame = {
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
     exploded
       .withColumn("freq", count(lit(1)).over(bucketW))

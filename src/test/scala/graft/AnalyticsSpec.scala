@@ -192,13 +192,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.fuzzyPairsOf(hot, maxBucketSize = 8).count() == 0)
     val st = Analytics.fuzzyBucketStatsOf(hot, maxBucketSize = 8).head()
     assert(st.getAs[Long]("n_dropped_buckets") == 1L)
-    assert(st.getAs[Long]("n_dropped_names") == 20L)
+    assert(st.getAs[Long]("n_dropped_memberships") == 20L)
     assert(st.getAs[Long]("max_bucket") == 20L)
     // the production cap never engages at fixture scale: results there are
-    // cap-invariant by a wide margin
+    // cap-invariant by a wide margin — on BOTH gated fuzzyPairsOf inputs
+    // (the supplier join and the ER part-name collapse)
     val fixture = Analytics.fuzzyBucketStats(spark, Sf0001).head()
     assert(fixture.getAs[Long]("n_dropped_buckets") == 0L)
     assert(fixture.getAs[Long]("max_bucket") < Analytics.MaxFuzzyBucketSize / 4)
+    val parts = Analytics.fuzzyBucketStatsParts(spark, Sf0001).head()
+    assert(parts.getAs[Long]("n_dropped_buckets") == 0L)
+    assert(parts.getAs[Long]("max_bucket") < Analytics.MaxFuzzyBucketSize / 4)
   }
 
   test("pagerank: every nation holds at least the teleport mass; total never exceeds 1.0") {
