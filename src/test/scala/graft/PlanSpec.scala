@@ -629,6 +629,28 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
   }
 
+  test("fuzzy family: signature-bucket equi-joins only — no quadratic join shapes") {
+    // the deletion-neighborhood join's whole point is that candidates come
+    // from bucket co-membership; a plan regression to a cross/nested-loop
+    // join would be quadratic in names and invisible at fixture scale
+    for (q <- Seq("fuzzy_join_editdist1", "fuzzy_bucket_stats",
+                  "fuzzy_bucket_stats_parts")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+    // the pair generator itself: capped collect_list buckets double-explode
+    // (the Dedup.cappedBucketPairs shape) — no self-JOIN re-expansion
+    val pairs = graft.operators.Analytics.fuzzyPairsOf(
+      graft.io.Tables.supplier(spark, Sf0001)
+        .select(org.apache.spark.sql.functions.col("s_suppkey"),
+                org.apache.spark.sql.functions.col("s_name")))
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("ShuffledHashJoin") &&
+           !pp.contains("CartesianProduct"),
+      s"fuzzyPairsOf pairs via a join instead of capped bucket explode: $pp")
+  }
+
   test("user-scale graph results are executor-side checkpoints, never a driver LocalRelation") {
     // the r15 review finding: these four return USER-cardinality results —
     // a collect()-based LocalRelation is the classic driver bottleneck at
