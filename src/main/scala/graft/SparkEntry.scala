@@ -215,6 +215,9 @@ object SparkEntry {
     // group-aware split: every event of a user lands in one split, with
     // the leakage audit computed from the assigned rows, never assumed
     "split_grouped_leakfree" -> ((s, dir) => TextOps.groupedSplitLeakfree(s, dir)),
+    // temporal holdout with an embargo band: train <= cut day < embargo <
+    // test, cut = the 8th-decile distinct day (purged-CV rule)
+    "split_time_embargo" -> ((s, dir) => TextOps.splitTimeEmbargo(s, dir)),
     "contamination_check" -> ((s, dir) => TextOps.contamination(s, dir)),
     "contamination_external" -> ((s, dir) => TextOps.contaminationExternal(s, dir)),
     // the same decontamination with a bloom-filter prefilter on the train
@@ -272,6 +275,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    // source-level corpus overlap: per-source sig = min-reduce of per-doc
+    // sigs (MinHash set-union property), pairwise equal-component Jaccard
+    "source_similarity_minhash" -> ((s, dir) => Dedup.sourceSimilarityMinhash(s, dir)),
     "dedup_simhash"       -> ((s, dir) => Dedup.simhash(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_lsh_dropped"   -> ((s, dir) => Dedup.lshBucketStats(s, dir)),
@@ -1353,6 +1359,24 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$lshSqlBody
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // per-source signature = min-reduce of per-doc signatures (MinHash's
+    // set-union property); estimated Jaccard = equal-component fraction
+    "source_similarity_minhash" ->
+      s"""WITH d AS (SELECT source, $shinglesSql AS shingles FROM documents),
+         |sig AS (SELECT source, $minhashColsSql FROM d),
+         |s AS (SELECT source,
+         |  ${graft.operators.Dedup.MinHashA.indices
+             .map(j => s"min(mh$j) AS mh$j").mkString(", ")}
+         |  FROM sig GROUP BY source)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(${graft.operators.Dedup.MinHashA.indices
+             .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS BIGINT) AS n_equal,
+         |  CAST(${graft.operators.Dedup.MinHashA.indices
+             .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS DOUBLE) / 12.0 AS est_jaccard
+         |FROM s a JOIN s b ON a.source < b.source
+         |ORDER BY src_a, src_b""".stripMargin,
     "dedup_lsh_dropped" ->
       s"""WITH $lshBandCtes,
          |bs AS (SELECT band_idx, band_hash, count(*) AS sz FROM br
@@ -1723,6 +1747,19 @@ object SparkEntry {
         | leaked_users
         |FROM a CROSS JOIN lk
         |GROUP BY split, leaked_users ORDER BY split""".stripMargin,
+    // cut = 8th-decile distinct day via pure integer rank arithmetic;
+    // embargo band (cut, cut+2] excluded from both sides
+    "split_time_embargo" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        |r AS (SELECT day, row_number() OVER (ORDER BY day) - 1 AS i FROM d),
+        |c AS (SELECT day AS cut_day FROM r, (SELECT count(*) AS n FROM d)
+        |      WHERE i = (n - 1) * 8 // 10)
+        |SELECT day, n_events,
+        |  CASE WHEN day <= c.cut_day THEN 'train'
+        |       WHEN day > c.cut_day + 2 THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM d, c ORDER BY day""".stripMargin,
     "tfidf_top_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokenHashesSql) AS th FROM documents),
          |tf AS (SELECT doc_id, th, count(*) AS tf FROM tk GROUP BY doc_id, th),

@@ -608,12 +608,8 @@ object Dedup {
     * The per-component element_at projections share ONE minhash_sig
     * evaluation via whole-stage codegen subexpression elimination (they live
     * in a single collapsed Project). */
-  private def minhashSignaturesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sig = graft.functions.HashExpressions.minhash_sig(
-      shingleHashes(col("text"), n), MinHashA, MinHashB)
-    val sigCols = MinHashA.indices.map(j => element_at(sig, j + 1).as(s"mh$j"))
-    docs.select(col("doc_id") +: sigCols: _*)
-  }
+  private def minhashSignaturesRaw(docs: DataFrame, n: Int = 3): DataFrame =
+    minhashSignaturesBy(docs, col("doc_id"), n)
 
   /** MinHash/LSH near-dup: band the 12-component signature into 4 bands of 3,
     * bucket-join on (band index, band hash), emit candidate pairs with the
@@ -625,6 +621,54 @@ object Dedup {
                  maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     minhashLshOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
       minEstJaccard, maxBucketSize)
+
+  /** CORPUS-OVERLAP MATRIX between sources via per-source MinHash — the
+    * dashboard number that says how much two ingestion feeds share (a feed
+    * that's 80% another feed's shingle set should be caught BEFORE paying
+    * dedup over the union). MinHash's set-union property makes this a
+    * plain aggregate: min over a union of shingle sets = min of per-set
+    * minima, so each source's 12-component signature is its documents'
+    * per-doc signatures min-reduced — no shingle set is ever re-unioned,
+    * and the per-doc pass is the same ONE minhash_sig evaluation the
+    * dedup family runs. Pairwise estimated Jaccard = fraction of equal
+    * components (the minhashLsh estimator at source granularity).
+    *
+    * Scale shape: one map-side-combinable groupBy to source cardinality,
+    * then a broadcast nested-loop pairing of SOURCE-cardinality rows —
+    * sources are a bounded domain (the nation-matrix convention), the
+    * corpus is never pairwise-joined. */
+  def sourceSimilarityMinhash(spark: SparkSession, sfDir: String,
+                              n: Int = 3): DataFrame = {
+    val nSig = MinHashA.size
+    val perDoc = minhashSignaturesBy(
+      Tables.documents(spark, sfDir).select(col("source"), col("text")),
+      col("source").as("source"), n)
+    val perSrc = perDoc.groupBy(col("source"))
+      .agg(min(col("mh0")).as("mh0"),
+           (1 until nSig).map(j => min(col(s"mh$j")).as(s"mh$j")): _*)
+    val a = perSrc.select(col("source").as("src_a") +:
+      MinHashA.indices.map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = perSrc.select(col("source").as("src_b") +:
+      MinHashA.indices.map(j => col(s"mh$j").as(s"b$j")): _*)
+    val nEq = MinHashA.indices
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L)).reduce(_ + _)
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), nEq.as("n_equal"))
+      .withColumn("est_jaccard", col("n_equal").cast("double") / lit(nSig.toDouble))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** Per-doc MinHash signature columns keyed by an arbitrary expression —
+    * the [[minhashSignaturesRaw]] body with the key pluggable, shared so
+    * the doc-keyed and source-keyed forms cannot drift. */
+  private def minhashSignaturesBy(docs: DataFrame,
+                                  key: org.apache.spark.sql.Column,
+                                  n: Int): DataFrame = {
+    val sig = graft.functions.HashExpressions.minhash_sig(
+      shingleHashes(col("text"), n), MinHashA, MinHashB)
+    val sigCols = MinHashA.indices.map(j => element_at(sig, j + 1).as(s"mh$j"))
+    docs.select(key +: sigCols: _*)
+  }
 
   /** LSH banding over an existing signature frame (doc_id, mh0..mh11).
     *

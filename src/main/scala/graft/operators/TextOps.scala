@@ -374,6 +374,42 @@ object TextOps {
       .orderBy(col("split"))
   }
 
+  /** TEMPORAL HOLDOUT SPLIT WITH EMBARGO — the leak-free split for
+    * time-dependent data (forecasting, next-event prediction): train is
+    * everything up to a cut day, test starts `embargoDays` AFTER the cut,
+    * and the embargo band between them is EXCLUDED — the guard against
+    * boundary leakage (a session or label window straddling the cut would
+    * otherwise put near-identical rows on both sides; the financial
+    * purged/embargoed CV rule). The cut day is the `trainPer10`-decile
+    * element of the SORTED DISTINCT day list — pure integer arithmetic
+    * (index = (n_days−1)·trainPer10 div 10), no float quantile, stated
+    * identically in the oracle.
+    *
+    * Scale shape: one map-side-combinable groupBy collapses events to the
+    * day domain (control-plane sized — the survivalAtRisk convention);
+    * the rank walk and the cut join run on day-cardinality rows with the
+    * cut as a 1-row broadcast. Per-day output keeps it dashboard-shaped;
+    * assigning raw rows is the same broadcast-join against cut_day. */
+  def splitTimeEmbargo(spark: SparkSession, sfDir: String,
+                       trainPer10: Int = 8, embargoDays: Long = 2L): DataFrame = {
+    val DayUs = 86400000000L
+    val days = Tables.events(spark, sfDir)
+      .select(expr(s"(ts_ns div 1000) div $DayUs").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val cut = days.select(col("day"),
+        (row_number().over(w) - 1).cast("long").as("i"))
+      .crossJoin(broadcast(days.agg(count(lit(1)).as("n"))))
+      .filter(col("i") === expr(s"(n - 1) * $trainPer10 div 10"))
+      .select(col("day").as("cut_day"))
+    days.crossJoin(broadcast(cut))
+      .select(col("day"), col("n_events"),
+        when(col("day") <= col("cut_day"), lit("train"))
+          .when(col("day") > col("cut_day") + lit(embargoDays), lit("test"))
+          .otherwise(lit("embargo")).as("split"))
+      .orderBy(col("day"))
+  }
+
   /** [[stratifiedSplitOf]] without the presentation sort — the composable
     * form ([[Pipeline.curationManifest]] joins it on doc_id). */
   private[operators] def splitAssignOf(d: DataFrame,

@@ -115,6 +115,29 @@ class PipelineOpsSpec extends SparkSpec {
     } finally s.unpersist()
   }
 
+  test("time-embargo split: ordered bands partition the day domain; cut at the 8th decile") {
+    val s = TextOps.splitTimeEmbargo(spark, Sf0001).collect()
+    val ev = graft.io.Tables.events(spark, Sf0001)
+    // per-day rows cover every event exactly once
+    assert(s.map(_.getAs[Long]("n_events")).sum === ev.count())
+    val byDay = s.map(r => r.getAs[Long]("day") -> r.getAs[String]("split"))
+    assert(byDay.map(_._1).distinct.length === byDay.length) // one split per day
+    def days(k: String) = byDay.filter(_._2 == k).map(_._1)
+    val (tr, em, te) = (days("train"), days("embargo"), days("test"))
+    assert(tr.nonEmpty && te.nonEmpty)
+    // strict temporal order train < embargo < test — the leak-free property
+    assert((em ++ te).forall(_ > tr.max))
+    assert(em.forall(_ < te.min))
+    // the cut is the 8th-decile distinct day: train day count re-derives
+    // as cutIdx + 1 over the sorted distinct-day list
+    val allDays = byDay.map(_._1).sorted
+    val cutIdx = ((allDays.length - 1) * 8) / 10
+    assert(tr.length === cutIdx + 1)
+    assert(tr.max === allDays(cutIdx))
+    // the embargo band is at most embargoDays wide and hugs the cut
+    assert(em.forall(d => d > tr.max && d <= tr.max + 2))
+  }
+
   test("mix_sample: deterministic per-source rates; corpus_mix fractions sum to 1") {
     val docs = (1L to 900L).map(i =>
       (i, s"w$i", "en", Seq("a", "b", "c")((i % 3).toInt))).toDF("doc_id", "text", "lang", "source")

@@ -31,6 +31,31 @@ class TextDedupSpec extends SparkSpec {
     assert(row === again)
   }
 
+  test("source similarity: per-source sig is the min-reduce of per-doc sigs (union property)") {
+    // MinHash's defining property: min over a union of shingle sets equals
+    // the min of per-set minima — re-derive each source's 12 components in
+    // plain Scala from the gated per-doc signature frame and the raw
+    // (doc_id -> source) map, then check the pairwise report arithmetic
+    val docSrc = graft.io.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = Dedup.minhashSignatures(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (1 to 12).map(r.getLong).toVector)
+    val expect = perDoc.groupBy { case (id, _) => docSrc(id) }.view
+      .mapValues(rows => (0 until 12).map(j => rows.map(_._2(j)).min).toVector)
+      .toMap
+    val got = Dedup.sourceSimilarityMinhash(spark, Sf0001).collect()
+    val s = expect.keys.toSeq.sorted
+    assert(got.length === s.size * (s.size - 1) / 2) // every unordered pair
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val nEq = (0 until 12).count(j => expect(a)(j) == expect(b)(j)).toLong
+      assert(r.getLong(2) === nEq, s"pair ($a,$b)")
+      assert(r.getDouble(3) === nEq / 12.0)
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicates that exact dedup misses") {
     val exactGroups = Dedup.exact(spark, Sf0001).filter(col("n_dups") > 1).count()
     val lshPairs = Dedup.minhashLsh(spark, Sf0001).count()
