@@ -897,9 +897,9 @@ object Analytics {
     * (2+-member) bucket count, the largest bucket, and how many buckets /
     * member names the cap would drop. One narrow aggregation over the
     * signature rows — strictly cheaper than the pair join it instruments;
-    * at 100 TB a spike in n_dropped_names means a name flood the upstream
-    * exact collapse had better be absorbing, and this query is how an
-    * operator SEES that instead of guessing. */
+    * at 100 TB a spike in n_dropped_memberships means a name flood the
+    * upstream exact collapse had better be absorbing, and this query is
+    * how an operator SEES that instead of guessing. */
   def fuzzyBucketStats(spark: SparkSession, sfDir: String,
                        maxBucketSize: Int = MaxFuzzyBucketSize): DataFrame =
     fuzzyBucketStatsOf(Tables.supplier(spark, sfDir)
@@ -912,9 +912,18 @@ object Analytics {
     * input previously had no observable at all). */
   def fuzzyBucketStatsParts(spark: SparkSession, sfDir: String,
                             maxBucketSize: Int = MaxFuzzyBucketSize): DataFrame =
-    fuzzyBucketStatsOf(Tables.table(spark, sfDir, "part")
-      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("nid"))
+    fuzzyBucketStatsOf(collapsedPartNames(spark, sfDir)
       .select(col("nid").as("s_suppkey"), col("p_name").as("s_name")), maxBucketSize)
+
+  /** The ER pipeline's exact name collapse — ONE definition shared by
+    * [[entityResolutionParts]] and [[fuzzyBucketStatsParts]], so the cap
+    * observable provably instruments the very frame the resolver bands
+    * (a normalization change here reaches both or neither). */
+  private def collapsedPartNames(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.table(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("nid"))
 
   /** [[fuzzyBucketStats]] over any (s_suppkey, s_name) frame — the
     * testable core (AnalyticsSpec drives it with a synthetic hot block
@@ -2120,8 +2129,7 @@ object Analytics {
   def entityResolutionParts(spark: SparkSession, sfDir: String): DataFrame = {
     val p = Tables.table(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_name"))
-    val names = p.groupBy(col("p_name"))
-      .agg(min(col("p_partkey")).as("nid"))
+    val names = collapsedPartNames(spark, sfDir)
     // the UNSORTED pair core: CC caches and repartitions the pairs
     // immediately, so the registered fuzzy join's presentation sort would
     // be a dead wide exchange here (the labelPropOf dead-sort class,

@@ -640,8 +640,13 @@ object Dedup {
   def sourceSimilarityMinhash(spark: SparkSession, sfDir: String,
                               n: Int = 3): DataFrame = {
     val nSig = MinHashA.size
+    // spreadIfNarrow like every other whole-corpus signature pass: the
+    // per-doc minhash_sig evaluation is the dominant stage and must not
+    // run on a narrow scan's few splits
     val perDoc = minhashSignaturesBy(
-      Tables.documents(spark, sfDir).select(col("source"), col("text")),
+      Tables.spreadIfNarrow(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text")),
+        col("doc_id")).drop("doc_id"),
       col("source").as("source"), n)
     val perSrc = perDoc.groupBy(col("source"))
       .agg(min(col("mh0")).as("mh0"),

@@ -646,8 +646,10 @@ class PlanSpec extends SparkSpec {
         .select(org.apache.spark.sql.functions.col("s_suppkey"),
                 org.apache.spark.sql.functions.col("s_name")))
     val pp = pairs.queryExecution.executedPlan.toString
-    assert(!pp.contains("SortMergeJoin") && !pp.contains("ShuffledHashJoin") &&
-           !pp.contains("CartesianProduct"),
+    // the bucket-explode shape has NO join node of any kind — a regression
+    // to the old equi-self-join would plan as BroadcastHashJoin at fixture
+    // scale, so the pin must reject every join, not just shuffle joins
+    assert(!pp.contains("Join"),
       s"fuzzyPairsOf pairs via a join instead of capped bucket explode: $pp")
   }
 
