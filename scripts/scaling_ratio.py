@@ -14,6 +14,15 @@ predicted variable part, i.e. measured_var > 2 * 10*v10) and an
 absolute margin (>1.0 s), so noise on sub-second queries never flags.
 Queries with negligible variable cost at both small scales use the
 absolute test against the floor alone.
+
+Small-pair detector (r17 advice): when t2 > 10*t1 the fitted floor
+clamps to 0 and v10 absorbs the blowup, so the sf0.1 extrapolation
+already bakes the super-linearity in and a steady super-linear shape
+(t ~ s^1.3) passes the main test. So the small-scale pair is ALSO
+tested directly: 10*t1 is the most generous linear prediction of t2
+(floor >= 0 implies t2 = c + 10*v <= 10*(c + v) = 10*t1 for any linear
+query), and a query is flagged when t2 exceeds it by the same margins
+(>1.0 s absolute AND >2x ratio).
 """
 import json
 import sys
@@ -39,20 +48,28 @@ def main() -> None:
         ratio = (measured_var / (10.0 * v10)) if v10 > 1e-3 else None
         over = c3 - pred
         is_flag = over > 1.0 and (ratio is None or ratio > 2.0)
+        # small-pair test: t2 vs its most generous linear bound 10*t1
+        sp_over = b - 10.0 * a
+        sp_ratio = (b / (10.0 * a)) if a > 1e-3 else None
+        sp_flag = sp_over > 1.0 and (sp_ratio is None or sp_ratio > 2.0)
         rows[q] = {
             "t_sf0.001": round(a, 3), "t_sf0.01": round(b, 3),
             "t_sf0.1": round(c3, 3), "floor_est": round(floor, 3),
             "pred_sf0.1_linear": round(pred, 3),
             "excess_sec": round(over, 3),
             "var_ratio_vs_linear": round(ratio, 2) if ratio is not None else None,
+            "small_pair_excess_sec": round(sp_over, 3),
+            "small_pair_ratio": round(sp_ratio, 2) if sp_ratio is not None else None,
             "flagged": is_flag,
+            "flagged_small_pair": sp_flag,
         }
-        if is_flag:
+        if is_flag or sp_flag:
             flagged.append(q)
     artifact = {
         "model": "t(s) = floor + var*s; floor from (sf0.001, sf0.01); "
                  "flag: sf0.1 exceeds linear prediction by >1.0s AND >2x "
-                 "the predicted variable part",
+                 "the predicted variable part; small-pair flag: sf0.01 "
+                 "exceeds 10*t(sf0.001) by the same margins",
         "n_queries": len(rows), "flagged": flagged,
         "skipped_missing_or_nonnumeric": skipped, "queries": rows,
     }

@@ -1360,14 +1360,18 @@ object SparkEntry {
       s"""$lshSqlBody
          |ORDER BY doc_a, doc_b""".stripMargin,
     // per-source signature = min-reduce of per-doc signatures (MinHash's
-    // set-union property); estimated Jaccard = equal-component fraction
+    // set-union property); estimated Jaccard = equal-component fraction.
+    // HAVING excludes all-sentinel sources (every doc's shingle set empty)
+    // — the engine's sentinel guard, same predicate as the LSH banding
+    // exclusion (min(mh0) = HashMod iff no real shingle exists).
     "source_similarity_minhash" ->
       s"""WITH d AS (SELECT source, $shinglesSql AS shingles FROM documents),
          |sig AS (SELECT source, $minhashColsSql FROM d),
          |s AS (SELECT source,
          |  ${graft.operators.Dedup.MinHashA.indices
              .map(j => s"min(mh$j) AS mh$j").mkString(", ")}
-         |  FROM sig GROUP BY source)
+         |  FROM sig GROUP BY source
+         |  HAVING min(mh0) < ${graft.functions.TextFunctions.HashMod})
          |SELECT a.source AS src_a, b.source AS src_b,
          |  CAST(${graft.operators.Dedup.MinHashA.indices
              .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
@@ -3257,9 +3261,11 @@ object SparkEntry {
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a_key, b_key""".stripMargin,
     // observability for the fuzzy-join bucket cap: the oracle restates the
-    // deletion-neighborhood signature explode and the same 2+/cap rollup
+    // deletion-neighborhood signature explode and the same 2+/cap rollup;
+    // the cap is interpolated from the ONE engine constant (r17 advice —
+    // a literal here was an avoidable drift point across four CASEs)
     "fuzzy_bucket_stats" ->
-      """WITH sigs AS (
+      s"""WITH sigs AS (
         |  SELECT s_suppkey,
         |    unnest(list_distinct(list_append(
         |      list_transform(range(0, length(s_name)),
@@ -3270,15 +3276,15 @@ object SparkEntry {
         |      HAVING count(*) >= 2)
         |SELECT CAST(count(*) AS BIGINT) AS n_candidate_buckets,
         |  CAST(coalesce(max(freq), 0) AS BIGINT) AS max_bucket,
-        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN 1 ELSE 0 END), 0)
+        |  CAST(coalesce(sum(CASE WHEN freq > $fuzzyBucketCap THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) AS n_dropped_buckets,
-        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN freq ELSE 0 END), 0)
+        |  CAST(coalesce(sum(CASE WHEN freq > $fuzzyBucketCap THEN freq ELSE 0 END), 0)
         |    AS BIGINT) AS n_dropped_memberships
         |FROM b""".stripMargin,
     // the same rollup over the ER input (collapsed distinct part names) —
     // the cap's headroom observable for every gated fuzzyPairsOf consumer
     "fuzzy_bucket_stats_parts" ->
-      """WITH names AS (SELECT p_name AS nm,
+      s"""WITH names AS (SELECT p_name AS nm,
         |    CAST(min(p_partkey) AS BIGINT) AS nid FROM part GROUP BY 1),
         |sigs AS (
         |  SELECT nid,
@@ -3291,9 +3297,9 @@ object SparkEntry {
         |      HAVING count(*) >= 2)
         |SELECT CAST(count(*) AS BIGINT) AS n_candidate_buckets,
         |  CAST(coalesce(max(freq), 0) AS BIGINT) AS max_bucket,
-        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN 1 ELSE 0 END), 0)
+        |  CAST(coalesce(sum(CASE WHEN freq > $fuzzyBucketCap THEN 1 ELSE 0 END), 0)
         |    AS BIGINT) AS n_dropped_buckets,
-        |  CAST(coalesce(sum(CASE WHEN freq > 1024 THEN freq ELSE 0 END), 0)
+        |  CAST(coalesce(sum(CASE WHEN freq > $fuzzyBucketCap THEN freq ELSE 0 END), 0)
         |    AS BIGINT) AS n_dropped_memberships
         |FROM b""".stripMargin,
     "cohort_retention" ->
@@ -5057,6 +5063,10 @@ object SparkEntry {
   private def chunkHashCte: String =
     s"""p AS (SELECT doc_id, CAST(unnest($chunkListSql) AS BIGINT) AS ph
        | FROM t)""".stripMargin
+
+  /** The fuzzy-join bucket cap, interpolated into the bucket-stats oracles
+    * so the cap has exactly ONE definition (`Analytics.MaxFuzzyBucketSize`). */
+  private val fuzzyBucketCap: Int = graft.operators.Analytics.MaxFuzzyBucketSize
 
   /** Word-3-gram shingle hashes derived from token hashes. */
   private val shinglesSql: String =

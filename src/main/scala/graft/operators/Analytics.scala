@@ -883,13 +883,16 @@ object Analytics {
     val exploded = fuzzySigsOf(s)
       .select(struct(col("s_suppkey").as("doc_id"), col("s_name").as("nm")).as("item"),
               col("sig"))
+    // dist stated ONCE as a column (r17 verdict nit: the old
+    // filter-then-project form wrote levenshtein twice); filtering BEFORE
+    // the distinct also shrinks its shuffle to the true edit-dist-1 pairs
+    // instead of every bucket-cohabiting candidate. The distinct key set is
+    // unchanged: (a_key, b_key) functionally determine both names.
     Dedup.cappedBucketPairs(exploded, Seq(col("sig")), maxBucketSize)
       .select(col("a.doc_id").as("a_key"), col("b.doc_id").as("b_key"),
-              col("a.nm").as("a_name"), col("b.nm").as("b_name"))
+              levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
       .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
-      .select(col("a_key"), col("b_key"),
-              levenshtein(col("a_name"), col("b_name")).cast("long").as("dist"))
   }
 
   /** Observability for [[MaxFuzzyBucketSize]] (the Dedup `lshBucketStats`

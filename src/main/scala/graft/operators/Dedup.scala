@@ -648,9 +648,17 @@ object Dedup {
         Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text")),
         col("doc_id")).drop("doc_id"),
       col("source").as("source"), n)
+    // Sentinel guard (r17 advice): a source whose every doc has an empty
+    // shingle set min-reduces to the all-sentinel signature, and two such
+    // sources would report est_jaccard = 1.0 (the Jaccard of empty sets) —
+    // a misleading dashboard number. min(mh0) == HashMod identifies them
+    // exactly (any real shingle hashes below HashMod), the same predicate
+    // the LSH family uses to exclude sentinel sigs from banding; the
+    // oracle SQL applies the identical HAVING clause.
     val perSrc = perDoc.groupBy(col("source"))
       .agg(min(col("mh0")).as("mh0"),
            (1 until nSig).map(j => min(col(s"mh$j")).as(s"mh$j")): _*)
+      .filter(col("mh0") < HashMod)
     val a = perSrc.select(col("source").as("src_a") +:
       MinHashA.indices.map(j => col(s"mh$j").as(s"a$j")): _*)
     val b = perSrc.select(col("source").as("src_b") +:

@@ -274,11 +274,16 @@ object Indicators {
     * discards the row. NoTimeout is load-bearing: fMGWS pre-filters
     * sub-watermark input rows only under EventTimeTimeout, so the tagger
     * still SEES the late rows it must route. Main + side then partition
-    * the input exactly (spec-witnessed) — exact for keys that observe
-    * every batch (the registered tape guarantees it with per-type
-    * watermark-carrier rows); a key skipping batches holds a conservative
-    * (older) watermark, the documented approximation of Flink's
-    * operator-global watermark under per-key state.
+    * the input exactly (spec-witnessed) — exact ONLY for keys that
+    * observe every batch (the registered tape guarantees it with per-type
+    * watermark-carrier rows). A key that skips a batch holds an OLDER
+    * stored watermark, and that is not merely conservative routing: a
+    * tick the aggregate drops (its bar evicted under the global
+    * watermark) can be classified not-late by the stale per-key value and
+    * then appear in NEITHER output — vanished, not re-routed. Any caller
+    * without per-key carrier rows in every batch must accept that loss
+    * mode or supply carriers; the partition invariant (main + side =
+    * input) holds only under the carrier contract.
     *
     * Scale shape: the tagger is one long of state per key behind one
     * shuffle on the bar key — strictly cheaper than the bar aggregate it
