@@ -181,6 +181,7 @@ object SparkEntry {
     // sparse tf-idf cosine top-k document pairs over a df-capped inverted
     // index — the lexical complement to the dense ANN family
     "doc_sim_sparse_topk" -> ((s, dir) => TextOps.docSimSparseTopK(s, dir)),
+    "doc_sim_df_stats" -> ((s, dir) => TextOps.docSimDfStats(s, dir)),
     // per-source lexical diversity: type-token ratio + Simpson index
     // (the log-free entropy surrogate — exact longs, two final double ops)
     "token_diversity_by_source" -> ((s, dir) => TextOps.tokenDiversityBySource(s, dir)),
@@ -1501,7 +1502,7 @@ object SparkEntry {
          |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
          |       FROM tk GROUP BY doc_id, th),
          |dfq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th),
-         |dfc AS (SELECT th, df FROM dfq WHERE df >= 2 AND df <= 100),
+         |dfc AS (SELECT th, df FROM dfq WHERE df >= 2 AND df <= $docSimDfCap),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          |tfw AS (SELECT tf.doc_id, tf.th,
          |         tf.tf * ((n.n_docs * 1000) // dfc.df) AS w
@@ -1519,6 +1520,31 @@ object SparkEntry {
          |FROM dots d JOIN nrm na ON d.doc_a = na.doc_id
          |            JOIN nrm nb ON d.doc_b = nb.doc_id
          |ORDER BY cosine DESC, d.doc_a, d.doc_b LIMIT 20""".stripMargin,
+    // df-headroom observable over the SAME term space the similarity join
+    // indexes: df distribution vs the interpolated cap, candidate-pair
+    // bound Σ df·(df−1)/2 (the self-join's exact output-row count), and
+    // what the cap drops; integral halving is exact (df·(df−1) is even)
+    "doc_sim_df_stats" ->
+      s"""WITH t AS (SELECT doc_id, $tokenHashesSql AS ths FROM documents),
+         |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(ths)-1),
+         |        i -> ((ths[i]*31 + ths[i+1]) % $P * 31 + ths[i+2]) % $P)) AS th
+         |       FROM t),
+         |tf AS (SELECT doc_id, th, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY doc_id, th),
+         |f AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY th)
+         |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(coalesce(max(df), 0) AS BIGINT) AS max_df,
+         |  CAST(coalesce(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_terms_df1,
+         |  CAST(coalesce(sum(CASE WHEN df BETWEEN 2 AND $docSimDfCap
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_terms_indexed,
+         |  CAST(coalesce(sum(CASE WHEN df > $docSimDfCap THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_dropped_terms,
+         |  CAST(coalesce(sum(CASE WHEN df BETWEEN 2 AND $docSimDfCap
+         |    THEN df*(df-1) ELSE 0 END), 0) // 2 AS BIGINT) AS candidate_pairs,
+         |  CAST(coalesce(sum(CASE WHEN df > $docSimDfCap
+         |    THEN df*(df-1) ELSE 0 END), 0) // 2 AS BIGINT) AS dropped_pairs
+         |FROM f""".stripMargin,
     // Simpson diversity: exact longs until the two final double ops, same
     // association as the Spark side
     "token_diversity_by_source" ->
@@ -5067,6 +5093,10 @@ object SparkEntry {
   /** The fuzzy-join bucket cap, interpolated into the bucket-stats oracles
     * so the cap has exactly ONE definition (`Analytics.MaxFuzzyBucketSize`). */
   private val fuzzyBucketCap: Int = graft.operators.Analytics.MaxFuzzyBucketSize
+
+  /** The doc-sim inverted-index df cap (`TextOps.DocSimDfCap`) — same
+    * one-definition rule for the similarity join and its df-stats oracle. */
+  private val docSimDfCap: Long = graft.operators.TextOps.DocSimDfCap
 
   /** Word-3-gram shingle hashes derived from token hashes. */
   private val shinglesSql: String =

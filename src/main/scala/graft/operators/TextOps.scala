@@ -1253,14 +1253,28 @@ object TextOps {
     * join to weight, one doc-keyed groupBy for norms, the capped
     * term-keyed self-join, one pair groupBy, and a global top-k. */
   def docSimSparseTopK(spark: SparkSession, sfDir: String,
-                       dfCap: Long = 100L, k: Int = 20): DataFrame =
+                       dfCap: Long = DocSimDfCap, k: Int = 20): DataFrame =
     docSimSparseTopKOf(documentsFor(spark, sfDir), dfCap, k)
 
-  def docSimSparseTopKOf(d: DataFrame, dfCap: Long = 100L,
+  /** The inverted-index df cap — ONE definition shared by
+    * [[docSimSparseTopK]] and its headroom observable [[docSimDfStats]]
+    * (and interpolated into both oracles), the
+    * `Analytics.MaxFuzzyBucketSize` convention. */
+  private[graft] val DocSimDfCap = 100L
+
+  /** Per-(doc, shingle) term frequency over word-3-gram shingle hashes —
+    * the doc-sim family's term space, shared by the similarity join and
+    * its df-stats observable so the instrumented frame IS the indexed
+    * frame (the collapsedPartNames convention). */
+  private[graft] def docTermTf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("th"))
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).cast("long").as("tf"))
+
+  def docSimSparseTopKOf(d: DataFrame, dfCap: Long = DocSimDfCap,
                          k: Int = 20): DataFrame = {
     val docs = d.select(col("doc_id"), col("text"))
-    val tf = docs.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("th"))
-      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).cast("long").as("tf"))
+    val tf = docTermTf(d)
     val dfreq = tf.groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
     val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
@@ -1288,6 +1302,52 @@ object TextOps {
       .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
       .select(col("doc_a"), col("doc_b"), col("dot"), col("cosine"))
       .orderBy(col("cosine").desc, col("doc_a"), col("doc_b")).limit(k)
+  }
+
+  /** DF-HEADROOM OBSERVABILITY for [[docSimSparseTopK]] (the
+    * `fuzzyBucketStats` mold — r17's one scaling flag was adjudicated
+    * with a one-off pair-count measurement; this makes that measurement a
+    * standing oracle-gated number): over the SAME word-3-gram term space
+    * the similarity join indexes ([[docTermTf]], shared code), the df
+    * distribution vs [[DocSimDfCap]], the candidate-pair bound the
+    * indexed terms generate (Σ df·(df−1)/2 — exactly the self-join's
+    * output rows), and what the cap drops. One narrow two-stage aggregate
+    * — strictly cheaper than the join it instruments. At 100 TB a
+    * candidate_pairs spike relative to corpus growth is the df-regime
+    * transient (pairs grow quadratically in df until df hits the cap,
+    * then linearly) made visible BEFORE the join runs.
+    *
+    * Numerics: per-term df·(df−1) multiplies as DECIMAL(19,0) —
+    * (19,0)×(19,0)→(38,0) can never round or wrap, while a Long product
+    * wraps silently past df ≈ 3e9 (a boilerplate shingle at corpus scale)
+    * where DuckDB errors; the sum is halved only at the end (every
+    * df·(df−1) is even, so the integral halving is exact). */
+  def docSimDfStats(spark: SparkSession, sfDir: String,
+                    dfCap: Long = DocSimDfCap): DataFrame =
+    docSimDfStatsOf(documentsFor(spark, sfDir), dfCap)
+
+  def docSimDfStatsOf(d: DataFrame, dfCap: Long = DocSimDfCap): DataFrame = {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val pr = (d19(col("df")) * d19(col("df") - lit(1L))).cast("decimal(38,0)")
+    val indexed = col("df").between(lit(2L), lit(dfCap))
+    docTermTf(d)
+      .groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
+      .agg(
+        count(lit(1)).cast("long").as("n_terms"),
+        coalesce(max(col("df")), lit(0L)).as("max_df"),
+        coalesce(sum(when(col("df") === 1L, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_terms_df1"),
+        coalesce(sum(when(indexed, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_terms_indexed"),
+        coalesce(sum(when(col("df") > dfCap, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_dropped_terms"),
+        coalesce(sum(when(indexed, pr).otherwise(zero38)), zero38).as("cp2"),
+        coalesce(sum(when(col("df") > dfCap, pr).otherwise(zero38)), zero38).as("dp2"))
+      .select(col("n_terms"), col("max_df"), col("n_terms_df1"),
+        col("n_terms_indexed"), col("n_dropped_terms"),
+        expr("CAST(cp2 div 2 AS BIGINT)").as("candidate_pairs"),
+        expr("CAST(dp2 div 2 AS BIGINT)").as("dropped_pairs"))
   }
 
   /** Lexical DIVERSITY per corpus source — the curation dashboard numbers

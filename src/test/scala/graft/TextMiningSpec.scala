@@ -56,6 +56,44 @@ class TextMiningSpec extends SparkSpec {
     assert(cs.forall(c => c >= 0.0 && c <= 1.0 + 1e-12))
   }
 
+  test("doc_sim_df_stats: counts re-derived from a constructed df distribution") {
+    // disjoint 8-token vocabularies → 6 distinct word-3-gram shingles per
+    // text, shared only between copies of the same text, so the df
+    // distribution is known by construction: text A df=5 (above cap 3),
+    // B df=3, C df=2 (indexed), D df=1 (dead weight)
+    def text(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val docs = (
+      Seq.fill(5)(text("a")) ++ Seq.fill(3)(text("b")) ++
+      Seq.fill(2)(text("c")) ++ Seq(text("d"))
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = TextOps.docSimDfStatsOf(docs, dfCap = 3L).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // independent re-derivation: 6 shingles per text, pair count per term
+    // is df*(df-1)/2 — A: 6 terms * 10 pairs dropped; B: 6*3 + C: 6*1 kept
+    assert(row.getAs[Long]("n_terms") === 24L, row)
+    assert(row.getAs[Long]("max_df") === 5L, row)
+    assert(row.getAs[Long]("n_terms_df1") === 6L, row)
+    assert(row.getAs[Long]("n_terms_indexed") === 12L, row)
+    assert(row.getAs[Long]("n_dropped_terms") === 6L, row)
+    assert(row.getAs[Long]("candidate_pairs") === 6L * 3 + 6L * 1, row)
+    assert(row.getAs[Long]("dropped_pairs") === 6L * 10, row)
+    // the partition identity every df regime must satisfy
+    assert(row.getAs[Long]("n_terms") ===
+      row.getAs[Long]("n_terms_df1") + row.getAs[Long]("n_terms_indexed") +
+      row.getAs[Long]("n_dropped_terms"))
+    // candidate_pairs IS the indexed self-join's output-row bound: measure
+    // the actual join the operator runs at the same cap and compare
+    val tf = TextOps.docTermTf(docs)
+    val kept = tf.groupBy(col("th")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 3)
+      .select(col("th").as("kth"))
+    val measured = tf.as("a").join(tf.as("b"),
+        col("a.th") === col("b.th") && col("a.doc_id") < col("b.doc_id"))
+      .join(kept, col("a.th") === col("kth")).count()
+    assert(measured === row.getAs[Long]("candidate_pairs"), measured)
+  }
+
   test("token_diversity: single-token source hits simpson 0, all-distinct approaches 1") {
     val docs = Seq(
       ("mono", "aa aa aa aa"),
