@@ -260,6 +260,9 @@ object SparkEntry {
     // the engine's native BOUNDED-state dedup API over the events replay:
     // dropDuplicatesWithinWatermark (delay > span => exact distinct set)
     "dedup_exact_wwm_streaming" -> ((s, dir) => Dedup.exactWwmStreaming(s, dir)),
+    // increments dedup against a PERSISTED fingerprint store (read snapshot
+    // → left-anti → append survivors' fps, versioned idempotent journal)
+    "dedup_incremental_snapshot" -> ((s, dir) => Dedup.dedupIncrementalSnapshot(s, dir)),
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
@@ -1262,6 +1265,18 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS fp_md5, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(lower(trim(text))) ORDER BY fp_md5""".stripMargin,
+    // distinct-over-union ranked by (increment, doc_id): the winner of each
+    // fingerprint is the min doc_id of its FIRST increment — exactly what
+    // the versioned left-anti journal produces increment by increment
+    "dedup_incremental_snapshot" ->
+      s"""WITH f AS (SELECT doc_id, md5(lower(trim(text))) AS fp_md5,
+         |  doc_id % ${graft.operators.Dedup.SnapshotIncrements} AS inc
+         | FROM documents),
+         |r AS (SELECT fp_md5, doc_id, inc,
+         |  row_number() OVER (PARTITION BY fp_md5 ORDER BY inc, doc_id) AS rn
+         | FROM f)
+         |SELECT fp_md5, doc_id AS keep_id, CAST(inc AS BIGINT) AS increment
+         |FROM r WHERE rn = 1 ORDER BY fp_md5""".stripMargin,
     // dedup-within-horizon: occurrences of a fingerprint <= horizon apart
     // form one generation (keyed by first-occurrence µs); a larger gap
     // starts a new one — the lag-window sessionization of the TTL'd

@@ -329,6 +329,110 @@ object Dedup {
     ttlDrainOf(spark, dir, delay, horizonUs, op, requireExpiry = false)
   }
 
+  /** Increment count for [[dedupIncrementalSnapshot]] — interpolated into
+    * its oracle (the `doc_id % N` split rule must be stated identically on
+    * both sides). */
+  private[graft] val SnapshotIncrements = 3
+
+  /** INCREMENTAL DEDUP AGAINST A PERSISTED FINGERPRINT SNAPSHOT — the
+    * pipeline-shaped gap the in-session streaming dedups don't cover
+    * (their state dies with the query): each new corpus INCREMENT dedups
+    * against a fingerprint store PERSISTED BY PRIOR RUNS, then appends its
+    * own survivors' fingerprints. The shape of daily 100 TB ingestion:
+    * read snapshot → left-anti on the content hash → append-new-
+    * fingerprints, with the snapshot read being ONE parquet scan and the
+    * anti-join ONE hash shuffle on fp (co-located for free on an
+    * fp-bucketed store). The journal is versioned (`v=<batchId>`) and each
+    * batch merges against versions strictly BELOW its id — the SCD2
+    * idempotent-foreachBatch recipe, so a replayed increment converges to
+    * the same store instead of double-appending.
+    *
+    * The increments replay through the REAL micro-batch engine (one file
+    * per trigger, batch i = docs with doc_id % [[SnapshotIncrements]] = i),
+    * so the decision rule is first-increment-wins, then min doc_id within
+    * the winning increment — exactly distinct-over-union ranked by
+    * (increment, doc_id), which is the oracle. Build-time conservation
+    * witness: the final journal holds every corpus fingerprint EXACTLY
+    * once (an anti-join bug double-appends or drops; either breaks the
+    * count). The journal builds once per (JVM, sfDir) and is shared by
+    * every verify/bench repetition — the scd2Journal lifecycle. */
+  def dedupIncrementalSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = incSnapshotCache.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-dedup-snap-").toString
+      buildIncrementalJournal(spark, sfDir, d)
+      d
+    })
+    snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+      .getOrElse(sys.error("no dedup snapshot version written"))
+      .orderBy(col("fp_md5"))
+  }
+
+  private val incSnapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildIncrementalJournal(spark: SparkSession, sfDir: String,
+                                      outDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = documentsFor(spark, sfDir).select(col("doc_id"), col("text"))
+    val n = SnapshotIncrements
+    val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"dedupsnap:$sfDir",
+      (0 until n).map(i => s"i$i.parquet"))(
+      (0 until n).map(i => docs.filter(col("doc_id") % n === i)))
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    StatefulQueries.withShuffleWidth(spark, 8) {
+      val q = stream.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          applyDedupIncrement(spark, outDir, b, id)
+        }
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= n,
+        s"the $n-increment replay did not produce $n data micro-batches")
+    }
+    // conservation witness: each fingerprint kept exactly once
+    val kept = snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+      .map(_.count()).getOrElse(0L)
+    val distinctFps = docs.select(fingerprintMd5(col("text"))).distinct().count()
+    require(kept == distinctFps,
+      s"snapshot journal holds $kept fingerprints, corpus has $distinctFps " +
+        "distinct — the incremental anti-join dropped or double-appended")
+  }
+
+  /** One increment's MERGE into the fingerprint store: intra-increment
+    * exact collapse (min doc_id — [[exactOf]]'s rule), left-anti against
+    * the union of versions BELOW this batch id, survivors appended as
+    * `v=<id>` with mode=overwrite (idempotent on replay). `private[graft]`
+    * so the spec can drive two hand-built increments through the real
+    * merge. */
+  private[graft] def applyDedupIncrement(spark: SparkSession, outDir: String,
+                                         batch: DataFrame, id: Long): Unit = {
+    val intra = batch
+      .groupBy(fingerprintMd5(col("text")).as("fp_md5"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val survivors = snapshotVersionsBefore(spark, outDir, id) match {
+      case None       => intra
+      case Some(snap) =>
+        intra.join(snap.select(col("fp_md5")), Seq("fp_md5"), "left_anti")
+    }
+    survivors.withColumn("increment", lit(id))
+      .write.mode("overwrite").parquet(s"$outDir/v=$id")
+  }
+
+  /** Union of journal versions strictly below `id` (None before the first
+    * write) — the snapshot an increment dedups against. */
+  private[graft] def snapshotVersionsBefore(spark: SparkSession, outDir: String,
+                                            id: Long): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filter(_.getName.drop(2).toLong < id)
+      .sortBy(_.getName.drop(2).toLong)
+      .map(_.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
   /** Default chunk width (tokens) for [[paragraphDedup]]/[[containment]] —
     * interpolated into the oracle SQL (SparkEntry) so the two sides cannot
     * drift. */

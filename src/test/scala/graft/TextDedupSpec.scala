@@ -8,6 +8,40 @@ class TextDedupSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("dedup_incremental_snapshot: the second increment dedups against the first's STORED fingerprints") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dedup-snap-spec-").toString
+    try {
+      // increment 0: "alpha" twice (intra-increment collapse keeps 10) + "beta"
+      val inc0 = Seq((10L, "alpha"), (11L, "beta"), (12L, "alpha"))
+        .toDF("doc_id", "text")
+      Dedup.applyDedupIncrement(spark, out, inc0, 0L)
+      // increment 1 offers "alpha" again with a SMALLER doc_id (1) plus a
+      // genuinely new "gamma": the stored fingerprint must win — history
+      // beats id order, the property global min-id dedup cannot have
+      val inc1 = Seq((1L, "alpha"), (2L, "gamma")).toDF("doc_id", "text")
+      Dedup.applyDedupIncrement(spark, out, inc1, 1L)
+      def state(): Set[(Long, Long)] =
+        Dedup.snapshotVersionsBefore(spark, out, Long.MaxValue).get
+          .collect().map(r =>
+            (r.getAs[Long]("keep_id"), r.getAs[Long]("increment"))).toSet
+      assert(state() === Set((10L, 0L), (11L, 0L), (2L, 1L)))
+      // the anti-join really dropped the re-offered fp: v=1 is gamma alone
+      val v1 = spark.read.parquet(s"$out/v=1").collect()
+      assert(v1.length === 1 && v1.head.getAs[Long]("keep_id") === 2L)
+      // idempotence: replaying increment 1 (the foreachBatch retry case)
+      // converges to the same store instead of double-appending
+      Dedup.applyDedupIncrement(spark, out, inc1, 1L)
+      assert(state() === Set((10L, 0L), (11L, 0L), (2L, 1L)))
+    } finally {
+      val d = new java.io.File(out)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(d)
+    }
+  }
+
   test("charHash matches the cross-engine polynomial (abc -> 96354)") {
     // ((0*31+97)*31+98)*31+99 = 96354 — same value DuckDB's list_reduce yields
     val got = Seq("abc").toDF("s").select(charHash(col("s"))).head().getLong(0)
