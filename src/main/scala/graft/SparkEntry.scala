@@ -304,6 +304,9 @@ object SparkEntry {
     "ann_lsh_topk"     -> ((s, dir) => Similarity.lshTopK(s, dir)),
     "ann_lsh_multiprobe_topk" -> ((s, dir) => Similarity.lshMultiProbeTopK(s, dir)),
     "kmeans_assign"        -> ((s, dir) => Similarity.kmeansAssignments(s, dir)),
+    // micro-batch appends into the cell index against the FROZEN trained
+    // coarse model (zero Lloyd trains on the append path, spec-pinned)
+    "ann_ivf_append_streaming" -> ((s, dir) => Similarity.ivfAppendStreaming(s, dir)),
     "kmeans_assign_sampled" -> ((s, dir) => Similarity.kmeansAssignmentsSampled(s, dir)),
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTrainedTopK(s, dir)),
     // the same trained search with the centroid assignment as a BROADCAST
@@ -2145,6 +2148,15 @@ object SparkEntry {
     "kmeans_assign" ->
       s"""WITH $kmeansCtes
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
+    // batch assignment over the union IS the streaming append's contract:
+    // frozen centroids make per-batch argmin ≡ global argmin; increment
+    // restates the replay's vec_id % N split
+    "ann_ivf_append_streaming" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+         |  CAST(vec_id % ${graft.operators.Similarity.AppendIncrements} AS BIGINT)
+         |    AS increment
          |FROM $kmeansFinalAssign ORDER BY vec_id""".stripMargin,
     "kmeans_assign_sampled" ->
       s"""WITH $kmeansCtesSampled

@@ -414,6 +414,70 @@ object Similarity {
         .orderBy(col("vec_id"))
     }
 
+  /** Increment count for [[ivfAppendStreaming]] — interpolated into its
+    * oracle (the `vec_id % N` replay split must be stated identically on
+    * both sides). */
+  private[graft] val AppendIncrements = 3
+
+  /** STREAMING IVF INDEX MAINTENANCE — the gap between "the ANN family is
+    * batch-built" and a real pipeline that appends vectors continuously:
+    * new vectors arrive in micro-batches and are assigned to the FROZEN
+    * trained centroids (the session's shared coarse model — appends train
+    * NOTHING, spec-pinned via [[modelBuildCount]]), each batch's
+    * (vec_id, cluster) rows appended to a versioned cell-index journal
+    * (`v=<batchId>`, mode=overwrite — the idempotent-replay recipe shared
+    * with [[Dedup.dedupIncrementalSnapshot]]). Because assignment is a
+    * deterministic integer argmin over plan literals ([[withCluster]] —
+    * ZERO shuffles per batch at any scale), per-batch assignment is
+    * definitionally equal to batch assignment over the union: the oracle
+    * states exactly that (the full k-means chain's final assignment plus
+    * the replay's `vec_id % N` increment rule).
+    *
+    * The journal builds once per (JVM, sfDir) and is shared by repeats —
+    * the scd2Journal lifecycle. */
+  def ivfAppendStreaming(spark: SparkSession, sfDir: String,
+                         nClusters: Int = 8, rounds: Int = 2): DataFrame = {
+    val outDir = appendIndexCache.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append-").toString
+      buildAppendIndex(spark, sfDir, d, nClusters, rounds)
+      d
+    })
+    Dedup.snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+      .getOrElse(sys.error("no IVF append version written"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val appendIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildAppendIndex(spark: SparkSession, sfDir: String,
+                               outDir: String, nClusters: Int,
+                               rounds: Int): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val n = AppendIncrements
+    withCached(trainInput(spark, sfDir)) { base =>
+      val cents = coarseFor(sfDir, base, nClusters, rounds) // FROZEN model
+      val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"ivfappend:$sfDir",
+        (0 until n).map(i => s"a$i.parquet"))(
+        (0 until n).map(i =>
+          base.select(col("vec_id"), col("vec")).filter(col("vec_id") % n === i)))
+      val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = stream.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          withCluster(batch, cents)
+            .select(col("vec_id"), col("cluster"), lit(id).as("increment"))
+            .write.mode("overwrite").parquet(s"$outDir/v=$id")
+        }
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= n,
+        s"the $n-increment replay did not produce $n data micro-batches")
+    }
+  }
+
   /** IVF ANN over TRAINED cells: identical to [[ivfTopK]] but the coarse
     * quantizer is the k-means model rather than the pre-existing `label`
     * column — each query probes only its own trained cell (1/k of the data

@@ -300,6 +300,34 @@ class KMeansSpec extends SparkSpec {
         "leaking into the standalone warm path")
   }
 
+  test("ivf append streaming: cross-batch cell counts match the batch build, appends train nothing") {
+    // warm the shared coarse model, then snapshot build counts: the append
+    // path must assign against the FROZEN model — zero new Lloyd trains
+    Similarity.kmeansAssignments(spark, Sf0001).count()
+    val warm = Similarity.modelBuildTotal
+    val streamed = Similarity.ivfAppendStreaming(spark, Sf0001).collect()
+    assert(Similarity.modelBuildTotal == warm,
+      "the streaming append path re-ran Lloyd training — the index must " +
+        "maintain against the frozen session model")
+    // every increment genuinely contributed (the cross-batch witness)
+    val byInc = streamed.groupBy(_.getAs[Long]("increment")).view.mapValues(_.length)
+    assert(byInc.keySet === Set(0L, 1L, 2L), byInc)
+    assert(byInc.values.forall(_ > 0), byInc)
+    // per-cell counts of the streamed index == the batch build's — the
+    // union of micro-batch assignments IS the batch assignment
+    val streamedCells = streamed.groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.length).toMap
+    val batchCells = Similarity.kmeansAssignments(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("cluster")).view.mapValues(_.length).toMap
+    assert(streamedCells === batchCells)
+    // and not just counts: the (vec_id -> cluster) maps are identical
+    val streamedMap = streamed.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val batchMap = Similarity.kmeansAssignments(spark, Sf0001).collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(streamedMap === batchMap)
+  }
+
   test("recall report: the brute-force truth table is cached per (corpus, k, queryMod)") {
     // ann_recall's ground truth is a trained artifact like any model: the
     // first report may add the entry, a repeat report for the SAME
