@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Drift-controlled bench seal (r17 verdict ask #1).
+
+Usage: seal_bench.py SF_DIR OUT.json [CPUS]
+
+The r17 seal absorbed ~+20% intra-day host drift (identical code, 0.668
+vs 0.714 s/query within one session), poisoning round-over-round
+per-query comparisons. This wrapper brackets the committed min-of-3
+full-registry trio with a FIXED 10-query sentinel set run before and
+after: the sentinel ratio (after/before, on per-query min times) is a
+measured host-offset control committed INTO the BENCH_DETAIL artifact,
+so any cross-round comparison can (a) see whether the seal itself was
+drift-contaminated and (b) normalize per-query times by the sentinel
+offset between two rounds' artifacts before calling anything a
+regression. If the brackets disagree by >10%, the host was not quiet
+during the trio — the whole sequence re-runs (once) rather than
+committing a poisoned seal.
+
+Sentinels are code-stable operators spanning the cost spectrum (batch
+aggregates, a window pipeline, a graph core, a streaming drain — incl.
+twap_by_type_streaming, r17's worst drift exemplar). Changing a sentinel
+operator's code invalidates cross-round sentinel comparability; prefer
+leaving this list alone.
+
+Dev/seal tooling — the Scala library never depends on this.
+"""
+import json
+import os
+import subprocess
+import sys
+
+SENTINELS = [
+    "twap_by_type", "twap_by_type_streaming", "tfidf_top_terms",
+    "triangle_count", "theil_sen_daily", "zorder_zonemap",
+    "vocab_drift_chi2", "stl_decompose_daily", "trimmed_mean_by_type",
+    "token_df_countmin",
+]
+
+
+def run_bench(sf_dir: str, cpus: str, queries=None) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus)
+    env.pop("SPARK_GRAFT_QUERIES", None)
+    if queries:
+        env["SPARK_GRAFT_QUERIES"] = ",".join(queries)
+    p = subprocess.run(["sbt", "-batch", "runMain graft.Bench"],
+                       env=env, capture_output=True, text=True,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for line in p.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("[info] "):
+            line = line[len("[info] "):]
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    sys.exit(f"no bench JSON line in sbt output (rc={p.returncode}):\n"
+             + p.stdout[-3000:] + p.stderr[-2000:])
+
+
+def sentinel_total(b: dict) -> float:
+    return sum(b["queries"][q] for q in SENTINELS)
+
+
+def main() -> None:
+    sf_dir, out = sys.argv[1], sys.argv[2]
+    cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+    attempts = []
+    for attempt in range(2):
+        print(f"[seal] attempt {attempt}: sentinel bracket (before)...",
+              flush=True)
+        before = run_bench(sf_dir, cpus, SENTINELS)
+        print(f"[seal] full-registry min-of-3 trio...", flush=True)
+        full = run_bench(sf_dir, cpus)
+        print(f"[seal] sentinel bracket (after)...", flush=True)
+        after = run_bench(sf_dir, cpus, SENTINELS)
+        tb, ta = sentinel_total(before), sentinel_total(after)
+        ratio = ta / tb
+        stable = abs(ratio - 1.0) <= 0.10
+        attempts.append(round(ratio, 4))
+        print(f"[seal] sentinel bracket ratio after/before = {ratio:.3f} "
+              f"({'stable' if stable else 'DRIFTED >10% — host not quiet'})",
+              flush=True)
+        if stable or attempt == 1:
+            full["sentinel"] = {
+                "queries": SENTINELS,
+                "before": {q: before["queries"][q] for q in SENTINELS},
+                "after": {q: after["queries"][q] for q in SENTINELS},
+                "total_before_sec": round(tb, 3),
+                "total_after_sec": round(ta, 3),
+                "ratio_after_before": round(ratio, 4),
+                "stable_within_10pct": stable,
+                "bracket_attempt_ratios": attempts,
+                "rule": "cross-round per-query comparisons must normalize "
+                        "by the rounds' sentinel offsets before calling a "
+                        "regression; a seal with stable_within_10pct=false "
+                        "is drift-contaminated",
+            }
+            with open(out, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+            print(f"[seal] wrote {out}: total={full['value']:.1f}s over "
+                  f"{len(full['queries'])} queries, failed={full['failed']}")
+            sys.exit(0 if stable and not full["failed"] else 1)
+
+
+if __name__ == "__main__":
+    main()
