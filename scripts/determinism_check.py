@@ -30,15 +30,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _enc(v) -> bytes:
+    if isinstance(v, float):
+        return repr(v).encode()
+    if hasattr(v, "tolist"):  # numpy array cells: str() elides with '...'
+        return repr(v.tolist()).encode()
+    return str(v).encode()
+
+
 def table_hash(df: pd.DataFrame) -> str:
+    # every token is length-prefixed (r18 review: bare concatenation lets
+    # ['ab','c'] and ['a','bc'] hash identically — exactly the ambiguity a
+    # determinism check must not have)
     h = hashlib.sha256()
     for col in df.columns:
-        h.update(col.encode())
+        cb = col.encode()
+        h.update(b"C%d:%s" % (len(cb), cb))
         for v in df[col]:
-            if isinstance(v, float):
-                h.update(repr(v).encode())
-            else:
-                h.update(str(v).encode())
+            b = _enc(v)
+            h.update(b"V%d:%s" % (len(b), b))
     return h.hexdigest()
 
 

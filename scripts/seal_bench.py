@@ -78,26 +78,34 @@ def main() -> None:
         print(f"[seal] sentinel bracket ratio after/before = {ratio:.3f} "
               f"({'stable' if stable else 'DRIFTED >10% — host not quiet'})",
               flush=True)
-        if stable or attempt == 1:
-            full["sentinel"] = {
-                "queries": SENTINELS,
-                "before": {q: before["queries"][q] for q in SENTINELS},
-                "after": {q: after["queries"][q] for q in SENTINELS},
-                "total_before_sec": round(tb, 3),
-                "total_after_sec": round(ta, 3),
-                "ratio_after_before": round(ratio, 4),
-                "stable_within_10pct": stable,
-                "bracket_attempt_ratios": attempts,
-                "rule": "cross-round per-query comparisons must normalize "
-                        "by the rounds' sentinel offsets before calling a "
-                        "regression; a seal with stable_within_10pct=false "
-                        "is drift-contaminated",
-            }
+        full["sentinel"] = {
+            "queries": SENTINELS,
+            "before": {q: before["queries"][q] for q in SENTINELS},
+            "after": {q: after["queries"][q] for q in SENTINELS},
+            "total_before_sec": round(tb, 3),
+            "total_after_sec": round(ta, 3),
+            "ratio_after_before": round(ratio, 4),
+            "stable_within_10pct": stable,
+            "bracket_attempt_ratios": attempts,
+            "rule": "cross-round per-query comparisons must normalize "
+                    "by the rounds' sentinel offsets before calling a "
+                    "regression",
+        }
+        if stable:
             with open(out, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
             print(f"[seal] wrote {out}: total={full['value']:.1f}s over "
                   f"{len(full['queries'])} queries, failed={full['failed']}")
-            sys.exit(0 if stable and not full["failed"] else 1)
+            sys.exit(0 if not full["failed"] else 1)
+        # a drifted trio is NEVER written under the committed name (the
+        # whole point is that nothing downstream can normalize against a
+        # poisoned seal); keep it as forensics and retry once
+        rejected = f"{out}.rejected{attempt}"
+        with open(rejected, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        print(f"[seal] drifted trio kept as {rejected}, not committed")
+    sys.exit(f"[seal] both attempts drifted >10% ({attempts}) — quiet the "
+             f"host and re-run; no seal artifact was written to {out}")
 
 
 if __name__ == "__main__":

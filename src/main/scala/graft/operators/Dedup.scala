@@ -373,24 +373,12 @@ object Dedup {
 
   private def buildIncrementalJournal(spark: SparkSession, sfDir: String,
                                       outDir: String): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
     val docs = documentsFor(spark, sfDir).select(col("doc_id"), col("text"))
     val n = SnapshotIncrements
-    val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"dedupsnap:$sfDir",
-      (0 until n).map(i => s"i$i.parquet"))(
-      (0 until n).map(i => docs.filter(col("doc_id") % n === i)))
-    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir)
-    StatefulQueries.withShuffleWidth(spark, 8) {
-      val q = stream.writeStream.outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          applyDedupIncrement(spark, outDir, b, id)
-        }
-        .start()
-      q.awaitTermination()
-      require(q.recentProgress.count(_.numInputRows > 0) >= n,
-        s"the $n-increment replay did not produce $n data micro-batches")
+    StatefulQueries.versionedReplayJournal(spark, s"dedupsnap:$sfDir",
+      (0 until n).map(i => s"i$i.parquet"),
+      (0 until n).map(i => docs.filter(col("doc_id") % n === i)), n) {
+      (b, id) => applyDedupIncrement(spark, outDir, b, id)
     }
     // conservation witness: each fingerprint kept exactly once
     val kept = snapshotVersionsBefore(spark, outDir, Long.MaxValue)

@@ -437,12 +437,16 @@ object Similarity {
     * the scd2Journal lifecycle. */
   def ivfAppendStreaming(spark: SparkSession, sfDir: String,
                          nClusters: Int = 8, rounds: Int = 2): DataFrame = {
-    val outDir = appendIndexCache.computeIfAbsent(sfDir, { _ =>
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-ivf-append-").toString
-      buildAppendIndex(spark, sfDir, d, nClusters, rounds)
-      d
-    })
+    // journal keyed by (corpus, hyperparameters) like every trained
+    // artifact (r18 review: an sfDir-only key would hand a k=16 caller
+    // the k=8 journal or vice versa)
+    val outDir = appendIndexCache.computeIfAbsent(
+      s"$sfDir|$nClusters|$rounds", { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-ivf-append-").toString
+        buildAppendIndex(spark, sfDir, d, nClusters, rounds)
+        d
+      })
     Dedup.snapshotVersionsBefore(spark, outDir, Long.MaxValue)
       .getOrElse(sys.error("no IVF append version written"))
       .orderBy(col("vec_id"))
@@ -454,27 +458,20 @@ object Similarity {
   private def buildAppendIndex(spark: SparkSession, sfDir: String,
                                outDir: String, nClusters: Int,
                                rounds: Int): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
     val n = AppendIncrements
     withCached(trainInput(spark, sfDir)) { base =>
       val cents = coarseFor(sfDir, base, nClusters, rounds) // FROZEN model
-      val dir = StatefulQueries.timeOrderedFilesCopy(spark, s"ivfappend:$sfDir",
-        (0 until n).map(i => s"a$i.parquet"))(
+      // the replay copy is hyperparameter-free (raw vectors) — shared
+      // across models of the same corpus
+      StatefulQueries.versionedReplayJournal(spark, s"ivfappend:$sfDir",
+        (0 until n).map(i => s"a$i.parquet"),
         (0 until n).map(i =>
-          base.select(col("vec_id"), col("vec")).filter(col("vec_id") % n === i)))
-      val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
-        .option("maxFilesPerTrigger", "1").parquet(dir)
-      val q = stream.writeStream.outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          withCluster(batch, cents)
-            .select(col("vec_id"), col("cluster"), lit(id).as("increment"))
-            .write.mode("overwrite").parquet(s"$outDir/v=$id")
-        }
-        .start()
-      q.awaitTermination()
-      require(q.recentProgress.count(_.numInputRows > 0) >= n,
-        s"the $n-increment replay did not produce $n data micro-batches")
+          base.select(col("vec_id"), col("vec")).filter(col("vec_id") % n === i)),
+        n) { (batch, id) =>
+        withCluster(batch, cents)
+          .select(col("vec_id"), col("cluster"), lit(id).as("increment"))
+          .write.mode("overwrite").parquet(s"$outDir/v=$id")
+      }
     }
   }
 

@@ -405,6 +405,35 @@ object StatefulQueries {
       dir.toString
     })
 
+  /** The shared VERSIONED-REPLAY JOURNAL recipe (held ONCE — r18 review:
+    * the dedup-snapshot and IVF-append builders had copied it and already
+    * drifted on shuffle width): replay `frames` as one-file micro-batches
+    * through the real engine (AvailableNow, maxFilesPerTrigger=1) and hand
+    * each batch to `perBatch`, which must write idempotently to
+    * `v=<batchId>` merging only against versions BELOW its id (the SCD2
+    * convention — a replayed batch then converges instead of
+    * double-appending). Requires at least `minBatches` data micro-batches,
+    * so a collapsed replay fails loudly. */
+  private[operators] def versionedReplayJournal(
+      spark: SparkSession, copyTag: String, names: Seq[String],
+      frames: => Seq[DataFrame], minBatches: Int)
+      (perBatch: (DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = timeOrderedFilesCopy(spark, copyTag, names)(frames)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    withShuffleWidth(spark, 8) {
+      val q = stream.writeStream.outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) => perBatch(b, id) }
+        .start()
+      q.awaitTermination()
+      require(q.recentProgress.count(_.numInputRows > 0) >= minBatches,
+        s"the $minBatches-increment replay did not produce " +
+          s"$minBatches data micro-batches")
+    }
+  }
+
   /** Median-time split + far-future sentinel: the replay shape of every
     * watermark-driven drain, held ONCE (session windows, TTL dedup — a fix
     * to the split contract must not have to land twice). `ev` splits at
