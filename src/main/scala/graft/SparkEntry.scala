@@ -421,6 +421,10 @@ object SparkEntry {
     // expand), sketch gated in-plan against the exact NDV (q10a pattern)
     "column_stats_profile_sketch" ->
       ((s, dir) => Relational.columnStatsProfileSketch(s, dir)),
+    // incremental profile maintenance: per-increment exact stats + stored
+    // HLL blobs folded from a versioned journal — history never rescanned
+    "column_stats_incremental" ->
+      ((s, dir) => Relational.columnStatsIncremental(s, dir)),
     // mid-frequency-band inverted-index postings, df band + cap stated
     // in the oracle
     "inverted_index_postings" -> ((s, dir) => TextOps.invertedIndexPostings(s, dir)),
@@ -4758,6 +4762,10 @@ object SparkEntry {
       "q1rdb_running_max_rocksdb"      -> base("q1_running_max"),
       "q1k_running_max_socket"         -> base("q1_running_max"),
       "q23ss_interval_join_streaming"  -> base("q23_interval_join"),
+      // merged journal ≡ whole-corpus profile: exact halves algebraic,
+      // same-lgK HLL union register-lossless (spec-pinned), gate boolean
+      // identical — so the batch sketch oracle IS the incremental oracle
+      "column_stats_incremental"       -> base("column_stats_profile_sketch"),
       "cep_funnel_followedby_streaming" -> base("cep_funnel_followedby"),
       "cep_absence_alert_streaming"     -> base("cep_absence_alert"),
       "q6ss_revenue_join_stream_static" -> base("q6_revenue_by_nation"),

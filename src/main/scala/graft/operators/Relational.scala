@@ -970,14 +970,8 @@ object Relational {
     * branch). At 100 TB the exact NDVs are the expensive half; the
     * registered approximate path is q10a's HLL form. */
   def columnStatsProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val DayUs = 86400000000L
-    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-                   "l_extendedprice", "l_discount", "l_shipdate")
-    val li = Tables.lineitem(spark, sfDir).select(cols.map { c =>
-      (if (c == "l_shipdate")
-         expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
-       else col(c)).cast("double").as(c)
-    }: _*)
+    val cols = ProfileCols
+    val li = profileInput(spark, sfDir)
     val aggs = count(lit(1)).cast("long").as("n") +: cols.flatMap { c =>
       Seq(count(col(c)).cast("long").as(s"cnt_$c"),
           countDistinct(col(c)).cast("long").as(s"ndv_$c"),
@@ -1007,14 +1001,8 @@ object Relational {
   def columnStatsProfileSketch(spark: SparkSession, sfDir: String,
                                rsd: Double = 0.05,
                                tolerance: Double = 0.15): DataFrame = {
-    val DayUs = 86400000000L
-    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-                   "l_extendedprice", "l_discount", "l_shipdate")
-    val li = Tables.lineitem(spark, sfDir).select(cols.map { c =>
-      (if (c == "l_shipdate")
-         expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
-       else col(c)).cast("double").as(c)
-    }: _*)
+    val cols = ProfileCols
+    val li = profileInput(spark, sfDir)
     // the exact side keeps columnStatsProfile's expand-based plan; the
     // SKETCH side runs as its OWN plain aggregate — mixed into one agg,
     // Catalyst routes the HLL updates through the multi-countDistinct
@@ -1041,6 +1029,107 @@ object Relational {
         (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
           <= lit(tolerance)).as("approx_ok"))
       .orderBy(col("column_name"))
+  }
+
+  /** The profile's column set — ONE definition shared by the exact,
+    * sketch, and incremental forms (a column added to the profile must
+    * reach all three or none). */
+  private val ProfileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+
+  private def profileInput(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    Tables.lineitem(spark, sfDir).select(ProfileCols.map { c =>
+      (if (c == "l_shipdate")
+         expr(s"unix_micros(date_trunc('DAY', $c)) div $DayUs")
+       else col(c)).cast("double").as(c)
+    }: _*)
+  }
+
+  /** Increment count for [[columnStatsIncremental]]. */
+  private[graft] val StatsIncrements = 3
+
+  /** INCREMENTAL PROFILE MAINTENANCE — [[columnStatsProfileSketch]]'s
+    * pipeline-shaped sibling (the third consumer of the versioned-replay
+    * journal, after the dedup snapshot and the IVF append): each corpus
+    * increment is profiled ONCE into a constant-size row — exact
+    * mergeable stats (count, non-null count, min, max) plus a PERSISTED
+    * DataSketches HLL blob per column — and the corpus profile is
+    * recovered by folding the journal: sums, min-of-mins, max-of-maxes,
+    * and `hll_union_agg` over the stored sketches. This is how a 100 TB
+    * profile dashboard actually stays current: each day's ingest scans
+    * only ITSELF; history is never rescanned, because everything that
+    * must merge is either algebraic (counts, extrema) or a mergeable
+    * sketch (NDV — the one stat that is NOT algebraic exactly, which is
+    * the entire reason the sketch is stored rather than the estimate).
+    *
+    * Same-lgK HLL union is register-lossless, so the merged estimate
+    * equals the single-pass estimate (spec-pinned); it registers through
+    * the in-plan tolerance gate (`approx_ok`) against the exact NDV, the
+    * [[columnStatsProfileSketch]] pattern — the exact side exists only to
+    * FEED the gate and is dropped by the production profile. The doubles
+    * feed the sketch as canonical strings (DataSketches HLL takes
+    * int/long/string/binary; the cast is injective, so distinctness is
+    * preserved). */
+  def columnStatsIncremental(spark: SparkSession, sfDir: String,
+                             lgK: Int = 14,
+                             tolerance: Double = 0.15): DataFrame = {
+    val outDir = statsIncCache.computeIfAbsent(s"$sfDir|$lgK", { _ =>
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-stats-inc-").toString
+      buildStatsJournal(spark, sfDir, d, lgK)
+      d
+    })
+    val parts = Dedup.snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+      .getOrElse(sys.error("no stats journal version written"))
+    val mergedAggs = sum(col("n")).cast("long").as("n") +:
+      ProfileCols.flatMap { c =>
+        Seq(sum(col(s"cnt_$c")).cast("long").as(s"cnt_$c"),
+            min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"),
+            hll_sketch_estimate(hll_union_agg(col(s"sk_$c")))
+              .cast("long").as(s"andv_$c"))
+      }
+    val li = profileInput(spark, sfDir)
+    val exactAggs =
+      ProfileCols.map(c => countDistinct(col(c)).cast("long").as(s"ndv_$c"))
+    val stats = parts.agg(mergedAggs.head, mergedAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(exactAggs.head, exactAggs.tail: _*)))
+    val stacked = ProfileCols.map { c =>
+      s"'$c', n, n - cnt_$c, ndv_$c, andv_$c, min_$c, max_$c"
+    }.mkString(", ")
+    stats.selectExpr(
+        s"stack(${ProfileCols.size}, $stacked) AS " +
+          "(column_name, n_rows, n_nulls, ndv, andv, min_val, max_val)")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_val"), col("max_val"),
+        (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
+          <= lit(tolerance)).as("approx_ok"))
+      .orderBy(col("column_name"))
+  }
+
+  private val statsIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildStatsJournal(spark: SparkSession, sfDir: String,
+                                outDir: String, lgK: Int): Unit = {
+    val n = StatsIncrements
+    val withKey = profileInput(spark, sfDir)
+      .withColumn("splitk", col("l_orderkey").cast("long"))
+    StatefulQueries.versionedReplayJournal(spark, s"statsinc:$sfDir",
+      (0 until n).map(i => s"s$i.parquet"),
+      (0 until n).map(i => withKey.filter(col("splitk") % n === i)
+        .drop("splitk")), n) { (batch, id) =>
+      val aggs = count(lit(1)).cast("long").as("n") +:
+        ProfileCols.flatMap { c =>
+          Seq(count(col(c)).cast("long").as(s"cnt_$c"),
+              min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+              hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"sk_$c"))
+        }
+      batch.agg(aggs.head, aggs.tail: _*)
+        .withColumn("increment", lit(id))
+        .write.mode("overwrite").parquet(s"$outDir/v=$id")
+    }
   }
 
   /** KEY-SKEW DIAGNOSTIC for the orders→customer key — the pre-flight

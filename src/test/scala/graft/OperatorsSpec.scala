@@ -167,4 +167,37 @@ class OperatorsSpec extends SparkSpec {
     assert(sd.getAs[Double]("max_val") > sd.getAs[Double]("min_val"))
     li.unpersist()
   }
+
+  test("incremental profile: journal fold equals the whole-corpus profile; HLL union is lossless") {
+    // the exact halves (counts, nulls, extrema) and the tolerance gate of
+    // the journal-folded profile must match the single-pass sketch profile
+    // row for row — the merged sketches replace a rescan, not the answer
+    val inc = graft.operators.Relational.columnStatsIncremental(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    val batch = graft.operators.Relational
+      .columnStatsProfileSketch(spark, Sf0001)
+      .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(inc.keySet === batch.keySet && inc.size == 7)
+    for ((c, b) <- batch; i = inc(c)) {
+      assert(i.getAs[Long]("n_rows") == b.getAs[Long]("n_rows"), c)
+      assert(i.getAs[Long]("n_nulls") == b.getAs[Long]("n_nulls"), c)
+      assert(i.getAs[Long]("ndv") == b.getAs[Long]("ndv"), c)
+      assert(i.getAs[Double]("min_val") == b.getAs[Double]("min_val"), c)
+      assert(i.getAs[Double]("max_val") == b.getAs[Double]("max_val"), c)
+      assert(i.getAs[Boolean]("approx_ok"), c)
+    }
+    // the property the operator stands on, pinned directly: a same-lgK
+    // union of per-part HLL sketches estimates EXACTLY like the
+    // single-pass whole-corpus sketch (register-lossless merge)
+    val ev = graft.io.Tables.lineitem(spark, Sf0001)
+      .select(col("l_orderkey").cast("string").as("s"),
+              (col("l_orderkey") % 3).as("p"))
+    val whole = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("s"), lit(14))))
+      .head().getLong(0)
+    val merged = ev.groupBy(col("p"))
+      .agg(hll_sketch_agg(col("s"), lit(14)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    assert(merged === whole)
+  }
 }
