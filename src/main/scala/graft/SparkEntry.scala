@@ -263,6 +263,10 @@ object SparkEntry {
     // increments dedup against a PERSISTED fingerprint store (read snapshot
     // → left-anti → append survivors' fps, versioned idempotent journal)
     "dedup_incremental_snapshot" -> ((s, dir) => Dedup.dedupIncrementalSnapshot(s, dir)),
+    // the near-dup counterpart: increments probe a PERSISTED LSH band
+    // index (signatures computed only for the increment; buckets FREEZE at
+    // the cap — the arrival-rank rule the oracle states)
+    "dedup_lsh_incremental" -> ((s, dir) => Dedup.dedupLshIncremental(s, dir)),
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
@@ -1382,6 +1386,28 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$lshSqlBody
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental index's FREEZE-at-cap rule stated exactly: a band
+    // row is admitted iff its global arrival rank (increment, then doc_id)
+    // is <= cap; pairs require BOTH members admitted. Deliberately NOT the
+    // batch form's drop-whole-bucket rule — the two contracts differ and
+    // each oracle states its own.
+    "dedup_lsh_incremental" ->
+      s"""WITH $lshBandCtes,
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+         |        ORDER BY doc_id % ${graft.operators.Dedup.SnapshotIncrements},
+         |                 doc_id) AS arr
+         |       FROM br),
+         |kept AS (SELECT * FROM rk
+         |         WHERE arr <= ${graft.operators.Dedup.MaxLshBucketSize}),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
+         | FROM kept a JOIN kept b ON a.band_idx = b.band_idx
+         |  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard FROM (
+         | SELECT doc_a, doc_b,
+         |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
+         | FROM cand)
+         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     // per-source signature = min-reduce of per-doc signatures (MinHash's
     // set-union property); estimated Jaccard = equal-component fraction.
     // HAVING excludes all-sentinel sources (every doc's shingle set empty)

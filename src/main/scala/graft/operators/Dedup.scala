@@ -389,6 +389,113 @@ object Dedup {
         "distinct — the incremental anti-join dropped or double-appended")
   }
 
+  /** INCREMENTAL NEAR-DUP DEDUP AGAINST A PERSISTED LSH BAND INDEX — the
+    * MinHash/LSH counterpart of [[dedupIncrementalSnapshot]] (exact fps
+    * there, band buckets here): each corpus increment computes ONLY its
+    * own signatures, probes the band-bucket index PERSISTED by prior
+    * increments for cross-increment collisions, emits candidate pairs
+    * (stored×new and new×new, est. Jaccard = equal-component fraction,
+    * same estimator as [[minhashLshOf]]), and appends its admitted band
+    * rows. At 100 TB this is how near-dup dedup actually runs daily: the
+    * increment is signature-scanned once, the historical corpus is never
+    * re-shingled — the index IS the history.
+    *
+    * CAP SEMANTICS DIFFER FROM THE BATCH FORM, deliberately and
+    * observably: batch LSH drops an over-cap bucket WHOLE (it sees the
+    * final size); an incremental index cannot retract, so a bucket
+    * FREEZES at [[MaxLshBucketSize]] members — first arrivals (by
+    * increment, then doc_id) stay, later colliders are turned away. The
+    * oracle states the freeze rule exactly (arrival-rank ≤ cap on both
+    * pair members), so the two contracts can never be silently
+    * conflated. Kept-set equivalence between the engine's
+    * stored-count + batch-rank admission and the oracle's global arrival
+    * rank holds by induction: buckets only reach the cap by keeping
+    * exactly the first cap arrivals, and once at cap both formulations
+    * admit nothing more.
+    *
+    * Pairs journal + index journal both follow the versioned idempotent
+    * recipe; a pair colliding in k bands (or probed twice on replay)
+    * collapses through the final min-groupBy exactly like the batch
+    * form's multi-band copies. */
+  def dedupLshIncremental(spark: SparkSession, sfDir: String,
+                          n: Int = 3, minEstJaccard: Double = 0.5,
+                          maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
+    val dirs = lshIncCache.computeIfAbsent(
+      s"$sfDir|$n|$minEstJaccard|$maxBucketSize", { _ =>
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-lsh-inc-idx-").toString
+        val prs = java.nio.file.Files
+          .createTempDirectory("graft-lsh-inc-pairs-").toString
+        val docs = documentsFor(spark, sfDir).select(col("doc_id"), col("text"))
+        val k = SnapshotIncrements
+        StatefulQueries.versionedReplayJournal(spark, s"lshinc:$sfDir",
+          (0 until k).map(i => s"l$i.parquet"),
+          (0 until k).map(i => docs.filter(col("doc_id") % k === i)), k) {
+          (b, id) =>
+            applyLshIncrement(spark, idx, prs, b, id, n, minEstJaccard,
+              maxBucketSize)
+        }
+        (idx, prs)
+      })
+    snapshotVersionsBefore(spark, dirs._2, Long.MaxValue)
+      .getOrElse(sys.error("no LSH pairs version written"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("est_jaccard")).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val lshIncCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** One increment's probe-and-append against the persisted band index:
+    * admit new band rows up to the bucket freeze (stored count + in-batch
+    * rank ≤ cap), pair admitted rows against the stored bucket members
+    * and each other, append. `private[graft]` so the spec can drive
+    * hand-built increments through the real merge. */
+  private[graft] def applyLshIncrement(spark: SparkSession, idxDir: String,
+                                       pairsDir: String, batch: DataFrame,
+                                       id: Long, n: Int, minEst: Double,
+                                       cap: Int): Unit = {
+    val nSig = MinHashA.size
+    val newRows = lshBandRowsOf(
+        minhashSignaturesRaw(batch.select(col("doc_id"), col("text")), n))
+      .select(col("band_idx").cast("long").as("band_idx"), col("band_hash"),
+              col("item.*"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
+    val ranked = newRows.withColumn("brk", row_number().over(w).cast("long"))
+    def pairsOf(joined: DataFrame): DataFrame = {
+      val nEq = MinHashA.indices.map(j =>
+        when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0)).reduce(_ + _)
+      joined.select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          (nEq.cast("double") / nSig).as("est_jaccard"))
+        .filter(col("est_jaccard") >= minEst)
+    }
+    val bucketEq = (a: String, b: String) =>
+      col(s"$a.band_idx") === col(s"$b.band_idx") &&
+        col(s"$a.band_hash") === col(s"$b.band_hash")
+    val (kept, crossPairs) = snapshotVersionsBefore(spark, idxDir, id) match {
+      case None =>
+        (ranked.filter(col("brk") <= cap).withColumn("arr", col("brk")), None)
+      case Some(st) =>
+        val sc = st.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("sc"))
+        val k = ranked.join(sc, Seq("band_idx", "band_hash"), "left")
+          .withColumn("sc", coalesce(col("sc"), lit(0L)))
+          .filter(col("sc") + col("brk") <= cap)
+          .withColumn("arr", col("sc") + col("brk")).drop("sc")
+        (k, Some(pairsOf(st.as("a").join(k.as("b"), bucketEq("a", "b")))))
+    }
+    val within = pairsOf(kept.as("a").join(kept.as("b"),
+      bucketEq("a", "b") && col("a.doc_id") < col("b.doc_id")))
+    crossPairs.map(within.unionByName(_)).getOrElse(within)
+      .write.mode("overwrite").parquet(s"$pairsDir/v=$id")
+    kept.drop("brk")
+      .write.mode("overwrite").parquet(s"$idxDir/v=$id")
+  }
+
   /** One increment's MERGE into the fingerprint store: intra-increment
     * exact collapse (min doc_id — [[exactOf]]'s rule), left-anti against
     * the union of versions BELOW this batch id, survivors appended as

@@ -42,6 +42,49 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_lsh_incremental: stored-index probe finds cross-batch pairs; full buckets FREEZE") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-lsh-inc-spec-idx-").toString
+    val prs = java.nio.file.Files
+      .createTempDirectory("graft-lsh-inc-spec-prs-").toString
+    try {
+      val T = "alpha beta gamma delta epsilon"
+      val V = "omega psi chi phi upsilon"
+      // batch 0: two copies of T (fills every T-bucket to cap=2) + one V
+      Dedup.applyLshIncrement(spark, idx, prs,
+        Seq((10L, T), (11L, T), (22L, V)).toDF("doc_id", "text"),
+        0L, 3, 0.5, cap = 2)
+      // batch 1: another T copy (must be FROZEN OUT — its buckets are
+      // full), an unrelated U, and a V copy (bucket has room: 1 stored)
+      Dedup.applyLshIncrement(spark, idx, prs,
+        Seq((20L, T), (21L, "one two three four five"), (23L, V))
+          .toDF("doc_id", "text"),
+        1L, 3, 0.5, cap = 2)
+      def pairs(): Set[(Long, Long)] =
+        Dedup.snapshotVersionsBefore(spark, prs, Long.MaxValue).get
+          .select("doc_a", "doc_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // within-batch pair from batch 0; CROSS-BATCH pair (22, 23) found by
+      // probing the stored index; NO pair involving the frozen-out 20
+      assert(pairs() === Set((10L, 11L), (22L, 23L)))
+      val stored = Dedup.snapshotVersionsBefore(spark, idx, Long.MaxValue).get
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!stored.contains(20L), stored) // frozen bucket admitted nothing
+      assert(stored.contains(21L) && stored.contains(23L), stored)
+      // idempotence: replaying batch 1 converges to the same journals
+      Dedup.applyLshIncrement(spark, idx, prs,
+        Seq((20L, T), (21L, "one two three four five"), (23L, V))
+          .toDF("doc_id", "text"),
+        1L, 3, 0.5, cap = 2)
+      assert(pairs() === Set((10L, 11L), (22L, 23L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      }
+      rm(new java.io.File(idx)); rm(new java.io.File(prs))
+    }
+  }
+
   test("charHash matches the cross-engine polynomial (abc -> 96354)") {
     // ((0*31+97)*31+98)*31+99 = 96354 — same value DuckDB's list_reduce yields
     val got = Seq("abc").toDF("s").select(charHash(col("s"))).head().getLong(0)
