@@ -371,19 +371,30 @@ object Dedup {
   private val incSnapshotCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def buildIncrementalJournal(spark: SparkSession, sfDir: String,
-                                      outDir: String): Unit = {
+  /** Replay the corpus as [[SnapshotIncrements]] doc_id-modulo increments
+    * through the versioned-journal engine — the ONE split shared by every
+    * incremental-maintenance operator over documents (r18 review: the
+    * fingerprint and LSH builders each re-coalesced and re-wrote the same
+    * corpus split under different copy tags). */
+  private def replayDocumentIncrements(spark: SparkSession, sfDir: String)
+                                      (perBatch: (DataFrame, Long) => Unit): Unit = {
     val docs = documentsFor(spark, sfDir).select(col("doc_id"), col("text"))
     val n = SnapshotIncrements
-    StatefulQueries.versionedReplayJournal(spark, s"dedupsnap:$sfDir",
+    StatefulQueries.versionedReplayJournal(spark, s"docinc:$sfDir",
       (0 until n).map(i => s"i$i.parquet"),
-      (0 until n).map(i => docs.filter(col("doc_id") % n === i)), n) {
+      (0 until n).map(i => docs.filter(col("doc_id") % n === i)), n)(perBatch)
+  }
+
+  private def buildIncrementalJournal(spark: SparkSession, sfDir: String,
+                                      outDir: String): Unit = {
+    replayDocumentIncrements(spark, sfDir) {
       (b, id) => applyDedupIncrement(spark, outDir, b, id)
     }
     // conservation witness: each fingerprint kept exactly once
     val kept = snapshotVersionsBefore(spark, outDir, Long.MaxValue)
       .map(_.count()).getOrElse(0L)
-    val distinctFps = docs.select(fingerprintMd5(col("text"))).distinct().count()
+    val distinctFps = documentsFor(spark, sfDir)
+      .select(fingerprintMd5(col("text"))).distinct().count()
     require(kept == distinctFps,
       s"snapshot journal holds $kept fingerprints, corpus has $distinctFps " +
         "distinct — the incremental anti-join dropped or double-appended")
@@ -426,11 +437,7 @@ object Dedup {
           .createTempDirectory("graft-lsh-inc-idx-").toString
         val prs = java.nio.file.Files
           .createTempDirectory("graft-lsh-inc-pairs-").toString
-        val docs = documentsFor(spark, sfDir).select(col("doc_id"), col("text"))
-        val k = SnapshotIncrements
-        StatefulQueries.versionedReplayJournal(spark, s"lshinc:$sfDir",
-          (0 until k).map(i => s"l$i.parquet"),
-          (0 until k).map(i => docs.filter(col("doc_id") % k === i)), k) {
+        replayDocumentIncrements(spark, sfDir) {
           (b, id) =>
             applyLshIncrement(spark, idx, prs, b, id, n, minEstJaccard,
               maxBucketSize)
@@ -451,7 +458,15 @@ object Dedup {
     * admit new band rows up to the bucket freeze (stored count + in-batch
     * rank ≤ cap), pair admitted rows against the stored bucket members
     * and each other, append. `private[graft]` so the spec can drive
-    * hand-built increments through the real merge. */
+    * hand-built increments through the real merge.
+    *
+    * At-least-once safety (r18 review): a (bucket, doc) row already in
+    * the store is anti-joined away before ranking, so a redelivered
+    * batch under a NEW id admits nothing, inflates no bucket counts, and
+    * emits no self-pairs — redelivery converges like same-id replay. The
+    * admitted rows are written FIRST and read back for pair generation:
+    * the signature pass (the increment's dominant stage) executes exactly
+    * once, as the scale contract states, instead of once per action. */
   private[graft] def applyLshIncrement(spark: SparkSession, idxDir: String,
                                        pairsDir: String, batch: DataFrame,
                                        id: Long, n: Int, minEst: Double,
@@ -463,7 +478,24 @@ object Dedup {
               col("item.*"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
-    val ranked = newRows.withColumn("brk", row_number().over(w).cast("long"))
+    val stored = snapshotVersionsBefore(spark, idxDir, id)
+    val kept = stored match {
+      case None =>
+        newRows.withColumn("brk", row_number().over(w).cast("long"))
+          .filter(col("brk") <= cap).drop("brk")
+      case Some(st) =>
+        val fresh = newRows.join(
+          st.select(col("band_idx"), col("band_hash"), col("doc_id")),
+          Seq("band_idx", "band_hash", "doc_id"), "left_anti")
+        val sc = st.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("sc"))
+        fresh.withColumn("brk", row_number().over(w).cast("long"))
+          .join(sc, Seq("band_idx", "band_hash"), "left")
+          .filter(coalesce(col("sc"), lit(0L)) + col("brk") <= cap)
+          .drop("sc", "brk")
+    }
+    kept.write.mode("overwrite").parquet(s"$idxDir/v=$id")
+    val admitted = spark.read.parquet(s"$idxDir/v=$id")
     def pairsOf(joined: DataFrame): DataFrame = {
       val nEq = MinHashA.indices.map(j =>
         when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0)).reduce(_ + _)
@@ -476,24 +508,15 @@ object Dedup {
     val bucketEq = (a: String, b: String) =>
       col(s"$a.band_idx") === col(s"$b.band_idx") &&
         col(s"$a.band_hash") === col(s"$b.band_hash")
-    val (kept, crossPairs) = snapshotVersionsBefore(spark, idxDir, id) match {
-      case None =>
-        (ranked.filter(col("brk") <= cap).withColumn("arr", col("brk")), None)
-      case Some(st) =>
-        val sc = st.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("sc"))
-        val k = ranked.join(sc, Seq("band_idx", "band_hash"), "left")
-          .withColumn("sc", coalesce(col("sc"), lit(0L)))
-          .filter(col("sc") + col("brk") <= cap)
-          .withColumn("arr", col("sc") + col("brk")).drop("sc")
-        (k, Some(pairsOf(st.as("a").join(k.as("b"), bucketEq("a", "b")))))
-    }
-    val within = pairsOf(kept.as("a").join(kept.as("b"),
+    val within = pairsOf(admitted.as("a").join(admitted.as("b"),
       bucketEq("a", "b") && col("a.doc_id") < col("b.doc_id")))
-    crossPairs.map(within.unionByName(_)).getOrElse(within)
-      .write.mode("overwrite").parquet(s"$pairsDir/v=$id")
-    kept.drop("brk")
-      .write.mode("overwrite").parquet(s"$idxDir/v=$id")
+    val all = stored match {
+      case None => within
+      case Some(st) => within.unionByName(
+        pairsOf(st.as("a").join(admitted.as("b"),
+          bucketEq("a", "b") && col("a.doc_id") =!= col("b.doc_id"))))
+    }
+    all.write.mode("overwrite").parquet(s"$pairsDir/v=$id")
   }
 
   /** One increment's MERGE into the fingerprint store: intra-increment

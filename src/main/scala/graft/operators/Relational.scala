@@ -1018,11 +1018,20 @@ object Relational {
     val sketchAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"andv_$c"))
     val stats = li.agg(exactAggs.head, exactAggs.tail: _*)
       .crossJoin(broadcast(li.agg(sketchAggs.head, sketchAggs.tail: _*)))
-    val stacked = cols.map { c =>
+    profileReport(stats, tolerance)
+  }
+
+  /** The sketch-profile report tail — stack-unpivot the 1-row stats frame
+    * (n, cnt_/ndv_/andv_/min_/max_ per [[ProfileCols]] column) and gate
+    * the sketch NDV against the exact truth. ONE definition shared by the
+    * single-pass and incremental forms (r18 review: the copies would
+    * drift on the next gate change). */
+  private def profileReport(stats: DataFrame, tolerance: Double): DataFrame = {
+    val stacked = ProfileCols.map { c =>
       s"'$c', n, n - cnt_$c, ndv_$c, andv_$c, min_$c, max_$c"
     }.mkString(", ")
     stats.selectExpr(
-        s"stack(${cols.size}, $stacked) AS " +
+        s"stack(${ProfileCols.size}, $stacked) AS " +
           "(column_name, n_rows, n_nulls, ndv, andv, min_val, max_val)")
       .select(col("column_name"), col("n_rows"), col("n_nulls"), col("ndv"),
         col("min_val"), col("max_val"),
@@ -1093,19 +1102,9 @@ object Relational {
     val li = profileInput(spark, sfDir)
     val exactAggs =
       ProfileCols.map(c => countDistinct(col(c)).cast("long").as(s"ndv_$c"))
-    val stats = parts.agg(mergedAggs.head, mergedAggs.tail: _*)
-      .crossJoin(broadcast(li.agg(exactAggs.head, exactAggs.tail: _*)))
-    val stacked = ProfileCols.map { c =>
-      s"'$c', n, n - cnt_$c, ndv_$c, andv_$c, min_$c, max_$c"
-    }.mkString(", ")
-    stats.selectExpr(
-        s"stack(${ProfileCols.size}, $stacked) AS " +
-          "(column_name, n_rows, n_nulls, ndv, andv, min_val, max_val)")
-      .select(col("column_name"), col("n_rows"), col("n_nulls"), col("ndv"),
-        col("min_val"), col("max_val"),
-        (abs(col("andv") - col("ndv")).cast("double") / col("ndv")
-          <= lit(tolerance)).as("approx_ok"))
-      .orderBy(col("column_name"))
+    profileReport(parts.agg(mergedAggs.head, mergedAggs.tail: _*)
+      .crossJoin(broadcast(li.agg(exactAggs.head, exactAggs.tail: _*))),
+      tolerance)
   }
 
   private val statsIncCache =
