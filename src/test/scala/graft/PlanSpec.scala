@@ -115,6 +115,22 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges === docSpread, p)
   }
 
+  test("doc_sim_df_stats: join-free — strictly cheaper than the self-join it instruments") {
+    val p = plan("doc_sim_df_stats")
+    // the observable must never cost what it observes: no join anywhere
+    // (the instrumented operator's cost IS its term self-join), and the
+    // scan reads only the two columns the shared tf derivation needs
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    // ONE hash exchange (the th df shuffle) plus the optional spread: the
+    // stats prune tf's count, so Catalyst plans the (doc,th) dedup as a
+    // PARTIAL-ONLY local aggregate — legal because every (doc,th) copy
+    // originates from exploding one doc row and is co-resident — and the
+    // tf exchange the similarity join pays disappears entirely here
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1 + docSpread, p)
+  }
+
   test("vocab_topk plans the global top-k as TakeOrdered, not a full sort") {
     val p = plan("vocab_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
