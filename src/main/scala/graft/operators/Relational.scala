@@ -1089,8 +1089,16 @@ object Relational {
       buildStatsJournal(spark, sfDir, d, lgK)
       d
     })
-    val parts = Dedup.snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+    val raw = Dedup.snapshotVersionsBefore(spark, outDir, Long.MaxValue)
       .getOrElse(sys.error("no stats journal version written"))
+    // first version per residue: a redelivered increment (new batch id,
+    // same doc class) folds ONCE — the journal family's convergence rule;
+    // null-residue rows are empty batches and contribute nothing
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("residue")).orderBy(col("increment"))
+    val parts = raw.filter(col("residue").isNotNull)
+      .withColumn("rn", row_number().over(firstW)).filter(col("rn") === 1)
+      .drop("rn")
     val mergedAggs = sum(col("n")).cast("long").as("n") +:
       ProfileCols.flatMap { c =>
         Seq(sum(col(s"cnt_$c")).cast("long").as(s"cnt_$c"),
@@ -1110,6 +1118,12 @@ object Relational {
   private val statsIncCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The built journal dir for a corpus (None before the first build) —
+    * `private[graft]` so the spec can inject a simulated redelivery
+    * (duplicate version dir) and witness the residue fold absorbing it. */
+  private[graft] def statsJournalDir(sfDir: String, lgK: Int = 14): Option[String] =
+    Option(statsIncCache.get(s"$sfDir|$lgK"))
+
   private def buildStatsJournal(spark: SparkSession, sfDir: String,
                                 outDir: String, lgK: Int): Unit = {
     val n = StatsIncrements
@@ -1117,17 +1131,23 @@ object Relational {
       .withColumn("splitk", col("l_orderkey").cast("long"))
     StatefulQueries.versionedReplayJournal(spark, s"statsinc:$sfDir",
       (0 until n).map(i => s"s$i.parquet"),
-      (0 until n).map(i => withKey.filter(col("splitk") % n === i)
-        .drop("splitk")), n) { (batch, id) =>
-      val aggs = count(lit(1)).cast("long").as("n") +:
-        ProfileCols.flatMap { c =>
-          Seq(count(col(c)).cast("long").as(s"cnt_$c"),
-              min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-              hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"sk_$c"))
-        }
-      batch.agg(aggs.head, aggs.tail: _*)
-        .withColumn("increment", lit(id))
-        .write.mode("overwrite").parquet(s"$outDir/v=$id")
+      (0 until n).map(i => withKey.filter(col("splitk") % n === i)), n) {
+      (batch, id) =>
+        // residue stamps WHICH increment this row profiles (every row of a
+        // batch shares one doc class by the split construction) — the
+        // at-least-once defense the sibling journals get from anti-joins:
+        // a redelivery under a NEW batch id writes a duplicate row, and
+        // the fold keeps only the FIRST version per residue
+        val aggs = count(lit(1)).cast("long").as("n") +:
+          (min(col("splitk") % n).as("residue") +:
+            ProfileCols.flatMap { c =>
+              Seq(count(col(c)).cast("long").as(s"cnt_$c"),
+                  min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+                  hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"sk_$c"))
+            })
+        batch.agg(aggs.head, aggs.tail: _*)
+          .withColumn("increment", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/v=$id")
     }
   }
 

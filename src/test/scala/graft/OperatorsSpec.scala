@@ -186,6 +186,27 @@ class OperatorsSpec extends SparkSpec {
       assert(i.getAs[Double]("max_val") == b.getAs[Double]("max_val"), c)
       assert(i.getAs[Boolean]("approx_ok"), c)
     }
+    // at-least-once defense: simulate a redelivery of increment 0 under a
+    // NEW batch id (copy v=0 to v=99) — the residue fold must keep one row
+    // per increment, so the profile is unchanged
+    val jd = graft.operators.Relational.statsJournalDir(Sf0001).get
+    val src = java.nio.file.Paths.get(jd, "v=0")
+    val dst = java.nio.file.Paths.get(jd, "v=99")
+    java.nio.file.Files.createDirectories(dst)
+    java.nio.file.Files.list(src).forEach { f =>
+      java.nio.file.Files.copy(f, dst.resolve(f.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    try {
+      val redelivered = graft.operators.Relational
+        .columnStatsIncremental(spark, Sf0001)
+        .collect().map(r => r.getAs[String]("column_name") -> r).toMap
+      for ((c, b) <- batch; i = redelivered(c)) {
+        assert(i.getAs[Long]("n_rows") == b.getAs[Long]("n_rows"), c)
+        assert(i.getAs[Long]("n_nulls") == b.getAs[Long]("n_nulls"), c)
+        assert(i.getAs[Boolean]("approx_ok"), c)
+      }
+    } finally graft.operators.StatefulQueries.deleteRecursively(dst)
     // the property the operator stands on, pinned directly: a same-lgK
     // union of per-part HLL sketches estimates EXACTLY like the
     // single-pass whole-corpus sketch (register-lossless merge)

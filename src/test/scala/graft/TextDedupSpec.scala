@@ -34,11 +34,7 @@ class TextDedupSpec extends SparkSpec {
       Dedup.applyDedupIncrement(spark, out, inc1, 1L)
       assert(state() === Set((10L, 0L), (11L, 0L), (2L, 1L)))
     } finally {
-      val d = new java.io.File(out)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
-      }
-      rm(d)
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
     }
   }
 
@@ -78,10 +74,8 @@ class TextDedupSpec extends SparkSpec {
         1L, 3, 0.5, cap = 2)
       assert(pairs() === Set((10L, 11L), (22L, 23L)))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
-      }
-      rm(new java.io.File(idx)); rm(new java.io.File(prs))
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(idx))
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(prs))
     }
   }
 
