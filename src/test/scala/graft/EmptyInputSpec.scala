@@ -30,6 +30,17 @@ class EmptyInputSpec extends SparkSpec {
   }
 
 
+  test("doc_sim_df_stats: empty corpus yields the all-zero report row") {
+    // the observable is an aggregate: empty in means ONE row of zeros (the
+    // dashboard reads "nothing indexed"), never a crash or a NULL max
+    val r = TextOps.docSimDfStatsOf(emptyDocs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    for (c <- Seq("n_terms", "max_df", "n_terms_df1", "n_terms_indexed",
+                  "n_dropped_terms", "candidate_pairs", "dropped_pairs"))
+      assert(row.getAs[Long](c) === 0L, c)
+  }
+
   test("fuzzy join: empty in, empty out; null names never crash the banding") {
     import graft.operators.Analytics
     val emptyNames = Seq.empty[(Long, String)].toDF("s_suppkey", "s_name")
