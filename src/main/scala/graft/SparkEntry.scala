@@ -270,6 +270,10 @@ object SparkEntry {
     // journal COMPACTION read-equivalence: fold all versions into one base
     // (a year of daily ingest should not read 365 dirs) — same oracle
     "dedup_incremental_compacted" -> ((s, dir) => Dedup.dedupIncrementalCompacted(s, dir)),
+    // compaction gate on the SECOND journal shape: the LSH band index,
+    // where the fold must preserve per-bucket membership exactly (the
+    // freeze-at-cap admission counts stored members)
+    "dedup_lsh_index_compacted" -> ((s, dir) => Dedup.dedupLshIndexCompacted(s, dir)),
     // the BOUNDED-state form: event-time TTL expires cold fingerprints
     // (dedup-within-horizon over the events stream, state O(warm fps))
     "dedup_exact_ttl_streaming" -> ((s, dir) => Dedup.exactTtlStreaming(s, dir)),
@@ -284,6 +288,10 @@ object SparkEntry {
     // real TTLConfig (store-side expiry), same data-driven oracle
     "dedup_exact_ttl_tws" -> ((s, dir) => Dedup.exactTtlTws(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    // standing shingle-freq headroom observable for the line above — the
+    // doc_sim_df_stats mold over the shingle space (freq distribution vs
+    // cap, Σ f·(f−1)/2 candidate pairs, what the cap drops)
+    "dedup_ngram_shingle_stats" -> ((s, dir) => Dedup.ngramShingleStats(s, dir)),
     "dedup_minhash_sigs"  -> ((s, dir) => Dedup.minhashSignatures(s, dir)),
     "dedup_minhash_lsh"   -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     // source-level corpus overlap: per-source sig = min-reduce of per-doc
@@ -432,6 +440,10 @@ object SparkEntry {
     // HLL blobs folded from a versioned journal — history never rescanned
     "column_stats_incremental" ->
       ((s, dir) => Relational.columnStatsIncremental(s, dir)),
+    // compaction gate on the THIRD journal shape: the residue fold and the
+    // binary HLL blobs must survive the read-all → write-all rewrite
+    "column_stats_compacted" ->
+      ((s, dir) => Relational.columnStatsCompacted(s, dir)),
     // mid-frequency-band inverted-index postings, df band + cap stated
     // in the oracle
     "inverted_index_postings" -> ((s, dir) => TextOps.invertedIndexPostings(s, dir)),
@@ -1375,13 +1387,32 @@ object SparkEntry {
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          | FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |  JOIN fr ON fr.sh = a.sh
-         | WHERE fr.freq <= 100
+         | WHERE fr.freq <= $maxShingleFreq
          | GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter, jaccard FROM (
          | SELECT doc_a, doc_b, inter,
          |  CAST(inter AS DOUBLE)/(x.sz + y.sz - inter) AS jaccard
          | FROM pairs JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b)
          |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    // the shingle-freq headroom observable (doc_sim_df_stats mold): the
+    // HUGEINT sum crosses back to BIGINT only after the exact halving
+    "dedup_ngram_shingle_stats" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
+         |ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM d),
+         |fr AS (SELECT sh, CAST(count(*) AS BIGINT) AS freq FROM ds GROUP BY sh)
+         |SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(max(freq), 0) AS BIGINT) AS max_freq,
+         |  CAST(coalesce(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_shingles_freq1,
+         |  CAST(coalesce(sum(CASE WHEN freq BETWEEN 2 AND $maxShingleFreq
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shingles_indexed,
+         |  CAST(coalesce(sum(CASE WHEN freq > $maxShingleFreq
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped_shingles,
+         |  CAST(coalesce(sum(CASE WHEN freq BETWEEN 2 AND $maxShingleFreq
+         |    THEN freq*(freq-1) ELSE 0 END), 0) // 2 AS BIGINT) AS candidate_pairs,
+         |  CAST(coalesce(sum(CASE WHEN freq > $maxShingleFreq
+         |    THEN freq*(freq-1) ELSE 0 END), 0) // 2 AS BIGINT) AS dropped_pairs
+         |FROM fr""".stripMargin,
     "dedup_minhash_sigs" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents)
          |SELECT doc_id, $minhashColsSql
@@ -1403,14 +1434,25 @@ object SparkEntry {
          |kept AS (SELECT * FROM rk
          |         WHERE arr <= ${graft.operators.Dedup.MaxLshBucketSize}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
+         |  ${(0 until lshSigWidth).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
          | FROM kept a JOIN kept b ON a.band_idx = b.band_idx
          |  AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, est_jaccard FROM (
          | SELECT doc_a, doc_b,
-         |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
+         |  CAST(${(0 until lshSigWidth).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/$lshSigWidth AS est_jaccard
          | FROM cand)
-         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+         |WHERE est_jaccard >= $minEstJaccard ORDER BY doc_a, doc_b""".stripMargin,
+    // the compacted BAND INDEX read as its membership table — the same
+    // arrival-rank admission statement as dedup_lsh_incremental's kept CTE
+    "dedup_lsh_index_compacted" ->
+      s"""WITH $lshBandCtes,
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+         |        ORDER BY doc_id % ${graft.operators.Dedup.SnapshotIncrements},
+         |                 doc_id) AS arr
+         |       FROM br)
+         |SELECT CAST(band_idx AS BIGINT) AS band_idx, band_hash, doc_id
+         |FROM rk WHERE arr <= ${graft.operators.Dedup.MaxLshBucketSize}
+         |ORDER BY band_idx, band_hash, doc_id""".stripMargin,
     // per-source signature = min-reduce of per-doc signatures (MinHash's
     // set-union property); estimated Jaccard = equal-component fraction.
     // HAVING excludes all-sentinel sources (every doc's shingle set empty)
@@ -1430,7 +1472,7 @@ object SparkEntry {
              .mkString(" + ")} AS BIGINT) AS n_equal,
          |  CAST(${graft.operators.Dedup.MinHashA.indices
              .map(j => s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
-             .mkString(" + ")} AS DOUBLE) / 12.0 AS est_jaccard
+             .mkString(" + ")} AS DOUBLE) / $lshSigWidth.0 AS est_jaccard
          |FROM s a JOIN s b ON a.source < b.source
          |ORDER BY src_a, src_b""".stripMargin,
     "dedup_lsh_dropped" ->
@@ -4795,6 +4837,7 @@ object SparkEntry {
       // same-lgK HLL union register-lossless (spec-pinned), gate boolean
       // identical — so the batch sketch oracle IS the incremental oracle
       "column_stats_incremental"       -> base("column_stats_profile_sketch"),
+      "column_stats_compacted"         -> base("column_stats_profile_sketch"),
       // compaction is pure reorganization — the read must hash-match the
       // uncompacted journal's oracle exactly
       "dedup_incremental_compacted"    -> base("dedup_incremental_snapshot"),
@@ -5165,6 +5208,17 @@ object SparkEntry {
     * one-definition rule for the similarity join and its df-stats oracle. */
   private val docSimDfCap: Long = graft.operators.TextOps.DocSimDfCap
 
+  /** MinHash signature width (`Dedup.MinHashA.size`) and estimated-Jaccard
+    * floor (`Dedup.MinEstJaccard`) — interpolated into every LSH pair
+    * oracle so retuning either cannot desynchronize engine and oracle
+    * (the fuzzyBucketCap/docSimDfCap rule). */
+  private val lshSigWidth: Int = graft.operators.Dedup.MinHashA.size
+  private val minEstJaccard: Double = graft.operators.Dedup.MinEstJaccard
+
+  /** The ngram-jaccard hot-shingle frequency cap (`Dedup.MaxShingleFreq`)
+    * — shared by the pair oracle and the shingle-stats observable. */
+  private val maxShingleFreq: Int = graft.operators.Dedup.MaxShingleFreq
+
   /** Word-3-gram shingle hashes derived from token hashes. */
   private val shinglesSql: String =
     s"""(SELECT list_transform(range(1, len(ths)-1),
@@ -5243,7 +5297,7 @@ object SparkEntry {
   /** The shared band-row CTEs (d, sig, banded, br) — the input of both the
     * candidate-pair query and the bucket-stats observability query. */
   private def lshBandCtes: String = {
-    val mhList = (0 until 12).map(j => s"mh$j").mkString(", ")
+    val mhList = (0 until lshSigWidth).map(j => s"mh$j").mkString(", ")
     s"""d AS (SELECT doc_id, $shinglesSql AS shingles FROM documents),
        |sig AS (SELECT doc_id, $minhashColsSql FROM d),
        |banded AS (SELECT *, $bandColsSql FROM sig WHERE mh0 <> $P),
@@ -5260,16 +5314,16 @@ object SparkEntry {
        |       HAVING count(*) >= 2 AND count(*) <= $cap),
        |cand AS (
        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  ${(0 until 12).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
+       |  ${(0 until lshSigWidth).map(j => s"a.mh$j AS a$j, b.mh$j AS b$j").mkString(", ")}
        | FROM br a
        |  JOIN bf ON bf.band_idx = a.band_idx AND bf.band_hash = a.band_hash
        |  JOIN br b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |   AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, est_jaccard FROM (
        | SELECT doc_a, doc_b,
-       |  CAST(${(0 until 12).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/12 AS est_jaccard
+       |  CAST(${(0 until lshSigWidth).map(j => s"CASE WHEN a$j = b$j THEN 1 ELSE 0 END").mkString(" + ")} AS DOUBLE)/$lshSigWidth AS est_jaccard
        | FROM cand)
-       |WHERE est_jaccard >= 0.5""".stripMargin
+       |WHERE est_jaccard >= $minEstJaccard""".stripMargin
   }
 
   /** Sign-LSH bucket over literal hyperplanes — constants generated by the

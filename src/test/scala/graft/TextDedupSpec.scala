@@ -480,4 +480,214 @@ class TextDedupSpec extends SparkSpec {
     val docsInClusters = sizes.map { case (sz, n) => sz * n }.sum
     assert(docsInClusters === Dedup.lshComponents(spark, Sf0001).count())
   }
+
+  // --- compaction crash-safety: kill the protocol between every pair of
+  // steps and prove a re-run restores the store (the r18 hole) ---
+
+  private def freshJournal(): (String, Set[(String, Long, Long)]) = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-crash-spec-").toString
+    Dedup.applyDedupIncrement(spark, out,
+      Seq((10L, "alpha"), (11L, "beta")).toDF("doc_id", "text"), 0L)
+    Dedup.applyDedupIncrement(spark, out,
+      Seq((2L, "gamma")).toDF("doc_id", "text"), 1L)
+    (out, journalRows(out))
+  }
+
+  private def journalRows(out: String): Set[(String, Long, Long)] =
+    Dedup.snapshotVersionsBefore(spark, out, Long.MaxValue).get
+      .collect().map(r => (r.getAs[String]("fp_md5"),
+        r.getAs[Long]("keep_id"), r.getAs[Long]("increment"))).toSet
+
+  private def versionNames(out: String): Seq[String] =
+    Option(new java.io.File(out).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName).sorted
+
+  /** Replicate compactJournal's stage step (fold write + marker) WITHOUT
+    * the swap — the state a crash right after the commit point leaves. */
+  private def stageFold(out: String): java.nio.file.Path = {
+    val staged = java.nio.file.Paths.get(out, s"${Dedup.StagedCompactPrefix}1")
+    spark.read.parquet(s"$out/v=0", s"$out/v=1")
+      .write.mode("overwrite").parquet(staged.toString)
+    java.nio.file.Files.createFile(staged.resolve(Dedup.CompactCompleteMarker))
+    staged
+  }
+
+  test("compaction crash after commit point, before any delete: re-run recovers") {
+    val (out, pre) = freshJournal()
+    try {
+      stageFold(out)
+      Dedup.compactJournal(spark, out)
+      assert(versionNames(out) === Seq("v=1"))
+      assert(journalRows(out) === pre)
+    } finally {
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
+  test("compaction crash after ALL deletes (zero v= dirs — the r18-fatal window): re-run recovers") {
+    val (out, pre) = freshJournal()
+    try {
+      stageFold(out)
+      versionNames(out).foreach(v => graft.operators.StatefulQueries
+        .deleteRecursively(java.nio.file.Paths.get(out, v)))
+      assert(versionNames(out).isEmpty) // the window the r18 code could not leave
+      Dedup.compactJournal(spark, out)
+      assert(versionNames(out) === Seq("v=1"))
+      assert(journalRows(out) === pre)
+      // the recovered base still dedups: re-offered fp anti-joined away
+      Dedup.applyDedupIncrement(spark, out,
+        Seq((3L, "alpha"), (4L, "delta")).toDF("doc_id", "text"), 5L)
+      val post = journalRows(out)
+      assert(post.size === pre.size + 1)
+      assert(!post.exists { case (_, k, _) => k == 3L }, post)
+    } finally {
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
+  test("compaction crash after a PARTIAL delete: re-run recovers without duplicating rows") {
+    val (out, pre) = freshJournal()
+    try {
+      stageFold(out)
+      graft.operators.StatefulQueries
+        .deleteRecursively(java.nio.file.Paths.get(out, "v=0"))
+      Dedup.compactJournal(spark, out)
+      assert(versionNames(out) === Seq("v=1"))
+      assert(journalRows(out) === pre) // v=1 (subsumed) was dropped, not unioned twice
+    } finally {
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
+  test("compaction crash BEFORE the commit point (no marker): partial fold discarded, old versions intact") {
+    val (out, pre) = freshJournal()
+    try {
+      val staged = java.nio.file.Paths.get(out, s"${Dedup.StagedCompactPrefix}1")
+      // a torn fold: only one version's rows made it, and no marker
+      spark.read.parquet(s"$out/v=0").write.mode("overwrite").parquet(staged.toString)
+      Dedup.compactJournal(spark, out) // discards the orphan, compacts normally
+      assert(versionNames(out) === Seq("v=1"))
+      assert(journalRows(out) === pre)
+      val leftover = Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(Dedup.StagedCompactPrefix))
+      assert(leftover.isEmpty, leftover)
+    } finally {
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
+  test("compaction recovery keeps increments LATER than the staged fold") {
+    val (out, pre) = freshJournal()
+    try {
+      stageFold(out) // fold of v=0..1 staged, marker down
+      // an increment with a HIGHER id lands before recovery runs
+      Dedup.applyDedupIncrement(spark, out,
+        Seq((4L, "delta")).toDF("doc_id", "text"), 5L)
+      Dedup.compactJournal(spark, out) // entry recovery, then folds 1 and 5
+      assert(versionNames(out) === Seq("v=5"))
+      val post = journalRows(out)
+      assert(post.size === pre.size + 1, post)
+      assert(post.exists { case (_, k, i) => k == 4L && i == 5L }, post)
+    } finally {
+      graft.operators.StatefulQueries.deleteRecursively(java.nio.file.Paths.get(out))
+    }
+  }
+
+  // --- ngram shingle stats: independent plain-Scala re-derivation over the
+  // engine's own distinct (doc, shingle) sets ---
+
+  test("ngram_shingle_stats: counts and pair bounds re-derive from the shingle sets") {
+    import graft.functions.TextFunctions.shingleHashes
+    val docs = Seq(
+      (1L, "a b c d e"),          // shares shingle(a b c) with 2 and 3
+      (2L, "a b c x y"),
+      (3L, "a b c p q"),
+      (4L, "unrelated words entirely here"),
+      (5L, "a b c d e")           // exact dup of 1: same shingles
+    ).toDF("doc_id", "text")
+    val cap = 3
+    val got = Dedup.ngramShingleStatsOf(docs, 3, cap).collect().head
+    // independent derivation: collect each doc's DISTINCT shingle set and
+    // fold the stats in plain Scala
+    val sets = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getSeq[Long](1).distinct).toSeq
+    val freq = sets.flatten.groupBy(identity).map { case (_, v) => v.size.toLong }
+    def pairs(p: Long => Boolean): Long =
+      freq.filter(p).map(f => f * (f - 1) / 2).sum
+    assert(got.getAs[Long]("n_shingles") === freq.size.toLong)
+    assert(got.getAs[Long]("max_freq") === freq.max)
+    assert(got.getAs[Long]("n_shingles_freq1") === freq.count(_ == 1L).toLong)
+    assert(got.getAs[Long]("n_shingles_indexed")
+      === freq.count(f => f >= 2 && f <= cap).toLong)
+    assert(got.getAs[Long]("n_dropped_shingles") === freq.count(_ > cap).toLong)
+    assert(got.getAs[Long]("candidate_pairs") === pairs(f => f >= 2 && f <= cap))
+    assert(got.getAs[Long]("dropped_pairs") === pairs(_ > cap))
+    // the cap really bites on this fixture: "a b c" is shared by 4 docs > cap
+    assert(got.getAs[Long]("n_dropped_shingles") >= 1L)
+    // candidate_pairs IS the pair-generator's pre-groupBy row count: every
+    // kept shingle of freq f yields exactly C(f,2) ordered pairs
+    val ds = docs.select(col("doc_id"),
+      explode(array_distinct(shingleHashes(col("text"), 3))).as("sh"))
+    val genRows = ds.groupBy(col("sh")).count()
+      .filter(col("count").between(2, cap))
+      .select((col("count") * (col("count") - 1) / 2).cast("long").as("p"))
+      .agg(coalesce(sum(col("p")), lit(0L))).collect().head.getLong(0)
+    assert(got.getAs[Long]("candidate_pairs") === genRows)
+  }
+
+  test("ngram_shingle_stats: empty corpus yields the all-zero row") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Dedup.ngramShingleStatsOf(empty).collect()
+    assert(got.length === 1)
+    assert((0 until 7).map(got.head.getLong) === Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  // --- compacted LSH band index: future increments admit IDENTICALLY ---
+
+  test("lsh index compaction preserves freeze-at-cap admissions for the next increment") {
+    val T = "alpha beta gamma delta epsilon"
+    val V = "omega psi chi phi upsilon"
+    def build(): (String, String) = {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-lsh-compact-idx-").toString
+      val prs = java.nio.file.Files
+        .createTempDirectory("graft-lsh-compact-prs-").toString
+      Dedup.applyLshIncrement(spark, idx, prs,
+        Seq((10L, T), (11L, T), (22L, V)).toDF("doc_id", "text"),
+        0L, 3, 0.5, cap = 2)
+      Dedup.applyLshIncrement(spark, idx, prs,
+        Seq((21L, "one two three four five")).toDF("doc_id", "text"),
+        1L, 3, 0.5, cap = 2)
+      (idx, prs)
+    }
+    val (idxA, prsA) = build() // stays uncompacted
+    val (idxB, prsB) = build()
+    try {
+      Dedup.compactJournal(spark, idxB)
+      assert(versionNames(idxB) === Seq("v=1"))
+      def idxRows(d: String): Set[(Long, Long, Long)] =
+        Dedup.snapshotVersionsBefore(spark, d, Long.MaxValue).get
+          .select(col("band_idx").cast("long"), col("band_hash"), col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(idxRows(idxB) === idxRows(idxA)) // membership preserved exactly
+      // the decisive increment: a T copy must freeze out of the full
+      // buckets, a V copy must land — on BOTH indexes identically
+      val inc = Seq((30L, T), (31L, V)).toDF("doc_id", "text")
+      Dedup.applyLshIncrement(spark, idxA, prsA, inc, 7L, 3, 0.5, cap = 2)
+      Dedup.applyLshIncrement(spark, idxB, prsB, inc, 7L, 3, 0.5, cap = 2)
+      assert(idxRows(idxA) === idxRows(idxB))
+      def pairRows(d: String): Set[(Long, Long)] =
+        Dedup.snapshotVersionsBefore(spark, d, Long.MaxValue).get
+          .select("doc_a", "doc_b").distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairRows(prsA) === pairRows(prsB))
+      assert(pairRows(prsA).contains((22L, 31L))) // the stored-probe pair
+      assert(!pairRows(prsA).exists(p => p._1 == 30L || p._2 == 30L)) // frozen
+    } finally {
+      Seq(idxA, prsA, idxB, prsB).foreach(d => graft.operators.StatefulQueries
+        .deleteRecursively(java.nio.file.Paths.get(d)))
+    }
+  }
 }
