@@ -23,6 +23,14 @@ tested directly: 10*t1 is the most generous linear prediction of t2
 (floor >= 0 implies t2 = c + 10*v <= 10*(c + v) = 10*t1 for any linear
 query), and a query is flagged when t2 exceeds it by the same margins
 (>1.0 s absolute AND >2x ratio).
+
+Sentinel normalization (r18 verdict ask #6): when the sf0.1 bench is a
+seal_bench.py artifact (carries the "sentinel" bracket block), each
+query also gets t_sf0.1_sentinel_units = t_sf0.1 / sentinel_mid, where
+sentinel_mid is the mean of the before/after bracket totals. The
+sentinel set is code-stable across rounds, so this column is directly
+comparable between two rounds' artifacts with NO further arithmetic —
+the prose normalize-by-offset rule, made a diffable field.
 """
 import json
 import sys
@@ -32,7 +40,12 @@ def main() -> None:
     b1, b2, b3, out = sys.argv[1:5]
     t1 = json.load(open(b1))["queries"]  # sf0.001
     t2 = json.load(open(b2))["queries"]  # sf0.01
-    t3 = json.load(open(b3))["queries"]  # sf0.1
+    bench3 = json.load(open(b3))
+    t3 = bench3["queries"]  # sf0.1
+    sentinel_mid = None
+    if "sentinel" in bench3:
+        s = bench3["sentinel"]
+        sentinel_mid = (s["total_before_sec"] + s["total_after_sec"]) / 2.0
     rows = {}
     flagged = []
     skipped = []  # no silent coverage shrink: every skip is in the artifact
@@ -63,6 +76,8 @@ def main() -> None:
             "flagged": is_flag,
             "flagged_small_pair": sp_flag,
         }
+        if sentinel_mid:
+            rows[q]["t_sf0.1_sentinel_units"] = round(c3 / sentinel_mid, 4)
         if is_flag or sp_flag:
             flagged.append(q)
     artifact = {
@@ -73,6 +88,12 @@ def main() -> None:
         "n_queries": len(rows), "flagged": flagged,
         "skipped_missing_or_nonnumeric": skipped, "queries": rows,
     }
+    if sentinel_mid:
+        artifact["sentinel_total_mid_sec"] = round(sentinel_mid, 3)
+        artifact["sentinel_rule"] = (
+            "t_sf0.1_sentinel_units = t_sf0.1 / sentinel_total_mid_sec; "
+            "the sentinel set is code-stable, so this column is directly "
+            "comparable across rounds' artifacts")
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"{len(rows)} queries, {len(flagged)} flagged: {flagged}")
