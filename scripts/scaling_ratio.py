@@ -46,6 +46,9 @@ def main() -> None:
     if "sentinel" in bench3:
         s = bench3["sentinel"]
         sentinel_mid = (s["total_before_sec"] + s["total_after_sec"]) / 2.0
+        # fail loudly on a corrupt seal artifact rather than silently
+        # dropping the normalization column the comparison rule relies on
+        assert sentinel_mid > 0, f"sentinel bracket totals are 0 in {b3}"
     rows = {}
     flagged = []
     skipped = []  # no silent coverage shrink: every skip is in the artifact
@@ -76,7 +79,7 @@ def main() -> None:
             "flagged": is_flag,
             "flagged_small_pair": sp_flag,
         }
-        if sentinel_mid:
+        if sentinel_mid is not None:
             rows[q]["t_sf0.1_sentinel_units"] = round(c3 / sentinel_mid, 4)
         if is_flag or sp_flag:
             flagged.append(q)
@@ -88,7 +91,7 @@ def main() -> None:
         "n_queries": len(rows), "flagged": flagged,
         "skipped_missing_or_nonnumeric": skipped, "queries": rows,
     }
-    if sentinel_mid:
+    if sentinel_mid is not None:
         artifact["sentinel_total_mid_sec"] = round(sentinel_mid, 3)
         artifact["sentinel_rule"] = (
             "t_sf0.1_sentinel_units = t_sf0.1 / sentinel_total_mid_sec; "

@@ -429,7 +429,7 @@ object Dedup {
     * collapses through the final min-groupBy exactly like the batch
     * form's multi-band copies. */
   def dedupLshIncremental(spark: SparkSession, sfDir: String,
-                          n: Int = 3, minEstJaccard: Double = MinEstJaccard,
+                          n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard,
                           maxBucketSize: Int = MaxLshBucketSize): DataFrame = {
     val dirs = lshIncCache.computeIfAbsent(
       lshIncKey(sfDir, n, minEstJaccard, maxBucketSize), { _ =>
@@ -561,12 +561,18 @@ object Dedup {
     * `v=`-prefixed, so readers can't see it), and the completion marker
     * inside it is the commit point. Old versions are deleted only AFTER
     * the marker lands, and [[recoverCompaction]] runs at entry, so a
-    * crash at ANY point leaves a store the next run restores: before the
-    * marker → old versions all intact, partial fold discarded; after the
-    * marker → the fold is the store, recovery finishes the swap (even
-    * from the r18-fatal zero-`v=`-dirs window). Compaction is exclusive
-    * maintenance — run [[recoverCompaction]] on restart BEFORE resuming
-    * ingestion, or a post-crash increment could read an empty snapshot. */
+    * PROCESS crash at any point leaves a store the next run restores:
+    * before the marker → old versions all intact, partial fold discarded;
+    * after the marker → the fold is the store, recovery finishes the swap
+    * (even from the r18-fatal zero-`v=`-dirs window). The marker is
+    * force()d to stable storage before the destructive deletes begin, so
+    * the one POWER-LOSS ordering that would lose data (deletions persisted,
+    * page-cached marker lost) is closed too; full power-failure atomicity
+    * on a local fs would additionally need directory-entry fsyncs — on the
+    * production object store / DFS the store's own commit protocol
+    * governs. Compaction is exclusive maintenance — run
+    * [[recoverCompaction]] on restart BEFORE resuming ingestion, or a
+    * post-crash increment could read an empty snapshot. */
   private[graft] def compactJournal(spark: SparkSession, outDir: String): Unit = {
     recoverCompaction(outDir)
     val versions = versionDirs(outDir)
@@ -575,8 +581,14 @@ object Dedup {
     val staged = java.nio.file.Paths.get(outDir, s"$StagedCompactPrefix$maxId")
     spark.read.parquet(versions.map(_.toString): _*)
       .write.mode("overwrite").parquet(staged.toString)
-    // the commit point: from here the staged fold IS the store
-    java.nio.file.Files.createFile(staged.resolve(CompactCompleteMarker))
+    // the commit point: from here the staged fold IS the store — written
+    // through force(true) so the marker cannot be reordered after the
+    // deletes by a power failure
+    val mch = java.nio.channels.FileChannel.open(
+      staged.resolve(CompactCompleteMarker),
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    try mch.force(true) finally mch.close()
     versions.foreach(v => StatefulQueries.deleteRecursively(v.toPath))
     java.nio.file.Files.move(staged, java.nio.file.Paths.get(outDir, s"v=$maxId"))
   }
@@ -674,9 +686,12 @@ object Dedup {
     * identical admissions. */
   def dedupLshIndexCompacted(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = lshIdxCompactedCache.computeIfAbsent(sfDir, { _ =>
-      dedupLshIncremental(spark, sfDir).queryExecution // force the build
-      val key = lshIncKey(sfDir, 3, MinEstJaccard, MaxLshBucketSize)
-      compactedCopyOf(spark, lshIncCache.get(key)._1, "graft-lsh-idx-compact-")
+      // build and lookup pinned to the SAME explicit values — a drift in
+      // dedupLshIncremental's defaults cannot desynchronize this key
+      val (n, minEst, cap) = (DefaultShingleN, MinEstJaccard, MaxLshBucketSize)
+      dedupLshIncremental(spark, sfDir, n, minEst, cap).queryExecution
+      compactedCopyOf(spark, lshIncCache.get(lshIncKey(sfDir, n, minEst, cap))._1,
+        "graft-lsh-idx-compact-")
     })
     snapshotVersionsBefore(spark, outDir, Long.MaxValue)
       .getOrElse(sys.error("no compacted LSH index version present"))
@@ -845,11 +860,11 @@ object Dedup {
     * winnowing keeps ~2/(w+1) of the shingles, so the exploded frame is a
     * fraction of the shingle stream. */
   def containmentWinnow(spark: SparkSession, sfDir: String,
-                        n: Int = 3, w: Int = 4,
+                        n: Int = DefaultShingleN, w: Int = 4,
                         maxContained: Double = 0.5): DataFrame =
     containmentWinnowOf(documentsFor(spark, sfDir), n, w, maxContained)
 
-  def containmentWinnowOf(docs: DataFrame, n: Int = 3, w: Int = 4,
+  def containmentWinnowOf(docs: DataFrame, n: Int = DefaultShingleN, w: Int = 4,
                           maxContained: Double = 0.5): DataFrame = {
     val fps = docs.select(col("doc_id"),
       explode(graft.functions.HashExpressions.winnow_mins(
@@ -893,12 +908,12 @@ object Dedup {
     * group by pair (intersection size) → join per-doc set sizes.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
-                   n: Int = 3, minJaccard: Double = 0.2,
+                   n: Int = DefaultShingleN, minJaccard: Double = 0.2,
                    maxShingleFreq: Int = MaxShingleFreq): DataFrame =
     ngramJaccardOf(documentsFor(spark, sfDir), n, minJaccard, maxShingleFreq)
 
   def ngramJaccardOf(docs: DataFrame,
-                     n: Int = 3, minJaccard: Double = 0.2,
+                     n: Int = DefaultShingleN, minJaccard: Double = 0.2,
                      maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
     // Per-row array_distinct dedups (doc, shingle) pairs WITHOUT a global
     // distinct shuffle, and the set size rides along through the explode, so
@@ -965,38 +980,20 @@ object Dedup {
     * f·(f−1) is even, so the integral halving is exact). Empty-corpus
     * hardened like the df mold: every aggregate that can see zero rows is
     * coalesced. */
-  def ngramShingleStats(spark: SparkSession, sfDir: String, n: Int = 3,
+  def ngramShingleStats(spark: SparkSession, sfDir: String, n: Int = DefaultShingleN,
                         maxShingleFreq: Int = MaxShingleFreq): DataFrame =
     ngramShingleStatsOf(documentsFor(spark, sfDir), n, maxShingleFreq)
 
-  def ngramShingleStatsOf(docs: DataFrame, n: Int = 3,
-                          maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
-    def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
-    val zero38 = lit(0).cast("decimal(38,0)")
-    val pr = (d19(col("freq")) * d19(col("freq") - lit(1L))).cast("decimal(38,0)")
-    val capL = lit(maxShingleFreq.toLong)
-    val indexed = col("freq").between(lit(2L), capL)
-    docs
-      .select(col("doc_id"),
-        explode(array_distinct(shingleHashes(col("text"), n))).as("sh"))
-      .groupBy(col("sh")).agg(count(lit(1)).cast("long").as("freq"))
-      .agg(
-        count(lit(1)).cast("long").as("n_shingles"),
-        coalesce(max(col("freq")), lit(0L)).as("max_freq"),
-        coalesce(sum(when(col("freq") === 1L, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_shingles_freq1"),
-        coalesce(sum(when(indexed, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_shingles_indexed"),
-        coalesce(sum(when(col("freq") > capL, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_dropped_shingles"),
-        coalesce(sum(when(indexed, pr).otherwise(zero38)), zero38).as("cp2"),
-        coalesce(sum(when(col("freq") > capL, pr).otherwise(zero38)), zero38)
-          .as("dp2"))
-      .select(col("n_shingles"), col("max_freq"), col("n_shingles_freq1"),
-        col("n_shingles_indexed"), col("n_dropped_shingles"),
-        expr("CAST(cp2 div 2 AS BIGINT)").as("candidate_pairs"),
-        expr("CAST(dp2 div 2 AS BIGINT)").as("dropped_pairs"))
-  }
+  def ngramShingleStatsOf(docs: DataFrame, n: Int = DefaultShingleN,
+                          maxShingleFreq: Int = MaxShingleFreq): DataFrame =
+    TextOps.capHeadroomStatsOf(
+      docs
+        .select(col("doc_id"),
+          explode(array_distinct(shingleHashes(col("text"), n))).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).cast("long").as("f")),
+      maxShingleFreq.toLong,
+      Seq("n_shingles", "max_freq", "n_shingles_freq1", "n_shingles_indexed",
+          "n_dropped_shingles", "candidate_pairs", "dropped_pairs"))
 
   /** Fixed MinHash permutation constants (odd multipliers, distinct offsets) —
     * embedded verbatim in the oracle SQL too. */
@@ -1020,6 +1017,12 @@ object Dedup {
     * applies the same cap. */
   val MaxLshBucketSize = 200
 
+  /** Default word-shingle width shared by every n-gram/MinHash signature
+    * in this file — ONE definition so a cache-key reconstruction (e.g.
+    * [[dedupLshIndexCompacted]] looking up the journal its sibling built)
+    * can never drift from the signatures' defaults. */
+  val DefaultShingleN = 3
+
   /** Default estimated-Jaccard floor for every MinHash pair emitter (batch
     * LSH, incremental LSH, components, clusters). ONE definition,
     * interpolated into the oracle SQL (SparkEntry) alongside
@@ -1039,10 +1042,10 @@ object Dedup {
     * hashes: m_j = min over shingles of (a_j * s + b_j) % HashMod; empty
     * shingle sets get HashMod (sentinel). All components come from ONE pass
     * over the shingle array (HashExpressions.MinHashSig). */
-  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+  def minhashSignatures(spark: SparkSession, sfDir: String, n: Int = DefaultShingleN): DataFrame =
     minhashSignaturesOf(documentsFor(spark, sfDir), n)
 
-  def minhashSignaturesOf(docs: DataFrame, n: Int = 3): DataFrame =
+  def minhashSignaturesOf(docs: DataFrame, n: Int = DefaultShingleN): DataFrame =
     minhashSignaturesRaw(docs, n).orderBy(col("doc_id"))
 
   /** Signature columns without the presentation sort — the LSH input (the
@@ -1050,7 +1053,7 @@ object Dedup {
     * The per-component element_at projections share ONE minhash_sig
     * evaluation via whole-stage codegen subexpression elimination (they live
     * in a single collapsed Project). */
-  private def minhashSignaturesRaw(docs: DataFrame, n: Int = 3): DataFrame =
+  private def minhashSignaturesRaw(docs: DataFrame, n: Int = DefaultShingleN): DataFrame =
     minhashSignaturesBy(docs, col("doc_id"), n)
 
   /** MinHash/LSH near-dup: band the 12-component signature into 4 bands of 3,
@@ -1059,7 +1062,7 @@ object Dedup {
     * 100 TB dedup path: candidates are bounded by bucket collisions, never a
     * full cross product. */
   def minhashLsh(spark: SparkSession, sfDir: String,
-                 n: Int = 3, minEstJaccard: Double = MinEstJaccard,
+                 n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard,
                  maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     minhashLshOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
       minEstJaccard, maxBucketSize)
@@ -1080,7 +1083,7 @@ object Dedup {
     * sources are a bounded domain (the nation-matrix convention), the
     * corpus is never pairwise-joined. */
   def sourceSimilarityMinhash(spark: SparkSession, sfDir: String,
-                              n: Int = 3): DataFrame = {
+                              n: Int = DefaultShingleN): DataFrame = {
     val nSig = MinHashA.size
     // spreadIfNarrow like every other whole-corpus signature pass: the
     // per-doc minhash_sig evaluation is the dominant stage and must not
@@ -1206,7 +1209,7 @@ object Dedup {
     * exact dedup had better be collapsing) instead of guessing. One narrow
     * aggregation over the band rows: bucket sizes, then a 4-row rollup —
     * strictly cheaper than the pair join it instruments. */
-  def lshBucketStats(spark: SparkSession, sfDir: String, n: Int = 3,
+  def lshBucketStats(spark: SparkSession, sfDir: String, n: Int = DefaultShingleN,
                      maxBucketSize: Int = MaxLshBucketSize): DataFrame =
     lshBucketStatsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n), maxBucketSize)
 
@@ -1253,7 +1256,7 @@ object Dedup {
     * O(graph diameter) rounds of pure DataFrame ops — the standard Pregel-
     * style shape; near-dup components are tiny so diameter is small. */
   def lshComponents(spark: SparkSession, sfDir: String,
-                    n: Int = 3, minEstJaccard: Double = MinEstJaccard,
+                    n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard,
                     maxIterations: Int = 64): DataFrame =
     componentsFor(spark, sfDir, n, minEstJaccard, maxIterations)
       .orderBy(col("doc_id"))
@@ -1264,7 +1267,7 @@ object Dedup {
     * exchange for a presentation order the join immediately destroys; the
     * component table is corpus-fraction-sized on dup-heavy corpora. */
   def componentsOf(docs: DataFrame,
-                   n: Int = 3, minEstJaccard: Double = MinEstJaccard,
+                   n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard,
                    maxIterations: Int = 64): DataFrame =
     lshComponentsOf(
       minhashLshPairsOf(minhashSignaturesRaw(docs, n), minEstJaccard)
@@ -1272,7 +1275,7 @@ object Dedup {
       maxIterations)
 
   private[operators] def componentsFor(spark: SparkSession, sfDir: String,
-                                       n: Int = 3, minEstJaccard: Double = MinEstJaccard,
+                                       n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard,
                                        maxIterations: Int = 64): DataFrame =
     componentsOf(documentsFor(spark, sfDir), n, minEstJaccard, maxIterations)
 
@@ -1393,7 +1396,7 @@ object Dedup {
     * collapses it in O(log n) rounds with per-node work bounded by current
     * degree. */
   def lshComponentsStar(spark: SparkSession, sfDir: String,
-                        n: Int = 3, minEstJaccard: Double = MinEstJaccard,
+                        n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard,
                         maxIterations: Int = 64): DataFrame =
     lshComponentsStarOf(
       minhashLshPairsOf(minhashSignaturesRaw(documentsFor(spark, sfDir), n),
@@ -1506,7 +1509,7 @@ object Dedup {
     * exceeds any broadcast budget and must shuffle — forcing a broadcast
     * hint here would be exactly the 100 TB failure mode. */
   def dedupDecisions(spark: SparkSession, sfDir: String,
-                     n: Int = 3, minEstJaccard: Double = MinEstJaccard): DataFrame =
+                     n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard): DataFrame =
     dedupDecisionsOf(documentsFor(spark, sfDir).select(col("doc_id")),
       componentsFor(spark, sfDir, n, minEstJaccard))
 
@@ -1530,7 +1533,7 @@ object Dedup {
     * second join against a ranked table. */
   def dedupDecisionsPreferring(spark: SparkSession, sfDir: String,
                                prefer: Seq[String],
-                               n: Int = 3, minEstJaccard: Double = MinEstJaccard): DataFrame =
+                               n: Int = DefaultShingleN, minEstJaccard: Double = MinEstJaccard): DataFrame =
     dedupDecisionsPreferringOf(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
       componentsFor(spark, sfDir, n, minEstJaccard), prefer)

@@ -1326,28 +1326,45 @@ object TextOps {
                     dfCap: Long = DocSimDfCap): DataFrame =
     docSimDfStatsOf(documentsFor(spark, sfDir), dfCap)
 
-  def docSimDfStatsOf(d: DataFrame, dfCap: Long = DocSimDfCap): DataFrame = {
+  def docSimDfStatsOf(d: DataFrame, dfCap: Long = DocSimDfCap): DataFrame =
+    capHeadroomStatsOf(
+      docTermTf(d).groupBy(col("th")).agg(count(lit(1)).cast("long").as("f")),
+      dfCap,
+      Seq("n_terms", "max_df", "n_terms_df1", "n_terms_indexed",
+          "n_dropped_terms", "candidate_pairs", "dropped_pairs"))
+
+  /** The shared cap-headroom rollup over a (key, `f` frequency) table —
+    * ONE definition of the observables' numerics (DECIMAL(19,0)² products
+    * that can never round or wrap, the exact even-product halving, the
+    * empty-input coalesces) for BOTH [[docSimDfStatsOf]] (term df vs
+    * [[DocSimDfCap]]) and [[Dedup.ngramShingleStatsOf]] (shingle freq vs
+    * `Dedup.MaxShingleFreq`); `names` labels the seven output columns:
+    * n_keys, max_f, n_f1, n_indexed, n_dropped, candidate_pairs,
+    * dropped_pairs. */
+  private[graft] def capHeadroomStatsOf(freqs: DataFrame, cap: Long,
+                                        names: Seq[String]): DataFrame = {
+    require(names.size == 7, s"expected 7 output names, got $names")
     def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
     val zero38 = lit(0).cast("decimal(38,0)")
-    val pr = (d19(col("df")) * d19(col("df") - lit(1L))).cast("decimal(38,0)")
-    val indexed = col("df").between(lit(2L), lit(dfCap))
-    docTermTf(d)
-      .groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
+    val pr = (d19(col("f")) * d19(col("f") - lit(1L))).cast("decimal(38,0)")
+    val indexed = col("f").between(lit(2L), lit(cap))
+    freqs
       .agg(
-        count(lit(1)).cast("long").as("n_terms"),
-        coalesce(max(col("df")), lit(0L)).as("max_df"),
-        coalesce(sum(when(col("df") === 1L, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_terms_df1"),
+        count(lit(1)).cast("long").as(names(0)),
+        coalesce(max(col("f")), lit(0L)).as(names(1)),
+        coalesce(sum(when(col("f") === 1L, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as(names(2)),
         coalesce(sum(when(indexed, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_terms_indexed"),
-        coalesce(sum(when(col("df") > dfCap, 1L).otherwise(0L)), lit(0L))
-          .cast("long").as("n_dropped_terms"),
+          .cast("long").as(names(3)),
+        coalesce(sum(when(col("f") > cap, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as(names(4)),
         coalesce(sum(when(indexed, pr).otherwise(zero38)), zero38).as("cp2"),
-        coalesce(sum(when(col("df") > dfCap, pr).otherwise(zero38)), zero38).as("dp2"))
-      .select(col("n_terms"), col("max_df"), col("n_terms_df1"),
-        col("n_terms_indexed"), col("n_dropped_terms"),
-        expr("CAST(cp2 div 2 AS BIGINT)").as("candidate_pairs"),
-        expr("CAST(dp2 div 2 AS BIGINT)").as("dropped_pairs"))
+        coalesce(sum(when(col("f") > cap, pr).otherwise(zero38)), zero38)
+          .as("dp2"))
+      .select(col(names(0)), col(names(1)), col(names(2)), col(names(3)),
+        col(names(4)),
+        expr("CAST(cp2 div 2 AS BIGINT)").as(names(5)),
+        expr("CAST(dp2 div 2 AS BIGINT)").as(names(6)))
   }
 
   /** Lexical DIVERSITY per corpus source — the curation dashboard numbers
