@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Drift-controlled bench seal (r17 verdict ask #1).
 
-Usage: seal_bench.py SF_DIR OUT.json [CPUS]
+Usage: seal_bench.py SF_DIR OUT.json [CPUS] [PRIOR_DETAIL.json]
 
 The r17 seal absorbed ~+20% intra-day host drift (identical code, 0.668
 vs 0.714 s/query within one session), poisoning round-over-round
@@ -62,15 +62,30 @@ def sentinel_total(b: dict) -> float:
 def main() -> None:
     sf_dir, out = sys.argv[1], sys.argv[2]
     cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+    # Optional: the PRIOR round's committed BENCH_DETAIL artifact. The r19
+    # seal showed the bracket alone cannot see a UNIFORMLY hot host (an
+    # attempt passed its stability bracket at +6.9% sentinel mid over the
+    # idle re-run minutes later) — so when a prior seal is given, the
+    # candidate's sentinel mid is compared against it and a >5% hot result
+    # is warned about and recorded in the artifact. A warning, not a
+    # refusal: a legitimately slower day must still be able to seal, and
+    # the recorded field is exactly what the cross-round normalization
+    # divides by anyway.
+    prior_mid = None
+    if len(sys.argv) > 4:
+        ps = json.load(open(sys.argv[4]))["sentinel"]
+        prior_mid = (ps["total_before_sec"] + ps["total_after_sec"]) / 2.0
     attempts = []
     for attempt in range(2):
         print(f"[seal] attempt {attempt}: sentinel bracket (before)...",
               flush=True)
+        load_before = os.getloadavg()[0]
         before = run_bench(sf_dir, cpus, SENTINELS)
         print(f"[seal] full-registry min-of-3 trio...", flush=True)
         full = run_bench(sf_dir, cpus)
         print(f"[seal] sentinel bracket (after)...", flush=True)
         after = run_bench(sf_dir, cpus, SENTINELS)
+        load_after = os.getloadavg()[0]
         tb, ta = sentinel_total(before), sentinel_total(after)
         ratio = ta / tb
         stable = abs(ratio - 1.0) <= 0.10
@@ -87,10 +102,32 @@ def main() -> None:
             "ratio_after_before": round(ratio, 4),
             "stable_within_10pct": stable,
             "bracket_attempt_ratios": attempts,
+            # pre-bracket load averages: forensic context for a hot seal
+            # (the brackets measure contention's EFFECT; this records the
+            # suspect directly)
+            "loadavg_1min_before": round(load_before, 2),
+            "loadavg_1min_after": round(load_after, 2),
             "rule": "cross-round per-query comparisons must normalize "
                     "by the rounds' sentinel offsets before calling a "
                     "regression",
         }
+        mid = (tb + ta) / 2.0
+        if prior_mid is not None:
+            vs_prior = mid / prior_mid
+            hot = vs_prior > 1.05
+            full["sentinel"]["mid_vs_prior"] = {
+                "prior_artifact": sys.argv[4],
+                "prior_mid_sec": round(prior_mid, 3),
+                "mid_sec": round(mid, 3),
+                "ratio": round(vs_prior, 4),
+                "hot_above_5pct": hot,
+            }
+            if hot:
+                print(f"[seal] WARNING: sentinel mid {mid:.3f}s is "
+                      f"{vs_prior:.3f}x the prior seal's {prior_mid:.3f}s — "
+                      f"bracket-stable but the host may be uniformly hot; "
+                      f"consider re-running on an idle host (r19 case)",
+                      flush=True)
         if stable:
             with open(out, "w") as f:
                 json.dump(full, f, indent=1, sort_keys=True)
