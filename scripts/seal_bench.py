@@ -75,17 +75,19 @@ def main() -> None:
     if len(sys.argv) > 4:
         ps = json.load(open(sys.argv[4]))["sentinel"]
         prior_mid = (ps["total_before_sec"] + ps["total_after_sec"]) / 2.0
+    # sampled ONCE before any bench JVM starts: the only load reading not
+    # contaminated by the seal's own work (a mid- or post-sequence sample
+    # mostly measures the just-finished bench saturating the CPUs)
+    load_pre_sequence = os.getloadavg()[0]
     attempts = []
     for attempt in range(2):
         print(f"[seal] attempt {attempt}: sentinel bracket (before)...",
               flush=True)
-        load_before = os.getloadavg()[0]
         before = run_bench(sf_dir, cpus, SENTINELS)
         print(f"[seal] full-registry min-of-3 trio...", flush=True)
         full = run_bench(sf_dir, cpus)
         print(f"[seal] sentinel bracket (after)...", flush=True)
         after = run_bench(sf_dir, cpus, SENTINELS)
-        load_after = os.getloadavg()[0]
         tb, ta = sentinel_total(before), sentinel_total(after)
         ratio = ta / tb
         stable = abs(ratio - 1.0) <= 0.10
@@ -102,11 +104,12 @@ def main() -> None:
             "ratio_after_before": round(ratio, 4),
             "stable_within_10pct": stable,
             "bracket_attempt_ratios": attempts,
-            # pre-bracket load averages: forensic context for a hot seal
-            # (the brackets measure contention's EFFECT; this records the
-            # suspect directly)
-            "loadavg_1min_before": round(load_before, 2),
-            "loadavg_1min_after": round(load_after, 2),
+            # forensic context for a hot seal: the 1-min load before ANY
+            # bench JVM of this sequence started (any later sample mostly
+            # reads back the seal's own just-finished work; on a retry
+            # attempt even this field reflects attempt 0's tail — the
+            # brackets, not this number, remain the binding check)
+            "loadavg_1min_pre_sequence": round(load_pre_sequence, 2),
             "rule": "cross-round per-query comparisons must normalize "
                     "by the rounds' sentinel offsets before calling a "
                     "regression",

@@ -1427,10 +1427,7 @@ object SparkEntry {
     // each oracle states its own.
     "dedup_lsh_incremental" ->
       s"""WITH $lshBandCtes,
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
-         |        ORDER BY doc_id % ${graft.operators.Dedup.SnapshotIncrements},
-         |                 doc_id) AS arr
-         |       FROM br),
+         |$lshArrivalRankCte,
          |kept AS (SELECT * FROM rk
          |         WHERE arr <= ${graft.operators.Dedup.MaxLshBucketSize}),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1446,10 +1443,7 @@ object SparkEntry {
     // arrival-rank admission statement as dedup_lsh_incremental's kept CTE
     "dedup_lsh_index_compacted" ->
       s"""WITH $lshBandCtes,
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
-         |        ORDER BY doc_id % ${graft.operators.Dedup.SnapshotIncrements},
-         |                 doc_id) AS arr
-         |       FROM br)
+         |$lshArrivalRankCte
          |SELECT CAST(band_idx AS BIGINT) AS band_idx, band_hash, doc_id
          |FROM rk WHERE arr <= ${graft.operators.Dedup.MaxLshBucketSize}
          |ORDER BY band_idx, band_hash, doc_id""".stripMargin,
@@ -5218,6 +5212,18 @@ object SparkEntry {
   /** The ngram-jaccard hot-shingle frequency cap (`Dedup.MaxShingleFreq`)
     * — shared by the pair oracle and the shingle-stats observable. */
   private val maxShingleFreq: Int = graft.operators.Dedup.MaxShingleFreq
+
+  /** The incremental band index's arrival-rank admission rule — rank by
+    * (increment residue, doc_id) within a bucket, admitted iff ≤ cap —
+    * stated ONCE over the `br` band rows and shared by the pairs oracle
+    * (`dedup_lsh_incremental`) and the membership oracle
+    * (`dedup_lsh_index_compacted`), so the two oracles asserting the same
+    * rule cannot drift (the lshBandCtes/lshSqlBody convention). */
+  private def lshArrivalRankCte: String =
+    s"""rk AS (SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+       |        ORDER BY doc_id % ${graft.operators.Dedup.SnapshotIncrements},
+       |                 doc_id) AS arr
+       |       FROM br)""".stripMargin
 
   /** Word-3-gram shingle hashes derived from token hashes. */
   private val shinglesSql: String =

@@ -564,13 +564,17 @@ object Dedup {
     * PROCESS crash at any point leaves a store the next run restores:
     * before the marker → old versions all intact, partial fold discarded;
     * after the marker → the fold is the store, recovery finishes the swap
-    * (even from the r18-fatal zero-`v=`-dirs window). The marker is
-    * force()d to stable storage before the destructive deletes begin, so
-    * the one POWER-LOSS ordering that would lose data (deletions persisted,
-    * page-cached marker lost) is closed too; full power-failure atomicity
-    * on a local fs would additionally need directory-entry fsyncs — on the
-    * production object store / DFS the store's own commit protocol
-    * governs. Compaction is exclusive maintenance — run
+    * (even from the r18-fatal zero-`v=`-dirs window). Against POWER LOSS:
+    * before any delete runs, the staged fold is made durable bottom-up —
+    * every data file fsync'd, then the directory entries ([[syncDirTree]]),
+    * then the marker force()d, then the staged dir's entry for the marker
+    * fsync'd — so a crash at any point leaves either the intact old
+    * versions (marker not durable → fold discarded) or a durable, complete
+    * fold (marker durable → recovery finishes the swap); deletions and the
+    * final rename need no durability of their own because recovery re-runs
+    * them idempotently. The guarantee is as strong as the local fs honors
+    * fsync; on the production object store / DFS the store's own commit
+    * protocol governs. Compaction is exclusive maintenance — run
     * [[recoverCompaction]] on restart BEFORE resuming ingestion, or a
     * post-crash increment could read an empty snapshot. */
   private[graft] def compactJournal(spark: SparkSession, outDir: String): Unit = {
@@ -581,16 +585,42 @@ object Dedup {
     val staged = java.nio.file.Paths.get(outDir, s"$StagedCompactPrefix$maxId")
     spark.read.parquet(versions.map(_.toString): _*)
       .write.mode("overwrite").parquet(staged.toString)
-    // the commit point: from here the staged fold IS the store — written
-    // through force(true) so the marker cannot be reordered after the
-    // deletes by a power failure
+    // Spark's local-fs parquet writer never fsyncs, so make the fold
+    // durable (data files, then directory entries) BEFORE the commit
+    // point — a forced marker over page-cached data files would let a
+    // power failure persist the deletes but lose the only copy
+    syncDirTree(staged)
+    // the commit point: from here the staged fold IS the store
     val mch = java.nio.channels.FileChannel.open(
       staged.resolve(CompactCompleteMarker),
       java.nio.file.StandardOpenOption.CREATE_NEW,
       java.nio.file.StandardOpenOption.WRITE)
     try mch.force(true) finally mch.close()
+    // make the marker's directory entry durable too — force() on the
+    // file alone does not persist its parent dir's entry
+    syncPath(staged)
     versions.foreach(v => StatefulQueries.deleteRecursively(v.toPath))
     java.nio.file.Files.move(staged, java.nio.file.Paths.get(outDir, s"v=$maxId"))
+  }
+
+  /** fsync every regular file under `dir`, then the directories bottom-up
+    * (children before parents, `dir` itself last) — the Lucene
+    * FileChannel.open(READ).force recipe; directory fsync persists the
+    * entries that file fsync alone does not. Linux-only semantics, which
+    * is what this sandbox and the local-fs journals target. */
+  private def syncDirTree(dir: java.nio.file.Path): Unit = {
+    val f = dir.toFile
+    Option(f.listFiles()).toSeq.flatten.foreach { c =>
+      if (c.isDirectory) syncDirTree(c.toPath) else syncPath(c.toPath)
+    }
+    syncPath(dir)
+  }
+
+  /** fsync one path (file or directory) via FileChannel force. */
+  private def syncPath(p: java.nio.file.Path): Unit = {
+    val ch = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.READ)
+    try ch.force(true) finally ch.close()
   }
 
   /** Staged-fold sibling name prefix; the suffix is the target version id,
@@ -628,7 +658,9 @@ object Dedup {
       }
   }
 
-  /** The journal's version dirs, ascending by id. */
+  /** The journal's version dirs, ascending by id — the ONE statement of
+    * what counts as a version (`v=<id>` child dir), shared by compaction,
+    * recovery, the copy gate, and [[snapshotVersionsBefore]]. */
   private def versionDirs(outDir: String): Seq[java.io.File] =
     Option(new java.io.File(outDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
@@ -641,7 +673,9 @@ object Dedup {
     * consumers and the spec witnesses rely on) is untouched. */
   def dedupIncrementalCompacted(spark: SparkSession, sfDir: String): DataFrame = {
     val outDir = compactedCache.computeIfAbsent(sfDir, { _ =>
-      dedupIncrementalSnapshot(spark, sfDir).queryExecution // force the build
+      // the CALL builds the journal (its computeIfAbsent side effect);
+      // the returned frame is not needed here
+      val _ = dedupIncrementalSnapshot(spark, sfDir)
       compactedCopyOf(spark, incSnapshotCache.get(sfDir), "graft-dedup-compact-")
     })
     snapshotVersionsBefore(spark, outDir, Long.MaxValue)
@@ -660,13 +694,12 @@ object Dedup {
   private[graft] def compactedCopyOf(spark: SparkSession, src: String,
                                      tag: String): String = {
     val d = java.nio.file.Files.createTempDirectory(tag).toString
-    Option(new java.io.File(src).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v=")).foreach { v =>
-        val dst = java.nio.file.Paths.get(d, v.getName)
-        java.nio.file.Files.createDirectories(dst)
-        Option(v.listFiles()).toSeq.flatten.foreach(f =>
-          java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
-      }
+    versionDirs(src).foreach { v =>
+      val dst = java.nio.file.Paths.get(d, v.getName)
+      java.nio.file.Files.createDirectories(dst)
+      Option(v.listFiles()).toSeq.flatten.foreach(f =>
+        java.nio.file.Files.copy(f.toPath, dst.resolve(f.getName)))
+    }
     compactJournal(spark, d)
     val left = versionDirs(d).size
     require(left == 1, s"compaction left $left version dirs, expected 1")
@@ -689,7 +722,8 @@ object Dedup {
       // build and lookup pinned to the SAME explicit values — a drift in
       // dedupLshIncremental's defaults cannot desynchronize this key
       val (n, minEst, cap) = (DefaultShingleN, MinEstJaccard, MaxLshBucketSize)
-      dedupLshIncremental(spark, sfDir, n, minEst, cap).queryExecution
+      // the CALL builds the band index (its computeIfAbsent side effect)
+      val _ = dedupLshIncremental(spark, sfDir, n, minEst, cap)
       compactedCopyOf(spark, lshIncCache.get(lshIncKey(sfDir, n, minEst, cap))._1,
         "graft-lsh-idx-compact-")
     })
@@ -707,10 +741,8 @@ object Dedup {
     * write) — the snapshot an increment dedups against. */
   private[graft] def snapshotVersionsBefore(spark: SparkSession, outDir: String,
                                             id: Long): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+    val dirs = versionDirs(outDir)
       .filter(_.getName.drop(2).toLong < id)
-      .sortBy(_.getName.drop(2).toLong)
       .map(_.toString)
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }

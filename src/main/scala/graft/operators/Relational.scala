@@ -1105,8 +1105,9 @@ object Relational {
                            lgK: Int = 14,
                            tolerance: Double = 0.15): DataFrame = {
     val outDir = statsCompactedCache.computeIfAbsent(s"$sfDir|$lgK", { _ =>
-      // force the journal build through the incremental entry point
-      columnStatsIncremental(spark, sfDir, lgK, tolerance).queryExecution
+      // the CALL builds the journal through the incremental entry point
+      // (its computeIfAbsent side effect); the returned frame is unused
+      val _ = columnStatsIncremental(spark, sfDir, lgK, tolerance)
       Dedup.compactedCopyOf(spark, statsIncCache.get(s"$sfDir|$lgK"),
         "graft-stats-compact-")
     })
