@@ -534,8 +534,12 @@ object Analytics {
       withWidth(spark, 8) {
     // the edge-building joins run ONCE: the canonical edge list is cached,
     // and the ORIENTED edge table — referenced by both wedge sides and the
-    // closure — is cached too, so the degree joins run once, not thrice
-    val e = eRaw.cache()
+    // closure — is cached too, so the degree joins run once, not thrice.
+    // A cache the CALLER already placed is respected (Spark caching is not
+    // reference-counted — unpersisting here would silently drop it under
+    // the caller's remaining consumers; the lshComponentsOf convention)
+    val callerCached = eRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val e = if (callerCached) eRaw else eRaw.cache()
     val dir = orientedEdges(e)._2.cache()
     try {
       val wedges = dir.select(col("a"), col("b").as("m"))
@@ -547,7 +551,7 @@ object Analytics {
         .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges")))))
     } finally {
       dir.unpersist(blocking = false)
-      e.unpersist(blocking = false)
+      if (!callerCached) e.unpersist(blocking = false)
     }
   }
 
@@ -1003,8 +1007,14 @@ object Analytics {
               .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
             // eager localCheckpoint per iteration: the rank table is
             // node-sized, and truncating its lineage keeps every iteration
-            // a shallow plan instead of one deep tree (bfsOf's measured fix)
-            val nd = nodes.join(inc, Seq("node"), "left")
+            // a shallow plan instead of one deep tree (bfsOf's measured fix).
+            // The spine is RANKS, not nodes: every step preserves the full
+            // node set (init seeds it; the left join never drops a row), so
+            // re-joining `nodes` here re-evaluated its whole upstream scan +
+            // distinct once per step — ranks is the same node set already
+            // materialized in checkpoint blocks (the bfsOf/labelPropOf
+            // rounds were always self-spined; pagerank was the odd one out)
+            val nd = ranks.join(inc, Seq("node"), "left")
               .select(col("node"),
                       (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
               .localCheckpoint(true)
@@ -1569,12 +1579,20 @@ object Analytics {
           .join(cur.select(col("node").as("dst"), col("lab")), "dst")
           .groupBy(col("src"), col("lab"))
           .agg(count(lit(1)).as("c"))
+        // the majority label is an ARGMAX by (count desc, label asc), which a
+        // max_by over the key (c, -lab) states as ONE hash aggregate with
+        // map-side partials — each mapper contributes one candidate row per
+        // src instead of every (src, lab) vote crossing the exchange into a
+        // per-src sort (the row_number().over form this replaces paid a full
+        // sort per round for a single surviving row per group). The ordering
+        // key is unique per (src, lab) — votes are grouped — so the argmax is
+        // deterministic, and labels are node ids (longs), so -lab is an exact
+        // total-order inversion: identical result, one sort fewer per round.
         val best = votes
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("src"))
-              .orderBy(col("c").desc, col("lab").asc)))
-          .filter(col("rn") === 1)
-          .select(col("src").as("node"), col("lab").as("new_lab"))
+          .groupBy(col("src"))
+          .agg(max_by(col("lab"),
+            struct(col("c"), (-col("lab")).as("nl"))).as("new_lab"))
+          .select(col("src").as("node"), col("new_lab"))
         val nd = cur.join(best, Seq("node"), "left")
           .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
           .localCheckpoint(true)
@@ -2169,12 +2187,24 @@ object Analytics {
     * O(√|E|)) plus one degree aggregate; the combine is a 1-row
     * broadcast crossJoin. */
   def clusteringCoefficientUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    val ce = userCoEdges(spark, sfDir)
-    val tri = triangleCountOf(spark, ce)
-    val deg = ce.select(col("u").as("n")).unionAll(ce.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
-    val wedges = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
-      sum(expr("(d * (d - 1)) div 2")).cast("long").as("wedges"))
+    // ONE evaluation of the co-occurrence edge build: cache it here and
+    // materialize BOTH 1-row consumers inside the cached scope —
+    // triangleCountOf localizes its result eagerly (and respects this
+    // caller cache), and the wedge aggregate is localized the same way
+    // (strictly control-plane: one row of exact longs, the localize scope
+    // contract). The previous shape let triangleCountOf cache, localize,
+    // and RELEASE the edges in its finally, so the lazy deg/wedges branch
+    // re-ran the whole events-distinct + minute self-join + distinct at
+    // final-action time — a second full edge build per run (r19-opt).
+    val ce = userCoEdges(spark, sfDir).cache()
+    val (tri, wedges) = try {
+      val tri = triangleCountOf(spark, ce)
+      val deg = ce.select(col("u").as("n")).unionAll(ce.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
+      (tri, localize(spark,
+        deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(expr("(d * (d - 1)) div 2")).cast("long").as("wedges"))))
+    } finally ce.unpersist(blocking = false)
     tri.crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
         when(col("wedges") === 0L, lit(null).cast("double"))

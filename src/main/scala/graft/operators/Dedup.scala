@@ -1375,6 +1375,15 @@ object Dedup {
         val neigh = edges.join(labels, edges("src") === labels("id"))
           .groupBy(edges("dst").as("nid")).agg(min(col("label")).as("nlabel"))
         val hop = labels.select(col("id").as("hid"), col("label").as("hlabel"))
+        // ONE materialization per round: the (id, new_label, old_label)
+        // frame goes straight into an eager localCheckpoint (which also
+        // truncates the logical plan — the loop otherwise nests plans
+        // O(rounds) deep and analysis cost grows quadratically), and the
+        // convergence probe plus the next round's input both read the
+        // checkpointed node-sized blocks. The previous cache→isEmpty→
+        // checkpoint shape evaluated the three-join round plan into a cache,
+        // then copied the cache into the checkpoint — a second node-sized
+        // block write per round that bought nothing.
         val updated = labels
           .join(neigh, labels("id") === neigh("nid"), "left")
           .join(hop, labels("label") === hop("hid"), "left")
@@ -1383,19 +1392,18 @@ object Dedup {
                         coalesce(col("nlabel"), labels("label")),
                         coalesce(col("hlabel"), labels("label"))).as("new_label"),
                   labels("label").as("old_label"))
-          .cache()
+          .localCheckpoint(true)
         converged = updated.filter(col("new_label") < col("old_label")).isEmpty
         if (converged) {
-          // fixpoint: labels are unchanged — keep the already-cached frame
-          updated.unpersist()
+          // fixpoint: labels are unchanged — keep the previous frame (the
+          // fixpoint copy is redundant) and free its blocks
+          release(updated)
         } else {
-          val next = updated.select(col("id"), col("new_label").as("label"))
-            // truncate the logical plan every round: the loop otherwise nests
-            // plans O(rounds) deep and analysis cost grows quadratically
-            .localCheckpoint(true)
-          updated.unpersist()
           release(labels)
-          labels = next
+          // a select over the checkpointed frame: release(labels) next round
+          // finds the checkpoint RDD through it (ColumnBridge.checkpointRdd
+          // collects from the analyzed plan)
+          labels = updated.select(col("id"), col("new_label").as("label"))
         }
       }
       if (!converged)
