@@ -1273,8 +1273,32 @@ object TextOps {
 
   def docSimSparseTopKOf(d: DataFrame, dfCap: Long = DocSimDfCap,
                          k: Int = 20): DataFrame = {
+    // the (doc, shingle, tf) table — the shingle explode + first groupBy,
+    // the expensive half of the index build — is materialized ONCE (eager
+    // localCheckpoint) and every consumer (df table, weight table on BOTH
+    // self-join sides, norms) reads the checkpointed blocks; left lazy,
+    // the join null-filters pushed into individual branches made the
+    // sibling tf subtrees non-canonical, so AQE stage reuse could not
+    // collapse every re-evaluation (measured r19-opt: 2.553 → 2.233 s
+    // interleaved at sf0.1, ProbeDocSim; a .cache() was tried first and
+    // LOST — columnar encoding of the corpus-sized frame costs more than
+    // the recompute it saves). The k-row result is detached eagerly so
+    // the tf blocks can be released before returning; k is a constant of
+    // the query, never corpus-sized.
+    val tf = docTermTf(d).localCheckpoint(true)
+    try docSimTopKFrom(d, tf, dfCap, k).localCheckpoint(true)
+    finally
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(tf)
+        .foreach(_.unpersist(blocking = false))
+  }
+
+  /** The similarity pipeline DOWNSTREAM of the materialized (doc, th, tf)
+    * table — split out so PlanSpec can pin the executed shape (exchange
+    * reuse across the self-join sides, top-k as TakeOrderedAndProject, no
+    * cartesian) on exactly the plan the operator runs. */
+  private[graft] def docSimTopKFrom(d: DataFrame, tf: DataFrame,
+                                    dfCap: Long, k: Int): DataFrame = {
     val docs = d.select(col("doc_id"), col("text"))
-    val tf = docTermTf(d)
     val dfreq = tf.groupBy(col("th")).agg(count(lit(1)).cast("long").as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap)
     val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))

@@ -1165,6 +1165,46 @@ class AnalyticsSpec extends SparkSpec {
       Set((0L until 8L).toSet, (8L until 16L).toSet))
   }
 
+  test("LPA argmax: count-desc majority and label-asc tie-break (the max_by form)") {
+    import spark.implicits._
+    // r19-opt pinned semantics for the round argmax after the
+    // row_number-window → max_by rewrite: among a node's neighbor labels,
+    // the new label is the most FREQUENT one, ties broken by SMALLEST
+    // label. Hub 20 over triangle {1,2,3}: after round 1 every vote is a
+    // count-1 tie, so each node takes its smallest competing neighbor
+    // label under the (count desc, label asc) order — node 1 sees
+    // {20, 2, 3} and must take 2, NOT 3 or 20; after round 2 node 20
+    // sees labels {2, 1, 1} and the count-2 majority (1) must beat the
+    // smaller-rank tie rule.
+    val e = Seq((20L, 1L), (20L, 2L), (20L, 3L),
+                (1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 20L).toDF("node")
+    val r1 = Analytics.labelPropOf(spark, nodes, e, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 20L -> 1L),
+      s"round-1 tie-break diverged: $r1")
+    val r2 = Analytics.labelPropOf(spark, nodes, e, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 20L -> 1L),
+      s"round-2 majority diverged: $r2")
+    // the case that DISTINGUISHES count-desc from label-asc: after round 1
+    // node 100's neighbors carry labels {9, 9, 2} — the count-2 majority
+    // (9) must beat the smaller minority label (2); an argmax that applied
+    // the label-asc tie-break first would wrongly pick 2
+    val e2 = Seq((9L, 10L), (9L, 11L), (100L, 10L), (100L, 11L),
+                 (100L, 40L), (40L, 2L)).toDF("u", "v")
+    val nodes2 = Seq(2L, 9L, 10L, 11L, 40L, 100L).toDF("node")
+    val m1 = Analytics.labelPropOf(spark, nodes2, e2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == Map(2L -> 40L, 9L -> 10L, 10L -> 9L, 11L -> 9L,
+                     40L -> 2L, 100L -> 10L),
+      s"majority-graph round-1 diverged: $m1")
+    val m2 = Analytics.labelPropOf(spark, nodes2, e2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2(100L) == 9L,
+      s"count-2 majority label 9 must beat minority label 2, got ${m2(100L)}")
+  }
+
   test("community_modularity report: the registered fixture rows carry the CC-zero identity") {
     val rows = Analytics.communityModularity(spark, Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))

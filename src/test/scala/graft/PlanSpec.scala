@@ -573,20 +573,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("doc_sim_sparse_topk: AQE collapses the three tf passes to one; no cartesian") {
-    // the tf/weight subplan feeds norms and both self-join sides; the
-    // static plan inlines it three times, and the SCALE property is that
-    // adaptive execution reuses one materialized exchange for all three.
-    // Execute at sf0.001 and pin the FINAL plan: at most 3 corpus scans
-    // (tf once + the n_docs count + one inlined copy the reuse rule keeps)
-    // and at least one ReusedExchange.
-    val df = SparkEntry.queries("doc_sim_sparse_topk")(spark, Sf0001)
-    df.collect()
-    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!fin.contains("CartesianProduct"), fin)
-    assert("FileScan parquet".r.findAllIn(fin).length <= 3, fin)
-    assert(fin.contains("ReusedExchange"), fin)
-    assert(fin.contains("TakeOrderedAndProject"), fin)
+  test("doc_sim_sparse_topk: tf materialized once; self-join reuses one exchange; no cartesian") {
+    // r19-opt: the tf table is eagerly localCheckpointed (AQE stage reuse
+    // could not collapse every re-evaluation of the lazy form — the pushed
+    // join null-filters make sibling tf subtrees non-canonical; measured
+    // in ProbeDocSim), so the registered query returns a detached k-row
+    // frame and its executed pipeline must be pinned on the split-out
+    // docSimTopKFrom plan over the checkpointed tf: corpus parquet scanned
+    // at most ONCE more (the n_docs count), the two self-join sides read
+    // ONE reused exchange over the tf checkpoint, the pair join is an
+    // equi-join (never cartesian), and the top-k plans as
+    // TakeOrderedAndProject (per-partition heaps, no global sort).
+    val docs = graft.io.Tables.documentsNarrow(spark, Sf0001)
+    val tf = graft.operators.TextOps.docTermTf(docs).localCheckpoint(true)
+    try {
+      val df = graft.operators.TextOps.docSimTopKFrom(docs, tf, 100L, 20)
+      // drive THIS plan (Dataset.collect finalizes its own adaptive plan)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(!fin.contains("CartesianProduct"), fin)
+      assert("FileScan parquet".r.findAllIn(fin).length <= 1, fin)
+      assert(fin.contains("ReusedExchange"), fin)
+      assert(fin.contains("TakeOrderedAndProject"), fin)
+      // and the registered query itself returns the detached k-row frame
+      // (a LogicalRDD scan), computing nothing data-sized at action time
+      val q = SparkEntry.queries("doc_sim_sparse_topk")(spark, Sf0001)
+      val rdds = q.queryExecution.optimizedPlan.collect {
+        case p if p.nodeName == "LogicalRDD" => p
+      }
+      assert(rdds.nonEmpty, "doc_sim_sparse_topk does not return a detached checkpoint")
+    } finally
+      org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(tf)
+        .foreach(_.unpersist(blocking = false))
   }
 
   test("q37/q38: the global scalar rides a broadcast over the aggregate, never a sort or cartesian") {

@@ -19,9 +19,11 @@ object Explain {
       // plan (ReusedExchange nodes only appear after AQE materialization)
       if (name.startsWith("run:")) {
         val df = graft.SparkEntry.queries(name.stripPrefix("run:"))(spark, sfDir)
-        // executor-side no-op action: finalizes the adaptive plan without
-        // collecting the result to the driver
-        df.foreach(_ => ())
+        // drive THIS df's own executedPlan (Dataset.foreach/.count build a
+        // fresh QueryExecution, leaving this one isFinalPlan=false): an
+        // RDD-level no-op action on the exact physical plan materializes
+        // every adaptive stage without collecting rows to the driver
+        df.queryExecution.executedPlan.execute().foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
       } else {
         graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
