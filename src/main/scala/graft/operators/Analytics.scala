@@ -1494,7 +1494,16 @@ object Analytics {
     * src-partitioned window) is built once and cached; each step is ONE
     * equi-join of the frontier against it on the source key — walk length
     * bounds the join count, and no step ever materializes more than
-    * |nodes| rows. The result is walk-corpus-sized (nodes × steps). */
+    * |nodes| rows. The result is walk-corpus-sized (nodes × steps). Each
+    * step's frontier is eagerly localCheckpointed (r19-opt probe
+    * ProbeWalks: left lazy, union branch i re-executed the whole join
+    * chain 1..i at action time — only the exchanges reuse) and the steps
+    * run at the graph cores' narrow shuffle width (the r13 finding this
+    * core alone had missed; probed again here: w32 lazy 1.64/1.75 s →
+    * w8 ckpt 1.08/1.26 s min over two independent 5-rep interleaved
+    * sessions at sf0.1). Frontier blocks are freed after the final
+    * detach; an eager wide adj materialization was probed too and LOST
+    * (serializes the cache fill the first step overlaps). */
   def randomWalksUsers(spark: SparkSession, sfDir: String,
                        steps: Int = 3): DataFrame = {
     val P = 1000000007L
@@ -1507,7 +1516,8 @@ object Analytics {
       .withColumn("deg", count(lit(1)).over(
         Window.partitionBy(col("src"))).cast("long"))
       .cache()
-    try {
+    val kept = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try withWidth(spark, 8) {
       // NULL user ids identify no walker: dropped (the labelPropCommunities
       // rule) — a NULL start would emit a (NULL, 0, NULL) step-0 row whose
       // ORDER BY position differs between engines (Spark NULLS FIRST,
@@ -1522,12 +1532,19 @@ object Analytics {
           col("node") === col("src") &&
           col("rn") === ((((col("node") % P) * A + i) % P) % col("deg")) + 1)
           .select(col("start"), col("dst").as("node"))
+          .localCheckpoint(true)
+        kept += frontier
         out = out.unionAll(
           frontier.select(col("start"), lit(i.toLong).as("step"), col("node")))
       }
       // walk-corpus-sized (nodes × steps) → detach, never the driver
       detach(out.orderBy(col("start"), col("step")))
-    } finally adj.unpersist(blocking = false)
+    } finally {
+      adj.unpersist(blocking = false)
+      kept.foreach(f =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(f)
+          .foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** LABEL-PROPAGATION COMMUNITY DETECTION over the user co-occurrence
