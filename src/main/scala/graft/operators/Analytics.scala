@@ -1661,7 +1661,16 @@ object Analytics {
     * node-sized label table (both endpoints — the LPA round profile), a
     * map-side-combinable per-community rollup, and a community-sized
     * final fold; m rides a 1-row broadcast. Nothing data-sized crosses
-    * the driver (labels come from the detached graph cores). */
+    * the driver (labels come from the detached graph cores). The two
+    * iterative cores are INDEPENDENT given the cached edges and each
+    * one's eager per-round actions use only a narrow slice of the
+    * cluster, so they run OVERLAPPED from two driver threads (guide
+    * §2.6 back-fill; r19-opt probe ProbeModularity: 6.33 → 4.86 s
+    * min-of-5 interleaved at sf0.1, identical rows asserted every rep).
+    * Overlap is result-safe: both cores are width- and schedule-
+    * deterministic (the hash gate re-proves it), and the known
+    * interaction — lshComponentsOf retunes the session shuffle width
+    * while LPA rounds run — can only move task sizing, never values. */
   def communityModularity(spark: SparkSession, sfDir: String): DataFrame = {
     val e = userCoEdges(spark, sfDir).cache()
     try {
@@ -1675,12 +1684,17 @@ object Analytics {
       val nodes = Tables.events(spark, sfDir)
         .filter(col("user_id").isNotNull)
         .select(col("user_id").as("node")).distinct()
-      val lpa = labelPropOf(spark, nodes, e, rounds = 4)
+      // LPA on a second driver thread, CC on this one; await INSIDE the
+      // withWidth scope so the narrow width outlives both cores
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val lpaF = Future(labelPropOf(spark, nodes, e, rounds = 4))
       // the ccUsers construction over the same cached edges (singletons
       // label themselves through the left join; NULL nodes are irrelevant
       // to Q — only edge-adjacent labels enter the fold)
       val comp = Dedup.lshComponentsOf(
         e.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      val lpa = Await.result(lpaF, scala.concurrent.duration.Duration.Inf)
       val cc = nodes.join(
           comp.select(col("doc_id").as("node"), col("component")),
           Seq("node"), "left")
@@ -2215,12 +2229,18 @@ object Analytics {
     // final-action time — a second full edge build per run (r19-opt).
     val ce = userCoEdges(spark, sfDir).cache()
     val (tri, wedges) = try {
-      val tri = triangleCountOf(spark, ce)
+      // the wedge aggregate rides a second driver thread while the triangle
+      // core runs (the communityModularity §2.6 overlap; both consumers are
+      // read-only over the shared cache and 1-row deterministic)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
       val deg = ce.select(col("u").as("n")).unionAll(ce.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
-      (tri, localize(spark,
+      val wedgesF = Future(localize(spark,
         deg.agg(count(lit(1)).cast("long").as("n_nodes"),
           sum(expr("(d * (d - 1)) div 2")).cast("long").as("wedges"))))
+      val tri = triangleCountOf(spark, ce)
+      (tri, Await.result(wedgesF, scala.concurrent.duration.Duration.Inf))
     } finally ce.unpersist(blocking = false)
     tri.crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
