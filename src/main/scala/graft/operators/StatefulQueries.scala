@@ -85,9 +85,49 @@ object StatefulQueries {
       } finally {
         if (spark.catalog.tableExists(qn)) spark.catalog.dropTempView(qn)
       }
-    stateWidth match {
-      case Some(w) => withShuffleWidth(spark, w)(run())
-      case None    => run()
+    withDrainStateStore(spark) {
+      stateWidth match {
+        case Some(w) => withShuffleWidth(spark, w)(run())
+        case None    => run()
+      }
+    }
+  }
+
+  private val ProviderClassKey = "spark.sql.streaming.stateStore.providerClass"
+  private val EngineDefaultProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  private val MemoryDrainProvider =
+    "org.apache.spark.sql.execution.streaming.state.GraftMemoryStateStoreProvider"
+
+  /** Run a memory-sink drain on the heap-only state store provider
+    * ([[org.apache.spark.sql.execution.streaming.state.GraftMemoryStateStoreProvider]]),
+    * restoring the session provider on every path. The drains are bounded
+    * single-JVM replays over ephemeral checkpoints, so the engine default's
+    * per-batch delta-file writes buy no recovery anyone can use — measured
+    * 50–90 ms of summed commitTimeMs per store instance per batch on
+    * kilobyte state (ProbeDrainBreakdown, r20). Two guards keep the swap
+    * honest:
+    *  - a caller that PINNED a provider (withRocksDbStateStore, the TWS
+    *    family) wins — if the session value is anything but the engine
+    *    default, this is a no-op, so the `*_rocksdb`/TWS twins keep
+    *    measuring the production provider;
+    *  - `spark.graft.drain.stateStoreProvider=engine` turns the swap off
+    *    globally (production guidance: multi-node or fault-tolerant jobs,
+    *    or state larger than heap, keep the engine/RocksDB providers —
+    *    the memory provider cannot reload state after executor loss). */
+  private[operators] def withDrainStateStore[T](spark: SparkSession)(body: => T): T = {
+    val mode = spark.conf.getOption("spark.graft.drain.stateStoreProvider")
+      .getOrElse("memory")
+    val current = spark.conf.get(ProviderClassKey, EngineDefaultProvider)
+    if (mode != "memory" || current != EngineDefaultProvider) body
+    else {
+      val prev = spark.conf.getOption(ProviderClassKey)
+      spark.conf.set(ProviderClassKey, MemoryDrainProvider)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(ProviderClassKey, v)
+        case None    => spark.conf.unset(ProviderClassKey)
+      }
     }
   }
 
@@ -217,7 +257,7 @@ object StatefulQueries {
       spark: SparkSession, chunks: Seq[Seq[String]], expected: Seq[Long])(
       op: DataFrame => DataFrame)(
       check: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ()): DataFrame =
-    withShuffleWidth(spark, 8) {
+    withDrainStateStore(spark) { withShuffleWidth(spark, 8) {
       require(chunks.length == expected.length && expected == expected.sorted,
         "expected must give a cumulative sink row count per chunk")
       val srv = new graft.io.SocketText()
@@ -241,7 +281,7 @@ object StatefulQueries {
           if (spark.catalog.tableExists(qn)) spark.catalog.dropTempView(qn)
         }
       } finally srv.close()
-    }
+    } }
 
   /** Poll a memory sink until it holds `n` rows (the socket drain's only
     * completion signal — the source cannot say "done"). Counting a memory
