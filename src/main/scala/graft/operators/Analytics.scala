@@ -1596,20 +1596,26 @@ object Analytics {
           .join(cur.select(col("node").as("dst"), col("lab")), "dst")
           .groupBy(col("src"), col("lab"))
           .agg(count(lit(1)).as("c"))
-        // the majority label is an ARGMAX by (count desc, label asc), which a
-        // max_by over the key (c, -lab) states as ONE hash aggregate with
-        // map-side partials — each mapper contributes one candidate row per
-        // src instead of every (src, lab) vote crossing the exchange into a
-        // per-src sort (the row_number().over form this replaces paid a full
-        // sort per round for a single surviving row per group). The ordering
-        // key is unique per (src, lab) — votes are grouped — so the argmax is
-        // deterministic, and labels are node ids (longs), so -lab is an exact
-        // total-order inversion: identical result, one sort fewer per round.
+        // the majority label is an ARGMAX by (count desc, label asc), stated
+        // as the rank-1 window: Spark 4 inserts WindowGroupLimit below and
+        // above the exchange, so each mapper forwards one candidate row per
+        // src and no full per-group sort survives (the r19 probe finding).
+        // The max_by-over-struct alternative was tried in r19 and adjudicated
+        // BACK here in r20 on cold-JVM min-of-3 at 32 cores (the driver
+        // flagged it 1.54x in r19): window 4.43/4.31/4.37 s vs max_by
+        // 4.11/4.78/4.44 s for label_prop_communities — parity on means,
+        // window wins both medians with a third of the spread, because
+        // max_by over a struct key cannot hash-aggregate (SortAggregate
+        // pair) while the window form stays WindowGroupLimit-protected.
+        // The ordering key is unique per (src, lab) — votes are grouped —
+        // so the argmax is deterministic either way; AnalyticsSpec's "LPA
+        // argmax" cases pin the tie-break semantics, not the plan form.
         val best = votes
-          .groupBy(col("src"))
-          .agg(max_by(col("lab"),
-            struct(col("c"), (-col("lab")).as("nl"))).as("new_lab"))
-          .select(col("src").as("node"), col("new_lab"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("src"))
+              .orderBy(col("c").desc, col("lab").asc)))
+          .filter(col("rk") === 1)
+          .select(col("src").as("node"), col("lab").as("new_lab"))
         val nd = cur.join(best, Seq("node"), "left")
           .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
           .localCheckpoint(true)

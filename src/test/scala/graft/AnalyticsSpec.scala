@@ -1165,7 +1165,7 @@ class AnalyticsSpec extends SparkSpec {
       Set((0L until 8L).toSet, (8L until 16L).toSet))
   }
 
-  test("LPA argmax: count-desc majority and label-asc tie-break (the max_by form)") {
+  test("LPA argmax: count-desc majority and label-asc tie-break") {
     import spark.implicits._
     // r19-opt pinned semantics for the round argmax after the
     // row_number-window → max_by rewrite: among a node's neighbor labels,
