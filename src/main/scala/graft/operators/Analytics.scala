@@ -642,16 +642,36 @@ object Analytics {
         // table is node-sized, and truncating its lineage keeps every round
         // a shallow two-input plan instead of one rounds-deep tree the
         // adaptive planner re-optimizes stage by stage (measured 8.8→2.9 s
-        // on the sf0.1 user graph)
-        val finalD = (1 to rounds).foldLeft(init) { (d, _) =>
+        // on the sf0.1 user graph). Rounds STOP at the fixpoint: BFS sets a
+        // node's hop count exactly once (round k reaches exactly the
+        // distance-k layer; least() never lowers a set value), so an
+        // unchanged unreached-count means this and every later round is an
+        // identical frame — the remaining relaxations are paid-for no-ops.
+        // The unreached count is one aggregate over the just-checkpointed
+        // node-sized blocks (~ms) vs a full edge-join round saved whenever
+        // diameter < rounds; at any scale the check is node-sized, the
+        // round edge-sized. Results are bit-identical by construction —
+        // the oracle unrolls the full `rounds` relaxations and hash-matches
+        // (r20; A/B numbers in OPTIMIZATION_r20.md).
+        var finalD = init
+        var prevUnreached = -1L
+        var converged = false
+        for (_ <- 1 to rounds if !converged) {
+          val d = finalD
           val nd = relax(d).localCheckpoint(true)
           checkpointed += nd
           // the superseded round is dead the moment its successor
-          // materializes — free it now, not at the end (round 1's input is
-          // init, never checkpointed, so this is a no-op there)
-          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
-            .foreach(_.unpersist(blocking = false))
-          nd
+          // materializes — free it now, not at the end (never at round 1,
+          // where d eq init: init's plan embeds nodesRaw, and a caller-
+          // passed checkpoint-backed nodes frame must not be freed
+          // mid-query — the r19 advice's latent-unpersist guard)
+          if (!(d eq init))
+            org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+              .foreach(_.unpersist(blocking = false))
+          finalD = nd
+          val unreached = nd.filter(col("h").isNull).count()
+          if (unreached == prevUnreached) converged = true
+          prevUnreached = unreached
         }
         // detach the node-sized result (eager executor-side checkpoint, no
         // driver trip — the result is USER-cardinality on the user graph)
@@ -1019,10 +1039,14 @@ object Analytics {
                       (lit(base) + expr("coalesce(inc, 0) * 85 div 100")).as("r"))
               .localCheckpoint(true)
             checkpointed += nd
-            // free the superseded iteration's blocks now (init is never
-            // checkpointed, so iteration 1's input is a no-op)
-            org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(ranks)
-              .foreach(_.unpersist(blocking = false))
+            // free the superseded iteration's blocks now — but never at
+            // step 1, where ranks eq init: init's plan embeds nodesRaw, and
+            // the collectFirst would free a CALLER-passed checkpoint-backed
+            // nodes frame mid-query (r19 advice; both current callers pass
+            // plain scans, this guards the contract)
+            if (!(ranks eq init))
+              org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(ranks)
+                .foreach(_.unpersist(blocking = false))
             nd
           }
           // the node-sized RESULT is eagerly checkpointed executor-side
@@ -1620,8 +1644,11 @@ object Analytics {
           .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
           .localCheckpoint(true)
         checkpointed += nd
-        org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(cur)
-          .foreach(_.unpersist(blocking = false))
+        // never at round 1, where cur still embeds nodesRaw (the
+        // caller-passed-checkpoint guard, as in bfsOf/pagerankOf)
+        if (checkpointed.length > 1)
+          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(cur)
+            .foreach(_.unpersist(blocking = false))
         cur = nd
       }
       // node-cardinality labels → detach, never the driver. UNSORTED
@@ -1691,16 +1718,26 @@ object Analytics {
         .filter(col("user_id").isNotNull)
         .select(col("user_id").as("node")).distinct()
       // LPA on a second driver thread, CC on this one; await INSIDE the
-      // withWidth scope so the narrow width outlives both cores
+      // withWidth scope so the narrow width outlives both cores. The
+      // future is ALSO awaited on the failure path (Await.ready in the
+      // catch): if lshComponentsOf throws first, the outer finally would
+      // otherwise unpersist the shared edge cache under a still-running
+      // LPA (recompute-from-lineage churn) and drop LPA's own failure
+      // silently (r19 advice #2)
       import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val lpaF = Future(labelPropOf(spark, nodes, e, rounds = 4))
       // the ccUsers construction over the same cached edges (singletons
       // label themselves through the left join; NULL nodes are irrelevant
       // to Q — only edge-adjacent labels enter the fold)
-      val comp = Dedup.lshComponentsOf(
+      val comp = try Dedup.lshComponentsOf(
         e.select(col("u").as("doc_a"), col("v").as("doc_b")))
-      val lpa = Await.result(lpaF, scala.concurrent.duration.Duration.Inf)
+      catch { case t: Throwable =>
+        try Await.ready(lpaF, Duration.Inf) catch { case _: Throwable => () }
+        throw t
+      }
+      val lpa = Await.result(lpaF, Duration.Inf)
       val cc = nodes.join(
           comp.select(col("doc_id").as("node"), col("component")),
           Seq("node"), "left")
@@ -2239,14 +2276,21 @@ object Analytics {
       // core runs (the communityModularity §2.6 overlap; both consumers are
       // read-only over the shared cache and 1-row deterministic)
       import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
       val deg = ce.select(col("u").as("n")).unionAll(ce.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).cast("long").as("d"))
       val wedgesF = Future(localize(spark,
         deg.agg(count(lit(1)).cast("long").as("n_nodes"),
           sum(expr("(d * (d - 1)) div 2")).cast("long").as("wedges"))))
-      val tri = triangleCountOf(spark, ce)
-      (tri, Await.result(wedgesF, scala.concurrent.duration.Duration.Inf))
+      // failure-path await (r19 advice #2): the finally must not release
+      // the shared cache while the wedge job still runs
+      val tri = try triangleCountOf(spark, ce)
+      catch { case t: Throwable =>
+        try Await.ready(wedgesF, Duration.Inf) catch { case _: Throwable => () }
+        throw t
+      }
+      (tri, Await.result(wedgesF, Duration.Inf))
     } finally ce.unpersist(blocking = false)
     tri.crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedges"),
@@ -2361,12 +2405,23 @@ object Analytics {
           d.join(cand, Seq("node", "lm"), "left")
             .select(col("node"), col("lm"), least(col("h"), col("nh")).as("h"))
         }
-        val finalD = (1 to rounds).foldLeft(init) { (d, _) =>
+        // fixpoint early-exit, exactly bfsOf's: per (node, lm) the hop
+        // count is set once at its true distance, so an unchanged
+        // unreached-count is a proof the remaining rounds are no-ops
+        var finalD = init
+        var prevUnreached = -1L
+        var converged = false
+        for (_ <- 1 to rounds if !converged) {
+          val d = finalD
           val nd = relax(d).localCheckpoint(true)
           checkpointed += nd
-          org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
-            .foreach(_.unpersist(blocking = false))
-          nd
+          if (!(d eq init))
+            org.apache.spark.sql.graftbridge.ColumnBridge.checkpointRdd(d)
+              .foreach(_.unpersist(blocking = false))
+          finalD = nd
+          val unreached = nd.filter(col("h").isNull).count()
+          if (unreached == prevUnreached) converged = true
+          prevUnreached = unreached
         }
         detach(finalD)
       }

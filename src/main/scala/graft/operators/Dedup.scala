@@ -1329,9 +1329,15 @@ object Dedup {
     // and size the loop's shuffle width to the MEASURED pair count (cached
     // plans don't get AQE partition coalescing): ~25k pairs (50k directed
     // edges) per partition, capped at the cluster's parallelism. The
-    // override is session-global while the loop runs — this operator assumes
-    // no concurrent queries share the session (Verify/Bench run queries
-    // serially); the conf is restored in the finally.
+    // override is session-global while the loop runs; the conf is restored
+    // in the finally. ACTUAL concurrency invariant (r19 review fix):
+    // concurrent READERS of the session are tolerated — communityModularity
+    // deliberately runs labelPropOf on a second thread while this loop
+    // retunes the width, and the race moves only task sizing of plans
+    // planned in the window, never values (both cores are width- and
+    // schedule-deterministic, hash-gated). What is NOT tolerated is a
+    // concurrent query whose CORRECTNESS depends on a session conf (e.g.
+    // the withNanosAsLong pattern) — that conf would leak across threads.
     // respect a cache the CALLER already placed on the input (Spark caching
     // is not reference-counted — unpersisting here would silently drop it)
     val callerCached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
