@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Super-linear-shape detector over three bench scales.
 
-Usage: scaling_ratio.py BENCH_sf0.001.json BENCH_sf0.01.json BENCH_sf0.1.json OUT.json
+Usage: scaling_ratio.py BENCH_sf0.001.json BENCH_sf0.01.json BENCH_sf0.1.json OUT.json [VERIFY_OUT_DIR]
 
 Model: t(s) = c + v*s for a linear-in-data query, where c is the
 per-query fixed floor (JVM/planning/micro-batch scaffold) and v the
@@ -24,6 +24,18 @@ tested directly: 10*t1 is the most generous linear prediction of t2
 query), and a query is flagged when t2 exceeds it by the same margins
 (>1.0 s absolute AND >2x ratio).
 
+Pair-volume self-adjudication (r19 verdict ask #7): the doc-sim and
+ngram-dedup families are SUPER-LINEAR BY DECLARED SHAPE — their cost is
+the df/frequency-capped candidate pair count, not the row count — and
+both have standing observable queries (doc_sim_df_stats,
+dedup_ngram_shingle_stats) whose outputs state that pair volume exactly.
+When the optional VERIFY_OUT_DIR argument points at a `graft.Verify`
+dump, the observables' committed numbers are read from the parquet and
+attached as a "pair_observables" block, and each affected query's row
+gets a "pair_note" naming its governing observable — so a small-pair
+flag on these families is adjudicated by the artifact itself instead of
+a prose cross-reference.
+
 Sentinel normalization (r18 verdict ask #6): when the sf0.1 bench is a
 seal_bench.py artifact (carries the "sentinel" bracket block), each
 query also gets t_sf0.1_sentinel_units = t_sf0.1 / sentinel_mid, where
@@ -36,8 +48,40 @@ import json
 import sys
 
 
+# query -> the observable whose candidate_pairs number governs its cost
+PAIR_GOVERNED = {
+    "doc_sim_sparse_topk": "doc_sim_df_stats",
+    "dedup_ngram_jaccard": "dedup_ngram_shingle_stats",
+    "dedup_containment": "dedup_ngram_shingle_stats",
+    "cosine_near_dup": "doc_sim_df_stats",
+}
+
+
+def read_pair_observables(verify_dir):
+    """Read the pair-volume observables' committed numbers from a
+    graft.Verify parquet dump; missing outputs are reported, not fatal."""
+    import glob
+    try:
+        import pandas as pd
+    except ImportError:
+        return {"error": "pandas unavailable; pair observables not read"}
+    obs = {}
+    for name in sorted(set(PAIR_GOVERNED.values())):
+        files = glob.glob(f"{verify_dir}/{name}/*.parquet")
+        if not files:
+            obs[name] = {"error": f"no parquet under {verify_dir}/{name}"}
+            continue
+        row = pd.concat([pd.read_parquet(f) for f in files]).iloc[0]
+        obs[name] = {k: int(row[k]) for k in row.index
+                     if k in ("candidate_pairs", "dropped_pairs",
+                              "n_terms_indexed", "n_shingles_indexed",
+                              "max_df", "max_freq")}
+    return obs
+
+
 def main() -> None:
     b1, b2, b3, out = sys.argv[1:5]
+    verify_dir = sys.argv[5] if len(sys.argv) > 5 else None
     t1 = json.load(open(b1))["queries"]  # sf0.001
     t2 = json.load(open(b2))["queries"]  # sf0.01
     bench3 = json.load(open(b3))
@@ -81,6 +125,10 @@ def main() -> None:
         }
         if sentinel_mid is not None:
             rows[q]["t_sf0.1_sentinel_units"] = round(c3 / sentinel_mid, 4)
+        if q in PAIR_GOVERNED:
+            rows[q]["pair_note"] = (
+                f"cost governed by {PAIR_GOVERNED[q]}.candidate_pairs (see "
+                "pair_observables), super-linear in rows by declared shape")
         if is_flag or sp_flag:
             flagged.append(q)
     artifact = {
@@ -91,6 +139,9 @@ def main() -> None:
         "n_queries": len(rows), "flagged": flagged,
         "skipped_missing_or_nonnumeric": skipped, "queries": rows,
     }
+    if verify_dir is not None:
+        artifact["pair_observables"] = read_pair_observables(verify_dir)
+        artifact["pair_observables_source"] = verify_dir
     if sentinel_mid is not None:
         artifact["sentinel_total_mid_sec"] = round(sentinel_mid, 3)
         artifact["sentinel_rule"] = (
